@@ -1,0 +1,75 @@
+"""Benchmark runner: executes the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced with a cheap count() action (no driver collect of
+result data beyond the count). A warmup pass on the smallest table
+amortizes JVM/codegen startup out of the first measured query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from real_time_iot_data_pipeline_project_spark import registry
+from real_time_iot_data_pipeline_project_spark.session import get_spark
+
+# Headline set: one per operator family, weighted toward shuffle/join
+# heavy plans where scale behavior matters.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_range_filter",
+    "q04_star_join",
+    "q05_dedup_exact_keys",
+    "q06_latest_per_key",
+    "q08_pivot_align",
+    "q09_lag_delta",
+    "q11_regression",
+    "q13_time_features",
+    "q20_wind_physics",
+    "q22_tumbling_window",
+    "q23_ewma",
+    "q26_dwh_datetime_dim",
+    "q27_iot_pipeline",
+    "q28_text_stats",
+    "q31_minhash_signatures",
+    "q33_simhash",
+    "q37_cosine_topk",
+    "q38_ivf_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM + parquet footer reads
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,201 @@
+"""Aggregate / analytics library (SURVEY.md §2.5 A1-A14, §2.7, §2.8).
+
+Replaces the reference dashboards' per-station Python loops
+(``Solar_Dashboard.py:249-324``, ``Wind_Dashboard.py:608-620``) with
+single grouped aggregations — one shuffle instead of N filtered scans.
+
+Scale notes:
+- every grouped agg here benefits from map-side partial aggregation
+  (hash-agg before the shuffle), so network volume is O(groups), not
+  O(rows).
+- global scalars (capacity factor's global max, regression slopes) are
+  computed as 1-row aggregates cross-joined back — Spark broadcasts the
+  1-row side automatically; no driver collect in any operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def station_energy(df: DataFrame, group_col: str = "station_id",
+                   energy_col: str = "energy_kWh_10min") -> DataFrame:
+    """A1 — total energy per station (Solar_Dashboard.py:306)."""
+    return df.groupBy(group_col).agg(F.sum(energy_col).alias("total_energy_kWh"))
+
+
+def energy_by_hour(df: DataFrame, ts_col: str = "timestamp",
+                   energy_col: str = "farm_energy_kWh_10min") -> DataFrame:
+    """A2 — grouped sum by derived hour key (Wind_Dashboard.py:439)."""
+    return (
+        df.groupBy(F.hour(ts_col).alias("hour"))
+        .agg(F.sum(energy_col).alias("total_energy"))
+        .orderBy("hour")
+    )
+
+
+def global_metrics(df: DataFrame, cols: list[str]) -> DataFrame:
+    """A3 — null-safe global sum/avg/max per metric column; absent columns
+    contribute zeros (safe_sum/safe_mean/safe_max,
+    Solar_Dashboard.py:173-186)."""
+    aggs: list[F.Column] = []
+    for c in cols:
+        if c in df.columns:
+            aggs += [
+                F.coalesce(F.sum(c), F.lit(0.0)).alias(f"{c}_sum"),
+                F.coalesce(F.avg(c), F.lit(0.0)).alias(f"{c}_avg"),
+                F.coalesce(F.max(c), F.lit(0.0)).alias(f"{c}_max"),
+            ]
+        else:
+            aggs += [
+                F.lit(0.0).alias(f"{c}_sum"),
+                F.lit(0.0).alias(f"{c}_avg"),
+                F.lit(0.0).alias(f"{c}_max"),
+            ]
+    return df.agg(*aggs)
+
+
+def station_ranking(df: DataFrame, group_col: str, metrics: dict[str, str]) -> DataFrame:
+    """A4+W2+L1 — multi-metric per-group summary ordered by the first
+    metric desc (dashboard ranking table, Solar_Dashboard.py:469-482).
+
+    ``metrics``: output alias → "agg:column", agg ∈ {sum, avg, max, min, count}.
+    """
+    agg_fns = {"sum": F.sum, "avg": F.avg, "max": F.max, "min": F.min, "count": F.count}
+    aggs = []
+    for alias, spec in metrics.items():
+        fn_name, col = spec.split(":", 1)
+        aggs.append(agg_fns[fn_name](col).alias(alias))
+    out = df.groupBy(group_col).agg(*aggs)
+    first_alias = next(iter(metrics))
+    return out.orderBy(F.desc(first_alias), F.asc(group_col))
+
+
+def capacity_factor(df: DataFrame, group_col: str, power_col: str) -> DataFrame:
+    """A5 — ``avg(power)/global_max(power)·100`` per group
+    (Wind_Dashboard.py:617). Global max via 1-row agg cross-join
+    (auto-broadcast), not a driver collect."""
+    gmax = df.agg(F.max(power_col).alias("__gmax"))
+    return (
+        df.groupBy(group_col)
+        .agg(F.avg(power_col).alias("avg_power"))
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            group_col,
+            "avg_power",
+            (F.col("avg_power") / F.col("__gmax") * 100.0).alias("capacity_factor_pct"),
+        )
+    )
+
+
+def describe_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+    """A6 — describe(): count/mean/std/min/median/max per column
+    (Wind_Dashboard.py:672-687), long format (column, stat, value).
+
+    Uses exact ``percentile`` (not approx) so results are oracle-matchable;
+    at 100 TB swap to ``percentile_approx`` — flagged here deliberately.
+    """
+    rows = []
+    for c in cols:
+        rows.append(
+            df.agg(
+                F.lit(c).alias("column"),
+                F.count(c).cast("double").alias("count"),
+                F.avg(c).alias("mean"),
+                F.stddev(c).alias("std"),
+                F.min(c).alias("min"),
+                F.expr(f"percentile({c}, 0.5)").alias("median"),
+                F.max(c).alias("max"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def value_counts(df: DataFrame, col: str) -> DataFrame:
+    """A7 — frequency per category (Wind_Dashboard.py:361)."""
+    return df.groupBy(col).agg(F.count(F.lit(1)).alias("count")).orderBy(F.desc("count"), F.asc(col))
+
+
+def distinct_stats(df: DataFrame, col: str) -> DataFrame:
+    """A8 — distinct count + sorted distinct list."""
+    return df.agg(
+        F.countDistinct(col).alias("n_distinct"),
+        F.array_sort(F.collect_set(col)).alias("distinct_values"),
+    )
+
+
+def pivot_align(df: DataFrame, index_col: str, pivot_col: str, value_col: str,
+                pivot_values: list[str] | None = None, agg: str = "avg") -> DataFrame:
+    """J2/A14 — pivot_table(index, columns, values): full-outer alignment
+    of per-key series into a wide frame (Solar_Dashboard.py:381-385).
+    Pass ``pivot_values`` explicitly at scale to skip the distinct-scan."""
+    agg_col = {"avg": F.avg, "first": F.first, "sum": F.sum}[agg](value_col)
+    p = df.groupBy(index_col)
+    p = p.pivot(pivot_col, pivot_values) if pivot_values else p.pivot(pivot_col)
+    return p.agg(agg_col)
+
+
+def correlation(df: DataFrame, c1: str, c2: str) -> DataFrame:
+    """A9 — scalar Pearson correlation (Solar_Dashboard.py:452 etc.)."""
+    return df.agg(F.corr(c1, c2).alias("corr"))
+
+
+def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """A10 — pairwise Pearson over the given columns, long format
+    (col_a, col_b, corr). One pass: all pairs in a single agg."""
+    aggs = [
+        F.corr(a, b).alias(f"{a}__{b}")
+        for i, a in enumerate(cols)
+        for b in cols[i:]
+    ]
+    wide = df.agg(*aggs)
+    pairs = F.array(*[
+        F.struct(
+            F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+            F.col(f"{a}__{b}").alias("corr"),
+        )
+        for i, a in enumerate(cols)
+        for b in cols[i:]
+    ])
+    return wide.select(F.explode(pairs).alias("p")).select("p.*")
+
+
+def linear_regression(df: DataFrame, x: str, y: str,
+                      group_col: str | None = None) -> DataFrame:
+    """A11 — closed-form OLS trend line (np.polyfit(x,y,1) equivalent,
+    Solar_Dashboard.py:442-445): slope = covar_pop/var_pop, intercept =
+    ȳ − slope·x̄. Pure aggregates — no ML library, no iteration."""
+    slope = (F.covar_pop(x, y) / F.var_pop(x)).alias("slope")
+    grouped = df.groupBy(group_col) if group_col else df.groupBy()
+    out = grouped.agg(
+        slope,
+        F.avg(y).alias("__ybar"),
+        F.avg(x).alias("__xbar"),
+        F.corr(x, y).alias("corr"),
+    )
+    return out.withColumn(
+        "intercept", F.col("__ybar") - F.col("slope") * F.col("__xbar")
+    ).drop("__ybar", "__xbar")
+
+
+def histogram(df: DataFrame, col: str, bins: list[float]) -> DataFrame:
+    """A12 — explicit-bin histogram (pd.cut semantics: right-inclusive
+    (lo, hi]; values outside [bins[0], bins[-1]] excluded,
+    Wind_Dashboard.py:129-131). Returns (bin_label, lo, hi, count)."""
+    c = F.col(col)
+    label = None
+    for lo, hi in zip(bins, bins[1:]):
+        cond = (c > lo) & (c <= hi)
+        lbl = f"({lo}, {hi}]"
+        label = F.when(cond, lbl) if label is None else label.when(cond, lbl)
+    return (
+        df.withColumn("bin", label)
+        .filter(F.col("bin").isNotNull())
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy("bin")
+    )

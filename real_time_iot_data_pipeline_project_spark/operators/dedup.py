@@ -1,0 +1,196 @@
+"""Deduplication operators for the training-data pipeline: exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup
+(BASELINE.json north-star; first-class alongside SURVEY.md §2).
+
+Scale design
+------------
+- **exact**: hash-groupBy on a 128-bit fingerprint — one shuffle keyed by
+  md5, perfectly uniform (no skew by construction).
+- **MinHash+LSH**: shingle → k min-hashes → b bands; candidate pairs come
+  from a self-join on (band_id, band_hash) — i.e. join fan-out is bounded
+  per bucket instead of the O(n²) all-pairs. The only all-pairs step,
+  verification, runs per bucket.
+- **SimHash**: one grouped agg per doc (bit-majority over token hashes);
+  near-dup = same band of the signature (bit-block LSH), hamming verify.
+- **n-gram Jaccard**: exact pairwise via shingle inverted-index join —
+  quadratic per shingle bucket; use only to verify candidates at scale.
+- **embedding cosine**: see similarity.py; near-dup = sim ≥ threshold.
+
+All hashes are the portable md5-based family (functions.textfns), so
+every operator here has a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import textfns
+
+DEFAULT_SHINGLE_K = 5  # character shingle width
+DEFAULT_NUM_HASHES = 12
+DEFAULT_BANDS = 4  # 4 bands × 3 rows
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on normalized-text fingerprint: keep the min-id doc per
+    fingerprint group (deterministic winner)."""
+    fp = df.select(F.col(id_col), textfns.fingerprint(text_col).alias("fp"))
+    keep = fp.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
+def char_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  k: int = DEFAULT_SHINGLE_K) -> DataFrame:
+    """Distinct character k-shingles of the normalized text, one row per
+    (id, shingle). Shingling via sequence+transform — no Python UDF."""
+    norm = textfns.normalize_text(text_col)
+    return (
+        df.select(F.col(id_col), norm.alias("__norm"))
+        .filter(F.length("__norm") >= k)
+        .select(
+            id_col,
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("__norm") - (k - 1)),
+                        lambda i: F.col("__norm").substr(i, F.lit(k)),
+                    )
+                )
+            ).alias("shingle"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = DEFAULT_SHINGLE_K,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact pairwise Jaccard over character k-shingles via inverted-index
+    self-join. Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥
+    threshold."""
+    sh = char_shingles(df, text_col, id_col, k).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .withColumn("jaccard", F.col("common") / (F.col("na") + F.col("nb") - F.col("common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = DEFAULT_SHINGLE_K,
+                       num_hashes: int = DEFAULT_NUM_HASHES) -> DataFrame:
+    """MinHash signature per doc: sig_i = min over shingles of
+    H(i || shingle), H = portable 60-bit md5 hash. One grouped agg."""
+    sh = char_shingles(df, text_col, id_col, k)
+    aggs = [
+        F.min(textfns.portable_hash60(F.concat(F.lit(f"{i}|"), F.col("shingle"))))
+        .alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", k: int = DEFAULT_SHINGLE_K,
+                           num_hashes: int = DEFAULT_NUM_HASHES,
+                           bands: int = DEFAULT_BANDS) -> DataFrame:
+    """LSH banding: docs sharing any band (md5 of the band's signature
+    slice) become candidate pairs. Returns (id_a, id_b, est_jaccard)
+    where est_jaccard = fraction of matching signature components —
+    the MinHash estimate of true Jaccard."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, k, num_hashes).cache()
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_id"),
+                     F.md5(F.concat_ws("|", *[p.cast("string") for p in parts])).alias("band_hash"))
+        )
+    banded = sig.select(
+        id_col, F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "band.band_id", "band.band_hash")
+    a = banded.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
+    b = banded.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
+    pairs = (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # estimate jaccard from full signatures for the surviving candidates
+    sig_a = sig.select(*([F.col(id_col).alias("id_a")] + [F.col(f"mh_{i}").alias(f"a_{i}") for i in range(num_hashes)]))
+    sig_b = sig.select(*([F.col(id_col).alias("id_b")] + [F.col(f"mh_{i}").alias(f"b_{i}") for i in range(num_hashes)]))
+    est = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0) for i in range(num_hashes)
+    ) / F.lit(float(num_hashes))
+    return (
+        pairs.join(sig_a, "id_a").join(sig_b, "id_b")
+        .withColumn("est_jaccard", est)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """SimHash per doc: bit-majority over whitespace-token hashes.
+    bit_j(sig) = 1 iff Σ_tokens (±1 by bit j of H(token)) > 0."""
+    toks = (
+        df.select(F.col(id_col), F.explode(textfns.whitespace_tokens(text_col)).alias("tok"))
+        .withColumn("h", textfns.portable_hash60("tok"))
+    )
+    bit_sums = toks.groupBy(id_col).agg(*[
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s_{j}")
+        for j in range(bits)
+    ])
+    sig = sum(
+        F.when(F.col(f"s_{j}") > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long"))
+        for j in range(bits)
+    )
+    return bit_sums.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_dups(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", bits: int = 32,
+                      max_hamming: int = 3, blocks: int = 4) -> DataFrame:
+    """Near-dups by SimHash: block LSH (split signature into ``blocks``
+    bit-blocks; pairs sharing ≥1 exact block are candidates — any pair
+    within hamming < blocks must share a block), verified with
+    bit_count(xor) ≤ max_hamming."""
+    sig = simhash_signatures(df, text_col, id_col, bits).cache()
+    block_bits = bits // blocks
+    mask = (1 << block_bits) - 1
+    blk = sig.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("block_id"),
+                F.shiftright(F.col("simhash"), i * block_bits).bitwiseAND(F.lit(mask)).alias("block_val"),
+            )
+            for i in range(blocks)
+        ])).alias("b"),
+    ).select(id_col, "simhash", "b.block_id", "b.block_val")
+    a = blk.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "block_id", "block_val")
+    b = blk.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "block_id", "block_val")
+    return (
+        a.join(b, ["block_id", "block_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

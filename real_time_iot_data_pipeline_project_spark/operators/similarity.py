@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``cosine_topk``: brute-force exact top-k vs a query vector. The dot
+  product / norms are ``zip_with``/``aggregate`` Column expressions —
+  JVM-side, no Python. Top-k executes as TakeOrderedAndProject (per-
+  partition heap, no global sort), so brute force is a clean linear scan
+  even at 100 TB — it's the *baseline*, not the scale path.
+- ``hyperplane_lsh_buckets`` / ``cosine_near_dup_lsh``: random-hyperplane
+  (sign) LSH. Hyperplanes are deterministic ±1 vectors derived from a
+  seeded RNG, embedded as literals — so the same planes are expressible
+  in the DuckDB oracle. Bucket join bounds the pair fan-out; exact cosine
+  verifies candidates.
+- ``ivf_topk``: IVF-style two-stage search — assign every vector to its
+  nearest of C deterministic centroids, probe only the query's ``nprobe``
+  nearest buckets. The scale path for repeated queries.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Exact brute-force top-k by cosine similarity to ``query_vec``."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return (
+        df.select(F.col(id_col), cosine(vec_d, q).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes (Rademacher vectors are valid sign-LSH
+    projections and stay exactly representable in both engines)."""
+    rng = random.Random(seed)
+    return [[float(rng.choice((-1, 1))) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def hyperplane_lsh_buckets(df: DataFrame, planes: list[list[float]],
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id") -> DataFrame:
+    """Sign-LSH bucket id per vector: bit_i = 1 iff plane_i · v > 0."""
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bucket = sum(
+        F.when(_dot(vec_d, F.array(*[F.lit(p) for p in plane])) > 0,
+               F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
+        for i, plane in enumerate(planes)
+    )
+    return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+
+
+def cosine_near_dup_lsh(df: DataFrame, planes: list[list[float]],
+                        threshold: float = 0.9, vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Near-duplicate vector pairs: candidates from equal LSH buckets,
+    verified by exact cosine ≥ threshold."""
+    b = hyperplane_lsh_buckets(df, planes, vec_col, id_col)
+    a = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
+    c = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
+    va = F.transform(F.col("va"), lambda x: x.cast("double"))
+    vb = F.transform(F.col("vb"), lambda x: x.cast("double"))
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(va, vb).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+             n_centroids: int = 16, nprobe: int = 4,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """IVF-style ANN: centroids = the ``n_centroids`` lowest-id vectors
+    (deterministic, no k-means dependency); every vector is assigned to
+    its max-cosine centroid; the query probes its ``nprobe`` best buckets.
+
+    Approximate by design — recall depends on nprobe/centroid quality.
+    At scale: the assignment is one broadcast join (centroids are tiny)
+    and the probe prunes ~(1 - nprobe/n_centroids) of the data.
+    """
+    centroids = df.orderBy(F.asc(id_col)).limit(n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
+    )
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cvec_d = F.transform(F.col("cvec"), lambda x: x.cast("double"))
+    sim_to_c = cosine(vec_d, cvec_d)
+    # assign: argmax centroid per vector (max struct(sim, -id) trick, then
+    # deterministic tie-break on centroid_id)
+    assigned = (
+        df.crossJoin(F.broadcast(centroids))
+        .select(id_col, vec_col, "centroid_id", sim_to_c.alias("csim"))
+        .withColumn(
+            "best",
+            F.max(F.struct(F.col("csim"), (-F.col("centroid_id")).alias("nid")))
+            .over(Window.partitionBy(id_col)),
+        )
+        .filter((F.col("csim") == F.col("best.csim")) & (-F.col("centroid_id") == F.col("best.nid")))
+        .drop("best", "csim")
+    )
+    q = [float(v) for v in query_vec]
+    qcol = F.array(*[F.lit(v) for v in q])
+    probe = (
+        centroids.select("centroid_id", cosine(cvec_d, qcol).alias("qsim"))
+        .orderBy(F.desc("qsim"), F.asc("centroid_id"))
+        .limit(nprobe)
+    )
+    return (
+        assigned.join(F.broadcast(probe.select("centroid_id")), "centroid_id", "left_semi")
+        .select(F.col(id_col), cosine(vec_d, qcol).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,1095 @@
+"""Query registry: every implemented operator from SURVEY.md §2 (plus the
+training-data north-star ops) expressed as a (Spark callable, DuckDB
+oracle SQL) pair over the driver's testdata tables.
+
+Cross-engine determinism rules (every query here obeys them):
+
+1. SUM/AVG of doubles go through ``DECIMAL(18,4)`` (exact, order-free in
+   both engines) and cast back to double.
+2. No fractional ``pow`` in checked expressions — cubes are written
+   ``v*v*v``; irrational constants are precomputed Python doubles embedded
+   as literals in BOTH the Column expr and the SQL (bit-identical IEEE
+   arithmetic on both sides).
+3. Every ordered/top-k/dedup-winner op carries a total-order tie-breaker.
+4. Order-dependent float reductions that cannot be made exact
+   (corr/stddev/EWMA) are rounded coarsely enough that cross-engine
+   accumulation error cannot straddle a rounding boundary.
+5. Hashes are the portable md5 family (functions.textfns.portable_hash60).
+
+Aliases match between Spark and SQL exactly — the driver sorts columns by
+name and hashes values.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import physics, textfns
+from .operators import analytics, dedup, ewma, multimodal, similarity, textops, windows
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+DEC = "decimal(18,4)"
+
+# precomputed constants shared by Spark exprs and SQL strings (rule 2)
+HUB_FACTOR = (physics.HUB_HEIGHT_M / physics.REF_HEIGHT_M) ** physics.SHEAR_EXPONENT
+TURBINE_K = 0.5 * physics.SWEPT_AREA_M2 * physics.POWER_COEFF / 1000.0
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
+        # reader rejects; read as long and truncate ns→µs — exactly what
+        # DuckDB's reader does, so oracle timestamps match.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dsum(c, alias: str) -> F.Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return F.sum(col.cast(DEC)).cast("double").alias(alias)
+
+
+def _sql_dsum(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE) AS {alias}"
+
+
+def query(name: str, oracle: str | None):
+    """Register a (spark, sf_dir) -> DataFrame callable + its oracle."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# =====================================================================
+# §2.5 aggregations
+# =====================================================================
+
+@query(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A4 — TPC-H-Q1-style multi-metric grouped aggregation; the
+    dashboard ranking table (Solar_Dashboard.py:469-481) as one groupBy."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dsum("l_quantity", "sum_qty"),
+        _dsum("l_extendedprice", "sum_base_price"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,2)")
+        ).cast("double").alias("sum_disc_price"),
+        (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "q02_range_filter",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20 AND l_discount BETWEEN 0.02 AND 0.06
+    """,
+)
+def q02_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 — conjunctive inclusive range predicates (the validate filter,
+    Wind_Processing.py:30-34), pushed down to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(10, 20) & F.col("l_discount").between(0.02, 0.06)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+
+
+@query(
+    "q03_dim_join",
+    """
+    SELECT r.r_name, COUNT(*) AS n_suppliers,
+           CAST(SUM(CAST(s.s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+                    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q03_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — broadcast dimension-lookup join (station registry pattern)."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"), _dsum("s_acctbal", "total_acctbal"))
+    )
+
+
+@query(
+    "q04_star_join",
+    """
+    SELECT n.n_name, r.r_name,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY n.n_name, r.r_name
+    """,
+)
+def q04_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — fact↔dim star-schema joins (DWH/SQL queries.docx §Fact_*):
+    fact filtered scan + broadcast dims, grouped rollup."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"), _dsum("o_totalprice", "revenue"))
+    )
+
+
+@query(
+    "q05_dedup_exact_keys",
+    """
+    SELECT event_id, user_id, event_type, value FROM (
+      SELECT event_id, user_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q05_dedup_exact_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 — key dedup with deterministic first-by-ingest-order winner
+    (pandas drop_duplicates keep='first', Solar_Processing.py:34)."""
+    ev = _t(spark, sf_dir, "events")
+    deduped = dedup_keys_first(ev)
+    return deduped.select("event_id", "user_id", "event_type", "value")
+
+
+def dedup_keys_first(ev: DataFrame) -> DataFrame:
+    from .operators import cleaning
+
+    return cleaning.deduplicate(ev, keys=["user_id", "event_type"], order_col="event_id")
+
+
+@query(
+    "q06_latest_per_key",
+    """
+    SELECT user_id, event_id, ts, event_type, value FROM (
+      SELECT user_id, event_id, ts, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q06_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 — most recent reading per key (api_df.iloc[-1] per station)."""
+    ev = _t(spark, sf_dir, "events")
+    return windows.latest_per_key(ev, "user_id", "ts", tiebreak_col="event_id").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+
+
+@query(
+    "q07_topk",
+    """
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 20
+    """,
+)
+def q07_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/L1/L2 — deterministic global top-k (leaderboard,
+    Solar_Dashboard.py:482). Executes as TakeOrderedAndProject."""
+    c = _t(spark, sf_dir, "customer")
+    return windows.top_k(c, "c_acctbal", 20, tiebreak_col="c_custkey").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+def _pivot_sql() -> str:
+    cells = ",\n           ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS {t}"
+        for t in EVENT_TYPES
+    )
+    return f"""
+    SELECT CAST(ts AS DATE) AS day,
+           {cells}
+    FROM events GROUP BY CAST(ts AS DATE)
+    """
+
+
+@query("q08_pivot_align", _pivot_sql())
+def q08_pivot_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/A14 — pivot_table(index=time, columns=key, values=metric)
+    (Solar_Dashboard.py:381-385). Explicit pivot values: skips the
+    distinct-scan Spark otherwise needs (mandatory at scale)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day", F.to_date("ts"))
+        .groupBy("day")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.sum(F.col("value").cast(DEC)).cast("double"))
+    )
+
+
+@query(
+    "q09_lag_delta",
+    """
+    SELECT event_id, user_id, value,
+           lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+           value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+    FROM events
+    """,
+)
+def q09_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 — delta vs previous value per key (st.metric delta,
+    Solar_Generation.py:275-276)."""
+    ev = _t(spark, sf_dir, "events")
+    return windows.delta_vs_previous(ev, "user_id", "ts", "value", tiebreak_col="event_id").select(
+        "event_id", "user_id", "value", "prev_value", "delta"
+    )
+
+
+@query(
+    "q10_union_append",
+    """
+    SELECT event_id, event_type, value FROM events WHERE event_type = 'purchase' AND value > 90
+    UNION ALL
+    SELECT event_id, event_type, value FROM events WHERE event_type = 'error' AND value < 10
+    """,
+)
+def q10_union_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 — union/append (pd.concat micro-batch append,
+    Solar_Generation.py:234)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    a = ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 90))
+    b = ev.filter((F.col("event_type") == "error") & (F.col("value") < 10))
+    return a.unionByName(b)
+
+
+@query(
+    "q11_regression",
+    """
+    SELECT l_returnflag,
+           round(covar_pop(l_quantity, l_extendedprice) / var_pop(l_quantity), 6) AS slope,
+           round(avg(l_extendedprice) - covar_pop(l_quantity, l_extendedprice) / var_pop(l_quantity) * avg(l_quantity), 6) AS intercept,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q11_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11/A9 — closed-form OLS trend line + Pearson r
+    (np.polyfit(x,y,1), Solar_Dashboard.py:442-445)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = analytics.linear_regression(li, "l_quantity", "l_extendedprice", group_col="l_returnflag")
+    return out.select(
+        "l_returnflag",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+        F.round("corr", 6).alias("corr"),
+    )
+
+
+@query(
+    "q12_histogram",
+    """
+    SELECT bin, COUNT(*) AS count FROM (
+      SELECT CASE WHEN value > 0 AND value <= 10 THEN '(0.0, 10.0]'
+                  WHEN value > 10 AND value <= 25 THEN '(10.0, 25.0]'
+                  WHEN value > 25 AND value <= 50 THEN '(25.0, 50.0]'
+                  WHEN value > 50 AND value <= 75 THEN '(50.0, 75.0]'
+                  WHEN value > 75 AND value <= 100 THEN '(75.0, 100.0]'
+             END AS bin
+      FROM events
+    ) WHERE bin IS NOT NULL GROUP BY bin
+    """,
+)
+def q12_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12/F10 — explicit-bin histogram with pd.cut right-inclusive
+    semantics (Wind_Dashboard.py:129-131)."""
+    ev = _t(spark, sf_dir, "events")
+    return analytics.histogram(ev, "value", [0.0, 10.0, 25.0, 50.0, 75.0, 100.0])
+
+
+@query(
+    "q13_time_features",
+    """
+    SELECT CAST(hour(ts) AS INTEGER) AS hour,
+           strftime(ts, '%A') AS day_of_week,
+           CASE WHEN hour(ts) >= 6 AND hour(ts) < 18 THEN 'Day' ELSE 'Night' END AS time_of_day,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def q13_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/F5/F8 — hour extraction, day-name, Day/Night labeling
+    (Solar_Processing.py:54-56, docx when/otherwise)."""
+    from .functions import timeutils
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("hour", timeutils.hour_of("ts"))
+        .withColumn("day_of_week", timeutils.day_name("ts"))
+        .withColumn("time_of_day", timeutils.time_of_day("hour"))
+        .groupBy("hour", "day_of_week", "time_of_day")
+        .agg(F.count(F.lit(1)).alias("n"), _dsum("value", "total_value"))
+    )
+
+
+@query(
+    "q14_capacity_factor",
+    """
+    SELECT event_type,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(value)
+                 / (SELECT max(value) FROM events) * 100.0, 6) AS capacity_factor_pct
+    FROM events GROUP BY event_type
+    """,
+)
+def q14_capacity_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — avg/global-max ratio (Wind_Dashboard.py:617); global max via
+    broadcast 1-row agg, not a driver collect."""
+    ev = _t(spark, sf_dir, "events")
+    gmax = ev.agg(F.max("value").alias("__gmax"))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("__sum"),
+            F.count("value").alias("__cnt"),
+        )
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            "event_type",
+            F.round(F.col("__sum") / F.col("__cnt") / F.col("__gmax") * 100.0, 6).alias(
+                "capacity_factor_pct"
+            ),
+        )
+    )
+
+
+@query(
+    "q15_describe",
+    """
+    SELECT 'value' AS column,
+           CAST(COUNT(value) AS DOUBLE) AS count,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(value), 6) AS mean,
+           round(stddev(value), 6) AS std,
+           round(min(value), 6) AS min,
+           round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 6) AS median,
+           round(max(value), 6) AS max
+    FROM events
+    """,
+)
+def q15_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — describe() summary stats (Wind_Dashboard.py:672-687); exact
+    percentile at test SF, percentile_approx is the 100 TB swap."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.lit("value").alias("column"),
+        F.count("value").cast("double").alias("count"),
+        F.round(F.sum(F.col("value").cast(DEC)).cast("double") / F.count("value"), 6).alias("mean"),
+        F.round(F.stddev("value"), 6).alias("std"),
+        F.round(F.min("value"), 6).alias("min"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("median"),
+        F.round(F.max("value"), 6).alias("max"),
+    )
+
+
+@query(
+    "q16_distinct_stats",
+    """
+    SELECT COUNT(DISTINCT user_id) AS n_users,
+           COUNT(DISTINCT event_type) AS n_event_types,
+           COUNT(DISTINCT CAST(ts AS DATE)) AS n_days
+    FROM events
+    """,
+)
+def q16_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — distinct counts (nunique); approx_count_distinct is the
+    at-scale variant (not oracle-checkable, exercised in tests)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_event_types"),
+        F.countDistinct(F.to_date("ts")).alias("n_days"),
+    )
+
+
+@query(
+    "q17_value_counts",
+    """
+    SELECT event_type, COUNT(*) AS count FROM events GROUP BY event_type
+    """,
+)
+def q17_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — value_counts (Wind_Dashboard.py:361)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("count"))
+
+
+@query(
+    "q18_null_handling",
+    """
+    SELECT event_type,
+           SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           CAST(SUM(CAST(coalesce(v, 50.0) AS DECIMAL(18,4))) AS DOUBLE) AS sum_filled,
+           SUM(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS n_valid
+    FROM (SELECT event_type, CASE WHEN value BETWEEN 40 AND 60 THEN NULL ELSE value END AS v
+          FROM events)
+    GROUP BY event_type
+    """,
+)
+def q18_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/P8/P9 — null predicate / fillna defaults
+    (Solar_Processing.py:29-32). Nulls synthesized (testdata has none)."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.when(F.col("value").between(40, 60), None).otherwise(F.col("value"))
+    return (
+        ev.withColumn("v", v)
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_nulls"),
+            _dsum(F.coalesce(F.col("v"), F.lit(50.0)), "sum_filled"),
+            F.sum(F.when(F.col("v").isNotNull(), 1).otherwise(0)).alias("n_valid"),
+        )
+    )
+
+
+@query(
+    "q19_binning",
+    """
+    SELECT CASE WHEN l_quantity <= 3 THEN 'Calm' WHEN l_quantity <= 7 THEN 'Light'
+                WHEN l_quantity <= 12 THEN 'Moderate' WHEN l_quantity <= 20 THEN 'Strong'
+                ELSE 'Storm' END AS wind_class,
+           COUNT(*) AS count,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q19_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 — ordered categorical binning (pd.cut wind classes,
+    Wind_Dashboard.py:129-131), applied to lineitem quantity."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("wind_class", physics.wind_class("l_quantity"))
+        .groupBy("wind_class")
+        .agg(F.count(F.lit(1)).alias("count"), _dsum("l_extendedprice", "total_price"))
+    )
+
+
+# =====================================================================
+# physics column libraries (F11-F22) — IEEE-exact, no rounding needed
+# =====================================================================
+
+@query(
+    "q20_wind_physics",
+    f"""
+    SELECT event_id,
+           v * {HUB_FACTOR!r} AS hub_speed,
+           101325.0 / (287.05 * (25.0 + 273.15)) AS air_density,
+           CASE WHEN v * {HUB_FACTOR!r} < 3.0 OR v * {HUB_FACTOR!r} > 25.0 THEN 0.0
+                ELSE least(2500.0, {TURBINE_K!r} * (101325.0 / (287.05 * (25.0 + 273.15)))
+                           * (v * {HUB_FACTOR!r}) * (v * {HUB_FACTOR!r}) * (v * {HUB_FACTOR!r}))
+           END AS turbine_kw,
+           CASE WHEN v * {HUB_FACTOR!r} < 3.0 OR v * {HUB_FACTOR!r} > 25.0 THEN 0.0
+                ELSE least(2500.0, {TURBINE_K!r} * (101325.0 / (287.05 * (25.0 + 273.15)))
+                           * (v * {HUB_FACTOR!r}) * (v * {HUB_FACTOR!r}) * (v * {HUB_FACTOR!r}))
+           END * 96 AS farm_kw,
+           0.5 * (101325.0 / (287.05 * (25.0 + 273.15))) * v * v * v AS power_density
+    FROM (SELECT event_id, value / 5.0 AS v FROM events)
+    """,
+)
+def q20_wind_physics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15-F19 + F9 piecewise power curve as pure Column arithmetic
+    (Wind_Genration.py:103-150) — whole-stage-codegen'd, zero UDFs.
+    events.value/5 plays the role of a 10 m wind speed."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", (F.col("value") / 5.0).alias("v")
+    )
+    v = F.col("v")
+    hub = v * F.lit(HUB_FACTOR)
+    rho = F.lit(101325.0) / (F.lit(physics.GAS_CONSTANT) * (F.lit(25.0) + 273.15))
+    theoretical = F.lit(TURBINE_K) * rho * hub * hub * hub
+    turbine = F.when(
+        (hub < physics.CUT_IN_MPS) | (hub > physics.CUT_OUT_MPS), F.lit(0.0)
+    ).otherwise(F.least(F.lit(physics.RATED_KW), theoretical))
+    return ev.select(
+        "event_id",
+        hub.alias("hub_speed"),
+        rho.alias("air_density"),
+        turbine.alias("turbine_kw"),
+        (turbine * 96).alias("farm_kw"),
+        (F.lit(0.5) * rho * v * v * v).alias("power_density"),
+    )
+
+
+@query(
+    "q21_solar_physics",
+    """
+    SELECT event_id,
+           greatest(50.0, 1000.0 * (1.0 - c / 100.0)) AS irradiance,
+           greatest(0.05, 0.18 * (1.0 - 0.0045 * ((25.0 + c / 4.0) - 25.0))) AS efficiency,
+           greatest(50.0, 1000.0 * (1.0 - c / 100.0)) * 1.7
+             * greatest(0.05, 0.18 * (1.0 - 0.0045 * ((25.0 + c / 4.0) - 25.0)))
+             * 0.85 * 500000 / 1000.0 AS power_kw,
+           greatest(50.0, 1000.0 * (1.0 - c / 100.0)) * 1.7
+             * greatest(0.05, 0.18 * (1.0 - 0.0045 * ((25.0 + c / 4.0) - 25.0)))
+             * 0.85 * 500000 / 1000.0 * (10.0 / 60.0) AS energy_kwh,
+           greatest(50.0, 1000.0 * (1.0 - c / 100.0)) * 1.7
+             * greatest(0.05, 0.18 * (1.0 - 0.0045 * ((25.0 + c / 4.0) - 25.0)))
+             * 0.85 * 500000 / 1000.0 / 200000 * 100.0 AS capacity_util_pct
+    FROM (SELECT event_id, value AS c FROM events)
+    """,
+)
+def q21_solar_physics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11-F14, F22 — solar physics chain (Solar_Generation.py:116-151):
+    cloud→irradiance→derated efficiency→power→energy→capacity
+    utilization. events.value plays cloud-cover %."""
+    ev = _t(spark, sf_dir, "events").select("event_id", F.col("value").alias("c"))
+    irr = physics.irradiance_from_clouds("c")
+    panel_t = F.lit(25.0) + F.col("c") / 4.0
+    eff = physics.effective_efficiency(panel_t)
+    power = physics.solar_power_kw(irr, eff, F.lit(500000))
+    return ev.select(
+        "event_id",
+        irr.alias("irradiance"),
+        eff.alias("efficiency"),
+        power.alias("power_kw"),
+        physics.energy_kwh(power).alias("energy_kwh"),
+        physics.capacity_utilization_pct(power, F.lit(200000)).alias("capacity_util_pct"),
+    )
+
+
+@query(
+    "q22_tumbling_window",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q22_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4/A2 — tumbling event-time window rollup (energy-per-hour,
+    Wind_Dashboard.py:439) via window(); start aligns with date_trunc."""
+    ev = _t(spark, sf_dir, "events")
+    out = windows.tumbling_window_agg(
+        ev, "ts", "1 hour", ["event_type"],
+        [F.count(F.lit(1)).alias("n"), _dsum("value", "total_value")],
+    )
+    return out.select("window_start", "event_type", "n", "total_value")
+
+
+@query(
+    "q23_ewma",
+    """
+    WITH o AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    )
+    SELECT a.user_id,
+           CAST(max(a.n) AS BIGINT) AS n_events,
+           round(sum(b.value * CASE WHEN b.rn = 1 THEN power(0.65, a.rn - 1)
+                                    ELSE 0.35 * power(0.65, a.rn - b.rn) END), 4) AS last_smoothed
+    FROM (SELECT * FROM o WHERE rn = n) a
+    JOIN o b ON b.user_id = a.user_id
+    GROUP BY a.user_id
+    """,
+)
+def q23_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3/T5 — per-key EWMA (producer_wind.py:218-228, α=0.35), the one
+    inherently-sequential stateful op: grouped applyInPandas (Arrow).
+    Oracle uses the closed-form geometric expansion."""
+    ev = _t(spark, sf_dir, "events")
+    smoothed = ewma.ewma(ev, "user_id", "ts", "value", alpha=0.35)
+    last = windows.latest_per_key(smoothed, "user_id", "ts", tiebreak_col="event_id")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    return last.join(counts, "user_id").select(
+        "user_id", "n_events", F.round("smoothed", 4).alias("last_smoothed")
+    )
+
+
+@query(
+    "q24_retention_last_n",
+    """
+    SELECT user_id, event_id, ts, value FROM (
+      SELECT user_id, event_id, ts, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn <= 5
+    """,
+)
+def q24_retention_last_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 — count-based ring-buffer retention (last-100-points,
+    Wind_Genration.py:321-322), batch analogue."""
+    ev = _t(spark, sf_dir, "events")
+    return windows.retain_last_n_per_key(ev, "user_id", "ts", 5, tiebreak_col="event_id").select(
+        "user_id", "event_id", "ts", "value"
+    )
+
+
+@query(
+    "q25_corr_matrix",
+    """
+    WITH p AS (
+      SELECT CAST(ts AS DATE) AS day,
+             avg(CASE WHEN event_type = 'click' THEN value END) AS click,
+             avg(CASE WHEN event_type = 'error' THEN value END) AS error,
+             avg(CASE WHEN event_type = 'purchase' THEN value END) AS purchase
+      FROM events GROUP BY 1
+    )
+    SELECT 'click' AS col_a, 'error' AS col_b, round(corr(click, error), 6) AS corr FROM p
+    UNION ALL
+    SELECT 'click', 'purchase', round(corr(click, purchase), 6) FROM p
+    UNION ALL
+    SELECT 'error', 'purchase', round(corr(error, purchase), 6) FROM p
+    """,
+)
+def q25_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10/J2 — pivot series alignment + pairwise Pearson matrix
+    (Solar_Dashboard.py:389-391). avg cells use plain double avg: inputs
+    per (day,type) are few → identical accumulation both engines after
+    round(…,6) on the final corr."""
+    ev = _t(spark, sf_dir, "events")
+    p = analytics.pivot_align(
+        ev.withColumn("day", F.to_date("ts")), "day", "event_type",
+        "value", ["click", "error", "purchase"], agg="avg",
+    )
+    m = analytics.correlation_matrix(p, ["click", "error", "purchase"])
+    return m.filter(F.col("col_a") != F.col("col_b")).select(
+        "col_a", "col_b", F.round("corr", 6).alias("corr")
+    )
+
+
+@query(
+    "q26_dwh_datetime_dim",
+    """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
+           CAST(quarter(o_orderdate) AS INTEGER) AS quarter,
+           CAST(month(o_orderdate) AS INTEGER) AS month,
+           strftime(o_orderdate, '%A') AS day_of_week,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY 1, 2, 3, 4
+    """,
+)
+def q26_dwh_datetime_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14/J4 — Dim_DateTime derivation (DWH/SQL queries.docx
+    §Dim_DateTime: year/quarter/month/day_of_week) + fact rollup."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.withColumn("year", F.year("o_orderdate"))
+        .withColumn("quarter", F.quarter("o_orderdate"))
+        .withColumn("month", F.month("o_orderdate"))
+        .withColumn("day_of_week", F.date_format("o_orderdate", "EEEE"))
+        .groupBy("year", "quarter", "month", "day_of_week")
+        .agg(F.count(F.lit(1)).alias("n_orders"), _dsum("o_totalprice", "revenue"))
+    )
+
+
+@query(
+    "q27_iot_pipeline",
+    """
+    WITH cleaned AS (
+      SELECT * FROM (
+        SELECT user_id, event_type, value, ts,
+               row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+        FROM events WHERE value BETWEEN 0 AND 100
+      ) WHERE rn = 1
+    )
+    SELECT event_type,
+           CASE WHEN hour(ts + INTERVAL 2 HOUR) >= 6 AND hour(ts + INTERVAL 2 HOUR) < 18
+                THEN 'Day' ELSE 'Night' END AS time_of_day,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM cleaned GROUP BY 1, 2
+    """,
+)
+def q27_iot_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry-point-A pipeline shape (validate→range-filter→dedup→tz
+    convert→Day/Night→agg) applied to the events stream table.
+    from_utc_timestamp(ts,'Africa/Cairo') == ts+2h for this data window
+    (Jan 2024, no Egypt DST) — the oracle uses the static offset."""
+    from .functions import timeutils
+    from .operators import cleaning
+
+    ev = _t(spark, sf_dir, "events")
+    cleaned = cleaning.apply_range_filter(ev, {"value": (0.0, 100.0)})
+    cleaned = cleaning.deduplicate(cleaned, keys=["user_id", "ts"], order_col="event_id")
+    return (
+        cleaned.withColumn("local_ts", timeutils.to_local("ts"))
+        .withColumn("time_of_day", timeutils.time_of_day(F.hour("local_ts")))
+        .groupBy("event_type", "time_of_day")
+        .agg(F.count(F.lit(1)).alias("n"), _dsum("value", "total_value"))
+    )
+
+
+# =====================================================================
+# training-data pipeline: text analysis / dedup / similarity
+# =====================================================================
+
+_NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+
+def _hash60_sql(expr: str) -> str:
+    """SQL twin of functions.textfns.portable_hash60."""
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+@query(
+    "q28_text_stats",
+    f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(string_split({_NORM_SQL}, ' ')) AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+           round(CAST(length(replace({_NORM_SQL}, ' ', '')) AS DOUBLE)
+                 / len(string_split({_NORM_SQL}, ' ')), 6) AS mean_token_len,
+           round(CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)
+                 / length(text), 6) AS punct_ratio,
+           round(CAST(len(list_filter(string_split({_NORM_SQL}, ' '),
+                     t -> t IN ('the','a','of','and','to','in','is','that','it','for'))) AS DOUBLE)
+                 / len(string_split({_NORM_SQL}, ' ')), 6) AS stopword_ratio
+    FROM documents
+    """,
+)
+def q28_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality metrics per document: char/token/BPE-ish counts,
+    mean token length, punctuation density, stopword ratio — all pure
+    Column expressions (functions.textfns)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.text_stats(docs)
+
+
+def _lang_sql() -> str:
+    score = {
+        lang: (
+            f"CAST(len(list_filter(string_split({_NORM_SQL}, ' '), "
+            f"t -> t IN ({', '.join(repr(w) for w in words)}))) AS DOUBLE)"
+            f" / len(string_split({_NORM_SQL}, ' '))"
+        )
+        for lang, words in textfns.LANG_STOPWORDS.items()
+    }
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in score) + ")"
+    picks = " ".join(
+        f"WHEN s_{lang} = {best} THEN '{lang}'" for lang in sorted(score)
+    )
+    inner = ", ".join(f"{expr} AS s_{lang}" for lang, expr in score.items())
+    return f"""
+    SELECT doc_id,
+           CASE WHEN {best} > 0.0 THEN (CASE {picks} END) ELSE 'und' END AS detected_lang
+    FROM (SELECT doc_id, {inner} FROM documents)
+    """
+
+
+@query("q29_lang_id", _lang_sql())
+def q29_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via per-language stopword-hit ratio (argmax with
+    deterministic alpha tie-break; 'und' when no stopwords hit)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.detect_languages(docs)
+
+
+@query(
+    "q30_fingerprint_dedup",
+    f"""
+    SELECT d.doc_id, d.lang, d.source, md5({_NORM_SQL}) AS fingerprint
+    FROM documents d
+    JOIN (SELECT md5({_NORM_SQL}) AS fp, min(doc_id) AS keep FROM documents GROUP BY 1) k
+      ON k.keep = d.doc_id
+    """,
+)
+def q30_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized-text md5 fingerprint, deterministic
+    min-id winner per group (hash-groupBy — uniform shuffle at scale)."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = dedup.exact_dedup(docs)
+    return kept.select("doc_id", "lang", "source", textfns.fingerprint("text").alias("fingerprint"))
+
+
+_SHINGLE_CTE = f"""
+    norm AS (SELECT doc_id, {_NORM_SQL} AS n FROM documents),
+    pos AS (SELECT doc_id, n, unnest(range(1, length(n) - 3)) AS i
+            FROM norm WHERE length(n) >= 5),
+    sh AS (SELECT doc_id, substr(n, CAST(i AS INTEGER), 5) AS shingle FROM pos)
+"""
+
+
+def _minhash_mins(num_hashes: int) -> str:
+    parts = []
+    for i in range(num_hashes):
+        h = _hash60_sql(f"concat('{i}|', shingle)")
+        parts.append(f"min({h}) AS mh_{i}")
+    return ",\n           ".join(parts)
+
+
+def _minhash_sql(num_hashes: int = dedup.DEFAULT_NUM_HASHES) -> str:
+    return f"""
+    WITH {_SHINGLE_CTE}
+    SELECT doc_id, {_minhash_mins(num_hashes)} FROM sh GROUP BY doc_id
+    """
+
+
+@query("q31_minhash_signatures", _minhash_sql())
+def q31_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=12) over 5-char shingles, portable md5 hash
+    family — one shuffle (groupBy doc), shingling via sequence/transform
+    (no Python)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(docs)
+
+
+def _lsh_sql(num_hashes: int = dedup.DEFAULT_NUM_HASHES,
+             bands: int = dedup.DEFAULT_BANDS) -> str:
+    rpb = num_hashes // bands
+    band_selects = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, {b} AS band_id, md5(concat_ws('|', "
+        + ", ".join(f"CAST(mh_{b * rpb + r} AS VARCHAR)" for r in range(rpb))
+        + ")) AS band_hash FROM sig"
+        for b in range(bands)
+    )
+    est = " + ".join(
+        f"(CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
+    )
+    return f"""
+    WITH {_SHINGLE_CTE},
+    sig AS (SELECT doc_id, {_minhash_mins(num_hashes)} FROM sh GROUP BY doc_id),
+    banded AS (
+{band_selects}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    )
+    SELECT p.id_a, p.id_b, ({est}) / {float(num_hashes)!r} AS est_jaccard
+    FROM pairs p JOIN sig sa ON sa.doc_id = p.id_a JOIN sig sb ON sb.doc_id = p.id_b
+    """
+
+
+@query("q32_minhash_lsh_pairs", _lsh_sql())
+def q32_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH near-dup candidates: band-bucket self-join (bounded
+    fan-out — the scale path) + signature-estimated Jaccard."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_candidates(docs)
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    sums = ",\n             ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{j}"
+        for j in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN s_{j} > 0 THEN CAST({2 ** j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(bits)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+    ),
+    h AS (SELECT doc_id, {_hash60_sql('tok')} AS h FROM toks),
+    bits AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+    SELECT doc_id, ({sig}) AS simhash FROM bits
+    """
+
+
+@query("q33_simhash", _simhash_sql())
+def q33_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (32-bit) per doc: bit-majority over token hashes — one
+    grouped agg; near-dup = low hamming distance (dedup.simhash_near_dups)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_signatures(docs)
+
+
+@query(
+    "q34_ngram_jaccard_pairs",
+    f"""
+    WITH {_SHINGLE_CTE},
+    dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(CAST(c AS DOUBLE) / (na.n + nb.n - c), 6) AS jaccard
+    FROM common JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
+    WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5
+    """,
+)
+def q34_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shingle inverted-index
+    join (verification-tier op; candidates come from LSH at scale)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query(
+    "q35_binary_stats",
+    """
+    SELECT doc_id, strlen(text) AS n_bytes, md5(text) AS payload_md5
+    FROM documents
+    """,
+)
+def q35_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary payload column (utf-8 bytes of
+    text stand in for image bytes) → byte length + digest, all JVM-side."""
+    docs = _t(spark, sf_dir, "documents")
+    payload = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return multimodal.binary_stats(payload, id_col="doc_id")
+
+
+@query("q36_multimodal_features", None)  # md5-chain features: not SQL-expressible
+def q36_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode/feature-extract via Arrow mapInPandas with the
+    deterministic fake decoder (real codecs absent in this container —
+    multimodal.extract_features raises NotImplementedError without
+    fake=True)."""
+    docs = _t(spark, sf_dir, "documents")
+    payload = docs.select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("payload")
+    )
+    feats = multimodal.extract_features(payload, dim=8, fake=True)
+    return feats.select(
+        F.col("media_id"),
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6).alias("feat_sum"),
+    )
+
+
+# =====================================================================
+# similarity search over embeddings
+# =====================================================================
+
+_COS_SQL = (
+    "list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)"
+    " / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(q.qv, q.qv)))"
+)
+
+
+@query(
+    "q37_cosine_topk",
+    f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, round({_COS_SQL}, 6) AS cosine_sim
+    FROM embeddings e, q
+    ORDER BY {_COS_SQL} DESC, e.vec_id ASC
+    LIMIT 20
+    """,
+)
+def q37_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-k (the ANN baseline): zip_with dot
+    product, TakeOrderedAndProject top-k — linear scan, no shuffle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    out = similarity.cosine_topk(emb, [float(x) for x in qvec], k=20)
+    return out.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"))
+
+
+def _ivf_sql(n_centroids: int = 16, nprobe: int = 4, k: int = 20) -> str:
+    cos = (
+        "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+        " / (sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+        " * sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))"
+    )
+    v_c = cos.format(a="e.embedding", b="c.cvec")
+    c_q = cos.format(a="c.cvec", b="q.qv")
+    v_q = cos.format(a="e.embedding", b="q.qv")
+    return f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    c AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < {n_centroids}),
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {v_c} DESC, c.centroid_id ASC) AS rn
+        FROM embeddings e, c
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT c.centroid_id FROM c, q ORDER BY {c_q} DESC, c.centroid_id ASC LIMIT {nprobe}
+    )
+    SELECT e.vec_id, round({v_q}, 6) AS cosine_sim
+    FROM embeddings e JOIN assigned a ON a.vec_id = e.vec_id
+                      JOIN probe p ON p.centroid_id = a.centroid_id, q
+    ORDER BY {v_q} DESC, e.vec_id ASC
+    LIMIT {k}
+    """
+
+
+@query("q38_ivf_topk", _ivf_sql())
+def q38_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (the scale path): broadcast-join centroid
+    assignment, probe nprobe/n_centroids of the data, exact re-rank
+    inside probed buckets."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    out = similarity.ivf_topk(emb, [float(x) for x in qvec], k=20, n_centroids=16, nprobe=4)
+    return out.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"))
+
+
+def _hyperplane_lsh_sql(planes: list[list[float]], threshold: float) -> str:
+    def dot_plane(vec_expr: str, plane: list[float]) -> str:
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+        return f"list_dot_product(CAST({vec_expr} AS DOUBLE[]), {lit})"
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot_plane('embedding', p)} > 0 THEN CAST({2 ** i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i, p in enumerate(planes)
+    )
+    cos = (
+        "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+        " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+        " * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"
+    )
+    return f"""
+    WITH bkt AS (SELECT vec_id, embedding, ({bucket}) AS bucket FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS cosine_sim
+    FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {cos} >= {threshold!r}
+    """
+
+
+_LSH_PLANES = similarity.hyperplanes(dim=64, n_planes=6, seed=42)
+_LSH_THRESHOLD = 0.6
+
+
+@query("q39_embedding_near_dup", _hyperplane_lsh_sql(_LSH_PLANES, _LSH_THRESHOLD))
+def q39_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via sign-LSH bucketing (seeded
+    deterministic hyperplanes) + exact cosine verify ≥ threshold."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.cosine_near_dup_lsh(emb, _LSH_PLANES, threshold=_LSH_THRESHOLD)
+    return out.select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))

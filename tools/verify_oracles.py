@@ -1,0 +1,110 @@
+"""Local replica of the driver's t2 correctness gate: run every
+registry query on Spark AND its DuckDB oracle at the given SF, compare
+row count / column names / order-insensitive values.
+
+Usage: python tools/verify_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def _norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # normalize -0.0 and represent with enough digits
+        if v == 0.0:
+            v = 0.0
+        return repr(v)
+    if isinstance(v, bool):
+        return str(v)
+    try:
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return repr(float(v))
+    except ImportError:
+        pass
+    return str(v)
+
+
+def _normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in rows:
+        out.append(tuple(_norm_cell(row[i]) for i in order))
+    out.sort()
+    return out
+
+
+def compare(spark, con, name, fn, sql, sf_dir, verbose=False):
+    sdf = fn(spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    ddf = con.execute(sql)
+    dcols = [d[0] for d in ddf.description]
+    drows = ddf.fetchall()
+    problems = []
+    if sorted(scols) != sorted(dcols):
+        problems.append(f"schema: spark={sorted(scols)} duck={sorted(dcols)}")
+    if len(srows) != len(drows):
+        problems.append(f"rows: spark={len(srows)} duck={len(drows)}")
+    if not problems:
+        sn = _normalize(srows, scols)
+        dn = _normalize(drows, dcols)
+        if sn != dn:
+            diffs = [(a, b) for a, b in zip(sn, dn) if a != b]
+            problems.append(f"values: {len(diffs)} differing rows; first: spark={diffs[0][0]} duck={diffs[0][1]}")
+    return problems
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else "/root/testdata/sf0.01"
+    only = [a for a in sys.argv[1:] if "/" not in a]
+
+    from real_time_iot_data_pipeline_project_spark import registry
+    from real_time_iot_data_pipeline_project_spark.session import get_spark
+
+    spark = get_spark(shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    names = only or sorted(registry.QUERIES)
+    n_pass = n_fail = n_skip = 0
+    for name in names:
+        fn = registry.QUERIES[name]
+        sql = registry.ORACLES.get(name)
+        if sql is None:
+            rows = fn(spark, sf_dir).count()
+            print(f"  {name}: NO-ORACLE rows={rows}")
+            n_skip += 1
+            continue
+        try:
+            problems = compare(spark, con, name, fn, sql, sf_dir)
+        except Exception as e:  # noqa: BLE001
+            problems = [f"EXCEPTION: {type(e).__name__}: {str(e)[:300]}"]
+        if problems:
+            n_fail += 1
+            print(f"✗ {name}")
+            for p in problems:
+                print(f"    {p}")
+        else:
+            n_pass += 1
+            print(f"✓ {name}")
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} no-oracle")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
