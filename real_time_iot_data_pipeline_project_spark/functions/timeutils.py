@@ -30,11 +30,12 @@ def normalize_timestamp(ts: ColumnOrName) -> Column:
     Solar_Generation.py:89, Wind_Genration.py:178).
     """
     cleaned = F.trim(F.regexp_replace(_c(ts).cast("string"), "UTC", ""))
-    # 'T' separator also parses with to_timestamp's default parser in
-    # Spark ≥3.0 (ISO variants); fall back through replace for safety.
+    # try_to_timestamp: ANSI-safe coerce-to-null (Spark 4 default ANSI
+    # mode makes plain to_timestamp THROW on malformed input). 'T'
+    # separator parses via the fallback replace.
     return F.coalesce(
-        F.to_timestamp(cleaned),
-        F.to_timestamp(F.regexp_replace(cleaned, "T", " ")),
+        F.try_to_timestamp(cleaned),
+        F.try_to_timestamp(F.regexp_replace(cleaned, "T", " ")),
     )
 
 

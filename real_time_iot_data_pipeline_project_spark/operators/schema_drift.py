@@ -73,9 +73,11 @@ def normalize_schema(df: DataFrame, patterns: dict[str, list[str]],
         df = df.withColumnRenamed(actual, canon)
     for c in numeric_cols or []:
         if c in df.columns:
-            df = df.withColumn(c, F.col(c).cast("double"))
+            # try_cast: bad numeric → null (pandas errors='coerce'; plain
+            # cast would throw under Spark 4 ANSI mode)
+            df = df.withColumn(c, F.expr(f"try_cast(`{c}` AS DOUBLE)"))
     if "timestamp" in df.columns:
-        df = df.withColumn("timestamp", F.to_timestamp(F.col("timestamp").cast("string")))
+        df = df.withColumn("timestamp", F.try_to_timestamp(F.col("timestamp").cast("string")))
     elif synthesize_ts:
         # deterministic row index → start + idx·step. row_number over a
         # constant ordering is the batch equivalent of pd.date_range.

@@ -1,0 +1,57 @@
+"""Batch readers/writers (SURVEY.md §2.1 S7-S11, S14).
+
+Thin, opinionated wrappers: explicit schemas where the reference declares
+them, header CSV semantics matching the reference's append logs, parquet
+with partition columns for pruning at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .. import schemas
+
+
+def read_raw_csv(spark: SparkSession, path: str,
+                 schema: T.StructType | None = None) -> DataFrame:
+    """S8 — CSV batch source with header (pd.read_csv upload path).
+    With an explicit schema Spark skips the inference scan — always pass
+    one in production (the reference's fixed field lists are the schema)."""
+    reader = spark.read.option("header", True)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_solar_log(spark: SparkSession, path: str) -> DataFrame:
+    """Solar append-log CSV (Solar_Generation.py:155-169 field order)."""
+    return read_raw_csv(spark, path, schemas.SOLAR_RAW_SCHEMA)
+
+
+def read_wind_log(spark: SparkSession, path: str) -> DataFrame:
+    """Wind append-log CSV (Wind_Genration.py:57-79 field order)."""
+    return read_raw_csv(spark, path, schemas.WIND_RAW_SCHEMA)
+
+
+def write_processed_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S9 — processed CSV sink (to_csv index=False equivalent)."""
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def write_processed_parquet(df: DataFrame, path: str, mode: str = "overwrite",
+                            partition_by: list[str] | None = None) -> None:
+    """Processed parquet sink, partitioned for pruning (station_id is the
+    reference's Kafka key — the natural partition column)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def append_log_csv(df: DataFrame, path: str) -> None:
+    """S7 — CSV append sink (DictWriter append semantics; header-once is
+    handled by directory-of-parts semantics + header option)."""
+    df.write.mode("append").option("header", True).csv(path)

@@ -1,0 +1,151 @@
+"""The streaming transform pipeline — entry point B (SURVEY.md §3.2).
+
+Replicates the reference's own Databricks notebook job
+(``Azure/transformation in databricks in azure.docx``):
+
+    readStream → CAST(value AS STRING) → from_json(schema) → flatten
+    → range-filter → fillna → dedup → derive → writeStream parquet
+    + checkpoint, outputMode append
+
+with two deliberate upgrades over the reference (SURVEY.md §4.2):
+
+1. **Watermarked dedup** — the reference's streaming ``dropDuplicates``
+   runs with unbounded state (T3); we bound it with
+   ``withWatermark + dropDuplicatesWithinWatermark``. Semantic delta
+   (documented): duplicates arriving later than the watermark are no
+   longer dropped.
+2. **Kafka-shape source abstraction** — Event Hubs in the reference is
+   consumed through its Kafka-protocol endpoint, so one ``format("kafka")``
+   source covers both; tests use a file source with the same
+   (value: string) shape.
+
+Scale notes: the whole transform is narrow except the dedup shuffle on
+(station_id, timestamp). Sink partitioned by station_id/date → partition
+pruning for every per-station or per-day downstream query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import schemas
+from ..operators import cleaning, features
+
+DEFAULT_WATERMARK = "10 minutes"
+
+
+def parse_json_stream(raw: DataFrame, schema: T.StructType,
+                      value_col: str = "value") -> DataFrame:
+    """S5/S6 — CAST(value AS STRING) → from_json → flatten
+    (docx §solar:parsed_df: select("jsonData.*"))."""
+    return (
+        raw.select(F.col(value_col).cast("string").alias("message"))
+        .withColumn("jsonData", F.from_json("message", schema))
+        .select("jsonData.*")
+    )
+
+
+def _transform(parsed: DataFrame, domain: str, watermark: str | None) -> DataFrame:
+    """Shared streaming clean+derive. Order per docx §wind:
+    filter → fillna → dedup → derive."""
+    if domain == "solar":
+        bounds, fills, featurize = (
+            schemas.SOLAR_RANGE_BOUNDS, schemas.SOLAR_FILL_DEFAULTS, features.featurize_solar,
+        )
+    else:
+        bounds, fills, featurize = (
+            schemas.WIND_RANGE_BOUNDS, schemas.WIND_FILL_DEFAULTS, features.featurize_wind,
+        )
+    df = cleaning.parse_timestamps(parsed)
+    df = cleaning.drop_null_timestamps(df)
+    df = cleaning.apply_range_filter(df, bounds)
+    df = cleaning.fill_defaults(df, fills)
+    if watermark:
+        df = df.withWatermark("timestamp", watermark)
+        df = df.dropDuplicatesWithinWatermark(schemas.DEDUP_KEYS)
+    else:
+        df = df.dropDuplicates(schemas.DEDUP_KEYS)
+    return featurize(df)
+
+
+def solar_stream_transform(parsed: DataFrame,
+                           watermark: str | None = DEFAULT_WATERMARK) -> DataFrame:
+    """docx §solar: validation_spark + create_col_spark on a stream."""
+    return _transform(parsed, "solar", watermark)
+
+
+def wind_stream_transform(parsed: DataFrame,
+                          watermark: str | None = DEFAULT_WATERMARK) -> DataFrame:
+    """docx §wind:clean_df + derived columns on a stream."""
+    return _transform(parsed, "wind", watermark)
+
+
+def start_parquet_sink(df: DataFrame, path: str, checkpoint: str,
+                       available_now: bool = False,
+                       partition_by: list[str] | None = None):
+    """S10 — parquet streaming sink + checkpoint, append mode (docx
+    §solar:query). ``available_now`` drains all pending input then stops
+    (the test/batch-replay trigger). Default partitioning by station —
+    at 100 TB add date for two-level pruning."""
+    w = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .partitionBy(*(partition_by or ["station_id"]))
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def start_alert_stream(df: DataFrame, power_col: str, threshold: float,
+                       require_positive_col: str | None = None,
+                       processing_time: str | None = None):
+    """T6/P11 — threshold alerting (power < threshold → alert row;
+    solar also requires irradiance > 0, Solar_Generation.py:289-290).
+    Emits to an in-memory sink named 'alerts' (swap for kafka/webhook
+    foreachBatch in production)."""
+    pred = F.col(power_col) < threshold
+    if require_positive_col:
+        pred = pred & (F.col(require_positive_col) > 0)
+    alerts = df.filter(pred).withColumn("alert_ts", F.current_timestamp())
+    w = alerts.writeStream.format("memory").queryName("alerts").outputMode("append")
+    if processing_time:
+        w = w.trigger(processingTime=processing_time)
+    return w.start()
+
+
+def read_kafka_stream(spark: SparkSession, brokers: str, topic: str,
+                      starting_offsets: str = "earliest") -> DataFrame:
+    """S3 — Kafka streaming source (Solar_Processing.py:61-84 semantics:
+    earliest/latest offset control; bounded reads via
+    trigger(availableNow) or maxOffsetsPerTrigger)."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+
+
+def write_kafka_sink(df: DataFrame, brokers: str, topic: str, checkpoint: str,
+                     key_col: str = "station_id"):
+    """S2 — keyed Kafka sink: key=station_id (hash co-location, the wind
+    producer's partitioning strategy, Wind_Genration.py:85-89), value =
+    JSON of all columns. Structured Streaming checkpointing supplies the
+    at-least-once the reference configured by hand (acks=all)."""
+    return (
+        df.select(
+            F.col(key_col).cast("string").alias("key"),
+            F.to_json(F.struct(*df.columns)).alias("value"),
+        )
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

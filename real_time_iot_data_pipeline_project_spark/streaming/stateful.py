@@ -1,0 +1,72 @@
+"""Stateful streaming operators (SURVEY.md W3/T5).
+
+``ewma_stream``: per-key EWMA smoothing across micro-batches via
+``applyInPandasWithState`` — state is one float per key (the last
+smoothed value), exactly the reference producer's session_state
+(``producer_wind.py:218-228``). Bounded state: one row per station.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.ewma import DEFAULT_ALPHA
+
+
+def ewma_stream(df: DataFrame, key: str, order_col: str, value_col: str,
+                alpha: float = DEFAULT_ALPHA, out_col: str = "smoothed") -> DataFrame:
+    """Streaming EWMA keyed by ``key``; emits every input row with its
+    smoothed value appended. Rows within a micro-batch are folded in
+    event-time order; the running value persists in GroupState."""
+    out_schema = T.StructType(
+        [
+            T.StructField(key, T.StringType()),
+            T.StructField(order_col, T.TimestampType()),
+            T.StructField(value_col, T.DoubleType()),
+            T.StructField(out_col, T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("last", T.DoubleType())])
+
+    def update(
+        key_tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        last = state.get[0] if state.exists else None
+        outs = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order_col, kind="mergesort")
+            smoothed = []
+            for v in pdf[value_col]:
+                last = v if last is None else alpha * v + (1 - alpha) * last
+                smoothed.append(last)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        key: pdf[key].astype(str),
+                        order_col: pdf[order_col],
+                        value_col: pdf[value_col],
+                        out_col: smoothed,
+                    }
+                )
+            )
+        if last is not None:
+            state.update((float(last),))
+        yield from outs
+
+    return (
+        df.select(key, order_col, value_col)
+        .groupBy(key)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,119 @@
+"""Dedup & similarity operators on planted near-duplicates: MinHash-LSH
+and SimHash must surface a planted near-dup pair; exact dedup must
+collapse exact copies; ANN top-1 must return the query itself."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from real_time_iot_data_pipeline_project_spark.operators import dedup, similarity
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the sun sets over "
+    "the quiet valley and the river runs through the ancient forest"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),                                        # exact dup of 0
+        (2, BASE.replace("quick", "swift")),              # near dup of 0
+        (3, "completely different content about spark query engines and "
+            "columnar execution with vectorized operators"),
+        (4, "yet another unrelated document mentioning kafka topics "
+            "watermarks and checkpoint recovery in streaming systems"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_collapses_copies(docs):
+    kept = dedup.exact_dedup(docs)
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert ids == [0, 2, 3, 4]  # doc 1 removed, min-id winner kept
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1) in got and (0, 2) in got and (1, 2) in got
+    assert not any(3 in p or 4 in p for p in got)
+
+
+def test_minhash_lsh_candidates_contain_planted_pair(docs):
+    cands = dedup.minhash_lsh_candidates(docs)
+    got = {(r.id_a, r.id_b): r.est_jaccard for r in cands.collect()}
+    assert got.get((0, 1)) == 1.0  # identical docs: all signatures equal
+    assert (0, 2) in got  # near dup bucketed together
+
+
+def test_simhash_hamming_orders_similarity(docs):
+    sig = {r.doc_id: r.simhash for r in dedup.simhash_signatures(docs).collect()}
+    assert sig[0] == sig[1]
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(sig[0], sig[2]) < hamming(sig[0], sig[3])
+
+
+def test_simhash_near_dups(docs):
+    pairs = dedup.simhash_near_dups(docs, max_hamming=3)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1) in got
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import random
+
+    rng = random.Random(0)
+    base = [rng.gauss(0, 1) for _ in range(16)]
+    near = [x + rng.gauss(0, 0.01) for x in base]
+    rows = [(0, [float(x) for x in base]), (1, [float(x) for x in near])]
+    for i in range(2, 30):
+        rows.append((i, [float(rng.gauss(0, 1)) for _ in range(16)]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_cosine_topk_self_first(vectors):
+    q = vectors.filter("vec_id = 0").head().embedding
+    top = similarity.cosine_topk(vectors, q, k=3).collect()
+    assert top[0].vec_id == 0
+    assert abs(top[0].cosine_sim - 1.0) < 1e-9
+    assert top[1].vec_id == 1  # planted near vector
+
+
+def test_lsh_near_dup_pairs(vectors):
+    planes = similarity.hyperplanes(dim=16, n_planes=4, seed=1)
+    pairs = similarity.cosine_near_dup_lsh(vectors, planes, threshold=0.99)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1) in got
+
+
+def test_ivf_topk_recovers_near_neighbor(vectors):
+    q = vectors.filter("vec_id = 0").head().embedding
+    top = similarity.ivf_topk(vectors, q, k=3, n_centroids=4, nprobe=2).collect()
+    assert top[0].vec_id == 0
+    assert top[1].vec_id == 1
+
+
+def test_multimodal_feature_stub(spark):
+    from real_time_iot_data_pipeline_project_spark.operators import multimodal
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"payload-one")), (2, bytearray(b"payload-two"))],
+        "media_id long, payload binary",
+    )
+    feats = multimodal.extract_features(df, dim=4, fake=True).collect()
+    assert {r.media_id for r in feats} == {1, 2}
+    assert all(len(r.features) == 4 for r in feats)
+    # deterministic
+    again = multimodal.extract_features(df, dim=4, fake=True).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, again))
+    # real decode path is explicitly stubbed
+    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+        multimodal.extract_features(df, dim=4, fake=False).collect()

@@ -1,0 +1,120 @@
+"""Schema drift mapper, warehouse star build, generator sanity,
+analytics library units."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_iot_data_pipeline_project_spark.operators import analytics, schema_drift, windows
+
+
+def test_detect_columns_fuzzy():
+    cols = ["DateTime", "Station Name", "Power Output (kW)", "Irradiance W/m2", "Volt age"]
+    m = schema_drift.detect_columns(cols, schema_drift.SOLAR_PATTERNS)
+    assert m["timestamp"] == "DateTime"
+    assert m["station"] == "Station Name"
+    assert m["power_output"] == "Power Output (kW)"
+    assert m["irradiance"] == "Irradiance W/m2"
+
+
+def test_normalize_schema_synthesizes_timestamp(spark):
+    df = spark.createDataFrame([("S1", "10.5"), ("S2", "x")], ["Station", "Power kW"])
+    out = schema_drift.normalize_schema(
+        df, schema_drift.SOLAR_PATTERNS, numeric_cols=["power_output"]
+    )
+    rows = out.orderBy("timestamp").collect()
+    assert "timestamp" in out.columns and rows[0].timestamp is not None
+    # numeric coercion: 'x' → null (errors='coerce')
+    assert rows[0].power_output == 10.5 and rows[1].power_output is None
+    # synthesized 15-min spacing
+    assert (rows[1].timestamp - rows[0].timestamp).total_seconds() == 900
+
+
+def test_star_schema_build(spark):
+    from real_time_iot_data_pipeline_project_spark.operators import features
+    from real_time_iot_data_pipeline_project_spark.sources.generator import generate_wind_raw
+    from real_time_iot_data_pipeline_project_spark.stations import wind_station_dim
+    from real_time_iot_data_pipeline_project_spark.warehouse import star
+
+    processed = features.process_wind(generate_wind_raw(spark, n_rows=300))
+    tables = star.build_wind_star(processed, wind_station_dim(spark))
+    fact = tables["Fact_Wind"]
+    n = fact.count()
+    assert n == processed.count()
+    # FK integrity by construction: every fact key resolves
+    for dim_name, key in [
+        ("Dim_DateTime", "datetime_key"),
+        ("Dim_WindStation", "station_key"),
+        ("Dim_WeatherWind", "weather_key"),
+    ]:
+        dim = tables[dim_name]
+        assert fact.join(dim, key, "left_anti").count() == 0
+    # surrogate keys dense from 1
+    dt = tables["Dim_DateTime"]
+    assert dt.agg(F.min("datetime_key")).head()[0] == 1
+    assert dt.agg(F.max("datetime_key")).head()[0] == dt.count()
+
+
+def test_generator_dirty_paths(spark):
+    from real_time_iot_data_pipeline_project_spark.sources.generator import generate_wind_raw
+
+    raw = generate_wind_raw(spark, n_rows=2000)
+    c = raw.count()
+    assert c > 2000  # duplicates appended
+    assert raw.filter(F.col("timestamp").contains("UTC")).count() > 0
+    assert raw.filter(F.col("timestamp") == "not-a-timestamp").count() > 0
+    assert raw.filter(F.col("air_pressure_hPa").isNull()).count() > 0
+    assert raw.filter(F.col("wind_speed_mps") > 60).count() > 0
+    # deterministic: same seed → same data
+    again = generate_wind_raw(spark, n_rows=2000)
+    assert raw.exceptAll(again).count() == 0
+
+
+def test_ranking_and_capacity_factor(spark):
+    df = spark.createDataFrame(
+        [("A", 10.0), ("A", 20.0), ("B", 40.0), ("B", 0.0)], ["station", "power"]
+    )
+    r = analytics.station_ranking(df, "station", {"total": "sum:power", "peak": "max:power"})
+    rows = r.collect()
+    assert rows[0].station == "B" and rows[0].total == 40.0 and rows[0].peak == 40.0
+    cf = {r.station: r.capacity_factor_pct for r in
+          analytics.capacity_factor(df, "station", "power").collect()}
+    assert abs(cf["A"] - 15.0 / 40.0 * 100) < 1e-9
+    assert abs(cf["B"] - 20.0 / 40.0 * 100) < 1e-9
+
+
+def test_pivot_align_and_corr_matrix(spark):
+    df = spark.createDataFrame(
+        [(1, "A", 1.0), (1, "B", 2.0), (2, "A", 2.0), (2, "B", 4.0), (3, "A", 3.0), (3, "B", 6.0)],
+        ["t", "k", "v"],
+    )
+    wide = analytics.pivot_align(df, "t", "k", "v", ["A", "B"])
+    assert wide.count() == 3
+    m = analytics.correlation_matrix(wide, ["A", "B"]).collect()
+    by_pair = {(r.col_a, r.col_b): r.corr for r in m}
+    assert abs(by_pair[("A", "B")] - 1.0) < 1e-9
+
+
+def test_linear_regression_exact_line(spark):
+    df = spark.createDataFrame([(float(x), 3.0 * x + 7.0) for x in range(10)], ["x", "y"])
+    r = analytics.linear_regression(df, "x", "y").head()
+    assert abs(r.slope - 3.0) < 1e-9
+    assert abs(r.intercept - 7.0) < 1e-9
+    assert abs(r.corr - 1.0) < 1e-9
+
+
+def test_latest_per_key_and_delta(spark):
+    df = spark.createDataFrame(
+        [("A", 1, 10.0), ("A", 2, 30.0), ("B", 1, 5.0)], ["k", "seq", "v"]
+    )
+    latest = windows.latest_per_key(df, "k", "seq")
+    assert {(r.k, r.v) for r in latest.collect()} == {("A", 30.0), ("B", 5.0)}
+    delta = windows.delta_vs_previous(df, "k", "seq", "v").filter("delta IS NOT NULL").head()
+    assert delta.delta == 20.0
+
+
+def test_histogram_pd_cut_semantics(spark):
+    df = spark.createDataFrame([(0.0,), (1.0,), (3.0,), (3.1,), (7.0,), (100.0,)], "v double")
+    out = {r.bin: r["count"] for r in analytics.histogram(df, "v", [0.0, 3.0, 7.0]).collect()}
+    # 0.0 excluded (left-open), 3.0 in first bin (right-closed), 100 out of range
+    assert out == {"(0.0, 3.0]": 2, "(3.0, 7.0]": 2}

@@ -1,0 +1,138 @@
+"""Streaming tests (SURVEY.md §5.2-4): file-source replay of the
+generated telemetry through the docx transform with availableNow
+trigger; watermarked dedup behavior; stateful EWMA across micro-batches
+vs a straight-Python fold."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from real_time_iot_data_pipeline_project_spark import schemas
+from real_time_iot_data_pipeline_project_spark.streaming import job, stateful
+
+
+@pytest.fixture(scope="module")
+def wind_json_dir(spark, tmp_path_factory):
+    """Raw wind rows as JSON-lines files (the Kafka value shape)."""
+    from real_time_iot_data_pipeline_project_spark.sources.generator import generate_wind_raw
+
+    d = tmp_path_factory.mktemp("wind_json")
+    raw = generate_wind_raw(spark, n_rows=300)
+    raw.select(F.to_json(F.struct(*raw.columns)).alias("value")).coalesce(2).write.mode(
+        "overwrite"
+    ).text(str(d))
+    return str(d)
+
+
+def test_stream_transform_end_to_end(spark, wind_json_dir, tmp_path):
+    raw = (
+        spark.readStream.schema(T.StructType([T.StructField("value", T.StringType())]))
+        .text(wind_json_dir)
+    )
+    parsed = job.parse_json_stream(raw, schemas.WIND_RAW_SCHEMA)
+    out = job.wind_stream_transform(parsed)
+    sink = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = job.start_parquet_sink(out, sink, ckpt, available_now=True)
+    q.awaitTermination(120)
+
+    result = spark.read.parquet(sink)
+    assert result.count() > 0
+    # derived columns present
+    for c in ["local_timestamp", "hour", "day_of_week", "time_of_day",
+              "wind_power_density", "is_valid"]:
+        assert c in result.columns
+    # cleaning applied
+    assert result.filter((F.col("wind_speed_mps") < 0) | (F.col("wind_speed_mps") > 60)).count() == 0
+    assert result.filter(F.col("air_pressure_hPa").isNull()).count() == 0
+    # dedup applied within watermark
+    dupes = result.groupBy("station_id", "timestamp").count().filter("count > 1")
+    assert dupes.count() == 0
+    # exactly-once restart: rerunning with same checkpoint adds nothing
+    n1 = result.count()
+    q2 = job.start_parquet_sink(out, sink, ckpt, available_now=True)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == n1
+
+
+def test_streaming_ewma_matches_python_fold(spark, tmp_path):
+    alpha = 0.35
+    rows = [
+        ("A", "2025-01-01 00:00:%02d" % i, float(v))
+        for i, v in enumerate([10, 20, 30, 40, 50])
+    ] + [
+        ("B", "2025-01-01 00:00:%02d" % i, float(v))
+        for i, v in enumerate([100, 0, 100, 0])
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, ["station_id", "ts_s", "value"]).select(
+        F.to_json(F.struct("station_id", "ts_s", "value")).alias("value")
+    ).coalesce(1).write.text(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("station_id", T.StringType()),
+            T.StructField("ts_s", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    raw = spark.readStream.schema(
+        T.StructType([T.StructField("value", T.StringType())])
+    ).text(src)
+    parsed = job.parse_json_stream(raw, schema).withColumn("ts", F.to_timestamp("ts_s"))
+    sm = stateful.ewma_stream(parsed, "station_id", "ts", "value", alpha=alpha)
+    q = (
+        sm.writeStream.format("memory").queryName("ewma_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.station_id, r.ts.second): r.smoothed
+        for r in spark.sql("SELECT * FROM ewma_out").collect()
+    }
+
+    # python fold oracle (producer_wind.py:218-228 semantics)
+    def fold(vals):
+        out, last = [], None
+        for v in vals:
+            last = v if last is None else alpha * v + (1 - alpha) * last
+            out.append(last)
+        return out
+
+    for sid, vals in [("A", [10, 20, 30, 40, 50]), ("B", [100, 0, 100, 0])]:
+        exp = fold([float(v) for v in vals])
+        for i, e in enumerate(exp):
+            assert abs(got[(sid, i)] - e) < 1e-9, (sid, i)
+
+
+def test_alert_stream(spark, tmp_path):
+    rows = [("S1", 100.0, 500.0), ("S2", 900.0, 600.0), ("S3", 50.0, 0.0)]
+    src = str(tmp_path / "alerts_src")
+    spark.createDataFrame(rows, ["station_id", "power_kW", "solar_irradiance_Wm2"]).select(
+        F.to_json(F.struct("*")).alias("value")
+    ).coalesce(1).write.text(src)
+    schema = T.StructType(
+        [
+            T.StructField("station_id", T.StringType()),
+            T.StructField("power_kW", T.DoubleType()),
+            T.StructField("solar_irradiance_Wm2", T.DoubleType()),
+        ]
+    )
+    raw = spark.readStream.schema(
+        T.StructType([T.StructField("value", T.StringType())])
+    ).text(src)
+    parsed = job.parse_json_stream(raw, schema)
+    q = job.start_alert_stream(
+        parsed, "power_kW", threshold=500.0, require_positive_col="solar_irradiance_Wm2"
+    )
+    q.processAllAvailable()
+    q.stop()
+    alerts = spark.sql("SELECT station_id FROM alerts").collect()
+    # S1: low power + positive irradiance → alert; S2 power ok; S3 irr=0 (night) → no alert
+    assert [r.station_id for r in alerts] == ["S1"]
