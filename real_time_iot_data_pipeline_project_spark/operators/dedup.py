@@ -32,6 +32,21 @@ DEFAULT_NUM_HASHES = 12
 DEFAULT_BANDS = 4  # 4 bands × 3 rows
 
 
+def _xor_constants(n: int, seed: int = 42) -> list[int]:
+    """Deterministic 60-bit XOR masks: the i-th MinHash function is
+    h_i(s) = portable_hash60(s) XOR c_i — one md5 per shingle instead of
+    k (12× less hashing in the scan), and bit-identical in DuckDB via
+    xor(). XOR by a constant is a bijection on the hash space, the
+    standard cheap MinHash family."""
+    import random
+
+    rng = random.Random(seed)
+    return [rng.getrandbits(60) for _ in range(n)]
+
+
+MINHASH_XOR_CONSTANTS = _xor_constants(DEFAULT_NUM_HASHES)
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Exact dedup on normalized-text fingerprint: keep the min-id doc per
@@ -93,11 +108,14 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", k: int = DEFAULT_SHINGLE_K,
                        num_hashes: int = DEFAULT_NUM_HASHES) -> DataFrame:
     """MinHash signature per doc: sig_i = min over shingles of
-    H(i || shingle), H = portable 60-bit md5 hash. One grouped agg."""
-    sh = char_shingles(df, text_col, id_col, k)
+    (H(shingle) XOR c_i), H = portable 60-bit md5 hash. One md5 per
+    shingle, one grouped agg."""
+    sh = char_shingles(df, text_col, id_col, k).withColumn(
+        "h", textfns.portable_hash60("shingle")
+    )
+    consts = _xor_constants(num_hashes)
     aggs = [
-        F.min(textfns.portable_hash60(F.concat(F.lit(f"{i}|"), F.col("shingle"))))
-        .alias(f"mh_{i}")
+        F.min(F.col("h").bitwiseXOR(F.lit(consts[i]))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)

@@ -631,11 +631,9 @@ def q23_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     inherently-sequential stateful op: grouped applyInPandas (Arrow).
     Oracle uses the closed-form geometric expansion."""
     ev = _t(spark, sf_dir, "events")
-    smoothed = ewma.ewma(ev, "user_id", "ts", "value", alpha=0.35)
-    last = windows.latest_per_key(smoothed, "user_id", "ts", tiebreak_col="event_id")
-    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
-    return last.join(counts, "user_id").select(
-        "user_id", "n_events", F.round("smoothed", 4).alias("last_smoothed")
+    out = ewma.ewma_last(ev, "user_id", "ts", "value", tiebreak_col="event_id", alpha=0.35)
+    return out.select(
+        "user_id", "n_events", F.round("last_smoothed", 4).alias("last_smoothed")
     )
 
 
@@ -845,18 +843,27 @@ _SHINGLE_CTE = f"""
 """
 
 
+_HASHED_SHINGLE_CTE = (
+    _SHINGLE_CTE
+    + f""",
+    hs AS (SELECT doc_id, {_hash60_sql('shingle')} AS h FROM sh)
+"""
+)
+
+
 def _minhash_mins(num_hashes: int) -> str:
-    parts = []
-    for i in range(num_hashes):
-        h = _hash60_sql(f"concat('{i}|', shingle)")
-        parts.append(f"min({h}) AS mh_{i}")
+    consts = dedup.MINHASH_XOR_CONSTANTS
+    parts = [
+        f"min(xor(h, CAST({consts[i]} AS BIGINT))) AS mh_{i}"
+        for i in range(num_hashes)
+    ]
     return ",\n           ".join(parts)
 
 
 def _minhash_sql(num_hashes: int = dedup.DEFAULT_NUM_HASHES) -> str:
     return f"""
-    WITH {_SHINGLE_CTE}
-    SELECT doc_id, {_minhash_mins(num_hashes)} FROM sh GROUP BY doc_id
+    WITH {_HASHED_SHINGLE_CTE}
+    SELECT doc_id, {_minhash_mins(num_hashes)} FROM hs GROUP BY doc_id
     """
 
 
@@ -882,8 +889,8 @@ def _lsh_sql(num_hashes: int = dedup.DEFAULT_NUM_HASHES,
         f"(CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
     )
     return f"""
-    WITH {_SHINGLE_CTE},
-    sig AS (SELECT doc_id, {_minhash_mins(num_hashes)} FROM sh GROUP BY doc_id),
+    WITH {_HASHED_SHINGLE_CTE},
+    sig AS (SELECT doc_id, {_minhash_mins(num_hashes)} FROM hs GROUP BY doc_id),
     banded AS (
 {band_selects}
     ),

@@ -118,3 +118,23 @@ def test_histogram_pd_cut_semantics(spark):
     out = {r.bin: r["count"] for r in analytics.histogram(df, "v", [0.0, 3.0, 7.0]).collect()}
     # 0.0 excluded (left-open), 3.0 in first bin (right-closed), 100 out of range
     assert out == {"(0.0, 3.0]": 2, "(3.0, 7.0]": 2}
+
+
+def test_ewma_batch_matches_pandas_and_closed_form(spark):
+    import pandas as pd
+
+    from real_time_iot_data_pipeline_project_spark.operators import ewma
+
+    vals = [10.0, 20.0, 5.0, 40.0, 12.0, 33.0]
+    rows = [("A", i, v) for i, v in enumerate(vals)] + [("B", 0, 7.0), ("B", 1, 9.0)]
+    df = spark.createDataFrame(rows, ["k", "seq", "v"])
+    series = ewma.ewma(df, "k", "seq", "v", alpha=0.35)
+    got = {(r.k, r.seq): r.smoothed for r in series.collect()}
+    exp = pd.Series(vals).ewm(alpha=0.35, adjust=False).mean()
+    for i in range(len(vals)):
+        assert abs(got[("A", i)] - exp.iloc[i]) < 1e-12
+    last = {r.k: (r.n_events, r.last_smoothed)
+            for r in ewma.ewma_last(df, "k", "seq", "v", alpha=0.35).collect()}
+    assert last["A"][0] == len(vals)
+    assert abs(last["A"][1] - exp.iloc[-1]) < 1e-9
+    assert abs(last["B"][1] - (0.65 * 7.0 + 0.35 * 9.0)) < 1e-12
