@@ -1100,3 +1100,49 @@ def q39_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     out = similarity.cosine_near_dup_lsh(emb, _LSH_PLANES, threshold=_LSH_THRESHOLD)
     return out.select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
+
+
+@query(
+    "q40_global_metrics",
+    """
+    SELECT coalesce(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 0.0) AS value_sum,
+           coalesce(round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(value), 6), 0.0) AS value_avg,
+           coalesce(max(value), 0.0) AS value_max,
+           COUNT(*) AS n_rows
+    FROM events
+    """,
+)
+def q40_global_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — null-safe global scalar metrics (safe_sum/safe_mean/safe_max,
+    Solar_Dashboard.py:173-186): single 1-row aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.coalesce(F.sum(F.col("value").cast(DEC)).cast("double"), F.lit(0.0)).alias("value_sum"),
+        F.coalesce(
+            F.round(F.sum(F.col("value").cast(DEC)).cast("double") / F.count("value"), 6),
+            F.lit(0.0),
+        ).alias("value_avg"),
+        F.coalesce(F.max("value"), F.lit(0.0)).alias("value_max"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "q41_retention_interval",
+    """
+    SELECT event_id, user_id, ts, value
+    FROM events
+    WHERE ts >= (SELECT max(ts) - INTERVAL 6 HOUR FROM events)
+    """,
+)
+def q41_retention_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/W4/F6 — event-time interval retention (keep last 6 h,
+    Wind_Genration.py:281-283), anchored to max(ts) for determinism;
+    the streaming twin is the watermark."""
+    ev = _t(spark, sf_dir, "events")
+    cutoff = ev.agg((F.max("ts") - F.expr("INTERVAL 6 HOURS")).alias("__cutoff"))
+    return (
+        ev.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("ts") >= F.col("__cutoff"))
+        .select("event_id", "user_id", "ts", "value")
+    )

@@ -1,0 +1,78 @@
+"""Physical-plan assertions (SURVEY.md §4): the scale-critical plan
+properties must hold, not just the results — predicate pushdown to
+parquet, broadcast joins for dims, TakeOrderedAndProject for top-k,
+partial (map-side) aggregation, whole-stage codegen coverage."""
+
+from __future__ import annotations
+
+import pytest
+
+from real_time_iot_data_pipeline_project_spark import registry
+from tests.conftest import SF_SMOKE
+
+
+def plan_of(spark, name: str, execute: bool = False) -> str:
+    df = registry.QUERIES[name](spark, SF_SMOKE)
+    if execute:  # AQE: codegen spans only appear in the final plan
+        df.count()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_range_filter_pushed_to_parquet(spark):
+    plan = plan_of(spark, "q02_range_filter")
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(l_quantity,10" in plan
+    # column pruning: projection reaches the scan schema
+    assert "l_returnflag" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_dim_joins_are_broadcast(spark):
+    plan = plan_of(spark, "q03_dim_join")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_star_join_broadcasts_dims(spark):
+    plan = plan_of(spark, "q04_star_join")
+    assert plan.count("BroadcastHashJoin") >= 2
+    # fact-side filter pushed down
+    assert "EqualTo(o_orderstatus,F)" in plan
+
+
+def test_topk_is_take_ordered_not_global_sort(spark):
+    plan = plan_of(spark, "q07_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_cosine_topk_take_ordered(spark):
+    plan = plan_of(spark, "q37_cosine_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_grouped_agg_has_partial_aggregation(spark):
+    plan = plan_of(spark, "q01_pricing_summary")
+    # map-side combine: partial aggregation below the exchange
+    assert "partial_sum" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_physics_all_codegen_no_python(spark):
+    plan = plan_of(spark, "q20_wind_physics", execute=True)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # '*(n)' prefixes = WholeStageCodegen stages in the final plan
+    assert "*(1)" in plan
+
+
+def test_capacity_factor_broadcasts_global_agg(spark):
+    plan = plan_of(spark, "q14_capacity_factor")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_ewma_last_no_python_workers(spark):
+    plan = plan_of(spark, "q23_ewma")
+    assert "ArrowEvalPython" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_text_stats_narrow_no_shuffle(spark):
+    plan = plan_of(spark, "q28_text_stats")
+    assert "Exchange" not in plan  # pure projection: zero shuffles
