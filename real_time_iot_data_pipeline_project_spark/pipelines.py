@@ -1,0 +1,113 @@
+"""End-to-end pipeline entry points — the engine's equivalents of the
+reference's executables (SURVEY.md §3):
+
+- ``consume_and_process`` — entry point A (``Solar_Processing.py:60-100``,
+  ``Wind_Processing.py:68-111``): bounded read → validate → clean →
+  dedup → features → sink, with the same CLI surface
+  (``Wind_Processing.py:113-128``).
+- ``run_streaming_job`` — entry point B: the docx notebook transform on a
+  live source (file/kafka), parquet+checkpoint sink.
+- ``dashboard_panels`` — entry point C (``Solar_Dashboard.py``): the
+  dashboard's fan-out of aggregate queries over one cached DataFrame.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import analytics, features
+from .sources import io as sio
+
+
+def consume_and_process(
+    spark: SparkSession,
+    domain: str,
+    input_path: str,
+    output_path: str | None = None,
+    max_messages: int | None = None,
+    output_format: str = "parquet",
+    show_details: bool = False,
+) -> DataFrame:
+    """Entry point A. ``max_messages`` bounds the read (the reference's
+    bounded Kafka poll, L3); sinks CSV or parquet."""
+    if domain == "solar":
+        raw = sio.read_solar_log(spark, input_path)
+        process = features.process_solar
+    elif domain == "wind":
+        raw = sio.read_wind_log(spark, input_path)
+        process = features.process_wind
+    else:
+        raise ValueError(f"unknown domain {domain!r}")
+    if max_messages:
+        raw = raw.limit(max_messages)
+    processed = process(raw, deterministic_dedup=True)
+    if show_details:
+        processed.show(5, truncate=False)
+    if output_path:
+        if output_format == "csv":
+            sio.write_processed_csv(processed, output_path)
+        else:
+            sio.write_processed_parquet(processed, output_path, partition_by=["station_id"])
+    return processed
+
+
+def dashboard_panels(processed: DataFrame, domain: str) -> dict[str, DataFrame]:
+    """Entry point C: every dashboard panel as an independent aggregate
+    over ONE cached DataFrame (the Spark translation of @st.cache_data +
+    per-panel pandas queries)."""
+    df = processed.cache()
+    power = "farm_power_kW" if domain == "wind" else "power_kW"
+    energy = "farm_energy_kWh_10min" if domain == "wind" else "energy_kWh_10min"
+    panels: dict[str, DataFrame] = {
+        "global_metrics": analytics.global_metrics(df, [power, energy]),
+        "station_energy": analytics.station_energy(df, "station_id", energy),
+        "energy_by_hour": analytics.energy_by_hour(df, "timestamp", energy),
+        "ranking": analytics.station_ranking(
+            df, "station_id",
+            {"total_energy": f"sum:{energy}", "avg_power": f"avg:{power}",
+             "peak_power": f"max:{power}"},
+        ),
+        "value_dist": analytics.describe_stats(df, [power]),
+        "pivot": analytics.pivot_align(df, "timestamp", "station_id", power),
+    }
+    if domain == "wind":
+        panels["speed_power_corr"] = analytics.correlation(df, "wind_speed_mps", power)
+        panels["regression"] = analytics.linear_regression(df, "wind_speed_mps", power)
+        panels["wind_class_counts"] = analytics.value_counts(
+            df.withColumn("wind_class", _wind_class_col()), "wind_class"
+        )
+    return panels
+
+
+def _wind_class_col():
+    from .functions import physics
+
+    return physics.wind_class("wind_speed_mps")
+
+
+def main(argv: list[str] | None = None) -> None:
+    """CLI mirroring Wind_Processing.py:113-128."""
+    from .session import get_spark
+
+    p = argparse.ArgumentParser(description="batch consume-and-process pipeline")
+    p.add_argument("domain", choices=["solar", "wind"])
+    p.add_argument("input_path")
+    p.add_argument("--output", default=None)
+    p.add_argument("--format", choices=["csv", "parquet"], default="parquet")
+    p.add_argument("--max-messages", type=int, default=None)
+    p.add_argument("--show-details", action="store_true")
+    args = p.parse_args(argv)
+    spark = get_spark(app_name=f"{args.domain}-processing")
+    out = consume_and_process(
+        spark, args.domain, args.input_path, args.output,
+        max_messages=args.max_messages, output_format=args.format,
+        show_details=args.show_details,
+    )
+    print(f"processed rows: {out.count()}")
+
+
+if __name__ == "__main__":
+    main()

@@ -42,6 +42,10 @@ ORACLES: dict[str, str] = {}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The driver owns the SparkSession; pin the session timezone so
+    # hour()/date_trunc() match DuckDB's naive-UTC reading of the same
+    # parquet timestamps regardless of host JVM timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
         # reader rejects; read as long and truncate ns→µs — exactly what

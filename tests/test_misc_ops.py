@@ -138,3 +138,33 @@ def test_ewma_batch_matches_pandas_and_closed_form(spark):
     assert last["A"][0] == len(vals)
     assert abs(last["A"][1] - exp.iloc[-1]) < 1e-9
     assert abs(last["B"][1] - (0.65 * 7.0 + 0.35 * 9.0)) < 1e-12
+
+
+def test_consume_and_process_cli_pipeline(spark, tmp_path):
+    from real_time_iot_data_pipeline_project_spark import pipelines
+
+    out = pipelines.consume_and_process(
+        spark, "wind", "/root/reference/wind_farm_data_log.csv",
+        str(tmp_path / "out"), output_format="parquet",
+    )
+    assert out.count() > 0
+    written = spark.read.parquet(str(tmp_path / "out"))
+    assert written.count() == out.count()
+    # partitioned by station for pruning
+    assert (tmp_path / "out" / "station_id=WBWF").exists()
+
+
+def test_dashboard_panels(spark):
+    from real_time_iot_data_pipeline_project_spark import pipelines
+
+    processed = pipelines.consume_and_process(
+        spark, "wind", "/root/reference/wind_farm_data_log.csv"
+    )
+    panels = pipelines.dashboard_panels(processed, "wind")
+    assert set(panels) >= {"global_metrics", "station_energy", "ranking",
+                           "speed_power_corr", "wind_class_counts"}
+    ranking = panels["ranking"].collect()
+    assert len(ranking) == 3  # three wind stations
+    assert ranking[0].total_energy >= ranking[-1].total_energy
+    corr = panels["speed_power_corr"].head().corr
+    assert 0.3 < corr <= 1.0  # speed drives power
