@@ -106,18 +106,17 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     cvec_d = F.transform(F.col("cvec"), lambda x: x.cast("double"))
     sim_to_c = cosine(vec_d, cvec_d)
-    # assign: argmax centroid per vector (max struct(sim, -id) trick, then
-    # deterministic tie-break on centroid_id)
+    # assign: argmax centroid per vector via max_by on struct(sim, -id) —
+    # partial-aggregatable (map-side combine), no window sort; -id gives a
+    # deterministic min-centroid_id tie-break
     assigned = (
         df.crossJoin(F.broadcast(centroids))
-        .select(id_col, vec_col, "centroid_id", sim_to_c.alias("csim"))
-        .withColumn(
-            "best",
-            F.max(F.struct(F.col("csim"), (-F.col("centroid_id")).alias("nid")))
-            .over(Window.partitionBy(id_col)),
+        .select(id_col, "centroid_id", sim_to_c.alias("csim"))
+        .groupBy(id_col)
+        .agg(
+            F.expr("max_by(centroid_id, struct(csim, -centroid_id))").alias("centroid_id")
         )
-        .filter((F.col("csim") == F.col("best.csim")) & (-F.col("centroid_id") == F.col("best.nid")))
-        .drop("best", "csim")
+        .join(df.select(id_col, vec_col), id_col)
     )
     q = [float(v) for v in query_vec]
     qcol = F.array(*[F.lit(v) for v in q])

@@ -1150,3 +1150,81 @@ def q41_retention_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") >= F.col("__cutoff"))
         .select("event_id", "user_id", "ts", "value")
     )
+
+
+@query(
+    "q42_series_align",
+    """
+    WITH c AS (
+      SELECT CAST(ts AS DATE) AS day,
+             round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS click_avg
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    ), p AS (
+      SELECT CAST(ts AS DATE) AS day,
+             round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS purchase_avg
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT c.day, c.click_avg, p.purchase_avg,
+           c.click_avg - p.purchase_avg AS avg_diff
+    FROM c JOIN p ON c.day = p.day
+    """,
+)
+def q42_series_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — inner alignment of two per-key time series on the time axis
+    (station_pivot[[s1,s2]].dropna(), Solar_Dashboard.py:414-417)."""
+    ev = _t(spark, sf_dir, "events")
+
+    def day_avg(et: str, alias: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == et)
+            .groupBy(F.to_date("ts").alias("day"))
+            .agg(
+                F.round(
+                    F.sum(F.col("value").cast(DEC)).cast("double") / F.count(F.lit(1)), 6
+                ).alias(alias)
+            )
+        )
+
+    c = day_avg("click", "click_avg")
+    p = day_avg("purchase", "purchase_avg")
+    return c.join(p, "day").select(
+        "day", "click_avg", "purchase_avg",
+        (F.col("click_avg") - F.col("purchase_avg")).alias("avg_diff"),
+    )
+
+
+@query(
+    "q43_time_spine",
+    """
+    WITH spine AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                    TIMESTAMP '2024-01-02 23:00:00',
+                                    INTERVAL 1 HOUR)) AS slot
+    ), agg AS (
+      SELECT date_trunc('hour', ts) AS slot, COUNT(*) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT s.slot, coalesce(a.n, 0) AS n_events
+    FROM spine s LEFT JOIN agg a ON a.slot = s.slot
+    """,
+)
+def q43_time_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 — synthesized time index (pd.date_range equivalent:
+    sequence+explode, Solar_Dashboard.py:106-108) left-joined to hourly
+    counts with zero-fill — the dashboard's dense time axis."""
+    ev = _t(spark, sf_dir, "events")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.to_timestamp(F.lit("2024-01-01 00:00:00")),
+                F.to_timestamp(F.lit("2024-01-02 23:00:00")),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("slot")
+    )
+    agg = ev.groupBy(F.date_trunc("hour", "ts").alias("slot")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return spine.join(agg, "slot", "left").select(
+        "slot", F.coalesce(F.col("n"), F.lit(0)).alias("n_events")
+    )
