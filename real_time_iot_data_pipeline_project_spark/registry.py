@@ -463,9 +463,9 @@ def q17_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_null_handling",
     """
     SELECT event_type,
-           SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
            CAST(SUM(CAST(coalesce(v, 50.0) AS DECIMAL(18,4))) AS DOUBLE) AS sum_filled,
-           SUM(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS n_valid
+           CAST(SUM(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
     FROM (SELECT event_type, CASE WHEN value BETWEEN 40 AND 60 THEN NULL ELSE value END AS v
           FROM events)
     GROUP BY event_type
@@ -983,7 +983,25 @@ def q35_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.binary_stats(payload, id_col="doc_id")
 
 
-@query("q36_multimodal_features", None)  # md5-chain features: not SQL-expressible
+def _md5_feature_sum_sql(dim: int = 8) -> str:
+    """DuckDB oracle for the fake md5-chain decoder (multimodal.py): with
+    dim<=16 only ONE md5 round is consumed, so feat_sum is the left-fold
+    sum of the first ``dim`` digest bytes / 255.0 — expressible as hex-pair
+    arithmetic over md5(text)."""
+    def byte(j: int) -> str:
+        hexpos = "strpos('0123456789abcdef', substr(hx, {p}, 1)) - 1"
+        return (f"(16 * ({hexpos.format(p=2 * j + 1)}) + "
+                f"({hexpos.format(p=2 * j + 2)})) / 255.0")
+
+    assert dim <= 16
+    terms = " + ".join(byte(j) for j in range(dim))
+    return f"""
+    WITH h AS (SELECT doc_id AS media_id, md5(text) AS hx FROM documents)
+    SELECT media_id, round({terms}, 6) AS feat_sum FROM h
+    """
+
+
+@query("q36_multimodal_features", _md5_feature_sum_sql(dim=8))
 def q36_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode/feature-extract via Arrow mapInPandas with the
     deterministic fake decoder (real codecs absent in this container —

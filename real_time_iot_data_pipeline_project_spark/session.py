@@ -23,6 +23,18 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# Python workers (mapInPandas / applyInPandas) import this package by name;
+# driver-side sys.path edits don't propagate to them, so export the package
+# root on PYTHONPATH before the JVM forks workers. Makes every entry point
+# runnable from any cwd. On a real cluster, ship the package with --py-files.
+_PKG_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _PKG_ROOT not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        _PKG_ROOT + os.pathsep + os.environ["PYTHONPATH"]
+        if os.environ.get("PYTHONPATH")
+        else _PKG_ROOT
+    )
+
 
 def get_spark(
     app_name: str = "real-time-iot-pipeline-spark",
