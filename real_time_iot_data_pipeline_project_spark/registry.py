@@ -27,8 +27,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .functions import physics, textfns
+from .functions import astro, physics, textfns
 from .operators import analytics, dedup, ewma, multimodal, similarity, textops, windows
+from .stations import solar_station_dim
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 DEC = "decimal(18,4)"
@@ -1245,4 +1246,76 @@ def q43_time_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return spine.join(agg, "slot", "left").select(
         "slot", F.coalesce(F.col("n"), F.lit(0)).alias("n_events")
+    )
+
+
+_Q44_SUNRISE, _Q44_SUNSET = astro.sunrise_sunset_sql(
+    "st.lat", "st.lon", "CAST(dayofyear(d.date) AS DOUBLE)"
+)
+
+
+@query(
+    "q44_daytime_flag",
+    f"""
+    WITH ev AS (
+      SELECT event_id, ts, value,
+             (['BSPP', 'KOSPP', 'ZFSPP'])[CAST(event_id % 3 AS INT) + 1] AS station_id
+      FROM events
+    ), st AS (
+      SELECT * FROM (VALUES ('BSPP', 24.4560, 32.7390),
+                            ('KOSPP', 24.6325, 32.8398),
+                            ('ZFSPP', 29.2, 32.6)) s(station_id, lat, lon)
+    ), d AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS date FROM ev
+    ), dim AS (
+      SELECT st.station_id, d.date,
+             {_Q44_SUNRISE} AS sunrise_h, {_Q44_SUNSET} AS sunset_h
+      FROM d CROSS JOIN st
+    ), flagged AS (
+      SELECT ev.station_id, dim.date, dim.sunrise_h, dim.sunset_h, ev.value,
+             (floor(epoch(ev.ts)) - epoch(CAST(dim.date AS TIMESTAMP))) / 3600.0 AS hf
+      FROM ev JOIN dim ON dim.station_id = ev.station_id AND dim.date = CAST(ev.ts AS DATE)
+    )
+    SELECT station_id, date,
+           round(sunrise_h, 6) AS sunrise_h, round(sunset_h, 6) AS sunset_h,
+           CAST(SUM(CASE WHEN hf >= sunrise_h AND hf <= sunset_h THEN 1 ELSE 0 END) AS BIGINT) AS n_day,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN hf >= sunrise_h AND hf <= sunset_h
+                         THEN CAST(value AS DECIMAL(18,4)) ELSE CAST(0.0 AS DECIMAL(18,4)) END) AS DOUBLE) AS day_value_sum
+    FROM flagged GROUP BY 1, 2, 3, 4
+    """,
+)
+def q44_daytime_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F26 — sunrise/sunset daytime flag + night-zeroing rollup
+    (Solar_Generation.py:110-124): precomputed (station, date) →
+    (sunrise, sunset) broadcast dim (astro.daytime_dim), facts joined and
+    night rows zeroed — the reference's astral per-row call re-expressed
+    as a codegen'd dimension join. events stand in for solar telemetry;
+    station assigned by event_id % 3."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "value",
+        F.element_at(
+            F.array(F.lit("BSPP"), F.lit("KOSPP"), F.lit("ZFSPP")),
+            (F.col("event_id") % 3).cast("int") + 1,
+        ).alias("station_id"),
+    )
+    dates = ev.select(F.to_date("ts").alias("date")).distinct()
+    dim = astro.daytime_dim(dates, solar_station_dim(spark))
+    flagged = astro.with_daytime_flag(ev, dim)
+    day_val = F.when(
+        F.col("is_daytime"), F.col("value").cast(DEC)
+    ).otherwise(F.lit(0.0).cast(DEC))
+    return (
+        flagged.groupBy("station_id", "date", "sunrise_h", "sunset_h")
+        .agg(
+            F.sum(F.when(F.col("is_daytime"), 1).otherwise(0)).alias("n_day"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(day_val).cast("double").alias("day_value_sum"),
+        )
+        .select(
+            "station_id", "date",
+            F.round("sunrise_h", 6).alias("sunrise_h"),
+            F.round("sunset_h", 6).alias("sunset_h"),
+            "n_day", "n_rows", "day_value_sum",
+        )
     )
