@@ -10,6 +10,14 @@
   seeded RNG, embedded as literals — so the same planes are expressible
   in the DuckDB oracle. Bucket join bounds the pair fan-out; exact cosine
   verifies candidates.
+
+  Scale contract (the bucket-join is ~Σ bucket², so bucket size must not
+  grow with n): total planes grow with log₂(n) via ``recommended_planes``
+  and are split into ``bands`` independent tables (MinHash-style banding)
+  — a pair is a candidate if it matches ALL bits in ANY band. More bands
+  recover the recall that longer codes cost, so plane count can track
+  data size without collapsing recall. Index fan-out is bands× rows —
+  the standard LSH space/recall trade.
 - ``ivf_topk``: IVF-style two-stage search — assign every vector to its
   nearest of C deterministic centroids, probe only the query's ``nprobe``
   nearest buckets. The scale path for repeated queries.
@@ -58,6 +66,17 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return [[float(rng.choice((-1, 1))) for _ in range(dim)] for _ in range(n_planes)]
 
 
+def recommended_planes(n: int, bands: int = 4, target_bucket_rows: int = 64) -> int:
+    """Plane count that keeps expected bucket occupancy ≈ constant as n
+    grows: bits-per-band r = max(4, ceil(log2(n / target_bucket_rows)))
+    so the per-band self-join stays ~n·target instead of n²/2^r with
+    fixed r. Returns bands·r (total planes)."""
+    import math
+
+    r = max(4, math.ceil(math.log2(max(2, n) / target_bucket_rows)))
+    return bands * r
+
+
 def hyperplane_lsh_buckets(df: DataFrame, planes: list[list[float]],
                            vec_col: str = "embedding",
                            id_col: str = "vec_id") -> DataFrame:
@@ -71,20 +90,51 @@ def hyperplane_lsh_buckets(df: DataFrame, planes: list[list[float]],
     return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
 
 
+def banded_lsh_buckets(df: DataFrame, planes: list[list[float]], bands: int,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> DataFrame:
+    """One (band, bucket) row per vector per band: planes are split into
+    ``bands`` contiguous groups; bucket_j packs that band's sign bits.
+    Index fan-out is bands× — computed JVM-side, exploded once."""
+    r, rem = divmod(len(planes), bands)
+    if rem:
+        raise ValueError(f"{len(planes)} planes not divisible into {bands} bands")
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    entries = []
+    for j in range(bands):
+        bucket = sum(
+            F.when(_dot(vec_d, F.array(*[F.lit(p) for p in plane])) > 0,
+                   F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
+            for i, plane in enumerate(planes[j * r:(j + 1) * r])
+        )
+        entries.append(F.struct(F.lit(j).alias("band"), bucket.alias("bucket")))
+    return (
+        df.select(F.col(id_col), F.col(vec_col), F.explode(F.array(*entries)).alias("bb"))
+        .select(id_col, vec_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    )
+
+
 def cosine_near_dup_lsh(df: DataFrame, planes: list[list[float]],
-                        threshold: float = 0.9, vec_col: str = "embedding",
+                        threshold: float = 0.9, bands: int = 1,
+                        vec_col: str = "embedding",
                         id_col: str = "vec_id") -> DataFrame:
-    """Near-duplicate vector pairs: candidates from equal LSH buckets,
-    verified by exact cosine ≥ threshold."""
-    b = hyperplane_lsh_buckets(df, planes, vec_col, id_col)
-    a = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
-    c = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
+    """Near-duplicate vector pairs: candidates share ALL sign bits in at
+    least one band; exact cosine ≥ threshold verifies. ``bands=1`` is
+    classic single-table sign-LSH; use ``recommended_planes`` + bands>1
+    at scale so code length can track log₂(n) without losing recall."""
+    b = banded_lsh_buckets(df, planes, bands, vec_col, id_col)
+    a = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "band", "bucket")
+    c = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "band", "bucket")
     va = F.transform(F.col("va"), lambda x: x.cast("double"))
     vb = F.transform(F.col("vb"), lambda x: x.cast("double"))
-    return (
-        a.join(c, "bucket")
+    cands = (
+        a.join(c, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(va, vb).alias("cosine_sim"))
+        .select("id_a", "id_b", "va", "vb")
+        .dropDuplicates(["id_a", "id_b"])  # a pair can match in several bands
+    )
+    return (
+        cands.select("id_a", "id_b", cosine(va, vb).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
 

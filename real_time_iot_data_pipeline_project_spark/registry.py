@@ -1090,38 +1090,57 @@ def q38_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"))
 
 
-def _hyperplane_lsh_sql(planes: list[list[float]], threshold: float) -> str:
+def _hyperplane_lsh_sql(planes: list[list[float]], threshold: float, bands: int) -> str:
     def dot_plane(vec_expr: str, plane: list[float]) -> str:
         lit = "[" + ", ".join(repr(x) for x in plane) + "]"
         return f"list_dot_product(CAST({vec_expr} AS DOUBLE[]), {lit})"
 
-    bucket = " + ".join(
-        f"(CASE WHEN {dot_plane('embedding', p)} > 0 THEN CAST({2 ** i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-        for i, p in enumerate(planes)
-    )
+    r = len(planes) // bands
+    band_selects = []
+    for j in range(bands):
+        bucket = " + ".join(
+            f"(CASE WHEN {dot_plane('embedding', p)} > 0 THEN CAST({2 ** i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            for i, p in enumerate(planes[j * r:(j + 1) * r])
+        )
+        band_selects.append(
+            f"SELECT vec_id, {j} AS band, ({bucket}) AS bucket FROM embeddings"
+        )
+    bkt = " UNION ALL ".join(band_selects)
     cos = (
         "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
         " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
         " * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"
     )
     return f"""
-    WITH bkt AS (SELECT vec_id, embedding, ({bucket}) AS bucket FROM embeddings)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS cosine_sim
-    FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WITH bkt AS ({bkt}),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM bkt x JOIN bkt y ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+    )
+    SELECT c.id_a, c.id_b, round({cos}, 6) AS cosine_sim
+    FROM cand c JOIN embeddings a ON a.vec_id = c.id_a
+                JOIN embeddings b ON b.vec_id = c.id_b
     WHERE {cos} >= {threshold!r}
     """
 
 
-_LSH_PLANES = similarity.hyperplanes(dim=64, n_planes=6, seed=42)
+# 16 planes / 2 bands = 8 bits (256 buckets) per band — sized for the
+# test SFs via recommended_planes(n≈5e3); at cluster scale re-derive:
+# e.g. n=1e9, target 64/bucket → r=24 bits, bands=4 → 96 planes.
+_LSH_BANDS = 2
+_LSH_PLANES = similarity.hyperplanes(dim=64, n_planes=16, seed=42)
 _LSH_THRESHOLD = 0.6
 
 
-@query("q39_embedding_near_dup", _hyperplane_lsh_sql(_LSH_PLANES, _LSH_THRESHOLD))
+@query("q39_embedding_near_dup", _hyperplane_lsh_sql(_LSH_PLANES, _LSH_THRESHOLD, _LSH_BANDS))
 def q39_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via sign-LSH bucketing (seeded
-    deterministic hyperplanes) + exact cosine verify ≥ threshold."""
+    """Embedding-cosine near-dup pairs via banded sign-LSH (seeded
+    deterministic hyperplanes, MinHash-style banding so code length can
+    scale with log2 n) + exact cosine verify ≥ threshold."""
     emb = _t(spark, sf_dir, "embeddings")
-    out = similarity.cosine_near_dup_lsh(emb, _LSH_PLANES, threshold=_LSH_THRESHOLD)
+    out = similarity.cosine_near_dup_lsh(
+        emb, _LSH_PLANES, threshold=_LSH_THRESHOLD, bands=_LSH_BANDS
+    )
     return out.select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
 
 

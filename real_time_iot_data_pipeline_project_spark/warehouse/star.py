@@ -8,10 +8,14 @@ Dim_WeatherWind, Fact_Solar, Fact_Wind) re-expressed as DataFrame ETL:
   surrogate keys — FK integrity holds by construction.
 
 Scale notes: surrogate keys via ``row_number`` over a global window are
-a single-partition bottleneck at 100 TB — acceptable for *dimension*
-tables (small by definition); facts keep their natural grain and get
-``monotonically_increasing_id`` (partition-local, no coordination) for
-the fact_id.
+a single-partition bottleneck, so they are reserved for the genuinely
+tiny dims (stations, distinct weather tuples). Dim_DateTime is NOT tiny
+— one row per distinct timestamp is hundreds of millions of rows at
+100 TB — so its key is derived deterministically from the timestamp
+itself (``unix_micros``: unique at timestamp grain, embarrassingly
+parallel, and stable across rebuilds, which row_number is not). Facts
+keep their natural grain and get ``monotonically_increasing_id``
+(partition-local, no coordination) for the fact_id.
 """
 
 from __future__ import annotations
@@ -43,7 +47,9 @@ def build_datetime_dim(processed: DataFrame, ts_col: str = "timestamp") -> DataF
             F.when((F.hour("local_timestamp") >= 6) & (F.hour("local_timestamp") < 18), "Day").otherwise("Night"),
         )
     )
-    return _surrogate(base, "datetime_key", ["timestamp"])
+    # Deterministic key from the timestamp itself — no global window, no
+    # single-partition Exchange, stable across incremental rebuilds.
+    return base.withColumn("datetime_key", F.unix_micros(F.col("timestamp")))
 
 
 def build_station_dim(station_df: DataFrame) -> DataFrame:

@@ -94,6 +94,25 @@ def test_lsh_near_dup_pairs(vectors):
     assert (0, 1) in got
 
 
+def test_banded_lsh_finds_planted_pair(vectors):
+    # 8 planes / 2 bands: near-identical vectors share all 4 bits of at
+    # least one band with overwhelming probability
+    planes = similarity.hyperplanes(dim=16, n_planes=8, seed=1)
+    pairs = similarity.cosine_near_dup_lsh(vectors, planes, threshold=0.99, bands=2)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1) in got
+    # no duplicate pair rows even when both bands match
+    all_pairs = pairs.collect()
+    assert len(all_pairs) == len({(r.id_a, r.id_b) for r in all_pairs})
+
+
+def test_recommended_planes_scales_with_n():
+    assert similarity.recommended_planes(1_000, bands=2) == 2 * 4
+    assert similarity.recommended_planes(1_000_000, bands=4, target_bucket_rows=64) == 4 * 14
+    # monotone in n
+    assert similarity.recommended_planes(10**9) >= similarity.recommended_planes(10**6)
+
+
 def test_ivf_topk_recovers_near_neighbor(vectors):
     q = vectors.filter("vec_id = 0").head().embedding
     top = similarity.ivf_topk(vectors, q, k=3, n_centroids=4, nprobe=2).collect()

@@ -49,10 +49,20 @@ def test_star_schema_build(spark):
     ]:
         dim = tables[dim_name]
         assert fact.join(dim, key, "left_anti").count() == 0
-    # surrogate keys dense from 1
+    # datetime keys: deterministic (epoch-derived), unique, non-null —
+    # NOT row_number (that would single-partition the build at scale)
     dt = tables["Dim_DateTime"]
-    assert dt.agg(F.min("datetime_key")).head()[0] == 1
-    assert dt.agg(F.max("datetime_key")).head()[0] == dt.count()
+    assert dt.filter(F.col("datetime_key").isNull()).count() == 0
+    assert dt.select("datetime_key").distinct().count() == dt.count()
+    # stable across rebuilds (row_number over a re-shuffled input is not)
+    dt2 = star.build_datetime_dim(processed)
+    assert dt.select("timestamp", "datetime_key").exceptAll(
+        dt2.select("timestamp", "datetime_key")
+    ).count() == 0
+    # station dims stay row_number'd: dense from 1
+    st = tables["Dim_WindStation"]
+    assert st.agg(F.min("station_key")).head()[0] == 1
+    assert st.agg(F.max("station_key")).head()[0] == st.count()
 
 
 def test_generator_dirty_paths(spark):

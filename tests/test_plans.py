@@ -76,3 +76,23 @@ def test_ewma_last_no_python_workers(spark):
 def test_text_stats_narrow_no_shuffle(spark):
     plan = plan_of(spark, "q28_text_stats")
     assert "Exchange" not in plan  # pure projection: zero shuffles
+
+
+def test_datetime_dim_no_single_partition_exchange(spark):
+    """Dim_DateTime is fact-sized (one row per distinct timestamp):
+    its build must not funnel through a global-window single partition."""
+    from real_time_iot_data_pipeline_project_spark.operators import features
+    from real_time_iot_data_pipeline_project_spark.sources.generator import generate_wind_raw
+    from real_time_iot_data_pipeline_project_spark.warehouse import star
+
+    processed = features.process_wind(generate_wind_raw(spark, n_rows=200))
+    dim = star.build_datetime_dim(processed)
+    plan = dim._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "Window" not in plan
+
+
+def test_daytime_dim_join_is_broadcast(spark):
+    plan = plan_of(spark, "q44_daytime_flag")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
