@@ -59,6 +59,20 @@ def detect_columns(columns: list[str],
     return out
 
 
+def display_name(name: str) -> str:
+    """F29 — display-name prettifier (``Solar_Dashboard.py:447``,
+    ``Wind_Dashboard.py:437``: ``col.replace('_',' ').title()``).
+    Driver-side string op for chart labels; the Column-expression twin
+    is ``initcap(replace(c, '_', ' '))``."""
+    return name.replace("_", " ").title()
+
+
+def display_name_col(c: str | F.Column) -> F.Column:
+    """F29 as a Column expression (for labeling rows, not columns)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.initcap(F.replace(col, F.lit("_"), F.lit(" ")))
+
+
 def normalize_schema(df: DataFrame, patterns: dict[str, list[str]],
                      numeric_cols: list[str] | None = None,
                      synthesize_ts: bool = True,

@@ -118,6 +118,62 @@ def start_alert_stream(df: DataFrame, power_col: str, threshold: float,
     return w.start()
 
 
+def start_console_sink(df: DataFrame, num_rows: int = 20, truncate: bool = True,
+                       processing_time: str | None = None):
+    """S12 — console debug sink (docx §wind:query_raw last cell:
+    ``writeStream.format("console")``). Debug-only: prints each
+    micro-batch to the driver's stdout; never a production sink."""
+    w = (
+        df.writeStream.format("console")
+        .option("numRows", str(num_rows))
+        .option("truncate", str(truncate).lower())
+        .outputMode("append")
+    )
+    if processing_time:
+        w = w.trigger(processingTime=processing_time)
+    return w.start()
+
+
+def active_stream_status(spark: SparkSession) -> list[dict]:
+    """S13 — stream monitoring (docx §wind last cell:
+    ``for q in spark.streams.active: print(q.name, q.status)``): one dict
+    per active query with name/id/status/recent progress."""
+    out = []
+    for q in spark.streams.active:
+        prog = q.lastProgress
+        out.append(
+            {
+                "name": q.name,
+                "id": str(q.id),
+                "is_active": q.isActive,
+                "status": dict(q.status) if q.status else None,
+                "batch_id": prog.get("batchId") if prog else None,
+                "num_input_rows": prog.get("numInputRows") if prog else None,
+            }
+        )
+    return out
+
+
+def start_grouped_agg_stream(df: DataFrame, group_cols: list[str],
+                             aggs: list[F.Column], query_name: str,
+                             output_mode: str = "update",
+                             processing_time: str | None = None):
+    """T7 — streaming grouped aggregate with ``update``/``complete``
+    output (A1 per-station totals on a live stream — the dashboard
+    panels fed incrementally instead of by batch rescan). ``update``
+    emits only the groups whose aggregate changed in each micro-batch;
+    sink here is the in-memory table ``query_name`` (swap for a
+    foreachBatch upsert in production)."""
+    w = (
+        df.groupBy(*group_cols).agg(*aggs)
+        .writeStream.format("memory").queryName(query_name)
+        .outputMode(output_mode)
+    )
+    if processing_time:
+        w = w.trigger(processingTime=processing_time)
+    return w.start()
+
+
 def read_kafka_stream(spark: SparkSession, brokers: str, topic: str,
                       starting_offsets: str = "earliest") -> DataFrame:
     """S3 — Kafka streaming source (Solar_Processing.py:61-84 semantics:

@@ -17,6 +17,14 @@ def test_detect_columns_fuzzy():
     assert m["irradiance"] == "Irradiance W/m2"
 
 
+def test_display_name_prettifier(spark):
+    # F29: replace('_',' ').title() parity (Solar_Dashboard.py:447)
+    assert schema_drift.display_name("power_output_kw") == "Power Output Kw"
+    df = spark.createDataFrame([("wind_speed_mps",)], ["metric"])
+    out = df.select(schema_drift.display_name_col("metric").alias("label")).head()
+    assert out.label == "Wind Speed Mps"
+
+
 def test_normalize_schema_synthesizes_timestamp(spark):
     df = spark.createDataFrame([("S1", "10.5"), ("S2", "x")], ["Station", "Power kW"])
     out = schema_drift.normalize_schema(

@@ -111,6 +111,72 @@ def test_streaming_ewma_matches_python_fold(spark, tmp_path):
             assert abs(got[(sid, i)] - e) < 1e-9, (sid, i)
 
 
+def test_console_sink_and_stream_monitoring(spark, tmp_path):
+    """S12 (console debug sink) + S13 (spark.streams.active status)."""
+    rows = [("S1", 1.0), ("S2", 2.0)]
+    src = str(tmp_path / "console_src")
+    spark.createDataFrame(rows, ["station_id", "v"]).select(
+        F.to_json(F.struct("*")).alias("value")
+    ).coalesce(1).write.text(src)
+    schema = T.StructType(
+        [T.StructField("station_id", T.StringType()), T.StructField("v", T.DoubleType())]
+    )
+    raw = spark.readStream.schema(
+        T.StructType([T.StructField("value", T.StringType())])
+    ).text(src)
+    q = job.start_console_sink(job.parse_json_stream(raw, schema))
+    try:
+        statuses = job.active_stream_status(spark)
+        assert any(s["id"] == str(q.id) for s in statuses)
+        mine = next(s for s in statuses if s["id"] == str(q.id))
+        assert mine["is_active"] and "message" in (mine["status"] or {})
+        q.processAllAvailable()  # console batch printed without error
+    finally:
+        q.stop()
+    assert all(s["id"] != str(q.id) for s in job.active_stream_status(spark))
+
+
+def test_update_mode_grouped_agg_across_batches(spark, tmp_path):
+    """T7 — outputMode('update'): only changed groups re-emit, and the
+    memory sink shows the updated aggregate after a second micro-batch."""
+    src = str(tmp_path / "upd_src")
+    schema = T.StructType(
+        [T.StructField("station_id", T.StringType()), T.StructField("v", T.DoubleType())]
+    )
+
+    def write_batch(rows, fname):
+        spark.createDataFrame(rows, schema).select(
+            F.to_json(F.struct("*")).alias("value")
+        ).coalesce(1).write.mode("append").text(src)
+
+    write_batch([("A", 10.0), ("B", 5.0)], "b1")
+    raw = spark.readStream.schema(
+        T.StructType([T.StructField("value", T.StringType())])
+    ).text(src)
+    parsed = job.parse_json_stream(raw, schema)
+    q = job.start_grouped_agg_stream(
+        parsed, ["station_id"],
+        [F.sum("v").alias("total"), F.count(F.lit(1)).alias("n")],
+        query_name="upd_agg",
+    )
+    try:
+        q.processAllAvailable()
+        first = {r.station_id: r.total for r in spark.sql("SELECT * FROM upd_agg").collect()}
+        assert first == {"A": 10.0, "B": 5.0}
+        # second micro-batch touches only A → update emits A's new total
+        write_batch([("A", 7.0)], "b2")
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM upd_agg").collect()
+        latest = {}
+        for r in rows:  # memory sink appends update rows; last write wins
+            latest[r.station_id] = r.total
+        assert latest["A"] == 17.0 and latest["B"] == 5.0
+        # B was NOT re-emitted in batch 2: exactly one B row total
+        assert sum(1 for r in rows if r.station_id == "B") == 1
+    finally:
+        q.stop()
+
+
 def test_alert_stream(spark, tmp_path):
     rows = [("S1", 100.0, 500.0), ("S2", 900.0, 600.0), ("S3", 50.0, 0.0)]
     src = str(tmp_path / "alerts_src")
