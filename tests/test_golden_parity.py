@@ -21,6 +21,8 @@ SOLAR_RAW = str(REFERENCE / "solar_farm_data_log.csv")
 SOLAR_GOLD = str(REFERENCE / "solar_data_processed.csv")
 WIND_RAW = str(REFERENCE / "wind_farm_data_log.csv")
 WIND_GOLD = str(REFERENCE / "wind_data_processed.csv")
+AZURE_SOLAR_RAW = str(REFERENCE / "Azure" / "Azure script Proceucers" / "solar_farm_data_log.csv")
+AZURE_WIND_RAW = str(REFERENCE / "Azure" / "Azure script Proceucers" / "wind_farm_data_log.csv")
 
 
 def _read(spark, path, infer=True):
@@ -134,3 +136,67 @@ def test_dedup_no_duplicate_keys(wind):
     ours, _ = wind
     dupes = ours.groupBy("station_id", "timestamp").count().filter("count > 1")
     assert dupes.count() == 0
+
+
+# ---------------------------------------------------------------------
+# Azure producer variant fixtures (producer_solar.py:70-95 projection):
+# the solar log is a REAL schema-drift artifact — the producer started
+# appending 12-field rows (+ clouds_%/pressure_hPa/humidity_%) under the
+# original 9-column header, so a single file mixes both widths (S7
+# append-sink variant + SOLAR_RAW_AZURE_SCHEMA tolerance).
+# ---------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def azure_solar(spark):
+    from real_time_iot_data_pipeline_project_spark import schemas
+
+    raw = (
+        spark.read.option("header", True)
+        .schema(schemas.SOLAR_RAW_AZURE_SCHEMA)
+        .csv(AZURE_SOLAR_RAW)
+    )
+    return raw, features.process_solar(raw, deterministic_dedup=True)
+
+
+def test_azure_solar_mixed_width_rows_read(azure_solar):
+    raw, _ = azure_solar
+    n = raw.count()
+    assert n == 3702  # file rows minus header
+    # short (9-col) rows → weather context null; long (12-col) rows → populated
+    n_with_weather = raw.filter(F.col("pressure_hPa").isNotNull()).count()
+    assert n_with_weather == 1121
+    assert raw.filter(F.col("pressure_hPa").isNull()).count() == n - n_with_weather
+
+
+def test_azure_solar_through_clean_pipeline(azure_solar):
+    raw, ours = azure_solar
+    assert 0 < ours.count() <= raw.count()
+    # derived columns present alongside the Azure weather context
+    for c in ["local_timestamp", "hour", "day_of_week", "time_of_day",
+              "is_valid", "clouds_%", "pressure_hPa", "humidity_%"]:
+        assert c in ours.columns, c
+    # every surviving row has a parsed timestamp and passes the range filter
+    assert ours.filter(F.col("timestamp").isNull()).count() == 0
+    assert ours.filter(
+        (F.col("solar_irradiance_Wm2") < 0) | (F.col("solar_irradiance_Wm2") > 1500)
+    ).count() == 0
+    dupes = ours.groupBy("station_id", "timestamp").count().filter("count > 1")
+    assert dupes.count() == 0
+
+
+def test_azure_wind_through_clean_pipeline(spark):
+    from real_time_iot_data_pipeline_project_spark import schemas
+
+    raw = (
+        spark.read.option("header", True)
+        .schema(schemas.WIND_RAW_SCHEMA)
+        .csv(AZURE_WIND_RAW)
+    )
+    assert raw.count() == 4098
+    ours = features.process_wind(raw, deterministic_dedup=True)
+    assert 0 < ours.count() <= raw.count()
+    assert ours.filter(
+        (F.col("wind_speed_mps") < 0) | (F.col("wind_speed_mps") > 60)
+    ).count() == 0
+    for c in ["wind_power_density", "time_of_day", "is_valid"]:
+        assert c in ours.columns, c
