@@ -41,10 +41,11 @@ from pyspark.sql import functions as F
 ZENITH_DEG = 90.833
 
 
-def sunrise_sunset_sql(lat: str, lon: str, doy: str) -> tuple[str, str]:
-    """(sunrise_utc_hours, sunset_utc_hours) as SQL expression strings
-    over column/expression names ``lat``, ``lon``, ``doy`` — valid in
-    both Spark SQL and DuckDB."""
+def noon_omega_sql(lat: str, lon: str, doy: str) -> tuple[str, str]:
+    """(solar_noon_utc_hours, half_day_width_degrees) as SQL expression
+    strings over column/expression names ``lat``, ``lon``, ``doy`` —
+    valid in both Spark SQL and DuckDB. sunrise = noon − ω/15,
+    sunset = noon + ω/15."""
     b = f"(2.0 * pi() * (({doy}) - 81.0) / 364.0)"
     eot = f"(9.87 * sin(2.0 * {b}) - 7.53 * cos({b}) - 1.5 * sin({b}))"
     decl = f"(-23.45 * cos(2.0 * pi() * (({doy}) + 10.0) / 365.0))"
@@ -54,10 +55,30 @@ def sunrise_sunset_sql(lat: str, lon: str, doy: str) -> tuple[str, str]:
         f" / (cos(radians({lat})) * cos(radians({decl}))))"
     )
     omega_deg = f"degrees(acos(greatest(-1.0, least(1.0, {cos_w}))))"
+    return noon, omega_deg
+
+
+def sunrise_sunset_sql(lat: str, lon: str, doy: str) -> tuple[str, str]:
+    """(sunrise_utc_hours, sunset_utc_hours) as fully-inlined SQL
+    expression strings (the DuckDB-oracle form; Spark-side
+    ``daytime_dim`` factors noon/ω into columns to halve codegen size —
+    identical IEEE op sequence either way)."""
+    noon, omega_deg = noon_omega_sql(lat, lon, doy)
     return (
         f"({noon} - {omega_deg} / 15.0)",
         f"({noon} + {omega_deg} / 15.0)",
     )
+
+
+def date_spine(facts: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Dense [min_date, max_date] spine from the fact table via a
+    map-side min/max aggregate — NOT ``select(to_date(ts)).distinct()``,
+    which shuffles every distinct date of a 100 TB scan. Spine dates with
+    no facts produce dim rows that simply never join (harmless)."""
+    bounds = facts.agg(
+        F.min(F.to_date(ts_col)).alias("d0"), F.max(F.to_date(ts_col)).alias("d1")
+    )
+    return bounds.select(F.explode(F.sequence("d0", "d1")).alias("date"))
 
 
 def daytime_dim(dates: DataFrame, stations: DataFrame,
@@ -69,13 +90,15 @@ def daytime_dim(dates: DataFrame, stations: DataFrame,
     |stations| × |dates| rows — broadcast-sized by construction even
     against decades of data.
     """
-    sunrise, sunset = sunrise_sunset_sql("lat", "lon", "doy")
+    noon, omega = noon_omega_sql("lat", "lon", "doy")
     return (
         dates.crossJoin(stations.select("station_id", "lat", "lon"))
         .withColumn("doy", F.dayofyear(F.col(date_col)).cast("double"))
-        .withColumn("sunrise_h", F.expr(sunrise))
-        .withColumn("sunset_h", F.expr(sunset))
-        .drop("doy", "lat", "lon")
+        .withColumn("noon_h", F.expr(noon))
+        .withColumn("omega_deg", F.expr(omega))
+        .withColumn("sunrise_h", F.expr("noon_h - omega_deg / 15.0"))
+        .withColumn("sunset_h", F.expr("noon_h + omega_deg / 15.0"))
+        .drop("doy", "lat", "lon", "noon_h", "omega_deg")
     )
 
 

@@ -1318,7 +1318,7 @@ def q44_daytime_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("event_id") % 3).cast("int") + 1,
         ).alias("station_id"),
     )
-    dates = ev.select(F.to_date("ts").alias("date")).distinct()
+    dates = astro.date_spine(ev, "ts")
     dim = astro.daytime_dim(dates, solar_station_dim(spark))
     flagged = astro.with_daytime_flag(ev, dim)
     day_val = F.when(
