@@ -139,20 +139,80 @@ def cosine_near_dup_lsh(df: DataFrame, planes: list[list[float]],
     )
 
 
-def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
-             n_centroids: int = 16, nprobe: int = 4,
-             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """IVF-style ANN: centroids = the ``n_centroids`` lowest-id vectors
-    (deterministic, no k-means dependency); every vector is assigned to
-    its max-cosine centroid; the query probes its ``nprobe`` best buckets.
+def kmeans_refine(df: DataFrame, centroids: DataFrame, iters: int = 1,
+                  vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Deterministic Lloyd refinement of IVF centroids, pure DataFrame ops:
 
-    Approximate by design — recall depends on nprobe/centroid quality.
-    At scale: the assignment is one broadcast join (centroids are tiny)
-    and the probe prunes ~(1 - nprobe/n_centroids) of the data.
+    - assignment: broadcast crossJoin + ``max_by`` argmax (map-side
+      combinable, deterministic centroid_id tie-break);
+    - update: posexplode to (centroid, dim) → EXACT ``DECIMAL(28,14)``
+      sums (order-free, so the result doesn't depend on partitioning —
+      plain double sums would make centroids run-to-run nondeterministic)
+      → per-dim mean → rebuild the vector with sort_array(collect_list).
+
+    Empty clusters drop (inner aggregation) — k may shrink, identically
+    in any engine. At 100 TB: refine on a sample, assign the full data;
+    each iteration here is one broadcast join + one 64× posexplode
+    shuffle of the training frame.
+
+    Recall honesty (measured, sf0.01): on clusterless embeddings IVF
+    recall ≈ probed fraction regardless of centroid quality (~0.5 at
+    nprobe=4/16, +0.05 from Lloyd); on clustered data Lloyd recovers the
+    cluster structure and recall → 1 at nprobe=1 (see
+    tests/test_dedup_similarity.py). nprobe is the quality knob.
     """
-    centroids = df.orderBy(F.asc(id_col)).limit(n_centroids).select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
+    for _ in range(iters):
+        cvec_d = F.transform(F.col("cvec"), lambda x: x.cast("double"))
+        vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        best = (
+            df.crossJoin(F.broadcast(centroids))
+            .select(
+                F.col(id_col),
+                F.col(vec_col),
+                F.col("centroid_id"),
+                cosine(vec_d, cvec_d).alias("csim"),
+            )
+            # id is unique; vec rides along as a functionally-dependent key
+            .groupBy(id_col, vec_col)
+            .agg(F.expr("max_by(centroid_id, struct(csim, -centroid_id))").alias("centroid_id"))
+        )
+        exp = best.select(
+            "centroid_id",
+            F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias("pos", "val"),
+        )
+        means = exp.groupBy("centroid_id", "pos").agg(
+            (F.sum(F.col("val").cast("decimal(28,14)")).cast("double") / F.count(F.lit(1))).alias("m")
+        )
+        centroids = means.groupBy("centroid_id").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("cvec")
+        )
+    return centroids
+
+
+def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+             n_centroids: int = 16, nprobe: int = 4, kmeans_iters: int = 0,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """IVF-style ANN: centroids = a deterministic hash-sample of
+    ``n_centroids`` vectors (order by md5 of the id — decorrelated from
+    insertion order, unlike first-N, and no k-means dependency); every
+    vector is assigned to its max-cosine centroid; the query probes its
+    ``nprobe`` best buckets.
+
+    Approximate by design — recall depends on nprobe/centroid quality
+    (pinned ≥0.9 by tests/test_dedup_similarity.py recall test).
+    At scale: centroid selection is one TakeOrdered, the assignment is
+    one broadcast join (centroids are tiny) and the probe prunes
+    ~(1 - nprobe/n_centroids) of the data.
+    """
+    centroids = (
+        df.orderBy(F.md5(F.col(id_col).cast("string")), F.asc(id_col))
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec"))
     )
+    if kmeans_iters:
+        centroids = kmeans_refine(df, centroids, kmeans_iters, vec_col, id_col)
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     cvec_d = F.transform(F.col("cvec"), lambda x: x.cast("double"))
     sim_to_c = cosine(vec_d, cvec_d)

@@ -1049,7 +1049,8 @@ def q37_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"))
 
 
-def _ivf_sql(n_centroids: int = 16, nprobe: int = 4, k: int = 20) -> str:
+def _ivf_sql(n_centroids: int = 16, nprobe: int = 4, k: int = 20,
+             kmeans_iters: int = 1, dim: int = 64) -> str:
     cos = (
         "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
         " / (sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
@@ -1058,18 +1059,44 @@ def _ivf_sql(n_centroids: int = 16, nprobe: int = 4, k: int = 20) -> str:
     v_c = cos.format(a="e.embedding", b="c.cvec")
     c_q = cos.format(a="c.cvec", b="q.qv")
     v_q = cos.format(a="e.embedding", b="q.qv")
+    # c0 = hash-sampled init; each Lloyd iteration = argmax assignment +
+    # exact DECIMAL(28,14) per-dim means (mirrors similarity.kmeans_refine
+    # bit-for-bit: same cast chain, same tie-breaks)
+    ctes = [
+        f"""c0 AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
+          FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_centroids})"""
+    ]
+    for t in range(kmeans_iters):
+        ctes.append(f"""a{t} AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {v_c} DESC, c.centroid_id ASC) AS rn
+        FROM embeddings e, c{t} c
+      ) WHERE rn = 1
+    )""")
+        ctes.append(f"""m{t} AS (
+      SELECT a.centroid_id, g.i AS pos,
+             CAST(SUM(CAST(CAST(e.embedding[g.i] AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS m
+      FROM embeddings e JOIN a{t} a USING (vec_id)
+           CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS i) g
+      GROUP BY 1, 2
+    )""")
+        ctes.append(
+            f"c{t+1} AS (SELECT centroid_id, list(m ORDER BY pos) AS cvec FROM m{t} GROUP BY centroid_id)"
+        )
+    cn = f"c{kmeans_iters}"
     return f"""
     WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
-    c AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < {n_centroids}),
+    {", ".join(ctes)},
     assigned AS (
       SELECT vec_id, centroid_id FROM (
         SELECT e.vec_id, c.centroid_id,
                row_number() OVER (PARTITION BY e.vec_id ORDER BY {v_c} DESC, c.centroid_id ASC) AS rn
-        FROM embeddings e, c
+        FROM embeddings e, {cn} c
       ) WHERE rn = 1
     ),
     probe AS (
-      SELECT c.centroid_id FROM c, q ORDER BY {c_q} DESC, c.centroid_id ASC LIMIT {nprobe}
+      SELECT c.centroid_id FROM {cn} c, q ORDER BY {c_q} DESC, c.centroid_id ASC LIMIT {nprobe}
     )
     SELECT e.vec_id, round({v_q}, 6) AS cosine_sim
     FROM embeddings e JOIN assigned a ON a.vec_id = e.vec_id
@@ -1081,12 +1108,15 @@ def _ivf_sql(n_centroids: int = 16, nprobe: int = 4, k: int = 20) -> str:
 
 @query("q38_ivf_topk", _ivf_sql())
 def q38_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN (the scale path): broadcast-join centroid
-    assignment, probe nprobe/n_centroids of the data, exact re-rank
-    inside probed buckets."""
+    """IVF-style ANN (the scale path): hash-sampled centroids refined by
+    one deterministic Lloyd iteration (similarity.kmeans_refine),
+    broadcast-join assignment, probe nprobe/n_centroids of the data,
+    exact re-rank inside probed buckets."""
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    out = similarity.ivf_topk(emb, [float(x) for x in qvec], k=20, n_centroids=16, nprobe=4)
+    out = similarity.ivf_topk(
+        emb, [float(x) for x in qvec], k=20, n_centroids=16, nprobe=4, kmeans_iters=1
+    )
     return out.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"))
 
 
