@@ -77,6 +77,44 @@ def char_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return sh.dropDuplicates([id_col, "shingle"]) if distinct else sh
 
 
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = DEFAULT_SHINGLE_K,
+                        window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., the MOSS
+    local fingerprinting algorithm): hash every char k-gram, slide a
+    ``window`` of consecutive hashes, keep the minimum of each window,
+    emit the distinct selected hashes per doc.
+
+    Guarantees: any shared substring of length ≥ k + window − 1 yields at
+    least one shared fingerprint — unlike sampling every i-th hash,
+    robust to insertion/deletion offsets. Delta vs the paper: tail
+    windows shorter than ``window`` also contribute (simpler, and the
+    distinct-set output is unaffected by the paper's rightmost-tie rule
+    since ties select equal hash values).
+
+    Scale: the only shuffle is the per-doc window sort (docs are bounded)
+    + the distinct — both keyed by doc, uniform."""
+    from pyspark.sql import Window as W
+
+    norm = textfns.normalize_text(text_col)
+    sh = (
+        df.select(F.col(id_col), norm.alias("__n"))
+        .filter(F.length("__n") >= k)
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(1), F.length("__n") - (k - 1))).alias("pos"),
+            "__n",
+        )
+        .select(id_col, "pos",
+                textfns.portable_hash60(F.expr(f"substring(__n, pos, {k})")).alias("h"))
+    )
+    win = W.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    return (
+        sh.select(id_col, F.min("h").over(win).alias("fingerprint"))
+        .dropDuplicates([id_col, "fingerprint"])
+    )
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = DEFAULT_SHINGLE_K,
                         threshold: float = 0.5) -> DataFrame:

@@ -1368,3 +1368,60 @@ def q44_daytime_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_day", "n_rows", "day_value_sum",
         )
     )
+
+
+def _quality_sql() -> str:
+    sw = ", ".join(repr(w) for w in textfns.ENGLISH_STOPWORDS)
+    n_tok = f"len(string_split({_NORM_SQL}, ' '))"
+    pr = f"(CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE) / length(text))"
+    sr = f"(CAST(len(list_filter(string_split({_NORM_SQL}, ' '), t -> t IN ({sw}))) AS DOUBLE) / {n_tok})"
+    mtl = f"(CAST(length(replace({_NORM_SQL}, ' ', '')) AS DOUBLE) / {n_tok})"
+    return f"""
+    SELECT doc_id,
+           round(  least(1.0, CAST({n_tok} AS DOUBLE) / 100.0) * 0.3
+                 + greatest(0.0, 1.0 - {pr} * 5.0) * 0.3
+                 + least(1.0, {sr} * 5.0) * 0.2
+                 + (CASE WHEN {mtl} >= 3.0 AND {mtl} <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.2,
+                 6) AS quality
+    FROM documents
+    """
+
+
+@query("q45_quality_score", _quality_sql())
+def q45_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document quality score in [0,1] (length / punctuation /
+    stopword-prose / token-length components, fixed weights) — the
+    filterable per-doc signal a training-data pipeline thresholds on.
+    Pure Column exprs, zero shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.quality_scores(docs)
+
+
+@query(
+    "q46_winnow_fingerprints",
+    f"""
+    WITH {_SHINGLE_CTE.replace("sh AS (SELECT doc_id, substr(n, CAST(i AS INTEGER), 5) AS shingle FROM pos)",
+                               "sh AS (SELECT doc_id, i AS pos, " + _hash60_sql("substr(n, CAST(i AS INTEGER), 5)") + " AS h FROM pos)")},
+    wmin AS (
+      SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint
+      FROM sh
+    ),
+    fps AS (SELECT DISTINCT doc_id, fingerprint FROM wmin)
+    SELECT doc_id, COUNT(*) AS n_fingerprints,
+           min(fingerprint) AS min_fp, max(fingerprint) AS max_fp
+    FROM fps GROUP BY doc_id
+    """,
+)
+def q46_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash window-min) document fingerprints — the
+    MOSS-style local fingerprint set per doc (dedup.winnow_fingerprints),
+    rolled up per doc for the oracle compare."""
+    docs = _t(spark, sf_dir, "documents")
+    fps = dedup.winnow_fingerprints(docs)
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.min("fingerprint").alias("min_fp"),
+        F.max("fingerprint").alias("max_fp"),
+    )

@@ -164,6 +164,26 @@ def test_kmeans_refine_is_deterministic(spark):
     assert sorted(map(str, c1)) == sorted(map(str, c2))
 
 
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing invariant: docs sharing a substring of length
+    ≥ k + window − 1 (= 8 at defaults) share ≥1 fingerprint; disjoint
+    docs share none."""
+    from real_time_iot_data_pipeline_project_spark.operators import dedup as dd
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, "AAAA xyzzy " + shared + " padding one"),
+        (2, "BBBB qwert " + shared + " padding two"),
+        (3, "completely unrelated content 12345 zzz"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    by_doc: dict[int, set] = {}
+    for r in dd.winnow_fingerprints(df).collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+    assert len(by_doc[1] & by_doc[3]) == 0
+
+
 def test_recommended_planes_scales_with_n():
     assert similarity.recommended_planes(1_000, bands=2) == 2 * 4
     assert similarity.recommended_planes(1_000_000, bands=4, target_bucket_rows=64) == 4 * 14
