@@ -35,7 +35,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query. q36_multimodal_features is
-    deliberately absent (md5-chain fake decoder via mapInPandas is not
-    SQL-expressible) → rows-only check."""
+    """DuckDB-equivalent SQL per query — every query has one (the
+    md5-chain fake decoder of q36 is replicated with chained md5/substr
+    hex arithmetic, so even the mapInPandas path is value-checked)."""
     return dict(registry.ORACLES)

@@ -1425,3 +1425,121 @@ def q46_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("fingerprint").alias("min_fp"),
         F.max("fingerprint").alias("max_fp"),
     )
+
+
+@query(
+    "q47_session_windows",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), i AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM i GROUP BY user_id, sid
+    """,
+)
+def q47_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 — session windows (30-min inactivity gap) per user via
+    F.session_window; oracle is the classic gaps-and-islands rewrite.
+    Boundary pinned by test: a gap of exactly 30:00 MERGES (Spark merges
+    while next.ts <= window end), hence strict '>' in the SQL break."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"), _dsum("value", "total_value"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events", "total_value",
+        )
+    )
+
+
+def _quality_expr_sql() -> str:
+    sw = ", ".join(repr(w) for w in textfns.ENGLISH_STOPWORDS)
+    n_tok = f"len(string_split({_NORM_SQL}, ' '))"
+    pr = f"(CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE) / length(text))"
+    sr = f"(CAST(len(list_filter(string_split({_NORM_SQL}, ' '), t -> t IN ({sw}))) AS DOUBLE) / {n_tok})"
+    mtl = f"(CAST(length(replace({_NORM_SQL}, ' ', '')) AS DOUBLE) / {n_tok})"
+    return (
+        f"(  least(1.0, CAST({n_tok} AS DOUBLE) / 100.0) * 0.3"
+        f" + greatest(0.0, 1.0 - {pr} * 5.0) * 0.3"
+        f" + least(1.0, {sr} * 5.0) * 0.2"
+        f" + (CASE WHEN {mtl} >= 3.0 AND {mtl} <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.2)"
+    )
+
+
+def _lang_pick_sql() -> str:
+    score = {
+        lang: (
+            f"(CAST(len(list_filter(string_split({_NORM_SQL}, ' '), "
+            f"t -> t IN ({', '.join(repr(w) for w in words)}))) AS DOUBLE)"
+            f" / len(string_split({_NORM_SQL}, ' ')))"
+        )
+        for lang, words in textfns.LANG_STOPWORDS.items()
+    }
+    best = "greatest(" + ", ".join(score.values()) + ")"
+    picks = " ".join(
+        f"WHEN {score[lang]} = {best} THEN '{lang}'" for lang in sorted(score)
+    )
+    return f"CASE WHEN {best} > 0.0 THEN (CASE {picks} END) ELSE 'und' END"
+
+
+@query(
+    "q48_training_data_pipeline",
+    f"""
+    WITH kept AS (
+      SELECT d.doc_id, d.source, d.text FROM documents d
+      JOIN (SELECT md5({_NORM_SQL}) AS fp, min(doc_id) AS keep
+            FROM documents GROUP BY 1) k ON k.keep = d.doc_id
+    ), scored AS (
+      SELECT doc_id, source,
+             {_quality_expr_sql()} AS q,
+             {_lang_pick_sql()} AS detected_lang,
+             len(string_split({_NORM_SQL}, ' ')) AS n_tok
+      FROM kept
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           round(CAST(SUM(CAST(q AS DECIMAL(18,9)) ) AS DOUBLE) / COUNT(*), 6) AS avg_quality
+    FROM scored
+    WHERE q >= 0.45 AND detected_lang = 'en'
+    GROUP BY source
+    """,
+)
+def q48_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite training-data curation pipeline: exact dedup →
+    quality threshold → language filter → per-source corpus stats. One
+    declarative plan: dedup's hash-groupBy shuffle + one final rollup;
+    all scoring is Column exprs in the scan stage."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = dedup.exact_dedup(docs)
+    scored = kept.select(
+        "doc_id", "source",
+        textfns.quality_score("text").alias("q"),
+        textfns.detect_language("text").alias("detected_lang"),
+        textfns.token_count("text").alias("n_tok"),
+    )
+    return (
+        scored.filter((F.col("q") >= 0.45) & (F.col("detected_lang") == "en"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(
+                F.sum(F.col("q").cast("decimal(18,9)")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_quality"),
+        )
+    )

@@ -17,6 +17,22 @@ def test_detect_columns_fuzzy():
     assert m["irradiance"] == "Irradiance W/m2"
 
 
+def test_session_window_merges_exact_gap(spark):
+    """Pins the boundary the q47 oracle depends on: a gap of exactly the
+    session timeout MERGES (so the gaps-and-islands SQL must use strict
+    '>'); one microsecond more splits."""
+    from pyspark.sql import functions as F
+
+    rows = [("u", "2024-01-01 00:00:00"), ("u", "2024-01-01 00:30:00"),
+            ("v", "2024-01-01 00:00:00"), ("v", "2024-01-01 00:30:00.000001")]
+    df = spark.createDataFrame(rows, ["user_id", "s"]).select(
+        "user_id", F.to_timestamp("s").alias("ts"))
+    out = (df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+           .agg(F.count(F.lit(1)).alias("n")))
+    n_sessions = {r.user_id: r["count"] for r in out.groupBy("user_id").count().collect()}
+    assert n_sessions == {"u": 1, "v": 2}
+
+
 def test_display_name_prettifier(spark):
     # F29: replace('_',' ').title() parity (Solar_Dashboard.py:447)
     assert schema_drift.display_name("power_output_kw") == "Power Output Kw"

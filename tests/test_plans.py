@@ -96,3 +96,15 @@ def test_daytime_dim_join_is_broadcast(spark):
     plan = plan_of(spark, "q44_daytime_flag")
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quality_score_narrow_no_shuffle(spark):
+    plan = plan_of(spark, "q45_quality_score")
+    assert "Exchange" not in plan  # pure per-row scoring: zero shuffles
+
+
+def test_training_pipeline_single_rollup(spark):
+    # dedup shuffle + final rollup only; scoring stays in the scan stage
+    plan = plan_of(spark, "q48_training_data_pipeline")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan  # map-side combine
