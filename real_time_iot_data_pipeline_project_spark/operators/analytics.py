@@ -199,3 +199,23 @@ def histogram(df: DataFrame, col: str, bins: list[float]) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("count"))
         .orderBy("bin")
     )
+
+
+def salted_join(left: DataFrame, right: DataFrame, left_key: str,
+                right_key: str, salt: int = 8, how: str = "inner") -> DataFrame:
+    """Skew-resistant equi-join: the (large, possibly skewed) ``left``
+    side gets a deterministic hash salt in [0, salt); the (smaller,
+    non-broadcastable) ``right`` side is exploded ×``salt`` replicas;
+    the join runs on (key, salt), spreading each hot key over ``salt``
+    reducers. Result is row-identical to the plain join.
+
+    Use when AQE skew-join can't help (single extreme key, or the
+    engine predates runtime re-planning); otherwise prefer broadcast
+    (tiny dim) or plain shuffle join + AQE. Cost: right side shuffles
+    ``salt``× its size."""
+    l = left.withColumn("__salt_l", F.pmod(F.hash(F.col(left_key)), F.lit(salt)))
+    r = right.withColumn(
+        "__salt_r", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    cond = (F.col(left_key) == F.col(right_key)) & (F.col("__salt_l") == F.col("__salt_r"))
+    return l.join(r, cond, how).drop("__salt_l", "__salt_r")

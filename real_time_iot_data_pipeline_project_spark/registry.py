@@ -1469,6 +1469,68 @@ def q47_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q49_hopping_window",
+    """
+    WITH ex AS (
+      SELECT date_trunc('hour', ts)
+               + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+                      ELSE INTERVAL 0 MINUTE END AS s0,
+             event_type, value
+      FROM events
+    ), u AS (
+      SELECT s0 AS window_start, event_type, value FROM ex
+      UNION ALL
+      SELECT s0 - INTERVAL 30 MINUTE AS window_start, event_type, value FROM ex
+    )
+    SELECT window_start, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM u GROUP BY 1, 2
+    """,
+)
+def q49_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 — hopping (sliding) window aggregate: 1-hour windows every 30
+    minutes via F.window(ts, '1 hour', '30 minutes'); each event lands in
+    exactly 2 windows (the oracle's UNION ALL of the two grid offsets).
+    Map-side partial agg handles the 2× row fan-out before the shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), _dsum("value", "total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type", "n", "total_value",
+        )
+    )
+
+
+@query(
+    "q50_salted_join",
+    """
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1
+    """,
+)
+def q50_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted join (the manual fallback when AQE skew-join
+    can't kick in, e.g. pre-3.x clusters or extreme single-key skew):
+    fact side salted by hash, dim side exploded ×SALT replicas, equi-join
+    on (key, salt). Result is provably identical to the plain join — the
+    oracle IS the plain join."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    joined = analytics.salted_join(
+        o, c.select("c_custkey", "c_mktsegment"),
+        left_key="o_custkey", right_key="c_custkey", salt=8,
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"), _dsum("o_totalprice", "revenue")
+    )
+
+
 def _quality_expr_sql() -> str:
     sw = ", ".join(repr(w) for w in textfns.ENGLISH_STOPWORDS)
     n_tok = f"len(string_split({_NORM_SQL}, ' '))"

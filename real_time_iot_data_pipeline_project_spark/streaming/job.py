@@ -174,6 +174,33 @@ def start_grouped_agg_stream(df: DataFrame, group_cols: list[str],
     return w.start()
 
 
+def start_foreach_batch_sink(df: DataFrame, batch_fn, checkpoint: str | None = None,
+                             output_mode: str = "append",
+                             processing_time: str | None = None):
+    """Production sink escape hatch: run arbitrary batch logic per
+    micro-batch (idempotent upsert, JDBC, webhook, snapshot refresh).
+    ``batch_fn(batch_df, batch_id)`` — batch_id is monotonically
+    increasing and replay-stable, the dedup key for exactly-once sinks."""
+    w = df.writeStream.foreachBatch(batch_fn).outputMode(output_mode)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    if processing_time:
+        w = w.trigger(processingTime=processing_time)
+    return w.start()
+
+
+def latest_snapshot_writer(path: str):
+    """``batch_fn`` for a live-dashboard serving table: overwrite a
+    parquet snapshot with each complete-mode micro-batch (readers always
+    see the latest full aggregate — the streaming twin of the dashboard's
+    batch rescan)."""
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(path)
+
+    return fn
+
+
 def read_kafka_stream(spark: SparkSession, brokers: str, topic: str,
                       starting_offsets: str = "earliest") -> DataFrame:
     """S3 — Kafka streaming source (Solar_Processing.py:61-84 semantics:

@@ -177,6 +177,42 @@ def test_update_mode_grouped_agg_across_batches(spark, tmp_path):
         q.stop()
 
 
+def test_foreach_batch_snapshot_serving(spark, tmp_path):
+    """foreachBatch + complete-mode agg = live serving snapshot: after a
+    second micro-batch the parquet reflects the updated totals."""
+    src = str(tmp_path / "fb_src")
+    snap = str(tmp_path / "fb_snap")
+    schema = T.StructType(
+        [T.StructField("station_id", T.StringType()), T.StructField("v", T.DoubleType())]
+    )
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).select(
+            F.to_json(F.struct("*")).alias("value")
+        ).coalesce(1).write.mode("append").text(src)
+
+    write_batch([("A", 1.0), ("B", 2.0)])
+    raw = spark.readStream.schema(
+        T.StructType([T.StructField("value", T.StringType())])
+    ).text(src)
+    agg = job.parse_json_stream(raw, schema).groupBy("station_id").agg(
+        F.sum("v").alias("total")
+    )
+    q = job.start_foreach_batch_sink(
+        agg, job.latest_snapshot_writer(snap), output_mode="complete"
+    )
+    try:
+        q.processAllAvailable()
+        snap1 = {r.station_id: r.total for r in spark.read.parquet(snap).collect()}
+        assert snap1 == {"A": 1.0, "B": 2.0}
+        write_batch([("A", 4.0)])
+        q.processAllAvailable()
+        snap2 = {r.station_id: r.total for r in spark.read.parquet(snap).collect()}
+        assert snap2 == {"A": 5.0, "B": 2.0}
+    finally:
+        q.stop()
+
+
 def test_alert_stream(spark, tmp_path):
     rows = [("S1", 100.0, 500.0), ("S2", 900.0, 600.0), ("S3", 50.0, 0.0)]
     src = str(tmp_path / "alerts_src")
