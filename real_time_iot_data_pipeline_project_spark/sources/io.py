@@ -55,3 +55,52 @@ def append_log_csv(df: DataFrame, path: str) -> None:
     """S7 — CSV append sink (DictWriter append semantics; header-once is
     handled by directory-of-parts semantics + header option)."""
     df.write.mode("append").option("header", True).csv(path)
+
+
+def write_bucketed_table(df: DataFrame, table: str, bucket_cols: list[str],
+                         n_buckets: int = 32,
+                         sort_cols: list[str] | None = None,
+                         mode: str = "overwrite") -> None:
+    """Bucketed managed table: rows are hash-partitioned into
+    ``n_buckets`` files per partition by ``bucket_cols`` AT WRITE TIME,
+    so every later groupBy/join on those columns reads pre-shuffled data
+    — the Exchange disappears from the plan (asserted in
+    tests/test_plans.py). THE technique for a fact table that is
+    repeatedly joined/aggregated on the same key at 100 TB: pay the
+    shuffle once at ingest, never again.
+
+    Uses saveAsTable (bucketing metadata lives in the catalog; plain
+    ``.parquet(path)`` cannot record it). Optional ``sort_cols`` gives
+    sort-merge-free joins between co-bucketed tables."""
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
+def compact_parquet(spark: SparkSession, path: str, target_files: int,
+                    partition_by: list[str] | None = None) -> int:
+    """Small-files compaction for streaming sink output: a micro-batch
+    parquet sink accretes one file per trigger per partition; readers
+    then pay per-file open cost. Rewrite to ``target_files`` files
+    (atomically via a temp dir + rename would be the production move;
+    here: read → repartition → overwrite, the Spark-native core of it).
+    Returns the row count preserved (verify before trusting a rewrite)."""
+    import os
+    import shutil
+    import tempfile
+
+    df = spark.read.parquet(path)
+    n = df.count()
+    tmp = tempfile.mkdtemp(prefix="compact_")
+    out = os.path.join(tmp, "data")
+    w = df.repartition(target_files).write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(out)
+    if spark.read.parquet(out).count() != n:  # paranoia before destroying source
+        raise RuntimeError(f"compaction row mismatch for {path}")
+    shutil.rmtree(path)
+    shutil.move(out, path)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return n

@@ -103,6 +103,47 @@ def test_quality_score_narrow_no_shuffle(spark):
     assert "Exchange" not in plan  # pure per-row scoring: zero shuffles
 
 
+def test_bucketed_table_agg_no_exchange(spark, tmp_path):
+    """Bucketing contract: pay the shuffle at write, never at read —
+    groupBy on the bucket column must plan WITHOUT an Exchange."""
+    from real_time_iot_data_pipeline_project_spark.sources import io as sio
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    table = "events_bucketed_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        sio.write_bucketed_table(ev, table, ["user_id"], n_buckets=8)
+        agg = spark.table(table).groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"))
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # same agg over the raw parquet DOES shuffle — the delta is bucketing
+        raw_plan = (ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+                    ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" in raw_plan
+        assert agg.count() == ev.select("user_id").distinct().count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_compact_parquet_preserves_rows(spark, tmp_path):
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from real_time_iot_data_pipeline_project_spark.sources import io as sio
+
+    src = str(tmp_path / "frag")
+    df = spark.range(1000).withColumn("k", F.col("id") % 7)
+    df.repartition(50).write.parquet(src)
+    assert len(glob.glob(f"{src}/part-*")) == 50
+    n = sio.compact_parquet(spark, src, target_files=4)
+    assert n == 1000
+    assert len(glob.glob(f"{src}/part-*")) == 4
+    assert spark.read.parquet(src).count() == 1000
+
+
 def test_training_pipeline_single_rollup(spark):
     # dedup shuffle + final rollup only; scoring stays in the scan stage
     plan = plan_of(spark, "q48_training_data_pipeline")
