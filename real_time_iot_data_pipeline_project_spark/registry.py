@@ -1531,6 +1531,69 @@ def q50_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q51_token_frequency",
+    f"""
+    SELECT tok, COUNT(*) AS freq, COUNT(DISTINCT doc_id) AS doc_freq
+    FROM (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents)
+    WHERE tok <> ''
+    GROUP BY tok
+    ORDER BY freq DESC, tok ASC
+    LIMIT 100
+    """,
+)
+def q51_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 tokens by frequency with document
+    frequency — the vocab/IDF building block. explode → one grouped agg
+    (map-side combinable) → TakeOrdered; at 100 TB add a frequency
+    threshold pre-filter to keep the long tail off the shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(textfns.whitespace_tokens("text")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"), F.countDistinct("doc_id").alias("doc_freq"))
+        .orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(100)
+    )
+
+
+_CONTAM_PROBES = [
+    "slow hash batch",          # phrases present in the synthetic corpus
+    "row column sort",          # (non-vacuous hits at every SF) standing in
+    "the quick brown fox",      # for eval-set canary strings
+]
+
+
+@query(
+    "q52_contamination_screen",
+    f"""
+    SELECT d.doc_id, d.source,
+           {" + ".join(f"(CASE WHEN contains({_NORM_SQL}, '{p}') THEN 1 ELSE 0 END)" for p in _CONTAM_PROBES)} AS n_probes_hit
+    FROM documents d
+    WHERE {" OR ".join(f"contains({_NORM_SQL}, '{p}')" for p in _CONTAM_PROBES)}
+    """,
+)
+def q52_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: flag documents whose normalized
+    text contains any probe string (eval-set canaries). The probe list
+    rides the closure like a broadcast dim; the scan is a pure
+    projection+filter — no shuffle, no join. At real scale, swap the
+    contains-OR chain for an Aho-Corasick pandas_udf (thousands of
+    probes) or winnowing-fingerprint intersection (fuzzy overlap)."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = textfns.normalize_text("text")
+    hits = [F.when(norm.contains(p), 1).otherwise(0) for p in _CONTAM_PROBES]
+    n_hits = hits[0]
+    for h in hits[1:]:
+        n_hits = n_hits + h
+    return (
+        docs.select("doc_id", "source", n_hits.alias("n_probes_hit"))
+        .filter(F.col("n_probes_hit") > 0)
+    )
+
+
 def _quality_expr_sql() -> str:
     sw = ", ".join(repr(w) for w in textfns.ENGLISH_STOPWORDS)
     n_tok = f"len(string_split({_NORM_SQL}, ' '))"
