@@ -40,6 +40,12 @@ def audit(df: DataFrame) -> dict[str, bool]:
         "python_row_udf": "BatchEvalPython" in plan,
         "arrow_boundary": "ArrowEvalPython" in plan or "InPandas" in plan,
         "single_partition_exchange": "SinglePartition" in plan,
+        # SinglePartition fed by map-side partial aggregation moves one
+        # pre-aggregated row per upstream partition — inherent to any
+        # GLOBAL aggregate, harmless at any scale. The smell is a
+        # SinglePartition with NO partial agg above it (e.g. a global
+        # window/row_number): full data through one task.
+        "single_partition_full_data": "SinglePartition" in plan and "partial_" not in plan,
         "whole_stage_codegen": "*(1)" in plan or "WholeStageCodegen" in plan,
     }
 

@@ -78,6 +78,19 @@ def test_text_stats_narrow_no_shuffle(spark):
     assert "Exchange" not in plan  # pure projection: zero shuffles
 
 
+@pytest.mark.parametrize("name", sorted(registry.QUERIES))
+def test_every_query_plan_is_scale_clean(spark, name):
+    """Fleet-wide plan audit: no registry query may plan row-at-a-time
+    Python, a full-data single-partition Exchange, or a dim-sized
+    SortMergeJoin. New queries are covered automatically."""
+    from real_time_iot_data_pipeline_project_spark.plans.inspect import audit
+
+    a = audit(registry.QUERIES[name](spark, SF_SMOKE))
+    assert not a["python_row_udf"], name
+    assert not a["single_partition_full_data"], name
+    assert not a["sort_merge_join"], name
+
+
 def test_datetime_dim_no_single_partition_exchange(spark):
     """Dim_DateTime is fact-sized (one row per distinct timestamp):
     its build must not funnel through a global-window single partition."""
