@@ -881,8 +881,10 @@ def q31_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_signatures(docs)
 
 
-def _lsh_sql(num_hashes: int = dedup.DEFAULT_NUM_HASHES,
-             bands: int = dedup.DEFAULT_BANDS) -> str:
+def _lsh_parts(num_hashes: int = dedup.DEFAULT_NUM_HASHES,
+               bands: int = dedup.DEFAULT_BANDS) -> tuple[str, str]:
+    """(CTE list, final SELECT) for the MinHash-LSH candidate pairs —
+    split so other oracles (q53 clustering) can build on the pairs."""
     rpb = num_hashes // bands
     band_selects = "\n      UNION ALL\n".join(
         f"      SELECT doc_id, {b} AS band_id, md5(concat_ws('|', "
@@ -893,8 +895,7 @@ def _lsh_sql(num_hashes: int = dedup.DEFAULT_NUM_HASHES,
     est = " + ".join(
         f"(CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
     )
-    return f"""
-    WITH {_HASHED_SHINGLE_CTE},
+    ctes = f"""{_HASHED_SHINGLE_CTE},
     sig AS (SELECT doc_id, {_minhash_mins(num_hashes)} FROM hs GROUP BY doc_id),
     banded AS (
 {band_selects}
@@ -903,10 +904,18 @@ def _lsh_sql(num_hashes: int = dedup.DEFAULT_NUM_HASHES,
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM banded a JOIN banded b
         ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-    )
+    )"""
+    select = f"""
     SELECT p.id_a, p.id_b, ({est}) / {float(num_hashes)!r} AS est_jaccard
     FROM pairs p JOIN sig sa ON sa.doc_id = p.id_a JOIN sig sb ON sb.doc_id = p.id_b
     """
+    return ctes, select
+
+
+def _lsh_sql(num_hashes: int = dedup.DEFAULT_NUM_HASHES,
+             bands: int = dedup.DEFAULT_BANDS) -> str:
+    ctes, select = _lsh_parts(num_hashes, bands)
+    return f"WITH {ctes}{select}"
 
 
 @query("q32_minhash_lsh_pairs", _lsh_sql())
@@ -1529,6 +1538,42 @@ def q50_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_orders"), _dsum("o_totalprice", "revenue")
     )
+
+
+def _cluster_sql(threshold: float = 0.75) -> str:
+    ctes, pair_select = _lsh_parts()
+    return f"""
+    WITH RECURSIVE {ctes},
+    cand AS ({pair_select}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM cand WHERE est_jaccard >= {threshold!r}
+      UNION
+      SELECT id_b AS a, id_a AS b FROM cand WHERE est_jaccard >= {threshold!r}
+    ),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM documents
+      UNION
+      SELECT e.b AS id, reach.r FROM reach JOIN edges e ON e.a = reach.id
+    )
+    SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+    """
+
+
+@query("q53_dedup_clusters", _cluster_sql())
+def q53_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: MinHash-LSH pairs (est_jaccard >= 0.75) →
+    connected components (operators.graph, iterative min-label
+    propagation) → (doc_id, cluster_id = min doc in component). The
+    dedup decision layer: keep cluster_id == doc_id, drop the rest.
+    Oracle = recursive-CTE transitive closure over the same pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    from .operators import graph
+
+    pairs = dedup.minhash_lsh_candidates(docs).filter(F.col("est_jaccard") >= 0.75)
+    comp = graph.connected_components(
+        docs.select("doc_id"), pairs, id_col="doc_id"
+    )
+    return comp.select(F.col("id").alias("doc_id"), F.col("component").alias("cluster_id"))
 
 
 @query(

@@ -184,6 +184,23 @@ def test_winnowing_shared_substring_guarantee(spark):
     assert len(by_doc[1] & by_doc[3]) == 0
 
 
+def test_connected_components_chain_and_isolates(spark):
+    """Min-label propagation must cross multi-hop chains (diameter > 1),
+    keep isolated nodes as singletons, and pick the min id as label."""
+    from real_time_iot_data_pipeline_project_spark.operators import graph
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], ["doc_id"])
+    # chain 3-2-1-0 (given in arbitrary direction/order) + pair 5-6; 4,7 isolated
+    edges = spark.createDataFrame(
+        [(3, 2), (1, 2), (0, 1), (6, 5)], ["id_a", "id_b"]
+    )
+    comp = graph.connected_components(nodes, edges, id_col="doc_id")
+    got = {r.id: r.component for r in comp.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 7}
+    survivors = {r.id for r in graph.dedup_survivors(comp).collect()}
+    assert survivors == {0, 4, 5, 7}
+
+
 def test_recommended_planes_scales_with_n():
     assert similarity.recommended_planes(1_000, bands=2) == 2 * 4
     assert similarity.recommended_planes(1_000_000, bands=4, target_bucket_rows=64) == 4 * 14
