@@ -177,6 +177,46 @@ def test_update_mode_grouped_agg_across_batches(spark, tmp_path):
         q.stop()
 
 
+def test_streaming_session_windows_emit_on_watermark(spark, tmp_path):
+    """T4 streaming: session windows + watermark in append mode — a
+    closed session is emitted once the watermark passes its end."""
+    src = str(tmp_path / "sess_src")
+    schema = T.StructType(
+        [T.StructField("user_id", T.StringType()), T.StructField("ts_s", T.StringType())]
+    )
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).select(
+            F.to_json(F.struct("*")).alias("value")
+        ).coalesce(1).write.mode("append").text(src)
+
+    # batch 1: one session for u (2 events, 5 min apart)
+    write_batch([("u", "2024-01-01 00:00:00"), ("u", "2024-01-01 00:05:00")])
+    raw = spark.readStream.schema(
+        T.StructType([T.StructField("value", T.StringType())])
+    ).text(src)
+    ev = job.parse_json_stream(raw, schema).withColumn("ts", F.to_timestamp("ts_s"))
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (agg.writeStream.format("memory").queryName("sessions")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        # session still open: watermark hasn't passed its end yet
+        assert spark.sql("SELECT * FROM sessions").count() == 0
+        # batch 2: event 3 hours later pushes the watermark past session 1
+        write_batch([("u", "2024-01-01 03:00:00")])
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM sessions").collect()
+        assert len(rows) == 1 and rows[0].n == 2
+        assert rows[0].session_window.start.minute == 0
+    finally:
+        q.stop()
+
+
 def test_foreach_batch_snapshot_serving(spark, tmp_path):
     """foreachBatch + complete-mode agg = live serving snapshot: after a
     second micro-batch the parquet reflects the updated totals."""
