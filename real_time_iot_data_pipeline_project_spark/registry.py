@@ -1604,6 +1604,56 @@ def q51_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q54_tfidf_top_terms",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM toks WHERE tok <> '' GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1
+    ), n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.tok, t.tf * ln(CAST(n.n AS DOUBLE) / d.df) AS tfidf
+      FROM tf t JOIN dfreq d ON d.tok = t.tok, n
+    ), ranked AS (
+      SELECT doc_id, tok, tfidf,
+             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS rank
+      FROM scored
+    )
+    SELECT doc_id, tok, rank, round(tfidf, 6) AS tfidf
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def q54_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document — the classic keyword/relevance
+    signal. Two grouped aggs (tf, df) + one broadcast of the corpus size
+    + a per-doc window rank. The df table is vocabulary-sized, so its
+    join broadcasts; only the tf table (≈ corpus tokens) shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(textfns.whitespace_tokens("text")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "tok",
+            (F.col("tf") * F.log(F.col("n").cast("double") / F.col("df"))).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "tok", "rank", F.round("tfidf", 6).alias("tfidf"))
+    )
+
+
 _CONTAM_PROBES = [
     "slow hash batch",          # phrases present in the synthetic corpus
     "row column sort",          # (non-vacuous hits at every SF) standing in
