@@ -207,12 +207,22 @@ def salted_join(left: DataFrame, right: DataFrame, left_key: str,
     side gets a deterministic hash salt in [0, salt); the (smaller,
     non-broadcastable) ``right`` side is exploded ×``salt`` replicas;
     the join runs on (key, salt), spreading each hot key over ``salt``
-    reducers. Result is row-identical to the plain join.
+    reducers. For ``how`` in ('inner', 'left') the result is
+    row-identical to the plain join; right/full outer joins are
+    REJECTED — each unmatched right-side salt replica would survive as
+    a spurious null-extended row (up to ``salt`` per right row).
 
     Use when AQE skew-join can't help (single extreme key, or the
     engine predates runtime re-planning); otherwise prefer broadcast
     (tiny dim) or plain shuffle join + AQE. Cost: right side shuffles
     ``salt``× its size."""
+    if how not in ("inner", "left", "leftouter", "left_outer", "leftsemi",
+                   "left_semi", "leftanti", "left_anti"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r}: "
+            "the exploded right side would emit spurious null-extended "
+            "rows under right/full outer semantics"
+        )
     l = left.withColumn("__salt_l", F.pmod(F.hash(F.col(left_key)), F.lit(salt)))
     r = right.withColumn(
         "__salt_r", F.explode(F.array(*[F.lit(i) for i in range(salt)]))

@@ -61,6 +61,15 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Silent non-convergence would return labels that violate the
+        # documented min-id semantics (long chains > max_iters hops).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            f"iterations ({changed} labels still changing); raise "
+            "max_iters or use a large-star/small-star variant for "
+            "high-diameter graphs"
+        )
     return labels
 
 

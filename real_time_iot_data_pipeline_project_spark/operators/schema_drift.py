@@ -62,15 +62,33 @@ def detect_columns(columns: list[str],
 def display_name(name: str) -> str:
     """F29 — display-name prettifier (``Solar_Dashboard.py:447``,
     ``Wind_Dashboard.py:437``: ``col.replace('_',' ').title()``).
-    Driver-side string op for chart labels; the Column-expression twin
-    is ``initcap(replace(c, '_', ' '))``."""
+    Driver-side string op for chart labels; ``display_name_col`` is the
+    exact Column-expression twin."""
     return name.replace("_", " ").title()
 
 
 def display_name_col(c: str | F.Column) -> F.Column:
-    """F29 as a Column expression (for labeling rows, not columns)."""
+    """F29 as a Column expression (for labeling rows, not columns).
+
+    Emulates Python ``str.title()`` exactly — NOT ``initcap``, which
+    only capitalizes after whitespace and so diverges on tokens with
+    digits/apostrophes ('output_2kw'.title() → 'Output 2Kw' but initcap
+    → 'Output 2kw'). title() capitalizes any letter that follows a
+    non-letter: done here as a JVM-side ``transform`` over the char
+    array (no Python UDF)."""
     col = F.col(c) if isinstance(c, str) else c
-    return F.initcap(F.replace(col, F.lit("_"), F.lit(" ")))
+    s = F.lower(F.replace(col, F.lit("_"), F.lit(" ")))
+    chars = F.split(s, "")
+    capped = F.transform(
+        chars,
+        lambda ch, i: F.when(
+            # first char, or previous char is not a (lowercased) letter
+            (i == F.lit(0))
+            | ~F.element_at(chars, F.greatest(i, F.lit(1))).rlike("[a-z]"),
+            F.upper(ch),
+        ).otherwise(ch),
+    )
+    return F.concat_ws("", capped)
 
 
 def normalize_schema(df: DataFrame, patterns: dict[str, list[str]],

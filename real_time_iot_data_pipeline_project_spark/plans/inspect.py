@@ -28,11 +28,52 @@ def plan_string(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _single_partition_full_data(plan: str) -> bool:
+    """True iff SOME Exchange SinglePartition node's input is NOT a
+    partial aggregate — i.e. full rows funnel through one task.
+
+    Scoped per node (not whole-plan substring co-occurrence): each
+    ``Exchange SinglePartition`` line is checked against its immediate
+    child lines in the tree text, so a global-window SinglePartition is
+    flagged even when an unrelated partial agg exists elsewhere in a
+    multi-operator plan. A SinglePartition fed by map-side partial
+    aggregation moves one pre-aggregated row per upstream partition —
+    inherent to any GLOBAL aggregate, harmless at any scale."""
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line or "ReusedExchange" in line:
+            continue
+        # the Exchange's input subtree root is exactly the next line in
+        # the tree text (deeper nodes must not vouch for the exchange)
+        child = lines[i + 1] if i + 1 < len(lines) else ""
+        if "partial_" not in child:
+            return True
+    return False
+
+
+def _scan_pushdown_counts(plan: str) -> tuple[int, int]:
+    """(scans with non-empty PushedFilters, total scans advertising
+    PushedFilters) — per-scan, so one filterless dim scan doesn't mask
+    a pushed fact filter."""
+    total = pushed = 0
+    for chunk in plan.split("PushedFilters: ")[1:]:
+        total += 1
+        if not chunk.startswith("[]"):
+            pushed += 1
+    return pushed, total
+
+
 def audit(df: DataFrame) -> dict[str, bool]:
-    """Boolean audit of the scale-critical plan properties."""
+    """Boolean audit of the scale-critical plan properties. Node-scoped
+    where it matters (SinglePartition, scan pushdown); substring checks
+    where presence/absence anywhere is the property (Python UDFs)."""
     plan = plan_string(df)
+    pushed, total_scans = _scan_pushdown_counts(plan)
     return {
-        "pushed_filters": "PushedFilters: [" in plan and "PushedFilters: []" not in plan,
+        # at least one scan pushes a filter (dims legitimately scan
+        # unfiltered; see pushed_filters_all_scans for the strict form)
+        "pushed_filters": pushed > 0,
+        "pushed_filters_all_scans": total_scans > 0 and pushed == total_scans,
         "broadcast_join": "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan,
         "sort_merge_join": "SortMergeJoin" in plan,
         "take_ordered_topk": "TakeOrderedAndProject" in plan,
@@ -40,12 +81,7 @@ def audit(df: DataFrame) -> dict[str, bool]:
         "python_row_udf": "BatchEvalPython" in plan,
         "arrow_boundary": "ArrowEvalPython" in plan or "InPandas" in plan,
         "single_partition_exchange": "SinglePartition" in plan,
-        # SinglePartition fed by map-side partial aggregation moves one
-        # pre-aggregated row per upstream partition — inherent to any
-        # GLOBAL aggregate, harmless at any scale. The smell is a
-        # SinglePartition with NO partial agg above it (e.g. a global
-        # window/row_number): full data through one task.
-        "single_partition_full_data": "SinglePartition" in plan and "partial_" not in plan,
+        "single_partition_full_data": _single_partition_full_data(plan),
         "whole_stage_codegen": "*(1)" in plan or "WholeStageCodegen" in plan,
     }
 

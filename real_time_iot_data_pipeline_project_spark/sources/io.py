@@ -82,14 +82,29 @@ def compact_parquet(spark: SparkSession, path: str, target_files: int,
                     partition_by: list[str] | None = None) -> int:
     """Small-files compaction for streaming sink output: a micro-batch
     parquet sink accretes one file per trigger per partition; readers
-    then pay per-file open cost. Rewrite to ``target_files`` files
-    (atomically via a temp dir + rename would be the production move;
-    here: read → repartition → overwrite, the Spark-native core of it).
-    Returns the row count preserved (verify before trusting a rewrite)."""
+    then pay per-file open cost. Rewrite to ``target_files`` files via
+    read → repartition → write-to-temp → verify → swap. The swap is
+    rename-aside (source renamed to ``<path>.compact_old`` before the
+    new data moves in), so a crash at any point leaves a complete copy
+    of the data on disk under one of the two names — never a window
+    where the dataset exists only in a deleted state.
+
+    REFUSES to compact a live Structured Streaming sink directory
+    (``_spark_metadata`` present): rewriting the files would invalidate
+    the sink's transaction log and break the running stream — stop the
+    stream and drop the log first.
+
+    Returns the row count preserved (verified before the swap)."""
     import os
     import shutil
     import tempfile
 
+    if os.path.exists(os.path.join(path, "_spark_metadata")):
+        raise RuntimeError(
+            f"{path} is a streaming-sink directory (_spark_metadata "
+            "present); compacting would invalidate the sink log. Stop "
+            "the stream and remove the log before compacting."
+        )
     df = spark.read.parquet(path)
     n = df.count()
     tmp = tempfile.mkdtemp(prefix="compact_")
@@ -98,9 +113,15 @@ def compact_parquet(spark: SparkSession, path: str, target_files: int,
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(out)
-    if spark.read.parquet(out).count() != n:  # paranoia before destroying source
+    if spark.read.parquet(out).count() != n:  # paranoia before touching source
         raise RuntimeError(f"compaction row mismatch for {path}")
-    shutil.rmtree(path)
-    shutil.move(out, path)
+    aside = path.rstrip("/") + ".compact_old"
+    os.rename(path, aside)           # atomic on same filesystem
+    try:
+        shutil.move(out, path)
+    except BaseException:
+        os.rename(aside, path)       # roll back: original untouched
+        raise
+    shutil.rmtree(aside)
     shutil.rmtree(tmp, ignore_errors=True)
     return n

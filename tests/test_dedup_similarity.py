@@ -201,6 +201,24 @@ def test_connected_components_chain_and_isolates(spark):
     assert survivors == {0, 4, 5, 7}
 
 
+def test_connected_components_raises_on_non_convergence(spark):
+    """A diameter-4 path with max_iters=2 must RAISE, not silently return
+    labels that violate the min-id contract."""
+    import pytest
+
+    from real_time_iot_data_pipeline_project_spark.operators import graph
+
+    nodes = spark.createDataFrame([(i,) for i in range(5)], ["doc_id"])
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graph.connected_components(nodes, edges, id_col="doc_id", max_iters=2)
+    # and with enough rounds the same graph converges to all-zeros
+    comp = graph.connected_components(nodes, edges, id_col="doc_id", max_iters=6)
+    assert {r.component for r in comp.collect()} == {0}
+
+
 def test_recommended_planes_scales_with_n():
     assert similarity.recommended_planes(1_000, bands=2) == 2 * 4
     assert similarity.recommended_planes(1_000_000, bands=4, target_bucket_rows=64) == 4 * 14

@@ -41,6 +41,36 @@ def test_display_name_prettifier(spark):
     assert out.label == "Wind Speed Mps"
 
 
+def test_display_name_col_exact_title_parity(spark):
+    """display_name_col must equal Python str.title() even on tokens with
+    digits/apostrophes, where initcap diverges ('output_2kw' →
+    'Output 2Kw' not 'Output 2kw')."""
+    tricky = ["output_2kw", "don't_stop", "a__b", "x", "3rd_rail",
+              "ALL_CAPS", "mixed_CaSe_2x"]
+    df = spark.createDataFrame([(t,) for t in tricky], ["metric"])
+    got = {r.metric: r.label for r in df.select(
+        "metric", schema_drift.display_name_col("metric").alias("label")
+    ).collect()}
+    for t in tricky:
+        assert got[t] == schema_drift.display_name(t), t
+
+
+def test_salted_join_rejects_outer(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, "l")], ["k", "lv"])
+    right = spark.createDataFrame([(1, "r")], ["rk", "rv"])
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="inner/left"):
+            analytics.salted_join(left, right, "k", "rk", salt=4, how=how)
+    # left join stays row-identical to the plain join (unmatched left row
+    # survives exactly once, not once per salt replica)
+    left2 = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "lv"])
+    out = analytics.salted_join(left2, right, "k", "rk", salt=4, how="left")
+    assert out.count() == 2
+    assert out.filter(F.col("rv").isNull()).count() == 1
+
+
 def test_normalize_schema_synthesizes_timestamp(spark):
     df = spark.createDataFrame([("S1", "10.5"), ("S2", "x")], ["Station", "Power kW"])
     out = schema_drift.normalize_schema(

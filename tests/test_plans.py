@@ -157,6 +157,50 @@ def test_compact_parquet_preserves_rows(spark, tmp_path):
     assert spark.read.parquet(src).count() == 1000
 
 
+def test_compact_parquet_refuses_streaming_sink_and_keeps_aside_on_crash(spark, tmp_path):
+    import pytest
+
+    from real_time_iot_data_pipeline_project_spark.sources import io as sio
+
+    src = str(tmp_path / "sink")
+    spark.range(10).write.parquet(src)
+    marker = tmp_path / "sink" / "_spark_metadata"
+    marker.mkdir()
+    with pytest.raises(RuntimeError, match="_spark_metadata"):
+        sio.compact_parquet(spark, src, target_files=1)
+    # untouched on refusal (drop the marker: Spark batch reads route
+    # through the sink log when _spark_metadata is present)
+    marker.rmdir()
+    assert spark.read.parquet(src).count() == 10
+
+
+def test_single_partition_audit_is_node_scoped():
+    """A global-window SinglePartition must be flagged even when an
+    unrelated partial agg exists elsewhere in the same plan (the r2
+    whole-plan heuristic missed this)."""
+    from real_time_iot_data_pipeline_project_spark.plans import inspect as pi
+
+    bad = "\n".join([
+        "*(4) Project [x]",
+        "+- Window [row_number()], [x ASC]",
+        "   +- Exchange SinglePartition, ENSURE_REQUIREMENTS",
+        "      +- *(3) Sort [x ASC]",
+        "         +- *(2) HashAggregate(keys=[k], functions=[partial_sum(v)])",
+    ])
+    assert pi._single_partition_full_data(bad)
+    ok = "\n".join([
+        "*(2) HashAggregate(keys=[], functions=[sum(v)])",
+        "+- Exchange SinglePartition, ENSURE_REQUIREMENTS",
+        "   +- *(1) HashAggregate(keys=[], functions=[partial_sum(v)])",
+    ])
+    assert not pi._single_partition_full_data(ok)
+    pushed, total = pi._scan_pushdown_counts(
+        "Scan parquet [a] PushedFilters: [IsNotNull(a)]\n"
+        "Scan parquet [b] PushedFilters: []"
+    )
+    assert (pushed, total) == (1, 2)
+
+
 def test_training_pipeline_single_rollup(spark):
     # dedup shuffle + final rollup only; scoring stays in the scan stage
     plan = plan_of(spark, "q48_training_data_pipeline")
