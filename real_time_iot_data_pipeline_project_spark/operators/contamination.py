@@ -1,0 +1,109 @@
+"""Benchmark-contamination screening at probe scale.
+
+The task: given a corpus and a list of eval-set canary strings
+("probes"), find every (document, probe) pair where the probe occurs
+verbatim in the document's normalized text. A real curation run screens
+THOUSANDS of probes over 100 TB — a per-probe ``contains`` OR-chain
+(fine for 3 probes, see ``screen_literal_probes``) scales as
+O(docs × probes) string scans and recompiles the plan per probe list.
+
+Scale design (``screen_probes``): winnowing-fingerprint intersection.
+Both sides are fingerprinted with the SAME winnowing scheme
+(operators.dedup.winnow_fingerprints, Schleimer et al.): any shared
+substring of length ≥ k + window − 1 (= 8 chars at defaults) is
+GUARANTEED to share a selected fingerprint, so a fingerprint equi-join
+finds every true hit (no false negatives for probes ≥ 8 normalized
+chars). The probe fingerprint dim is tiny (probes × ~probe_len hashes)
+→ broadcast; docs are fingerprinted once (persist the fingerprint table
+at real scale and screening N probe lists costs N broadcast joins, not
+N corpus scans). Hash collisions (60-bit) produce rare false
+candidates, removed by an exact ``contains`` verify on ONLY the
+candidate pairs — the quadratic step never runs corpus-wide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import textfns
+from . import dedup
+
+
+def screen_literal_probes(docs: DataFrame, probes: list[str],
+                          text_col: str = "text") -> DataFrame:
+    """Small-list fast path (≲ tens of probes): one codegen'd
+    contains-OR chain, pure scan, no shuffle/join. The probe list rides
+    the plan like a broadcast dim."""
+    norm = textfns.normalize_text(text_col)
+    n_hits = None
+    for p in probes:
+        h = F.when(norm.contains(p), 1).otherwise(0)
+        n_hits = h if n_hits is None else n_hits + h
+    return docs.withColumn("n_probes_hit", n_hits).filter(F.col("n_probes_hit") > 0)
+
+
+def screen_probes(docs: DataFrame, probes: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  probe_text_col: str = "probe_text",
+                  probe_id_col: str = "probe_id",
+                  k: int = dedup.DEFAULT_SHINGLE_K,
+                  window: int = 4) -> DataFrame:
+    """Verified (doc_id, probe_id) contamination hits via
+    winnowing-fingerprint intersection + exact contains verify.
+
+    Exact semantics (what the oracle checks): hit iff
+    ``contains(normalize(doc.text), probe_text)``. Probes must be ≥
+    k + window − 1 normalized chars for the no-false-negative guarantee
+    (8 at defaults); shorter probes raise."""
+    min_len = k + window - 1
+    short = probes.filter(
+        F.length(textfns.normalize_text(probe_text_col)) < min_len
+    ).limit(1).count()
+    if short:
+        raise ValueError(
+            f"probes shorter than {min_len} normalized chars void the "
+            "winnowing detection guarantee; lengthen them or lower k/window"
+        )
+    doc_fps = dedup.winnow_fingerprints(docs, text_col, id_col, k, window)
+    probe_fps = dedup.winnow_fingerprints(
+        probes, probe_text_col, probe_id_col, k, window
+    )
+    cands = (
+        doc_fps.join(F.broadcast(probe_fps), "fingerprint")
+        .select(id_col, probe_id_col)
+        .distinct()
+    )
+    return (
+        cands
+        .join(docs.select(id_col, textfns.normalize_text(text_col).alias("__norm")),
+              id_col)
+        .join(F.broadcast(probes.select(probe_id_col, probe_text_col)), probe_id_col)
+        .filter(F.col("__norm").contains(F.col(probe_text_col)))
+        .select(id_col, probe_id_col)
+    )
+
+
+def synthetic_probe_dim(spark: SparkSession, docs: DataFrame,
+                        n_synthetic: int = 1000, probe_len: int = 60,
+                        min_text_len: int = 80,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Deterministic stand-in for a real eval-canary list (no eval sets
+    ship in this sandbox): planted probes = verbatim substrings of the
+    normalized text of every even-id doc (guaranteed hits), plus
+    ``n_synthetic`` md5-hex strings (guaranteed misses). probe_id keeps
+    the source doc_id for planted probes; synthetic ids start at 10^6."""
+    norm = textfns.normalize_text(text_col)
+    planted = (
+        docs.filter((F.col(id_col) % 2 == 0) & (F.length(norm) >= min_text_len))
+        .select(
+            F.col(id_col).cast("long").alias("probe_id"),
+            F.substring(norm, 21, probe_len).alias("probe_text"),
+        )
+    )
+    synth = spark.range(n_synthetic).select(
+        (F.col("id") + 1_000_000).alias("probe_id"),
+        F.md5(F.col("id").cast("string")).alias("probe_text"),
+    )
+    return planted.unionByName(synth)

@@ -1654,38 +1654,45 @@ def q54_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CONTAM_PROBES = [
-    "slow hash batch",          # phrases present in the synthetic corpus
-    "row column sort",          # (non-vacuous hits at every SF) standing in
-    "the quick brown fox",      # for eval-set canary strings
-]
-
-
 @query(
     "q52_contamination_screen",
     f"""
-    SELECT d.doc_id, d.source,
-           {" + ".join(f"(CASE WHEN contains({_NORM_SQL}, '{p}') THEN 1 ELSE 0 END)" for p in _CONTAM_PROBES)} AS n_probes_hit
-    FROM documents d
-    WHERE {" OR ".join(f"contains({_NORM_SQL}, '{p}')" for p in _CONTAM_PROBES)}
+    WITH probes AS (
+      SELECT CAST(doc_id AS BIGINT) AS probe_id,
+             substr({_NORM_SQL}, 21, 60) AS probe_text
+      FROM documents
+      WHERE doc_id % 2 = 0 AND length({_NORM_SQL}) >= 80
+      UNION ALL
+      SELECT CAST(1000000 + i AS BIGINT), md5(CAST(i AS VARCHAR))
+      FROM range(1000) t(i)
+    ),
+    hits AS (
+      SELECT d.doc_id, d.source, p.probe_id
+      FROM documents d
+      JOIN probes p ON contains({_NORM_SQL}, p.probe_text)
+    )
+    SELECT doc_id, source, COUNT(DISTINCT probe_id) AS n_probes_hit
+    FROM hits GROUP BY 1, 2
     """,
 )
 def q52_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark-contamination screen: flag documents whose normalized
-    text contains any probe string (eval-set canaries). The probe list
-    rides the closure like a broadcast dim; the scan is a pure
-    projection+filter — no shuffle, no join. At real scale, swap the
-    contains-OR chain for an Aho-Corasick pandas_udf (thousands of
-    probes) or winnowing-fingerprint intersection (fuzzy overlap)."""
+    """Benchmark-contamination screen AT PROBE SCALE: ~1250 probes (one
+    planted verbatim substring per even-id doc + 1000 synthetic
+    never-hit canaries) screened via winnowing-fingerprint intersection
+    (operators.contamination.screen_probes) — docs fingerprinted once,
+    probe fingerprint dim broadcast, exact contains verify on candidate
+    pairs only. The oracle is the direct quadratic contains join: the
+    fingerprint path must reproduce it exactly (the winnowing guarantee
+    makes false negatives impossible for probes ≥ 8 normalized chars)."""
+    from .operators import contamination
+
     docs = _t(spark, sf_dir, "documents")
-    norm = textfns.normalize_text("text")
-    hits = [F.when(norm.contains(p), 1).otherwise(0) for p in _CONTAM_PROBES]
-    n_hits = hits[0]
-    for h in hits[1:]:
-        n_hits = n_hits + h
+    probes = contamination.synthetic_probe_dim(spark, docs)
+    hits = contamination.screen_probes(docs, probes)
     return (
-        docs.select("doc_id", "source", n_hits.alias("n_probes_hit"))
-        .filter(F.col("n_probes_hit") > 0)
+        hits.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("doc_id", "source")
+        .agg(F.countDistinct("probe_id").alias("n_probes_hit"))
     )
 
 

@@ -201,6 +201,68 @@ def test_connected_components_chain_and_isolates(spark):
     assert survivors == {0, 4, 5, 7}
 
 
+def test_contamination_screen_probes_planted_and_clean(spark, docs):
+    """Winnowing-intersection screen: every planted probe (verbatim
+    substring) must be found; synthetic/no-hit probes must not; result
+    must equal the brute-force contains join exactly."""
+    from real_time_iot_data_pipeline_project_spark.functions import textfns
+    from real_time_iot_data_pipeline_project_spark.operators import contamination
+
+    probes = spark.createDataFrame(
+        [
+            (100, "quick brown fox jumps"),       # hits docs 0, 1
+            (101, "columnar execution with"),     # hits doc 3
+            (102, "no such phrase anywhere at all"),  # clean
+        ],
+        ["probe_id", "probe_text"],
+    )
+    hits = {(r.doc_id, r.probe_id)
+            for r in contamination.screen_probes(docs, probes).collect()}
+    assert hits == {(0, 100), (1, 100), (3, 101)}
+    # brute-force equivalence on the same inputs
+    brute = {
+        (r.doc_id, r.probe_id)
+        for r in docs.select("doc_id", textfns.normalize_text("text").alias("n"))
+        .crossJoin(probes)
+        .filter(F.col("n").contains(F.col("probe_text")))
+        .select("doc_id", "probe_id").collect()
+    }
+    assert hits == brute
+
+
+def test_contamination_rejects_short_probes(spark, docs):
+    import pytest as _pytest
+
+    from real_time_iot_data_pipeline_project_spark.operators import contamination
+
+    short = spark.createDataFrame([(1, "quick")], ["probe_id", "probe_text"])
+    with _pytest.raises(ValueError, match="winnowing"):
+        contamination.screen_probes(docs, short)
+
+
+def test_contamination_probe_dim_scale_and_plan(spark):
+    """The q52 shape: ≥1000 probes, probe side broadcast, no row-Python,
+    planted probes all verified against their source docs."""
+    from real_time_iot_data_pipeline_project_spark import registry
+    from real_time_iot_data_pipeline_project_spark.operators import contamination
+    from tests.conftest import SF_SMOKE
+
+    docs = registry._t(spark, SF_SMOKE, "documents")
+    probes = contamination.synthetic_probe_dim(spark, docs)
+    n_probes = probes.count()
+    assert n_probes >= 1000
+    hits = contamination.screen_probes(docs, probes)
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    got = {(r.doc_id, r.probe_id) for r in hits.collect()}
+    planted = {r.probe_id for r in probes.filter("probe_id < 1000000").collect()}
+    # every planted probe is a substring of its own source doc
+    assert {(p, p) for p in planted} <= got
+    # synthetic md5 probes never hit
+    assert all(p < 1_000_000 for _, p in got)
+
+
 def test_connected_components_raises_on_non_convergence(spark):
     """A diameter-4 path with max_iters=2 must RAISE, not silently return
     labels that violate the min-id contract."""
