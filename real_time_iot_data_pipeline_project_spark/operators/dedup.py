@@ -115,6 +115,53 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     )
 
 
+def winnow_overlap_pairs(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", k: int = DEFAULT_SHINGLE_K,
+                         window: int = 4, threshold: float = 0.5,
+                         max_doc_freq: int | None = None) -> DataFrame:
+    """Fuzzy near-dup pairs by winnowed-fingerprint overlap
+    (the MOSS similarity measure, complementary to MinHash: robust to
+    LOCAL edits because fingerprints are positional window minima, and
+    to length asymmetry because the denominator is the smaller set):
+
+        overlap(a, b) = |fp(a) ∩ fp(b)| / min(|fp(a)|, |fp(b)|)
+
+    Returns (id_a, id_b, overlap) with id_a < id_b, overlap ≥ threshold.
+
+    Scale: inverted-index self-join on fingerprint — fan-out is bounded
+    per fingerprint bucket (winnowing keeps ~2/(window+1) of hashes, and
+    shared hashes mean shared 8-char substrings, which unrelated docs
+    rarely have). At corpus scale pass ``max_doc_freq`` to drop
+    boilerplate fingerprints shared by more than that many docs (license
+    headers, templates) BEFORE the quadratic stage — the standard
+    stop-fingerprint move; leave None for exact-oracle parity."""
+    fps = winnow_fingerprints(df, text_col, id_col, k, window)
+    if max_doc_freq is not None:
+        keep = (fps.groupBy("fingerprint")
+                .agg(F.count(F.lit(1)).alias("__df"))
+                .filter(F.col("__df") <= max_doc_freq)
+                .select("fingerprint"))
+        fps = fps.join(keep, "fingerprint", "left_semi")
+    fps = fps.cache()
+    sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = fps.select(F.col(id_col).alias("id_a"), "fingerprint")
+    b = fps.select(F.col(id_col).alias("id_b"), "fingerprint")
+    common = (
+        a.join(b, "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common
+        .join(sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .withColumn("overlap", F.col("n_common") / F.least("na", "nb"))
+        .filter(F.col("overlap") >= threshold)
+        .select("id_a", "id_b", "overlap")
+    )
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = DEFAULT_SHINGLE_K,
                         threshold: float = 0.5) -> DataFrame:

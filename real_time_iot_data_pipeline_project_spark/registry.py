@@ -1440,6 +1440,42 @@ def q46_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q56_winnow_overlap_pairs",
+    f"""
+    WITH {_SHINGLE_CTE.replace("sh AS (SELECT doc_id, substr(n, CAST(i AS INTEGER), 5) AS shingle FROM pos)",
+                               "sh AS (SELECT doc_id, i AS pos, " + _hash60_sql("substr(n, CAST(i AS INTEGER), 5)") + " AS h FROM pos)")},
+    wmin AS (
+      SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint
+      FROM sh
+    ),
+    fps AS (SELECT DISTINCT doc_id, fingerprint FROM wmin),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM fps GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM fps a JOIN fps b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(c.n_common AS DOUBLE) / least(sa.n, sb.n) AS overlap
+    FROM common c
+    JOIN sizes sa ON sa.doc_id = c.id_a
+    JOIN sizes sb ON sb.doc_id = c.id_b
+    WHERE CAST(c.n_common AS DOUBLE) / least(sa.n, sb.n) >= 0.5
+    """,
+)
+def q56_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-dup PAIRS from winnowed fingerprints (MOSS overlap
+    coefficient, dedup.winnow_overlap_pairs) — the local-edit-robust
+    complement to MinHash-LSH (q32): shared fingerprints are shared
+    8-char substrings, so overlap measures verbatim shared content
+    rather than bag-of-shingles similarity."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.winnow_overlap_pairs(docs, threshold=0.5)
+
+
+@query(
     "q47_session_windows",
     """
     WITH o AS (

@@ -201,6 +201,39 @@ def test_connected_components_chain_and_isolates(spark):
     assert survivors == {0, 4, 5, 7}
 
 
+def test_winnow_overlap_pairs_planted(docs):
+    """Overlap coefficient on winnowed fingerprints: exact dup = 1.0,
+    single-word local edit stays high, unrelated docs absent."""
+    pairs = {(r.id_a, r.id_b): r.overlap
+             for r in dedup.winnow_overlap_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(0, 2)] >= 0.5 and pairs[(1, 2)] >= 0.5
+    assert not any(3 in p or 4 in p for p in pairs)
+
+
+def test_winnow_overlap_max_doc_freq_drops_boilerplate(spark):
+    """Stop-fingerprint filter: a boilerplate prefix shared by ALL docs
+    is excluded from the quadratic stage, so unrelated docs no longer
+    pair; the genuinely-duplicated pair must survive."""
+    boiler = "standard license header apache version two point zero "
+    rows = [
+        (0, boiler + "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, boiler + "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, boiler + "totally different payload about streaming joins"),
+        (3, boiler + "another unrelated body mentioning parquet scans"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # without the filter, boilerplate alone links every pair
+    raw = {(r.id_a, r.id_b)
+           for r in dedup.winnow_overlap_pairs(df, threshold=0.4).collect()}
+    assert (2, 3) in raw
+    filt = {(r.id_a, r.id_b)
+            for r in dedup.winnow_overlap_pairs(df, threshold=0.4,
+                                                max_doc_freq=2).collect()}
+    assert (0, 1) in filt
+    assert (2, 3) not in filt
+
+
 def test_contamination_screen_probes_planted_and_clean(spark, docs):
     """Winnowing-intersection screen: every planted probe (verbatim
     substring) must be found; synthetic/no-hit probes must not; result
