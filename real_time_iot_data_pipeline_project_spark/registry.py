@@ -1440,6 +1440,48 @@ def q46_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q57_cube_rollup",
+    """
+    WITH e AS (
+      SELECT event_type, CAST(hour(ts) AS INT) AS hr, dayname(ts) AS day_name, value
+      FROM events
+    )
+    SELECT event_type, hr, day_name,
+           CAST(GROUPING(event_type) AS INT) AS g_event_type,
+           CAST(GROUPING(hr) AS INT) AS g_hr,
+           CAST(GROUPING(day_name) AS INT) AS g_day_name,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM e GROUP BY CUBE (event_type, hr, day_name)
+    """,
+)
+def q57_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14+/OLAP — full CUBE over (event_type, hour, day_name): all 8
+    grouping sets (drill-down lattice) in ONE pass. Catalyst plans an
+    Expand (×8 rows) followed by map-side partial aggregation, so the
+    fan-out compacts before the single shuffle — the idiomatic Spark
+    grouping-sets shape; GROUPING() flags disambiguate rollup nulls
+    from data nulls."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.hour("ts").cast("int").alias("hr"),
+        F.date_format("ts", "EEEE").alias("day_name"),
+        "value",
+    )
+    return (
+        e.cube("event_type", "hr", "day_name")
+        .agg(
+            F.grouping("event_type").cast("int").alias("g_event_type"),
+            F.grouping("hr").cast("int").alias("g_hr"),
+            F.grouping("day_name").cast("int").alias("g_day_name"),
+            F.count(F.lit(1)).alias("n"),
+            _dsum("value", "total_value"),
+        )
+    )
+
+
+@query(
     "q56_winnow_overlap_pairs",
     f"""
     WITH {_SHINGLE_CTE.replace("sh AS (SELECT doc_id, substr(n, CAST(i AS INTEGER), 5) AS shingle FROM pos)",

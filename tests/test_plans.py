@@ -201,6 +201,16 @@ def test_single_partition_audit_is_node_scoped():
     assert (pushed, total) == (1, 2)
 
 
+def test_cube_rollup_one_pass_expand(spark):
+    # CUBE must plan as one Expand (x8 grouping sets) followed by
+    # map-side partial aggregation BEFORE the single shuffle — the
+    # fan-out compacts locally instead of shuffling 8x the rows
+    plan = plan_of(spark, "q57_cube_rollup")
+    assert "Expand" in plan
+    assert "partial_count" in plan and "partial_sum" in plan
+    assert plan.count("Exchange") == 1
+
+
 def test_training_pipeline_single_rollup(spark):
     # dedup shuffle + final rollup only; scoring stays in the scan stage
     plan = plan_of(spark, "q48_training_data_pipeline")
