@@ -30,12 +30,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (see each
-    callable's docstring for the operator IDs it covers)."""
-    return dict(registry.QUERIES)
+    callable's docstring for the operator IDs it covers), in
+    ``registry.export_order()``: unique-operator queries first, the six
+    redundant twins (registry.DEFERRED) last."""
+    return {name: registry.QUERIES[name] for name in registry.export_order()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query — every query has one (the
     md5-chain fake decoder of q36 is replicated with chained md5/substr
     hex arithmetic, so even the mapInPandas path is value-checked)."""
-    return dict(registry.ORACLES)
+    return {
+        name: registry.ORACLES[name]
+        for name in registry.export_order()
+        if name in registry.ORACLES
+    }
