@@ -44,7 +44,15 @@ HEADLINE = [
     "q37_cosine_topk",
     "q38_ivf_topk",
     "q44_daytime_flag",
+    "q48_training_data_pipeline",
+    "q53_dedup_clusters",
+    "q54_tfidf_top_terms",
 ]
+
+# Machine-load variance at sub-second scales (±50% observed) can mask
+# real plan regressions: run each query REPEATS times and report the
+# minimum — the best run is the least-noise estimate of plan cost.
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
 
 def main() -> None:
@@ -63,9 +71,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(max(1, REPEATS)):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -74,6 +85,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "repeats": REPEATS,
+        "stat": "min_of_repeats",
     }))
 
 
