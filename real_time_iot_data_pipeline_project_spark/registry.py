@@ -448,6 +448,57 @@ def q16_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q58_describe_approx", None)
+def q58_describe_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 at-scale tier — q15 describe() with ``percentile_approx``
+    (Greenwald-Khanna sketch, accuracy=10000) in place of the exact
+    single-pass percentile. The sketch is mergeable, so the aggregation
+    stays map-side combinable with bounded memory at any SF — the
+    documented 100 TB swap for q15, now executable and bounds-checked
+    (APPROX_ORACLES) instead of a comment. No exported oracle: the
+    sketch is not bit-reproducible across engines; the local gate
+    compares against the exact SQL within rel_tol."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.lit("value").alias("column"),
+        F.count("value").cast("double").alias("count"),
+        F.round(F.sum(F.col("value").cast(DEC)).cast("double") / F.count("value"), 6).alias("mean"),
+        F.round(F.stddev("value"), 6).alias("std"),
+        F.round(F.min("value"), 6).alias("min"),
+        F.round(F.expr("percentile_approx(value, 0.5, 10000)"), 6).alias("median"),
+        F.round(F.max("value"), 6).alias("max"),
+    )
+
+
+@query("q59_distinct_approx", None)
+def q59_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 at-scale tier — q16 distinct counts via
+    ``approx_count_distinct`` (HyperLogLog++, rsd=0.02). HLL sketches
+    merge map-side, so cardinality costs O(registers) memory instead of
+    an exact-distinct shuffle of every key — the documented 100 TB swap
+    for q16, bounds-checked against the exact SQL (APPROX_ORACLES)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.approx_count_distinct("user_id", 0.02).alias("n_users"),
+        F.approx_count_distinct("event_type", 0.02).alias("n_event_types"),
+        F.approx_count_distinct(F.to_date("ts"), 0.02).alias("n_days"),
+    )
+
+
+# Exact-SQL oracles + relative tolerance for the approximate tier,
+# consumed by tools/verify_oracles.py's bounded comparator (NOT exported
+# to the driver: sketches are not bit-reproducible across engines, so
+# these queries ship without a hashable oracle).
+APPROX_ORACLES: dict[str, tuple[str, float]] = {
+    # percentile_approx(accuracy=10000): rank error ≤ 1/10000; on this
+    # distribution a 2% value tolerance is conservative for the median,
+    # and the exact columns (count/mean/std/min/max) must agree to 1e-9.
+    "q58_describe_approx": (ORACLES["q15_describe"], 0.02),
+    # HLL++ rsd=0.02 → 5σ bound at 10% relative error.
+    "q59_distinct_approx": (ORACLES["q16_distinct_stats"], 0.10),
+}
+
+
 @query(
     "q17_value_counts",
     """
@@ -1882,7 +1933,10 @@ DEFERRED: list[str] = [
 
 
 def export_order() -> list[str]:
-    """Query names in driver-export order: unique-operator queries first,
-    DEFERRED redundant twins last (outside the gate's 50-row window)."""
-    head = [n for n in QUERIES if n not in DEFERRED]
-    return head + [n for n in DEFERRED if n in QUERIES]
+    """Query names in driver-export order: unique-operator queries first;
+    DEFERRED redundant twins and the APPROX_ORACLES sketch tier last
+    (outside the gate's 50-row window — the sketch tier additionally has
+    no hashable oracle, only the local bounded comparator)."""
+    tail = DEFERRED + sorted(APPROX_ORACLES)
+    head = [n for n in QUERIES if n not in tail]
+    return head + [n for n in tail if n in QUERIES]

@@ -40,9 +40,8 @@ def test_flagships_inside_gate_window():
 
 def test_only_deferred_twins_outside_window():
     order = list(entrymod.queries())
-    assert order[GATE_WINDOW:] == [
-        n for n in registry.DEFERRED if n in registry.QUERIES
-    ]
+    tail = registry.DEFERRED + sorted(registry.APPROX_ORACLES)
+    assert order[GATE_WINDOW:] == [n for n in tail if n in registry.QUERIES]
 
 
 def test_export_covers_every_registered_query():

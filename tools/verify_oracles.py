@@ -49,6 +49,40 @@ def _normalize(rows, cols):
     return out
 
 
+def compare_bounded(spark, con, name, fn, sql, sf_dir, rel_tol):
+    """Approximate-tier comparator: schema and row count must match
+    exactly; numeric cells must agree within rel_tol (sketch error
+    bound); non-numeric cells exactly."""
+    sdf = fn(spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    ddf = con.execute(sql)
+    dcols = [d[0] for d in ddf.description]
+    drows = ddf.fetchall()
+    problems = []
+    if sorted(scols) != sorted(dcols):
+        return [f"schema: spark={sorted(scols)} duck={sorted(dcols)}"]
+    if len(srows) != len(drows):
+        return [f"rows: spark={len(srows)} duck={len(drows)}"]
+    sorder = sorted(range(len(scols)), key=lambda i: scols[i])
+    dorder = sorted(range(len(dcols)), key=lambda i: dcols[i])
+    srt = sorted(tuple(r[i] for i in sorder) for r in srows)
+    drt = sorted(tuple(r[i] for i in dorder) for r in drows)
+    names_sorted = sorted(scols)
+    for srow, drow in zip(srt, drt):
+        for col, sv, dv in zip(names_sorted, srow, drow):
+            if isinstance(sv, (int, float)) and isinstance(dv, (int, float)):
+                denom = max(abs(float(sv)), abs(float(dv)), 1e-12)
+                if abs(float(sv) - float(dv)) / denom > rel_tol:
+                    problems.append(
+                        f"bound: {col} spark={sv} exact={dv} rel_err>"
+                        f"{rel_tol}"
+                    )
+            elif _norm_cell(sv) != _norm_cell(dv):
+                problems.append(f"cell: {col} spark={sv!r} exact={dv!r}")
+    return problems
+
+
 def compare(spark, con, name, fn, sql, sf_dir, verbose=False):
     sdf = fn(spark, sf_dir)
     scols = sdf.columns
@@ -88,13 +122,20 @@ def main():
     for name in names:
         fn = registry.QUERIES[name]
         sql = registry.ORACLES.get(name)
-        if sql is None:
+        approx = getattr(registry, "APPROX_ORACLES", {}).get(name)
+        if sql is None and approx is None:
             rows = fn(spark, sf_dir).count()
             print(f"  {name}: NO-ORACLE rows={rows}")
             n_skip += 1
             continue
         try:
-            problems = compare(spark, con, name, fn, sql, sf_dir)
+            if sql is not None:
+                problems = compare(spark, con, name, fn, sql, sf_dir)
+            else:
+                exact_sql, rel_tol = approx
+                problems = compare_bounded(
+                    spark, con, name, fn, exact_sql, sf_dir, rel_tol
+                )
         except Exception as e:  # noqa: BLE001
             problems = [f"EXCEPTION: {type(e).__name__}: {str(e)[:300]}"]
         if problems:
