@@ -40,25 +40,36 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         .distinct()
         .localCheckpoint()
     )
-    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
+    # Only edge ENDPOINTS can ever change label — an isolated node keeps
+    # component = id by definition. Iterate over the (near-dup graph
+    # sized) endpoint set, not the corpus-sized node set: at scale the
+    # candidate-pair graph is orders of magnitude smaller than the
+    # corpus, so the per-round shuffles must not touch the full corpus.
+    touched = e.select(F.col("a").alias("id")).distinct().localCheckpoint()
+    labels = touched.withColumn("component", F.col("id"))
     for _ in range(max_iters):
-        neighbor_labels = (
+        # Pre-aggregate the min neighbor label per node BEFORE joining
+        # back, and carry the previous label through the checkpoint so
+        # convergence is a filter over already-materialized rows — the
+        # eager localCheckpoint and the changed-count share one job
+        # instead of the count re-joining two label tables.
+        nbmin = (
             e.join(labels, e["a"] == labels["id"])
-            .select(F.col("b").alias("id"), "component")
+            .groupBy(F.col("b").alias("id"))
+            .agg(F.min("component").alias("nbmin"))
         )
         new_labels = (
-            labels.union(neighbor_labels)
-            .groupBy("id")
-            .agg(F.min("component").alias("component"))
+            labels.join(nbmin, "id", "left")
+            .select(
+                "id",
+                # least() skips nulls: isolated nodes keep their label
+                F.least("component", "nbmin").alias("component"),
+                F.col("component").alias("prev"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("component") != F.col("prev")).count()
+        labels = new_labels.select("id", "component")
         if changed == 0:
             break
     else:
@@ -70,7 +81,15 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
             "max_iters or use a large-star/small-star variant for "
             "high-diameter graphs"
         )
-    return labels
+    # isolated nodes re-enter lazily (no per-round cost): component = id.
+    # shuffle_hash, not sort-merge: the corpus side must not be sorted,
+    # and the endpoint side may exceed broadcast size at scale.
+    isolated = (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(touched.hint("shuffle_hash"), "id", "left_anti")
+        .withColumn("component", F.col("id"))
+    )
+    return labels.union(isolated)
 
 
 def dedup_survivors(components: DataFrame) -> DataFrame:
