@@ -215,6 +215,18 @@ def read_kafka_stream(spark: SparkSession, brokers: str, topic: str,
     )
 
 
+def kafka_payload(df: DataFrame, key_col: str = "station_id") -> DataFrame:
+    """The (key, value) projection a Kafka sink requires: key =
+    ``key_col`` as string (hash co-location on the broker side), value =
+    JSON of every column. Split out from ``write_kafka_sink`` so the
+    projection is batch-testable without a broker or the kafka
+    connector jar."""
+    return df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.to_json(F.struct(*df.columns)).alias("value"),
+    )
+
+
 def write_kafka_sink(df: DataFrame, brokers: str, topic: str, checkpoint: str,
                      key_col: str = "station_id"):
     """S2 — keyed Kafka sink: key=station_id (hash co-location, the wind
@@ -222,10 +234,7 @@ def write_kafka_sink(df: DataFrame, brokers: str, topic: str, checkpoint: str,
     JSON of all columns. Structured Streaming checkpointing supplies the
     at-least-once the reference configured by hand (acks=all)."""
     return (
-        df.select(
-            F.col(key_col).cast("string").alias("key"),
-            F.to_json(F.struct(*df.columns)).alias("value"),
-        )
+        kafka_payload(df, key_col)
         .writeStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers)
         .option("topic", topic)
