@@ -1,0 +1,138 @@
+"""Incremental star-schema maintenance — the streaming completion of
+S14/J4 (reference loads its DWH in batch; this feeds the same star from
+``foreachBatch``, exactly-once).
+
+Idempotency by construction (a micro-batch may replay after failure):
+
+- dim appends are anti-joined against what is already on disk, so a
+  replayed batch adds nothing new;
+- each fact batch overwrites its OWN ``batch_id=N`` directory, so a
+  replay converges to the same bytes instead of duplicating rows.
+
+Key discipline (matches warehouse.star):
+
+- Dim_DateTime keys are derived from the timestamp (``unix_micros``) —
+  deterministic, so incremental and batch builds assign IDENTICAL keys;
+- weather dims keep IDENTITY-style dense keys: new tuples this batch get
+  ``max(existing) + row_number`` (the 1-row max() read is a control-flow
+  parameter, not data collection). Key VALUES therefore depend on batch
+  arrival order — equality with a batch rebuild holds on the
+  denormalized join product (see ``denormalize``), which is the
+  warehouse's semantic content;
+- facts are globally keyed by (batch_id, fact_id): ``batch_id`` is the
+  partition directory, ``fact_id`` is partition-local.
+
+Scale: per-batch cost is bounded by the micro-batch plus one anti-join
+against each dim (datetime shuffles at dim grain; weather dims are
+tuple-distinct tiny). Facts never rewrite history — one directory per
+batch, no compaction of old batches on the write path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+from . import star
+
+
+def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        return None
+
+
+def _domain_spec(domain: str) -> tuple[list[str], list[str], str, str, str]:
+    if domain == "solar":
+        return (star.SOLAR_WEATHER_COLS, star.SOLAR_MEASURES,
+                "Dim_SolarStation", "Dim_WeatherSolar", "Fact_Solar")
+    return (star.WIND_WEATHER_COLS, star.WIND_MEASURES,
+            "Dim_WindStation", "Dim_WeatherWind", "Fact_Wind")
+
+
+def upsert_star_batch(spark: SparkSession, processed: DataFrame,
+                      station_dim: DataFrame, base_path: str,
+                      domain: str, batch_id: int) -> None:
+    """Apply one processed micro-batch to the star at ``base_path``."""
+    weather_cols, measures, st_name, wx_name, fact_name = _domain_spec(domain)
+
+    # station dim: static registry dimension — write once
+    st_path = f"{base_path}/{st_name}"
+    if _read_or_none(spark, st_path) is None:
+        star.build_station_dim(station_dim).write.mode("overwrite").parquet(st_path)
+
+    # datetime dim: append only timestamps not yet present (keys are
+    # timestamp-derived, so the anti-join key is exact)
+    dt_path = f"{base_path}/Dim_DateTime"
+    dt_batch = star.build_datetime_dim(processed)
+    dt_existing = _read_or_none(spark, dt_path)
+    if dt_existing is not None:
+        dt_batch = dt_batch.join(
+            dt_existing.select("datetime_key"), "datetime_key", "left_anti"
+        )
+    dt_batch.write.mode("append").parquet(dt_path)
+
+    # weather dim: new distinct tuples continue the dense key sequence
+    wx_path = f"{base_path}/{wx_name}"
+    tuples = processed.select(*weather_cols).dropDuplicates(weather_cols)
+    wx_existing = _read_or_none(spark, wx_path)
+    if wx_existing is None:
+        new_tuples, base_key = tuples, 0
+    else:
+        new_tuples = tuples.join(
+            wx_existing.select(*weather_cols), weather_cols, "left_anti"
+        )
+        base_key = wx_existing.agg(F.max("weather_key")).head()[0] or 0
+    keyed = star._surrogate(new_tuples, "weather_key", weather_cols).withColumn(
+        "weather_key", (F.col("weather_key") + F.lit(base_key)).cast("int")
+    )
+    keyed.write.mode("append").parquet(wx_path)
+
+    # fact: resolve surrogate keys against the NOW-CURRENT dims; the
+    # batch owns its directory, so replays overwrite instead of append
+    dt = spark.read.parquet(dt_path)
+    st = spark.read.parquet(st_path)
+    wx = spark.read.parquet(wx_path)
+    fact = star.build_fact(processed, dt, st, wx, weather_cols, measures)
+    fact.write.mode("overwrite").parquet(f"{base_path}/{fact_name}/batch_id={batch_id}")
+
+
+def star_upsert_fn(spark: SparkSession, station_dim: DataFrame,
+                   base_path: str, domain: str):
+    """``foreachBatch`` callback maintaining the star incrementally."""
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_star_batch(spark, batch_df, station_dim, base_path, domain, batch_id)
+
+    return fn
+
+
+def read_star(spark: SparkSession, base_path: str, domain: str) -> dict[str, DataFrame]:
+    """Load the incrementally-built star (fact's batch_id partition
+    column is part of its global key and stays visible)."""
+    _, _, st_name, wx_name, fact_name = _domain_spec(domain)
+    return {
+        "Dim_DateTime": spark.read.parquet(f"{base_path}/Dim_DateTime"),
+        st_name: spark.read.parquet(f"{base_path}/{st_name}"),
+        wx_name: spark.read.parquet(f"{base_path}/{wx_name}"),
+        fact_name: spark.read.parquet(f"{base_path}/{fact_name}"),
+    }
+
+
+def denormalize(tables: dict[str, DataFrame], domain: str) -> DataFrame:
+    """Join the fact back through its dims to natural keys + measures —
+    the surrogate-key-free content of the warehouse, used to prove an
+    incremental build equals the batch rebuild regardless of weather-key
+    arrival order."""
+    weather_cols, measures, st_name, wx_name, fact_name = _domain_spec(domain)
+    fact = tables[fact_name]
+    out = (
+        fact.join(tables["Dim_DateTime"].select("datetime_key", "timestamp"), "datetime_key")
+        .join(F.broadcast(tables[st_name].select("station_key", "station_id")), "station_key")
+        .join(tables[wx_name].select("weather_key", *weather_cols), "weather_key")
+    )
+    return out.select("timestamp", "station_id", *weather_cols, *measures)
