@@ -70,3 +70,66 @@ def ewma_stream(df: DataFrame, key: str, order_col: str, value_col: str,
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def ewma_stream_tws(df: DataFrame, key: str, order_col: str, value_col: str,
+                    alpha: float = DEFAULT_ALPHA, out_col: str = "smoothed") -> DataFrame:
+    """W3/T5 on the Spark 4.x ``transformWithStateInPandas`` API
+    (SURVEY §4.2-1) — identical fold semantics to ``ewma_stream``, state
+    held in a named ValueState in the RocksDB-backed store (queries must
+    run with ``spark.sql.streaming.stateStore.providerClass`` set to
+    ``RocksDBStateStoreProvider``; transformWithState requires it, and
+    its Python driver worker additionally needs the ``protobuf``
+    package). Raises on pre-4.0 runtimes — use ``ewma_stream`` there."""
+    out_schema = T.StructType(
+        [
+            T.StructField(key, T.StringType()),
+            T.StructField(order_col, T.TimestampType()),
+            T.StructField(value_col, T.DoubleType()),
+            T.StructField(out_col, T.DoubleType()),
+        ]
+    )
+    grouped = df.select(key, order_col, value_col).groupBy(key)
+    if not hasattr(grouped, "transformWithStateInPandas"):
+        raise RuntimeError(
+            "transformWithStateInPandas requires pyspark >= 4.0; "
+            "use ewma_stream (applyInPandasWithState) on this runtime"
+        )
+    from pyspark.sql.streaming.stateful_processor import (  # noqa: PLC0415
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _EwmaProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._last = handle.getValueState("last", "last double")
+
+        def handleInputRows(self, key_tuple, rows, timer_values):
+            prev = self._last.get()
+            last = prev[0] if prev is not None else None
+            for pdf in rows:
+                pdf = pdf.sort_values(order_col, kind="mergesort")
+                smoothed = []
+                for v in pdf[value_col]:
+                    last = v if last is None else alpha * v + (1 - alpha) * last
+                    smoothed.append(last)
+                yield pd.DataFrame(
+                    {
+                        key: pdf[key].astype(str),
+                        order_col: pdf[order_col],
+                        value_col: pdf[value_col],
+                        out_col: smoothed,
+                    }
+                )
+            if last is not None:
+                self._last.update((float(last),))
+
+        def close(self) -> None:
+            pass
+
+    return grouped.transformWithStateInPandas(
+        _EwmaProcessor(),
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="none",
+    )

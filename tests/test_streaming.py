@@ -61,7 +61,30 @@ def test_stream_transform_end_to_end(spark, wind_json_dir, tmp_path):
     assert spark.read.parquet(sink).count() == n1
 
 
-def test_streaming_ewma_matches_python_fold(spark, tmp_path):
+def _has_protobuf() -> bool:
+    # transformWithState's Python driver worker speaks protobuf to the
+    # JVM state server; without the package the query crashes at init
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.parametrize(
+    "api",
+    [
+        "applyInPandasWithState",
+        pytest.param(
+            "transformWithState",
+            marks=pytest.mark.skipif(
+                not _has_protobuf(),
+                reason="transformWithState needs the protobuf package (not in this env)",
+            ),
+        ),
+    ],
+)
+def test_streaming_ewma_matches_python_fold(spark, tmp_path, api):
     alpha = 0.35
     rows = [
         ("A", "2025-01-01 00:00:%02d" % i, float(v))
@@ -86,15 +109,32 @@ def test_streaming_ewma_matches_python_fold(spark, tmp_path):
         T.StructType([T.StructField("value", T.StringType())])
     ).text(src)
     parsed = job.parse_json_stream(raw, schema).withColumn("ts", F.to_timestamp("ts_s"))
-    sm = stateful.ewma_stream(parsed, "station_id", "ts", "value", alpha=alpha)
-    q = (
-        sm.writeStream.format("memory").queryName("ewma_out")
-        .outputMode("append").trigger(availableNow=True).start()
-    )
-    q.awaitTermination(120)
+    if api == "transformWithState":
+        # transformWithState requires the RocksDB state store provider
+        prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        sm = stateful.ewma_stream_tws(parsed, "station_id", "ts", "value", alpha=alpha)
+    else:
+        sm = stateful.ewma_stream(parsed, "station_id", "ts", "value", alpha=alpha)
+    name = f"ewma_out_{api[:8]}"
+    try:
+        q = (
+            sm.writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if api == "transformWithState":
+            if prev is None:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+            else:
+                spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
     got = {
         (r.station_id, r.ts.second): r.smoothed
-        for r in spark.sql("SELECT * FROM ewma_out").collect()
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
     }
 
     # python fold oracle (producer_wind.py:218-228 semantics)
