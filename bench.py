@@ -45,8 +45,11 @@ HEADLINE = [
     "q38_ivf_topk",
     "q44_daytime_flag",
     "q48_training_data_pipeline",
+    "q52_contamination_screen",
     "q53_dedup_clusters",
     "q54_tfidf_top_terms",
+    "q56_winnow_overlap_pairs",
+    "q57_cube_rollup",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask
