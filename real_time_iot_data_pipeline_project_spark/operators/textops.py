@@ -49,3 +49,45 @@ def fingerprints(df: DataFrame, text_col: str = "text",
         textfns.fingerprint(text_col).alias("fingerprint"),
         textfns.portable_hash60(textfns.normalize_text(text_col)).alias("hash60"),
     )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition/diversity signals, entirely JVM-side
+    (array functions over the token list — no explode, no shuffle):
+
+    - ``ttr``: type-token ratio (distinct/total tokens) — low values
+      flag word-soup and boilerplate;
+    - ``dup_bigram_frac``: fraction of consecutive-token bigrams that
+      are repeats of an earlier bigram — the duplicate-n-gram filter of
+      the Gopher rules (Rae et al. 2021, public), n=2;
+    - ``mean_tok_len``: mean token length (degenerate values flag
+      non-linguistic content).
+
+    Scales as a pure scan-stage projection: O(tokens) per doc, zero
+    Exchange, whole-stage codegen.
+    """
+    toks = textfns.whitespace_tokens(text_col)
+    n = F.size(toks)
+    # consecutive bigrams: zip tokens with their own tail; Spark's
+    # zip_with null-pads the shorter side, so slice to n-1 first
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    )
+    n_bi = F.size(bigrams)
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tok"),
+        F.round(F.size(F.array_distinct(toks)) / n, 6).alias("ttr"),
+        F.when(n >= 2, F.round(F.lit(1.0) - F.size(F.array_distinct(bigrams)) / n_bi, 6))
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_frac"),
+        F.round(
+            F.length(F.regexp_replace(textfns.normalize_text(text_col), " ", "")) / n, 6
+        ).alias("mean_tok_len"),
+    )

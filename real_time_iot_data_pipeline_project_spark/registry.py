@@ -866,6 +866,39 @@ def _lang_sql() -> str:
     """
 
 
+@query(
+    "q60_repetition_signals",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_NORM_SQL} AS norm, string_split({_NORM_SQL}, ' ') AS toks
+      FROM documents
+    ), b AS (
+      SELECT doc_id, norm, toks, len(toks) AS n,
+             CASE WHEN len(toks) >= 2
+                  THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+             END AS bigrams
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n AS INT) AS n_tok,
+           round(len(list_distinct(toks)) / n, 6) AS ttr,
+           CASE WHEN n >= 2
+                THEN round(1.0 - len(list_distinct(bigrams)) / len(bigrams), 6)
+                ELSE 0.0 END AS dup_bigram_frac,
+           round(length(replace(norm, ' ', '')) / n, 6) AS mean_tok_len
+    FROM b
+    """,
+)
+def q60_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule repetition/diversity signals (type-token ratio,
+    duplicate-bigram fraction, mean token length) per document — the
+    repetition half of the quality-filter family (q45 covers the
+    length/punct/stopword half). Pure array-function projection over
+    the token list: no explode, no Exchange (plan-asserted)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.repetition_stats(docs)
+
+
 @query("q29_lang_id", _lang_sql())
 def q29_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID via per-language stopword-hit ratio (argmax with
@@ -1932,11 +1965,20 @@ DEFERRED: list[str] = [
 ]
 
 
+# Operators added AFTER the 50-slot window filled with unique-operator
+# queries: fully oracle-checked by the local gate, first in line for a
+# window slot if one opens.
+POST_WINDOW: list[str] = [
+    "q60_repetition_signals",
+]
+
+
 def export_order() -> list[str]:
     """Query names in driver-export order: unique-operator queries first;
-    DEFERRED redundant twins and the APPROX_ORACLES sketch tier last
-    (outside the gate's 50-row window — the sketch tier additionally has
-    no hashable oracle, only the local bounded comparator)."""
-    tail = DEFERRED + sorted(APPROX_ORACLES)
+    then DEFERRED redundant twins, POST_WINDOW late additions, and the
+    APPROX_ORACLES sketch tier (all outside the gate's 50-row window —
+    the sketch tier additionally has no hashable oracle, only the local
+    bounded comparator)."""
+    tail = DEFERRED + POST_WINDOW + sorted(APPROX_ORACLES)
     head = [n for n in QUERIES if n not in tail]
     return head + [n for n in tail if n in QUERIES]

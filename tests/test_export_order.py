@@ -40,7 +40,7 @@ def test_flagships_inside_gate_window():
 
 def test_only_deferred_twins_outside_window():
     order = list(entrymod.queries())
-    tail = registry.DEFERRED + sorted(registry.APPROX_ORACLES)
+    tail = registry.DEFERRED + registry.POST_WINDOW + sorted(registry.APPROX_ORACLES)
     assert order[GATE_WINDOW:] == [n for n in tail if n in registry.QUERIES]
 
 

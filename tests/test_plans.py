@@ -201,6 +201,15 @@ def test_single_partition_audit_is_node_scoped():
     assert (pushed, total) == (1, 2)
 
 
+def test_repetition_signals_narrow_no_shuffle(spark):
+    # array-function projection: token diversity/repetition must stay in
+    # the scan stage — no explode fan-out, no Exchange, no Python
+    plan = plan_of(spark, "q60_repetition_signals")
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_cube_rollup_one_pass_expand(spark):
     # CUBE must plan as one Expand (x8 grouping sets) followed by
     # map-side partial aggregation BEFORE the single shuffle — the
