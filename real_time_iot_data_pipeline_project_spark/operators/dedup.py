@@ -135,14 +135,16 @@ def winnow_overlap_pairs(df: DataFrame, text_col: str = "text",
     boilerplate fingerprints shared by more than that many docs (license
     headers, templates) BEFORE the quadratic stage — the standard
     stop-fingerprint move; leave None for exact-oracle parity."""
-    fps = winnow_fingerprints(df, text_col, id_col, k, window)
+    # Cache BEFORE the doc-frequency filter: the groupBy branch and the
+    # left-semi probe both read the fingerprint set, and without the
+    # cache each re-runs the full winnowing (explode + window sort).
+    fps = winnow_fingerprints(df, text_col, id_col, k, window).cache()
     if max_doc_freq is not None:
         keep = (fps.groupBy("fingerprint")
                 .agg(F.count(F.lit(1)).alias("__df"))
                 .filter(F.col("__df") <= max_doc_freq)
                 .select("fingerprint"))
         fps = fps.join(keep, "fingerprint", "left_semi")
-    fps = fps.cache()
     sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = fps.select(F.col(id_col).alias("id_a"), "fingerprint")
     b = fps.select(F.col(id_col).alias("id_b"), "fingerprint")
