@@ -135,3 +135,28 @@ def detect_language(text: ColumnOrName, min_score: float = 0.0) -> Column:
         cond = scores[lang] == best_score
         pick = F.when(cond, lang) if pick is None else pick.when(cond, lang)
     return F.when(best_score > min_score, pick).otherwise(F.lit("und"))
+
+# --- PII detection / redaction -------------------------------------------
+# Regex subset chosen to parse identically under Java regex (Spark) and
+# RE2 (DuckDB): character classes, bounded repetition, \b, \d only — no
+# lookaround, no backrefs.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+
+def pii_counts(text: ColumnOrName) -> tuple[Column, Column]:
+    """(n_emails, n_phones) match counts — the PII audit signal."""
+    return (
+        F.regexp_count(_c(text), F.lit(EMAIL_RE)),
+        F.regexp_count(_c(text), F.lit(PHONE_RE)),
+    )
+
+
+def redact_pii(text: ColumnOrName) -> Column:
+    """Replace every email / phone match with a typed placeholder token.
+
+    Pure JVM regexp_replace (global) — stays inside whole-stage codegen;
+    the standard pre-training scrub pass. Email runs first so a phone
+    embedded in a local-part can't be double-redacted."""
+    scrubbed = F.regexp_replace(_c(text), EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(scrubbed, PHONE_RE, "<PHONE>")

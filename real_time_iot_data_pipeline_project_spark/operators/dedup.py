@@ -298,3 +298,59 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text",
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def chunk_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                chunk_tokens: int = 8) -> DataFrame:
+    """Corpus-level chunk dedup (the C4/CCNet *line*-dedup rule,
+    generalized to fixed ``chunk_tokens``-token chunks for corpora
+    without line structure): every chunk of normalized text is kept at
+    its FIRST occurrence in the corpus (min (doc_id, chunk_idx)) and
+    removed everywhere else; each doc is then reassembled from its
+    surviving chunks in order.
+
+    Output: (id_col, n_chunks, n_chunks_kept, kept_fp) — ``kept_fp`` is
+    the md5 of the reassembled text ('' when every chunk was claimed by
+    an earlier doc).
+
+    Scale shape: chunking is a map-side array transform (no UDF); the
+    first-occurrence winner is one shuffle keyed by the chunk hash
+    (uniform, md5) carrying (id, idx, chunk) — the chunk payload is
+    bounded at ``chunk_tokens`` tokens, so the shuffle width is fixed;
+    reassembly is one shuffle back on doc_id."""
+    toks = textfns.whitespace_tokens(text_col)
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(chunk_tokens))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "),
+    )
+    flat = (
+        df.select(F.col(id_col), F.posexplode(chunks).alias("cidx", "chunk"))
+        .withColumn("ch", F.md5("chunk"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("ch").orderBy(id_col, "cidx")
+    kept = flat.withColumn(
+        "kept", (F.row_number().over(w) == 1).cast("int")
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("kept").alias("n_chunks_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(F.col("kept") == 1, F.struct("cidx", "chunk"))
+                            )
+                        ),
+                        lambda s: s["chunk"],
+                    ),
+                    " ",
+                )
+            ).alias("kept_fp"),
+        )
+    )

@@ -1,0 +1,92 @@
+"""Sequence packing: greedy bin-packing of documents into fixed
+token-capacity training sequences.
+
+LLM pretraining wants every sample to be exactly ``capacity`` tokens;
+packing short documents back-to-back (instead of padding each to the
+context length) is the standard throughput win. The greedy first-fit
+rule here is the deterministic sequential one: walk the shard's docs in
+``(order_col)`` order, keep a running fill, open a new bin whenever the
+next doc would overflow. A doc longer than the capacity gets a bin of
+its own (truncation is the trainer's call, not the packer's).
+
+Why ``applyInPandas``: the running-fill recurrence is inherently
+sequential *within a shard* — ``bin_id(i)`` depends on every prior doc —
+so it cannot be a window function (no closed form) and must not be a
+global sort. The scale answer is the shard: packing is embarrassingly
+parallel ACROSS shards, so we hash-shard the corpus first
+(``sampling.shard_assign``), then run the sequential rule per shard as
+one Arrow-batched pandas group. At 100 TB with ~1M shards the shuffle is
+uniform (md5 buckets) and each group is a few thousand rows — the same
+shape as the EWMA state op (operators/ewma.py). This is the sanctioned
+Arrow boundary of SURVEY.md §2.11.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    tokens_col: str,
+    capacity: int,
+    shard_col: str = "shard",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Assign each row a ``bin_id`` (per-shard greedy sequential packing).
+
+    Output schema: (shard_col, order_col, tokens_col, bin_id). Bins are
+    numbered 0.. per shard in first-open order; ``sum(tokens)`` within a
+    bin never exceeds ``capacity`` unless the bin holds a single
+    over-long doc.
+    """
+    slim = df.select(shard_col, order_col, tokens_col)
+    schema = ", ".join(
+        [
+            f"{shard_col} {slim.schema[shard_col].dataType.simpleString()}",
+            f"{order_col} {slim.schema[order_col].dataType.simpleString()}",
+            f"{tokens_col} {slim.schema[tokens_col].dataType.simpleString()}",
+            "bin_id bigint",
+        ]
+    )
+    cap = int(capacity)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        bins = []
+        bin_id, fill = 0, 0
+        first = True
+        for n in pdf[tokens_col]:
+            n = int(n)
+            if first:
+                fill = n
+                first = False
+            elif fill + n > cap:
+                bin_id += 1
+                fill = n
+            else:
+                fill += n
+            bins.append(bin_id)
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        return pdf
+
+    return slim.groupBy(shard_col).applyInPandas(pack, schema=schema)
+
+
+def packing_stats(packed: DataFrame, tokens_col: str, capacity: int,
+                  shard_col: str = "shard") -> DataFrame:
+    """Per-bin fill report: docs per bin, token fill, fill ratio —
+    the packing-efficiency audit (one combinable grouped agg)."""
+    return (
+        packed.groupBy(shard_col, "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(tokens_col).alias("fill_tokens"),
+        )
+        .withColumn(
+            "fill_ratio",
+            F.round(F.col("fill_tokens").cast("double") / F.lit(float(capacity)), 6),
+        )
+    )

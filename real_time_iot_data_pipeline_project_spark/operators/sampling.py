@@ -1,0 +1,108 @@
+"""Deterministic sampling / sharding / mixture operators for building
+training-data mixes at corpus scale.
+
+Everything here is *hash-deterministic*: membership is a pure function of
+the row key and a salt string, never of RNG state, partitioning, or task
+retries. That property is what makes sampling at 100 TB sane — the same
+doc lands on the same side of every cut on every run and on every
+executor, re-runs are idempotent, and an ANSI-SQL oracle can reproduce
+the exact sample. The hash is the portable md5-based
+``functions.textfns.portable_hash60`` (uniform over 2^60), so a rate of
+``p`` percent selects ``hash % 100 < p``.
+
+Reference parity: the reference pipeline has no sampling tier (it
+processes every record, e.g. Solar_Processing.py's full-stream writes);
+these operators are the training-data extension layer (SURVEY.md §2
+extensions) a 100 TB curation run needs on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textfns import portable_hash60
+
+
+def sample_bucket(key: Column, salt: str, buckets: int = 100) -> Column:
+    """Deterministic bucket in ``[0, buckets)`` for a row key.
+
+    ``salt`` namespaces independent sampling decisions: samples drawn
+    with different salts are independent, samples with the same salt are
+    nested (rate 10 ⊂ rate 20 ⊂ …), which is exactly what you want for
+    growing / shrinking a training mix without churn.
+    """
+    return portable_hash60(F.concat(F.lit(salt + "|"), key.cast("string"))) % buckets
+
+
+def hash_sample(df: DataFrame, key: str, rate_pct: int, salt: str = "sample") -> DataFrame:
+    """Keep ~``rate_pct`` percent of rows, deterministically by ``key``.
+
+    A pure filter — no shuffle, no RNG; Catalyst folds the predicate into
+    the scan stage, so at scale this costs one pass with no exchange.
+    """
+    return df.filter(sample_bucket(F.col(key), salt) < F.lit(int(rate_pct)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    stratum: str,
+    rates_pct: dict[str, int],
+    default_pct: int = 0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (the training-mix cut).
+
+    ``rates_pct`` maps stratum value -> keep percentage; strata absent
+    from the map keep ``default_pct`` percent. Still a single shuffle-free
+    filter: the per-stratum rate is a CASE expression, so the whole
+    decision stays in the scan stage (plan-audited: no Exchange).
+    """
+    rate = F.lit(int(default_pct))
+    for value, pct in sorted(rates_pct.items()):
+        rate = F.when(F.col(stratum) == value, F.lit(int(pct))).otherwise(rate)
+    return df.filter(sample_bucket(F.col(key), salt) < rate)
+
+
+def shard_assign(df: DataFrame, key: str, n_shards: int, salt: str = "shard") -> DataFrame:
+    """Add a deterministic ``shard`` column in ``[0, n_shards)``.
+
+    The write-side partitioner for training corpora: downstream
+    ``.write.partitionBy("shard")`` (or ``repartition("shard")`` +
+    per-shard files) gives stable, uniformly-sized output shards whose
+    membership survives re-runs — resumable corpus builds at 100 TB.
+    """
+    return df.withColumn("shard", sample_bucket(F.col(key), salt, n_shards))
+
+
+def upsample_by_weight(
+    df: DataFrame,
+    key: str,
+    stratum: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic fractional up/down-sampling to hit a target mixture.
+
+    Each row is emitted ``floor(w)`` times, plus one more with
+    probability ``frac(w)`` decided by the row's hash bucket — so a
+    weight of 2.5 yields exactly 2 or 3 deterministic copies per row
+    (expected 2.5), and 0.5 is a 50% downsample. Output carries
+    ``copy_idx`` (0-based) so downstream shuffles can decorrelate copies.
+
+    Scale shape: ``explode`` fans out map-side (no shuffle); weights live
+    in a CASE expression, not a join. Rows with 0 copies vanish via
+    exploding an empty array.
+    """
+    w = F.lit(float(default_weight))
+    for value, weight in sorted(weights.items()):
+        w = F.when(F.col(stratum) == value, F.lit(float(weight))).otherwise(w)
+    frac_pct = F.round((w - F.floor(w)) * 100).cast("long")
+    extra = (sample_bucket(F.col(key), salt) < frac_pct).cast("long")
+    n_copies = (F.floor(w).cast("long") + extra).alias("n_copies")
+    copies = F.when(
+        n_copies > 0, F.sequence(F.lit(0).cast("long"), n_copies - 1)
+    ).otherwise(F.array().cast("array<long>"))
+    return df.withColumn("copy_idx", F.explode(copies))

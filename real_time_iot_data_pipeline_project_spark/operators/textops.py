@@ -91,3 +91,35 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
             F.length(F.regexp_replace(textfns.normalize_text(text_col), " ", "")) / n, 6
         ).alias("mean_tok_len"),
     )
+
+
+def corpus_token_stats(df: DataFrame, text_col: str = "text",
+                       ln2: float = 0.6931471805599453) -> DataFrame:
+    """Corpus-level unigram distribution stats (1 row): total/vocab
+    token counts, type-token ratio, singleton fraction, Shannon entropy
+    in bits. One token-keyed grouped agg + a 1-row broadcast; entropy
+    terms are DECIMAL-cast pre-sum so the reduction is order-free
+    (registry determinism rule 1) — at 100 TB the vocab-sized frequency
+    table is the only shuffled state."""
+    toks = df.select(F.explode(textfns.whitespace_tokens(text_col)).alias("tok"))
+    f = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    t = f.agg(
+        F.sum("c").alias("total_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum((F.col("c") == 1).cast("long")).alias("n_singletons"),
+    )
+    p = F.col("c").cast("double") / F.col("total_tokens")
+    term = (p * F.log(p) / F.lit(ln2)).cast("decimal(18,15)")
+    return (
+        f.crossJoin(F.broadcast(t))
+        .groupBy("total_tokens", "vocab_size", "n_singletons")
+        .agg(F.round((-F.sum(term)).cast("double"), 6).alias("entropy_bits"))
+        .select(
+            "total_tokens", "vocab_size",
+            F.round(F.col("vocab_size").cast("double") / F.col("total_tokens"), 9)
+            .alias("type_token_ratio"),
+            F.round(F.col("n_singletons").cast("double") / F.col("vocab_size"), 9)
+            .alias("singleton_frac"),
+            "entropy_bits",
+        )
+    )

@@ -1938,6 +1938,348 @@ def q48_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# training-data pipeline: sampling / mixing / packing / compression
+# =====================================================================
+
+_SAMPLE_RATES = {"de": 80, "en": 60, "es": 80, "fr": 80, "zh": 30}
+_MIX_WEIGHTS = {"de": 2.0, "en": 0.5, "es": 1.5, "fr": 2.5, "zh": 1.0}
+LN2 = 0.6931471805599453  # precomputed (rule 2)
+
+
+def _bucket_sql(salt: str, buckets: int = 100, key: str = "doc_id") -> str:
+    """SQL twin of operators.sampling.sample_bucket."""
+    h = _hash60_sql(f"concat('{salt}|', CAST({key} AS VARCHAR))")
+    return f"({h} % {buckets})"
+
+
+_RATE_CASE = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in sorted(_SAMPLE_RATES.items())
+) + " ELSE 0 END"
+
+
+@query(
+    "q61_stratified_sample",
+    f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE {_bucket_sql('sample')} < ({_RATE_CASE})
+    """,
+)
+def q61_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language stratified sampling (the training-mix
+    cut): membership is a pure function of md5(doc_id) — idempotent
+    across runs/retries, nested across rates, reproducible by the SQL
+    oracle. One shuffle-free filter folded into the scan stage."""
+    from .operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.stratified_sample(
+        docs, key="doc_id", stratum="lang", rates_pct=_SAMPLE_RATES
+    ).select("doc_id", "lang", "source")
+
+
+@query(
+    "q62_shard_stats",
+    f"""
+    SELECT shard, COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split({_NORM_SQL}, ' '))) AS BIGINT) AS total_tokens
+    FROM (SELECT {_bucket_sql('shard', 64)} AS shard, text FROM documents)
+    GROUP BY shard
+    """,
+)
+def q62_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-sharding audit: assign each doc a stable shard
+    in [0,64) (the write-side partitioner for resumable corpus builds)
+    and report per-shard doc/token counts — the skew check before a
+    partitionBy(shard) write. One combinable grouped agg."""
+    from .operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    sharded = sampling.shard_assign(docs, key="doc_id", n_shards=64)
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(textfns.token_count("text")).alias("total_tokens"),
+    )
+
+
+_SALTED_SQL = (
+    "CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com now'"
+    " WHEN doc_id % 11 = 3 THEN text || ' call 555-010-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " ELSE text END"
+)
+
+
+@query(
+    "q63_pii_redaction",
+    f"""
+    WITH s AS (SELECT doc_id, {_SALTED_SQL} AS salted FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(salted, '{textfns.EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(salted, '{textfns.PHONE_RE}')) AS n_phones,
+           md5(regexp_replace(regexp_replace(salted, '{textfns.EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{textfns.PHONE_RE}', '<PHONE>', 'g')) AS redacted_fp
+    FROM s
+    """,
+)
+def q63_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (the pre-training redaction pass): count + replace
+    email/phone matches with typed placeholders, entirely in JVM
+    regexp codegen. The corpus has no organic PII, so the query plants
+    deterministic emails (doc_id % 7 == 0) and phone numbers
+    (doc_id % 11 == 3) in BOTH engines — non-vacuous by construction:
+    the planted rows must come back redacted, everything else intact
+    (verified via md5 of the redacted text)."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    salted = (
+        F.when(did % 7 == 0, F.concat(
+            F.col("text"), F.lit(" contact user"), did.cast("string"),
+            F.lit("@example.com now")))
+        .when(did % 11 == 3, F.concat(
+            F.col("text"), F.lit(" call 555-010-"),
+            F.lpad((did % 10000).cast("string"), 4, "0")))
+        .otherwise(F.col("text"))
+    )
+    s = docs.select("doc_id", salted.alias("salted"))
+    n_emails, n_phones = textfns.pii_counts("salted")
+    return s.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        F.md5(textfns.redact_pii("salted")).alias("redacted_fp"),
+    )
+
+
+@query(
+    "q64_chunk_dedup",
+    f"""
+    WITH d AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ts FROM documents),
+    cx AS (
+      SELECT doc_id, ts,
+             unnest(range(0, CAST(ceil(len(ts) / 8.0) AS BIGINT))) AS cidx
+      FROM d
+    ),
+    ch AS (
+      SELECT doc_id, cidx,
+             array_to_string(list_slice(ts, CAST(cidx * 8 + 1 AS INTEGER),
+                                        CAST(cidx * 8 + 8 AS INTEGER)), ' ') AS chunk
+      FROM cx
+    ),
+    k AS (
+      SELECT doc_id, cidx, chunk,
+             CASE WHEN row_number() OVER (PARTITION BY md5(chunk)
+                                          ORDER BY doc_id, cidx) = 1
+                  THEN 1 ELSE 0 END AS kept
+      FROM ch
+    )
+    SELECT doc_id, COUNT(*) AS n_chunks,
+           CAST(SUM(kept) AS BIGINT) AS n_chunks_kept,
+           md5(coalesce(string_agg(CASE WHEN kept = 1 THEN chunk END, ' '
+                                   ORDER BY cidx), '')) AS kept_fp
+    FROM k GROUP BY doc_id
+    """,
+)
+def q64_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-level chunk dedup (dedup.chunk_dedup): every
+    8-token chunk survives only at its first corpus occurrence
+    (min (doc_id, idx)); docs are reassembled from surviving chunks.
+    The repeated-boilerplate scrubber that document-level dedup misses."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.chunk_dedup(docs, chunk_tokens=8)
+
+
+@query(
+    "q65_corpus_stats",
+    f"""
+    WITH toks AS (SELECT unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents),
+    f AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    t AS (SELECT CAST(SUM(c) AS BIGINT) AS total_tokens, COUNT(*) AS vocab_size,
+                 CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons
+          FROM f)
+    SELECT t.total_tokens, t.vocab_size,
+           round(CAST(t.vocab_size AS DOUBLE) / t.total_tokens, 9) AS type_token_ratio,
+           round(CAST(t.n_singletons AS DOUBLE) / t.vocab_size, 9) AS singleton_frac,
+           round(CAST(-SUM(CAST((CAST(c AS DOUBLE) / t.total_tokens)
+                                * ln(CAST(c AS DOUBLE) / t.total_tokens)
+                                / {LN2!r} AS DECIMAL(18,15))) AS DOUBLE), 6) AS entropy_bits
+    FROM f, t
+    GROUP BY t.total_tokens, t.vocab_size, t.n_singletons
+    """,
+)
+def q65_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level distribution stats: total/vocab token counts,
+    type-token ratio, singleton fraction, unigram Shannon entropy
+    (bits). Entropy terms are DECIMAL-cast before the sum (order-free,
+    rule 1); one token-keyed agg + a 1-row broadcast — the corpus
+    health dashboard for a curation run (textops.corpus_token_stats)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.corpus_token_stats(docs, ln2=LN2)
+
+
+_MIX_CASE = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {int(round(v * 100))}" for k, v in sorted(_MIX_WEIGHTS.items())
+) + " ELSE 100 END"
+
+
+@query(
+    "q66_domain_mixing",
+    f"""
+    WITH w AS (SELECT doc_id, lang, source,
+                      CAST({_MIX_CASE} AS BIGINT) AS c100
+               FROM documents),
+    n AS (SELECT doc_id, lang, source,
+                 (c100 // 100) + (CASE WHEN {_bucket_sql('mix')} < (c100 % 100)
+                                       THEN 1 ELSE 0 END) AS n_copies
+          FROM w)
+    SELECT doc_id, lang, source, unnest(range(0, n_copies)) AS copy_idx FROM n
+    """,
+)
+def q66_domain_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-mixture resampling (sampling.upsample_by_weight): each
+    language is up/down-weighted to its training-mix share with
+    deterministic fractional repetition — weight 2.5 emits exactly 2 or
+    3 hash-chosen copies per doc. Map-side explode, no shuffle, no RNG;
+    the oracle reproduces the exact expanded corpus."""
+    from .operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.upsample_by_weight(
+        docs, key="doc_id", stratum="lang", weights=_MIX_WEIGHTS
+    ).select("doc_id", "lang", "source", "copy_idx")
+
+
+@query(
+    "q67_sequence_packing",
+    f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, {_bucket_sql('shard', 8)} AS shard,
+             CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ), o AS (
+      SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM base
+    ), pack AS (
+      SELECT shard, rn, doc_id, n_tok, CAST(0 AS BIGINT) AS bin_id, n_tok AS fill
+      FROM o WHERE rn = 1
+      UNION ALL
+      SELECT o.shard, o.rn, o.doc_id, o.n_tok,
+             CASE WHEN p.fill + o.n_tok > 128 THEN p.bin_id + 1 ELSE p.bin_id END,
+             CASE WHEN p.fill + o.n_tok > 128 THEN o.n_tok ELSE p.fill + o.n_tok END
+      FROM pack p JOIN o ON o.shard = p.shard AND o.rn = p.rn + 1
+    )
+    SELECT shard, doc_id, n_tok, bin_id FROM pack
+    """,
+)
+def q67_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining (packing.pack_sequences): greedy
+    sequential bin-packing of docs into 128-token training sequences,
+    parallel across hash shards, sequential (Arrow-batched pandas group,
+    the sanctioned §2.11 boundary) within a shard. Oracle = per-shard
+    recursive CTE replaying the same greedy rule."""
+    from .operators import packing, sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", textfns.token_count("text").cast("long").alias("n_tok"))
+    sharded = sampling.shard_assign(base, key="doc_id", n_shards=8)
+    packed = packing.pack_sequences(sharded, tokens_col="n_tok", capacity=128)
+    return packed.select("shard", "doc_id", "n_tok", "bin_id")
+
+
+@query(
+    "q68_embedding_quantization",
+    """
+    WITH x0 AS (
+      SELECT vec_id, label, embedding,
+             unnest(range(1, len(embedding) + 1)) AS pos
+      FROM embeddings
+    ), x AS (
+      SELECT vec_id, label, pos,
+             CAST(embedding[CAST(pos AS INTEGER)] AS DOUBLE) AS v
+      FROM x0
+    ), d AS (
+      SELECT pos, min(v) AS mn, max(v) AS mx FROM x GROUP BY pos
+    ), q AS (
+      SELECT x.vec_id, x.label, x.v, d.mn, d.mx,
+             CASE WHEN d.mx = d.mn THEN 0.0
+                  ELSE least(255.0, greatest(0.0,
+                       floor((x.v - d.mn) * 255.0 / (d.mx - d.mn)))) END AS qv
+      FROM x JOIN d USING (pos)
+    ), e AS (
+      SELECT vec_id, label, qv,
+             (mn + qv * (mx - mn) / 255.0 - v) * (mn + qv * (mx - mn) / 255.0 - v) AS err
+      FROM q
+    )
+    SELECT vec_id, label,
+           CAST(SUM(CAST(qv AS BIGINT)) AS BIGINT) AS q_sum,
+           round(CAST(SUM(CAST(err AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*), 12) AS mse
+    FROM e GROUP BY vec_id, label
+    """,
+)
+def q68_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-range int8 scalar quantization of the embedding store
+    (operators.quantize): per-dim min/max (one combinable agg) broadcast
+    back onto the vectors; quantize/dequantize/error arithmetic is pure
+    elementwise IEEE Column code, so the oracle reproduces it bit-for-
+    bit; the per-vector MSE reduction is DECIMAL-exact (rule 1)."""
+    from .operators import quantize
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return quantize.quantize_error(emb, extra_cols=("label",)).select(
+        "vec_id", "label", "q_sum", "mse"
+    )
+
+
+@query(
+    "q69_curation_funnel",
+    f"""
+    WITH k AS (SELECT md5({_NORM_SQL}) AS fp, min(doc_id) AS keep
+               FROM documents GROUP BY 1),
+    s AS (
+      SELECT d.doc_id, d.source,
+             CASE WHEN k2.keep IS NOT NULL THEN 1 ELSE 0 END AS uniq,
+             {_quality_expr_sql()} AS q,
+             {_lang_pick_sql()} AS detected_lang,
+             len(string_split({_NORM_SQL}, ' ')) AS n_tok
+      FROM documents d LEFT JOIN (SELECT keep FROM k) k2 ON k2.keep = d.doc_id
+    )
+    SELECT source,
+           COUNT(*) AS n_total,
+           CAST(SUM(uniq) AS BIGINT) AS n_unique,
+           CAST(SUM(CASE WHEN uniq = 1 AND q >= 0.45 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+           CAST(SUM(CASE WHEN uniq = 1 AND q >= 0.45 AND detected_lang = 'en'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+           CAST(SUM(CASE WHEN uniq = 1 AND q >= 0.45 AND detected_lang = 'en'
+                         THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_final
+    FROM s GROUP BY source
+    """,
+)
+def q69_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-funnel report: per source, how many docs survive each
+    successive filter of the q48 pipeline (dedup → quality ≥ 0.45 →
+    lang = en) plus the surviving token budget — the attrition dashboard
+    every corpus build publishes. Single scan + the dedup-winner join;
+    all stages are conditional aggregates, not separate passes."""
+    docs = _t(spark, sf_dir, "documents")
+    winners = dedup.exact_dedup(docs).select("doc_id").withColumn("uniq_m", F.lit(1))
+    s = docs.join(winners, "doc_id", "left").select(
+        "source",
+        F.when(F.col("uniq_m").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias("uniq"),
+        textfns.quality_score("text").alias("q"),
+        textfns.detect_language("text").alias("detected_lang"),
+        textfns.token_count("text").alias("n_tok"),
+    )
+    passed = (F.col("uniq") == 1) & (F.col("q") >= 0.45)
+    final = passed & (F.col("detected_lang") == "en")
+    return s.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("uniq").alias("n_unique"),
+        F.sum(passed.cast("long")).alias("n_quality"),
+        F.sum(final.cast("long")).alias("n_final"),
+        F.sum(F.when(final, F.col("n_tok")).otherwise(F.lit(0))).alias("tokens_final"),
+    )
+
+
+# =====================================================================
 # Driver export order
 # =====================================================================
 # The external correctness gate records oracle rows for the FIRST 50
@@ -1970,6 +2312,15 @@ DEFERRED: list[str] = [
 # window slot if one opens.
 POST_WINDOW: list[str] = [
     "q60_repetition_signals",
+    "q61_stratified_sample",
+    "q62_shard_stats",
+    "q63_pii_redaction",
+    "q64_chunk_dedup",
+    "q65_corpus_stats",
+    "q66_domain_mixing",
+    "q67_sequence_packing",
+    "q68_embedding_quantization",
+    "q69_curation_funnel",
 ]
 
 
