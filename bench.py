@@ -50,6 +50,9 @@ HEADLINE = [
     "q54_tfidf_top_terms",
     "q56_winnow_overlap_pairs",
     "q57_cube_rollup",
+    "q64_chunk_dedup",
+    "q67_sequence_packing",
+    "q68_embedding_quantization",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask
