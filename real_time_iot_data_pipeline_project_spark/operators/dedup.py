@@ -300,6 +300,22 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text",
     )
 
 
+def doc_chunks(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+               chunk_tokens: int = 8, extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Explode each doc into consecutive ``chunk_tokens``-token chunks:
+    (id_col, *extra_cols, cidx, chunk). Map-side array transform — no
+    UDF, no shuffle; the chunk grid for chunk-dedup and leakage ops."""
+    toks = textfns.whitespace_tokens(text_col)
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(chunk_tokens))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "),
+    )
+    return df.select(
+        F.col(id_col), *extra_cols, F.posexplode(chunks).alias("cidx", "chunk")
+    )
+
+
 def chunk_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 chunk_tokens: int = 8) -> DataFrame:
     """Corpus-level chunk dedup (the C4/CCNet *line*-dedup rule,
@@ -318,15 +334,8 @@ def chunk_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     (uniform, md5) carrying (id, idx, chunk) — the chunk payload is
     bounded at ``chunk_tokens`` tokens, so the shuffle width is fixed;
     reassembly is one shuffle back on doc_id."""
-    toks = textfns.whitespace_tokens(text_col)
-    n_chunks = F.ceil(F.size(toks) / F.lit(float(chunk_tokens))).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.array_join(F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "),
-    )
-    flat = (
-        df.select(F.col(id_col), F.posexplode(chunks).alias("cidx", "chunk"))
-        .withColumn("ch", F.md5("chunk"))
+    flat = doc_chunks(df, text_col, id_col, chunk_tokens).withColumn(
+        "ch", F.md5("chunk")
     )
     from pyspark.sql import Window
 
@@ -353,4 +362,31 @@ def chunk_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 )
             ).alias("kept_fp"),
         )
+    )
+
+
+def source_overlap_matrix(df: DataFrame, group_col: str = "source",
+                          text_col: str = "text", id_col: str = "doc_id",
+                          chunk_tokens: int = 8) -> DataFrame:
+    """Cross-source leakage matrix: for every pair of sources, the number
+    of distinct verbatim ``chunk_tokens``-token chunks they share —
+    the "is my eval split leaking into train via a mirrored site?"
+    audit, aggregated at source granularity.
+
+    Scale shape: the grid collapses to DISTINCT (source, chunk-hash)
+    BEFORE the self-join, so join fan-out per hash bucket is bounded by
+    the number of sources (not documents) squared — ≤ S(S-1)/2 pair rows
+    per chunk regardless of corpus size; the pair rollup is one
+    combinable agg keyed by a source pair (at most S² groups)."""
+    grid = (
+        doc_chunks(df, text_col, id_col, chunk_tokens, extra_cols=(group_col,))
+        .select(F.col(group_col).alias("src"), F.md5("chunk").alias("ch"))
+        .distinct()
+    )
+    a = grid.alias("a")
+    b = grid.alias("b")
+    return (
+        a.join(b, (F.col("a.ch") == F.col("b.ch")) & (F.col("a.src") < F.col("b.src")))
+        .groupBy(F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b"))
+        .agg(F.countDistinct(F.col("a.ch")).alias("n_shared_chunks"))
     )

@@ -106,3 +106,27 @@ def upsample_by_weight(
         n_copies > 0, F.sequence(F.lit(0).cast("long"), n_copies - 1)
     ).otherwise(F.array().cast("array<long>"))
     return df.withColumn("copy_idx", F.explode(copies))
+
+
+def epoch_shuffle(df: DataFrame, key: str, epoch: int,
+                  n_shards: int = 64, salt: str = "epoch") -> DataFrame:
+    """Deterministic global training order for one epoch, the
+    distributed way: a per-epoch hash assigns each row a shard and an
+    order-within-shard; the training order is lexicographic
+    (shard, pos). Changing ``epoch`` reshuffles everything (the hash
+    salt includes it); the same epoch always replays identically —
+    resumable mid-epoch from any (shard, pos) checkpoint.
+
+    Scale shape: NO global sort — ``pos`` is a row_number windowed per
+    shard, so ordering work parallelizes across shards (pick n_shards ≈
+    cluster parallelism × a few). A single global window would funnel
+    100 TB through one partition; this never does."""
+    esalt = f"{salt}{int(epoch)}"
+    h = portable_hash60(
+        F.concat(F.lit(esalt + "|"), F.col(key).cast("string"))
+    )
+    from pyspark.sql import Window
+
+    sharded = df.withColumn("shard", sample_bucket(F.col(key), esalt + "-shard", n_shards))
+    w = Window.partitionBy("shard").orderBy(h.alias("h"), F.col(key))
+    return sharded.withColumn("pos", F.row_number().over(w))

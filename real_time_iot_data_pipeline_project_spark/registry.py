@@ -2279,6 +2279,65 @@ def q69_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q70_epoch_shuffle",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             {_bucket_sql('epoch3-shard', 64)} AS shard,
+             {_hash60_sql("concat('epoch3|', CAST(doc_id AS VARCHAR))")} AS h
+      FROM documents
+    )
+    SELECT doc_id, shard,
+           row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
+    FROM s
+    """,
+)
+def q70_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle (sampling.epoch_shuffle): the
+    training order for epoch 3 as lexicographic (shard, pos) — per-epoch
+    hash reshuffles, same epoch replays identically, resumable from any
+    checkpoint. No global sort: pos is windowed per shard, so ordering
+    parallelizes across all 64 shards."""
+    from .operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.epoch_shuffle(docs, key="doc_id", epoch=3, n_shards=64).select(
+        "doc_id", "shard", "pos"
+    )
+
+
+@query(
+    "q71_source_leakage",
+    f"""
+    WITH d AS (SELECT doc_id, source, string_split({_NORM_SQL}, ' ') AS ts FROM documents),
+    cx AS (
+      SELECT doc_id, source, ts,
+             unnest(range(0, CAST(ceil(len(ts) / 8.0) AS BIGINT))) AS cidx
+      FROM d
+    ),
+    g AS (
+      SELECT DISTINCT source AS src,
+             md5(array_to_string(list_slice(ts, CAST(cidx * 8 + 1 AS INTEGER),
+                                            CAST(cidx * 8 + 8 AS INTEGER)), ' ')) AS ch
+      FROM cx
+    )
+    SELECT a.src AS src_a, b.src AS src_b,
+           COUNT(DISTINCT a.ch) AS n_shared_chunks
+    FROM g a JOIN g b ON a.ch = b.ch AND a.src < b.src
+    GROUP BY 1, 2
+    """,
+)
+def q71_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source leakage matrix (dedup.source_overlap_matrix): distinct
+    verbatim 8-token chunks shared between every source pair — the
+    eval-split / mirrored-site contamination audit at source granularity.
+    The grid collapses to DISTINCT (source, chunk-hash) BEFORE the
+    self-join, bounding per-bucket fan-out by #sources, not #docs."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.source_overlap_matrix(docs, group_col="source")
+
+
 # =====================================================================
 # Driver export order
 # =====================================================================
@@ -2321,6 +2380,8 @@ POST_WINDOW: list[str] = [
     "q67_sequence_packing",
     "q68_embedding_quantization",
     "q69_curation_funnel",
+    "q70_epoch_shuffle",
+    "q71_source_leakage",
 ]
 
 

@@ -218,3 +218,49 @@ def test_corpus_token_stats_skewed(spark):
     expect = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
     assert r.entropy_bits == pytest.approx(expect, abs=1e-6)
     assert r.singleton_frac == 0.5
+
+
+# ------------------------------------------------------- epoch shuffle
+
+def test_epoch_shuffle_deterministic_and_complete(spark):
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = sampling.epoch_shuffle(df, "doc_id", epoch=1, n_shards=8).collect()
+    b = sampling.epoch_shuffle(df, "doc_id", epoch=1, n_shards=8).collect()
+    assert sorted((r.doc_id, r.shard, r.pos) for r in a) == \
+           sorted((r.doc_id, r.shard, r.pos) for r in b)  # same epoch replays
+    assert len(a) == 500 and len({r.doc_id for r in a}) == 500  # permutation
+    # pos is 1..n contiguous within each shard
+    by_shard: dict[int, list[int]] = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+def test_epoch_shuffle_changes_between_epochs(spark):
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    e1 = {(r.doc_id, r.shard, r.pos)
+          for r in sampling.epoch_shuffle(df, "doc_id", 1, n_shards=8).collect()}
+    e2 = {(r.doc_id, r.shard, r.pos)
+          for r in sampling.epoch_shuffle(df, "doc_id", 2, n_shards=8).collect()}
+    assert len(e1 & e2) < len(e1) // 2  # epochs genuinely reshuffle
+
+
+# ------------------------------------------------------ source leakage
+
+def test_source_overlap_matrix_planted(spark):
+    shared = " ".join(f"s{i}" for i in range(8))
+    only_a = " ".join(f"a{i}" for i in range(8))
+    only_c = " ".join(f"c{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [
+            (1, "A", f"{shared} {only_a}"),
+            (2, "B", shared),
+            (3, "C", only_c),
+            (4, "B", shared),  # duplicate within B must not double-count
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {(r.src_a, r.src_b): r.n_shared_chunks
+           for r in dedup.source_overlap_matrix(df).collect()}
+    assert out == {("A", "B"): 1}
