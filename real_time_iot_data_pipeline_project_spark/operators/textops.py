@@ -123,3 +123,35 @@ def corpus_token_stats(df: DataFrame, text_col: str = "text",
             "entropy_bits",
         )
     )
+
+
+def unigram_logprob_scores(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           ln2: float = 0.6931471805599453) -> DataFrame:
+    """Per-doc unigram cross-entropy in bits/token — the cheap stand-in
+    for the CCNet/Wikipedia-LM perplexity filter: docs whose tokens are
+    improbable under the corpus's own unigram distribution (gibberish,
+    boilerplate soup, wrong-language) score high and get cut.
+
+    Scale shape: token frequencies are a vocab-sized table → broadcast
+    back onto the token stream (never a shuffle of the corpus by token);
+    the per-doc reduction is one doc-keyed combinable agg with
+    DECIMAL-cast terms (order-free, registry rule 1)."""
+    toks = df.select(
+        F.col(id_col), F.explode(textfns.whitespace_tokens(text_col)).alias("tok")
+    )
+    f = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    t = f.agg(F.sum("c").cast("double").alias("total"))
+    p = F.col("c").cast("double") / F.col("total")
+    term = (F.log(p) / F.lit(ln2)).cast("decimal(18,12)")
+    return (
+        toks.join(F.broadcast(f), "tok")
+        .crossJoin(F.broadcast(t))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.round(
+                (-F.sum(term)).cast("double") / F.count(F.lit(1)), 6
+            ).alias("bits_per_token"),
+        )
+    )

@@ -2338,6 +2338,32 @@ def q71_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.source_overlap_matrix(docs, group_col="source")
 
 
+@query(
+    "q72_unigram_logprob",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+    ),
+    f AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    t AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM f),
+    s AS (SELECT toks.doc_id, f.c FROM toks JOIN f USING (tok))
+    SELECT doc_id, COUNT(*) AS n_tok,
+           round(CAST(-SUM(CAST(ln(CAST(c AS DOUBLE) / t.total) / {LN2!r}
+                                AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*), 6)
+             AS bits_per_token
+    FROM s, t GROUP BY doc_id
+    """,
+)
+def q72_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality filter (textops.unigram_logprob_scores):
+    per-doc unigram cross-entropy in bits/token under the corpus's own
+    token distribution — the CCNet-style LM-filter signal. Vocab-sized
+    frequency table broadcast onto the token stream; DECIMAL-exact
+    per-doc reduction."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.unigram_logprob_scores(docs, ln2=LN2)
+
+
 # =====================================================================
 # Driver export order
 # =====================================================================
@@ -2382,6 +2408,7 @@ POST_WINDOW: list[str] = [
     "q69_curation_funnel",
     "q70_epoch_shuffle",
     "q71_source_leakage",
+    "q72_unigram_logprob",
 ]
 
 

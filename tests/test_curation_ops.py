@@ -264,3 +264,20 @@ def test_source_overlap_matrix_planted(spark):
     out = {(r.src_a, r.src_b): r.n_shared_chunks
            for r in dedup.source_overlap_matrix(df).collect()}
     assert out == {("A", "B"): 1}
+
+
+# --------------------------------------------------- unigram logprob
+
+def test_unigram_logprob_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, "a a"), (2, "a b")], "doc_id long, text string"
+    )
+    # corpus: a×3, b×1, T=4 → p(a)=0.75, p(b)=0.25
+    out = {r.doc_id: r for r in textops.unigram_logprob_scores(df).collect()}
+    assert out[1].n_tok == 2
+    assert out[1].bits_per_token == pytest.approx(-math.log2(0.75), abs=1e-6)
+    assert out[2].bits_per_token == pytest.approx(
+        (-math.log2(0.75) - math.log2(0.25)) / 2, abs=1e-6
+    )
+    # rarer-token doc scores strictly higher (the filter's ordering)
+    assert out[2].bits_per_token > out[1].bits_per_token

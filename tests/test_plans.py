@@ -225,3 +225,46 @@ def test_training_pipeline_single_rollup(spark):
     plan = plan_of(spark, "q48_training_data_pipeline")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial_count" in plan or "partial_sum" in plan  # map-side combine
+
+
+def test_stratified_sample_is_shuffle_free(spark):
+    """q61: the training-mix cut is a pure scan-stage filter — any
+    Exchange here would mean the sampler shuffles 100 TB to drop rows."""
+    plan = plan_of(spark, "q61_stratified_sample")
+    assert "Exchange" not in plan
+
+
+def test_domain_mixing_is_map_side(spark):
+    """q66: fractional upsampling fans out via explode in the scan
+    stage — no shuffle, no join against a weights table."""
+    plan = plan_of(spark, "q66_domain_mixing")
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_sequence_packing_single_shard_shuffle(spark):
+    """q67: exactly one Exchange (the shard partitioning) feeding the
+    Arrow-batched pandas group — the packing recurrence must never
+    trigger a second shuffle or a global sort."""
+    plan = plan_of(spark, "q67_sequence_packing")
+    assert plan.count("Exchange") == 1
+    assert "FlatMapGroupsInPandas" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_quantization_dims_join_is_broadcast(spark):
+    """q68: the per-dim min/max table (embedding-width rows) must join
+    back broadcast — a shuffle join keyed by pos would repartition the
+    whole corpus by a 64-value key (extreme skew at scale)."""
+    plan = plan_of(spark, "q68_embedding_quantization")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_unigram_logprob_freq_join_is_broadcast(spark):
+    """q72: the vocab-sized frequency table broadcasts onto the token
+    stream; shuffling the token stream by token would be a corpus-sized
+    exchange on a skewed key (stopwords)."""
+    plan = plan_of(spark, "q72_unigram_logprob")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
