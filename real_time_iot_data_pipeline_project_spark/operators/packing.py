@@ -90,3 +90,38 @@ def packing_stats(packed: DataFrame, tokens_col: str, capacity: int,
             F.round(F.col("fill_tokens").cast("double") / F.lit(float(capacity)), 6),
         )
     )
+
+
+def split_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                    window_tokens: int = 64, stride: int = 48):
+    """Split long documents into stride-overlapped context windows — the
+    long-doc complement to pack_sequences (short docs pack, long docs
+    split): window i covers tokens [i*stride, i*stride + window_tokens);
+    stride < window overlaps consecutive windows so no span is lost at a
+    boundary. Window count = 1 if n <= window else ceil((n-window)/stride)+1
+    (the last window always reaches the final token).
+
+    Pure map-side array transform + explode — no UDF, no shuffle; output
+    is (id, win_idx, n_win_tokens, window_fp=md5(window text))."""
+    from ..functions import textfns
+
+    win, st = int(window_tokens), int(stride)
+    if st <= 0 or st > win:
+        raise ValueError(f"need 0 < stride <= window_tokens, got {st} > {win}")
+    toks = textfns.whitespace_tokens(text_col)
+    n = F.size(toks)
+    n_win = (
+        F.when(n <= win, F.lit(1).cast("long"))
+        .otherwise(F.ceil((n - win) / F.lit(float(st))) + 1)
+    )
+    windows = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_win - 1),
+        lambda i: F.array_join(F.slice(toks, i * st + 1, win), " "),
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(windows).alias("win_idx", "window_text")
+    ).select(
+        id_col, "win_idx",
+        F.size(F.split("window_text", " ")).alias("n_win_tokens"),
+        F.md5("window_text").alias("window_fp"),
+    )

@@ -2364,6 +2364,41 @@ def q72_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.unigram_logprob_scores(docs, ln2=LN2)
 
 
+@query(
+    "q73_context_windows",
+    f"""
+    WITH d AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ts FROM documents),
+    w AS (
+      SELECT doc_id, ts,
+             unnest(range(0, CAST(CASE WHEN len(ts) <= 64 THEN 1
+                                       ELSE ceil((len(ts) - 64) / 48.0) + 1 END
+                                  AS BIGINT))) AS win_idx
+      FROM d
+    ),
+    s AS (
+      SELECT doc_id, win_idx,
+             array_to_string(list_slice(ts, CAST(win_idx * 48 + 1 AS INTEGER),
+                                        CAST(win_idx * 48 + 64 AS INTEGER)), ' ') AS wt
+      FROM w
+    )
+    SELECT doc_id, win_idx,
+           len(string_split(wt, ' ')) AS n_win_tokens,
+           md5(wt) AS window_fp
+    FROM s
+    """,
+)
+def q73_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride-overlapped context-window splitting
+    (packing.split_documents, 64-token windows / 48-token stride): the
+    long-doc half of sample construction — overlap guarantees no token
+    span is lost at a window boundary. Map-side transform+explode, zero
+    shuffles."""
+    from .operators import packing
+
+    docs = _t(spark, sf_dir, "documents")
+    return packing.split_documents(docs, window_tokens=64, stride=48)
+
+
 # =====================================================================
 # Driver export order
 # =====================================================================
@@ -2409,6 +2444,7 @@ POST_WINDOW: list[str] = [
     "q70_epoch_shuffle",
     "q71_source_leakage",
     "q72_unigram_logprob",
+    "q73_context_windows",
 ]
 
 

@@ -281,3 +281,41 @@ def test_unigram_logprob_hand_computed(spark):
     )
     # rarer-token doc scores strictly higher (the filter's ordering)
     assert out[2].bits_per_token > out[1].bits_per_token
+
+
+# ---------------------------------------------------- context windows
+
+def test_split_documents_windows_and_overlap(spark):
+    toks = [f"t{i}" for i in range(100)]
+    df = spark.createDataFrame([(1, " ".join(toks)), (2, "a b c")],
+                               "doc_id long, text string")
+    out = packing.split_documents(df, window_tokens=64, stride=48).collect()
+    d1 = sorted((r.win_idx, r.n_win_tokens) for r in out if r.doc_id == 1)
+    # n=100: windows at 0..63 and 48..99 -> sizes 64 and 52
+    assert d1 == [(0, 64), (1, 52)]
+    w1 = {r.win_idx: r.window_fp for r in out if r.doc_id == 1}
+    assert w1[0] == hashlib.md5(" ".join(toks[0:64]).encode()).hexdigest()
+    assert w1[1] == hashlib.md5(" ".join(toks[48:100]).encode()).hexdigest()
+    # short doc: exactly one whole-doc window
+    d2 = [r for r in out if r.doc_id == 2]
+    assert len(d2) == 1 and d2[0].n_win_tokens == 3
+
+
+def test_split_documents_full_coverage_property(spark):
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(n)))
+         for i, n in enumerate([1, 48, 64, 65, 112, 113, 300])],
+        "doc_id long, text string",
+    )
+    out = packing.split_documents(df, window_tokens=64, stride=48).collect()
+    per_doc: dict[int, list] = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    lengths = [1, 48, 64, 65, 112, 113, 300]
+    for i, n in enumerate(lengths):
+        rows = per_doc[i]
+        expect_nw = 1 if n <= 64 else math.ceil((n - 64) / 48) + 1
+        assert len(rows) == expect_nw, (n, len(rows))
+        # last window reaches the final token
+        last = max(rows, key=lambda r: r.win_idx)
+        assert (last.win_idx * 48) + last.n_win_tokens == n
