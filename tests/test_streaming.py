@@ -318,3 +318,64 @@ def test_alert_stream(spark, tmp_path):
     alerts = spark.sql("SELECT station_id FROM alerts").collect()
     # S1: low power + positive irradiance → alert; S2 power ok; S3 irr=0 (night) → no alert
     assert [r.station_id for r in alerts] == ["S1"]
+
+
+# ---------------------------------------------------- streaming curation
+
+def test_streaming_curation_dedup_and_annotation(spark, tmp_path):
+    """File-source doc stream → watermarked fingerprint dedup →
+    batch-identical annotation → partitioned parquet; replay is a
+    no-op (exactly-once)."""
+    import json as _json
+
+    from real_time_iot_data_pipeline_project_spark.functions import textfns
+    from real_time_iot_data_pipeline_project_spark.streaming import curation
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    rows1 = [
+        {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog " * 4,
+         "lang": "en", "source": "s1", "event_time": "2026-01-01T10:00:00"},
+        {"doc_id": 2, "text": "the quick brown fox jumps over the lazy dog " * 4,
+         "lang": "en", "source": "s2", "event_time": "2026-01-01T10:01:00"},  # dup text
+        {"doc_id": 3, "text": "xq zt vv",  # low quality -> filtered
+         "lang": "en", "source": "s1", "event_time": "2026-01-01T10:02:00"},
+    ]
+    rows2 = [
+        {"doc_id": 4, "text": "a genuinely different document that is about the "
+         "weather and it is quite long for the test " * 3,
+         "lang": "en", "source": "s3", "event_time": "2026-01-01T10:05:00"},
+    ]
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in rows1))
+    (src / "b2.json").write_text("\n".join(_json.dumps(r) for r in rows2))
+
+    sink = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    stream = curation.read_doc_stream(spark, str(src))
+    q = curation.start_corpus_sink(
+        curation.curate_stream(stream), sink, ckpt, available_now=True
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(sink)
+    kept = {r.doc_id: r for r in out.collect()}
+    # duplicate text deduped (first arrival wins), low-quality filtered
+    assert set(kept) == {1, 4}
+    # annotation identical to the batch expressions
+    batch = spark.createDataFrame(
+        [(1, rows1[0]["text"])], "doc_id long, text string"
+    ).select(
+        textfns.quality_score("text").alias("q"),
+        textfns.detect_language("text").alias("lang"),
+    ).collect()[0]
+    assert kept[1].q == batch.q and kept[1].detected_lang == batch.lang
+    # partitioned layout for pruning
+    assert (tmp_path / "corpus" / "ingest_date=2026-01-01").exists()
+
+    # replay from the same checkpoint: exactly-once, nothing re-appended
+    q2 = curation.start_corpus_sink(
+        curation.curate_stream(curation.read_doc_stream(spark, str(src))),
+        sink, ckpt, available_now=True,
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == 2
