@@ -94,11 +94,19 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
 
     Scale: winnowing is per-doc LOCAL, so the whole computation runs
     map-side as array higher-order functions over each doc row — no
-    explode of char positions, no per-doc window sort, no distinct
-    shuffle (measured 2.5-4× faster than the explode+Window rewrite it
-    replaced, and the output plan has ZERO Exchanges). Per-row transient
-    state is one long per character — fine for documents; re-chunk
-    multi-MB blobs upstream first."""
+    explode of char positions through a per-doc window sort (a shuffle
+    ~24× the corpus size), no distinct shuffle. Per-row transient state
+    is one long per character — fine for documents; re-chunk multi-MB
+    blobs upstream first.
+
+    Parallelism guard: map-side-only plans inherit the SOURCE's split
+    count. A small local file is one parquet row group = ONE task doing
+    all the hashing — and, worse, a downstream broadcast self-join then
+    runs its quadratic pair stage at that same parallelism (measured
+    88 s vs 4 s on the overlap-pairs query). When the input has fewer
+    partitions than the cluster's parallelism, repartition first: a
+    doc-sized shuffle (tiny next to the old position-level one), and a
+    no-op at real scale where scans carry thousands of splits."""
     norm = textfns.normalize_text(text_col)
     hashes = F.transform(
         F.sequence(F.lit(1), F.length("__n") - (k - 1)),
@@ -113,10 +121,12 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
             lambda j: F.array_min(F.slice(F.col("__h"), j, window)),
         )
     )
+    base = df.select(F.col(id_col), norm.alias("__n")).filter(F.length("__n") >= k)
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < target:
+        base = base.repartition(target)
     return (
-        df.select(F.col(id_col), norm.alias("__n"))
-        .filter(F.length("__n") >= k)
-        .select(id_col, hashes.alias("__h"))
+        base.select(id_col, hashes.alias("__h"))
         .select(id_col, F.explode(mins).alias("fingerprint"))
     )
 

@@ -2399,6 +2399,46 @@ def q73_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.split_documents(docs, window_tokens=64, stride=48)
 
 
+@query(
+    "q74_packing_report",
+    f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, {_bucket_sql('shard', 8)} AS shard,
+             CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ), o AS (
+      SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM base
+    ), pack AS (
+      SELECT shard, rn, doc_id, n_tok, CAST(0 AS BIGINT) AS bin_id, n_tok AS fill
+      FROM o WHERE rn = 1
+      UNION ALL
+      SELECT o.shard, o.rn, o.doc_id, o.n_tok,
+             CASE WHEN p.fill + o.n_tok > 128 THEN p.bin_id + 1 ELSE p.bin_id END,
+             CASE WHEN p.fill + o.n_tok > 128 THEN o.n_tok ELSE p.fill + o.n_tok END
+      FROM pack p JOIN o ON o.shard = p.shard AND o.rn = p.rn + 1
+    )
+    SELECT shard, bin_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS fill_tokens,
+           round(CAST(SUM(n_tok) AS DOUBLE) / 128.0, 6) AS fill_ratio
+    FROM pack GROUP BY shard, bin_id
+    """,
+)
+def q74_packing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit (packing.packing_stats over q67's
+    assignment): docs per bin, token fill, fill ratio — the wasted-pad
+    dashboard a packing run publishes. One combinable rollup on top of
+    the packing output."""
+    from .operators import packing, sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", textfns.token_count("text").cast("long").alias("n_tok"))
+    packed = packing.pack_sequences(
+        sampling.shard_assign(base, key="doc_id", n_shards=8),
+        tokens_col="n_tok", capacity=128,
+    )
+    return packing.packing_stats(packed, "n_tok", 128)
+
+
 # =====================================================================
 # Driver export order
 # =====================================================================
@@ -2445,6 +2485,7 @@ POST_WINDOW: list[str] = [
     "q71_source_leakage",
     "q72_unigram_logprob",
     "q73_context_windows",
+    "q74_packing_report",
 ]
 
 
