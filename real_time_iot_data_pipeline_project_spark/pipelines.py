@@ -88,24 +88,75 @@ def _wind_class_col():
     return physics.wind_class("wind_speed_mps")
 
 
+def curate_corpus(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str | None = None,
+    min_quality: float = 0.45,
+    langs: tuple[str, ...] = ("en",),
+    show_funnel: bool = False,
+) -> DataFrame:
+    """Entry point D — the batch training-data curation pipeline as a
+    runnable job (the registry q48/q69 chain): exact dedup → quality and
+    language annotation → filter → parquet partitioned by detected
+    language. One dedup shuffle + scan-stage scoring; the funnel report
+    is one extra rollup over the same scored frame."""
+    from .functions import textfns
+    from .operators import dedup
+
+    docs = spark.read.parquet(input_path)
+    kept = dedup.exact_dedup(docs)
+    scored = (
+        kept.withColumn("q", textfns.quality_score("text"))
+        .withColumn("detected_lang", textfns.detect_language("text"))
+        .withColumn("n_tok", textfns.token_count("text"))
+    )
+    final = scored.filter(
+        (F.col("q") >= min_quality) & F.col("detected_lang").isin(*langs)
+    )
+    if show_funnel:
+        passed = F.col("q") >= min_quality
+        kept_ = passed & F.col("detected_lang").isin(*langs)
+        scored.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_unique"),
+            F.sum(passed.cast("long")).alias("n_quality"),
+            F.sum(kept_.cast("long")).alias("n_final"),
+            F.sum(F.when(kept_, F.col("n_tok")).otherwise(F.lit(0))).alias("tokens_final"),
+        ).orderBy("source").show(50, truncate=False)
+    if output_path:
+        final.write.mode("overwrite").partitionBy("detected_lang").parquet(output_path)
+    return final
+
+
 def main(argv: list[str] | None = None) -> None:
     """CLI mirroring Wind_Processing.py:113-128."""
     from .session import get_spark
 
     p = argparse.ArgumentParser(description="batch consume-and-process pipeline")
-    p.add_argument("domain", choices=["solar", "wind"])
+    p.add_argument("domain", choices=["solar", "wind", "curate"])
     p.add_argument("input_path")
     p.add_argument("--output", default=None)
     p.add_argument("--format", choices=["csv", "parquet"], default="parquet")
     p.add_argument("--max-messages", type=int, default=None)
     p.add_argument("--show-details", action="store_true")
+    p.add_argument("--min-quality", type=float, default=0.45)
+    p.add_argument("--langs", default="en",
+                   help="comma-separated language allowlist (curate domain)")
     args = p.parse_args(argv)
     spark = get_spark(app_name=f"{args.domain}-processing")
-    out = consume_and_process(
-        spark, args.domain, args.input_path, args.output,
-        max_messages=args.max_messages, output_format=args.format,
-        show_details=args.show_details,
-    )
+    if args.domain == "curate":
+        out = curate_corpus(
+            spark, args.input_path, args.output,
+            min_quality=args.min_quality,
+            langs=tuple(args.langs.split(",")),
+            show_funnel=args.show_details,
+        )
+    else:
+        out = consume_and_process(
+            spark, args.domain, args.input_path, args.output,
+            max_messages=args.max_messages, output_format=args.format,
+            show_details=args.show_details,
+        )
     print(f"processed rows: {out.count()}")
 
 

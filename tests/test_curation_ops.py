@@ -319,3 +319,24 @@ def test_split_documents_full_coverage_property(spark):
         # last window reaches the final token
         last = max(rows, key=lambda r: r.win_idx)
         assert (last.win_idx * 48) + last.n_win_tokens == n
+
+
+# ------------------------------------------------------------ curate CLI
+
+def test_curate_corpus_cli_pipeline(spark, tmp_path):
+    from real_time_iot_data_pipeline_project_spark import pipelines
+    from real_time_iot_data_pipeline_project_spark.operators import dedup as dd
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out_dir = str(tmp_path / "curated")
+    final = pipelines.curate_corpus(spark, src, out_dir)
+    rows = spark.read.parquet(out_dir).collect()
+    assert len(rows) == final.count() and len(rows) > 0
+    # every surviving row satisfies the gate
+    assert all(r.q >= 0.45 and r.detected_lang == "en" for r in rows)
+    # survivors are a subset of the exact-dedup winners
+    docs = spark.read.parquet(src)
+    winners = {r.doc_id for r in dd.exact_dedup(docs).select("doc_id").collect()}
+    assert {r.doc_id for r in rows} <= winners
+    # partitioned layout by detected language
+    assert (tmp_path / "curated" / "detected_lang=en").exists()
