@@ -350,6 +350,8 @@ def chunk_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     (uniform, md5) carrying (id, idx, chunk) — the chunk payload is
     bounded at ``chunk_tokens`` tokens, so the shuffle width is fixed;
     reassembly is one shuffle back on doc_id."""
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
     flat = doc_chunks(df, text_col, id_col, chunk_tokens).withColumn(
         "ch", F.md5("chunk")
     )

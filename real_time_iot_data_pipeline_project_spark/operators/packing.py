@@ -42,6 +42,8 @@ def pack_sequences(
     bin never exceeds ``capacity`` unless the bin holds a single
     over-long doc.
     """
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
     slim = df.select(shard_col, order_col, tokens_col)
     schema = ", ".join(
         [

@@ -32,6 +32,8 @@ def sample_bucket(key: Column, salt: str, buckets: int = 100) -> Column:
     nested (rate 10 ⊂ rate 20 ⊂ …), which is exactly what you want for
     growing / shrinking a training mix without churn.
     """
+    if buckets <= 0:
+        raise ValueError(f"buckets must be positive, got {buckets}")
     return portable_hash60(F.concat(F.lit(salt + "|"), key.cast("string"))) % buckets
 
 
@@ -95,7 +97,14 @@ def upsample_by_weight(
     Scale shape: ``explode`` fans out map-side (no shuffle); weights live
     in a CASE expression, not a join. Rows with 0 copies vanish via
     exploding an empty array.
+
+    Weight resolution is 1% (the fractional part is decided over 100
+    hash buckets): 2.5 and 2.505 behave identically. Weights must be
+    >= 0.
     """
+    bad = {k: v for k, v in {**weights, "__default__": default_weight}.items() if v < 0}
+    if bad:
+        raise ValueError(f"weights must be >= 0, got {bad}")
     w = F.lit(float(default_weight))
     for value, weight in sorted(weights.items()):
         w = F.when(F.col(stratum) == value, F.lit(float(weight))).otherwise(w)

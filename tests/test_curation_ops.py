@@ -340,3 +340,22 @@ def test_curate_corpus_cli_pipeline(spark, tmp_path):
     assert {r.doc_id for r in rows} <= winners
     # partitioned layout by detected language
     assert (tmp_path / "curated" / "detected_lang=en").exists()
+
+
+# ------------------------------------------------------------ input guards
+
+def test_operator_input_guards(spark):
+    df = spark.createDataFrame([(1, "en", "a b")], "k long, lang string, text string")
+    with pytest.raises(ValueError, match="weights"):
+        sampling.upsample_by_weight(df, "k", "lang", {"en": -0.5})
+    with pytest.raises(ValueError, match="buckets"):
+        sampling.shard_assign(df, "k", 0)
+    with pytest.raises(ValueError, match="capacity"):
+        packing.pack_sequences(
+            df.withColumn("shard", F.lit(0)).withColumn("n_tok", F.lit(1)),
+            tokens_col="n_tok", capacity=0,
+        )
+    with pytest.raises(ValueError, match="stride"):
+        packing.split_documents(df, window_tokens=8, stride=9)
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        dedup.chunk_dedup(df.withColumnRenamed("k", "doc_id"), chunk_tokens=0)
