@@ -408,3 +408,26 @@ def source_overlap_matrix(df: DataFrame, group_col: str = "source",
         .groupBy(F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b"))
         .agg(F.countDistinct(F.col("a.ch")).alias("n_shared_chunks"))
     )
+
+
+def dedup_against(new_docs: DataFrame, base_docs: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Incremental exact dedup: drop every NEW doc whose normalized-text
+    fingerprint already exists in the BASE corpus (the daily-increment
+    shape — dedup the crawl drop against the trillion-token store, never
+    re-dedup the store itself). Also dedups within the increment
+    (min-id winner), so the result is safe to append.
+
+    Scale shape: the base side reduces to DISTINCT fingerprints before
+    the anti-join — at a real store, keep that fingerprint table
+    materialized/bucketed and each increment costs one join against it,
+    shuffled by the uniform md5 key. For NEAR-dup increments, run
+    minhash_lsh_candidates over (increment ∪ base-signatures) instead —
+    the banded index composes the same way."""
+    base_fps = base_docs.select(
+        textfns.fingerprint(text_col).alias("fp")
+    ).distinct()
+    new_fp = new_docs.withColumn("fp", textfns.fingerprint(text_col))
+    fresh = new_fp.join(base_fps, "fp", "left_anti")
+    keep = fresh.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    return fresh.join(keep, [id_col, "fp"], "left_semi").drop("fp")

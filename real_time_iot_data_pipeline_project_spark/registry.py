@@ -2439,6 +2439,49 @@ def q74_packing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.packing_stats(packed, "n_tok", 128)
 
 
+@query(
+    "q75_incremental_dedup",
+    f"""
+    WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+    inc AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+    ),
+    basefp AS (SELECT DISTINCT md5({_NORM_SQL}) AS fp FROM base),
+    newfp AS (SELECT doc_id, md5({_NORM_SQL}) AS fp FROM inc),
+    fresh AS (
+      SELECT n.doc_id, n.fp FROM newfp n
+      WHERE NOT EXISTS (SELECT 1 FROM basefp b WHERE b.fp = n.fp)
+    ),
+    keep AS (SELECT fp, min(doc_id) AS doc_id FROM fresh GROUP BY fp)
+    SELECT f.doc_id, f.fp AS fingerprint
+    FROM fresh f JOIN keep k ON k.fp = f.fp AND k.doc_id = f.doc_id
+    """,
+)
+def q75_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-corpus dedup (dedup.dedup_against): the
+    daily-increment shape — dedup a crawl drop against the existing
+    store's fingerprint set (anti-join), then within itself (min-id),
+    without ever re-deduping the store. The corpus has no organic exact
+    dups, so the query PLANTS them: base = odd-id docs; increment =
+    even-id docs plus id-shifted copies of every doc_id % 3 == 0 doc —
+    shifted odds collide with base (dropped), shifted evens collide
+    within the increment (min-id winner), the rest append."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    base = docs.filter(did % 2 == 1).select("doc_id", "text")
+    inc = (
+        docs.filter(did % 2 == 0).select("doc_id", "text")
+        .unionByName(
+            docs.filter(did % 3 == 0)
+            .select((did + 100000).alias("doc_id"), "text")
+        )
+    )
+    out = dedup.dedup_against(inc, base)
+    return out.select("doc_id", textfns.fingerprint("text").alias("fingerprint"))
+
+
 # =====================================================================
 # Driver export order
 # =====================================================================
@@ -2486,7 +2529,24 @@ POST_WINDOW: list[str] = [
     "q72_unigram_logprob",
     "q73_context_windows",
     "q74_packing_report",
+    "q75_incremental_dedup",
 ]
+
+
+TABLES = ("region nation customer supplier part orders lineitem "
+          "events documents embeddings").split()
+
+
+def attach_views(spark: SparkSession, sf_dir: str) -> None:
+    """Pure-SQL surface: register every base table AND every registry
+    query as a temp view, so users can ``spark.sql`` against the whole
+    engine — ``SELECT * FROM q48_training_data_pipeline`` or join query
+    views with base tables — with the exact operator plans (broadcasts,
+    plan shapes, determinism rules) baked in."""
+    for t in TABLES:
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    for name, fn in QUERIES.items():
+        fn(spark, sf_dir).createOrReplaceTempView(name)
 
 
 def export_order() -> list[str]:

@@ -359,3 +359,56 @@ def test_operator_input_guards(spark):
         packing.split_documents(df, window_tokens=8, stride=9)
     with pytest.raises(ValueError, match="chunk_tokens"):
         dedup.chunk_dedup(df.withColumnRenamed("k", "doc_id"), chunk_tokens=0)
+
+
+# ------------------------------------------------- incremental dedup
+
+def test_dedup_against_semantics(spark):
+    base = spark.createDataFrame(
+        [(1, "alpha beta"), (3, "gamma delta")], "doc_id long, text string"
+    )
+    inc = spark.createDataFrame(
+        [
+            (10, "alpha  BETA "),   # normalizes to base doc 1 -> dropped
+            (11, "fresh text one"),
+            (12, "fresh text two"),
+            (13, "fresh text one"),  # within-increment dup -> min id 11 wins
+        ],
+        "doc_id long, text string",
+    )
+    out = sorted(r.doc_id for r in dedup.dedup_against(inc, base).collect())
+    assert out == [11, 12]
+
+
+# --------------------------------------------------------- SQL surface
+
+def test_attach_views_sql_surface(spark):
+    from real_time_iot_data_pipeline_project_spark import registry
+
+    registry.attach_views(spark, "/root/testdata/sf0.001")
+    n = spark.sql("SELECT count(*) AS n FROM q48_training_data_pipeline").collect()[0].n
+    assert n > 0
+    joined = spark.sql("""
+        SELECT d.source, f.n_final
+        FROM q69_curation_funnel f JOIN documents d ON d.source = f.source
+        LIMIT 5
+    """).collect()
+    assert len(joined) == 5
+
+
+# ------------------------------------------- packing property (hypothesis)
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=200), min_size=1, max_size=40),
+       st.integers(min_value=16, max_value=160))
+def test_pack_sequences_property(spark, tokens, cap):
+    rows = [(0, i, t) for i, t in enumerate(tokens)]
+    df = spark.createDataFrame(rows, "shard long, doc_id long, n_tok long")
+    got = {r.doc_id: r.bin_id
+           for r in packing.pack_sequences(df, tokens_col="n_tok",
+                                           capacity=cap).collect()}
+    assert [got[i] for i in range(len(tokens))] == _greedy(tokens, cap)
