@@ -1702,7 +1702,7 @@ def q50_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cluster_sql(threshold: float = 0.75) -> str:
+def _cluster_ctes(threshold: float = 0.75) -> str:
     ctes, pair_select = _lsh_parts()
     return f"""
     WITH RECURSIVE {ctes},
@@ -1716,9 +1716,13 @@ def _cluster_sql(threshold: float = 0.75) -> str:
       SELECT doc_id AS id, doc_id AS r FROM documents
       UNION
       SELECT e.b AS id, reach.r FROM reach JOIN edges e ON e.a = reach.id
-    )
-    SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+    ),
+    comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
     """
+
+
+def _cluster_sql(threshold: float = 0.75) -> str:
+    return _cluster_ctes(threshold) + "SELECT doc_id, cluster_id FROM comp"
 
 
 @query("q53_dedup_clusters", _cluster_sql())
@@ -2482,6 +2486,44 @@ def q75_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", textfns.fingerprint("text").alias("fingerprint"))
 
 
+@query(
+    "q76_near_dedup_corpus",
+    _cluster_ctes() + f"""
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN c.cluster_id = c.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_survivors,
+           CAST(SUM(CASE WHEN c.cluster_id = c.doc_id
+                         THEN len(string_split({_NORM_SQL}, ' ')) ELSE 0 END) AS BIGINT)
+             AS survivor_tokens
+    FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    GROUP BY d.source
+    """,
+)
+def q76_near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup dedup story end-to-end: LSH pairs → connected
+    components → survivor rule (graph.dedup_survivors: keep the doc
+    whose id IS its cluster label) → per-source corpus report. This is
+    the decision layer q53 feeds — what actually gets dropped, and how
+    many tokens survive, per source."""
+    from .operators import graph
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidates(docs).filter(F.col("est_jaccard") >= 0.75)
+    comp = graph.connected_components(docs.select("doc_id"), pairs, id_col="doc_id")
+    surv = F.col("component") == F.col("id")
+    return (
+        comp.join(docs.select("doc_id", "source", textfns.token_count("text").alias("n_tok")),
+                  comp["id"] == F.col("doc_id"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(surv.cast("long")).alias("n_survivors"),
+            F.sum(F.when(surv, F.col("n_tok")).otherwise(F.lit(0))).alias("survivor_tokens"),
+        )
+    )
+
+
 # =====================================================================
 # Driver export order
 # =====================================================================
@@ -2530,6 +2572,7 @@ POST_WINDOW: list[str] = [
     "q73_context_windows",
     "q74_packing_report",
     "q75_incremental_dedup",
+    "q76_near_dedup_corpus",
 ]
 
 
