@@ -139,3 +139,24 @@ def epoch_shuffle(df: DataFrame, key: str, epoch: int,
     sharded = df.withColumn("shard", sample_bucket(F.col(key), esalt + "-shard", n_shards))
     w = Window.partitionBy("shard").orderBy(h.alias("h"), F.col(key))
     return sharded.withColumn("pos", F.row_number().over(w))
+
+
+def assign_split(df: DataFrame, key: str, val_pct: int = 5, test_pct: int = 5,
+                 salt: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment: a ``split`` column from
+    the row's hash bucket (test = [0, test_pct), val = [test_pct,
+    test_pct+val_pct), train = rest). Pure labeling — no shuffle, no
+    filter — so one pass can write all three splits with
+    ``partitionBy("split")``; membership survives re-runs and corpus
+    growth (a doc never migrates between splits as data is added, the
+    property random splits lose)."""
+    if val_pct < 0 or test_pct < 0 or val_pct + test_pct > 100:
+        raise ValueError(f"need val_pct, test_pct >= 0 and sum <= 100, "
+                         f"got {val_pct}, {test_pct}")
+    b = sample_bucket(F.col(key), salt)
+    return df.withColumn(
+        "split",
+        F.when(b < test_pct, F.lit("test"))
+        .when(b < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train")),
+    )

@@ -2524,6 +2524,36 @@ def q76_near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q77_train_val_test",
+    f"""
+    WITH s AS (
+      SELECT lang,
+             CASE WHEN {_bucket_sql('split')} < 5 THEN 'test'
+                  WHEN {_bucket_sql('split')} < 10 THEN 'val'
+                  ELSE 'train' END AS split
+      FROM documents
+    )
+    SELECT split, lang, COUNT(*) AS n_docs
+    FROM s GROUP BY split, lang
+    """,
+)
+def q77_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (sampling.assign_split,
+    90/5/5): pure hash labeling, so docs never migrate between splits
+    as the corpus grows and one pass writes all three via
+    partitionBy(split). Reported as per-(split, lang) counts — the
+    split-balance audit."""
+    from .operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        sampling.assign_split(docs, key="doc_id", val_pct=5, test_pct=5)
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 # =====================================================================
 # Driver export order
 # =====================================================================
@@ -2573,6 +2603,7 @@ POST_WINDOW: list[str] = [
     "q74_packing_report",
     "q75_incremental_dedup",
     "q76_near_dedup_corpus",
+    "q77_train_val_test",
 ]
 
 

@@ -412,3 +412,19 @@ def test_pack_sequences_property(spark, tokens, cap):
            for r in packing.pack_sequences(df, tokens_col="n_tok",
                                            capacity=cap).collect()}
     assert [got[i] for i in range(len(tokens))] == _greedy(tokens, cap)
+
+
+# ------------------------------------------------------ train/val/test
+
+def test_assign_split_stable_under_growth(spark):
+    df1 = spark.range(0, 300).withColumnRenamed("id", "k")
+    df2 = spark.range(0, 600).withColumnRenamed("id", "k")  # corpus grew
+    s1 = {r.k: r.split for r in sampling.assign_split(df1, "k").collect()}
+    s2 = {r.k: r.split for r in sampling.assign_split(df2, "k").collect()}
+    assert all(s2[k] == v for k, v in s1.items())  # no migration on growth
+    assert set(s2.values()) == {"train", "val", "test"}
+    for k, v in s1.items():
+        b = _bucket("split", k)
+        assert v == ("test" if b < 5 else "val" if b < 10 else "train")
+    with pytest.raises(ValueError, match="val_pct"):
+        sampling.assign_split(df1, "k", val_pct=60, test_pct=50)
