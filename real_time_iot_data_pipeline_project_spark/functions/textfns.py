@@ -160,3 +160,15 @@ def redact_pii(text: ColumnOrName) -> Column:
     embedded in a local-part can't be double-redacted."""
     scrubbed = F.regexp_replace(_c(text), EMAIL_RE, "<EMAIL>")
     return F.regexp_replace(scrubbed, PHONE_RE, "<PHONE>")
+
+
+def lang_confidence(text: ColumnOrName) -> Column:
+    """Language-ID confidence: margin between the best and second-best
+    language scores (CCNet-style keep/review signal — a doc whose top
+    two languages score alike is code-mixed or too short to trust).
+    Pure Column arithmetic over the same scores detect_language uses."""
+    scores = language_scores(text)
+    ordered = F.sort_array(
+        F.array(*[scores[k] for k in sorted(scores)]), asc=False
+    )
+    return ordered[0] - ordered[1]

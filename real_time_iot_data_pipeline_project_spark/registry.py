@@ -1876,8 +1876,8 @@ def _quality_expr_sql() -> str:
     )
 
 
-def _lang_pick_sql() -> str:
-    score = {
+def _lang_scores_sql() -> dict[str, str]:
+    return {
         lang: (
             f"(CAST(len(list_filter(string_split({_NORM_SQL}, ' '), "
             f"t -> t IN ({', '.join(repr(w) for w in words)}))) AS DOUBLE)"
@@ -1885,6 +1885,10 @@ def _lang_pick_sql() -> str:
         )
         for lang, words in textfns.LANG_STOPWORDS.items()
     }
+
+
+def _lang_pick_sql() -> str:
+    score = _lang_scores_sql()
     best = "greatest(" + ", ".join(score.values()) + ")"
     picks = " ".join(
         f"WHEN {score[lang]} = {best} THEN '{lang}'" for lang in sorted(score)
@@ -2554,6 +2558,35 @@ def q77_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lang_margin_sql() -> str:
+    ordered = ("list_sort(["
+               + ", ".join(_lang_scores_sql()[k] for k in sorted(textfns.LANG_STOPWORDS))
+               + "], 'DESC')")
+    return f"round({ordered}[1] - {ordered}[2], 9)"
+
+
+@query(
+    "q78_langid_confidence",
+    f"""
+    SELECT doc_id, lang,
+           {_lang_pick_sql()} AS detected_lang,
+           {_lang_margin_sql()} AS margin
+    FROM documents
+    """,
+)
+def q78_langid_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID with a confidence margin (textfns.lang_confidence):
+    best-minus-second-best score — the keep/review threshold signal for
+    code-mixed or too-short docs. Pure scan-stage Column arithmetic;
+    the margin subtraction is exact (identical doubles both engines)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang",
+        textfns.detect_language("text").alias("detected_lang"),
+        F.round(textfns.lang_confidence("text"), 9).alias("margin"),
+    )
+
+
 # =====================================================================
 # Driver export order
 # =====================================================================
@@ -2604,6 +2637,7 @@ POST_WINDOW: list[str] = [
     "q75_incremental_dedup",
     "q76_near_dedup_corpus",
     "q77_train_val_test",
+    "q78_langid_confidence",
 ]
 
 

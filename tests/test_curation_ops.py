@@ -428,3 +428,22 @@ def test_assign_split_stable_under_growth(spark):
         assert v == ("test" if b < 5 else "val" if b < 10 else "train")
     with pytest.raises(ValueError, match="val_pct"):
         sampling.assign_split(df1, "k", val_pct=60, test_pct=50)
+
+
+# ------------------------------------------------- langid confidence
+
+def test_lang_confidence_margin(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the of and the is that it the a for"),  # pure en -> big margin
+            (2, "the der und of die das is la el"),      # code-mixed -> small
+            (3, "zz qq ww"),                             # no stopwords -> 0
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.m
+           for r in df.select("doc_id",
+                              textfns.lang_confidence("text").alias("m")).collect()}
+    assert out[1] > 0.5
+    assert 0 <= out[2] < out[1]
+    assert out[3] == 0.0
