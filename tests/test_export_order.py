@@ -29,7 +29,52 @@ FLAGSHIP = [
     "q49_hopping_window",
     "q44_daytime_flag",
     "q46_winnow_fingerprints",
+    # round-4 promotions: the LLM-curation flagship tier
+    "q64_chunk_dedup",
+    "q67_sequence_packing",
+    "q69_curation_funnel",
+    "q75_incremental_dedup",
+    "q76_near_dedup_corpus",
+    "q77_train_val_test",
 ]
+
+# The exact round-4 official window (VERDICT r3 item 8: pin it so a
+# future registration reshuffle cannot silently eject a flagship from
+# the gate).  Update DELIBERATELY — any diff here is a window-contract
+# change that must be called out in the round notes.
+EXPECTED_WINDOW = [
+    "q01_pricing_summary", "q04_star_join", "q05_dedup_exact_keys",
+    "q06_latest_per_key", "q07_topk", "q08_pivot_align", "q09_lag_delta",
+    "q11_regression", "q13_time_features", "q14_capacity_factor",
+    "q18_null_handling", "q20_wind_physics", "q21_solar_physics",
+    "q22_tumbling_window", "q23_ewma", "q25_corr_matrix",
+    "q26_dwh_datetime_dim", "q27_iot_pipeline", "q28_text_stats",
+    "q29_lang_id", "q30_fingerprint_dedup", "q31_minhash_signatures",
+    "q32_minhash_lsh_pairs", "q33_simhash", "q34_ngram_jaccard_pairs",
+    "q35_binary_stats", "q36_multimodal_features", "q37_cosine_topk",
+    "q38_ivf_topk", "q39_embedding_near_dup", "q40_global_metrics",
+    "q41_retention_interval", "q44_daytime_flag", "q45_quality_score",
+    "q46_winnow_fingerprints", "q57_cube_rollup",
+    "q56_winnow_overlap_pairs", "q47_session_windows",
+    "q49_hopping_window", "q50_salted_join", "q53_dedup_clusters",
+    "q54_tfidf_top_terms", "q52_contamination_screen",
+    "q48_training_data_pipeline", "q64_chunk_dedup",
+    "q67_sequence_packing", "q69_curation_funnel",
+    "q75_incremental_dedup", "q76_near_dedup_corpus",
+    "q77_train_val_test",
+]
+
+# Round-4 deferrals: each subsumed query's operator stays asserted by
+# an in-window survivor (and every deferred oracle still runs in the
+# local gate, tests/test_oracle_parity.py).  deferred -> survivors.
+SUBSUMPTION = {
+    "q02_range_filter": ["q27_iot_pipeline", "q48_training_data_pipeline"],
+    "q03_dim_join": ["q04_star_join"],
+    "q12_histogram": ["q45_quality_score"],   # bin/when-chain + count shape
+    "q15_describe": ["q40_global_metrics"],
+    "q16_distinct_stats": ["q54_tfidf_top_terms"],
+    "q43_time_spine": ["q13_time_features"],
+}
 
 
 def test_flagships_inside_gate_window():
@@ -56,3 +101,21 @@ def test_export_covers_every_registered_query():
 
 def test_deferred_names_exist():
     assert [n for n in registry.DEFERRED if n not in registry.QUERIES] == []
+
+
+def test_window_contract_pinned():
+    """The first 50 exported queries are EXACTLY the pinned round-4
+    window, in order."""
+    order = list(entrymod.queries())
+    assert order[:GATE_WINDOW] == EXPECTED_WINDOW
+
+
+def test_subsumption_mapping_consistent():
+    """Every round-4 deferred twin is actually deferred, and every
+    survivor that carries its operator evidence is inside the window."""
+    window = set(EXPECTED_WINDOW)
+    for deferred, survivors in SUBSUMPTION.items():
+        assert deferred in registry.DEFERRED
+        assert deferred not in window
+        for s in survivors:
+            assert s in window, (deferred, s)
