@@ -49,6 +49,9 @@ HEADLINE = [
     "q53_dedup_clusters",
     "q54_tfidf_top_terms",
     "q56_winnow_overlap_pairs",
+    # the bounded (max_doc_freq) production twin — measured side by side
+    # so the unbounded/bounded delta is visible in every bench record
+    "q79_winnow_overlap_bounded",
     "q57_cube_rollup",
     "q64_chunk_dedup",
     "q67_sequence_packing",

@@ -48,7 +48,8 @@ def screen_probes(docs: DataFrame, probes: DataFrame,
                   probe_text_col: str = "probe_text",
                   probe_id_col: str = "probe_id",
                   k: int = dedup.DEFAULT_SHINGLE_K,
-                  window: int = 4) -> DataFrame:
+                  window: int = 4,
+                  min_parallelism: int | None = None) -> DataFrame:
     """Verified (doc_id, probe_id) contamination hits via
     winnowing-fingerprint intersection + exact contains verify.
 
@@ -65,7 +66,8 @@ def screen_probes(docs: DataFrame, probes: DataFrame,
             f"probes shorter than {min_len} normalized chars void the "
             "winnowing detection guarantee; lengthen them or lower k/window"
         )
-    doc_fps = dedup.winnow_fingerprints(docs, text_col, id_col, k, window)
+    doc_fps = dedup.winnow_fingerprints(docs, text_col, id_col, k, window,
+                                        min_parallelism=min_parallelism)
     probe_fps = dedup.winnow_fingerprints(
         probes, probe_text_col, probe_id_col, k, window
     )

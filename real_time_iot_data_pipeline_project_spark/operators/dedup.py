@@ -79,7 +79,8 @@ def char_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def winnow_fingerprints(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = DEFAULT_SHINGLE_K,
-                        window: int = 4) -> DataFrame:
+                        window: int = 4,
+                        min_parallelism: int | None = None) -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al., the MOSS
     local fingerprinting algorithm): hash every char k-gram, slide a
     ``window`` of consecutive hashes, keep the minimum of each window,
@@ -103,10 +104,15 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     count. A small local file is one parquet row group = ONE task doing
     all the hashing — and, worse, a downstream broadcast self-join then
     runs its quadratic pair stage at that same parallelism (measured
-    88 s vs 4 s on the overlap-pairs query). When the input has fewer
-    partitions than the cluster's parallelism, repartition first: a
-    doc-sized shuffle (tiny next to the old position-level one), and a
-    no-op at real scale where scans carry thousands of splits."""
+    88 s vs 4 s on the overlap-pairs query). Pass ``min_parallelism``
+    (typically ``sparkContext.defaultParallelism``) to repartition the
+    normalized docs to that width before hashing: a doc-sized shuffle
+    (tiny next to the old position-level one). Explicit opt-in so the
+    plan shape is deterministic — it never depends on the host's core
+    count or the input's split count (an earlier auto-detect made plan
+    audits and bench numbers environment-dependent, and paid a
+    DataFrame->RDD planning conversion per call). Leave None at real
+    scale, where scans already carry thousands of splits."""
     norm = textfns.normalize_text(text_col)
     hashes = F.transform(
         F.sequence(F.lit(1), F.length("__n") - (k - 1)),
@@ -122,9 +128,8 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
         )
     )
     base = df.select(F.col(id_col), norm.alias("__n")).filter(F.length("__n") >= k)
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if base.rdd.getNumPartitions() < target:
-        base = base.repartition(target)
+    if min_parallelism is not None:
+        base = base.repartition(min_parallelism)
     return (
         base.select(id_col, hashes.alias("__h"))
         .select(id_col, F.explode(mins).alias("fingerprint"))
@@ -134,7 +139,8 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
 def winnow_overlap_pairs(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id", k: int = DEFAULT_SHINGLE_K,
                          window: int = 4, threshold: float = 0.5,
-                         max_doc_freq: int | None = None) -> DataFrame:
+                         max_doc_freq: int | None = None,
+                         min_parallelism: int | None = None) -> DataFrame:
     """Fuzzy near-dup pairs by winnowed-fingerprint overlap
     (the MOSS similarity measure, complementary to MinHash: robust to
     LOCAL edits because fingerprints are positional window minima, and
@@ -154,7 +160,8 @@ def winnow_overlap_pairs(df: DataFrame, text_col: str = "text",
     # Cache BEFORE the doc-frequency filter: the groupBy branch and the
     # left-semi probe both read the fingerprint set, and without the
     # cache each re-runs the full winnowing scan (per-doc array hashing).
-    fps = winnow_fingerprints(df, text_col, id_col, k, window).cache()
+    fps = winnow_fingerprints(df, text_col, id_col, k, window,
+                              min_parallelism=min_parallelism).cache()
     if max_doc_freq is not None:
         keep = (fps.groupBy("fingerprint")
                 .agg(F.count(F.lit(1)).alias("__df"))
@@ -320,7 +327,12 @@ def doc_chunks(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                chunk_tokens: int = 8, extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """Explode each doc into consecutive ``chunk_tokens``-token chunks:
     (id_col, *extra_cols, cidx, chunk). Map-side array transform — no
-    UDF, no shuffle; the chunk grid for chunk-dedup and leakage ops."""
+    UDF, no shuffle; the chunk grid for chunk-dedup and leakage ops.
+
+    Empty / whitespace-only docs yield ZERO chunks (filtered up front) —
+    otherwise every degenerate doc would share the single chunk '' and
+    chunk-dedup would collapse them all onto one survivor."""
+    df = df.filter(F.length(textfns.normalize_text(text_col)) > 0)
     toks = textfns.whitespace_tokens(text_col)
     n_chunks = F.ceil(F.size(toks) / F.lit(float(chunk_tokens))).cast("int")
     chunks = F.transform(

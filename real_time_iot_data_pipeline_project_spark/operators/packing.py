@@ -26,6 +26,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def pack_sequences(
@@ -41,17 +42,21 @@ def pack_sequences(
     numbered 0.. per shard in first-open order; ``sum(tokens)`` within a
     bin never exceeds ``capacity`` unless the bin holds a single
     over-long doc.
+
+    ``order_col`` must be unique within each shard: it is the walk order
+    of the sequential rule, so ties would make bin assignment depend on
+    the incoming row order (non-deterministic under shuffle). The
+    default (doc_id under a hash shard) is unique by construction.
     """
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
     slim = df.select(shard_col, order_col, tokens_col)
-    schema = ", ".join(
-        [
-            f"{shard_col} {slim.schema[shard_col].dataType.simpleString()}",
-            f"{order_col} {slim.schema[order_col].dataType.simpleString()}",
-            f"{tokens_col} {slim.schema[tokens_col].dataType.simpleString()}",
-            "bin_id bigint",
-        ]
+    # StructType built programmatically (not a DDL string) so column
+    # names containing spaces/hyphens/reserved words survive.
+    schema = T.StructType(
+        [slim.schema[shard_col], slim.schema[order_col],
+         slim.schema[tokens_col],
+         T.StructField("bin_id", T.LongType(), nullable=False)]
     )
     cap = int(capacity)
 
@@ -104,12 +109,18 @@ def split_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     (the last window always reaches the final token).
 
     Pure map-side array transform + explode — no UDF, no shuffle; output
-    is (id, win_idx, n_win_tokens, window_fp=md5(window text))."""
+    is (id, win_idx, n_win_tokens, window_fp=md5(window text)).
+
+    Empty / whitespace-only documents produce ZERO windows (they are
+    filtered before the transform): without the filter, split('', ' ')
+    is [''] and a degenerate doc would emit one empty window counted as
+    1 token, inflating token budgets."""
     from ..functions import textfns
 
     win, st = int(window_tokens), int(stride)
     if st <= 0 or st > win:
         raise ValueError(f"need 0 < stride <= window_tokens, got {st} > {win}")
+    df = df.filter(F.length(textfns.normalize_text(text_col)) > 0)
     toks = textfns.whitespace_tokens(text_col)
     n = F.size(toks)
     n_win = (

@@ -1515,7 +1515,8 @@ def q46_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     MOSS-style local fingerprint set per doc (dedup.winnow_fingerprints),
     rolled up per doc for the oracle compare."""
     docs = _t(spark, sf_dir, "documents")
-    fps = dedup.winnow_fingerprints(docs)
+    fps = dedup.winnow_fingerprints(
+        docs, min_parallelism=spark.sparkContext.defaultParallelism)
     return fps.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_fingerprints"),
         F.min("fingerprint").alias("min_fp"),
@@ -1598,7 +1599,53 @@ def q56_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-char substrings, so overlap measures verbatim shared content
     rather than bag-of-shingles similarity."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.winnow_overlap_pairs(docs, threshold=0.5)
+    return dedup.winnow_overlap_pairs(
+        docs, threshold=0.5,
+        min_parallelism=spark.sparkContext.defaultParallelism)
+
+
+@query(
+    "q79_winnow_overlap_bounded",
+    f"""
+    WITH {_SHINGLE_CTE.replace("sh AS (SELECT doc_id, substr(n, CAST(i AS INTEGER), 5) AS shingle FROM pos)",
+                               "sh AS (SELECT doc_id, i AS pos, " + _hash60_sql("substr(n, CAST(i AS INTEGER), 5)") + " AS h FROM pos)")},
+    wmin AS (
+      SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint
+      FROM sh
+    ),
+    fps0 AS (SELECT DISTINCT doc_id, fingerprint FROM wmin),
+    keepf AS (SELECT fingerprint FROM fps0 GROUP BY fingerprint HAVING COUNT(*) <= 16),
+    fps AS (SELECT f.doc_id, f.fingerprint FROM fps0 f JOIN keepf USING (fingerprint)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM fps GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM fps a JOIN fps b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(c.n_common AS DOUBLE) / least(sa.n, sb.n) AS overlap
+    FROM common c
+    JOIN sizes sa ON sa.doc_id = c.id_a
+    JOIN sizes sb ON sb.doc_id = c.id_b
+    WHERE CAST(c.n_common AS DOUBLE) / least(sa.n, sb.n) >= 0.5
+    """,
+)
+def q79_winnow_overlap_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q56's scale-safe production shape: the SAME overlap-pair query
+    with the ``max_doc_freq`` stop-fingerprint filter engaged (here 16) —
+    fingerprints shared by more docs than that (license headers,
+    templates, any boilerplate) are dropped BEFORE the quadratic
+    inverted-index stage, bounding per-bucket fan-out at 16·15/2 pairs.
+    At 100 TB this is the variant you run; q56 (unbounded) remains for
+    the exact MOSS semantics and the oracle of record. Sizes are
+    computed over the FILTERED fingerprint sets in both engines, so the
+    overlap denominator reflects only discriminative fingerprints."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.winnow_overlap_pairs(
+        docs, threshold=0.5, max_doc_freq=16,
+        min_parallelism=spark.sparkContext.defaultParallelism)
 
 
 @query(
@@ -1854,7 +1901,9 @@ def q52_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     probes = contamination.synthetic_probe_dim(spark, docs)
-    hits = contamination.screen_probes(docs, probes)
+    hits = contamination.screen_probes(
+        docs, probes,
+        min_parallelism=spark.sparkContext.defaultParallelism)
     return (
         hits.join(docs.select("doc_id", "source"), "doc_id")
         .groupBy("doc_id", "source")
@@ -2062,7 +2111,8 @@ def q63_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q64_chunk_dedup",
     f"""
-    WITH d AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ts FROM documents),
+    WITH d AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ts FROM documents
+               WHERE length({_NORM_SQL}) > 0),
     cx AS (
       SELECT doc_id, ts,
              unnest(range(0, CAST(ceil(len(ts) / 8.0) AS BIGINT))) AS cidx
@@ -2318,7 +2368,8 @@ def q70_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q71_source_leakage",
     f"""
-    WITH d AS (SELECT doc_id, source, string_split({_NORM_SQL}, ' ') AS ts FROM documents),
+    WITH d AS (SELECT doc_id, source, string_split({_NORM_SQL}, ' ') AS ts FROM documents
+               WHERE length({_NORM_SQL}) > 0),
     cx AS (
       SELECT doc_id, source, ts,
              unnest(range(0, CAST(ceil(len(ts) / 8.0) AS BIGINT))) AS cidx
@@ -2375,7 +2426,8 @@ def q72_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q73_context_windows",
     f"""
-    WITH d AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ts FROM documents),
+    WITH d AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ts FROM documents
+               WHERE length({_NORM_SQL}) > 0),
     w AS (
       SELECT doc_id, ts,
              unnest(range(0, CAST(CASE WHEN len(ts) <= 64 THEN 1
@@ -2658,6 +2710,9 @@ POST_WINDOW: list[str] = [
     "q73_context_windows",
     "q74_packing_report",
     "q78_langid_confidence",
+    # bounded twin of in-window q56 (the 100 TB production shape; the
+    # unbounded exact-MOSS variant keeps the official row)
+    "q79_winnow_overlap_bounded",
 ]
 
 

@@ -53,22 +53,32 @@ def read_doc_stream(spark, path: str, max_files_per_trigger: int = 1) -> DataFra
 
 
 def curate_stream(docs: DataFrame, watermark: str = "10 minutes",
-                  min_quality: float = 0.45) -> DataFrame:
+                  min_quality: float = 0.45,
+                  langs: tuple[str, ...] | None = None) -> DataFrame:
     """Watermarked fingerprint dedup + batch-identical annotation +
-    quality gate. Returns the annotated keep-stream."""
+    quality gate. Returns the annotated keep-stream.
+
+    ``langs`` mirrors pipelines.curate_corpus: an allowlist of detected
+    languages to keep. Default None keeps every language — the sink is
+    partitioned by detected_lang, so downstream mix-builders can still
+    select languages via partition-pruned reads; pass an explicit tuple
+    to make the stream sink row-identical to the batch pipeline's."""
     fp = textfns.fingerprint("text")
     deduped = (
         docs.withColumn("fingerprint", fp)
         .withWatermark("event_time", watermark)
         .dropDuplicatesWithinWatermark(["fingerprint"])
     )
-    return (
+    out = (
         deduped.withColumn("q", textfns.quality_score("text"))
         .withColumn("detected_lang", textfns.detect_language("text"))
         .withColumn("n_tok", textfns.token_count("text"))
         .withColumn("ingest_date", F.to_date("event_time"))
         .filter(F.col("q") >= min_quality)
     )
+    if langs is not None:
+        out = out.filter(F.col("detected_lang").isin(*langs))
+    return out
 
 
 def start_corpus_sink(curated: DataFrame, path: str, checkpoint: str,

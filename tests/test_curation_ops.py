@@ -151,6 +151,37 @@ def test_chunk_dedup_fully_duplicated_doc(spark):
     assert got[2].kept_fp == hashlib.md5(b"").hexdigest()
 
 
+def test_degenerate_docs_yield_no_chunks_or_windows(spark):
+    """Empty / whitespace-only docs are dropped before chunking and
+    windowing — they must not share a '' chunk (which would collapse
+    them all onto one survivor) or count 1 phantom token per window."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   \t  "), (3, "real tokens here")],
+        "doc_id long, text string",
+    )
+    chunks = dedup.doc_chunks(df, chunk_tokens=8).collect()
+    assert {r.doc_id for r in chunks} == {3}
+    dd = {r.doc_id: r for r in dedup.chunk_dedup(df, chunk_tokens=8).collect()}
+    assert set(dd) == {3}
+    wins = packing.split_documents(df, window_tokens=4, stride=2).collect()
+    assert {r.doc_id for r in wins} == {3}
+    assert all(r.n_win_tokens >= 1 and r.window_fp != hashlib.md5(b"").hexdigest()
+               for r in wins)
+
+
+def test_pack_sequences_awkward_column_names(spark):
+    """Output schema is built as a StructType, not a DDL string — shard/
+    order/tokens columns named with spaces or reserved words work."""
+    rows = [(0, i, 50) for i in range(4)]
+    df = spark.createDataFrame(rows, ["the shard", "order", "token count"])
+    out = packing.pack_sequences(
+        df, tokens_col="token count", capacity=128,
+        shard_col="the shard", order_col="order",
+    )
+    got = {r["order"]: r.bin_id for r in out.collect()}
+    assert got == {0: 0, 1: 0, 2: 1, 3: 1}
+
+
 # -------------------------------------------------------------------- PII
 
 def test_pii_redaction_and_counts(spark):

@@ -184,6 +184,27 @@ def test_winnowing_shared_substring_guarantee(spark):
     assert len(by_doc[1] & by_doc[3]) == 0
 
 
+def test_winnow_min_parallelism_explicit_plan_shape(spark):
+    """The repartition is an explicit opt-in (ADVICE r3): plan shape must
+    not depend on host core count or input split count. None -> map-side
+    only (no Exchange); an int -> exactly one doc-sized Exchange."""
+    from real_time_iot_data_pipeline_project_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(
+        [(i, f"document number {i} with some repeated tokens") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    auto = dd.winnow_fingerprints(df)
+    plan_auto = auto._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan_auto
+    wide = dd.winnow_fingerprints(df, min_parallelism=8)
+    plan_wide = wide._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan_wide
+    # identical fingerprint sets either way
+    assert (sorted(map(tuple, auto.collect()))
+            == sorted(map(tuple, wide.collect())))
+
+
 def test_connected_components_chain_and_isolates(spark):
     """Min-label propagation must cross multi-hop chains (diameter > 1),
     keep isolated nodes as singletons, and pick the min id as label."""

@@ -345,6 +345,10 @@ def test_streaming_curation_dedup_and_annotation(spark, tmp_path):
         {"doc_id": 4, "text": "a genuinely different document that is about the "
          "weather and it is quite long for the test " * 3,
          "lang": "en", "source": "s3", "event_time": "2026-01-01T10:05:00"},
+        # high quality but German -> dropped by the langs allowlist
+        {"doc_id": 5, "text": "der hund und die katze sind in dem haus und "
+         "das wetter ist heute sehr schoen mit der sonne " * 3,
+         "lang": "de", "source": "s3", "event_time": "2026-01-01T10:06:00"},
     ]
     (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in rows1))
     (src / "b2.json").write_text("\n".join(_json.dumps(r) for r in rows2))
@@ -353,13 +357,15 @@ def test_streaming_curation_dedup_and_annotation(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     stream = curation.read_doc_stream(spark, str(src))
     q = curation.start_corpus_sink(
-        curation.curate_stream(stream), sink, ckpt, available_now=True
+        curation.curate_stream(stream, langs=("en",)), sink, ckpt,
+        available_now=True
     )
     q.awaitTermination(120)
 
     out = spark.read.parquet(sink)
     kept = {r.doc_id: r for r in out.collect()}
-    # duplicate text deduped (first arrival wins), low-quality filtered
+    # duplicate text deduped (first arrival wins), low-quality filtered,
+    # non-allowlisted language (doc 5, German) filtered
     assert set(kept) == {1, 4}
     # annotation identical to the batch expressions
     batch = spark.createDataFrame(
@@ -374,7 +380,8 @@ def test_streaming_curation_dedup_and_annotation(spark, tmp_path):
 
     # replay from the same checkpoint: exactly-once, nothing re-appended
     q2 = curation.start_corpus_sink(
-        curation.curate_stream(curation.read_doc_stream(spark, str(src))),
+        curation.curate_stream(curation.read_doc_stream(spark, str(src)),
+                               langs=("en",)),
         sink, ckpt, available_now=True,
     )
     q2.awaitTermination(120)
