@@ -230,6 +230,31 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def _band_rows(sig: DataFrame, id_col: str, num_hashes: int,
+               bands: int) -> DataFrame:
+    """Explode a signature table into (id_col, band_id, band_hash) rows —
+    band_hash = md5 of the band's signature slice (the LSH bucket key)."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_id"),
+                     F.md5(F.concat_ws("|", *[p.cast("string") for p in parts])).alias("band_hash"))
+        )
+    return sig.select(
+        id_col, F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "band.band_id", "band.band_hash")
+
+
+def _est_jaccard(num_hashes: int):
+    """Signature-agreement estimate of Jaccard between a_i / b_i cols."""
+    return sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    ) / F.lit(float(num_hashes))
+
+
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", k: int = DEFAULT_SHINGLE_K,
                            num_hashes: int = DEFAULT_NUM_HASHES,
@@ -238,18 +263,8 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     slice) become candidate pairs. Returns (id_a, id_b, est_jaccard)
     where est_jaccard = fraction of matching signature components —
     the MinHash estimate of true Jaccard."""
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, k, num_hashes).cache()
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band_id"),
-                     F.md5(F.concat_ws("|", *[p.cast("string") for p in parts])).alias("band_hash"))
-        )
-    banded = sig.select(
-        id_col, F.explode(F.array(*band_cols)).alias("band")
-    ).select(id_col, "band.band_id", "band.band_hash")
+    banded = _band_rows(sig, id_col, num_hashes, bands)
     a = banded.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
     b = banded.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
     pairs = (
@@ -261,12 +276,9 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     # estimate jaccard from full signatures for the surviving candidates
     sig_a = sig.select(*([F.col(id_col).alias("id_a")] + [F.col(f"mh_{i}").alias(f"a_{i}") for i in range(num_hashes)]))
     sig_b = sig.select(*([F.col(id_col).alias("id_b")] + [F.col(f"mh_{i}").alias(f"b_{i}") for i in range(num_hashes)]))
-    est = sum(
-        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0) for i in range(num_hashes)
-    ) / F.lit(float(num_hashes))
     return (
         pairs.join(sig_a, "id_a").join(sig_b, "id_b")
-        .withColumn("est_jaccard", est)
+        .withColumn("est_jaccard", _est_jaccard(num_hashes))
         .select("id_a", "id_b", "est_jaccard")
     )
 
@@ -443,3 +455,70 @@ def dedup_against(new_docs: DataFrame, base_docs: DataFrame,
     fresh = new_fp.join(base_fps, "fp", "left_anti")
     keep = fresh.groupBy("fp").agg(F.min(id_col).alias(id_col))
     return fresh.join(keep, [id_col, "fp"], "left_semi").drop("fp")
+
+
+def near_dedup_against(new_docs: DataFrame, base_signatures: DataFrame,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       threshold: float = 0.7,
+                       k: int = DEFAULT_SHINGLE_K,
+                       num_hashes: int = DEFAULT_NUM_HASHES,
+                       bands: int = DEFAULT_BANDS) -> DataFrame:
+    """Incremental NEAR-dup dedup — the fuzzy twin of ``dedup_against``
+    (the composition its docstring promises): drop every new doc whose
+    MinHash signature estimates Jaccard ≥ ``threshold`` against (a) any
+    doc already in the base signature store, or (b) a smaller-id doc in
+    the increment itself. Returns the surviving new docs, columns intact.
+
+    ``base_signatures`` is a MATERIALIZED signature table
+    (id_col, mh_0..mh_{num_hashes-1}) as produced by
+    ``minhash_signatures`` — at a real store you append survivors'
+    signatures per increment and never re-read the corpus text. Pass an
+    empty signature frame for the first increment.
+
+    Within-increment rule: greedy min-id — a doc is dropped if it pairs
+    (est ≥ threshold) with ANY smaller-id increment doc, even one that
+    was itself dropped (transitive boilerplate collapses onto the
+    earliest representative). The batch path (graph.dedup_survivors)
+    resolves the same clusters by connected components; for an
+    increment the greedy rule is one join cheaper and agrees on
+    pair-shaped clusters.
+
+    Scale shape: increment-sized signature computation; candidate
+    generation is the banded bucket join against the store (bounded
+    per-bucket fan-out, same as minhash_lsh_candidates); signature
+    verification joins only candidate ids. The store is only ever
+    probed, never re-deduped."""
+    sig_new = minhash_signatures(new_docs, text_col, id_col, k, num_hashes).cache()
+    bn = _band_rows(sig_new, id_col, num_hashes, bands)
+    bb = _band_rows(base_signatures, id_col, num_hashes, bands)
+
+    new_a = sig_new.select(*([F.col(id_col).alias("id_a")]
+                             + [F.col(f"mh_{i}").alias(f"a_{i}")
+                                for i in range(num_hashes)]))
+    base_b = base_signatures.select(*([F.col(id_col).alias("id_b")]
+                                      + [F.col(f"mh_{i}").alias(f"b_{i}")
+                                         for i in range(num_hashes)]))
+    vs_base = (
+        bn.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
+        .join(bb.select(F.col(id_col).alias("id_b"), "band_id", "band_hash"),
+              ["band_id", "band_hash"])
+        .select("id_a", "id_b").distinct()
+        .join(new_a, "id_a").join(base_b, "id_b")
+        .filter(_est_jaccard(num_hashes) >= threshold)
+        .select("id_a").distinct()
+    )
+    new_b = sig_new.select(*([F.col(id_col).alias("id_b")]
+                             + [F.col(f"mh_{i}").alias(f"b_{i}")
+                                for i in range(num_hashes)]))
+    within = (
+        bn.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
+        .join(bn.select(F.col(id_col).alias("id_b"), "band_id", "band_hash"),
+              ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct()
+        .join(new_a, "id_a").join(new_b, "id_b")
+        .filter(_est_jaccard(num_hashes) >= threshold)
+        .select(F.col("id_b").alias("id_a")).distinct()
+    )
+    dropped = vs_base.union(within).distinct().withColumnRenamed("id_a", id_col)
+    return new_docs.join(dropped, id_col, "left_anti")

@@ -255,6 +255,37 @@ def test_winnow_overlap_max_doc_freq_drops_boilerplate(spark):
     assert (2, 3) not in filt
 
 
+def test_near_dedup_against_increment_semantics(spark):
+    """Fuzzy incremental dedup: new docs near-dup to the signature store
+    OR to a smaller-id increment doc are dropped; fresh docs survive.
+    Greedy rule collapses transitive increment clusters onto nothing
+    (all pair with the smallest id)."""
+    long_a = "the quick brown fox jumps over the lazy dog and then runs far away " * 3
+    base = spark.createDataFrame(
+        [(1, long_a),
+         (2, "an entirely different base document about columnar storage engines")],
+        ["doc_id", "text"])
+    base_sigs = dedup.minhash_signatures(base)
+    edited_a = long_a.replace("lazy dog", "lazy hound")
+    fresh = ("a genuinely novel increment document describing watermark "
+             "semantics in structured streaming with several extra tokens")
+    new = spark.createDataFrame(
+        [(10, edited_a),                      # near-dup of base doc 1
+         (11, fresh),                         # survives
+         (12, fresh + " !"),                  # near-dup of 11 (smaller id wins)
+         (13, fresh + " ?!"),                 # near-dup of 11 AND 12 -> dropped
+         (14, "totally unrelated text mentioning parquet row groups and "
+              "predicate pushdown at scan time")],
+        ["doc_id", "text"])
+    out = dedup.near_dedup_against(new, base_sigs, threshold=0.7)
+    assert {r.doc_id for r in out.collect()} == {11, 14}
+    # empty store: only within-increment dedup applies
+    empty_sigs = dedup.minhash_signatures(
+        spark.createDataFrame([], "doc_id long, text string"))
+    out2 = dedup.near_dedup_against(new, empty_sigs, threshold=0.7)
+    assert {r.doc_id for r in out2.collect()} == {10, 11, 14}
+
+
 def test_contamination_screen_probes_planted_and_clean(spark, docs):
     """Winnowing-intersection screen: every planted probe (verbatim
     substring) must be found; synthetic/no-hit probes must not; result

@@ -386,3 +386,64 @@ def test_streaming_curation_dedup_and_annotation(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(sink).count() == 2
+
+
+def test_streaming_near_dedup_across_batches(spark, tmp_path):
+    """Cross-batch NEAR-dup: a batch-2 one-word edit of a batch-1 doc is
+    dropped by the signature-store probe; oracle = batch LSH over the
+    union of both batches."""
+    import json as _json
+
+    from real_time_iot_data_pipeline_project_spark.operators import dedup
+    from real_time_iot_data_pipeline_project_spark.streaming import curation
+
+    base_text = ("the quick brown fox jumps over the lazy dog and then "
+                 "runs far away into the green hills " * 3)
+    other = ("a clearly different document that talks about the weather "
+             "and the seasons at considerable length for the test " * 2)
+    near_dup = base_text.replace("lazy dog", "lazy hound")
+    fresh = ("another genuinely new document describing checkpointed "
+             "streaming state stores and watermark eviction rules " * 2)
+    rows1 = [
+        {"doc_id": 1, "text": base_text, "lang": "en", "source": "s1",
+         "event_time": "2026-01-01T10:00:00"},
+        {"doc_id": 2, "text": other, "lang": "en", "source": "s1",
+         "event_time": "2026-01-01T10:01:00"},
+    ]
+    rows2 = [
+        {"doc_id": 3, "text": near_dup, "lang": "en", "source": "s2",
+         "event_time": "2026-01-01T10:05:00"},
+        {"doc_id": 4, "text": fresh, "lang": "en", "source": "s2",
+         "event_time": "2026-01-01T10:06:00"},
+    ]
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in rows1))
+    (src / "b2.json").write_text("\n".join(_json.dumps(r) for r in rows2))
+
+    sink = str(tmp_path / "corpus")
+    sig_store = str(tmp_path / "sigs")
+    q = curation.start_near_dedup_corpus_sink(
+        curation.read_doc_stream(spark, str(src)),
+        sink, str(tmp_path / "ckpt"), sig_store,
+        threshold=0.7, available_now=True,
+    )
+    q.awaitTermination(120)
+
+    written = {r.doc_id for r in spark.read.parquet(sink).collect()}
+    assert written == {1, 2, 4}
+
+    # oracle: batch LSH over the union finds exactly the (1, 3) pair
+    union = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows1 + rows2],
+        ["doc_id", "text"])
+    pairs = {(r.id_a, r.id_b)
+             for r in dedup.minhash_lsh_candidates(union).collect()
+             if r.est_jaccard >= 0.7}
+    assert pairs == {(1, 3)}
+    expected_drops = {b for (a, b) in pairs}
+    assert written == {r["doc_id"] for r in rows1 + rows2} - expected_drops
+
+    # the signature store holds exactly the written docs' signatures
+    sigs = spark.read.parquet(sig_store)
+    assert {r.doc_id for r in sigs.select("doc_id").collect()} == written
