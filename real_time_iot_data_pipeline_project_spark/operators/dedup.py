@@ -247,6 +247,17 @@ def _band_rows(sig: DataFrame, id_col: str, num_hashes: int,
     ).select(id_col, "band.band_id", "band.band_hash")
 
 
+def minhash_band_rows(signatures: DataFrame, id_col: str = "doc_id",
+                      num_hashes: int = DEFAULT_NUM_HASHES,
+                      bands: int = DEFAULT_BANDS) -> DataFrame:
+    """Public band-row explode for a materialized signature store:
+    (id_col, band_id, band_hash) rows ready to persist alongside the
+    signatures, so incremental probes (``near_dedup_against``) scan
+    precomputed buckets instead of re-hashing the whole store's
+    signatures every increment."""
+    return _band_rows(signatures, id_col, num_hashes, bands)
+
+
 def _est_jaccard(num_hashes: int):
     """Signature-agreement estimate of Jaccard between a_i / b_i cols."""
     return sum(
@@ -462,7 +473,8 @@ def near_dedup_against(new_docs: DataFrame, base_signatures: DataFrame,
                        threshold: float = 0.7,
                        k: int = DEFAULT_SHINGLE_K,
                        num_hashes: int = DEFAULT_NUM_HASHES,
-                       bands: int = DEFAULT_BANDS) -> DataFrame:
+                       bands: int = DEFAULT_BANDS,
+                       base_band_rows: DataFrame | None = None) -> DataFrame:
     """Incremental NEAR-dup dedup — the fuzzy twin of ``dedup_against``
     (the composition its docstring promises): drop every new doc whose
     MinHash signature estimates Jaccard ≥ ``threshold`` against (a) any
@@ -487,10 +499,23 @@ def near_dedup_against(new_docs: DataFrame, base_signatures: DataFrame,
     generation is the banded bucket join against the store (bounded
     per-bucket fan-out, same as minhash_lsh_candidates); signature
     verification joins only candidate ids. The store is only ever
-    probed, never re-deduped."""
+    probed, never re-deduped. Pass ``base_band_rows`` — the store's
+    MATERIALIZED (id_col, band_id, band_hash) table, see
+    ``minhash_band_rows`` — so the probe scans precomputed buckets; when
+    omitted, band hashes are recomputed over the whole store (fine for a
+    one-off batch call, O(store) per call on a per-trigger hot path).
+
+    Eagerness: the dropped-id set (tiny — at most one id per new doc) is
+    materialized via ``localCheckpoint(eager=True)`` before returning so
+    the increment's cached signatures can be unpersisted immediately —
+    a long-running caller (the streaming sink invokes this every
+    micro-batch) must not accumulate one CacheManager entry per trigger."""
     sig_new = minhash_signatures(new_docs, text_col, id_col, k, num_hashes).cache()
     bn = _band_rows(sig_new, id_col, num_hashes, bands)
-    bb = _band_rows(base_signatures, id_col, num_hashes, bands)
+    bb = (base_band_rows if base_band_rows is not None
+          else _band_rows(base_signatures, id_col, num_hashes, bands))
+    if base_band_rows is not None:
+        bb = bb.select(F.col(id_col), "band_id", "band_hash")
 
     new_a = sig_new.select(*([F.col(id_col).alias("id_a")]
                              + [F.col(f"mh_{i}").alias(f"a_{i}")
@@ -520,5 +545,8 @@ def near_dedup_against(new_docs: DataFrame, base_signatures: DataFrame,
         .filter(_est_jaccard(num_hashes) >= threshold)
         .select(F.col("id_b").alias("id_a")).distinct()
     )
-    dropped = vs_base.union(within).distinct().withColumnRenamed("id_a", id_col)
+    dropped = (vs_base.union(within).distinct()
+               .withColumnRenamed("id_a", id_col)
+               .localCheckpoint(eager=True))
+    sig_new.unpersist()
     return new_docs.join(dropped, id_col, "left_anti")

@@ -2,12 +2,17 @@
 columns with typed metadata (BASELINE.json north-star).
 
 The Spark-side plumbing — schema, Arrow batching via ``mapInPandas``,
-partition-preserving transforms — is real and tested. The actual codec
-work (JPEG decode, audio resample, video frame-sample) is STUBBED: the
-image/audio libraries are not in this container, so ``decode_stub``
-raises ``NotImplementedError`` unless ``fake=True``, in which case it
-produces a deterministic fake feature vector from the bytes (so tests
-and oracles can run end-to-end).
+partition-preserving transforms — is real and tested. Decode tiers:
+
+- ``image_pixel_stats`` is a REAL decode path: PNG payloads are decoded
+  by the pure-stdlib codec (``functions.png``, RFC 2083 subset) inside
+  ``mapInPandas`` and reduced to per-channel pixel statistics — no
+  external image library required.
+- ``extract_features`` keeps the deterministic stub tier for arbitrary
+  codecs (JPEG, audio resample, video frame-sample need libraries not in
+  this container): it raises ``NotImplementedError`` unless ``fake=True``,
+  which produces a deterministic fake feature vector from the bytes (so
+  tests and oracles can run end-to-end).
 
 Scale notes: binary payloads ride the same columnar parquet path as any
 other column; ``mapInPandas`` streams Arrow batches so peak memory is
@@ -100,5 +105,58 @@ def extract_features(df: DataFrame, *, dim: int = 16, fake: bool = False,
                     ],
                 }
             )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+def image_pixel_stats(df: DataFrame, payload_col: str = "payload",
+                      id_col: str = "media_id",
+                      strict: bool = False) -> DataFrame:
+    """REAL image decode → per-channel pixel statistics, no external
+    codec: PNG payloads (8-bit grey/RGB/RGBA, the ``functions.png``
+    subset) are decoded inside ``mapInPandas`` and reduced to
+    (width, height, channels, per-channel mean and std in [0,1]).
+
+    Non-PNG / unsupported payloads yield a null-stats row with the
+    decode error recorded in ``decode_error`` (or raise when
+    ``strict=True``) — at corpus scale a poison payload must not kill
+    the job, and the error column makes the failure rate auditable with
+    one grouped count.
+
+    Scale shape: one Arrow batch of payloads in memory per task; decode
+    is per-row CPU with no shuffle — partition count alone controls
+    parallelism."""
+    from ..functions import png as _png
+
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("channel_mean", T.ArrayType(T.DoubleType())),
+        T.StructField("channel_std", T.ArrayType(T.DoubleType())),
+        T.StructField("decode_error", T.StringType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    w, h, ch, pix = _png.decode_png(bytes(payload))
+                    arr = (np.frombuffer(pix, dtype=np.uint8)
+                           .reshape(-1, ch).astype(np.float64) / 255.0)
+                    rows.append((mid, w, h, ch,
+                                 [float(m) for m in arr.mean(axis=0)],
+                                 [float(s) for s in arr.std(axis=0)], None))
+                except ValueError as e:
+                    if strict:
+                        raise
+                    rows.append((mid, None, None, None, None, None, str(e)))
+            yield pd.DataFrame(rows, columns=[
+                id_col, "width", "height", "channels",
+                "channel_mean", "channel_std", "decode_error"])
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)

@@ -26,6 +26,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 from .functions import astro, physics, textfns
 from .operators import analytics, dedup, ewma, multimodal, similarity, textops, windows
@@ -48,12 +49,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # parquet timestamps regardless of host JVM timezone.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
-        # reader rejects; read as long and truncate ns→µs — exactly what
-        # DuckDB's reader does, so oracle timestamps match.
+        # The physical encoding of events.ts is not part of the data
+        # contract (TESTDATA.md promises only "one parquet per table") and
+        # has shipped both as TIMESTAMP(NANOS) and as timestamp[us] across
+        # driver regens.  Accept both: with nanosAsLong set a NANOS column
+        # lands as long (truncate ns→µs, matching DuckDB's reader); a µs
+        # column lands as a timestamp already — normalize NTZ→session-UTC
+        # timestamp so downstream time ops behave identically either way.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -2690,6 +2697,56 @@ DEFERRED: list[str] = [
 ]
 
 
+@query(
+    "q80_image_decode_stats",
+    """
+    SELECT doc_id AS media_id, 8 AS width, 8 AS height, 3 AS channels,
+           round((doc_id % 256) / 255.0, 6) AS mean_r,
+           round(((doc_id * 3) % 256) / 255.0, 6) AS mean_g,
+           round(((doc_id * 7) % 256) / 255.0, 6) AS mean_b,
+           0.0 AS std_r
+    FROM documents
+    """,
+)
+def q80_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, fully value-checked: synthesize a constant-color
+    8x8 RGB PNG per document (pure-stdlib encoder, functions/png.py),
+    decode it with multimodal.image_pixel_stats (mapInPandas, RFC 2083
+    decoder — filters, zlib, the lot), and emit per-channel pixel means.
+
+    Determinism (rule 4): each channel is one constant c, so the decoded
+    mean is c/255.0 up to ~1e-15 accumulation error (numpy's strided
+    axis-0 reduction is not pairwise-exact) and the std is ~1e-16.
+    Rounding to 6 decimals is boundary-safe by construction: c/255*1e6
+    has fractional part k/51, never closer than 1/102 to a rounding
+    boundary, so both engines land on the identical rounded double."""
+    import pandas as _pd
+
+    from .functions import png as _png
+    from .operators.multimodal import image_pixel_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                px = bytes([d % 256, (d * 3) % 256, (d * 7) % 256]) * 64
+                payloads.append(_png.encode_png(8, 8, px, color_type=2))
+            yield _pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(gen, schema="media_id long, payload binary")
+    stats = image_pixel_stats(media, strict=True)
+    return stats.select(
+        "media_id", "width", "height", "channels",
+        F.round(F.element_at("channel_mean", 1), 6).alias("mean_r"),
+        F.round(F.element_at("channel_mean", 2), 6).alias("mean_g"),
+        F.round(F.element_at("channel_mean", 3), 6).alias("mean_b"),
+        F.round(F.element_at("channel_std", 1), 6).alias("std_r"),
+    )
+
+
 # Operators added AFTER the 50-slot window filled with unique-operator
 # queries: fully oracle-checked by the local gate, first in line for a
 # window slot if one opens.
@@ -2713,6 +2770,8 @@ POST_WINDOW: list[str] = [
     # bounded twin of in-window q56 (the 100 TB production shape; the
     # unbounded exact-MOSS variant keeps the official row)
     "q79_winnow_overlap_bounded",
+    # round 5: REAL PNG decode → pixel stats, closed-form SQL oracle
+    "q80_image_decode_stats",
 ]
 
 

@@ -91,6 +91,81 @@ def curate_stream(docs: DataFrame, watermark: str = "10 minutes",
     return annotate_and_filter(deduped, min_quality, langs)
 
 
+def _dir_exists(spark, path: str) -> bool:
+    """Explicit Hadoop-FS existence check — distinguishes "store not
+    created yet" from real read failures (corrupt footer, permission,
+    schema error), which must fail the batch so the checkpoint retries
+    it instead of silently near-deduping against an empty store. An
+    existing but EMPTY directory (what a crash between the corpus write
+    and the store writes can leave behind) counts as not-created."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs.exists(hpath) and len(fs.listStatus(hpath)) > 0
+
+
+def process_corpus_batch(batch_df: DataFrame, batch_id: int, path: str,
+                         signature_store: str, threshold: float = 0.7,
+                         min_quality: float = 0.45,
+                         langs: tuple[str, ...] | None = None) -> None:
+    """One micro-batch of the near-dedup corpus sink (module-level so the
+    crash-replay test can drive it directly with a pinned batch_id).
+
+    Order of operations: exact-dedup within the batch → annotate + gate →
+    near-dedup the GATE-PASSING docs against the store. Gating first
+    guarantees a passing doc can never be dropped as a near-dup of a doc
+    that itself failed the gate (which would land that content in neither
+    the corpus nor the store); the cost is that a failing doc cannot
+    "represent" its near-dup cluster — the earliest PASSING doc does.
+
+    Exactly-once: every write is keyed by its batch_id directory and uses
+    overwrite, so a replayed batch (the checkpoint re-delivers the same
+    id after a crash anywhere between the three writes) converges to the
+    same bytes instead of appending duplicates — the same idempotency
+    pattern as warehouse/incremental.py fact writes. ``localCheckpoint``
+    truncates the survivors' lineage before the store writes, so
+    appending to the store never re-reads the store it is writing
+    (read-while-write on one parquet directory)."""
+    from ..operators import dedup as dedup_ops
+
+    spark = batch_df.sparkSession
+    if not batch_df.head(1):
+        return
+    batch = dedup_ops.exact_dedup(batch_df)
+    gated = annotate_and_filter(batch, min_quality, langs)
+
+    sigs_path = f"{signature_store}/sigs"
+    bands_path = f"{signature_store}/bands"
+    if _dir_exists(spark, sigs_path):
+        # A replayed batch must NOT probe its own prior contribution
+        # (every doc would drop as a near-dup of itself and the replay
+        # would overwrite the corpus directory with nothing) — batch_id
+        # is the store's partition column, so the exclusion is a pruned
+        # partition filter, not a scan.
+        base_sigs = (spark.read.parquet(sigs_path)
+                     .filter(F.col("batch_id") != F.lit(batch_id))
+                     .drop("batch_id"))
+        base_bands = ((spark.read.parquet(bands_path)
+                       .filter(F.col("batch_id") != F.lit(batch_id))
+                       .drop("batch_id"))
+                      if _dir_exists(spark, bands_path) else None)
+    else:  # first batch: store not created yet
+        base_sigs = dedup_ops.minhash_signatures(
+            spark.createDataFrame([], batch.schema))
+        base_bands = None
+
+    written = dedup_ops.near_dedup_against(
+        gated, base_sigs, threshold=threshold, base_band_rows=base_bands
+    ).localCheckpoint(eager=True)
+    (written.write.mode("overwrite")
+     .partitionBy("ingest_date", "detected_lang")
+     .parquet(f"{path}/batch_id={batch_id}"))
+    sig_out = dedup_ops.minhash_signatures(written).localCheckpoint(eager=True)
+    sig_out.write.mode("overwrite").parquet(f"{sigs_path}/batch_id={batch_id}")
+    (dedup_ops.minhash_band_rows(sig_out)
+     .write.mode("overwrite").parquet(f"{bands_path}/batch_id={batch_id}"))
+
+
 def start_near_dedup_corpus_sink(docs: DataFrame, path: str, checkpoint: str,
                                  signature_store: str,
                                  threshold: float = 0.7,
@@ -98,12 +173,14 @@ def start_near_dedup_corpus_sink(docs: DataFrame, path: str, checkpoint: str,
                                  langs: tuple[str, ...] | None = None,
                                  available_now: bool = False):
     """Streaming ingestion with cross-batch NEAR-dup dedup: each
-    micro-batch is near-deduped (dedup.near_dedup_against) against the
-    MinHash signature store accumulated from every previously WRITTEN
-    doc, then exact-deduped within itself, annotated with the
-    batch-identical chain, gated, and appended to the corpus sink; the
-    survivors' signatures are appended to the store so later batches
-    dedup against them.
+    micro-batch is exact-deduped within itself, annotated + gated with
+    the batch-identical chain, near-deduped (dedup.near_dedup_against)
+    against the MinHash signature store accumulated from every
+    previously WRITTEN doc, and written to the corpus sink; the
+    survivors' signatures AND their precomputed LSH band rows are
+    written to the store (``{store}/sigs``, ``{store}/bands``) so later
+    batches probe precomputed buckets — per-trigger cost stays
+    increment-sized instead of re-hashing O(corpus) signatures.
 
     This is the production crawl-increment shape: the corpus text is
     never re-read — each increment costs one banded probe of the
@@ -111,32 +188,12 @@ def start_near_dedup_corpus_sink(docs: DataFrame, path: str, checkpoint: str,
     grouped aggregation per micro-batch plus a batch join against a
     growing static table, which the continuous-query API cannot express.
 
-    Delivery: the checkpoint makes batch replay deliver the same batch
-    ids, but the two appends (corpus + store) are not atomic — a crash
-    between them can re-append one on retry (at-least-once). For
-    exactly-once, key both writes by batch_id subdirectories as
-    warehouse/incremental.py does; kept simple here because the planted
-    e2e test exercises semantics, not crash recovery."""
-    from ..operators import dedup as dedup_ops
+    Delivery: exactly-once — see ``process_corpus_batch`` (batch_id-keyed
+    overwrite directories make replays idempotent)."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        if not batch_df.head(1):
-            return
-        batch = dedup_ops.exact_dedup(batch_df)
-        try:
-            base_sigs = spark.read.parquet(signature_store)
-        except Exception:  # first batch: store not created yet
-            base_sigs = dedup_ops.minhash_signatures(
-                spark.createDataFrame([], batch.schema))
-        kept = dedup_ops.near_dedup_against(batch, base_sigs,
-                                            threshold=threshold)
-        written = annotate_and_filter(kept, min_quality, langs).cache()
-        (written.write.mode("append")
-         .partitionBy("ingest_date", "detected_lang").parquet(path))
-        (dedup_ops.minhash_signatures(written)
-         .write.mode("append").parquet(signature_store))
-        written.unpersist()
+        process_corpus_batch(batch_df, batch_id, path, signature_store,
+                             threshold, min_quality, langs)
 
     w = (
         docs.writeStream.foreachBatch(_process)

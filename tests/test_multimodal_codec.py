@@ -1,0 +1,114 @@
+"""Real-decode multimodal tier: pure-stdlib PNG codec + pixel-stats
+operator (functions/png.py, operators/multimodal.image_pixel_stats)."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from real_time_iot_data_pipeline_project_spark.functions import png
+from real_time_iot_data_pipeline_project_spark.operators import multimodal
+
+
+def _gradient(width, height, ch):
+    return bytes(((x * 7 + y * 13 + c * 29) % 256)
+                 for y in range(height) for x in range(width) for c in range(ch))
+
+
+@pytest.mark.parametrize("color_type,ch", [(0, 1), (2, 3), (6, 4)])
+def test_png_round_trip(color_type, ch):
+    w, h = 9, 7
+    pix = _gradient(w, h, ch)
+    data = png.encode_png(w, h, pix, color_type)
+    gw, gh, gch, got = png.decode_png(data)
+    assert (gw, gh, gch) == (w, h, ch)
+    assert got == pix
+
+
+def _filtered_png(width, height, pixels, filters):
+    """Hand-build a truecolor PNG applying a chosen filter per scanline —
+    exercises decode paths the filter-0 encoder never emits."""
+    ch, stride = 3, width * 3
+    prev = bytearray(stride)
+    raw = bytearray()
+    for y in range(height):
+        line = pixels[y * stride:(y + 1) * stride]
+        f = filters[y % len(filters)]
+        raw.append(f)
+        for i in range(stride):
+            a = line[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if f == 0:
+                v = line[i]
+            elif f == 1:
+                v = line[i] - a
+            elif f == 2:
+                v = line[i] - b
+            elif f == 3:
+                v = line[i] - ((a + b) >> 1)
+            else:
+                v = line[i] - png._paeth(a, b, c)
+            raw.append(v & 0xFF)
+        prev = bytearray(line)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n"
+            + png._chunk(b"IHDR", ihdr)
+            + png._chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + png._chunk(b"IEND", b""))
+
+
+def test_png_decode_all_filter_types():
+    w, h = 8, 10
+    pix = _gradient(w, h, 3)
+    data = _filtered_png(w, h, pix, filters=[0, 1, 2, 3, 4])
+    gw, gh, gch, got = png.decode_png(data)
+    assert (gw, gh, gch) == (w, h, 3)
+    assert got == pix
+
+
+def test_png_rejects_garbage_and_unsupported():
+    with pytest.raises(ValueError, match="not a PNG"):
+        png.decode_png(b"\xff\xd8\xff JPEG-ish bytes")
+    # 16-bit depth is out of the supported subset
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    bad = (b"\x89PNG\r\n\x1a\n" + png._chunk(b"IHDR", ihdr)
+           + png._chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="unsupported"):
+        png.decode_png(bad)
+
+
+def test_image_pixel_stats_real_decode(spark):
+    """The Spark operator decodes genuine PNG payloads and its stats
+    match a local numpy oracle; a poison payload yields an error row
+    instead of failing the job."""
+    import numpy as np
+
+    w, h = 6, 4
+    rgb = _gradient(w, h, 3)
+    grey = _gradient(w, h, 1)
+    rows = [
+        (1, "image", bytearray(png.encode_png(w, h, rgb, 2)), None),
+        (2, "image", bytearray(png.encode_png(w, h, grey, 0)), None),
+        (3, "image", bytearray(b"not an image at all"), None),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in multimodal.image_pixel_stats(df).collect()}
+
+    arr = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3) / 255.0
+    assert (got[1].width, got[1].height, got[1].channels) == (w, h, 3)
+    assert got[1].decode_error is None
+    np.testing.assert_allclose(got[1].channel_mean, arr.mean(axis=0), atol=1e-12)
+    np.testing.assert_allclose(got[1].channel_std, arr.std(axis=0), atol=1e-12)
+
+    garr = np.frombuffer(grey, dtype=np.uint8).reshape(-1, 1) / 255.0
+    assert got[2].channels == 1
+    np.testing.assert_allclose(got[2].channel_mean, garr.mean(axis=0), atol=1e-12)
+
+    assert got[3].width is None and "not a PNG" in got[3].decode_error
+
+    # strict mode: poison payload fails the job instead
+    with pytest.raises(Exception, match="not a PNG"):
+        multimodal.image_pixel_stats(df, strict=True).collect()

@@ -5,6 +5,7 @@ vs a straight-Python fold."""
 
 from __future__ import annotations
 
+import datetime
 import json
 import time
 
@@ -444,6 +445,49 @@ def test_streaming_near_dedup_across_batches(spark, tmp_path):
     expected_drops = {b for (a, b) in pairs}
     assert written == {r["doc_id"] for r in rows1 + rows2} - expected_drops
 
-    # the signature store holds exactly the written docs' signatures
-    sigs = spark.read.parquet(sig_store)
+    # the signature store holds exactly the written docs' signatures,
+    # and the band table holds exactly their precomputed LSH buckets
+    sigs = spark.read.parquet(f"{sig_store}/sigs")
     assert {r.doc_id for r in sigs.select("doc_id").collect()} == written
+    bands = spark.read.parquet(f"{sig_store}/bands")
+    assert {r.doc_id for r in bands.select("doc_id").collect()} == written
+
+
+def test_near_dedup_sink_crash_replay_idempotent(spark, tmp_path):
+    """Exactly-once: a crash anywhere between the three per-batch writes
+    (corpus, signatures, band rows) followed by a checkpoint replay of
+    the SAME batch_id must converge — no duplicate rows in any sink."""
+    import shutil
+
+    from real_time_iot_data_pipeline_project_spark.streaming import curation
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta " * 5, "en", "s1",
+          datetime.datetime(2026, 1, 1, 10, 0, 0)),
+         (2, "one two three four five six seven eight nine ten " * 4,
+          "en", "s1", datetime.datetime(2026, 1, 1, 10, 1, 0))],
+        "doc_id long, text string, lang string, source string, event_time timestamp",
+    )
+    corpus = str(tmp_path / "corpus")
+    store = str(tmp_path / "sigs")
+
+    curation.process_corpus_batch(docs, 0, corpus, store)
+    baseline = sorted(
+        tuple(r) for r in spark.read.parquet(corpus).select("doc_id").collect())
+    sig_baseline = spark.read.parquet(f"{store}/sigs").count()
+
+    # crash between corpus write and store writes: store dirs for batch 0
+    # never landed — replay must fill them in without duplicating corpus
+    shutil.rmtree(f"{store}/sigs/batch_id=0")
+    shutil.rmtree(f"{store}/bands/batch_id=0")
+    curation.process_corpus_batch(docs, 0, corpus, store)
+    assert sorted(tuple(r) for r in
+                  spark.read.parquet(corpus).select("doc_id").collect()) == baseline
+    assert spark.read.parquet(f"{store}/sigs").count() == sig_baseline
+
+    # full replay after a completed batch: still no duplicates anywhere
+    curation.process_corpus_batch(docs, 0, corpus, store)
+    assert sorted(tuple(r) for r in
+                  spark.read.parquet(corpus).select("doc_id").collect()) == baseline
+    assert spark.read.parquet(f"{store}/sigs").count() == sig_baseline
+    assert spark.read.parquet(f"{store}/bands").select("doc_id").distinct().count() == 2
