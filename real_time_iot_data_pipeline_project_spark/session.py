@@ -60,3 +60,45 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def cluster_conf_100tb(total_cores: int = 4000) -> dict[str, str]:
+    """The documented conf profile for a multi-executor deployment at the
+    ~100 TB design point — pass as ``extra_conf`` to :func:`get_spark`
+    (or translate to ``--conf`` flags). Local test runs deliberately do
+    NOT apply these: the values encode cluster arithmetic, and each line
+    records the reasoning so the profile can be re-derived when the
+    hardware changes.
+
+    - shuffle.partitions = 3× total cores: at 100 TB a shuffle stage
+      moves TBs; 3× gives AQE room to coalesce down rather than split
+      up (splitting is only possible for skew-flagged partitions).
+    - advisoryPartitionSizeInBytes 128m / minPartitionSize 16m: AQE's
+      coalesce target — large enough to amortize task overhead, small
+      enough that a task's working set stays in executor memory.
+    - files.maxPartitionBytes 256m: scan tasks over columnar parquet can
+      be bigger than shuffle tasks (no wide rows in flight); halves the
+      scan task count of a 100 TB table vs the 128m default.
+    - skewJoin thresholds (factor 5 / 256m): split a shuffle partition
+      when it is 5× the median AND >256m — catches the hot-key events
+      (one device flooding) without shredding mildly uneven stages.
+    - autoBroadcastJoinThreshold 64m: every dim in this engine (stations,
+      nation/region, vocab, centroids, probe sets) is far below this;
+      the fact-side shuffle is the one to avoid.
+    - Kryo: shuffle/broadcast serialization CPU is measurable at TB
+      scale; all shuffled types here are Catalyst rows or simple tuples.
+    - parquet aggregate pushdown: count/min/max-only plans read footers,
+      not data — the difference between seconds and hours on 100 TB.
+    """
+    return {
+        "spark.sql.shuffle.partitions": str(total_cores * 3),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128m",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "16m",
+        "spark.sql.files.maxPartitionBytes": "256m",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "5",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256m",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+        "spark.sql.parquet.aggregatePushdown": "true",
+        "spark.sql.parquet.filterPushdown": "true",
+    }

@@ -268,3 +268,24 @@ def test_unigram_logprob_freq_join_is_broadcast(spark):
     plan = plan_of(spark, "q72_unigram_logprob")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_aqe_adaptive_plan_active(spark):
+    """The session factory's 100 TB posture: AQE must actually wrap
+    shuffling queries (runtime coalesce + skew-join re-planning), and
+    the documented cluster profile must stay internally consistent."""
+    from real_time_iot_data_pipeline_project_spark.session import cluster_conf_100tb
+
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    df = registry.QUERIES["q01_pricing_summary"](spark, SF_SMOKE)
+    assert "AdaptiveSparkPlan" in df._jdf.queryExecution().executedPlan().toString()
+
+    prof = cluster_conf_100tb(total_cores=1000)
+    assert int(prof["spark.sql.shuffle.partitions"]) == 3000
+    # scan tasks may be larger than the AQE shuffle-coalesce target,
+    # never smaller — otherwise scans fragment below the shuffle grain
+    assert (int(prof["spark.sql.files.maxPartitionBytes"].rstrip("m"))
+            >= int(prof["spark.sql.adaptive.advisoryPartitionSizeInBytes"].rstrip("m")))
+    # every dim table in the engine must fit under the broadcast bar
+    assert int(prof["spark.sql.autoBroadcastJoinThreshold"]) >= 32 * 1024 * 1024
