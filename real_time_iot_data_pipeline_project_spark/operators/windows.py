@@ -107,3 +107,126 @@ def tumbling_window_agg(df: DataFrame, ts_col: str, duration: str,
         .withColumn("window_end", F.col("w.end"))
         .drop("w")
     )
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str, by: list[str],
+              value_cols: list[str],
+              tolerance_seconds: float | None = None) -> DataFrame:
+    """Backward as-of join: attach to every left row the ``value_cols``
+    of the latest right row with the same ``by`` keys and right.on <=
+    left.on (inclusive, pandas ``merge_asof`` / DuckDB ``ASOF JOIN``
+    semantics; no match -> nulls). Left rows and columns are preserved;
+    matched values arrive as ``asof_<col>`` plus ``asof_ts`` (the
+    matched right timestamp).
+
+    Determinism contract: the right side must be unique per (by, on) —
+    duplicate right timestamps make every as-of definition ambiguous
+    (reduce first, e.g. max per key+ts). Enforced lazily by the caller;
+    this function documents rather than re-aggregates so the reduction
+    rule stays visible at the call site.
+
+    Scale shape — the reason this is NOT a range join: both sides union
+    into one relation tagged by side, then ONE window partitioned by
+    ``by`` carries the last non-null right value forward
+    (``last(..., ignorenulls=True)`` over rows-unbounded-preceding).
+    One shuffle on the by-keys, no per-row range probe, no broadcast of
+    either side, no O(left x right) candidate stage — the standard
+    distributed as-of shape. Right rows sort before left rows at equal
+    timestamps (side 0 < 1), which is exactly what makes the join
+    inclusive."""
+    lcols = left.columns
+    side = F.lit(1)
+    l_tagged = left.withColumn("__side", side)
+    for c in value_cols:
+        l_tagged = l_tagged.withColumn(f"__rv_{c}", F.lit(None).cast(
+            dict(right.dtypes)[c]))
+    l_tagged = l_tagged.withColumn("__rts", F.lit(None).cast(dict(right.dtypes)[on]))
+
+    r_tagged = right.select(
+        *by, F.col(on),
+        *[F.lit(None).cast(t).alias(c) for c, t in left.dtypes
+          if c not in by and c != on],
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__rv_{c}") for c in value_cols],
+        F.col(on).alias("__rts"),
+    ).select(*lcols, "__side", *[f"__rv_{c}" for c in value_cols], "__rts")
+
+    unioned = l_tagged.select(*r_tagged.columns).unionByName(r_tagged)
+    w = (Window.partitionBy(*by).orderBy(F.col(on).asc(), F.col("__side").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = unioned
+    for c in value_cols:
+        carried = carried.withColumn(
+            f"asof_{c}", F.last(f"__rv_{c}", ignorenulls=True).over(w))
+    carried = carried.withColumn(
+        "asof_ts", F.last("__rts", ignorenulls=True).over(w))
+    out = carried.filter(F.col("__side") == 1)
+    if tolerance_seconds is not None:
+        stale = (F.unix_micros(F.col(on)) - F.unix_micros("asof_ts")
+                 > int(tolerance_seconds * 1_000_000))
+        for c in value_cols:
+            out = out.withColumn(
+                f"asof_{c}",
+                F.when(stale, F.lit(None)).otherwise(F.col(f"asof_{c}")))
+        out = out.withColumn(
+            "asof_ts", F.when(stale, F.lit(None)).otherwise(F.col("asof_ts")))
+    return out.select(*lcols, *[f"asof_{c}" for c in value_cols], "asof_ts")
+
+
+def range_join(points: DataFrame, intervals: DataFrame, point_ts: str,
+               start_col: str, end_col: str, by: list[str],
+               bin_seconds: int) -> DataFrame:
+    """Interval containment join at scale: pair every point row with
+    every interval row (same ``by`` keys) whose
+    [start_col, end_col] contains point_ts — WITHOUT the
+    BroadcastNestedLoopJoin/CartesianProduct a naive inequality join
+    plans (O(points x intervals): the canonical 100 TB scale trap).
+
+    Shape: time is bucketed into fixed ``bin_seconds`` bins; each
+    interval explodes into the bins it overlaps (bounded fan-out:
+    ceil(len/bin)+1 rows per interval), each point lands in exactly ONE
+    bin, and the join becomes a hash equi-join on (by..., bin) with the
+    containment predicate verified per candidate. A point meets an
+    interval in at most one bin (its own), so no dedup stage is needed.
+    Pick bin_seconds close to the typical interval length: shorter bins
+    inflate the interval explode, longer bins inflate per-bin candidate
+    verification."""
+    bin_us = bin_seconds * 1_000_000
+    p = points.withColumn(
+        "__bin", F.floor(F.unix_micros(F.col(point_ts)) / F.lit(bin_us)))
+    iv = intervals.withColumn(
+        "__bin",
+        F.explode(F.sequence(
+            F.floor(F.unix_micros(F.col(start_col)) / F.lit(bin_us)),
+            F.floor(F.unix_micros(F.col(end_col)) / F.lit(bin_us)),
+        )),
+    )
+    out = (
+        p.join(iv, [*by, "__bin"])
+        .filter((F.col(point_ts) >= F.col(start_col))
+                & (F.col(point_ts) <= F.col(end_col)))
+    )
+    return out.drop("__bin")
+
+
+def rolling_time_agg(df: DataFrame, ts_col: str, key: str, value_col: str,
+                     window_seconds: int) -> DataFrame:
+    """Trailing time-range aggregate per key: for every row, the sum and
+    count of ``value_col`` over [ts - window, ts] for the same key — a
+    RANGE window frame over event time (true time semantics: rows with
+    equal timestamps all see each other, gaps shrink the frame), not a
+    row-count frame.
+
+    One shuffle on the key; the frame is evaluated in a single ordered
+    pass per partition. Sums run through DECIMAL(18,4) so the result is
+    order-independent and cross-engine exact (registry rule 1)."""
+    w = (Window.partitionBy(key)
+         .orderBy(F.unix_micros(F.col(ts_col)))
+         .rangeBetween(-window_seconds * 1_000_000, 0))
+    return (
+        df.withColumn(
+            "trailing_sum",
+            F.sum(F.col(value_col).cast("decimal(18,4)")).over(w)
+            .cast("double"))
+        .withColumn("trailing_cnt", F.count(F.lit(1)).over(w))
+    )

@@ -2747,6 +2747,111 @@ def q80_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q81_asof_join",
+    """
+    WITH r AS (
+        SELECT user_id, ts, max(value) AS pval
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, ts
+    )
+    SELECT l.event_id, l.user_id, l.event_type,
+           r.pval AS last_purchase_value, r.ts AS last_purchase_ts
+    FROM events l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def q81_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (J5, beyond-reference tier): every event
+    carries the latest prior-or-equal purchase value for its user —
+    the canonical IoT/feature-engineering "nearest earlier reading"
+    join. Spark has no native as-of; operators.windows.asof_join
+    implements the union + single-window shape (one shuffle on the by
+    key, no range probe). Oracle = DuckDB's native ASOF LEFT JOIN.
+
+    Determinism: the right side reduces to one row per (user_id, ts)
+    via max(value) in BOTH engines (as-of is ambiguous under duplicate
+    right timestamps); matched values are copied, never computed, so
+    the hash compare is exact."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pval"))
+    )
+    out = windows.asof_join(
+        ev.select("event_id", "user_id", "event_type", "ts"),
+        purchases, on="ts", by=["user_id"], value_cols=["pval"],
+    )
+    return out.select(
+        "event_id", "user_id", "event_type",
+        F.col("asof_pval").alias("last_purchase_value"),
+        F.col("asof_ts").alias("last_purchase_ts"),
+    )
+
+
+@query(
+    "q82_range_join",
+    """
+    WITH iv AS (
+        SELECT event_id AS outage_id, user_id, ts AS win_start,
+               ts + INTERVAL 10 MINUTE AS win_end
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT iv.outage_id, e.event_id, e.user_id, e.event_type
+    FROM iv JOIN events e
+      ON e.user_id = iv.user_id
+     AND e.ts >= iv.win_start AND e.ts <= iv.win_end
+    """,
+)
+def q82_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment join (J6, beyond-reference tier): pair every
+    error event's 10-minute aftermath window with the same user's events
+    inside it — incident-context assembly. The naive inequality join
+    plans BroadcastNestedLoopJoin (O(n x m) — the scale trap);
+    operators.windows.range_join bucketizes time so it runs as a hash
+    equi-join on (user_id, bin) with per-candidate verification
+    (plan-asserted in tests). Oracle = DuckDB's plain inequality join —
+    same pairs, different physical strategy. Values are copied, never
+    computed: exact hash compare."""
+    ev = _t(spark, sf_dir, "events")
+    iv = (
+        ev.filter(F.col("event_type") == "error")
+        .select(F.col("event_id").alias("outage_id"), "user_id",
+                F.col("ts").alias("win_start"),
+                (F.col("ts") + F.expr("INTERVAL 600 SECONDS")).alias("win_end"))
+    )
+    pts = ev.select("event_id", "user_id", "event_type", "ts")
+    out = windows.range_join(pts, iv, point_ts="ts", start_col="win_start",
+                             end_col="win_end", by=["user_id"],
+                             bin_seconds=600)
+    return out.select("outage_id", "event_id", "user_id", "event_type")
+
+
+@query(
+    "q83_rolling_time_agg",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS trailing_sum,
+           CAST(COUNT(*) OVER w AS BIGINT) AS trailing_cnt
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def q83_rolling_time_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour per-user activity (W7, beyond-reference tier): a
+    TRUE time-range window frame (rangeBetween over event-time micros,
+    equal timestamps see each other, gaps shrink the frame) — not the
+    row-count frame the reference's ring buffers approximate. One
+    shuffle on user_id; decimal-exact sum (rule 1) so both engines hash
+    identically."""
+    ev = _t(spark, sf_dir, "events")
+    out = windows.rolling_time_agg(ev, "ts", "user_id", "value",
+                                   window_seconds=3600)
+    return out.select("event_id", "user_id", "trailing_sum", "trailing_cnt")
+
+
 # Operators added AFTER the 50-slot window filled with unique-operator
 # queries: fully oracle-checked by the local gate, first in line for a
 # window slot if one opens.
@@ -2772,6 +2877,12 @@ POST_WINDOW: list[str] = [
     "q79_winnow_overlap_bounded",
     # round 5: REAL PNG decode → pixel stats, closed-form SQL oracle
     "q80_image_decode_stats",
+    # round 5: backward as-of join (single-window shape, DuckDB ASOF oracle)
+    "q81_asof_join",
+    # round 5: bin-bucketed interval join (no BroadcastNestedLoop)
+    "q82_range_join",
+    # round 5: trailing time-RANGE window aggregate (decimal-exact)
+    "q83_rolling_time_agg",
 ]
 
 

@@ -232,3 +232,113 @@ def test_dashboard_panels(spark):
     assert ranking[0].total_energy >= ranking[-1].total_energy
     corr = panels["speed_power_corr"].head().corr
     assert 0.3 < corr <= 1.0  # speed drives power
+
+
+def test_asof_join_matches_pandas_semantics(spark):
+    """Backward inclusive as-of: latest right row with r.ts <= l.ts per
+    key; nulls before the first right row; tolerance nulls stale
+    matches."""
+    import datetime as dt
+
+    from real_time_iot_data_pipeline_project_spark.operators import windows as W
+
+    t = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, t(2), 1.0), (2, t(5), 2.0), (3, t(9), 3.0), (4, t(1), 4.0)],
+        "event_id long, ts timestamp, value double",
+    ).withColumn("user_id", F.lit(7))
+    right = spark.createDataFrame(
+        [(7, t(1), 10.0), (7, t(5), 50.0), (7, t(7), 70.0)],
+        "user_id long, ts timestamp, price double",
+    )
+    out = {r.event_id: (r.asof_price, r.asof_ts)
+           for r in W.asof_join(left, right, on="ts", by=["user_id"],
+                                value_cols=["price"]).collect()}
+    assert out[4] == (10.0, t(1))     # inclusive: equal ts matches
+    assert out[1] == (10.0, t(1))
+    assert out[2] == (50.0, t(5))     # equal ts prefers the same-instant row
+    assert out[3] == (70.0, t(7))
+
+    # tolerance: match older than 3s becomes null
+    out2 = {r.event_id: r.asof_price
+            for r in W.asof_join(left, right, on="ts", by=["user_id"],
+                                 value_cols=["price"],
+                                 tolerance_seconds=3).collect()}
+    assert out2[1] == 10.0 and out2[2] == 50.0 and out2[3] == 70.0
+    assert out2[4] == 10.0
+
+    # key with no right rows at all -> null match
+    left2 = spark.createDataFrame([(9, t(5), 1.0)],
+                                  "event_id long, ts timestamp, value double"
+                                  ).withColumn("user_id", F.lit(99))
+    o3 = W.asof_join(left2, right, on="ts", by=["user_id"],
+                     value_cols=["price"]).head()
+    assert o3.asof_price is None and o3.asof_ts is None
+
+
+def test_asof_join_single_shuffle(spark):
+    """The as-of join must plan as ONE exchange (the by-key window) —
+    no range-join candidate explosion, no broadcast."""
+    import datetime as dt
+
+    from real_time_iot_data_pipeline_project_spark.operators import windows as W
+
+    t = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)
+    left = spark.createDataFrame([(1, t(2), 7)],
+                                 "event_id long, ts timestamp, user_id long")
+    right = spark.createDataFrame([(7, t(1), 10.0)],
+                                  "user_id long, ts timestamp, price double")
+    plan = (W.asof_join(left, right, on="ts", by=["user_id"],
+                        value_cols=["price"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_pairs_and_plan(spark):
+    """Bin-bucketed interval join: exact containment pairs, and the plan
+    must be a hash equi-join — never BroadcastNestedLoop/Cartesian."""
+    import datetime as dt
+
+    from real_time_iot_data_pipeline_project_spark.operators import windows as W
+
+    t = lambda m, s=0: dt.datetime(2026, 1, 1, 0, m, s)
+    pts = spark.createDataFrame(
+        [(1, 7, t(1)), (2, 7, t(9)), (3, 7, t(11)), (4, 8, t(9)),
+         (5, 7, t(10))],  # boundary: end-inclusive
+        "pid long, user_id long, ts timestamp")
+    iv = spark.createDataFrame(
+        [(100, 7, t(0), t(10)), (200, 8, t(8), t(12))],
+        "iid long, user_id long, s timestamp, e timestamp")
+    out = W.range_join(pts, iv, point_ts="ts", start_col="s", end_col="e",
+                       by=["user_id"], bin_seconds=300)
+    pairs = {(r.iid, r.pid) for r in out.collect()}
+    assert pairs == {(100, 1), (100, 2), (100, 5), (200, 4)}
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # one candidate pair per (point, interval): no dedup stage needed,
+    # so the count must equal the distinct count
+    assert out.count() == out.distinct().count()
+
+
+def test_rolling_time_agg_vs_fold(spark):
+    """RANGE frame semantics: equal timestamps see each other; rows
+    outside [ts-window, ts] fall out of the frame."""
+    import datetime as dt
+
+    from real_time_iot_data_pipeline_project_spark.operators import windows as W
+
+    t = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)
+    df = spark.createDataFrame(
+        [(1, 7, t(0), 1.0), (2, 7, t(5), 2.0), (3, 7, t(5), 4.0),
+         (4, 7, t(20), 8.0)],
+        "event_id long, user_id long, ts timestamp, value double")
+    out = {r.event_id: (r.trailing_sum, r.trailing_cnt)
+           for r in W.rolling_time_agg(df, "ts", "user_id", "value",
+                                       window_seconds=10).collect()}
+    assert out[1] == (1.0, 1)
+    assert out[2] == (7.0, 3)   # both t=5 rows in each other's frame
+    assert out[3] == (7.0, 3)
+    assert out[4] == (8.0, 1)   # t=0..5 aged out of [10, 20]
