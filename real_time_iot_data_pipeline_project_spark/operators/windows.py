@@ -218,15 +218,17 @@ def rolling_time_agg(df: DataFrame, ts_col: str, key: str, value_col: str,
     row-count frame.
 
     One shuffle on the key; the frame is evaluated in a single ordered
-    pass per partition. Sums run through DECIMAL(18,4) so the result is
-    order-independent and cross-engine exact (registry rule 1)."""
+    pass per partition — both aggregates are emitted from ONE select so
+    Catalyst plans a single Window node over a single Sort (chained
+    withColumn calls alias the ordering expression separately and plan
+    two full sort passes). Sums run through DECIMAL(18,4) so the result
+    is order-independent and cross-engine exact (registry rule 1)."""
     w = (Window.partitionBy(key)
          .orderBy(F.unix_micros(F.col(ts_col)))
          .rangeBetween(-window_seconds * 1_000_000, 0))
-    return (
-        df.withColumn(
-            "trailing_sum",
-            F.sum(F.col(value_col).cast("decimal(18,4)")).over(w)
-            .cast("double"))
-        .withColumn("trailing_cnt", F.count(F.lit(1)).over(w))
+    return df.select(
+        "*",
+        F.sum(F.col(value_col).cast("decimal(18,4)")).over(w)
+        .cast("double").alias("trailing_sum"),
+        F.count(F.lit(1)).over(w).alias("trailing_cnt"),
     )

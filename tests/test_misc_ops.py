@@ -342,3 +342,21 @@ def test_rolling_time_agg_vs_fold(spark):
     assert out[2] == (7.0, 3)   # both t=5 rows in each other's frame
     assert out[3] == (7.0, 3)
     assert out[4] == (8.0, 1)   # t=0..5 aged out of [10, 20]
+
+
+def test_rolling_time_agg_single_window_pass(spark):
+    """Both trailing aggregates must share ONE Window node over ONE Sort
+    — a second sort pass at 100 TB is a real regression."""
+    import datetime as dt
+
+    from real_time_iot_data_pipeline_project_spark.operators import windows as W
+
+    df = spark.createDataFrame(
+        [(1, 7, dt.datetime(2026, 1, 1), 1.0)],
+        "event_id long, user_id long, ts timestamp, value double")
+    plan = (W.rolling_time_agg(df, "ts", "user_id", "value", 3600)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert sum(1 for l in plan.splitlines()
+               if l.strip().lstrip("+-* ").startswith("Window")) == 1
+    assert sum(1 for l in plan.splitlines()
+               if l.strip().lstrip("+-* ").startswith("Sort")) == 1
