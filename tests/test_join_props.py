@@ -1,0 +1,105 @@
+"""Randomized-oracle tests for the round-5 join tier: Spark results must
+match an independent pandas implementation over adversarial seeded data
+(duplicate left timestamps, boundary-equal matches, keys with no right
+rows, empty frames) — evaluated in one Spark pass per property, matching
+the repo's bulk property-test style."""
+
+from __future__ import annotations
+
+import datetime
+import random
+
+import pandas as pd
+
+from real_time_iot_data_pipeline_project_spark.operators import windows as W
+
+BASE = datetime.datetime(2026, 1, 1)
+
+
+def _ts(seconds: int) -> datetime.datetime:
+    return BASE + datetime.timedelta(seconds=seconds)
+
+
+def _tables(rng: random.Random, n_left=400, n_right=150, n_keys=7):
+    left = [
+        (i, rng.randrange(n_keys), _ts(rng.randrange(0, 2000)),
+         round(rng.uniform(0, 100), 3))
+        for i in range(n_left)
+    ]
+    seen = set()
+    right = []
+    for j in range(n_right):
+        k, s = rng.randrange(n_keys + 2), rng.randrange(0, 2000)
+        if (k, s) in seen:  # contract: right unique per (key, ts)
+            continue
+        seen.add((k, s))
+        right.append((k, _ts(s), round(rng.uniform(0, 100), 3)))
+    return left, right
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    rng = random.Random(42)
+    left, right = _tables(rng)
+    ldf = spark.createDataFrame(
+        left, "event_id long, user_id long, ts timestamp, value double")
+    rdf = spark.createDataFrame(
+        right, "user_id long, ts timestamp, price double")
+
+    got = {
+        r.event_id: (r.asof_price, r.asof_ts)
+        for r in W.asof_join(ldf, rdf, on="ts", by=["user_id"],
+                             value_cols=["price"]).collect()
+    }
+
+    lpd = (pd.DataFrame(left, columns=["event_id", "user_id", "ts", "value"])
+           .sort_values("ts", kind="stable"))
+    rpd = (pd.DataFrame(right, columns=["user_id", "ts", "price"])
+           .sort_values("ts", kind="stable"))
+    exp = pd.merge_asof(lpd, rpd, on="ts", by="user_id",
+                        direction="backward", suffixes=("", "_r"))
+    # merge_asof gives the matched value; recover the matched ts by an
+    # inverse lookup (right is unique per (key, ts) so price+key is not
+    # necessarily unique — rebuild via a second asof on ts itself)
+    rpd2 = rpd.assign(rts=rpd["ts"])
+    exp_ts = pd.merge_asof(lpd, rpd2[["user_id", "ts", "rts"]], on="ts",
+                           by="user_id", direction="backward")
+    for row, trow in zip(exp.itertuples(), exp_ts.itertuples()):
+        want_price = None if pd.isna(row.price) else row.price
+        want_ts = None if pd.isna(trow.rts) else trow.rts.to_pydatetime()
+        assert got[row.event_id] == (want_price, want_ts), row.event_id
+
+
+def test_range_join_matches_naive_pandas(spark):
+    rng = random.Random(7)
+    pts = [(i, rng.randrange(5), _ts(rng.randrange(0, 3000)))
+           for i in range(300)]
+    ivs = []
+    for j in range(60):
+        s = rng.randrange(0, 3000)
+        ivs.append((1000 + j, rng.randrange(5), _ts(s),
+                    _ts(s + rng.randrange(0, 400))))
+
+    pdf = spark.createDataFrame(pts, "pid long, user_id long, ts timestamp")
+    idf = spark.createDataFrame(
+        ivs, "iid long, user_id long, s timestamp, e timestamp")
+    for bin_seconds in (60, 250, 1000):  # result must be bin-invariant
+        got = {(r.iid, r.pid)
+               for r in W.range_join(pdf, idf, point_ts="ts", start_col="s",
+                                     end_col="e", by=["user_id"],
+                                     bin_seconds=bin_seconds).collect()}
+        expected = {(iid, pid)
+                    for (pid, pk, pt) in pts
+                    for (iid, ik, s, e) in ivs
+                    if pk == ik and s <= pt <= e}
+        assert got == expected, bin_seconds
+
+
+def test_asof_join_empty_right(spark):
+    ldf = spark.createDataFrame(
+        [(1, 7, _ts(5), 1.0)],
+        "event_id long, user_id long, ts timestamp, value double")
+    rdf = spark.createDataFrame(
+        [], "user_id long, ts timestamp, price double")
+    row = W.asof_join(ldf, rdf, on="ts", by=["user_id"],
+                      value_cols=["price"]).head()
+    assert row.asof_price is None and row.asof_ts is None and row.event_id == 1
