@@ -92,3 +92,57 @@ def test_ns_and_us_fixtures_agree_through_loader(spark, tmp_path):
             tuple(r) for r in _t(spark, str(d), "events").collect()
         )
     assert outs["ns"] == outs["us"]
+
+
+# Logical schema contract for every table (TESTDATA.md): column names
+# plus TYPE FAMILIES, not physical types — the driver owns the physical
+# encoding (round 4 proved it can change between rounds) and the engine
+# must keep loading anything logically equivalent. A failure here is
+# the early, pointed signal that a regen shifted the contract.
+_FAMILIES = {
+    "int": {"tinyint", "smallint", "int", "bigint"},
+    "float": {"float", "double", "decimal"},
+    "str": {"string"},
+    "ts": {"timestamp", "timestamp_ntz"},
+    "vec": {"array<float>", "array<double>"},
+}
+
+_CONTRACT = {
+    "region": {"r_regionkey": "int", "r_name": "str"},
+    "nation": {"n_nationkey": "int", "n_name": "str", "n_regionkey": "int"},
+    "customer": {"c_custkey": "int", "c_name": "str", "c_nationkey": "int",
+                 "c_acctbal": "float"},
+    "supplier": {"s_suppkey": "int", "s_name": "str", "s_nationkey": "int"},
+    "part": {"p_partkey": "int", "p_name": "str", "p_retailprice": "float"},
+    "orders": {"o_orderkey": "int", "o_custkey": "int", "o_orderstatus": "str",
+               "o_totalprice": "float", "o_orderdate": "ts",
+               "o_orderpriority": "str"},
+    "lineitem": {"l_orderkey": "int", "l_partkey": "int", "l_suppkey": "int",
+                 "l_linenumber": "int", "l_quantity": "float",
+                 "l_extendedprice": "float", "l_discount": "float",
+                 "l_tax": "float", "l_returnflag": "str",
+                 "l_linestatus": "str", "l_shipdate": "ts"},
+    "events": {"event_id": "int", "ts": "ts", "user_id": "int",
+               "event_type": "str", "value": "float", "props": "str"},
+    "documents": {"doc_id": "int", "text": "str", "lang": "str",
+                  "source": "str", "n_chars": "int"},
+    "embeddings": {"vec_id": "int", "embedding": "vec", "label": "int"},
+}
+
+
+def _family_ok(dtype: str, family: str) -> bool:
+    d = dtype.lower()
+    if family == "float":
+        return d in _FAMILIES["float"] or d.startswith("decimal")
+    return d in _FAMILIES[family]
+
+
+def test_every_table_matches_logical_contract(spark):
+    for table, cols in _CONTRACT.items():
+        df = _t(spark, SF_SMOKE, table)
+        have = dict(df.dtypes)
+        for col, family in cols.items():
+            assert col in have, f"{table}.{col} missing (driver regen drift?)"
+            assert _family_ok(have[col], family), (
+                f"{table}.{col}: physical type {have[col]} left the "
+                f"'{family}' family — update the loader, not the queries")
