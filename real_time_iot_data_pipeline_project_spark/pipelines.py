@@ -133,7 +133,7 @@ def main(argv: list[str] | None = None) -> None:
     from .session import get_spark
 
     p = argparse.ArgumentParser(description="batch consume-and-process pipeline")
-    p.add_argument("domain", choices=["solar", "wind", "curate"])
+    p.add_argument("domain", choices=["solar", "wind", "curate", "compact"])
     p.add_argument("input_path")
     p.add_argument("--output", default=None)
     p.add_argument("--format", choices=["csv", "parquet"], default="parquet")
@@ -144,6 +144,14 @@ def main(argv: list[str] | None = None) -> None:
                    help="comma-separated language allowlist (curate domain)")
     args = p.parse_args(argv)
     spark = get_spark(app_name=f"{args.domain}-processing")
+    if args.domain == "compact":
+        from .streaming.curation import compact_corpus
+
+        if not args.output:
+            p.error("compact requires --output (compaction is out-of-place)")
+        stats = compact_corpus(spark, args.input_path, args.output)
+        print(f"compacted: {stats}")
+        return
     if args.domain == "curate":
         out = curate_corpus(
             spark, args.input_path, args.output,

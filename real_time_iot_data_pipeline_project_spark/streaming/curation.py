@@ -204,6 +204,36 @@ def start_near_dedup_corpus_sink(docs: DataFrame, path: str, checkpoint: str,
     return w.start()
 
 
+def compact_corpus(spark, corpus_path: str, output_path: str,
+                   text_col: str = "text", id_col: str = "doc_id") -> dict:
+    """The periodic batch compaction ``curate_stream``'s docstring
+    promises: streaming exact-dedup is horizon-scoped (duplicates
+    farther apart than the watermark both land in the sink), so a
+    periodic global ``exact_dedup`` pass — min-id winner, the batch
+    policy — closes the gap and re-establishes corpus-wide uniqueness.
+
+    Out-of-place by design: the compacted corpus lands at
+    ``output_path`` (partition columns preserved — they are ordinary
+    columns of the read) and the caller swaps paths/pointers after
+    validating; an in-place overwrite of a live streaming sink would
+    race its writer and destroy data on failure. Returns before/after
+    row counts so schedulers can alert on unexpected duplicate rates.
+
+    Scale shape: one fingerprint groupBy (uniform md5 key) + a
+    left-semi join — the same linear plan as batch exact_dedup; run it
+    at the cadence at which watermark-escaping duplicates actually
+    accumulate."""
+    from ..operators import dedup as dedup_ops
+
+    corpus = spark.read.parquet(corpus_path)
+    before = corpus.count()
+    deduped = dedup_ops.exact_dedup(corpus, text_col=text_col, id_col=id_col)
+    deduped.write.mode("overwrite").parquet(output_path)
+    after = spark.read.parquet(output_path).count()
+    return {"rows_before": before, "rows_after": after,
+            "duplicates_removed": before - after}
+
+
 def start_corpus_sink(curated: DataFrame, path: str, checkpoint: str,
                       available_now: bool = False):
     """Append parquet partitioned (ingest_date, detected_lang): date for

@@ -491,3 +491,40 @@ def test_near_dedup_sink_crash_replay_idempotent(spark, tmp_path):
                   spark.read.parquet(corpus).select("doc_id").collect()) == baseline
     assert spark.read.parquet(f"{store}/sigs").count() == sig_baseline
     assert spark.read.parquet(f"{store}/bands").select("doc_id").distinct().count() == 2
+
+
+def test_compact_corpus_closes_watermark_gap(spark, tmp_path):
+    """Duplicates farther apart than the watermark both land in the
+    streaming sink; the periodic batch compaction removes them with the
+    batch min-id winner policy and reports the rate."""
+    from real_time_iot_data_pipeline_project_spark.streaming import curation
+
+    dup = "the very same document text that escaped the watermark " * 3
+    rows = [(1, dup, "en", "s1", datetime.datetime(2026, 1, 1, 0, 0)),
+            (2, "completely different content about something else " * 3,
+             "en", "s1", datetime.datetime(2026, 1, 1, 6, 0)),
+            (3, dup, "en", "s2", datetime.datetime(2026, 1, 2, 9, 0))]
+    corpus = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, event_time timestamp",
+    ).write.parquet(corpus)
+
+    out = str(tmp_path / "compacted")
+    stats = curation.compact_corpus(spark, corpus, out)
+    assert stats == {"rows_before": 3, "rows_after": 2,
+                     "duplicates_removed": 1}
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 2}  # min-id winner, same policy as batch dedup
+
+
+def test_compact_cli(spark, tmp_path):
+    from real_time_iot_data_pipeline_project_spark import pipelines
+
+    src = str(tmp_path / "c")
+    spark.createDataFrame(
+        [(1, "aaa bbb ccc " * 4), (2, "aaa bbb ccc " * 4)],
+        "doc_id long, text string").write.parquet(src)
+    out = str(tmp_path / "o")
+    pipelines.main(["compact", src, "--output", out])
+    assert spark.read.parquet(out).count() == 1
