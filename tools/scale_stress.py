@@ -9,10 +9,13 @@ construction, measuring an artifact instead of the algorithm:
 
 - fact keys (event_id, doc_id, vec_id, *_orderkey) are offset per
   replica so keys stay unique;
-- document text gets a per-replica vowel rotation (``translate`` — a
-  per-replica character bijection), preserving every within-replica
-  length/token/shingle statistic while making cross-replica shingles
-  disjoint, so near-dup structure scales linearly like a real corpus;
+- document text gets a per-replica Caesar rotation of the alphabet
+  (``translate`` — a character bijection with period 26, so no two
+  replicas coincide), preserving every within-replica
+  length/token/shingle statistic while making cross-replica letter
+  shingles disjoint, so near-dup structure scales linearly like a real
+  corpus (digit/punctuation/whitespace k-grams still collide across
+  replicas — the boilerplate-like tail a real corpus also has);
 - embeddings are cyclically rotated per replica (norm-preserving,
   different neighbor structure);
 - dims (region/nation/customer/supplier/part) are copied unscaled —
@@ -38,13 +41,18 @@ from pyspark.sql import DataFrame, functions as F  # noqa: E402
 from real_time_iot_data_pipeline_project_spark.session import get_spark  # noqa: E402
 
 SRC = "/root/testdata/sf0.1"
-VOWELS = "aeiou"
+ALPHA = "abcdefghijklmnopqrstuvwxyz"
 DIMS = ["region", "nation", "customer", "supplier", "part"]
 
 
-def _rot_vowels(i: int) -> str:
-    r = i % len(VOWELS)
-    return VOWELS[r:] + VOWELS[:r]
+def _rot_alpha(i: int) -> str:
+    # Caesar rotation of the full alphabet: bijective per replica,
+    # period 26 > any sane factor, so no two replicas share text (a
+    # 5-letter vowel rotation had period 5 — replicas i and i+5 came
+    # out IDENTICAL, planting exactly the exact-dup artifact this
+    # harness exists to avoid)
+    r = i % len(ALPHA)
+    return ALPHA[r:] + ALPHA[:r]
 
 
 def _replicas(df: DataFrame, factor: int, build) -> DataFrame:
@@ -66,8 +74,8 @@ def scale_table(spark, name: str, factor: int) -> DataFrame:
         off = df.agg(F.max("doc_id")).head()[0] + 1
         return _replicas(df, factor, lambda d, i: d.select(
             (F.col("doc_id") + F.lit(i * off)).alias("doc_id"),
-            F.translate("text", VOWELS + VOWELS.upper(),
-                        _rot_vowels(i) + _rot_vowels(i).upper()).alias("text"),
+            F.translate("text", ALPHA + ALPHA.upper(),
+                        _rot_alpha(i) + _rot_alpha(i).upper()).alias("text"),
             "lang", "source", "n_chars"))
     if name == "embeddings":
         off = df.agg(F.max("vec_id")).head()[0] + 1
