@@ -111,13 +111,21 @@ def tumbling_window_agg(df: DataFrame, ts_col: str, duration: str,
 
 def asof_join(left: DataFrame, right: DataFrame, on: str, by: list[str],
               value_cols: list[str],
-              tolerance_seconds: float | None = None) -> DataFrame:
-    """Backward as-of join: attach to every left row the ``value_cols``
-    of the latest right row with the same ``by`` keys and right.on <=
-    left.on (inclusive, pandas ``merge_asof`` / DuckDB ``ASOF JOIN``
-    semantics; no match -> nulls). Left rows and columns are preserved;
-    matched values arrive as ``asof_<col>`` plus ``asof_ts`` (the
-    matched right timestamp).
+              tolerance_seconds: float | None = None,
+              direction: str = "backward") -> DataFrame:
+    """As-of join: attach to every left row the ``value_cols`` of the
+    right row with the same ``by`` keys whose ``on`` is, per
+    ``direction`` (pandas ``merge_asof`` semantics, all inclusive):
+
+    - ``backward`` — latest right.on <= left.on (DuckDB ``ASOF JOIN``);
+    - ``forward``  — earliest right.on >= left.on;
+    - ``nearest``  — smaller |right.on − left.on|; exact ties resolve
+      BACKWARD (the earlier right row — documented, deterministic).
+
+    No match -> nulls. Left rows and columns are preserved; matched
+    values arrive as ``asof_<col>`` plus ``asof_ts`` (the matched right
+    timestamp). ``tolerance_seconds`` nulls matches farther than the
+    tolerance in the match direction (either direction for nearest).
 
     Determinism contract: the right side must be unique per (by, on) —
     duplicate right timestamps make every as-of definition ambiguous
@@ -127,16 +135,18 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: list[str],
 
     Scale shape — the reason this is NOT a range join: both sides union
     into one relation tagged by side, then ONE window partitioned by
-    ``by`` carries the last non-null right value forward
-    (``last(..., ignorenulls=True)`` over rows-unbounded-preceding).
-    One shuffle on the by-keys, no per-row range probe, no broadcast of
-    either side, no O(left x right) candidate stage — the standard
-    distributed as-of shape. Right rows sort before left rows at equal
-    timestamps (side 0 < 1), which is exactly what makes the join
-    inclusive."""
+    ``by`` carries the last non-null right value through the traversal
+    (``last(..., ignorenulls=True)`` over rows-unbounded-preceding;
+    ascending traversal for backward, descending for forward, both for
+    nearest). One shuffle on the by-keys — Spark reuses the exchange
+    for the second window in the nearest case — no per-row range probe,
+    no broadcast of either side, no O(left x right) candidate stage.
+    Right rows traverse before left rows at equal timestamps (side 0 <
+    1), which is exactly what makes the join inclusive."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
     lcols = left.columns
-    side = F.lit(1)
-    l_tagged = left.withColumn("__side", side)
+    l_tagged = left.withColumn("__side", F.lit(1))
     for c in value_cols:
         l_tagged = l_tagged.withColumn(f"__rv_{c}", F.lit(None).cast(
             dict(right.dtypes)[c]))
@@ -152,25 +162,46 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: list[str],
     ).select(*lcols, "__side", *[f"__rv_{c}" for c in value_cols], "__rts")
 
     unioned = l_tagged.select(*r_tagged.columns).unionByName(r_tagged)
-    w = (Window.partitionBy(*by).orderBy(F.col(on).asc(), F.col("__side").asc())
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    carried = unioned
-    for c in value_cols:
-        carried = carried.withColumn(
-            f"asof_{c}", F.last(f"__rv_{c}", ignorenulls=True).over(w))
-    carried = carried.withColumn(
-        "asof_ts", F.last("__rts", ignorenulls=True).over(w))
-    out = carried.filter(F.col("__side") == 1)
-    if tolerance_seconds is not None:
-        stale = (F.unix_micros(F.col(on)) - F.unix_micros("asof_ts")
-                 > int(tolerance_seconds * 1_000_000))
-        for c in value_cols:
-            out = out.withColumn(
-                f"asof_{c}",
-                F.when(stale, F.lit(None)).otherwise(F.col(f"asof_{c}")))
-        out = out.withColumn(
-            "asof_ts", F.when(stale, F.lit(None)).otherwise(F.col("asof_ts")))
-    return out.select(*lcols, *[f"asof_{c}" for c in value_cols], "asof_ts")
+
+    def carry(df: DataFrame, prefix: str, descending: bool) -> DataFrame:
+        order = F.col(on).desc() if descending else F.col(on).asc()
+        w = (Window.partitionBy(*by).orderBy(order, F.col("__side").asc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        cols = [F.last(f"__rv_{c}", ignorenulls=True).over(w)
+                .alias(f"{prefix}{c}") for c in value_cols]
+        cols.append(F.last("__rts", ignorenulls=True).over(w)
+                    .alias(f"{prefix}ts"))
+        return df.select("*", *cols)
+
+    def apply_tolerance(df: DataFrame, prefix: str) -> DataFrame:
+        if tolerance_seconds is None:
+            return df
+        gap = F.abs(F.unix_micros(F.col(on)) - F.unix_micros(f"{prefix}ts"))
+        stale = gap > int(tolerance_seconds * 1_000_000)
+        for c in [*[f"{prefix}{c}" for c in value_cols], f"{prefix}ts"]:
+            df = df.withColumn(c, F.when(stale, F.lit(None)).otherwise(F.col(c)))
+        return df
+
+    if direction in ("backward", "forward"):
+        carried = carry(unioned, "asof_", direction == "forward")
+        out = apply_tolerance(carried.filter(F.col("__side") == 1), "asof_")
+        return out.select(*lcols, *[f"asof_{c}" for c in value_cols], "asof_ts")
+
+    # nearest: both traversals over the SAME partitioning, pick per row
+    carried = carry(carry(unioned, "__b_", False), "__f_", True)
+    out = apply_tolerance(apply_tolerance(
+        carried.filter(F.col("__side") == 1), "__b_"), "__f_")
+    t = F.unix_micros(F.col(on))
+    bgap = t - F.unix_micros("__b_ts")
+    fgap = F.unix_micros("__f_ts") - t
+    use_b = (F.col("__f_ts").isNull()
+             | (F.col("__b_ts").isNotNull() & (bgap <= fgap)))
+    pick = [
+        F.when(use_b, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}"))
+        .alias(f"asof_{c}")
+        for c in [*value_cols, "ts"]
+    ]
+    return out.select(*lcols, *pick)
 
 
 def range_join(points: DataFrame, intervals: DataFrame, point_ts: str,

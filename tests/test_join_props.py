@@ -103,3 +103,49 @@ def test_asof_join_empty_right(spark):
     row = W.asof_join(ldf, rdf, on="ts", by=["user_id"],
                       value_cols=["price"]).head()
     assert row.asof_price is None and row.asof_ts is None and row.event_id == 1
+
+
+def test_asof_join_forward_and_nearest(spark):
+    """forward/nearest directions against pandas merge_asof (forward)
+    and an explicit reference loop (nearest, tie -> backward)."""
+    rng = random.Random(99)
+    left, right = _tables(rng, n_left=300, n_right=120, n_keys=5)
+    ldf = spark.createDataFrame(
+        left, "event_id long, user_id long, ts timestamp, value double")
+    rdf = spark.createDataFrame(
+        right, "user_id long, ts timestamp, price double")
+
+    # --- forward vs pandas merge_asof ---
+    got_f = {r.event_id: (r.asof_price, r.asof_ts)
+             for r in W.asof_join(ldf, rdf, on="ts", by=["user_id"],
+                                  value_cols=["price"],
+                                  direction="forward").collect()}
+    lpd = (pd.DataFrame(left, columns=["event_id", "user_id", "ts", "value"])
+           .sort_values("ts", kind="stable"))
+    rpd = (pd.DataFrame(right, columns=["user_id", "ts", "price"])
+           .sort_values("ts", kind="stable"))
+    exp = pd.merge_asof(lpd, rpd.assign(rts=rpd["ts"]), on="ts",
+                        by="user_id", direction="forward")
+    for row in exp.itertuples():
+        want = (None if pd.isna(row.price) else row.price,
+                None if pd.isna(row.rts) else row.rts.to_pydatetime())
+        assert got_f[row.event_id] == want, row.event_id
+
+    # --- nearest vs explicit reference (tie -> backward) ---
+    got_n = {r.event_id: (r.asof_price, r.asof_ts)
+             for r in W.asof_join(ldf, rdf, on="ts", by=["user_id"],
+                                  value_cols=["price"],
+                                  direction="nearest").collect()}
+    by_key: dict = {}
+    for (k, t, p) in right:
+        by_key.setdefault(k, []).append((t, p))
+    for (eid, k, t, _v) in left:
+        cands = by_key.get(k, [])
+        best = None
+        for (rt, rp) in sorted(cands):
+            gap = abs((rt - t).total_seconds())
+            if best is None or gap < best[0] or (gap == best[0] and rt <= t):
+                if best is None or gap < best[0] or rt <= t:
+                    best = (gap, rt, rp)
+        want = (best[2], best[1]) if best else (None, None)
+        assert got_n[eid] == want, eid
