@@ -2852,6 +2852,44 @@ def q83_rolling_time_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "trailing_sum", "trailing_cnt")
 
 
+@query(
+    "q84_asof_forward",
+    """
+    WITH r AS (
+        SELECT user_id, ts, max(value) AS pval
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, ts
+    )
+    SELECT l.event_id, l.user_id,
+           r.pval AS next_purchase_value, r.ts AS next_purchase_ts
+    FROM events l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.ts <= r.ts
+    """,
+)
+def q84_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: every event carries the user's NEXT
+    purchase value at-or-after it (lead-time-to-conversion shape) — the
+    q81 twin exercising asof_join's descending traversal. Oracle =
+    DuckDB ASOF LEFT JOIN with the inequality reversed (l.ts <= r.ts),
+    its native forward form. Same determinism contract as q81."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pval"))
+    )
+    out = windows.asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        purchases, on="ts", by=["user_id"], value_cols=["pval"],
+        direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.col("asof_pval").alias("next_purchase_value"),
+        F.col("asof_ts").alias("next_purchase_ts"),
+    )
+
+
 # Operators added AFTER the 50-slot window filled with unique-operator
 # queries: fully oracle-checked by the local gate, first in line for a
 # window slot if one opens.
@@ -2883,6 +2921,8 @@ POST_WINDOW: list[str] = [
     "q82_range_join",
     # round 5: trailing time-RANGE window aggregate (decimal-exact)
     "q83_rolling_time_agg",
+    # round 5: forward as-of (descending traversal; DuckDB reversed ASOF)
+    "q84_asof_forward",
 ]
 
 
