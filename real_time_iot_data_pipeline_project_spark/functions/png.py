@@ -54,8 +54,22 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     """Decode a PNG to ``(width, height, channels, pixels)`` — pixels are
-    raw 8-bit bytes, row-major, unfiltered. Raises ``ValueError`` on
-    non-PNG payloads or unsupported variants (palette, 16-bit, Adam7)."""
+    raw 8-bit bytes, row-major, unfiltered. Raises ``ValueError`` on ANY
+    malformed payload: non-PNG, unsupported variants (palette, 16-bit,
+    Adam7), and corrupt data. A truncated chunk header (struct.error) or
+    a broken deflate stream (zlib.error) is normalized to ValueError so
+    callers need exactly one except clause — at corpus scale a poison
+    payload must surface as a recordable error, never a task-killing
+    exception type the caller didn't anticipate."""
+    try:
+        return _decode_png_impl(data)
+    except ValueError:
+        raise
+    except (struct.error, zlib.error, IndexError, OverflowError, MemoryError) as e:
+        raise ValueError(f"corrupt PNG: {type(e).__name__}: {e}") from e
+
+
+def _decode_png_impl(data: bytes) -> tuple[int, int, int, bytes]:
     if data[:8] != _SIGNATURE:
         raise ValueError("not a PNG payload")
     pos, width, height, color_type, idat = 8, 0, 0, 0, []

@@ -73,16 +73,53 @@ def _fake_features(payload: bytes, dim: int) -> list[float]:
     return out[:dim]
 
 
+def _png_features(payload: bytes, dim: int) -> list[float]:
+    """REAL pixel-derived feature vector from a decoded PNG: per-channel
+    mean/std/min/max in [0,1] plus a coarse ``dim - 4*ch``-bucket global
+    intensity histogram — downsample-invariant summary features, the
+    shape a real vision featurizer emits (fixed dim, [0,1] floats)."""
+    import numpy as np
+
+    from ..functions import png as _png
+
+    w, h, ch, pix = _png.decode_png(payload)
+    arr = (np.frombuffer(pix, dtype=np.uint8)
+           .reshape(-1, ch).astype(np.float64) / 255.0)
+    head: list[float] = []
+    for stat in (arr.mean(axis=0), arr.std(axis=0),
+                 arr.min(axis=0), arr.max(axis=0)):
+        head.extend(float(v) for v in stat)
+    n_bins = dim - len(head)
+    if n_bins <= 0:
+        return head[:dim]
+    hist, _ = np.histogram(arr.ravel(), bins=n_bins, range=(0.0, 1.0))
+    return head + [float(c) / arr.size for c in hist]
+
+
 def extract_features(df: DataFrame, *, dim: int = 16, fake: bool = False,
+                     codec: str | None = None,
                      payload_col: str = "payload",
                      id_col: str = "media_id") -> DataFrame:
     """Decode + feature-extract via ``mapInPandas`` (Arrow-batched).
 
-    Real decode requires image/audio libs not present in this container:
-    with ``fake=False`` this raises ``NotImplementedError`` at execution
-    time (by design — the plumbing is the deliverable; swap
-    ``_fake_features`` for a real decoder on a cluster with codecs).
+    Tiers, by argument:
+
+    - ``codec="png"`` — REAL decode: payloads run through the pure-stdlib
+      RFC 2083 decoder (``functions.png``) and become pixel-derived
+      features (per-channel mean/std/min/max + intensity histogram,
+      ``_png_features``). Malformed payloads yield a null features row
+      (decode_png normalizes every failure to ValueError).
+    - ``fake=True`` — deterministic digest-derived stub, the oracle tier
+      (cross-engine value-checkable without a codec).
+    - neither — ``NotImplementedError`` at execution time: JPEG / audio
+      resample / video frame-sample need libraries not present in this
+      container; the Spark plumbing (schema, Arrow batching, signature)
+      is identical, so a real featurizer drops in per-payload.
     """
+    if codec is not None and codec != "png":
+        raise NotImplementedError(
+            f"codec {codec!r} needs libraries not present in this "
+            "environment; 'png' is the built-in real-decode path")
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -92,10 +129,20 @@ def extract_features(df: DataFrame, *, dim: int = 16, fake: bool = False,
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if codec == "png":
+                feats = []
+                for p in pdf[payload_col]:
+                    try:
+                        feats.append(_png_features(bytes(p), dim))
+                    except ValueError:
+                        feats.append(None)
+                yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
+                continue
             if not fake:
                 raise NotImplementedError(
                     "media decode requires codec libraries not present in "
-                    "this environment; pass fake=True for the deterministic stub"
+                    "this environment; pass codec='png' for the built-in "
+                    "real decoder or fake=True for the deterministic stub"
                 )
             yield pd.DataFrame(
                 {
@@ -139,6 +186,9 @@ def image_pixel_stats(df: DataFrame, payload_col: str = "payload",
     ])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+        import zlib as _zlib
+
         import numpy as np
 
         for pdf in batches:
@@ -151,7 +201,10 @@ def image_pixel_stats(df: DataFrame, payload_col: str = "payload",
                     rows.append((mid, w, h, ch,
                                  [float(m) for m in arr.mean(axis=0)],
                                  [float(s) for s in arr.std(axis=0)], None))
-                except ValueError as e:
+                except (ValueError, _zlib.error, _struct.error) as e:
+                    # decode_png normalizes to ValueError; the extra types
+                    # are defense in depth so a poison payload can never
+                    # kill the task when strict=False (ADVICE r5 finding).
                     if strict:
                         raise
                     rows.append((mid, None, None, None, None, None, str(e)))

@@ -142,9 +142,27 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: list[str],
     for the second window in the nearest case — no per-row range probe,
     no broadcast of either side, no O(left x right) candidate stage.
     Right rows traverse before left rows at equal timestamps (side 0 <
-    1), which is exactly what makes the join inclusive."""
+    1), which is exactly what makes the join inclusive.
+
+    Reserved names: the implementation owns the ``__``-prefixed scratch
+    columns (``__side``, ``__rts``, ``__rv_*``, ``__b_*``, ``__f_*``)
+    and the ``asof_*`` output prefix. Left columns carrying those
+    prefixes, or a value_col literally named ``ts`` (it would collide
+    with the matched-timestamp output ``asof_ts``), raise ValueError
+    instead of being silently clobbered."""
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown direction {direction!r}")
+    if "ts" in value_cols:
+        raise ValueError(
+            "value_cols may not contain 'ts': the matched right timestamp "
+            "is always emitted as asof_ts — alias the right value column "
+            "before the join")
+    reserved = [c for c in left.columns
+                if c.startswith("__") or c.startswith("asof_")]
+    if reserved:
+        raise ValueError(
+            f"left columns {reserved} collide with asof_join's reserved "
+            "'__'/'asof_' prefixes — rename them before the join")
     lcols = left.columns
     l_tagged = left.withColumn("__side", F.lit(1))
     for c in value_cols:
@@ -221,7 +239,20 @@ def range_join(points: DataFrame, intervals: DataFrame, point_ts: str,
     interval in at most one bin (its own), so no dedup stage is needed.
     Pick bin_seconds close to the typical interval length: shorter bins
     inflate the interval explode, longer bins inflate per-bin candidate
-    verification."""
+    verification.
+
+    Column contract: the join is on bare names, so apart from the ``by``
+    keys the two inputs must have DISJOINT column names (and neither may
+    already contain ``__bin``); otherwise the containment filter would be
+    ambiguous. Violations raise ValueError — alias/rename before calling
+    (as q82 does with win_start/win_end)."""
+    overlap = (set(points.columns) & set(intervals.columns)) - set(by)
+    if overlap:
+        raise ValueError(
+            f"points and intervals share non-key columns {sorted(overlap)}; "
+            "range_join joins on bare names — rename one side first")
+    if "__bin" in points.columns or "__bin" in intervals.columns:
+        raise ValueError("'__bin' is reserved by range_join")
     bin_us = bin_seconds * 1_000_000
     p = points.withColumn(
         "__bin", F.floor(F.unix_micros(F.col(point_ts)) / F.lit(bin_us)))
@@ -242,10 +273,12 @@ def range_join(points: DataFrame, intervals: DataFrame, point_ts: str,
 
 def rolling_time_agg(df: DataFrame, ts_col: str, key: str, value_col: str,
                      window_seconds: int) -> DataFrame:
-    """Trailing time-range aggregate per key: for every row, the sum and
-    count of ``value_col`` over [ts - window, ts] for the same key — a
-    RANGE window frame over event time (true time semantics: rows with
-    equal timestamps all see each other, gaps shrink the frame), not a
+    """Trailing time-range aggregate per key: for every row, the sum of
+    ``value_col`` and the ROW COUNT (COUNT(*) semantics — every frame row
+    counts, including rows whose value_col is null, while trailing_sum
+    skips nulls) over [ts - window, ts] for the same key — a RANGE window
+    frame over event time (true time semantics: rows with equal
+    timestamps all see each other, gaps shrink the frame), not a
     row-count frame.
 
     One shuffle on the key; the frame is evaluated in a single ordered

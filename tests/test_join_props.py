@@ -149,3 +149,44 @@ def test_asof_join_forward_and_nearest(spark):
                     best = (gap, rt, rp)
         want = (best[2], best[1]) if best else (None, None)
         assert got_n[eid] == want, eid
+
+
+def test_asof_join_rejects_reserved_names(spark):
+    """ADVICE r5: reserved-name collisions raise instead of silently
+    clobbering — value_col 'ts', '__'-prefixed and 'asof_'-prefixed
+    left columns."""
+    import pytest
+
+    ldf = spark.createDataFrame(
+        [(1, 1, _ts(10))], "event_id long, user_id long, ts timestamp")
+    rdf = spark.createDataFrame(
+        [(1, _ts(5), 2.0)], "user_id long, ts timestamp, price double")
+
+    with pytest.raises(ValueError, match="asof_ts"):
+        W.asof_join(ldf, rdf, on="ts", by=["user_id"], value_cols=["ts"])
+    for bad in ("__side", "__rts", "__rv_price", "asof_price"):
+        bad_left = ldf.withColumn(bad, ldf.event_id)
+        with pytest.raises(ValueError, match="reserved"):
+            W.asof_join(bad_left, rdf, on="ts", by=["user_id"],
+                        value_cols=["price"])
+
+
+def test_range_join_rejects_column_overlap(spark):
+    """ADVICE r5: non-key column-name overlap between points and
+    intervals raises up front instead of producing ambiguous output."""
+    import pytest
+
+    pts = spark.createDataFrame(
+        [(1, 1, _ts(10))], "event_id long, user_id long, ts timestamp")
+    iv = spark.createDataFrame(
+        [(9, 1, _ts(0), _ts(60))],
+        "iv_id long, user_id long, s timestamp, e timestamp")
+
+    overlapping = iv.withColumnRenamed("iv_id", "event_id")
+    with pytest.raises(ValueError, match="event_id"):
+        W.range_join(pts, overlapping, point_ts="ts", start_col="s",
+                     end_col="e", by=["user_id"], bin_seconds=60)
+    with pytest.raises(ValueError, match="__bin"):
+        W.range_join(pts.withColumn("__bin", pts.event_id), iv,
+                     point_ts="ts", start_col="s", end_col="e",
+                     by=["user_id"], bin_seconds=60)

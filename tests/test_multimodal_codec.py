@@ -80,6 +80,74 @@ def test_png_rejects_garbage_and_unsupported():
         png.decode_png(bad)
 
 
+def test_png_decode_normalizes_corrupt_payloads():
+    """Truncated/corrupt payloads that still carry the 8-byte signature
+    raise ValueError, never zlib.error / struct.error (ADVICE r5): a
+    poison payload at corpus scale must be catchable with one clause."""
+    w, h = 4, 4
+    good = png.encode_png(w, h, _gradient(w, h, 3), 2)
+    # corrupt deflate stream inside a structurally-valid IDAT chunk
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    bad_deflate = (b"\x89PNG\r\n\x1a\n" + png._chunk(b"IHDR", ihdr)
+                   + png._chunk(b"IDAT", b"\x00\xff\x13\x37 not deflate")
+                   + png._chunk(b"IEND", b""))
+    # truncated mid-chunk-header (signature + 2 bytes of a length field)
+    truncated = good[:10]
+    for payload in (bad_deflate, truncated):
+        with pytest.raises(ValueError):
+            png.decode_png(payload)
+
+
+def test_image_pixel_stats_survives_corrupt_png(spark):
+    """Non-strict pixel stats yields an error row (not a task death) for
+    a signature-valid payload whose deflate stream is corrupt."""
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    bad = (b"\x89PNG\r\n\x1a\n" + png._chunk(b"IHDR", ihdr)
+           + png._chunk(b"IDAT", b"\x00\xff\x13\x37 not deflate")
+           + png._chunk(b"IEND", b""))
+    good = png.encode_png(2, 2, _gradient(2, 2, 3), 2)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(bad), None),
+         (2, "image", bytearray(good[:10]), None),
+         (3, "image", bytearray(good), None)],
+        multimodal.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in multimodal.image_pixel_stats(df).collect()}
+    assert "corrupt PNG" in got[1].decode_error
+    assert got[2].decode_error is not None
+    assert got[3].decode_error is None and got[3].channels == 3
+
+
+def test_extract_features_real_png_decode(spark):
+    """codec='png' runs the REAL decoder: features are pixel-derived
+    (match a local numpy oracle), malformed payloads yield null
+    features, and unsupported codecs still raise NotImplementedError."""
+    import numpy as np
+
+    w, h = 6, 4
+    rgb = _gradient(w, h, 3)
+    rows = [
+        (1, "image", bytearray(png.encode_png(w, h, rgb, 2)), None),
+        (2, "image", bytearray(b"junk, not a PNG"), None),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r.media_id: r.features
+           for r in multimodal.extract_features(df, dim=16, codec="png").collect()}
+
+    arr = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3) / 255.0
+    expect = []
+    for stat in (arr.mean(axis=0), arr.std(axis=0),
+                 arr.min(axis=0), arr.max(axis=0)):
+        expect.extend(stat)
+    hist, _ = np.histogram(arr.ravel(), bins=4, range=(0.0, 1.0))
+    expect.extend(hist / arr.size)
+    assert len(got[1]) == 16
+    np.testing.assert_allclose(got[1], expect, atol=1e-12)
+    assert got[2] is None
+
+    with pytest.raises(NotImplementedError, match="jpeg"):
+        multimodal.extract_features(df, codec="jpeg")
+
+
 def test_image_pixel_stats_real_decode(spark):
     """The Spark operator decodes genuine PNG payloads and its stats
     match a local numpy oracle; a poison payload yields an error row
