@@ -56,11 +56,13 @@ HEADLINE = [
     "q64_chunk_dedup",
     "q67_sequence_packing",
     "q68_embedding_quantization",
-    # round-5 join/window tier: as-of (single-window shape), bin-bucketed
-    # interval join, trailing time-RANGE frame
+    # round-5/6 join/window tier: as-of (single-window shape; nearest =
+    # both traversals over ONE exchange), bin-bucketed interval join,
+    # trailing time-RANGE frame
     "q81_asof_join",
     "q82_range_join",
     "q83_rolling_time_agg",
+    "q85_asof_nearest",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

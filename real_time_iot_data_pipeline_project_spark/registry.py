@@ -2694,6 +2694,26 @@ DEFERRED: list[str] = [
     "q16_distinct_stats",
     # F7 time spine — the sequence+explode spine is q13's driving input
     "q43_time_spine",
+    # --- round-6 consolidation (VERDICT r5 item 1): six subsumed twins
+    # deferred so the round-5/6 join+codec tier (q80-q85) gets official
+    # gate rows.  Subsumption documented in tests/test_export_order.py;
+    # every deferred oracle still runs in the local gate.
+    # D1 key dedup — dropDuplicates-on-keys runs inside q27's clean
+    # chain; exact-dedup semantics held by q30 fingerprint dedup
+    "q05_dedup_exact_keys",
+    # verification-tier quadratic Jaccard — production twin q32 (MinHash
+    # LSH) estimates the same pairs and keeps the official row
+    "q34_ngram_jaccard_pairs",
+    # P6/W4 interval retention — the trailing event-time window
+    # arithmetic is q83's RANGE frame; count twin q24 already deferred
+    "q41_retention_interval",
+    # F8/F26 daytime — day/night labeling runs inside q13/q27; the NOAA
+    # astro chain stays pinned by tests/test_astro.py + local gate
+    "q44_daytime_flag",
+    # winnow fingerprints — the explode→min-hash prefix OF in-window q56
+    "q46_winnow_fingerprints",
+    # T4 hopping window — two-offset UNION twin of q22's tumbling shape
+    "q49_hopping_window",
 ]
 
 
@@ -2890,6 +2910,70 @@ def q84_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q85_asof_nearest",
+    """
+    WITH r AS (
+        SELECT user_id, ts, max(value) AS pval
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, ts
+    ),
+    b AS (
+        SELECT l.event_id, r.pval AS bval, r.ts AS bts
+        FROM events l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+    ),
+    f AS (
+        SELECT l.event_id, r.pval AS fval, r.ts AS fts
+        FROM events l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts <= r.ts
+    )
+    SELECT e.event_id, e.user_id,
+           CASE WHEN f.fts IS NULL OR (b.bts IS NOT NULL
+                     AND epoch_us(e.ts) - epoch_us(b.bts)
+                         <= epoch_us(f.fts) - epoch_us(e.ts))
+                THEN b.bval ELSE f.fval END AS near_purchase_value,
+           CASE WHEN f.fts IS NULL OR (b.bts IS NOT NULL
+                     AND epoch_us(e.ts) - epoch_us(b.bts)
+                         <= epoch_us(f.fts) - epoch_us(e.ts))
+                THEN b.bts ELSE f.fts END AS near_purchase_ts
+    FROM events e
+    JOIN b ON e.event_id = b.event_id
+    JOIN f ON e.event_id = f.event_id
+    """,
+)
+def q85_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join: every event carries the user's
+    purchase value with the smallest |gap| in either time direction,
+    exact ties resolving BACKWARD (the earlier purchase) — the
+    feature-engineering "closest reading" join completing the J5 tier
+    (q81 backward, q84 forward). One shuffle: both traversals reuse the
+    same by-key partitioning (operators.windows.asof_join).
+
+    Oracle: DuckDB has no native nearest ASOF, so the CTE materializes
+    the backward and forward candidates with its two native ASOF forms
+    and picks min-gap per row with the documented backward tie-break
+    (least-gap CTE per VERDICT r5 gap 4). Same determinism contract as
+    q81: right side reduced to one row per (user_id, ts); values copied,
+    never computed."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pval"))
+    )
+    out = windows.asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        purchases, on="ts", by=["user_id"], value_cols=["pval"],
+        direction="nearest",
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.col("asof_pval").alias("near_purchase_value"),
+        F.col("asof_ts").alias("near_purchase_ts"),
+    )
+
+
 # Operators added AFTER the 50-slot window filled with unique-operator
 # queries: fully oracle-checked by the local gate, first in line for a
 # window slot if one opens.
@@ -2913,16 +2997,10 @@ POST_WINDOW: list[str] = [
     # bounded twin of in-window q56 (the 100 TB production shape; the
     # unbounded exact-MOSS variant keeps the official row)
     "q79_winnow_overlap_bounded",
-    # round 5: REAL PNG decode → pixel stats, closed-form SQL oracle
-    "q80_image_decode_stats",
-    # round 5: backward as-of join (single-window shape, DuckDB ASOF oracle)
-    "q81_asof_join",
-    # round 5: bin-bucketed interval join (no BroadcastNestedLoop)
-    "q82_range_join",
-    # round 5: trailing time-RANGE window aggregate (decimal-exact)
-    "q83_rolling_time_agg",
-    # round 5: forward as-of (descending traversal; DuckDB reversed ASOF)
-    "q84_asof_forward",
+    # (round 6: q80-q85 — real PNG decode, backward/forward/nearest
+    # as-of, range join, rolling time agg — promoted INTO the official
+    # window; they are no longer listed here, so export_order() places
+    # them in the first-50 head in registration order.)
 ]
 
 
