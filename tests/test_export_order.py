@@ -26,9 +26,6 @@ FLAGSHIP = [
     "q57_cube_rollup",
     "q50_salted_join",
     "q47_session_windows",
-    "q49_hopping_window",
-    "q44_daytime_flag",
-    "q46_winnow_fingerprints",
     # round-4 promotions: the LLM-curation flagship tier
     "q64_chunk_dedup",
     "q67_sequence_packing",
@@ -36,35 +33,46 @@ FLAGSHIP = [
     "q75_incremental_dedup",
     "q76_near_dedup_corpus",
     "q77_train_val_test",
+    # round-6 promotions: the join + real-codec tier (VERDICT r5 item 1)
+    "q80_image_decode_stats",
+    "q81_asof_join",
+    "q82_range_join",
+    "q83_rolling_time_agg",
+    "q84_asof_forward",
+    "q85_asof_nearest",
 ]
 
-# The exact round-4 official window (VERDICT r3 item 8: pin it so a
+# The exact round-6 official window (VERDICT r3 item 8: pin it so a
 # future registration reshuffle cannot silently eject a flagship from
 # the gate).  Update DELIBERATELY — any diff here is a window-contract
 # change that must be called out in the round notes.
+# Round-6 change: q05/q34/q41/q44/q46/q49 deferred (subsumption below),
+# q80-q85 promoted so the as-of/range/rolling/real-PNG tier carries
+# official CORRECTNESS rows (VERDICT r5 item 1).
 EXPECTED_WINDOW = [
-    "q01_pricing_summary", "q04_star_join", "q05_dedup_exact_keys",
+    "q01_pricing_summary", "q04_star_join",
     "q06_latest_per_key", "q07_topk", "q08_pivot_align", "q09_lag_delta",
     "q11_regression", "q13_time_features", "q14_capacity_factor",
     "q18_null_handling", "q20_wind_physics", "q21_solar_physics",
     "q22_tumbling_window", "q23_ewma", "q25_corr_matrix",
     "q26_dwh_datetime_dim", "q27_iot_pipeline", "q28_text_stats",
     "q29_lang_id", "q30_fingerprint_dedup", "q31_minhash_signatures",
-    "q32_minhash_lsh_pairs", "q33_simhash", "q34_ngram_jaccard_pairs",
+    "q32_minhash_lsh_pairs", "q33_simhash",
     "q35_binary_stats", "q36_multimodal_features", "q37_cosine_topk",
     "q38_ivf_topk", "q39_embedding_near_dup", "q40_global_metrics",
-    "q41_retention_interval", "q44_daytime_flag", "q45_quality_score",
-    "q46_winnow_fingerprints", "q57_cube_rollup",
+    "q45_quality_score", "q57_cube_rollup",
     "q56_winnow_overlap_pairs", "q47_session_windows",
-    "q49_hopping_window", "q50_salted_join", "q53_dedup_clusters",
+    "q50_salted_join", "q53_dedup_clusters",
     "q54_tfidf_top_terms", "q52_contamination_screen",
     "q48_training_data_pipeline", "q64_chunk_dedup",
     "q67_sequence_packing", "q69_curation_funnel",
     "q75_incremental_dedup", "q76_near_dedup_corpus",
     "q77_train_val_test",
+    "q80_image_decode_stats", "q81_asof_join", "q82_range_join",
+    "q83_rolling_time_agg", "q84_asof_forward", "q85_asof_nearest",
 ]
 
-# Round-4 deferrals: each subsumed query's operator stays asserted by
+# Round-4/6 deferrals: each subsumed query's operator stays asserted by
 # an in-window survivor (and every deferred oracle still runs in the
 # local gate, tests/test_oracle_parity.py).  deferred -> survivors.
 SUBSUMPTION = {
@@ -74,6 +82,23 @@ SUBSUMPTION = {
     "q15_describe": ["q40_global_metrics"],
     "q16_distinct_stats": ["q54_tfidf_top_terms"],
     "q43_time_spine": ["q13_time_features"],
+    # --- round 6 ---
+    # D1 key dedup: dropDuplicates runs inside q27's clean chain; the
+    # exact-dedup family row is q30 (md5 fingerprint hash-groupBy)
+    "q05_dedup_exact_keys": ["q27_iot_pipeline", "q30_fingerprint_dedup"],
+    # verification-tier quadratic Jaccard; q32 MinHash-LSH estimates the
+    # same pair set and is the production shape for the operator
+    "q34_ngram_jaccard_pairs": ["q32_minhash_lsh_pairs"],
+    # P6/W4 interval retention: trailing event-time window arithmetic is
+    # q83's RANGE frame (count-based twin q24 deferred since round 1)
+    "q41_retention_interval": ["q83_rolling_time_agg"],
+    # F8 day/night labels inside q13/q27; F26 NOAA astro chain stays
+    # pinned by tests/test_astro.py and the local oracle gate
+    "q44_daytime_flag": ["q13_time_features", "q27_iot_pipeline"],
+    # winnow fingerprint extraction is the literal prefix stage of q56
+    "q46_winnow_fingerprints": ["q56_winnow_overlap_pairs"],
+    # T4 hopping window = two-offset UNION of q22's tumbling window
+    "q49_hopping_window": ["q22_tumbling_window"],
 }
 
 
