@@ -234,6 +234,49 @@ def compact_corpus(spark, corpus_path: str, output_path: str,
             "duplicates_removed": before - after}
 
 
+def compact_signature_store(spark, corpus_path: str, signature_store: str,
+                            output_store: str,
+                            id_col: str = "doc_id") -> dict:
+    """Signature-store lifecycle companion to ``compact_corpus``: the
+    store grows monotonically (one sigs + bands partition per batch;
+    docs later removed from the corpus — retention deletes, compaction —
+    are never pruned), so a periodic rewrite keeps it aligned with what
+    the corpus actually contains. Keeps exactly the signatures and
+    precomputed band rows of docs present in ``corpus_path``, preserving
+    the ``batch_id`` partition column so the sink's replay-exclusion
+    filter (``batch_id != current``) and ``_dir_exists`` checks keep
+    working against the compacted store.
+
+    Decision-preservation contract: when the corpus was compacted by
+    ``compact_corpus`` (exact dedup — every removed doc has an
+    identical-text survivor), pruning cannot change ANY later dedup
+    decision: the removed doc's MinHash signature is byte-identical to
+    its survivor's, so every probe that matched the removed doc still
+    matches the survivor. When docs are removed by retention (no
+    surviving twin), later near-dups of the removed content WILL now
+    survive — that is the point: the store mirrors the corpus, not its
+    history. Out-of-place like compact_corpus: caller validates then
+    swaps pointers. Returns per-table before/after row counts.
+
+    Scale shape: two broadcast-or-shuffle left-semi joins on the id —
+    linear in store size, no signature recomputation, no corpus text
+    read (only the id column is scanned, column-pruned)."""
+    keep = spark.read.parquet(corpus_path).select(id_col).distinct()
+    out: dict[str, int] = {}
+    for table in ("sigs", "bands"):
+        src = f"{signature_store}/{table}"
+        if not _dir_exists(spark, src):
+            continue
+        rows = spark.read.parquet(src)
+        out[f"{table}_before"] = rows.count()
+        kept = rows.join(keep, id_col, "left_semi")
+        (kept.write.mode("overwrite").partitionBy("batch_id")
+         .parquet(f"{output_store}/{table}"))
+        out[f"{table}_after"] = spark.read.parquet(
+            f"{output_store}/{table}").count()
+    return out
+
+
 def start_corpus_sink(curated: DataFrame, path: str, checkpoint: str,
                       available_now: bool = False):
     """Append parquet partitioned (ingest_date, detected_lang): date for
