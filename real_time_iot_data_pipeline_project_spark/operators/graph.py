@@ -78,12 +78,124 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} "
             f"iterations ({changed} labels still changing); raise "
-            "max_iters or use a large-star/small-star variant for "
-            "high-diameter graphs"
+            "max_iters or use connected_components_star (large-star/"
+            "small-star, O(log^2 n) rounds) for high-diameter graphs"
         )
     # isolated nodes re-enter lazily (no per-round cost): component = id.
     # shuffle_hash, not sort-merge: the corpus side must not be sorted,
     # and the endpoint side may exceed broadcast size at scale.
+    isolated = (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(touched.hint("shuffle_hash"), "id", "left_anti")
+        .withColumn("component", F.col("id"))
+    )
+    return labels.union(isolated)
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round: every node u links each STRICTLY LARGER
+    neighbor to the minimum of its closed neighborhood. Detaches high
+    nodes from each other, halving long paths."""
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    m = (sym.groupBy("a")
+         .agg(F.least(F.min("b"), F.first("a")).alias("m")))
+    return (
+        sym.join(m, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: orient every edge high→low; every node
+    links its smaller neighbors (and itself) to its minimum smaller
+    neighbor — collapsing local stars onto their minimum."""
+    oriented = (
+        e.select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    m = oriented.groupBy("a").agg(F.min("b").alias("m"))
+    return (
+        oriented.join(m, "a")
+        .select(F.col("b").alias("a"), "m")          # (v, m) for v ∈ N⁻(u)
+        .union(m.select(F.col("a"), F.col("m")))     # (u, m)
+        .select(F.col("a"), F.col("m").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def connected_components_star(nodes: DataFrame, edges: DataFrame,
+                              id_col: str = "id", src_col: str = "id_a",
+                              dst_col: str = "id_b",
+                              max_iters: int = 60) -> DataFrame:
+    """(id, component) via alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — same output contract as ``connected_components`` (the
+    component label is the MIN node id), but the round count is
+    O(log² n) in the WORST case, independent of graph diameter.
+
+    Use this when the pair graph may contain long chains (transitive
+    near-dup drift, record-linkage paths): min-label propagation needs
+    diameter-many rounds and deliberately raises past ``max_iters``,
+    while the star rounds contract any chain exponentially. For the
+    near-clique clusters LSH emits (diameter ~2) plain
+    ``connected_components`` remains the cheaper choice — one join per
+    round instead of two star phases.
+
+    Convergence is detected structurally: at the joint fixed point the
+    edge set is a union of stars rooted at component minima and a
+    large+small round maps it to itself, so iteration stops when the
+    canonical edge fingerprint (count + order-independent hash sum)
+    repeats. Each phase is one groupBy + one hash join over EDGES only
+    (never corpus-sized rows); ``localCheckpoint`` per round cuts the
+    iterative-lineage growth exactly as the min-label loop does."""
+    e = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    touched = (
+        e.select("a").union(e.select(F.col("b").alias("a")))
+        .distinct()
+        .select(F.col("a").alias("id"))
+        .localCheckpoint()
+    )
+
+    def fingerprint(df: DataFrame) -> tuple:
+        row = (df.select(F.greatest("a", "b").alias("h"),
+                         F.least("a", "b").alias("l"))
+               .agg(F.count(F.lit(1)),
+                    # bit_xor: order-independent and overflow-free under
+                    # ANSI (a 64-bit SUM of hashes overflows LongType)
+                    F.bit_xor(F.xxhash64("h", "l"))).head())
+        return (row[0], row[1])
+
+    prev_fp = fingerprint(e)
+    for _ in range(max_iters):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        fp = fingerprint(e)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iters} "
+            "rounds — not expected for any graph of < 2^60 nodes; check "
+            "the edge relation for pathological self-amplification")
+
+    # fixed point = stars: every edge already points node → component
+    # min. groupBy(min) rather than trusting star shape blindly keeps
+    # the output well-formed even for a root that appears as a source.
+    labels = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .groupBy("a").agg(F.min("b").alias("m"))
+        .select(F.col("a").alias("id"),
+                F.least("a", "m").alias("component"))
+    )
     isolated = (
         nodes.select(F.col(id_col).alias("id"))
         .join(touched.hint("shuffle_hash"), "id", "left_anti")
