@@ -133,9 +133,13 @@ def main(argv: list[str] | None = None) -> None:
     from .session import get_spark
 
     p = argparse.ArgumentParser(description="batch consume-and-process pipeline")
-    p.add_argument("domain", choices=["solar", "wind", "curate", "compact"])
+    p.add_argument("domain",
+                   choices=["solar", "wind", "curate", "compact",
+                            "compact-store"])
     p.add_argument("input_path")
     p.add_argument("--output", default=None)
+    p.add_argument("--store", default=None,
+                   help="signature store to compact (compact-store domain)")
     p.add_argument("--format", choices=["csv", "parquet"], default="parquet")
     p.add_argument("--max-messages", type=int, default=None)
     p.add_argument("--show-details", action="store_true")
@@ -151,6 +155,17 @@ def main(argv: list[str] | None = None) -> None:
             p.error("compact requires --output (compaction is out-of-place)")
         stats = compact_corpus(spark, args.input_path, args.output)
         print(f"compacted: {stats}")
+        return
+    if args.domain == "compact-store":
+        from .streaming.curation import compact_signature_store
+
+        if not (args.output and args.store):
+            p.error("compact-store requires --store and --output "
+                    "(store compaction is out-of-place); input_path is "
+                    "the corpus the store must mirror")
+        stats = compact_signature_store(
+            spark, args.input_path, args.store, args.output)
+        print(f"store compacted: {stats}")
         return
     if args.domain == "curate":
         out = curate_corpus(

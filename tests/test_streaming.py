@@ -666,3 +666,22 @@ def test_signature_store_compaction_preserves_decisions(spark, tmp_path):
     c_r = str(tmp_path / "cr")
     curation.process_corpus_batch(inc, 9, c_r, rstore)
     assert {r.doc_id for r in spark.read.parquet(c_r).collect()} == {4, 5}
+
+
+def test_compact_store_cli(spark, tmp_path):
+    from real_time_iot_data_pipeline_project_spark import pipelines
+    from real_time_iot_data_pipeline_project_spark.streaming import curation
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta " * 4, "en",
+          "s", datetime.datetime(2026, 1, 1, 10, 0)),
+         (2, "one two three four five six seven eight nine ten " * 4,
+          "en", "s", datetime.datetime(2026, 1, 1, 10, 1))],
+        "doc_id long, text string, lang string, source string, "
+        "event_time timestamp")
+    corpus, store = str(tmp_path / "c"), str(tmp_path / "s")
+    curation.process_corpus_batch(docs, 0, corpus, store)
+    out = str(tmp_path / "sc")
+    pipelines.main(["compact-store", corpus, "--store", store,
+                    "--output", out])
+    assert spark.read.parquet(f"{out}/sigs").count() == 2
