@@ -1782,15 +1782,23 @@ def _cluster_sql(threshold: float = 0.75) -> str:
 @query("q53_dedup_clusters", _cluster_sql())
 def q53_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: MinHash-LSH pairs (est_jaccard >= 0.75) →
-    connected components (operators.graph, iterative min-label
-    propagation) → (doc_id, cluster_id = min doc in component). The
-    dedup decision layer: keep cluster_id == doc_id, drop the rest.
-    Oracle = recursive-CTE transitive closure over the same pairs."""
+    connected components → (doc_id, cluster_id = min doc in component).
+    The dedup decision layer: keep cluster_id == doc_id, drop the rest.
+    Oracle = recursive-CTE transitive closure over the same pairs.
+
+    Round 6: switched from min-label propagation to the large-star/
+    small-star variant — measured faster on the real LSH pair graph
+    (x10: 4.8 s vs 14.8 s — min-label pays a driver-synchronized count
+    per round; sf0.1 full pipeline: 3.84 s vs 4.52 s) AND diameter-safe:
+    no 25-round raise hazard when transitive near-dup drift chains
+    longer than expected at corpus scale. Labels are identical by
+    construction (both emit component = min id; equivalence
+    property-tested against a union-find oracle)."""
     docs = _t(spark, sf_dir, "documents")
     from .operators import graph
 
     pairs = dedup.minhash_lsh_candidates(docs).filter(F.col("est_jaccard") >= 0.75)
-    comp = graph.connected_components(
+    comp = graph.connected_components_star(
         docs.select("doc_id"), pairs, id_col="doc_id"
     )
     return comp.select(F.col("id").alias("doc_id"), F.col("component").alias("cluster_id"))
@@ -2568,12 +2576,14 @@ def q76_near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     components → survivor rule (graph.dedup_survivors: keep the doc
     whose id IS its cluster label) → per-source corpus report. This is
     the decision layer q53 feeds — what actually gets dropped, and how
-    many tokens survive, per source."""
+    many tokens survive, per source. Uses the star CC variant for the
+    same measured-speed + diameter-safety reasons as q53."""
     from .operators import graph
 
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_candidates(docs).filter(F.col("est_jaccard") >= 0.75)
-    comp = graph.connected_components(docs.select("doc_id"), pairs, id_col="doc_id")
+    comp = graph.connected_components_star(docs.select("doc_id"), pairs,
+                                           id_col="doc_id")
     surv = F.col("component") == F.col("id")
     return (
         comp.join(docs.select("doc_id", "source", textfns.token_count("text").alias("n_tok")),
