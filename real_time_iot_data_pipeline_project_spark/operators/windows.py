@@ -271,6 +271,95 @@ def range_join(points: DataFrame, intervals: DataFrame, point_ts: str,
     return out.drop("__bin")
 
 
+def time_weighted_avg(df: DataFrame, ts_col: str, key: str, value_col: str,
+                      tiebreak_col: str | None = None) -> DataFrame:
+    """Time-weighted mean of ``value_col`` per key: each sample is
+    weighted by its holding time (next sample's timestamp minus its
+    own — a step-function integral divided by the observed span), the
+    correct average for irregularly-sampled sensors where the
+    arithmetic mean over-weights chatty periods. The final sample of
+    each key holds no interval and carries zero weight.
+
+    Returns (key, twa, span_seconds, n_samples). Keys with a single
+    sample (no spanned time) yield null twa.
+
+    Determinism: equal timestamps make the lead() pairing ambiguous —
+    pass ``tiebreak_col`` (any unique column, ordered identically in
+    the oracle) to pin it; zero-width intervals contribute zero weight
+    either way, but WHICH value bridges into the next interval depends
+    on the order. Weights/products run through DECIMAL so the grouped
+    sum is order-independent (registry rule 1).
+
+    Scale shape: one shuffle on the key (the lead window), then a
+    partial-aggregatable groupBy on the same key — Spark reuses the
+    exchange, so the whole op is a single exchange + two narrow
+    passes."""
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(key).orderBy(*order)
+    dt_us = (F.unix_micros(F.lead(ts_col).over(w))
+             - F.unix_micros(F.col(ts_col)))
+    # Cross-engine exactness: double→decimal CASTS round differently
+    # across engines at the last ulp, so the value is scaled to an
+    # integer with round() (identical half-away-from-zero semantics on
+    # the identical IEEE product in Spark and DuckDB), and all sums are
+    # integer-decimal (width 19 → int128 storage, no overflow). The
+    # final division is pure double ÷ double of identical operands.
+    v_scaled = F.round(F.col(value_col) * F.lit(1_000_000)).cast("decimal(19,0)")
+    weighted = df.select(
+        F.col(key),
+        dt_us.alias("__dt"),
+        (v_scaled * dt_us.cast("decimal(19,0)")).alias("__vdt"),
+    )
+    sum_dt = F.sum(F.col("__dt").cast("decimal(19,0)"))
+    twa = F.when(
+        F.coalesce(sum_dt, F.lit(0).cast("decimal(19,0)")) == 0,
+        F.lit(None).cast("double"),
+    ).otherwise(F.sum("__vdt").cast("double") / sum_dt.cast("double")
+                / F.lit(1_000_000.0))
+    return (
+        weighted.groupBy(key)
+        .agg(
+            twa.alias("twa"),
+            (F.sum("__dt") / F.lit(1_000_000)).cast("double")
+            .alias("span_seconds"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+    )
+
+
+def detect_gaps(df: DataFrame, ts_col: str, key: str,
+                min_gap_seconds: float,
+                tiebreak_col: str | None = None) -> DataFrame:
+    """Sensor-health gap report: every interval between consecutive
+    samples of a key longer than ``min_gap_seconds`` — the outage/
+    dropout detector behind the reference's stream-monitoring panel
+    (S13; the dashboards eyeball this on the last-N chart, this op
+    states it). Returns (key, gap_start, gap_end, gap_seconds), one row
+    per detected gap.
+
+    Strictly-greater comparison, microsecond-exact: a gap of exactly
+    ``min_gap_seconds`` is NOT reported (sampling at the nominal period
+    is healthy, not a dropout). One shuffle on the key; the filter runs
+    scan-side after the single lead() window."""
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(key).orderBy(*order)
+    nxt = F.lead(ts_col).over(w)
+    gap_us = F.unix_micros(nxt) - F.unix_micros(F.col(ts_col))
+    return (
+        df.select(
+            F.col(key),
+            F.col(ts_col).alias("gap_start"),
+            nxt.alias("gap_end"),
+            (gap_us / F.lit(1_000_000.0)).alias("gap_seconds"),
+        )
+        .filter(F.col("gap_seconds") > F.lit(min_gap_seconds))
+    )
+
+
 def rolling_time_agg(df: DataFrame, ts_col: str, key: str, value_col: str,
                      window_seconds: int) -> DataFrame:
     """Trailing time-range aggregate per key: for every row, the sum of

@@ -2984,6 +2984,80 @@ def q85_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q86_time_weighted_avg",
+    """
+    WITH o AS (
+        SELECT user_id, value, ts,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS nts
+        FROM events
+    )
+    SELECT user_id,
+           CASE WHEN COALESCE(SUM(epoch_us(nts) - epoch_us(ts)), 0) = 0
+                THEN NULL
+                -- VARCHAR hop: DuckDB's direct int128->DOUBLE cast is
+                -- off by one ulp at ~1e20 magnitudes; string->double is
+                -- correctly rounded, matching Spark's BigDecimal cast
+                ELSE CAST(CAST(SUM(CAST(ROUND(value * 1000000) AS DECIMAL(19,0))
+                              * CAST(epoch_us(nts) - epoch_us(ts)
+                                     AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE)
+                     / CAST(SUM(CAST(epoch_us(nts) - epoch_us(ts)
+                                     AS DECIMAL(19,0))) AS DOUBLE)
+                     / 1000000.0
+           END AS twa,
+           CAST(SUM(epoch_us(nts) - epoch_us(ts)) / 1000000 AS DOUBLE)
+               AS span_seconds,
+           CAST(COUNT(*) AS BIGINT) AS n_samples
+    FROM o GROUP BY user_id
+    """,
+)
+def q86_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted mean per user (W8, beyond-reference tier): each
+    sample weighted by its holding time — the correct average for
+    irregularly-sampled sensors, where the arithmetic mean the
+    reference's dashboards compute over-weights chatty periods.
+
+    Determinism: the lead() pairing is pinned by the (ts, event_id)
+    tie-break in BOTH engines; weights and weighted values are summed
+    in DECIMAL (order-free, rule 1) and both sums are cast to DOUBLE
+    BEFORE the division, so the engines divide identical doubles."""
+    ev = _t(spark, sf_dir, "events")
+    out = windows.time_weighted_avg(ev, "ts", "user_id", "value",
+                                    tiebreak_col="event_id")
+    return out.select("user_id", "twa", "span_seconds", "n_samples")
+
+
+@query(
+    "q87_gap_report",
+    """
+    WITH o AS (
+        SELECT user_id, ts AS gap_start,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS gap_end
+        FROM events
+    )
+    SELECT user_id, gap_start, gap_end,
+           (epoch_us(gap_end) - epoch_us(gap_start)) / 1000000.0
+               AS gap_seconds
+    FROM o
+    WHERE (epoch_us(gap_end) - epoch_us(gap_start)) / 1000000.0 > 21600
+    """,
+)
+def q87_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensor dropout detection per user (W9, beyond-reference tier):
+    every silence longer than 6 hours between consecutive events — the
+    stream-monitoring op (S13) stated as a query instead of an
+    eyeballed dashboard chart. One lead() window, one shuffle;
+    strictly-greater µs-exact comparison so a nominal-period sample is
+    never a false positive."""
+    ev = _t(spark, sf_dir, "events")
+    out = windows.detect_gaps(ev, "ts", "user_id",
+                              min_gap_seconds=21600,
+                              tiebreak_col="event_id")
+    return out.select("user_id", "gap_start", "gap_end", "gap_seconds")
+
+
 # Operators added AFTER the 50-slot window filled with unique-operator
 # queries: fully oracle-checked by the local gate, first in line for a
 # window slot if one opens.
@@ -3011,6 +3085,10 @@ POST_WINDOW: list[str] = [
     # as-of, range join, rolling time agg — promoted INTO the official
     # window; they are no longer listed here, so export_order() places
     # them in the first-50 head in registration order.)
+    # round 6: time-weighted sensor average (holding-time integral)
+    "q86_time_weighted_avg",
+    # round 6: sensor dropout/gap report (monitoring tier S13 as a query)
+    "q87_gap_report",
 ]
 
 

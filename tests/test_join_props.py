@@ -190,3 +190,46 @@ def test_range_join_rejects_column_overlap(spark):
         W.range_join(pts.withColumn("__bin", pts.event_id), iv,
                      point_ts="ts", start_col="s", end_col="e",
                      by=["user_id"], bin_seconds=60)
+
+
+def test_time_weighted_avg_hand_computed(spark):
+    """TWA = step-function integral / span; last sample weightless;
+    single-sample keys yield null twa; chatty periods don't over-weight."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    rows = [
+        # key 1: value 10 held 10s, value 30 held 30s -> (100+900)/40 = 25
+        (1, 1, _ts(0), 10.0),
+        (2, 1, _ts(10), 30.0),
+        (3, 1, _ts(40), 99.0),      # final sample: zero weight
+        # key 2: single sample -> null twa, zero span
+        (4, 2, _ts(5), 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double")
+    got = {r.user_id: r for r in W.time_weighted_avg(
+        df, "ts", "user_id", "value", tiebreak_col="event_id").collect()}
+    assert got[1].twa == 25.0
+    assert got[1].span_seconds == 40.0
+    assert got[1].n_samples == 3
+    assert got[2].twa is None
+    assert got[2].n_samples == 1
+
+
+def test_detect_gaps_strict_threshold(spark):
+    """Gaps strictly longer than the threshold are reported; a gap of
+    exactly the threshold is not (nominal-period sampling is healthy)."""
+    rows = [
+        (1, 1, _ts(0)),
+        (2, 1, _ts(60)),     # exactly 60s: NOT a gap at threshold 60
+        (3, 1, _ts(200)),    # 140s: gap
+        (4, 2, _ts(0)),
+        (5, 2, _ts(30)),     # 30s: no gap
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = W.detect_gaps(df, "ts", "user_id", min_gap_seconds=60,
+                        tiebreak_col="event_id").collect()
+    assert len(got) == 1
+    g = got[0]
+    assert (g.user_id, g.gap_seconds) == (1, 140.0)
+    assert g.gap_start == _ts(60) and g.gap_end == _ts(200)
