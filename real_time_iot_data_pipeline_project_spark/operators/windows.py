@@ -360,6 +360,92 @@ def detect_gaps(df: DataFrame, ts_col: str, key: str,
     )
 
 
+def ohlc_downsample(df: DataFrame, ts_col: str, key: str, value_col: str,
+                    bucket_seconds: int,
+                    tiebreak_col: str) -> DataFrame:
+    """Telemetry compaction to fixed time bars: per key and
+    ``bucket_seconds`` bucket, emit (open, high, low, close, n_samples)
+    — the lossy-but-shaped downsample every long-horizon sensor
+    dashboard reads instead of raw points (and the classic OHLC bar of
+    market data). 1000× fewer rows downstream while preserving range
+    and endpoints per bucket.
+
+    open/close are the values at the first/last (ts, tiebreak) in the
+    bucket — ``min_by``/``max_by`` over a struct ordering key, so the
+    whole op is ONE partial-aggregatable groupBy (single shuffle, no
+    window sort). ``tiebreak_col`` is required, not optional: without a
+    unique ordering, open/close are nondeterministic under duplicate
+    timestamps (the same reason the as-of tier demands a reduced right
+    side)."""
+    bucket_us = bucket_seconds * 1_000_000
+    bucket = F.floor(F.unix_micros(F.col(ts_col)) / F.lit(bucket_us))
+    okey = F.struct(F.col(ts_col), F.col(tiebreak_col))
+    return (
+        df.groupBy(F.col(key), bucket.alias("__bucket"))
+        .agg(
+            F.min_by(F.col(value_col), okey).alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.max_by(F.col(value_col), okey).alias("close"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+        .select(
+            F.col(key),
+            F.timestamp_micros(F.col("__bucket") * F.lit(bucket_us))
+            .alias("bar_start"),
+            "open", "high", "low", "close", "n_samples",
+        )
+    )
+
+
+def resample_ffill(df: DataFrame, ts_col: str, key: str, value_col: str,
+                   step_seconds: int) -> DataFrame:
+    """Resample an irregular series onto a regular per-key grid with
+    forward-fill: grid points every ``step_seconds`` (aligned to epoch
+    multiples of the step) from the first aligned point at-or-after each
+    key's earliest sample to its latest sample; each point carries the
+    most recent value at-or-before it. The join-ready shape ML feature
+    matrices and cross-sensor alignment need — built by COMPOSING the
+    engine's own primitives: a sequence-exploded spine (map-side, no
+    shuffle) into the single-window as-of join.
+
+    Duplicate timestamps on the input reduce to max(value) first (the
+    as-of determinism contract, same reduction as q81). Returns
+    (key, grid_ts, value, value_ts) where value_ts is the sampled
+    ts (null if the key has no sample at-or-before the grid point —
+    possible only for its first grid point when min(ts) is unaligned)."""
+    step_us = step_seconds * 1_000_000
+    bounds = (
+        df.groupBy(key)
+        .agg(F.min(ts_col).alias("__lo"), F.max(ts_col).alias("__hi"))
+        .select(
+            F.col(key),
+            (F.ceil(F.unix_micros("__lo") / F.lit(step_us)) * step_us)
+            .alias("__start"),
+            (F.floor(F.unix_micros("__hi") / F.lit(step_us)) * step_us)
+            .alias("__stop"),
+        )
+        .filter(F.col("__start") <= F.col("__stop"))
+    )
+    grid = bounds.select(
+        F.col(key),
+        F.explode(
+            F.sequence("__start", "__stop", F.lit(step_us))
+        ).alias("__grid_us"),
+    ).select(F.col(key), F.timestamp_micros("__grid_us").alias("grid_ts"))
+    reduced = (
+        df.groupBy(key, ts_col)
+        .agg(F.max(value_col).alias("value"))
+    )
+    out = asof_join(grid.withColumnRenamed("grid_ts", "ts"), reduced,
+                    on="ts", by=[key], value_cols=["value"])
+    return out.select(
+        F.col(key), F.col("ts").alias("grid_ts"),
+        F.col("asof_value").alias("value"),
+        F.col("asof_ts").alias("value_ts"),
+    )
+
+
 def rolling_time_agg(df: DataFrame, ts_col: str, key: str, value_col: str,
                      window_seconds: int) -> DataFrame:
     """Trailing time-range aggregate per key: for every row, the sum of

@@ -3058,6 +3058,91 @@ def q87_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "gap_start", "gap_end", "gap_seconds")
 
 
+@query(
+    "q88_ohlc_bars",
+    """
+    WITH b AS (
+        SELECT user_id, value, ts, event_id,
+               CAST(floor(epoch_us(ts) / 21600000000) AS BIGINT) AS bucket,
+               row_number() OVER (
+                   PARTITION BY user_id,
+                                CAST(floor(epoch_us(ts) / 21600000000) AS BIGINT)
+                   ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (
+                   PARTITION BY user_id,
+                                CAST(floor(epoch_us(ts) / 21600000000) AS BIGINT)
+                   ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    )
+    SELECT user_id,
+           make_timestamp(bucket * 21600000000) AS bar_start,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(count(*) AS BIGINT) AS n_samples
+    FROM b GROUP BY user_id, bucket
+    """,
+)
+def q88_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed 6-hour telemetry bars per user (beyond-reference tier):
+    open/high/low/close/count per bucket — the downsample long-horizon
+    dashboards read instead of raw points. Spark shape: ONE
+    partial-aggregatable groupBy using min_by/max_by over a
+    (ts, event_id) struct ordering (single shuffle, no window sort);
+    the oracle reproduces open/close with two row_number windows.
+    Values are copied, never computed — exact hash compare."""
+    ev = _t(spark, sf_dir, "events")
+    out = windows.ohlc_downsample(ev, "ts", "user_id", "value",
+                                  bucket_seconds=21600,
+                                  tiebreak_col="event_id")
+    return out.select("user_id", "bar_start", "open", "high", "low",
+                      "close", "n_samples")
+
+
+@query(
+    "q89_resample_ffill",
+    """
+    WITH r AS (
+        SELECT user_id, ts, max(value) AS value
+        FROM events GROUP BY user_id, ts
+    ),
+    bounds AS (
+        SELECT user_id,
+               CAST(ceil(epoch_us(min(ts)) / 21600000000) AS BIGINT)
+                   * 21600000000 AS start_us,
+               CAST(floor(epoch_us(max(ts)) / 21600000000) AS BIGINT)
+                   * 21600000000 AS stop_us
+        FROM events GROUP BY user_id
+    ),
+    g AS (
+        SELECT user_id,
+               unnest(generate_series(start_us, stop_us, 21600000000))
+                   AS grid_us
+        FROM bounds WHERE start_us <= stop_us
+    )
+    SELECT g.user_id, make_timestamp(g.grid_us) AS grid_ts,
+           r.value, r.ts AS value_ts
+    FROM g ASOF LEFT JOIN r
+      ON g.user_id = r.user_id AND make_timestamp(g.grid_us) >= r.ts
+    """,
+)
+def q89_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resample with forward-fill (beyond-reference tier):
+    every 6 hours per user (grid aligned to epoch multiples of the
+    step, spanning each user's observed range), carry the most recent
+    reading — the join-ready matrix shape cross-sensor alignment and
+    feature engineering need. Composes the engine's own primitives:
+    sequence-exploded spine (map-side) → single-window as-of join (one
+    shuffle). Oracle = DuckDB generate_series + native ASOF. Right side
+    reduced to max(value) per (user, ts) per the as-of determinism
+    contract."""
+    ev = _t(spark, sf_dir, "events")
+    out = windows.resample_ffill(ev, "ts", "user_id", "value",
+                                 step_seconds=21600)
+    return out.select("user_id", "grid_ts", "value", "value_ts")
+
+
 # Operators added AFTER the 50-slot window filled with unique-operator
 # queries: fully oracle-checked by the local gate, first in line for a
 # window slot if one opens.
@@ -3089,6 +3174,10 @@ POST_WINDOW: list[str] = [
     "q86_time_weighted_avg",
     # round 6: sensor dropout/gap report (monitoring tier S13 as a query)
     "q87_gap_report",
+    # round 6: OHLC telemetry bars (single-shuffle min_by/max_by agg)
+    "q88_ohlc_bars",
+    # round 6: regular-grid forward-fill resample (spine ∘ as-of join)
+    "q89_resample_ffill",
 ]
 
 

@@ -233,3 +233,47 @@ def test_detect_gaps_strict_threshold(spark):
     g = got[0]
     assert (g.user_id, g.gap_seconds) == (1, 140.0)
     assert g.gap_start == _ts(60) and g.gap_end == _ts(200)
+
+
+def test_ohlc_downsample_hand_computed(spark):
+    """open/close follow (ts, tiebreak) order inside each bucket; high/
+    low/n are bucket aggregates; bars land on aligned bucket starts."""
+    rows = [
+        # bucket [0, 60): open=5 (t=1), close=2 (t=50), high=9, low=2
+        (1, 1, _ts(1), 5.0),
+        (2, 1, _ts(20), 9.0),
+        (3, 1, _ts(50), 2.0),
+        # same ts, tiebreak decides: event 5 later id -> close
+        (4, 1, _ts(70), 1.0),
+        (5, 1, _ts(70), 8.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double")
+    got = {r.bar_start: r for r in W.ohlc_downsample(
+        df, "ts", "user_id", "value", bucket_seconds=60,
+        tiebreak_col="event_id").collect()}
+    b0, b1 = _ts(0), _ts(60)
+    assert (got[b0].open, got[b0].high, got[b0].low, got[b0].close,
+            got[b0].n_samples) == (5.0, 9.0, 2.0, 2.0, 3)
+    assert (got[b1].open, got[b1].close, got[b1].n_samples) == (1.0, 8.0, 2)
+
+
+def test_resample_ffill_grid_and_carry(spark):
+    """Grid is aligned to step multiples inside each key's range; each
+    point carries the latest at-or-before value; an exactly-on-grid
+    sample is picked inclusively; single-unaligned-sample keys vanish."""
+    rows = [
+        (1, 1, _ts(25), 4.0),
+        (2, 1, _ts(60), 7.0),   # exactly on the 60s grid point
+        (3, 1, _ts(130), 9.0),
+        (4, 2, _ts(95), 3.0),   # lone unaligned sample: no grid points
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double")
+    got = {(r.user_id, r.grid_ts): (r.value, r.value_ts)
+           for r in W.resample_ffill(df, "ts", "user_id", "value",
+                                     step_seconds=60).collect()}
+    assert got == {
+        (1, _ts(60)): (7.0, _ts(60)),    # inclusive at-grid match
+        (1, _ts(120)): (7.0, _ts(60)),   # carried forward
+    }
