@@ -63,6 +63,11 @@ HEADLINE = [
     "q82_range_join",
     "q83_rolling_time_agg",
     "q85_asof_nearest",
+    # round-6 monitoring/resampling tier: holding-time integral, OHLC
+    # bars (single-shuffle min_by/max_by), spine ∘ as-of forward-fill
+    "q86_time_weighted_avg",
+    "q88_ohlc_bars",
+    "q89_resample_ffill",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask
