@@ -60,12 +60,15 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     a broken deflate stream (zlib.error) is normalized to ValueError so
     callers need exactly one except clause — at corpus scale a poison
     payload must surface as a recordable error, never a task-killing
-    exception type the caller didn't anticipate."""
+    exception type the caller didn't anticipate. MemoryError is
+    deliberately NOT normalized: a valid-but-huge image under executor
+    memory pressure is a resource failure that warrants task retry, not
+    a 'corrupt data' audit entry."""
     try:
         return _decode_png_impl(data)
     except ValueError:
         raise
-    except (struct.error, zlib.error, IndexError, OverflowError, MemoryError) as e:
+    except (struct.error, zlib.error, IndexError, OverflowError) as e:
         raise ValueError(f"corrupt PNG: {type(e).__name__}: {e}") from e
 
 

@@ -133,7 +133,10 @@ def extract_features(df: DataFrame, *, dim: int = 16, fake: bool = False,
                 feats = []
                 for p in pdf[payload_col]:
                     try:
-                        feats.append(_png_features(bytes(p), dim))
+                        # None payload: bytes(None) raises TypeError,
+                        # which must be an error row, not a task death
+                        feats.append(None if p is None
+                                     else _png_features(bytes(p), dim))
                     except ValueError:
                         feats.append(None)
                 yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
@@ -195,6 +198,8 @@ def image_pixel_stats(df: DataFrame, payload_col: str = "payload",
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 try:
+                    if payload is None:
+                        raise ValueError("null payload")
                     w, h, ch, pix = _png.decode_png(bytes(payload))
                     arr = (np.frombuffer(pix, dtype=np.uint8)
                            .reshape(-1, ch).astype(np.float64) / 255.0)

@@ -283,6 +283,13 @@ def time_weighted_avg(df: DataFrame, ts_col: str, key: str, value_col: str,
     Returns (key, twa, span_seconds, n_samples). Keys with a single
     sample (no spanned time) yield null twa.
 
+    Value domain: values are quantized to 1e-6 absolute precision (they
+    are scaled to integers for order-independent, cross-engine-exact
+    summation) and must satisfy |value| < ~1e13 (the DECIMAL(19,0)
+    scaled range). Micro-scale readings (|value| ≲ 1e-5) should be
+    rescaled to larger units before calling — at 1e-6 quantization they
+    would collapse toward zero.
+
     Determinism: equal timestamps make the lead() pairing ambiguous —
     pass ``tiebreak_col`` (any unique column, ordered identically in
     the oracle) to pin it; zero-width intervals contribute zero weight
@@ -411,9 +418,9 @@ def resample_ffill(df: DataFrame, ts_col: str, key: str, value_col: str,
 
     Duplicate timestamps on the input reduce to max(value) first (the
     as-of determinism contract, same reduction as q81). Returns
-    (key, grid_ts, value, value_ts) where value_ts is the sampled
-    ts (null if the key has no sample at-or-before the grid point —
-    possible only for its first grid point when min(ts) is unaligned)."""
+    (key, grid_ts, value, value_ts) where value_ts is the sampled ts —
+    never null by construction: the grid starts at-or-after each key's
+    earliest sample, so every grid point has a carry source."""
     step_us = step_seconds * 1_000_000
     bounds = (
         df.groupBy(key)
@@ -433,9 +440,13 @@ def resample_ffill(df: DataFrame, ts_col: str, key: str, value_col: str,
             F.sequence("__start", "__stop", F.lit(step_us))
         ).alias("__grid_us"),
     ).select(F.col(key), F.timestamp_micros("__grid_us").alias("grid_ts"))
+    # both sides rename their time column to the literal "ts" the
+    # as-of call below joins on — without the right-side rename any
+    # ts_col other than "ts" would KeyError inside asof_join
     reduced = (
         df.groupBy(key, ts_col)
         .agg(F.max(value_col).alias("value"))
+        .withColumnRenamed(ts_col, "ts")
     )
     out = asof_join(grid.withColumnRenamed("grid_ts", "ts"), reduced,
                     on="ts", by=[key], value_cols=["value"])

@@ -223,8 +223,15 @@ def compact_corpus(spark, corpus_path: str, output_path: str,
     left-semi join — the same linear plan as batch exact_dedup; run it
     at the cadence at which watermark-escaping duplicates actually
     accumulate."""
+    import os as _os
+
     from ..operators import dedup as dedup_ops
 
+    if _os.path.abspath(output_path) == _os.path.abspath(corpus_path):
+        raise ValueError(
+            "output_path must differ from corpus_path: overwriting the "
+            "corpus while lazily reading it races the scan — compact "
+            "out-of-place, validate, then swap")
     corpus = spark.read.parquet(corpus_path)
     before = corpus.count()
     deduped = dedup_ops.exact_dedup(corpus, text_col=text_col, id_col=id_col)
@@ -261,6 +268,20 @@ def compact_signature_store(spark, corpus_path: str, signature_store: str,
     Scale shape: two broadcast-or-shuffle left-semi joins on the id —
     linear in store size, no signature recomputation, no corpus text
     read (only the id column is scanned, column-pruned)."""
+    import os as _os
+
+    if (_os.path.abspath(output_store)
+            == _os.path.abspath(signature_store)):
+        raise ValueError(
+            "output_store must differ from signature_store: overwriting "
+            "the store while lazily reading it races the scan and can "
+            "destroy it — compact out-of-place, validate, then swap")
+    if not _dir_exists(spark, corpus_path):
+        raise ValueError(
+            f"corpus path {corpus_path!r} is missing or empty — refusing "
+            "to compact the store against nothing (that would erase every "
+            "signature); if the corpus was fully retired, delete the "
+            "store explicitly instead")
     keep = spark.read.parquet(corpus_path).select(id_col).distinct()
     out: dict[str, int] = {}
     for table in ("sigs", "bands"):
@@ -269,11 +290,17 @@ def compact_signature_store(spark, corpus_path: str, signature_store: str,
             continue
         rows = spark.read.parquet(src)
         out[f"{table}_before"] = rows.count()
-        kept = rows.join(keep, id_col, "left_semi")
+        kept = (rows.join(keep, id_col, "left_semi")
+                .localCheckpoint(eager=True))
+        n_kept = kept.count()
         (kept.write.mode("overwrite").partitionBy("batch_id")
          .parquet(f"{output_store}/{table}"))
-        out[f"{table}_after"] = spark.read.parquet(
-            f"{output_store}/{table}").count()
+        # an all-pruned table writes no parquet footers, so a read-back
+        # of the empty directory cannot infer a schema — trust the
+        # materialized count instead of re-reading
+        out[f"{table}_after"] = (
+            spark.read.parquet(f"{output_store}/{table}").count()
+            if n_kept else 0)
     return out
 
 

@@ -424,7 +424,6 @@ def test_star_cc_matches_union_find_oracle(spark):
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     # canonical min-id label per node
-    want = {i: find(i) for i in range(n)}
     mins: dict = {}
     for i in range(n):
         mins.setdefault(find(i), i)  # first i touching a root IS its min

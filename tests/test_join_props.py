@@ -277,3 +277,16 @@ def test_resample_ffill_grid_and_carry(spark):
         (1, _ts(60)): (7.0, _ts(60)),    # inclusive at-grid match
         (1, _ts(120)): (7.0, _ts(60)),   # carried forward
     }
+
+
+def test_resample_ffill_generic_column_names(spark):
+    """Review regression: ts_col other than the literal 'ts' used to
+    KeyError inside the internal as-of call."""
+    rows = [(1, "A", _ts(30), 4.0), (2, "A", _ts(90), 6.0),
+            (3, "A", _ts(150), 8.0)]
+    df = spark.createDataFrame(
+        rows, "rid long, station string, event_time timestamp, power double")
+    got = {(r.station, r.grid_ts): r.value
+           for r in W.resample_ffill(df, "event_time", "station", "power",
+                                     step_seconds=60).collect()}
+    assert got == {("A", _ts(60)): 4.0, ("A", _ts(120)): 6.0}

@@ -42,10 +42,17 @@ KAFKA_BOOTSTRAP = os.environ.get("KAFKA_BOOTSTRAP", "")
 def _kafka_connector_available() -> bool:
     """True iff the spark-sql-kafka connector jar is on the Spark
     classpath — without it a broker alone cannot help (readStream
-    .format('kafka').load() fails with DATA_SOURCE_NOT_FOUND)."""
+    .format('kafka').load() fails with DATA_SOURCE_NOT_FOUND). Probes
+    $SPARK_HOME/jars, the pip-installed pyspark jars dir, the local ivy
+    cache (spark.jars.packages provisioning), and /opt/spark-*/jars."""
+    import pyspark
+
     spark_home = os.environ.get("SPARK_HOME", "")
     jar_dirs = [os.path.join(spark_home, "jars")] if spark_home else []
+    jar_dirs.append(os.path.join(os.path.dirname(pyspark.__file__), "jars"))
     jar_dirs += glob.glob("/opt/spark-*/jars")
+    jar_dirs.append(os.path.expanduser("~/.ivy2/jars"))
+    jar_dirs.append(os.path.expanduser("~/.ivy2.5.2/jars"))
     return any(
         glob.glob(os.path.join(d, "*spark-sql-kafka*.jar")) for d in jar_dirs
     )

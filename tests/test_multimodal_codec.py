@@ -180,3 +180,19 @@ def test_image_pixel_stats_real_decode(spark):
     # strict mode: poison payload fails the job instead
     with pytest.raises(Exception, match="not a PNG"):
         multimodal.image_pixel_stats(df, strict=True).collect()
+
+
+def test_null_payload_is_error_row_not_task_death(spark):
+    """Review regression: a NULL payload must yield an error/null row in
+    both decode surfaces, not a TypeError task death."""
+    good = png.encode_png(2, 2, _gradient(2, 2, 3), 2)
+    # arbitrary input frames carry nullable payload columns — the
+    # operators must not rely on MEDIA_SCHEMA's non-null declaration
+    df = spark.createDataFrame(
+        [(1, None), (2, bytearray(good))], "media_id long, payload binary")
+    stats = {r.media_id: r for r in multimodal.image_pixel_stats(df).collect()}
+    assert stats[1].width is None and "null payload" in stats[1].decode_error
+    assert stats[2].channels == 3
+    feats = {r.media_id: r.features
+             for r in multimodal.extract_features(df, codec="png").collect()}
+    assert feats[1] is None and feats[2] is not None

@@ -685,3 +685,36 @@ def test_compact_store_cli(spark, tmp_path):
     pipelines.main(["compact-store", corpus, "--store", store,
                     "--output", out])
     assert spark.read.parquet(f"{out}/sigs").count() == 2
+
+
+def test_compaction_guards(spark, tmp_path):
+    """Review regressions: in-place compaction and store compaction
+    against a missing corpus are refused; all-pruned store tables
+    report zero instead of crashing the read-back."""
+    import pytest
+
+    from real_time_iot_data_pipeline_project_spark.streaming import curation
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta " * 4, "en",
+          "s", datetime.datetime(2026, 1, 1, 10, 0))],
+        "doc_id long, text string, lang string, source string, "
+        "event_time timestamp")
+    corpus, store = str(tmp_path / "c"), str(tmp_path / "s")
+    curation.process_corpus_batch(docs, 0, corpus, store)
+
+    with pytest.raises(ValueError, match="out-of-place"):
+        curation.compact_corpus(spark, corpus, corpus)
+    with pytest.raises(ValueError, match="differ from signature_store"):
+        curation.compact_signature_store(spark, corpus, store, store)
+    with pytest.raises(ValueError, match="missing or empty"):
+        curation.compact_signature_store(
+            spark, str(tmp_path / "nope"), store, str(tmp_path / "out"))
+
+    # corpus rotated to docs the store has never seen: every signature
+    # prunes away -> zero counts, no schema-inference crash
+    other = str(tmp_path / "other_corpus")
+    spark.createDataFrame([(99,)], "doc_id long").write.parquet(other)
+    stats = curation.compact_signature_store(
+        spark, other, store, str(tmp_path / "empty_out"))
+    assert stats["sigs_after"] == 0 and stats["bands_after"] == 0
