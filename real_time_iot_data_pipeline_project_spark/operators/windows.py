@@ -457,6 +457,53 @@ def resample_ffill(df: DataFrame, ts_col: str, key: str, value_col: str,
     )
 
 
+def rolling_zscore(df: DataFrame, ts_col: str, key: str, value_col: str,
+                   window_seconds: int, k: float = 3.0) -> DataFrame:
+    """Adaptive anomaly detection per key: each row's deviation from its
+    OWN trailing [ts − window, ts] baseline — trailing mean, population
+    std, z-score, and an ``is_anomaly`` flag at |z| > k. The adaptive
+    upgrade of the reference's static threshold alert (P11,
+    Solar_Generation.py alert path): a sensor whose normal level drifts
+    seasonally alerts on deviation from its recent self, not on a fixed
+    constant.
+
+    Same single-sort/single-Window shape as ``rolling_time_agg`` (one
+    shuffle on the key; all frame aggregates in ONE select). Moments
+    come from decimal sums of 1e-6-scaled values (order-independent,
+    cross-engine exact — same quantization contract as
+    ``time_weighted_avg``); mean/var/z are then pure double arithmetic
+    on identical operands in any engine. Rows whose frame has zero
+    variance (single sample, constant run) yield null z / false flag.
+    The current row is INCLUDED in its own baseline (frame = trailing
+    window inclusive): at alert-worthy spikes the one-row contamination
+    only shrinks |z|, and inclusion keeps the frame identical to
+    rolling_time_agg's."""
+    w = (Window.partitionBy(key)
+         .orderBy(F.unix_micros(F.col(ts_col)))
+         .rangeBetween(-window_seconds * 1_000_000, 0))
+    v_scaled = F.round(F.col(value_col) * F.lit(1_000_000)).cast("decimal(19,0)")
+    sum1 = F.sum(v_scaled).over(w).cast("double")
+    sum2 = F.sum(v_scaled * v_scaled).over(w).cast("double")
+    cnt = F.count(v_scaled).over(w).cast("double")
+    mean = sum1 / cnt / F.lit(1e6)
+    var = sum2 / cnt / F.lit(1e12) - mean * mean
+    out = df.select(
+        "*",
+        mean.alias("trailing_mean"),
+        var.alias("__var"),
+        cnt.cast("long").alias("trailing_n"),
+    )
+    std = F.when(F.col("__var") > 0, F.sqrt("__var"))
+    z = (F.col(value_col) - F.col("trailing_mean")) / std
+    return (
+        out.withColumn("trailing_std", F.coalesce(std, F.lit(0.0)))
+        .withColumn("zscore", z)
+        .withColumn("is_anomaly",
+                    F.coalesce(F.abs(z) > F.lit(float(k)), F.lit(False)))
+        .drop("__var")
+    )
+
+
 def rolling_time_agg(df: DataFrame, ts_col: str, key: str, value_col: str,
                      window_seconds: int) -> DataFrame:
     """Trailing time-range aggregate per key: for every row, the sum of

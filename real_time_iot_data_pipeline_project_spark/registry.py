@@ -3143,6 +3143,60 @@ def q89_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "grid_ts", "value", "value_ts")
 
 
+@query(
+    "q90_rolling_zscore",
+    """
+    WITH s AS (
+        SELECT event_id, user_id, value,
+               CAST(CAST(SUM(CAST(ROUND(value * 1000000) AS DECIMAL(19,0)))
+                         OVER w AS VARCHAR) AS DOUBLE) AS s1,
+               CAST(CAST(SUM(CAST(ROUND(value * 1000000) AS DECIMAL(19,0))
+                             * CAST(ROUND(value * 1000000) AS DECIMAL(19,0)))
+                         OVER w AS VARCHAR) AS DOUBLE) AS s2,
+               CAST(COUNT(CASE WHEN value IS NOT NULL THEN 1 END)
+                    OVER w AS DOUBLE) AS c
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id,
+           s1 / c / 1000000.0 AS trailing_mean,
+           CAST(c AS BIGINT) AS trailing_n,
+           CASE WHEN s2 / c / 1000000000000.0
+                     - (s1 / c / 1000000.0) * (s1 / c / 1000000.0) > 0
+                THEN sqrt(s2 / c / 1000000000000.0
+                          - (s1 / c / 1000000.0) * (s1 / c / 1000000.0))
+                ELSE 0.0 END AS trailing_std,
+           CASE WHEN s2 / c / 1000000000000.0
+                     - (s1 / c / 1000000.0) * (s1 / c / 1000000.0) > 0
+                THEN (value - s1 / c / 1000000.0)
+                     / sqrt(s2 / c / 1000000000000.0
+                            - (s1 / c / 1000000.0) * (s1 / c / 1000000.0))
+           END AS zscore,
+           COALESCE(abs(CASE WHEN s2 / c / 1000000000000.0
+                     - (s1 / c / 1000000.0) * (s1 / c / 1000000.0) > 0
+                THEN (value - s1 / c / 1000000.0)
+                     / sqrt(s2 / c / 1000000000000.0
+                            - (s1 / c / 1000000.0) * (s1 / c / 1000000.0))
+           END) > 3.0, FALSE) AS is_anomaly
+    FROM s
+    """,
+)
+def q90_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive anomaly flags (beyond-reference tier): each event scored
+    against its user's OWN trailing 1-hour baseline — trailing mean,
+    population std, z-score, |z| > 3 flag. The adaptive upgrade of the
+    reference's static threshold alert (P11). Single Window over a
+    single Sort (one shuffle); moments from 1e-6-scaled integer-decimal
+    sums (VARCHAR-hopped in the oracle for the DuckDB int128→double
+    ulp), then identical double arithmetic in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    out = windows.rolling_zscore(ev, "ts", "user_id", "value",
+                                 window_seconds=3600, k=3.0)
+    return out.select("event_id", "user_id", "trailing_mean", "trailing_n",
+                      "trailing_std", "zscore", "is_anomaly")
+
+
 # Operators added AFTER the 50-slot window filled with unique-operator
 # queries: fully oracle-checked by the local gate, first in line for a
 # window slot if one opens.
@@ -3178,6 +3232,8 @@ POST_WINDOW: list[str] = [
     "q88_ohlc_bars",
     # round 6: regular-grid forward-fill resample (spine ∘ as-of join)
     "q89_resample_ffill",
+    # round 6: adaptive trailing-baseline anomaly flags (P11 upgrade)
+    "q90_rolling_zscore",
 ]
 
 

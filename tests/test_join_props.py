@@ -290,3 +290,29 @@ def test_resample_ffill_generic_column_names(spark):
            for r in W.resample_ffill(df, "event_time", "station", "power",
                                      step_seconds=60).collect()}
     assert got == {("A", _ts(60)): 4.0, ("A", _ts(120)): 6.0}
+
+
+def test_rolling_zscore_hand_computed(spark):
+    """Trailing baseline stats match a hand calculation; constant runs
+    yield null z / false flag; a genuine spike flags at |z| > k."""
+    import math
+
+    rows = [
+        (1, 1, _ts(0), 10.0),
+        (2, 1, _ts(10), 10.0),    # constant so far -> std 0, no flag
+        (3, 1, _ts(20), 40.0),    # frame {10,10,40}
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double")
+    got = {r.event_id: r for r in W.rolling_zscore(
+        df, "ts", "user_id", "value", window_seconds=3600, k=1.0).collect()}
+
+    assert got[1].zscore is None and got[1].is_anomaly is False
+    assert got[2].trailing_std == 0.0 and got[2].is_anomaly is False
+    mean = 20.0
+    std = math.sqrt(((10 - mean) ** 2 * 2 + (40 - mean) ** 2) / 3)
+    assert abs(got[3].trailing_mean - mean) < 1e-9
+    assert abs(got[3].trailing_std - std) < 1e-9
+    assert abs(got[3].zscore - (40 - mean) / std) < 1e-9
+    assert got[3].is_anomaly  # |z| ~ 1.41 > k=1
+    assert got[3].trailing_n == 3
