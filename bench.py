@@ -68,6 +68,7 @@ HEADLINE = [
     "q86_time_weighted_avg",
     "q88_ohlc_bars",
     "q89_resample_ffill",
+    "q90_rolling_zscore",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask
