@@ -281,7 +281,9 @@ def time_weighted_avg(df: DataFrame, ts_col: str, key: str, value_col: str,
     each key holds no interval and carries zero weight.
 
     Returns (key, twa, span_seconds, n_samples). Keys with a single
-    sample (no spanned time) yield null twa.
+    sample (no spanned time) yield null twa AND null span_seconds (the
+    sum over zero lead-intervals is null, not zero — callers gating on
+    span must coalesce).
 
     Value domain: values are quantized to 1e-6 absolute precision (they
     are scaled to integers for order-independent, cross-engine-exact

@@ -316,3 +316,100 @@ def test_rolling_zscore_hand_computed(spark):
     assert abs(got[3].zscore - (40 - mean) / std) < 1e-9
     assert got[3].is_anomaly  # |z| ~ 1.41 > k=1
     assert got[3].trailing_n == 3
+
+
+def test_time_weighted_avg_random_vs_python_oracle(spark):
+    """Randomized irregular series: Spark TWA matches a brute-force
+    Python step-integral (with the same 1e-6 value quantization) on
+    seeded data with duplicate timestamps and single-sample keys."""
+    rng = random.Random(606)
+    rows = []
+    eid = 0
+    for key in range(8):
+        for _ in range(rng.choice([1, 3, 25, 60])):
+            rows.append((eid, key, _ts(rng.randrange(0, 5000)),
+                         round(rng.uniform(-50, 150), 3)))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double")
+    got = {r.user_id: r for r in W.time_weighted_avg(
+        df, "ts", "user_id", "value", tiebreak_col="event_id").collect()}
+
+    by_key: dict = {}
+    for (e, k, t, v) in rows:
+        by_key.setdefault(k, []).append((t, e, v))
+    for k, samples in by_key.items():
+        samples.sort()  # (ts, event_id) — the declared ordering
+        num = den = 0
+        for (t, e, v), (t2, _e2, _v2) in zip(samples, samples[1:]):
+            dt = int((t2 - t).total_seconds() * 1_000_000)
+            num += round(v * 1_000_000) * dt
+            den += dt
+        if den == 0:
+            # single-sample key: no spanned time -> null twa AND null
+            # span (sum over zero lead-rows is null, not zero)
+            assert got[k].twa is None and got[k].span_seconds is None, k
+        else:
+            want = num / den / 1e6
+            assert abs(got[k].twa - want) < 1e-9, k
+            assert abs(got[k].span_seconds - den / 1e6) < 1e-9, k
+        assert got[k].n_samples == len(samples)
+
+
+def test_ohlc_random_vs_pandas_oracle(spark):
+    """Randomized bars vs a pandas groupby oracle ordered by the same
+    (ts, event_id) key, including duplicate-timestamp buckets."""
+    rng = random.Random(88)
+    rows = [(i, rng.randrange(4), _ts(rng.randrange(0, 3000)),
+             round(rng.uniform(0, 100), 3)) for i in range(400)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double")
+    got = {(r.user_id, r.bar_start): r for r in W.ohlc_downsample(
+        df, "ts", "user_id", "value", bucket_seconds=300,
+        tiebreak_col="event_id").collect()}
+
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "value"])
+    pdf["bucket"] = pdf["ts"].astype("int64") // (300 * 10**9)
+    pdf = pdf.sort_values(["ts", "event_id"], kind="stable")
+    agg = pdf.groupby(["user_id", "bucket"])["value"]
+    import datetime as _dt
+    for (k, b), g in agg:
+        bar = _dt.datetime(1970, 1, 1) + _dt.timedelta(seconds=int(b) * 300)
+        r = got[(k, bar)]
+        assert (r.open, r.close) == (g.iloc[0], g.iloc[-1]), (k, b)
+        assert (r.high, r.low, r.n_samples) == (g.max(), g.min(), len(g))
+    assert len(got) == agg.ngroups
+
+
+def test_resample_ffill_random_vs_pandas_oracle(spark):
+    """Randomized resample vs pandas reindex+ffill on each key's aligned
+    grid (right side pre-reduced to max per ts, mirroring the contract)."""
+    rng = random.Random(909)
+    rows = [(i, rng.randrange(5), _ts(rng.randrange(0, 4000)),
+             round(rng.uniform(0, 10), 3)) for i in range(300)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double")
+    step = 600
+    got = {(r.user_id, r.grid_ts): (r.value, r.value_ts)
+           for r in W.resample_ffill(df, "ts", "user_id", "value",
+                                     step_seconds=step).collect()}
+
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "value"])
+    reduced = (pdf.groupby(["user_id", "ts"])["value"].max().reset_index())
+    n_expected = 0
+    for k, g in reduced.groupby("user_id"):
+        g = g.sort_values("ts").set_index("ts")
+        lo, hi = g.index.min(), g.index.max()
+        start = pd.Timestamp(lo).ceil(f"{step}s")
+        stop = pd.Timestamp(hi).floor(f"{step}s")
+        if start > stop:
+            continue
+        grid = pd.date_range(start, stop, freq=f"{step}s")
+        carried = g["value"].reindex(g.index.union(grid)).ffill().loc[grid]
+        carried_ts = (pd.Series(g.index, index=g.index)
+                      .reindex(g.index.union(grid)).ffill().loc[grid])
+        for t in grid:
+            n_expected += 1
+            want = (carried.loc[t], carried_ts.loc[t].to_pydatetime())
+            assert got[(k, t.to_pydatetime())] == want, (k, t)
+    assert len(got) == n_expected
