@@ -718,3 +718,86 @@ def test_compaction_guards(spark, tmp_path):
     stats = curation.compact_signature_store(
         spark, other, store, str(tmp_path / "empty_out"))
     assert stats["sigs_after"] == 0 and stats["bands_after"] == 0
+
+
+def test_adaptive_alert_stream_matches_python_fold(spark, tmp_path):
+    """Streaming adaptive alerts: EW mean/variance baseline replayed by
+    a Python fold oracle across TWO micro-batch runs (state persists in
+    the checkpoint); warm-up rows never alert; a planted spike after
+    warm-up does."""
+    alpha, k, min_obs = 0.3, 2.5, 3
+    vals_a = [10.0, 10.5, 9.8, 10.2, 10.1, 50.0, 10.0]  # spike at idx 5
+    vals_b = [5.0, 5.1]                                  # stays cold
+    batch1 = [("A", i, v) for i, v in enumerate(vals_a[:4])] + \
+             [("B", i, v) for i, v in enumerate(vals_b)]
+    batch2 = [("A", i + 4, v) for i, v in enumerate(vals_a[4:])]
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType([
+        T.StructField("station_id", T.StringType()),
+        T.StructField("ts_s", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+
+    sink = str(tmp_path / "alerts_out")
+
+    def run(batch):
+        rows = [(s, "2025-01-01 00:00:%02d" % i, v) for (s, i, v) in batch]
+        spark.createDataFrame(rows, ["station_id", "ts_s", "value"]).select(
+            F.to_json(F.struct("station_id", "ts_s", "value")).alias("value")
+        ).coalesce(1).write.mode("append").text(src)
+        raw = spark.readStream.schema(
+            T.StructType([T.StructField("value", T.StringType())])).text(src)
+        parsed = (job.parse_json_stream(raw, schema)
+                  .withColumn("ts", F.to_timestamp("ts_s")))
+        alerts = stateful.adaptive_alert_stream(
+            parsed, "station_id", "ts", "value",
+            alpha=alpha, k=k, min_obs=min_obs)
+        # parquet sink: supports checkpoint recovery, so the second run
+        # resumes the SAME query and the GroupState persists across runs
+        q = (alerts.writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return {(r.station_id, r.ts.second): r
+                for r in spark.read.parquet(sink).collect()}
+
+    run(batch1)
+    got = run(batch2)
+
+    # python fold oracle: same EW-Welford update, pre-update flagging
+    import math
+
+    def fold(vals):
+        mean, var, n, out = None, 0.0, 0, []
+        for v in vals:
+            if mean is None:
+                mean, var, n = v, 0.0, 1
+                out.append((mean, 0.0, None, False))
+                continue
+            std = math.sqrt(var) if var > 0 else 0.0
+            z = (v - mean) / std if std > 0 else None
+            out.append((mean, std, z,
+                        bool(n >= min_obs and z is not None and abs(z) > k)))
+            diff = v - mean
+            incr = alpha * diff
+            mean += incr
+            var = (1 - alpha) * (var + diff * incr)
+            n += 1
+        return out
+
+    for sid, vals in [("A", vals_a), ("B", vals_b)]:
+        for i, (m, s, z, flag) in enumerate(fold(vals)):
+            r = got[(sid, i)]
+            assert abs(r.baseline_mean - m) < 1e-9, (sid, i)
+            assert abs(r.baseline_std - s) < 1e-9, (sid, i)
+            if z is None:
+                assert r.zscore is None, (sid, i)
+            else:
+                assert abs(r.zscore - z) < 1e-9, (sid, i)
+            assert r.is_anomaly == flag, (sid, i)
+
+    # the planted spike is the ONLY alert
+    alerts = [(sid, sec) for (sid, sec), r in got.items() if r.is_anomaly]
+    assert alerts == [("A", 5)]
