@@ -8,6 +8,9 @@ partition-preserving transforms — is real and tested. Decode tiers:
   by the pure-stdlib codec (``functions.png``, RFC 2083 subset) inside
   ``mapInPandas`` and reduced to per-channel pixel statistics — no
   external image library required.
+- ``audio_signal_stats`` is the REAL decode path for audio: PCM16 WAV
+  payloads (``functions.wav``, RIFF subset) decode to rms / peak /
+  zero-crossing-rate signal statistics, same poison-payload contract.
 - ``extract_features`` keeps the deterministic stub tier for arbitrary
   codecs (JPEG, audio resample, video frame-sample need libraries not in
   this container): it raises ``NotImplementedError`` unless ``fake=True``,
@@ -155,6 +158,74 @@ def extract_features(df: DataFrame, *, dim: int = 16, fake: bool = False,
                     ],
                 }
             )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+def audio_signal_stats(df: DataFrame, payload_col: str = "payload",
+                       id_col: str = "media_id",
+                       strict: bool = False) -> DataFrame:
+    """REAL audio decode → signal statistics, no external codec: PCM16
+    WAV payloads (the ``functions.wav`` subset) are decoded inside
+    ``mapInPandas`` and reduced to (sample_rate, channels, n_frames,
+    duration_s, rms, peak, zero_crossing_rate) — amplitudes normalized
+    to [-1, 1] by /32768, zcr = strict sign changes / (frames − 1) over
+    the first channel (mono convention).
+
+    Same poison-payload contract as image_pixel_stats: malformed
+    payloads (decode_wav normalizes everything to ValueError) yield an
+    error row with ``decode_error`` set — or raise when ``strict`` —
+    and NULL payloads are error rows, never task deaths.
+
+    Scale shape: one Arrow batch of payloads per task, per-row CPU, no
+    shuffle — partition count alone controls parallelism."""
+    from ..functions import wav as _wav
+
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        T.StructField("zero_crossing_rate", T.DoubleType()),
+        T.StructField("decode_error", T.StringType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    if payload is None:
+                        raise ValueError("null payload")
+                    rate, ch, samples = _wav.decode_wav(bytes(payload))
+                    arr = (np.asarray(samples, dtype=np.float64)
+                           .reshape(-1, ch) / 32768.0)
+                    n = arr.shape[0]
+                    mono = arr[:, 0]
+                    signs = np.sign(mono)
+                    nz = signs != 0
+                    zc = int(np.count_nonzero(
+                        np.diff(signs[nz]) != 0)) if nz.any() else 0
+                    rows.append((
+                        mid, rate, ch, n, n / rate,
+                        float(np.sqrt(np.mean(arr * arr))),
+                        float(np.max(np.abs(arr))),
+                        zc / (n - 1) if n > 1 else 0.0,
+                        None,
+                    ))
+                except ValueError as e:
+                    if strict:
+                        raise
+                    rows.append((mid, None, None, None, None, None, None,
+                                 None, str(e)))
+            yield pd.DataFrame(rows, columns=[
+                id_col, "sample_rate", "channels", "n_frames", "duration_s",
+                "rms", "peak", "zero_crossing_rate", "decode_error"])
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
 

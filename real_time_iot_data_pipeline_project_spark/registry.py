@@ -3197,6 +3197,58 @@ def q90_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "trailing_std", "zscore", "is_anomaly")
 
 
+@query(
+    "q91_audio_decode_stats",
+    """
+    SELECT doc_id AS media_id,
+           8000 AS sample_rate, 1 AS channels,
+           CAST(64 AS BIGINT) AS n_frames,
+           64 / 8000.0 AS duration_s,
+           ((doc_id % 100) + 1) * 300 / 32768.0 AS rms,
+           ((doc_id % 100) + 1) * 300 / 32768.0 AS peak,
+           FLOOR(63 / (((doc_id % 7) + 2) * 1.0)) / 63.0
+               AS zero_crossing_rate
+    FROM documents
+    """,
+)
+def q91_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, fully value-checked (the q80 pattern for the
+    AUDIO modality): synthesize a per-document square-wave PCM16 WAV
+    (pure-stdlib encoder, functions/wav.py — half-period h = doc_id%7+2,
+    amplitude a = (doc_id%100+1)*300), decode it with
+    multimodal.audio_signal_stats (mapInPandas, RIFF parse + int16
+    unpack), and emit signal statistics.
+
+    Determinism (rule 4): every sample of a square wave has |s| = a, so
+    rms = peak = a/32768 EXACTLY (no accumulation error at all — the
+    mean of identical doubles); sign changes land exactly at multiples
+    of h, so zcr = floor(63/h)/63 where both engines divide identical
+    doubles. No rounding needed anywhere."""
+    import pandas as _pd
+
+    from .functions import wav as _wav
+    from .operators.multimodal import audio_signal_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                h = (d % 7) + 2
+                a = ((d % 100) + 1) * 300
+                samples = [a if (i // h) % 2 == 0 else -a for i in range(64)]
+                payloads.append(_wav.encode_wav(samples, sample_rate=8000))
+            yield _pd.DataFrame({"media_id": pdf["doc_id"],
+                                 "payload": payloads})
+
+    media = docs.mapInPandas(gen, schema="media_id long, payload binary")
+    stats = audio_signal_stats(media, strict=True)
+    return stats.select("media_id", "sample_rate", "channels", "n_frames",
+                        "duration_s", "rms", "peak", "zero_crossing_rate")
+
+
 # Operators added AFTER the 50-slot window filled with unique-operator
 # queries: fully oracle-checked by the local gate, first in line for a
 # window slot if one opens.
@@ -3234,6 +3286,9 @@ POST_WINDOW: list[str] = [
     "q89_resample_ffill",
     # round 6: adaptive trailing-baseline anomaly flags (P11 upgrade)
     "q90_rolling_zscore",
+    # round 6: REAL WAV decode → signal stats (closed-form square-wave
+    # oracle, the q80 pattern for audio)
+    "q91_audio_decode_stats",
 ]
 
 

@@ -196,3 +196,77 @@ def test_null_payload_is_error_row_not_task_death(spark):
     feats = {r.media_id: r.features
              for r in multimodal.extract_features(df, codec="png").collect()}
     assert feats[1] is None and feats[2] is not None
+
+
+# ---------- WAV (audio modality) ----------
+
+from real_time_iot_data_pipeline_project_spark.functions import wav  # noqa: E402
+
+
+def test_wav_round_trip_mono_and_stereo():
+    mono = [100, -200, 300, -400, 0, 32767, -32768, 5]
+    data = wav.encode_wav(mono, sample_rate=8000, channels=1)
+    rate, ch, got = wav.decode_wav(data)
+    assert (rate, ch, got) == (8000, 1, mono)
+
+    stereo = [1, -1, 2, -2, 3, -3]  # L/R interleaved, 3 frames
+    data = wav.encode_wav(stereo, sample_rate=44100, channels=2)
+    rate, ch, got = wav.decode_wav(data)
+    assert (rate, ch, got) == (44100, 2, stereo)
+
+
+def test_wav_rejects_malformed_with_valueerror():
+    good = wav.encode_wav([1, 2, 3, 4], sample_rate=8000)
+    import struct as _struct
+    for payload in (
+        b"not riff at all",
+        good[:16],                      # truncated mid-fmt
+        # float-format fmt chunk (tag 3) is unsupported
+        (b"RIFF" + _struct.pack("<I", 28) + b"WAVEfmt "
+         + _struct.pack("<I", 16)
+         + _struct.pack("<HHIIHH", 3, 1, 8000, 16000, 2, 16)),
+    ):
+        try:
+            wav.decode_wav(payload)
+        except ValueError:
+            continue
+        raise AssertionError(f"decode accepted {payload[:12]!r}")
+
+
+def test_audio_signal_stats_oracle_and_poison(spark):
+    """Spark audio stats match a local numpy oracle on a real sine-ish
+    signal; poison and NULL payloads yield error rows; strict raises."""
+    import math
+
+    import numpy as np
+
+    samples = [int(10000 * math.sin(2 * math.pi * i / 16)) for i in range(64)]
+    good = wav.encode_wav(samples, sample_rate=8000)
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"junk")), (3, None)],
+        "media_id long, payload binary")
+    got = {r.media_id: r for r in multimodal.audio_signal_stats(df).collect()}
+
+    arr = np.asarray(samples, dtype=np.float64) / 32768.0
+    r = got[1]
+    assert (r.sample_rate, r.channels, r.n_frames) == (8000, 1, 64)
+    assert abs(r.duration_s - 64 / 8000) < 1e-12
+    assert abs(r.rms - float(np.sqrt(np.mean(arr * arr)))) < 1e-12
+    assert abs(r.peak - float(np.max(np.abs(arr)))) < 1e-12
+    signs = np.sign(arr)
+    nz = signs != 0
+    zc = int(np.count_nonzero(np.diff(signs[nz]) != 0))
+    assert abs(r.zero_crossing_rate - zc / 63) < 1e-12
+
+    assert got[2].rms is None and "RIFF" in got[2].decode_error
+    assert got[3].rms is None and "null payload" in got[3].decode_error
+
+    # a wrong RIFF size field alone is tolerated (parser ignores it —
+    # many writers get it wrong); the payload still decodes
+    lax = bytearray(good[:4] + b"\xff\xff\xff\xff" + good[8:])
+    lax_df = spark.createDataFrame([(9, lax)], "media_id long, payload binary")
+    assert multimodal.audio_signal_stats(lax_df).collect()[0].n_frames == 64
+
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="null payload|RIFF"):
+        multimodal.audio_signal_stats(df, strict=True).collect()
