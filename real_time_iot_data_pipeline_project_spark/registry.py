@@ -2724,6 +2724,12 @@ DEFERRED: list[str] = [
     "q46_winnow_fingerprints",
     # T4 hopping window — two-offset UNION twin of q22's tumbling shape
     "q49_hopping_window",
+    # unbounded winnow overlap — the verification tier of in-window q79
+    # (identical semantics; q79 adds the max_doc_freq stop-fingerprint
+    # filter BEFORE the quadratic stage). Same rationale as q34/q32:
+    # the production shape carries the official row; the x10 stress run
+    # measured the unbounded variant 14× superlinear vs q79's 3.1×.
+    "q56_winnow_overlap_pairs",
 ]
 
 
@@ -3269,9 +3275,9 @@ POST_WINDOW: list[str] = [
     "q73_context_windows",
     "q74_packing_report",
     "q78_langid_confidence",
-    # bounded twin of in-window q56 (the 100 TB production shape; the
-    # unbounded exact-MOSS variant keeps the official row)
-    "q79_winnow_overlap_bounded",
+    # (round 6: q79 promoted INTO the official window — the bounded
+    # max_doc_freq variant is the 100 TB production shape; its unbounded
+    # exact-MOSS twin q56 moved to DEFERRED as the verification tier.)
     # (round 6: q80-q85 — real PNG decode, backward/forward/nearest
     # as-of, range join, rolling time agg — promoted INTO the official
     # window; they are no longer listed here, so export_order() places

@@ -22,7 +22,9 @@ FLAGSHIP = [
     "q52_contamination_screen",
     "q54_tfidf_top_terms",
     "q53_dedup_clusters",
-    "q56_winnow_overlap_pairs",
+    # round 6: the bounded production shape carries the winnow-overlap
+    # row; unbounded q56 is its deferred verification tier
+    "q79_winnow_overlap_bounded",
     "q57_cube_rollup",
     "q50_salted_join",
     "q47_session_windows",
@@ -61,7 +63,7 @@ EXPECTED_WINDOW = [
     "q35_binary_stats", "q36_multimodal_features", "q37_cosine_topk",
     "q38_ivf_topk", "q39_embedding_near_dup", "q40_global_metrics",
     "q45_quality_score", "q57_cube_rollup",
-    "q56_winnow_overlap_pairs", "q47_session_windows",
+    "q79_winnow_overlap_bounded", "q47_session_windows",
     "q50_salted_join", "q53_dedup_clusters",
     "q54_tfidf_top_terms", "q52_contamination_screen",
     "q48_training_data_pipeline", "q64_chunk_dedup",
@@ -95,10 +97,15 @@ SUBSUMPTION = {
     # F8 day/night labels inside q13/q27; F26 NOAA astro chain stays
     # pinned by tests/test_astro.py and the local oracle gate
     "q44_daytime_flag": ["q13_time_features", "q27_iot_pipeline"],
-    # winnow fingerprint extraction is the literal prefix stage of q56
-    "q46_winnow_fingerprints": ["q56_winnow_overlap_pairs"],
+    # winnow fingerprint extraction is the literal prefix stage of the
+    # in-window winnow-overlap query (q79 since the round-6 swap)
+    "q46_winnow_fingerprints": ["q79_winnow_overlap_bounded"],
     # T4 hopping window = two-offset UNION of q22's tumbling window
     "q49_hopping_window": ["q22_tumbling_window"],
+    # unbounded winnow overlap = verification tier of the bounded
+    # production shape (identical semantics minus the max_doc_freq
+    # stop-fingerprint filter; x10-measured 14× vs 3.1×)
+    "q56_winnow_overlap_pairs": ["q79_winnow_overlap_bounded"],
 }
 
 
