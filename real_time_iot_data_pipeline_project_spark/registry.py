@@ -3255,6 +3255,98 @@ def q91_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "duration_s", "rms", "peak", "zero_crossing_rate")
 
 
+@query(
+    "q92_feature_matrix",
+    """
+    WITH bounds AS (
+        SELECT user_id,
+               CAST(ceil(epoch_us(min(ts)) / 21600000000) AS BIGINT)
+                   * 21600000000 AS start_us,
+               CAST(floor(epoch_us(max(ts)) / 21600000000) AS BIGINT)
+                   * 21600000000 AS stop_us
+        FROM events GROUP BY user_id
+    ),
+    g AS (
+        SELECT user_id,
+               unnest(generate_series(start_us, stop_us, 21600000000))
+                   AS grid_us
+        FROM bounds WHERE start_us <= stop_us
+    ),
+    gt AS (
+        SELECT g.user_id, g.grid_us, t.event_type
+        FROM g CROSS JOIN (
+            SELECT unnest(['click', 'view', 'purchase']) AS event_type) t
+    ),
+    r AS (
+        SELECT user_id, event_type, ts, max(value) AS value
+        FROM events
+        WHERE event_type IN ('click', 'view', 'purchase')
+        GROUP BY user_id, event_type, ts
+    ),
+    j AS (
+        SELECT gt.user_id, gt.grid_us, gt.event_type, r.value
+        FROM gt ASOF LEFT JOIN r
+          ON gt.user_id = r.user_id AND gt.event_type = r.event_type
+         AND make_timestamp(gt.grid_us) >= r.ts
+    )
+    SELECT user_id, make_timestamp(grid_us) AS grid_ts,
+           max(CASE WHEN event_type = 'click' THEN value END) AS click,
+           max(CASE WHEN event_type = 'view' THEN value END) AS view,
+           max(CASE WHEN event_type = 'purchase' THEN value END) AS purchase
+    FROM j GROUP BY user_id, grid_us
+    """,
+)
+def q92_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aligned multi-signal feature matrix (the ML feature-assembly
+    endgame the round-6 tier builds toward): per user and 6-hour grid
+    point, one COLUMN per signal (click/view/purchase) carrying that
+    signal's latest at-or-before value — composing the per-key grid
+    spine, ONE as-of join keyed by (user, signal) for all three signals
+    at once (the signal tag rides the by-key, so it is still a single
+    shuffle + single window pass — not one join per column), and a
+    pivot to columns. Null = the signal has not fired for that user
+    yet. Values copied, never computed: exact hash compare."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase"]
+    step_us = 21_600 * 1_000_000
+    bounds = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("__lo"), F.max("ts").alias("__hi"))
+        .select(
+            "user_id",
+            (F.ceil(F.unix_micros("__lo") / F.lit(step_us)) * step_us)
+            .alias("__start"),
+            (F.floor(F.unix_micros("__hi") / F.lit(step_us)) * step_us)
+            .alias("__stop"),
+        )
+        .filter(F.col("__start") <= F.col("__stop"))
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("__start", "__stop", F.lit(step_us)))
+        .alias("__grid_us"),
+    ).select("user_id", F.timestamp_micros("__grid_us").alias("ts"))
+    grid3 = grid.select(
+        "user_id", "ts",
+        F.explode(F.array(*[F.lit(t) for t in types])).alias("event_type"),
+    )
+    reduced = (
+        ev.filter(F.col("event_type").isin(*types))
+        .groupBy("user_id", "event_type", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    joined = windows.asof_join(grid3, reduced, on="ts",
+                               by=["user_id", "event_type"],
+                               value_cols=["value"])
+    return (
+        joined.groupBy("user_id", F.col("ts").alias("grid_ts"))
+        .pivot("event_type", types)
+        .agg(F.max("asof_value"))
+        .select("user_id", "grid_ts",
+                F.col("click"), F.col("view"), F.col("purchase"))
+    )
+
+
 # Operators added AFTER the 50-slot window filled with unique-operator
 # queries: fully oracle-checked by the local gate, first in line for a
 # window slot if one opens.
@@ -3295,6 +3387,9 @@ POST_WINDOW: list[str] = [
     # round 6: REAL WAV decode → signal stats (closed-form square-wave
     # oracle, the q80 pattern for audio)
     "q91_audio_decode_stats",
+    # round 6: multi-signal aligned feature matrix (spine ∘ tagged
+    # as-of ∘ pivot — one shuffle for all signal columns)
+    "q92_feature_matrix",
 ]
 
 
