@@ -3347,6 +3347,91 @@ def q92_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q93_conversion_funnel",
+    """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'click' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+        WHERE e.event_type = 'view' GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT u.user_id, s1.t1 AS click_ts, s2.t2 AS view_ts,
+           s3.t3 AS purchase_ts,
+           CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                     WHEN s2.t2 IS NOT NULL THEN 2
+                     WHEN s1.t1 IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS reached_step
+    FROM u
+    LEFT JOIN s1 ON u.user_id = s1.user_id
+    LEFT JOIN s2 ON u.user_id = s2.user_id
+    LEFT JOIN s3 ON u.user_id = s3.user_id
+    """,
+)
+def q93_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence conversion funnel per user: the earliest click,
+    the earliest view STRICTLY after it, the earliest purchase strictly
+    after that — the classic event-analytics ask ("how far did each
+    user get, and when"). Executed as ONE shuffle: per-user events are
+    collected and sorted (bounded by per-user activity — document the
+    skew ceiling before running on whale users), then a pure-Column
+    ``F.aggregate`` fold walks the timeline inside whole-stage codegen —
+    no self-joins, no window cascade. The oracle computes the same
+    chain with three min-chained joins; timestamps are copied values,
+    so the hash compare is exact."""
+    ev = _t(spark, sf_dir, "events")
+    tl = (
+        ev.filter(F.col("event_type").isin("click", "view", "purchase"))
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list(
+            F.struct("ts", "event_id", "event_type"))).alias("__tl"))
+    )
+    acc0 = F.struct(
+        F.lit(None).cast("timestamp").alias("t1"),
+        F.lit(None).cast("timestamp").alias("t2"),
+        F.lit(None).cast("timestamp").alias("t3"),
+    )
+
+    def step(acc, e):
+        take1 = (acc["t1"].isNull() & (e["event_type"] == "click"))
+        take2 = (acc["t2"].isNull() & acc["t1"].isNotNull()
+                 & (e["event_type"] == "view") & (e["ts"] > acc["t1"]))
+        take3 = (acc["t3"].isNull() & acc["t2"].isNotNull()
+                 & (e["event_type"] == "purchase") & (e["ts"] > acc["t2"]))
+        return F.struct(
+            F.when(take1, e["ts"]).otherwise(acc["t1"]).alias("t1"),
+            F.when(take2, e["ts"]).otherwise(acc["t2"]).alias("t2"),
+            F.when(take3, e["ts"]).otherwise(acc["t3"]).alias("t3"),
+        )
+
+    folded = tl.select(
+        "user_id", F.aggregate("__tl", acc0, step).alias("__f"))
+    all_users = ev.select("user_id").distinct()
+    out = all_users.join(folded, "user_id", "left")
+    reached = (
+        F.when(F.col("__f.t3").isNotNull(), 3)
+        .when(F.col("__f.t2").isNotNull(), 2)
+        .when(F.col("__f.t1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return out.select(
+        "user_id",
+        F.col("__f.t1").alias("click_ts"),
+        F.col("__f.t2").alias("view_ts"),
+        F.col("__f.t3").alias("purchase_ts"),
+        reached.cast("int").alias("reached_step"),
+    )
+
+
 # Operators added AFTER the 50-slot window filled with unique-operator
 # queries: fully oracle-checked by the local gate, first in line for a
 # window slot if one opens.
@@ -3390,6 +3475,8 @@ POST_WINDOW: list[str] = [
     # round 6: multi-signal aligned feature matrix (spine ∘ tagged
     # as-of ∘ pivot — one shuffle for all signal columns)
     "q92_feature_matrix",
+    # round 6: ordered-sequence conversion funnel (single-shuffle fold)
+    "q93_conversion_funnel",
 ]
 
 
