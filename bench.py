@@ -69,6 +69,17 @@ HEADLINE = [
     "q88_ohlc_bars",
     "q89_resample_ffill",
     "q90_rolling_zscore",
+    # round-6 relational tier: TPC-H Q3/Q5/Q4 shapes (multi-way join
+    # planning under AQE, LEFT SEMI short-circuit)
+    "q94_shipping_priority",
+    "q95_regional_revenue",
+    "q96_order_priority_check",
+    # round-6 warehouse-history tier: partial-aggregatable CDC
+    # compaction, single-exchange SCD2
+    "q97_cdc_snapshot",
+    "q98_scd2_intervals",
+    # round-6 per-domain quantile-band curation
+    "q99_quality_band",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

@@ -3432,6 +3432,288 @@ def q93_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q94_shipping_priority",
+    """
+    SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1.0 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1999-01-01'
+      AND l.l_shipdate > TIMESTAMP '1999-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q94_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped shipping-priority query: 3-way fact⋈fact⋈dim join
+    with selective filters on every input, grouped revenue, global
+    top-10. The multi-way-join planning showcase: all three predicates
+    are written against the base tables so Catalyst pushes them into the
+    parquet scans (1/5 of customers, date-banded orders/lineitem) BEFORE
+    any join; join order and physical strategy are left to Catalyst+AQE
+    because at 100 TB none of the post-filter sides is broadcastable —
+    the right plan is two shuffle joins on the pruned inputs, and the
+    top-10 is TakeOrderedAndProject (per-partition heap, no global
+    sort). Revenue sums through DECIMAL(18,2) (rule 1) so the top-10
+    cutoff is exact in both engines; (revenue DESC, l_orderkey ASC) is
+    a total order (rule 3)."""
+    cutoff = "1999-01-01"
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(cutoff).cast("timestamp"))
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+    )
+    rev = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,2)")
+        ).cast("double").alias("revenue")
+    )
+    return rev.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc()).limit(10)
+
+
+@query(
+    "q95_regional_revenue",
+    """
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1.0 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_items
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q95_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped local-supplier revenue: a 6-way star join
+    (region⋈nation⋈customer⋈orders⋈lineitem⋈supplier) with the
+    correlated constraint s_nationkey = c_nationkey ("supplier in the
+    customer's nation"). Broadcast strategy is tiered by what stays
+    small AT SCALE, not at the test SF: region (5 rows) and nation (25
+    rows) are constants — broadcast explicitly; customer/orders/
+    lineitem/supplier all grow with the corpus, so they join by shuffle
+    with AQE free to pick shuffle-hash and to coalesce. The correlated
+    nation constraint rides the supplier equi-join condition (composite
+    key s_suppkey AND nationkey match), not a post-filter — so the join
+    itself prunes, nothing fans out."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    cn = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    joined = (
+        o.join(cn, o.o_custkey == cn.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(s, (s.s_suppkey == li.l_suppkey)
+                 & (s.s_nationkey == F.col("c_nationkey")))
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,2)")
+        ).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "q96_order_priority_check",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q96_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped order-priority check: EXISTS semi-join — count
+    orders in a quarter having at least one lineitem shipped after the
+    order date. The registry's LEFT SEMI join exemplar: the semi join
+    stops probing a key at its first match and never duplicates the
+    left side (an inner join + distinct would fan out each order by its
+    matching lineitems and then pay a second shuffle to collapse — the
+    classic 100 TB mistake this shape exists to avoid). The non-equi
+    part of the predicate (l_shipdate > o_orderdate) rides the join
+    condition; lineitem is projected to the two columns the condition
+    needs before the shuffle."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    hit = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"))
+
+
+@query(
+    "q97_cdc_snapshot",
+    """
+    WITH log AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op
+      FROM events
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_ops
+      FROM log
+    )
+    SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+           value AS last_value, n_ops
+    FROM r WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q97_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14+ — CDC changelog compaction (MERGE-style latest-wins with
+    tombstone deletes): events re-read as an ordered changelog on
+    user_id ('purchase' = tombstone, everything else = upsert); the
+    snapshot holds each key's latest operation unless that operation is
+    a delete. ONE partial-aggregatable shuffle via
+    max_by(struct(payload), struct(ts, event_id)) — map-side combine
+    collapses every task's slice to one row per key before the
+    exchange, which is what makes this shape viable on a 100 TB
+    changelog (the oracle's row_number formulation would full-sort it).
+    warehouse.history.cdc_latest_snapshot."""
+    from .warehouse import history as wh
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        "user_id", "ts", "event_id", "value",
+        F.when(F.col("event_type") == "purchase", F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+    )
+    snap = wh.cdc_latest_snapshot(
+        log, key_cols=["user_id"], order_cols=["ts", "event_id"],
+        op_col="op")
+    return snap.select(
+        "user_id", F.col("ts").alias("last_ts"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"), "n_ops")
+
+
+@query(
+    "q98_scd2_intervals",
+    """
+    WITH h AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN value < 20 THEN 'low'
+                  WHEN value < 60 THEN 'mid'
+                  ELSE 'high' END AS state
+      FROM events
+    ),
+    c AS (
+      SELECT *, lag(state) OVER w AS prev_state, lag(ts) OVER w AS prev_ts
+      FROM h WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    o AS (
+      SELECT user_id, event_id, state, ts AS effective_from FROM c
+      WHERE prev_ts IS NULL OR state IS DISTINCT FROM prev_state
+    )
+    SELECT user_id, state, effective_from,
+           lead(effective_from) OVER w2 AS effective_to,
+           CAST(row_number() OVER w2 AS INT) AS version,
+           (lead(effective_from) OVER w2) IS NULL AS is_current
+    FROM o WINDOW w2 AS (PARTITION BY user_id
+                         ORDER BY effective_from, event_id)
+    """,
+)
+def q98_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14+ — SCD Type-2 dimension build (Kimball validity intervals):
+    each user's value-band state ('low' < 20 <= 'mid' < 60 <= 'high')
+    over time, with consecutive same-state observations collapsed into
+    [effective_from, effective_to) intervals, a 1-based version number
+    and an is-current flag. One shuffle: change detection (lag), run
+    filtering, interval close (lead) and versioning all share the same
+    partitionBy(user_id) orderBy(ts, event_id) exchange.
+    warehouse.history.scd2_from_history."""
+    from .warehouse import history as wh
+    ev = _t(spark, sf_dir, "events")
+    hist = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("value") < 20, "low")
+        .when(F.col("value") < 60, "mid")
+        .otherwise("high").alias("state"),
+    )
+    return wh.scd2_from_history(
+        hist, key_cols=["user_id"], ts_col="ts", attr_col="state",
+        tiebreak_col="event_id")
+
+
+@query(
+    "q99_quality_band",
+    f"""
+    WITH q AS ({_quality_sql()}),
+    j AS (
+      SELECT d.doc_id, d.source, q.quality
+      FROM documents d JOIN q ON d.doc_id = q.doc_id
+    ),
+    r AS (
+      SELECT *, percent_rank() OVER (PARTITION BY source
+                                     ORDER BY quality, doc_id) AS pr
+      FROM j
+    )
+    SELECT doc_id, source, quality, round(pr, 6) AS pct_rank
+    FROM r WHERE pr >= 0.1 AND pr <= 0.9
+    """,
+)
+def q99_quality_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quantile-band curation (the CCNet/Gopher move of
+    dropping each source's extreme tails rather than using one global
+    threshold): keep documents whose quality score falls inside the
+    [p10, p90] band OF THEIR OWN SOURCE. Rank-based (percent_rank over
+    a totally-ordered (quality, doc_id) sort), so the band edges are
+    exact rational numbers — no interpolated-percentile float straddle
+    (rule 4). Exact tier = one shuffle (full sort per source); the
+    100 TB path swaps percent_rank for approx_percentile(quality,
+    [0.1, 0.9]) per source + a broadcast threshold join, trading
+    rank exactness for a sort-free two-pass scan."""
+    docs = _t(spark, sf_dir, "documents")
+    j = docs.select(
+        "doc_id", "source",
+        F.round(textfns.quality_score("text"), 6).alias("quality"))
+    w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    r = j.withColumn("pr", F.percent_rank().over(w))
+    return (
+        r.filter((F.col("pr") >= 0.1) & (F.col("pr") <= 0.9))
+        .select("doc_id", "source", "quality",
+                F.round("pr", 6).alias("pct_rank"))
+    )
+
+
 # Operators added AFTER the 50-slot window filled with unique-operator
 # queries: fully oracle-checked by the local gate, first in line for a
 # window slot if one opens.
@@ -3477,6 +3759,16 @@ POST_WINDOW: list[str] = [
     "q92_feature_matrix",
     # round 6: ordered-sequence conversion funnel (single-shuffle fold)
     "q93_conversion_funnel",
+    # round 6: TPC-H-shaped relational tier (multi-way join planning,
+    # LEFT SEMI exemplar)
+    "q94_shipping_priority",
+    "q95_regional_revenue",
+    "q96_order_priority_check",
+    # round 6: warehouse history tier (CDC compaction, SCD Type 2)
+    "q97_cdc_snapshot",
+    "q98_scd2_intervals",
+    # round 6: per-domain quantile-band curation
+    "q99_quality_band",
 ]
 
 

@@ -1,0 +1,156 @@
+"""Warehouse history tier: CDC changelog compaction and SCD Type-2
+interval building (warehouse/history.py) — semantic unit tests on
+hand-built changelogs where the expected snapshot/intervals are known
+by construction, plus the registry queries' structural invariants."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from real_time_iot_data_pipeline_project_spark.warehouse import history
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+def _changelog(spark, rows):
+    return spark.createDataFrame(
+        rows, "k long, ts timestamp, seq long, v string, op string")
+
+
+def test_cdc_latest_upsert_wins(spark):
+    log = _changelog(spark, [
+        (1, _ts(1), 1, "a", "U"),
+        (1, _ts(2), 2, "b", "U"),
+        (2, _ts(1), 3, "x", "U"),
+    ])
+    out = history.cdc_latest_snapshot(
+        log, key_cols=["k"], order_cols=["ts", "seq"], op_col="op")
+    got = {r["k"]: (r["v"], r["n_ops"]) for r in out.collect()}
+    assert got == {1: ("b", 2), 2: ("x", 1)}
+
+
+def test_cdc_delete_shadows_earlier_upserts(spark):
+    """A tombstone that is the LATEST op removes the key even though
+    upserts exist — the ordering bug a naive filter-then-aggregate
+    implementation gets wrong (dropping D rows first would resurrect
+    the key with its stale pre-delete value)."""
+    log = _changelog(spark, [
+        (1, _ts(1), 1, "a", "U"),
+        (1, _ts(2), 2, "a", "D"),
+        (2, _ts(1), 3, "x", "D"),
+        (2, _ts(2), 4, "y", "U"),
+    ])
+    out = history.cdc_latest_snapshot(
+        log, key_cols=["k"], order_cols=["ts", "seq"], op_col="op")
+    got = {r["k"]: r["v"] for r in out.collect()}
+    # key 1 latest op is D -> absent; key 2 delete then re-insert -> present
+    assert got == {2: "y"}
+
+
+def test_cdc_tiebreak_is_total_order(spark):
+    """Equal timestamps resolve by the seq tiebreaker, not arrival."""
+    log = _changelog(spark, [
+        (1, _ts(1), 2, "late", "U"),
+        (1, _ts(1), 1, "early", "U"),
+    ])
+    out = history.cdc_latest_snapshot(
+        log, key_cols=["k"], order_cols=["ts", "seq"], op_col="op")
+    assert out.collect()[0]["v"] == "late"
+
+
+def _history(spark, rows):
+    return spark.createDataFrame(
+        rows, "k long, ts timestamp, seq long, state string")
+
+
+def test_scd2_collapses_runs_and_closes_intervals(spark):
+    h = _history(spark, [
+        (1, _ts(1), 1, "low"),
+        (1, _ts(2), 2, "low"),
+        (1, _ts(3), 3, "high"),
+        (1, _ts(4), 4, "low"),
+    ])
+    out = history.scd2_from_history(
+        h, key_cols=["k"], ts_col="ts", attr_col="state",
+        tiebreak_col="seq").orderBy("version").collect()
+    assert [(r["state"], r["effective_from"], r["effective_to"],
+             r["version"], r["is_current"]) for r in out] == [
+        ("low", _ts(1), _ts(3), 1, False),
+        ("high", _ts(3), _ts(4), 2, False),
+        ("low", _ts(4), None, 3, True),
+    ]
+
+
+def test_scd2_null_state_is_a_legal_run(spark):
+    """Null attribute values form their own runs (null-safe change
+    detection): null->null is NOT a change, null->value and
+    value->null are."""
+    h = _history(spark, [
+        (1, _ts(1), 1, None),
+        (1, _ts(2), 2, None),
+        (1, _ts(3), 3, "a"),
+        (1, _ts(4), 4, None),
+    ])
+    out = history.scd2_from_history(
+        h, key_cols=["k"], ts_col="ts", attr_col="state",
+        tiebreak_col="seq").orderBy("version").collect()
+    assert [(r["state"], r["version"]) for r in out] == [
+        (None, 1), ("a", 2), (None, 3)]
+    assert out[0]["effective_to"] == _ts(3)
+
+
+def test_scd2_intervals_partition_the_timeline(spark):
+    """Property on real data: per key, intervals are contiguous
+    (effective_to == next effective_from), exactly one is open, and
+    every source observation's ts falls inside the interval carrying
+    its state."""
+    from real_time_iot_data_pipeline_project_spark import registry
+    from tests.conftest import SF_SMOKE
+
+    out = registry.QUERIES["q98_scd2_intervals"](spark, SF_SMOKE)
+    rows = out.orderBy("user_id", "version").collect()
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r["user_id"], []).append(r)
+    assert by_key
+    for k, ivs in by_key.items():
+        assert [r["version"] for r in ivs] == list(range(1, len(ivs) + 1))
+        assert sum(r["is_current"] for r in ivs) == 1
+        assert ivs[-1]["effective_to"] is None
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["effective_to"] == b["effective_from"], k
+            # a real change: consecutive intervals differ in state
+            assert a["state"] != b["state"], k
+
+
+def test_cdc_snapshot_matches_window_formulation(spark):
+    """The max_by aggregation (production shape) must agree row-for-row
+    with the window/row_number formulation (the oracle shape) on real
+    data — same winners, same tombstone suppression."""
+    from pyspark.sql import Window
+    from real_time_iot_data_pipeline_project_spark import registry
+    from tests.conftest import SF_SMOKE
+
+    agg = registry.QUERIES["q97_cdc_snapshot"](spark, SF_SMOKE)
+    ev = registry._t(spark, SF_SMOKE, "events")
+    log = ev.select(
+        "user_id", "ts", "event_id", "value",
+        F.when(F.col("event_type") == "purchase", F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    win = (
+        log.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_ops", F.count(F.lit(1)).over(
+            Window.partitionBy("user_id")))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("user_id", F.col("ts").alias("last_ts"),
+                F.col("event_id").alias("last_event_id"),
+                F.col("value").alias("last_value"), "n_ops")
+    )
+    assert agg.exceptAll(win).count() == 0
+    assert win.exceptAll(agg).count() == 0

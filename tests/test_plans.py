@@ -297,3 +297,58 @@ def test_aqe_adaptive_plan_active(spark):
             >= int(prof["spark.sql.adaptive.advisoryPartitionSizeInBytes"].rstrip("m")))
     # every dim table in the engine must fit under the broadcast bar
     assert int(prof["spark.sql.autoBroadcastJoinThreshold"]) >= 32 * 1024 * 1024
+
+
+def test_shipping_priority_pushdown_and_topk(spark):
+    """q94 (TPC-H Q3 shape): every filter reaches its parquet scan as a
+    pushed filter, and the top-10 is TakeOrderedAndProject — no global
+    sort of grouped revenue."""
+    plan = plan_of(spark, "q94_shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "LessThan(o_orderdate," in plan
+    assert "GreaterThan(l_shipdate," in plan
+
+
+def test_regional_revenue_broadcasts_only_constant_dims(spark):
+    """q95 (TPC-H Q5 shape): nation and region — the tables that stay
+    tiny at any SF — are explicitly broadcast; growing tables never
+    plan a BroadcastNestedLoopJoin (the correlated s_nationkey =
+    c_nationkey constraint must ride an equi-join)."""
+    plan = plan_of(spark, "q95_regional_revenue")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastExchange") >= 2
+
+
+def test_order_priority_is_left_semi(spark):
+    """q96 (TPC-H Q4 shape): EXISTS compiles to a LEFT SEMI join —
+    first-match short-circuit, no fan-out + distinct."""
+    plan = plan_of(spark, "q96_order_priority_check")
+    assert "LeftSemi" in plan
+    assert "Distinct" not in plan
+
+
+def test_cdc_snapshot_is_partial_aggregatable(spark):
+    """q97: CDC compaction must plan map-side partial aggregation (the
+    100 TB property: each task combines to one row per key BEFORE the
+    exchange) and exactly one shuffle; no window sort over the full
+    changelog."""
+    plan = plan_of(spark, "q97_cdc_snapshot")
+    assert "partial_max_by" in plan or "partial_" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan
+
+
+def test_scd2_single_exchange_two_windows(spark):
+    """q98: both SCD2 window passes (lag change detection, lead close)
+    share ONE hashpartitioning exchange on the key."""
+    plan = plan_of(spark, "q98_scd2_intervals")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_quality_band_single_exchange(spark):
+    """q99: score computation stays in the scan stage; the only shuffle
+    is the per-source rank sort."""
+    plan = plan_of(spark, "q99_quality_band")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "PythonUDF" not in plan
