@@ -506,6 +506,8 @@ APPROX_ORACLES: dict[str, tuple[str, float]] = {
 }
 
 
+
+
 @query(
     "q17_value_counts",
     """
@@ -3714,6 +3716,118 @@ def q99_quality_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q100_retention_cohorts",
+    """
+    WITH first AS (
+      SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+    ),
+    a AS (
+      SELECT e.user_id,
+             CAST(date_trunc('week', f.first_ts) AS TIMESTAMP)
+               AS cohort_week,
+             CAST(floor(date_diff('day', date_trunc('week', f.first_ts),
+                                  date_trunc('week', e.ts)) / 7) AS INT)
+               AS week_offset
+      FROM events e JOIN first f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week, week_offset,
+           COUNT(DISTINCT user_id) AS n_active
+    FROM a GROUP BY cohort_week, week_offset
+    """,
+)
+def q100_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix (the standard product-analytics
+    triangle): users grouped by the ISO week of their FIRST event, and
+    for each cohort the count of distinct users active in each
+    subsequent week offset. Three partial-aggregatable stages, all on
+    integer/date arithmetic (exact cross-engine): (1) first-event per
+    user — min() groupBy with map-side combine; (2) join back to events
+    on user_id — both sides hash on the same key, so AQE co-partitions
+    one shuffle each (at 100 TB this is the dominant exchange; if
+    events is already bucketed by user_id the probe side ships for
+    free); (3) countDistinct(user_id) per (cohort_week, week_offset) —
+    Spark plans the distinct as a two-phase expand+agg, no row
+    explosion. The cohort key rides date_trunc('week') in BOTH engines
+    (Monday-start ISO weeks in Spark and DuckDB alike)."""
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    a = ev.join(first, "user_id").select(
+        "user_id",
+        F.date_trunc("week", "first_ts").alias("cohort_week"),
+        F.floor(
+            F.datediff(F.date_trunc("week", F.col("ts")),
+                       F.date_trunc("week", F.col("first_ts"))) / 7
+        ).cast("int").alias("week_offset"),
+    )
+    return a.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_active"))
+
+
+@query("q101_quality_band_approx", None)
+def q101_quality_band_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q99's 100 TB twin, executable instead of a docstring promise:
+    per-source [p10, p90] band edges via ``approx_percentile``
+    (Greenwald-Khanna sketch, accuracy 10000 — mergeable, so the
+    threshold pass is ONE map-side-combinable aggregation with bounded
+    memory, no per-source sort), then a broadcast threshold join counts
+    the surviving band. Two scans, zero sorts — vs q99's exact
+    percent_rank which must totally order every source. Returns one row
+    per source (band edges + kept count) so the bounded comparator can
+    check it against the exact-rank oracle within tolerance; like
+    q58/q59 the sketch is not bit-reproducible cross-engine, so there
+    is no hashable oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source",
+        F.round(textfns.quality_score("text"), 6).alias("quality"))
+    thresholds = scored.groupBy("source").agg(
+        F.expr("percentile_approx(quality, 0.1, 10000)").alias("lo"),
+        F.expr("percentile_approx(quality, 0.9, 10000)").alias("hi"),
+    )
+    kept = (
+        scored.join(F.broadcast(thresholds), "source")
+        .filter((F.col("quality") >= F.col("lo"))
+                & (F.col("quality") <= F.col("hi")))
+        .groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        thresholds.join(kept, "source")
+        .select(F.col("source").alias("domain"),
+                F.round("lo", 6).alias("lo"),
+                F.round("hi", 6).alias("hi"),
+                F.col("n_kept").cast("double").alias("n_kept"))
+    )
+
+
+# Bounded oracle for the approx band: exact rank-based quantiles +
+# exact band count, reusing _quality_sql() VERBATIM so the error budget
+# covers only the sketch. quantile_disc (NOT quantile_cont): GK returns
+# an actual data value, so the honest exact comparand is the
+# rank-nearest ELEMENT — an interpolated threshold shifts band
+# inclusion by a whole element on small per-source groups (25 docs at
+# test SFs ⇒ ~20% kept-count error that says nothing about the
+# sketch); against the disc oracle the disagreement is at most an
+# off-by-one rank per edge, inside rel_tol.
+APPROX_ORACLES["q101_quality_band_approx"] = (f"""
+    WITH q AS ({_quality_sql()}),
+    j AS (
+      SELECT d.doc_id, d.source, q.quality
+      FROM documents d JOIN q ON d.doc_id = q.doc_id
+    ),
+    t AS (
+      SELECT source, quantile_disc(quality, 0.1) AS qlo,
+             quantile_disc(quality, 0.9) AS qhi
+      FROM j GROUP BY source
+    )
+    SELECT j.source AS domain, round(t.qlo, 6) AS lo, round(t.qhi, 6) AS hi,
+           CAST(COUNT(*) FILTER (j.quality >= t.qlo AND j.quality <= t.qhi)
+                AS DOUBLE) AS n_kept
+    FROM j JOIN t ON j.source = t.source
+    GROUP BY j.source, t.qlo, t.qhi
+    """, 0.15)
+
+
 # Operators added AFTER the 50-slot window filled with unique-operator
 # queries: fully oracle-checked by the local gate, first in line for a
 # window slot if one opens.
@@ -3769,6 +3883,9 @@ POST_WINDOW: list[str] = [
     "q98_scd2_intervals",
     # round 6: per-domain quantile-band curation
     "q99_quality_band",
+    # round 6: retention cohort matrix (first-event cohorts × weekly
+    # activity, all partial-aggregatable stages)
+    "q100_retention_cohorts",
 ]
 
 

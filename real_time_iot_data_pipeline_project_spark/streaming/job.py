@@ -241,3 +241,46 @@ def write_kafka_sink(df: DataFrame, brokers: str, topic: str, checkpoint: str,
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def join_streams_interval(left: DataFrame, right: DataFrame, key: str,
+                          ts_col: str, within_seconds: int,
+                          watermark: str = DEFAULT_WATERMARK,
+                          suffixes: tuple[str, str] = ("_l", "_r")) -> DataFrame:
+    """Watermarked stream-stream interval join (T-tier completion): pair
+    every left event with the right events of the same ``key`` whose
+    timestamp falls in ``[left.ts, left.ts + within_seconds]`` — the
+    attribution shape (click → purchase within N minutes) and the
+    sensor-fusion shape (reading → nearby reading on another channel).
+
+    Both sides carry a watermark and the join condition carries BOTH
+    time bounds; together they let Spark compute how long each side's
+    state can matter and evict it — without the time-range condition a
+    stream-stream join buffers forever (the unbounded-state trap).
+    State bound per key: ``watermark + within_seconds`` of events on
+    each side. Inner join only: stream-stream outer joins emit their
+    null rows when the watermark passes, which an availableNow batch
+    test cannot observe deterministically — callers needing "clicks
+    that never converted" should anti-join the SINK table in batch.
+
+    Output columns: ``key``, then every non-key column of each side
+    suffixed with ``suffixes``. The same callable works on batch
+    DataFrames (Spark plans a plain interval join; watermark is a no-op
+    in batch) — which is exactly how the e2e test establishes the
+    batch-equivalence oracle.
+    """
+    sl, sr = suffixes
+    lw = left.withWatermark(ts_col, watermark).alias("l")
+    rw = right.withWatermark(ts_col, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{ts_col}") >= F.col(f"l.{ts_col}"))
+        & (F.col(f"r.{ts_col}") <= F.col(f"l.{ts_col}")
+           + F.expr(f"INTERVAL {int(within_seconds)} SECONDS"))
+    )
+    lcols = [F.col(f"l.{c}").alias(f"{c}{sl}")
+             for c in left.columns if c != key]
+    rcols = [F.col(f"r.{c}").alias(f"{c}{sr}")
+             for c in right.columns if c != key]
+    return lw.join(rw, cond, "inner").select(F.col(f"l.{key}").alias(key),
+                                             *lcols, *rcols)

@@ -801,3 +801,73 @@ def test_adaptive_alert_stream_matches_python_fold(spark, tmp_path):
     # the planted spike is the ONLY alert
     alerts = [(sid, sec) for (sid, sec), r in got.items() if r.is_anomaly]
     assert alerts == [("A", 5)]
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join (attribution shape):
+    the streamed result must equal the batch interval join of the same
+    data (the batch-equivalence oracle), including the window edges —
+    a purchase exactly at click_ts + within matches, one second later
+    does not, and matching never crosses user_id."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+    def t(s):
+        return base + dt.timedelta(seconds=s)
+
+    clicks = [
+        (1, t(0), "c1"),
+        (1, t(500), "c2"),
+        (2, t(0), "c3"),
+    ]
+    purchases = [
+        (1, t(100), "p1"),     # in c1's window only
+        (1, t(300), "p2"),     # exactly at c1 + within -> inclusive match
+        (1, t(301), "p3"),     # 1s past c1's window; before c2 -> no match
+        (1, t(650), "p4"),     # in c2's window
+        (2, t(1000), "p5"),    # outside every window for user 2
+    ]
+    schema = "user_id long, ts timestamp, tag string"
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    spark.createDataFrame(clicks, schema).write.parquet(cdir)
+    spark.createDataFrame(purchases, schema).write.parquet(pdir)
+
+    within = 300
+    lstream = spark.readStream.schema(schema).parquet(cdir)
+    rstream = spark.readStream.schema(schema).parquet(pdir)
+    joined = job.join_streams_interval(
+        lstream, rstream, key="user_id", ts_col="ts",
+        within_seconds=within, watermark="5 minutes")
+    sink = str(tmp_path / "joined")
+    q = (joined.writeStream.format("parquet")
+         .option("path", sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {(r["tag_l"], r["tag_r"])
+           for r in spark.read.parquet(sink).collect()}
+    assert got == {("c1", "p1"), ("c1", "p2"), ("c2", "p4")}
+
+    # batch-equivalence oracle: same callable on batch DataFrames
+    batch = job.join_streams_interval(
+        spark.read.parquet(cdir), spark.read.parquet(pdir),
+        key="user_id", ts_col="ts", within_seconds=within)
+    assert {(r["tag_l"], r["tag_r"]) for r in batch.collect()} == got
+
+
+def test_stream_stream_join_state_is_bounded(spark, tmp_path):
+    """The physical plan must carry watermarks on both sides and a
+    time-interval join condition — the two ingredients Spark needs to
+    evict join state instead of buffering both streams forever."""
+    schema = "user_id long, ts timestamp, tag string"
+    d = str(tmp_path / "src")
+    spark.createDataFrame([], schema).write.parquet(d)
+    s1 = spark.readStream.schema(schema).parquet(d)
+    s2 = spark.readStream.schema(schema).parquet(d)
+    joined = job.join_streams_interval(
+        s1, s2, key="user_id", ts_col="ts", within_seconds=60)
+    plan = joined._jdf.queryExecution().analyzed().toString()
+    assert plan.count("EventTimeWatermark") == 2
+    assert "ts" in plan
