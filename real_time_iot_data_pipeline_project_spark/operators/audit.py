@@ -1,0 +1,67 @@
+"""Data-quality audit: declarative constraint checks over a table,
+reported as a tall (check_name, n_violations) frame.
+
+The reference validates records inline while transforming
+(`Solar_Processing.py` range filter / fillna); a production pipeline
+also needs the *report* — how many rows violate each contract — both
+as a gate before publishing a dataset and as a drift monitor.
+
+Scale shapes:
+
+- ``column_checks`` — ANY number of per-row predicates plus key
+  uniqueness in ONE aggregate pass (conditional sums + count-distinct;
+  all partial-aggregatable). The tall shape comes from unpivoting the
+  single 1-row aggregate with ``stack`` — no second scan, no shuffle
+  beyond the aggregation itself.
+- ``fk_orphans`` — referential integrity as a LEFT ANTI join count:
+  short-circuits per key, never fans out, and Catalyst broadcasts the
+  parent side's key projection when it fits.
+
+Both return the same (check_name, n_violations) schema, so a full
+audit is a unionByName of check frames — see registry q102.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+REPORT_COLS = ("check_name", "n_violations")
+
+
+def column_checks(df: DataFrame, checks: dict[str, F.Column],
+                  unique_keys: dict[str, list[str]] | None = None) -> DataFrame:
+    """One-pass audit: ``checks`` maps check name → a Boolean Column
+    that is true WHEN THE ROW VIOLATES the check; ``unique_keys`` maps
+    check name → key columns whose combination must be unique (the
+    violation count is the number of surplus rows, count −
+    countDistinct). Returns (check_name, n_violations), one row per
+    check, computed in a single aggregate."""
+    aggs = [F.sum(c.cast("long")).alias(name) for name, c in checks.items()]
+    for name, keys in (unique_keys or {}).items():
+        aggs.append(
+            (F.count(F.lit(1)) - F.countDistinct(*[F.col(k) for k in keys]))
+            .alias(name))
+    one = df.agg(*aggs)
+    names = list(checks) + list(unique_keys or {})
+    stack = ", ".join(f"'{n}', `{n}`" for n in names)
+    return one.select(
+        F.expr(f"stack({len(names)}, {stack})")
+        .alias("check_name", "n_violations"))
+
+
+def fk_orphans(child: DataFrame, parent: DataFrame,
+               on: list[tuple[str, str]], check_name: str) -> DataFrame:
+    """Referential-integrity check: rows of ``child`` whose key has no
+    match in ``parent`` (``on`` = [(child_col, parent_col), ...]).
+    LEFT ANTI join + count, reported in the audit schema. Null child
+    keys count as orphans (they reference nothing) — matching SQL
+    NOT EXISTS semantics."""
+    cond = None
+    for c, p in on:
+        clause = child[c] == parent[p]
+        cond = clause if cond is None else (cond & clause)
+    orphans = child.join(parent, cond, "left_anti")
+    return orphans.agg(
+        F.lit(check_name).alias("check_name"),
+        F.count(F.lit(1)).alias("n_violations"))

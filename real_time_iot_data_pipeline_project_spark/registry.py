@@ -3828,6 +3828,119 @@ APPROX_ORACLES["q101_quality_band_approx"] = (f"""
     """, 0.15)
 
 
+@query(
+    "q102_dq_audit",
+    """
+    SELECT 'lineitem_quantity_not_null' AS check_name,
+           CAST(COUNT(*) FILTER (l_quantity IS NULL) AS BIGINT) AS n_violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           CAST(COUNT(*) FILTER (l_discount < 0 OR l_discount > 1) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_quantity_positive',
+           CAST(COUNT(*) FILTER (l_quantity <= 0) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_pk_unique',
+           CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_custkey_fk',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'ship_before_order',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 JOIN orders o ON l.l_orderkey = o.o_orderkey
+                 WHERE l.l_shipdate < o.o_orderdate) AS BIGINT)
+    """,
+)
+def q102_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit report (the publish gate a production
+    pipeline runs before shipping a dataset): per-row contracts +
+    key uniqueness in ONE aggregate pass over each table
+    (operators/audit.column_checks — conditional sums unpivoted with
+    stack, no second scan), referential integrity as LEFT ANTI join
+    counts, and a cross-table consistency rule (lineitem shipped
+    before its order date) as a co-keyed join with a conditional
+    count. On this corpus every check is clean EXCEPT the lineitem
+    primary key — (l_orderkey, l_linenumber) carries thousands of
+    surplus rows, which is exactly the kind of silent contract break
+    the report exists to surface. Note: countDistinct skips null key
+    tuples (SQL semantics); the uniqueness check therefore assumes
+    non-null keys, which lineitem_quantity_not_null-style checks can
+    assert separately."""
+    from .operators import audit
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    col_report = audit.column_checks(
+        li,
+        checks={
+            "lineitem_quantity_not_null": F.col("l_quantity").isNull(),
+            "lineitem_discount_range":
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+            "lineitem_quantity_positive": F.col("l_quantity") <= 0,
+        },
+        unique_keys={"lineitem_pk_unique": ["l_orderkey", "l_linenumber"]},
+    )
+    fk1 = audit.fk_orphans(li, o, [("l_orderkey", "o_orderkey")],
+                           "lineitem_orderkey_fk")
+    fk2 = audit.fk_orphans(o, c, [("o_custkey", "c_custkey")],
+                           "orders_custkey_fk")
+    ship = (
+        li.select("l_orderkey", "l_shipdate")
+        .join(o.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .agg(F.lit("ship_before_order").alias("check_name"),
+             F.sum((F.col("l_shipdate") < F.col("o_orderdate"))
+                   .cast("long")).alias("n_violations"))
+    )
+    return col_report.unionByName(fk1).unionByName(fk2).unionByName(ship)
+
+
+@query(
+    "q103_incremental_rollup",
+    """
+    SELECT user_id,
+           CAST(COUNT(value) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           min(value) AS vmin, max(value) AS vmax,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(value)
+             AS mean
+    FROM events GROUP BY user_id
+    """,
+)
+def q103_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for aggregates: events split into
+    two disjoint 'batches' (event_id parity — a deterministic stand-in
+    for arrival batches), each collapsed to per-key mergeable state
+    (n, exact-decimal sum, min, max), states merged, metrics finalized
+    at read time. The oracle is the DIRECT aggregate over all rows —
+    the invariant that makes per-batch maintenance cost proportional
+    to the batch instead of the history. Every stage is one
+    partial-aggregatable groupBy; decimal sums make the fold
+    order-free (rule 1). warehouse.incremental agg_state /
+    merge_agg_states / finalize_agg_state."""
+    from .warehouse import incremental as inc
+    ev = _t(spark, sf_dir, "events")
+    b0 = ev.filter(F.col("event_id") % 2 == 0)
+    b1 = ev.filter(F.col("event_id") % 2 == 1)
+    s0 = inc.agg_state(b0, ["user_id"], "value")
+    s1 = inc.agg_state(b1, ["user_id"], "value")
+    merged = inc.merge_agg_states(s0, s1, ["user_id"])
+    out = inc.finalize_agg_state(merged)
+    return out.select("user_id", "n", "total", "vmin", "vmax", "mean")
+
+
 # Operators added AFTER the 50-slot window filled with unique-operator
 # queries: fully oracle-checked by the local gate, first in line for a
 # window slot if one opens.
@@ -3886,6 +3999,12 @@ POST_WINDOW: list[str] = [
     # round 6: retention cohort matrix (first-event cohorts × weekly
     # activity, all partial-aggregatable stages)
     "q100_retention_cohorts",
+    # round 6: data-quality audit report (one-pass column checks +
+    # anti-join referential integrity)
+    "q102_dq_audit",
+    # round 6: incremental aggregate-state maintenance (mergeable
+    # rollup states; oracle = direct aggregate)
+    "q103_incremental_rollup",
 ]
 
 

@@ -136,3 +136,59 @@ def denormalize(tables: dict[str, DataFrame], domain: str) -> DataFrame:
         .join(tables[wx_name].select("weather_key", *weather_cols), "weather_key")
     )
     return out.select("timestamp", "station_id", *weather_cols, *measures)
+
+
+# ---------------------------------------------------------------------
+# Incremental aggregate-state maintenance (mergeable rollup states)
+# ---------------------------------------------------------------------
+# The star loader above maintains FACTS incrementally; these maintain
+# AGGREGATES: keep per-key (n, sum, min, max) as a state table, fold
+# each new batch in with one partial-aggregatable merge, and derive the
+# final metrics (mean) only at read time. The invariant — state after
+# any batch split equals the direct aggregate of all rows — is what
+# makes per-batch cost proportional to the BATCH, not the history
+# (sums go through DECIMAL(18,4) so merge order cannot change results).
+
+AGG_STATE_DEC = "decimal(18,4)"
+
+
+def agg_state(df: DataFrame, key_cols: list[str], value_col: str) -> DataFrame:
+    """Collapse rows to per-key mergeable state: n (non-null count),
+    total (exact decimal sum), vmin, vmax."""
+    from pyspark.sql import functions as F
+
+    return df.groupBy(*key_cols).agg(
+        F.count(value_col).alias("n"),
+        F.sum(F.col(value_col).cast(AGG_STATE_DEC)).alias("total"),
+        F.min(value_col).alias("vmin"),
+        F.max(value_col).alias("vmax"),
+    )
+
+
+def merge_agg_states(a: DataFrame, b: DataFrame,
+                     key_cols: list[str]) -> DataFrame:
+    """Merge two state tables: every component is itself aggregatable
+    (n and total add, vmin/vmax re-min/max), so the merge is one
+    groupBy with map-side combine — never a recompute over history."""
+    from pyspark.sql import functions as F
+
+    return a.unionByName(b).groupBy(*key_cols).agg(
+        F.sum("n").alias("n"),
+        F.sum("total").alias("total"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+    )
+
+
+def finalize_agg_state(state: DataFrame) -> DataFrame:
+    """Derive read-time metrics from state: mean = exact-decimal total
+    over count, cast to double (identical IEEE division on any engine
+    that kept the same exact sum)."""
+    from pyspark.sql import functions as F
+
+    return state.select(
+        *[c for c in state.columns if c not in ("total",)],
+        F.col("total").cast("double").alias("total"),
+        F.when(F.col("n") > 0,
+               F.col("total").cast("double") / F.col("n")).alias("mean"),
+    )

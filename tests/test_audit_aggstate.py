@@ -1,0 +1,113 @@
+"""Audit tier (operators/audit.py) and mergeable aggregate state
+(warehouse/incremental.py) — semantic tests on synthesized dirty data
+where every violation count is known by construction, plus the
+state-fold invariant (any batch split == direct aggregate)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_iot_data_pipeline_project_spark.operators import audit
+from real_time_iot_data_pipeline_project_spark.warehouse import incremental as inc
+
+
+def _dirty(spark):
+    rows = [
+        # (id, grp, qty, disc)
+        (1, "a", 5.0, 0.1),
+        (1, "a", 5.0, 0.1),     # duplicate (id, grp) pair
+        (2, "b", None, 0.2),    # null qty
+        (3, "c", -1.0, 1.5),    # non-positive qty AND out-of-range disc
+        (4, "d", 2.0, -0.1),    # out-of-range disc
+    ]
+    return spark.createDataFrame(
+        rows, "id long, grp string, qty double, disc double")
+
+
+def test_column_checks_counts_are_exact(spark):
+    df = _dirty(spark)
+    rep = audit.column_checks(
+        df,
+        checks={
+            "qty_not_null": F.col("qty").isNull(),
+            "disc_range": (F.col("disc") < 0) | (F.col("disc") > 1),
+            "qty_positive": F.col("qty") <= 0,
+        },
+        unique_keys={"pk_unique": ["id", "grp"]},
+    )
+    got = {r["check_name"]: r["n_violations"] for r in rep.collect()}
+    assert got == {"qty_not_null": 1, "disc_range": 2,
+                   "qty_positive": 1, "pk_unique": 1}
+
+
+def test_column_checks_single_pass_plan(spark):
+    """The whole tall report must come from ONE aggregation over the
+    input — no per-check scan, no shuffle beyond the aggregate."""
+    df = _dirty(spark)
+    rep = audit.column_checks(
+        df, checks={"qty_not_null": F.col("qty").isNull(),
+                    "qty_positive": F.col("qty") <= 0})
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ") <= 1
+    assert "Generate" in plan or "stack" in plan.lower()
+
+
+def test_fk_orphans_counts_unmatched_and_null_keys(spark):
+    child = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None)], "id long, ref long")
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    rep = audit.fk_orphans(child, parent, [("ref", "pk")], "fk")
+    row = rep.collect()[0]
+    # 99 matches nothing; NULL ref references nothing -> both orphans
+    assert (row["check_name"], row["n_violations"]) == ("fk", 2)
+
+
+def test_agg_state_fold_equals_direct_aggregate(spark):
+    """The IVM invariant, on real data with a 3-way split: folding
+    per-batch states must equal the direct aggregate over all rows —
+    same n/total/min/max/mean, every key."""
+    from real_time_iot_data_pipeline_project_spark import registry
+    from tests.conftest import SF_SMOKE
+
+    ev = registry._t(spark, SF_SMOKE, "events")
+    batches = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    state = inc.agg_state(batches[0], ["user_id"], "value")
+    for b in batches[1:]:
+        state = inc.merge_agg_states(
+            state, inc.agg_state(b, ["user_id"], "value"), ["user_id"])
+    folded = inc.finalize_agg_state(state)
+    direct = inc.finalize_agg_state(inc.agg_state(ev, ["user_id"], "value"))
+    assert folded.exceptAll(direct).count() == 0
+    assert direct.exceptAll(folded).count() == 0
+
+
+def test_agg_state_merge_is_order_free(spark):
+    """Decimal sums: merging batches in either order yields identical
+    state (the property that lets a distributed merge tree combine in
+    whatever order tasks finish)."""
+    from real_time_iot_data_pipeline_project_spark import registry
+    from tests.conftest import SF_SMOKE
+
+    ev = registry._t(spark, SF_SMOKE, "events")
+    b0 = inc.agg_state(ev.filter(F.col("event_id") % 2 == 0),
+                       ["user_id"], "value")
+    b1 = inc.agg_state(ev.filter(F.col("event_id") % 2 == 1),
+                       ["user_id"], "value")
+    ab = inc.finalize_agg_state(inc.merge_agg_states(b0, b1, ["user_id"]))
+    ba = inc.finalize_agg_state(inc.merge_agg_states(b1, b0, ["user_id"]))
+    assert ab.exceptAll(ba).count() == 0
+    assert ba.exceptAll(ab).count() == 0
+
+
+def test_agg_state_empty_batch_is_identity(spark):
+    """Merging an empty batch changes nothing (the quiet-period
+    trigger case)."""
+    from real_time_iot_data_pipeline_project_spark import registry
+    from tests.conftest import SF_SMOKE
+
+    ev = registry._t(spark, SF_SMOKE, "events")
+    s = inc.agg_state(ev, ["user_id"], "value")
+    empty = inc.agg_state(ev.filter(F.lit(False)), ["user_id"], "value")
+    merged = inc.merge_agg_states(s, empty, ["user_id"])
+    assert merged.exceptAll(s).count() == 0
+    assert s.exceptAll(merged).count() == 0
