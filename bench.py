@@ -80,6 +80,11 @@ HEADLINE = [
     "q98_scd2_intervals",
     # round-6 per-domain quantile-band curation
     "q99_quality_band",
+    # round-6 analytics/ops tier: cohort matrix, one-pass DQ audit,
+    # mergeable-state incremental rollup
+    "q100_retention_cohorts",
+    "q102_dq_audit",
+    "q103_incremental_rollup",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

@@ -88,6 +88,9 @@ def _decode_png_impl(data: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError(
                     f"unsupported PNG variant: depth={depth} "
                     f"color_type={color_type} interlace={interlace}")
+            if width < 1 or height < 1:
+                raise ValueError(
+                    f"corrupt PNG: degenerate dimensions {width}x{height}")
         elif tag == b"IDAT":
             idat.append(payload)
         elif tag == b"IEND":

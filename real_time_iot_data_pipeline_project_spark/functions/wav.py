@@ -72,6 +72,10 @@ def _decode_wav_impl(data: bytes) -> tuple[int, int, list[int]]:
                 raise ValueError(
                     f"unsupported WAV variant: format_tag={fmt_tag} "
                     f"bits={bits} (PCM16 only)")
+            if channels < 1 or sample_rate < 1:
+                raise ValueError(
+                    f"corrupt WAV: channels={channels} "
+                    f"sample_rate={sample_rate} (both must be >= 1)")
         elif tag == b"data":
             pcm = payload
     if sample_rate is None or pcm is None:

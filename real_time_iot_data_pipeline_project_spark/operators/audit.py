@@ -37,7 +37,11 @@ def column_checks(df: DataFrame, checks: dict[str, F.Column],
     violation count is the number of surplus rows, count −
     countDistinct). Returns (check_name, n_violations), one row per
     check, computed in a single aggregate."""
-    aggs = [F.sum(c.cast("long")).alias(name) for name, c in checks.items()]
+    # coalesce: SUM over zero rows is NULL, but an empty table VIOLATES
+    # nothing — the report must say 0 so a `n_violations == 0` publish
+    # gate passes (and to match COUNT(*) FILTER oracle semantics)
+    aggs = [F.coalesce(F.sum(c.cast("long")), F.lit(0)).alias(name)
+            for name, c in checks.items()]
     for name, keys in (unique_keys or {}).items():
         aggs.append(
             (F.count(F.lit(1)) - F.countDistinct(*[F.col(k) for k in keys]))

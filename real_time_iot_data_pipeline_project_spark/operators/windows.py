@@ -407,6 +407,37 @@ def ohlc_downsample(df: DataFrame, ts_col: str, key: str, value_col: str,
     )
 
 
+def grid_spine(df: DataFrame, key: str, ts_col: str,
+               step_seconds: int) -> DataFrame:
+    """Per-key regular time grid: points every ``step_seconds`` (aligned
+    to epoch multiples of the step) from the first aligned point
+    at-or-after each key's earliest sample to the last at-or-before its
+    latest. Map-side except the per-key bounds aggregate; the shared
+    spine under resample_ffill and the feature-matrix query (q92) — one
+    definition so alignment/empty-range fixes reach every consumer.
+    Returns (key, grid_ts); keys whose span contains no aligned point
+    produce no rows."""
+    step_us = step_seconds * 1_000_000
+    bounds = (
+        df.groupBy(key)
+        .agg(F.min(ts_col).alias("__lo"), F.max(ts_col).alias("__hi"))
+        .select(
+            F.col(key),
+            (F.ceil(F.unix_micros("__lo") / F.lit(step_us)) * step_us)
+            .alias("__start"),
+            (F.floor(F.unix_micros("__hi") / F.lit(step_us)) * step_us)
+            .alias("__stop"),
+        )
+        .filter(F.col("__start") <= F.col("__stop"))
+    )
+    return bounds.select(
+        F.col(key),
+        F.explode(
+            F.sequence("__start", "__stop", F.lit(step_us))
+        ).alias("__grid_us"),
+    ).select(F.col(key), F.timestamp_micros("__grid_us").alias("grid_ts"))
+
+
 def resample_ffill(df: DataFrame, ts_col: str, key: str, value_col: str,
                    step_seconds: int) -> DataFrame:
     """Resample an irregular series onto a regular per-key grid with
@@ -423,25 +454,7 @@ def resample_ffill(df: DataFrame, ts_col: str, key: str, value_col: str,
     (key, grid_ts, value, value_ts) where value_ts is the sampled ts —
     never null by construction: the grid starts at-or-after each key's
     earliest sample, so every grid point has a carry source."""
-    step_us = step_seconds * 1_000_000
-    bounds = (
-        df.groupBy(key)
-        .agg(F.min(ts_col).alias("__lo"), F.max(ts_col).alias("__hi"))
-        .select(
-            F.col(key),
-            (F.ceil(F.unix_micros("__lo") / F.lit(step_us)) * step_us)
-            .alias("__start"),
-            (F.floor(F.unix_micros("__hi") / F.lit(step_us)) * step_us)
-            .alias("__stop"),
-        )
-        .filter(F.col("__start") <= F.col("__stop"))
-    )
-    grid = bounds.select(
-        F.col(key),
-        F.explode(
-            F.sequence("__start", "__stop", F.lit(step_us))
-        ).alias("__grid_us"),
-    ).select(F.col(key), F.timestamp_micros("__grid_us").alias("grid_ts"))
+    grid = grid_spine(df, key, ts_col, step_seconds)
     # both sides rename their time column to the literal "ts" the
     # as-of call below joins on — without the right-side rename any
     # ts_col other than "ts" would KeyError inside asof_join

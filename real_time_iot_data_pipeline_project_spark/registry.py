@@ -3310,24 +3310,9 @@ def q92_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     yet. Values copied, never computed: exact hash compare."""
     ev = _t(spark, sf_dir, "events")
     types = ["click", "view", "purchase"]
-    step_us = 21_600 * 1_000_000
-    bounds = (
-        ev.groupBy("user_id")
-        .agg(F.min("ts").alias("__lo"), F.max("ts").alias("__hi"))
-        .select(
-            "user_id",
-            (F.ceil(F.unix_micros("__lo") / F.lit(step_us)) * step_us)
-            .alias("__start"),
-            (F.floor(F.unix_micros("__hi") / F.lit(step_us)) * step_us)
-            .alias("__stop"),
-        )
-        .filter(F.col("__start") <= F.col("__stop"))
-    )
-    grid = bounds.select(
-        "user_id",
-        F.explode(F.sequence("__start", "__stop", F.lit(step_us)))
-        .alias("__grid_us"),
-    ).select("user_id", F.timestamp_micros("__grid_us").alias("ts"))
+    grid = windows.grid_spine(ev, key="user_id", ts_col="ts",
+                              step_seconds=21_600).withColumnRenamed(
+        "grid_ts", "ts")
     grid3 = grid.select(
         "user_id", "ts",
         F.explode(F.array(*[F.lit(t) for t in types])).alias("event_type"),
@@ -3901,8 +3886,9 @@ def q102_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o.select("o_orderkey", "o_orderdate"),
               F.col("l_orderkey") == F.col("o_orderkey"))
         .agg(F.lit("ship_before_order").alias("check_name"),
-             F.sum((F.col("l_shipdate") < F.col("o_orderdate"))
-                   .cast("long")).alias("n_violations"))
+             F.coalesce(
+                 F.sum((F.col("l_shipdate") < F.col("o_orderdate"))
+                       .cast("long")), F.lit(0)).alias("n_violations"))
     )
     return col_report.unionByName(fk1).unionByName(fk2).unionByName(ship)
 

@@ -295,12 +295,12 @@ def compact_signature_store(spark, corpus_path: str, signature_store: str,
         n_kept = kept.count()
         (kept.write.mode("overwrite").partitionBy("batch_id")
          .parquet(f"{output_store}/{table}"))
-        # an all-pruned table writes no parquet footers, so a read-back
-        # of the empty directory cannot infer a schema — trust the
-        # materialized count instead of re-reading
-        out[f"{table}_after"] = (
-            spark.read.parquet(f"{output_store}/{table}").count()
-            if n_kept else 0)
+        # the materialized (localCheckpoint'ed) count IS the written
+        # count under overwrite mode — a read-back scan of the store we
+        # just wrote would duplicate a full table scan for the same
+        # number (and an all-pruned table writes no parquet footers, so
+        # the read-back couldn't even infer a schema)
+        out[f"{table}_after"] = n_kept
     return out
 
 

@@ -124,6 +124,15 @@ def adaptive_alert_stream(df: DataFrame, key: str, order_col: str,
             pdf = pdf.sort_values(order_col, kind="mergesort")
             means, stds, zs, flags = [], [], [], []
             for v in pdf[value_col]:
+                # a null/NaN reading must not poison the EW baseline
+                # (NaN would propagate through mean/var forever and
+                # silently disable detection for the key) — emit the
+                # row unflagged, leave state untouched, like the batch
+                # twin rolling_zscore's null-skipping frame
+                if v is None or (isinstance(v, float) and math.isnan(v)):
+                    means.append(mean); stds.append(None)
+                    zs.append(None); flags.append(False)
+                    continue
                 if mean is None:
                     mean, var, n = float(v), 0.0, 1
                     means.append(mean); stds.append(0.0)

@@ -270,3 +270,53 @@ def test_audio_signal_stats_oracle_and_poison(spark):
     import pytest as _pytest
     with _pytest.raises(Exception, match="null payload|RIFF"):
         multimodal.audio_signal_stats(df, strict=True).collect()
+
+
+def test_wav_rejects_zero_channels_and_zero_rate():
+    """fmt chunks declaring channels=0 or sample_rate=0 must raise
+    ValueError, not ZeroDivisionError (channels=0 reaches a modulo;
+    rate=0 reaches a division in audio_signal_stats) — the poison
+    contract is 'one except ValueError clause suffices'."""
+    import struct as _struct
+
+    def fmt_wav(channels, rate):
+        pcm = _struct.pack("<4h", 1, 2, 3, 4)
+        return (b"RIFF" + _struct.pack("<I", 36 + len(pcm)) + b"WAVEfmt "
+                + _struct.pack("<I", 16)
+                + _struct.pack("<HHIIHH", 1, channels, rate,
+                               rate * 2 * max(channels, 1),
+                               2 * max(channels, 1), 16)
+                + b"data" + _struct.pack("<I", len(pcm)) + pcm)
+
+    for payload in (fmt_wav(0, 8000), fmt_wav(1, 0)):
+        with pytest.raises(ValueError):
+            wav.decode_wav(payload)
+
+
+def test_png_rejects_degenerate_dimensions():
+    """A structurally-valid PNG with width=0 or height=0 must be a
+    ValueError (→ error row), not a 'successful' decode that feeds NaN
+    pixel stats into downstream aggregates."""
+    for w, h in ((0, 2), (2, 0)):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        payload = (b"\x89PNG\r\n\x1a\n"
+                   + png._chunk(b"IHDR", ihdr)
+                   + png._chunk(b"IDAT", zlib.compress(b"\x00" * h))
+                   + png._chunk(b"IEND", b""))
+        with pytest.raises(ValueError):
+            png.decode_png(payload)
+
+
+def test_audit_empty_table_reports_zero_not_null(spark):
+    """column_checks over an empty frame: every check reports 0
+    violations (a clean empty partition must pass a == 0 publish
+    gate)."""
+    from pyspark.sql import functions as F
+    from real_time_iot_data_pipeline_project_spark.operators import audit
+
+    empty = spark.createDataFrame([], "id long, qty double")
+    rep = audit.column_checks(
+        empty, checks={"qty_null": F.col("qty").isNull()},
+        unique_keys={"pk": ["id"]})
+    got = {r["check_name"]: r["n_violations"] for r in rep.collect()}
+    assert got == {"qty_null": 0, "pk": 0}

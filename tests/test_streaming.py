@@ -871,3 +871,48 @@ def test_stream_stream_join_state_is_bounded(spark, tmp_path):
     plan = joined._jdf.queryExecution().analyzed().toString()
     assert plan.count("EventTimeWatermark") == 2
     assert "ts" in plan
+
+
+def test_adaptive_alert_stream_survives_nan_values(spark, tmp_path):
+    """A null/NaN reading must not poison the per-key EW baseline: the
+    poisoned-state failure mode is mean=NaN forever, silently disabling
+    detection. After one NaN, subsequent genuine outliers must still
+    flag, and the baseline must equal the fold over only the non-null
+    values."""
+    import math
+
+    import pandas as pd
+
+    from real_time_iot_data_pipeline_project_spark.streaming import stateful
+
+    rows = ([(i, "s1", float(10 + (i % 3))) for i in range(20)]
+            + [(20, "s1", float("nan"))]
+            + [(21 + i, "s1", float(10 + (i % 3))) for i in range(5)]
+            + [(26, "s1", 500.0)])
+    src = tmp_path / "src"
+    src.mkdir()
+    pd.DataFrame(rows, columns=["seq", "station_id", "value"]).to_parquet(
+        str(src / "p.parquet"))
+    src = str(src)
+    stream = spark.readStream.schema(
+        "seq long, station_id string, value double").parquet(src)
+    out = stateful.adaptive_alert_stream(
+        stream, key="station_id", order_col="seq", value_col="value",
+        alpha=0.3, k=3.0, min_obs=5)
+    sink = str(tmp_path / "out")
+    q = (out.writeStream.format("parquet").option("path", sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # the stream's output schema carries order_col as an event-time
+    # timestamp (epoch-micros here) — index rows positionally
+    out_rows = spark.read.parquet(sink).orderBy("seq").collect()
+    assert len(out_rows) == len(rows)
+    got = {i: r for i, r in enumerate(out_rows)}
+    # the NaN row itself: unflagged, no z
+    assert got[20]["is_anomaly"] is False and got[20]["zscore"] is None
+    # baselines never go NaN after the poison row
+    for s in range(21, 27):
+        assert not math.isnan(got[s]["baseline_mean"])
+    # the genuine outlier after the NaN still flags
+    assert got[26]["is_anomaly"] is True

@@ -30,20 +30,30 @@ def time_query(spark, name, sf_dir):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    x10 = "/tmp/sfx10"
-    for i, a in enumerate(sys.argv):
-        if a == "--x10":
-            x10 = sys.argv[i + 1]
+    argv, args, x10 = sys.argv[1:], [], "/tmp/sfx10"
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--x10":
+            if i + 1 >= len(argv):
+                sys.exit("--x10 requires a directory argument")
+            x10 = argv[i + 1]
+            i += 2
+        else:
+            args.append(argv[i])
+            i += 1
     spark = get_spark(app_name="stress-new")
     spark.sparkContext.setLogLevel("ERROR")
     # warmup
     spark.read.parquet("/root/testdata/sf0.1/region.parquet").count()
-    print(f"{'query':34s} {'sf0.1':>7s} {'x10':>7s} {'ratio':>6s}")
+    # RESULT prefix + flush: Spark progress bars interleave \r fragments
+    # on stdout — consumers should `tr '\r' '\n' | grep RESULT`
+    print(f"RESULT {'query':34s} {'sf0.1':>7s} {'x10':>7s} {'ratio':>6s}",
+          flush=True)
     for name in args:
         a = time_query(spark, name, "/root/testdata/sf0.1")
         b = time_query(spark, name, x10)
-        print(f"{name:34s} {a:7.2f} {b:7.2f} {b / a:5.1f}x")
+        print(f"RESULT {name:34s} {a:7.2f} {b:7.2f} {b / a:5.1f}x",
+              flush=True)
 
 
 if __name__ == "__main__":
