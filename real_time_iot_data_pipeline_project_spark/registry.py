@@ -2732,6 +2732,24 @@ DEFERRED: list[str] = [
     # the production shape carries the official row; the x10 stress run
     # measured the unbounded variant 14× superlinear vs q79's 3.1×.
     "q56_winnow_overlap_pairs",
+    # --- round-6 second-wave consolidation: five subsumed twins
+    # deferred to open official-gate slots for the relational /
+    # warehouse-history / audit tier (same playbook as the r4 and
+    # earlier r6 swaps; tests/test_export_order.py SUBSUMPTION maps
+    # each to its in-window survivor).
+    # MinHash signature extraction is the literal first stage of the
+    # in-window LSH pairs query
+    "q31_minhash_signatures",
+    # binary length/entropy stats surface is the prefix of q36's
+    # feature extraction; the real-decode tier (q80) goes further
+    "q35_binary_stats",
+    # quality scoring runs verbatim as q48's scan-stage gate
+    "q45_quality_score",
+    # lang-ID runs verbatim inside q48 (detected_lang gate)
+    "q29_lang_id",
+    # brute-force cosine top-k — the verification-tier twin of the
+    # in-window IVF production shape (q56/q79 precedent)
+    "q37_cosine_topk",
 ]
 
 
@@ -3972,22 +3990,15 @@ POST_WINDOW: list[str] = [
     "q92_feature_matrix",
     # round 6: ordered-sequence conversion funnel (single-shuffle fold)
     "q93_conversion_funnel",
-    # round 6: TPC-H-shaped relational tier (multi-way join planning,
-    # LEFT SEMI exemplar)
-    "q94_shipping_priority",
+    # (round 6 second wave: q94/q96/q97/q98/q102 promoted INTO the
+    # official window — five subsumed twins deferred; q95/q99/q100/q103
+    # stay here on local-gate evidence.)
     "q95_regional_revenue",
-    "q96_order_priority_check",
-    # round 6: warehouse history tier (CDC compaction, SCD Type 2)
-    "q97_cdc_snapshot",
-    "q98_scd2_intervals",
     # round 6: per-domain quantile-band curation
     "q99_quality_band",
     # round 6: retention cohort matrix (first-event cohorts × weekly
     # activity, all partial-aggregatable stages)
     "q100_retention_cohorts",
-    # round 6: data-quality audit report (one-pass column checks +
-    # anti-join referential integrity)
-    "q102_dq_audit",
     # round 6: incremental aggregate-state maintenance (mergeable
     # rollup states; oracle = direct aggregate)
     "q103_incremental_rollup",

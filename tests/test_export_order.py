@@ -42,6 +42,13 @@ FLAGSHIP = [
     "q83_rolling_time_agg",
     "q84_asof_forward",
     "q85_asof_nearest",
+    # round-6 second-wave promotions: relational / warehouse-history /
+    # audit tier
+    "q94_shipping_priority",
+    "q96_order_priority_check",
+    "q97_cdc_snapshot",
+    "q98_scd2_intervals",
+    "q102_dq_audit",
 ]
 
 # The exact round-6 official window (VERDICT r3 item 8: pin it so a
@@ -51,6 +58,10 @@ FLAGSHIP = [
 # Round-6 change: q05/q34/q41/q44/q46/q49 deferred (subsumption below),
 # q80-q85 promoted so the as-of/range/rolling/real-PNG tier carries
 # official CORRECTNESS rows (VERDICT r5 item 1).
+# Round-6 second wave: q29/q31/q35/q37/q45 deferred (each subsumed by
+# an in-window survivor, see SUBSUMPTION), q94/q96/q97/q98/q102
+# promoted so the relational / warehouse-history / audit tier carries
+# official CORRECTNESS rows.
 EXPECTED_WINDOW = [
     "q01_pricing_summary", "q04_star_join",
     "q06_latest_per_key", "q07_topk", "q08_pivot_align", "q09_lag_delta",
@@ -58,11 +69,11 @@ EXPECTED_WINDOW = [
     "q18_null_handling", "q20_wind_physics", "q21_solar_physics",
     "q22_tumbling_window", "q23_ewma", "q25_corr_matrix",
     "q26_dwh_datetime_dim", "q27_iot_pipeline", "q28_text_stats",
-    "q29_lang_id", "q30_fingerprint_dedup", "q31_minhash_signatures",
+    "q30_fingerprint_dedup",
     "q32_minhash_lsh_pairs", "q33_simhash",
-    "q35_binary_stats", "q36_multimodal_features", "q37_cosine_topk",
+    "q36_multimodal_features",
     "q38_ivf_topk", "q39_embedding_near_dup", "q40_global_metrics",
-    "q45_quality_score", "q57_cube_rollup",
+    "q57_cube_rollup",
     "q79_winnow_overlap_bounded", "q47_session_windows",
     "q50_salted_join", "q53_dedup_clusters",
     "q54_tfidf_top_terms", "q52_contamination_screen",
@@ -72,6 +83,8 @@ EXPECTED_WINDOW = [
     "q77_train_val_test",
     "q80_image_decode_stats", "q81_asof_join", "q82_range_join",
     "q83_rolling_time_agg", "q84_asof_forward", "q85_asof_nearest",
+    "q94_shipping_priority", "q96_order_priority_check",
+    "q97_cdc_snapshot", "q98_scd2_intervals", "q102_dq_audit",
 ]
 
 # Round-4/6 deferrals: each subsumed query's operator stays asserted by
@@ -80,7 +93,9 @@ EXPECTED_WINDOW = [
 SUBSUMPTION = {
     "q02_range_filter": ["q27_iot_pipeline", "q48_training_data_pipeline"],
     "q03_dim_join": ["q04_star_join"],
-    "q12_histogram": ["q45_quality_score"],   # bin/when-chain + count shape
+    # bin/when-chain + grouped count shape (q98's value banding is the
+    # same CASE-bucket expr; q01 the grouped-count half)
+    "q12_histogram": ["q98_scd2_intervals", "q01_pricing_summary"],
     "q15_describe": ["q40_global_metrics"],
     "q16_distinct_stats": ["q54_tfidf_top_terms"],
     "q43_time_spine": ["q13_time_features"],
@@ -106,6 +121,20 @@ SUBSUMPTION = {
     # production shape (identical semantics minus the max_doc_freq
     # stop-fingerprint filter; x10-measured 14× vs 3.1×)
     "q56_winnow_overlap_pairs": ["q79_winnow_overlap_bounded"],
+    # --- round-6 second wave ---
+    # signature extraction is stage one of the LSH pairs pipeline
+    "q31_minhash_signatures": ["q32_minhash_lsh_pairs"],
+    # binary stats surface = prefix of feature extraction; real decode
+    # tier goes further
+    "q35_binary_stats": ["q36_multimodal_features", "q80_image_decode_stats"],
+    # quality scoring runs verbatim as q48's scan-stage gate
+    "q45_quality_score": ["q48_training_data_pipeline"],
+    # lang-ID runs verbatim inside q48 (detected_lang gate)
+    "q29_lang_id": ["q48_training_data_pipeline"],
+    # brute-force cosine top-k is the verification tier of the IVF
+    # production shape (identical cosine arithmetic; IVF adds broadcast
+    # centroids + nprobe pruning)
+    "q37_cosine_topk": ["q38_ivf_topk"],
 }
 
 
