@@ -160,3 +160,42 @@ def assign_split(df: DataFrame, key: str, val_pct: int = 5, test_pct: int = 5,
         .when(b < test_pct + val_pct, F.lit("val"))
         .otherwise(F.lit("train")),
     )
+
+
+def weighted_sample_tickets(df: DataFrame, key: str, weight_col: str,
+                            k: int, salt: str = "wsample",
+                            max_weight: int = 64) -> DataFrame:
+    """Deterministic weighted sampling without replacement, lottery
+    style: each row holds ``weight`` integer tickets; every ticket gets
+    an independent uniform hash; a row's sample key is its BEST (max)
+    ticket; the sample is the top-``k`` rows by that key. Selection
+    probability rises with weight (a row with twice the tickets has
+    twice the chance of holding the winning ticket), membership is a
+    pure function of (salt, key, weight) — reproducible on any engine,
+    any partitioning, like every sampler in this module.
+
+    This is the integer-exact alternative to Efraimidis-Spirakis
+    A-Res (keys u^(1/w)): A-Res needs transcendental per-row keys whose
+    last-ulp engine differences make cross-engine rank order
+    unverifiable; tickets use only hash/compare arithmetic, so the
+    oracle match is exact. Trade-off: fan-out = sum(weights) rows into
+    the per-row max — bound ``max_weight`` (weights clamp to
+    [1, max_weight]) and pre-bucket real-valued weights onto a small
+    integer scale (log buckets preserve ratios well enough for corpus
+    mixing). Shapes: explode is map-side; per-key max is one
+    partial-aggregatable shuffle; top-k is TakeOrderedAndProject."""
+    w = F.greatest(F.lit(1), F.least(F.lit(max_weight),
+                                     F.col(weight_col).cast("int")))
+    tickets = df.select(
+        F.col(key), w.alias("__w"),
+        F.explode(F.sequence(F.lit(1), w)).alias("__j"),
+    )
+    h = portable_hash60(F.concat(
+        F.lit(salt + "|"), F.col(key).cast("string"),
+        F.lit("|"), F.col("__j").cast("string")))
+    best = (tickets.withColumn("__h", h)
+            .groupBy(key, "__w")
+            .agg(F.max("__h").alias("ticket")))
+    return (best.orderBy(F.col("ticket").desc(), F.col(key).asc())
+            .limit(k)
+            .select(F.col(key), F.col("__w").alias("weight"), "ticket"))

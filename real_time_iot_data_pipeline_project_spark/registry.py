@@ -3945,6 +3945,52 @@ def q103_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "n", "total", "vmin", "vmax", "mean")
 
 
+@query(
+    "q104_weighted_sample",
+    f"""
+    WITH w AS (
+      SELECT doc_id,
+             greatest(1, least(8, CAST(1 + n_chars // 400 AS INT))) AS wt
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id, wt, j
+      FROM w, UNNEST(range(1, wt + 1)) AS u(j)
+    ),
+    h AS (
+      SELECT doc_id, wt,
+             {_hash60_sql("concat('wsample|', CAST(doc_id AS VARCHAR), '|', CAST(j AS VARCHAR))")}
+               AS hv
+      FROM t
+    ),
+    best AS (
+      SELECT doc_id, wt AS weight, max(hv) AS ticket
+      FROM h GROUP BY doc_id, wt
+    )
+    SELECT doc_id, weight, ticket FROM best
+    ORDER BY ticket DESC, doc_id ASC LIMIT 200
+    """,
+)
+def q104_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (lottery
+    tickets): documents weighted by a length bucket (1 + n_chars/400,
+    clamped to [1,8]) — longer docs proportionally likelier, membership
+    a pure function of (salt, doc_id, weight). The integer-exact
+    alternative to Efraimidis-Spirakis A-Res, whose transcendental
+    u^(1/w) keys cannot be rank-compared across engines (rule 2/4);
+    tickets are hash/compare arithmetic only, so this top-200 is
+    hash-exact against DuckDB. Shapes: map-side ticket explode
+    (bounded by max_weight), ONE partial-aggregatable per-key max,
+    TakeOrderedAndProject. operators/sampling.weighted_sample_tickets."""
+    from .operators import sampling
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(1) + F.floor(F.col("n_chars") / 400)).alias("wt"))
+    return sampling.weighted_sample_tickets(
+        docs, key="doc_id", weight_col="wt", k=200, salt="wsample",
+        max_weight=8)
+
+
 # Operators added AFTER the 50-slot window filled with unique-operator
 # queries: fully oracle-checked by the local gate, first in line for a
 # window slot if one opens.
@@ -4002,6 +4048,8 @@ POST_WINDOW: list[str] = [
     # round 6: incremental aggregate-state maintenance (mergeable
     # rollup states; oracle = direct aggregate)
     "q103_incremental_rollup",
+    # round 6: integer-exact weighted sampling (lottery tickets)
+    "q104_weighted_sample",
 ]
 
 

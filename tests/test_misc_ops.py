@@ -360,3 +360,62 @@ def test_rolling_time_agg_single_window_pass(spark):
                if l.strip().lstrip("+-* ").startswith("Window")) == 1
     assert sum(1 for l in plan.splitlines()
                if l.strip().lstrip("+-* ").startswith("Sort")) == 1
+
+
+def test_weighted_sample_deterministic_and_partition_invariant(spark):
+    """Same (salt, keys, weights) -> identical sample regardless of
+    physical partitioning; different salt -> different sample."""
+    from pyspark.sql import functions as F
+
+    from real_time_iot_data_pipeline_project_spark.operators import sampling
+
+    df = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") % 7 + 1).alias("w"))
+    a = sampling.weighted_sample_tickets(df, "k", "w", k=100, salt="s1")
+    b = sampling.weighted_sample_tickets(
+        df.repartition(17), "k", "w", k=100, salt="s1")
+    c = sampling.weighted_sample_tickets(df, "k", "w", k=100, salt="s2")
+    sa = {r["k"] for r in a.collect()}
+    sb = {r["k"] for r in b.collect()}
+    sc = {r["k"] for r in c.collect()}
+    assert sa == sb and len(sa) == 100
+    assert sa != sc
+
+
+def test_weighted_sample_favors_heavy_keys(spark):
+    """Statistical contract: across many salts, keys with weight 8 must
+    be selected far more often than keys with weight 1 (ratio should
+    approach 8x; assert a conservative 3x to stay flake-free)."""
+    from pyspark.sql import functions as F
+
+    from real_time_iot_data_pipeline_project_spark.operators import sampling
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 500, 1).otherwise(8).alias("w"))
+    heavy = light = 0
+    for salt in ("a", "b", "c", "d", "e"):
+        picked = sampling.weighted_sample_tickets(
+            df, "k", "w", k=200, salt=salt)
+        ks = [r["k"] for r in picked.collect()]
+        light += sum(1 for k in ks if k < 500)
+        heavy += sum(1 for k in ks if k >= 500)
+    assert heavy + light == 1000
+    assert heavy > 3 * light, (heavy, light)
+
+
+def test_weighted_sample_clamps_weights(spark):
+    """Weights outside [1, max_weight] clamp instead of exploding the
+    ticket fan-out (or crashing on w <= 0)."""
+    from pyspark.sql import functions as F
+
+    from real_time_iot_data_pipeline_project_spark.operators import sampling
+
+    df = spark.range(10).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") == 0, -5).otherwise(10**6).alias("w"))
+    out = sampling.weighted_sample_tickets(
+        df, "k", "w", k=10, salt="s", max_weight=4)
+    rows = out.collect()
+    assert len(rows) == 10
+    assert {r["weight"] for r in rows} <= {1, 4}

@@ -352,3 +352,64 @@ def test_quality_band_single_exchange(spark):
     plan = plan_of(spark, "q99_quality_band")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "PythonUDF" not in plan
+
+
+def test_cobucketed_join_has_no_exchange(spark):
+    """Two tables bucketed on the SAME key and bucket count must join
+    with ZERO Exchange operators — the pay-the-shuffle-once-at-ingest
+    contract that makes repeated fact-to-fact joins viable at 100 TB.
+    The same join over raw parquet shuffles both sides (the delta IS
+    the bucketing)."""
+    from pyspark.sql import functions as F
+
+    from real_time_iot_data_pipeline_project_spark.sources import io as sio
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    left = ev.select("event_id", "user_id", "value")
+    right = (ev.groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n_events")))
+    ta, tb = "cobucket_left_test", "cobucket_right_test"
+    for t in (ta, tb):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    # at smoke scale the planner prefers broadcast and disables bucket
+    # reading entirely; the property under test is the big-big case, so
+    # force the shuffle-join path for the duration of the assertion
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sio.write_bucketed_table(left, ta, ["user_id"], n_buckets=8)
+        sio.write_bucketed_table(right, tb, ["user_id"], n_buckets=8)
+        joined = spark.table(ta).join(spark.table(tb), "user_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan
+        raw = left.join(right, "user_id")
+        raw_plan = raw._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in raw_plan
+        assert joined.count() == left.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        for t in (ta, tb):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_partitioned_sink_prunes_partitions(spark, tmp_path):
+    """A date/key-partitioned sink (the layout every streaming sink in
+    streaming/job.py writes) must serve per-key reads via PARTITION
+    pruning: the scan's PartitionFilters carry the predicate and the
+    pruned plan reads a subset of partitions — never a full-corpus scan
+    filtered afterwards."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    out = str(tmp_path / "part")
+    (ev.withColumn("event_date", F.to_date("ts"))
+     .write.partitionBy("event_date").parquet(out))
+    df = spark.read.parquet(out).filter(
+        F.col("event_date") == "2024-01-03")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "event_date" in plan.split("PartitionFilters")[1][:200]
+    # the pruned read touches exactly the matching partition's rows
+    expected = ev.filter(F.to_date("ts") == "2024-01-03").count()
+    assert df.count() == expected and expected > 0
