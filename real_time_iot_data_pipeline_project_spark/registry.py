@@ -3991,6 +3991,152 @@ def q104_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_weight=8)
 
 
+@query(
+    "q105_skew_report",
+    """
+    WITH per_key AS (
+      SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(MAX(n) AS BIGINT) AS max_n
+      FROM per_key
+    )
+    SELECT p.user_id, CAST(p.n AS BIGINT) AS n_rows_key,
+           round(CAST(p.n AS DOUBLE) / t.n_rows, 6) AS share,
+           round(CAST(p.n AS DOUBLE) * t.n_keys / t.n_rows, 6)
+             AS skew_factor
+    FROM per_key p CROSS JOIN tot t
+    ORDER BY p.n DESC, p.user_id ASC LIMIT 10
+    """,
+)
+def q105_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis (the pre-flight a 100 TB join runs
+    before choosing plain hash vs salting vs AQE skew-join, feeding
+    q50's salted-join decision): the 10 heaviest keys with their row
+    count, share of all rows, and skew factor (count / mean count —
+    1.0 = perfectly uniform). One partial-aggregatable groupBy, a
+    broadcast 1-row global total (the same broadcast-scalar pattern as
+    q14), TakeOrderedAndProject for the head. Shares are integer
+    ratios evaluated identically in both engines; round(…, 6) is
+    display-grade only."""
+    ev = _t(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    tot = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id", F.col("n").alias("n_rows_key"),
+            F.round(F.col("n") / F.col("n_rows"), 6).alias("share"),
+            F.round(F.col("n") * F.col("n_keys") / F.col("n_rows"), 6)
+            .alias("skew_factor"),
+        )
+        .orderBy(F.col("n_rows_key").desc(), F.col("user_id").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "q106_aligned_corr",
+    f"""
+    WITH fm AS ({{Q92}})
+    SELECT CAST(COUNT(*) FILTER (click IS NOT NULL AND view IS NOT NULL)
+                AS BIGINT) AS n_click_view,
+           round(corr(click, view), 6) AS corr_click_view,
+           CAST(COUNT(*) FILTER (click IS NOT NULL AND purchase IS NOT NULL)
+                AS BIGINT) AS n_click_purchase,
+           round(corr(click, purchase), 6) AS corr_click_purchase,
+           CAST(COUNT(*) FILTER (view IS NOT NULL AND purchase IS NOT NULL)
+                AS BIGINT) AS n_view_purchase,
+           round(corr(view, purchase), 6) AS corr_view_purchase
+    FROM fm
+    """,
+)
+def q106_aligned_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-signal correlation on the ALIGNED grid — the multivariate
+    step the feature matrix (q92) exists for: Pearson r between each
+    signal pair's latest-at-grid values, null pairs skipped (identical
+    semantics in both engines' corr). The full workflow — per-key grid
+    spine ∘ one tagged as-of join ∘ pivot ∘ one global aggregate — adds
+    ZERO shuffles beyond q92's own (the final agg is a scalar
+    reduction). Rule-4 rounding on the order-dependent float
+    reduction, same as q11/q25."""
+    fm = QUERIES["q92_feature_matrix"](spark, sf_dir)
+    pair_n = [
+        F.sum((F.col(a).isNotNull() & F.col(b).isNotNull()).cast("long"))
+        .alias(f"n_{a}_{b}")
+        for a, b in (("click", "view"), ("click", "purchase"),
+                     ("view", "purchase"))
+    ]
+    pair_corr = [
+        F.round(F.corr(a, b), 6).alias(f"corr_{a}_{b}")
+        for a, b in (("click", "view"), ("click", "purchase"),
+                     ("view", "purchase"))
+    ]
+    return fm.agg(
+        pair_n[0], pair_corr[0], pair_n[1], pair_corr[1],
+        pair_n[2], pair_corr[2])
+
+
+ORACLES["q106_aligned_corr"] = ORACLES["q106_aligned_corr"].replace(
+    "{Q92}", ORACLES["q92_feature_matrix"])
+
+
+@query(
+    "q107_chi2_independence",
+    """
+    WITH c AS (
+      SELECT event_type, dayname(ts) AS d, CAST(COUNT(*) AS DOUBLE) AS o
+      FROM events GROUP BY event_type, dayname(ts)
+    ),
+    rt AS (SELECT event_type, SUM(o) AS r FROM c GROUP BY event_type),
+    ct AS (SELECT d, SUM(o) AS cl FROM c GROUP BY d),
+    n AS (SELECT SUM(o) AS n FROM c)
+    SELECT round(SUM((c.o - rt.r * ct.cl / n.n)
+                     * (c.o - rt.r * ct.cl / n.n)
+                     / (rt.r * ct.cl / n.n)), 6) AS chi2,
+           CAST((COUNT(DISTINCT c.event_type) - 1)
+                * (COUNT(DISTINCT c.d) - 1) AS BIGINT) AS dof,
+           CAST(CAST(any_value(n.n) AS BIGINT) AS BIGINT) AS n
+    FROM c CROSS JOIN n
+    JOIN rt ON c.event_type = rt.event_type
+    JOIN ct ON c.d = ct.d
+    """,
+)
+def q107_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence for event_type × day-of-week —
+    'does activity mix depend on the weekday', the categorical
+    counterpart of the corr tier (A9/A10). Observed counts from ONE
+    partial-aggregatable groupBy; expected counts from the two
+    broadcast-scalar margins; the statistic is a 35-cell reduction
+    (rule-4 rounded). Every margin join is a broadcast — the cell
+    table is |types| × |days|, never data-sized."""
+    ev = _t(spark, sf_dir, "events")
+    c = (ev.groupBy("event_type",
+                    F.date_format("ts", "EEEE").alias("d"))
+         .agg(F.count(F.lit(1)).cast("double").alias("o")))
+    rt = c.groupBy("event_type").agg(F.sum("o").alias("r"))
+    ct = c.groupBy("d").agg(F.sum("o").alias("cl"))
+    n = c.agg(F.sum("o").alias("n"))
+    e = F.col("r") * F.col("cl") / F.col("n")
+    cell = (
+        c.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "d")
+        .crossJoin(F.broadcast(n))
+    )
+    return cell.agg(
+        F.round(F.sum((F.col("o") - e) * (F.col("o") - e) / e), 6)
+        .alias("chi2"),
+        ((F.countDistinct("event_type") - 1)
+         * (F.countDistinct("d") - 1)).alias("dof"),
+        F.first("n").cast("bigint").alias("n"),
+    )
+
+
 # Operators added AFTER the 50-slot window filled with unique-operator
 # queries: fully oracle-checked by the local gate, first in line for a
 # window slot if one opens.
@@ -4050,6 +4196,12 @@ POST_WINDOW: list[str] = [
     "q103_incremental_rollup",
     # round 6: integer-exact weighted sampling (lottery tickets)
     "q104_weighted_sample",
+    # round 6: join-key skew diagnosis (feeds the salting decision)
+    "q105_skew_report",
+    # round 6: cross-signal correlation on the aligned grid (q92 ∘ corr)
+    "q106_aligned_corr",
+    # round 6: chi-square independence (categorical analytics tier)
+    "q107_chi2_independence",
 ]
 
 
