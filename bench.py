@@ -81,10 +81,15 @@ HEADLINE = [
     # round-6 per-domain quantile-band curation
     "q99_quality_band",
     # round-6 analytics/ops tier: cohort matrix, one-pass DQ audit,
-    # mergeable-state incremental rollup
+    # mergeable-state incremental rollup, ticket-lottery weighted
+    # sampling, skew diagnosis, aligned corr, chi-square
     "q100_retention_cohorts",
     "q102_dq_audit",
     "q103_incremental_rollup",
+    "q104_weighted_sample",
+    "q105_skew_report",
+    "q106_aligned_corr",
+    "q107_chi2_independence",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask
