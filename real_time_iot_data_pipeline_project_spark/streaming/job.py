@@ -115,6 +115,8 @@ def start_alert_stream(df: DataFrame, power_col: str, threshold: float,
     w = alerts.writeStream.format("memory").queryName("alerts").outputMode("append")
     if processing_time:
         w = w.trigger(processingTime=processing_time)
+    if available_now:
+        w = w.trigger(availableNow=True)
     return w.start()
 
 
@@ -131,6 +133,8 @@ def start_console_sink(df: DataFrame, num_rows: int = 20, truncate: bool = True,
     )
     if processing_time:
         w = w.trigger(processingTime=processing_time)
+    if available_now:
+        w = w.trigger(availableNow=True)
     return w.start()
 
 
@@ -171,12 +175,15 @@ def start_grouped_agg_stream(df: DataFrame, group_cols: list[str],
     )
     if processing_time:
         w = w.trigger(processingTime=processing_time)
+    if available_now:
+        w = w.trigger(availableNow=True)
     return w.start()
 
 
 def start_foreach_batch_sink(df: DataFrame, batch_fn, checkpoint: str | None = None,
                              output_mode: str = "append",
-                             processing_time: str | None = None):
+                             processing_time: str | None = None,
+                             available_now: bool = False):
     """Production sink escape hatch: run arbitrary batch logic per
     micro-batch (idempotent upsert, JDBC, webhook, snapshot refresh).
     ``batch_fn(batch_df, batch_id)`` — batch_id is monotonically
@@ -186,6 +193,8 @@ def start_foreach_batch_sink(df: DataFrame, batch_fn, checkpoint: str | None = N
         w = w.option("checkpointLocation", checkpoint)
     if processing_time:
         w = w.trigger(processingTime=processing_time)
+    if available_now:
+        w = w.trigger(availableNow=True)
     return w.start()
 
 

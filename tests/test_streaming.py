@@ -916,3 +916,198 @@ def test_adaptive_alert_stream_survives_nan_values(spark, tmp_path):
         assert not math.isnan(got[s]["baseline_mean"])
     # the genuine outlier after the NaN still flags
     assert got[26]["is_anomaly"] is True
+
+
+def _cdc_rows(spark, rows):
+    return spark.createDataFrame(
+        rows, "k long, ts timestamp, seq long, v string, op string")
+
+
+def test_cdc_upsert_snapshot_matches_batch_compaction(spark, tmp_path):
+    """Streaming CDC upsert (bucketed partial rewrite): after N
+    micro-batches the read_snapshot state must equal
+    cdc_latest_snapshot over the concatenated changelog (minus n_ops,
+    which the incremental path deliberately does not track)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from real_time_iot_data_pipeline_project_spark.streaming import upsert
+    from real_time_iot_data_pipeline_project_spark.warehouse import history
+
+    def t(s):
+        return dt.datetime(2024, 5, 1, 0, 0, s)
+
+    batches = [
+        [(1, t(0), 1, "a", "U"), (2, t(1), 2, "b", "U"),
+         (3, t(2), 3, "c", "U")],
+        [(1, t(10), 4, "a2", "U"), (2, t(11), 5, "b", "D")],
+        [(2, t(20), 6, "b2", "U"), (4, t(21), 7, "d", "U"),
+         (3, t(22), 8, "c", "D")],
+    ]
+    snap = str(tmp_path / "snap")
+    for rows in batches:
+        upsert.apply_cdc_batch(
+            spark, _cdc_rows(spark, rows), snap,
+            key_cols=["k"], order_cols=["ts", "seq"], op_col="op",
+            n_buckets=4)
+    got = upsert.read_snapshot(spark, snap, op_col="op").drop("op")
+    full_log = _cdc_rows(spark, [r for b in batches for r in b])
+    want = history.cdc_latest_snapshot(
+        full_log, key_cols=["k"], order_cols=["ts", "seq"],
+        op_col="op").drop("n_ops")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # deleted keys are tombstone ROWS on disk but absent from reads
+    raw = spark.read.parquet(snap)
+    assert raw.filter(F.col("op") == "D").count() == 1  # key 3's delete
+    assert {r["k"] for r in got.collect()} == {1, 2, 4}
+
+
+def test_cdc_upsert_replay_and_stale_ops_converge(spark, tmp_path):
+    """Replaying a batch changes nothing (latest-wins is idempotent),
+    and a STALE upsert delivered after a newer delete cannot resurrect
+    the key — the property the retained tombstone exists for."""
+    import datetime as dt
+
+    from real_time_iot_data_pipeline_project_spark.streaming import upsert
+
+    def t(s):
+        return dt.datetime(2024, 5, 1, 0, 0, s)
+
+    snap = str(tmp_path / "snap")
+    apply = lambda rows: upsert.apply_cdc_batch(  # noqa: E731
+        spark, _cdc_rows(spark, rows), snap, key_cols=["k"],
+        order_cols=["ts", "seq"], op_col="op", n_buckets=4)
+
+    b1 = [(1, t(0), 1, "a", "U"), (2, t(1), 2, "b", "U")]
+    b2 = [(1, t(10), 3, "x", "D")]
+    apply(b1)
+    apply(b2)
+    state1 = sorted(map(tuple, upsert.read_snapshot(
+        spark, snap, op_col="op").collect()))
+    # crash-replay of b2
+    apply(b2)
+    state2 = sorted(map(tuple, upsert.read_snapshot(
+        spark, snap, op_col="op").collect()))
+    assert state1 == state2
+    # stale upsert for key 1 (ts BEFORE the delete) arrives late
+    apply([(1, t(5), 9, "stale", "U")])
+    final = upsert.read_snapshot(spark, snap, op_col="op")
+    assert {r["k"] for r in final.collect()} == {2}
+
+
+def test_cdc_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """The partial-rewrite contract: a batch whose keys hash into one
+    bucket must leave every other bucket's files byte-identical (same
+    names, sizes, mtimes) — per-trigger cost tracks the batch, not the
+    accumulated state."""
+    import datetime as dt
+    import glob
+    import os
+
+    from real_time_iot_data_pipeline_project_spark.streaming import upsert
+
+    def t(s):
+        return dt.datetime(2024, 5, 1, 0, 0, s)
+
+    snap = str(tmp_path / "snap")
+    seed = [(k, t(0), k, f"v{k}", "U") for k in range(1, 40)]
+    upsert.apply_cdc_batch(
+        spark, _cdc_rows(spark, seed), snap, key_cols=["k"],
+        order_cols=["ts", "seq"], op_col="op", n_buckets=8)
+
+    def fingerprint():
+        return {
+            p: (os.path.getsize(p), os.path.getmtime(p))
+            for p in glob.glob(f"{snap}/__bucket=*/part-*")
+        }
+
+    before = fingerprint()
+    upsert.apply_cdc_batch(
+        spark, _cdc_rows(spark, [(1, t(10), 100, "v1b", "U")]), snap,
+        key_cols=["k"], order_cols=["ts", "seq"], op_col="op",
+        n_buckets=8)
+    after = fingerprint()
+    from pyspark.sql import functions as F
+    bucket_of_1 = 1 and [
+        r[0] for r in spark.createDataFrame([(1,)], "k long").select(
+            F.pmod(F.xxhash64("k"), F.lit(8)).cast("int")).collect()][0]
+    changed = {p for p in before if after.get(p) != before[p]}
+    untouched_dirs = {f"__bucket={b}" for b in range(8)} - {f"__bucket={bucket_of_1}"}
+    for p in changed:
+        assert f"__bucket={bucket_of_1}" in p, p
+    # every untouched bucket's files survive byte-identical
+    for p, meta in before.items():
+        if any(d in p for d in untouched_dirs):
+            assert after[p] == meta
+
+
+def test_cdc_upsert_compact_purges_old_tombstones_only(spark, tmp_path):
+    """compact_snapshot drops tombstones past the horizon, keeps young
+    ones (still guarding against late stale upserts) and all live
+    rows."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from real_time_iot_data_pipeline_project_spark.streaming import upsert
+
+    def t(s):
+        return dt.datetime(2024, 5, 1, 0, 0, s)
+
+    snap, out = str(tmp_path / "snap"), str(tmp_path / "compacted")
+    rows = [(1, t(0), 1, "a", "U"), (2, t(1), 2, "b", "D"),
+            (3, t(50), 3, "c", "D"), (4, t(51), 4, "d", "U")]
+    upsert.apply_cdc_batch(
+        spark, _cdc_rows(spark, rows), snap, key_cols=["k"],
+        order_cols=["ts", "seq"], op_col="op", n_buckets=4)
+    n = upsert.compact_snapshot(
+        spark, snap, out, op_col="op",
+        horizon_filter=F.col("ts") < F.lit(t(30)))
+    compacted = spark.read.parquet(out)
+    assert n == 3
+    ops = {(r["k"], r["op"]) for r in compacted.collect()}
+    assert ops == {(1, "U"), (3, "D"), (4, "U")}  # key 2's old tombstone gone
+    # reads over the compacted store show the same live state
+    live = upsert.read_snapshot(spark, out, op_col="op")
+    assert {r["k"] for r in live.collect()} == {1, 4}
+
+
+def test_cdc_upsert_streaming_wiring(spark, tmp_path):
+    """End-to-end through a real stream: changelog file stream →
+    foreachBatch CDC upsert → snapshot; restart with the same
+    checkpoint adds nothing (exactly-once at the sink)."""
+    import datetime as dt
+
+    from real_time_iot_data_pipeline_project_spark.streaming import job, upsert
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "k long, ts timestamp, seq long, v string, op string"
+
+    def t(s):
+        return dt.datetime(2024, 5, 1, 0, 0, s)
+
+    _cdc_rows(spark, [(1, t(0), 1, "a", "U"), (2, t(1), 2, "b", "U"),
+                      (1, t(2), 3, "a2", "U"), (2, t(3), 4, "b", "D")]
+              ).write.parquet(str(src / "f1"))
+    snap = str(tmp_path / "snap")
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema(schema).parquet(f"{src}/*")
+    fn = upsert.make_cdc_upsert_batch_fn(
+        snap, key_cols=["k"], order_cols=["ts", "seq"], op_col="op",
+        n_buckets=4)
+    q = job.start_foreach_batch_sink(stream, fn, checkpoint=ckpt,
+                                     available_now=True)
+    q.awaitTermination(120)
+    got = {(r["k"], r["v"]) for r in
+           upsert.read_snapshot(spark, snap, op_col="op").collect()}
+    assert got == {(1, "a2")}
+    # restart with same checkpoint: no new data, snapshot unchanged
+    q2 = job.start_foreach_batch_sink(stream, fn, checkpoint=ckpt,
+                                      available_now=True)
+    q2.awaitTermination(120)
+    got2 = {(r["k"], r["v"]) for r in
+            upsert.read_snapshot(spark, snap, op_col="op").collect()}
+    assert got2 == got
