@@ -135,7 +135,7 @@ def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(description="batch consume-and-process pipeline")
     p.add_argument("domain",
                    choices=["solar", "wind", "curate", "compact",
-                            "compact-store"])
+                            "compact-store", "dq-audit"])
     p.add_argument("input_path")
     p.add_argument("--output", default=None)
     p.add_argument("--store", default=None,
@@ -148,6 +148,27 @@ def main(argv: list[str] | None = None) -> None:
                    help="comma-separated language allowlist (curate domain)")
     args = p.parse_args(argv)
     spark = get_spark(app_name=f"{args.domain}-processing")
+    if args.domain == "dq-audit":
+        # publish gate: tall violation report over a parquet table;
+        # exit non-zero when any contract is broken so CI/schedulers
+        # can gate on it directly
+        from .operators import audit
+
+        df = spark.read.parquet(args.input_path)
+        checks = {
+            f"{c}_not_null": F.col(c).isNull()
+            for c in df.columns if not c.startswith("__")
+        }
+        report = audit.column_checks(df, checks=checks)
+        rows = report.collect()
+        bad = 0
+        for r in rows:
+            print(f"{r['check_name']}: {r['n_violations']}")
+            bad += int(r["n_violations"] > 0)
+        if bad:
+            raise SystemExit(f"dq-audit: {bad} check(s) failing")
+        print("dq-audit: all checks clean")
+        return
     if args.domain == "compact":
         from .streaming.curation import compact_corpus
 

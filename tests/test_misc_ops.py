@@ -419,3 +419,24 @@ def test_weighted_sample_clamps_weights(spark):
     rows = out.collect()
     assert len(rows) == 10
     assert {r["weight"] for r in rows} <= {1, 4}
+
+
+def test_dq_audit_cli_gates_on_violations(spark, tmp_path, capsys):
+    """The dq-audit CLI domain prints the tall report and exits
+    non-zero iff any contract is violated — the publish-gate shape."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+    from real_time_iot_data_pipeline_project_spark import pipelines
+
+    clean = str(tmp_path / "clean")
+    spark.range(10).select(F.col("id"), F.lit("x").alias("s")).write.parquet(clean)
+    pipelines.main(["dq-audit", clean])
+    assert "all checks clean" in capsys.readouterr().out
+
+    dirty = str(tmp_path / "dirty")
+    spark.range(10).select(
+        F.when(F.col("id") < 2, None).otherwise(F.col("id")).alias("id")
+    ).write.parquet(dirty)
+    with _pytest.raises(SystemExit, match="1 check"):
+        pipelines.main(["dq-audit", dirty])
