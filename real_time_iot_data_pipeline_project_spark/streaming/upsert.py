@@ -48,6 +48,30 @@ def _with_bucket(df: DataFrame, key_cols: list[str], n_buckets: int) -> DataFram
         .cast("int"))
 
 
+def _check_bucket_count(spark: SparkSession, snapshot_dir: str,
+                        n_buckets: int) -> None:
+    """``n_buckets`` is part of the snapshot's on-disk identity: a
+    different count re-routes keys to different bucket dirs, so rows
+    already stored under the old hashing would silently stop being
+    merged against (stale survivors, resurrect-after-delete). Refuse
+    loudly instead — re-bucketing is an explicit offline rewrite."""
+    if not _dir_exists(spark, snapshot_dir):
+        return
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(snapshot_dir)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if name.startswith(f"{BUCKET_COL}="):
+            bucket = int(name.split("=", 1)[1])
+            if bucket >= n_buckets:
+                raise ValueError(
+                    f"snapshot {snapshot_dir!r} has bucket dir {name} but "
+                    f"n_buckets={n_buckets}; the bucket count is fixed at "
+                    "snapshot creation — rewrite the snapshot offline to "
+                    "re-bucket")
+
+
 def apply_cdc_batch(spark: SparkSession, batch: DataFrame, snapshot_dir: str,
                     key_cols: list[str], order_cols: list[str], op_col: str,
                     n_buckets: int = 16) -> None:
@@ -59,6 +83,7 @@ def apply_cdc_batch(spark: SparkSession, batch: DataFrame, snapshot_dir: str,
     batches (event time + a unique tiebreaker) — that is what makes
     replay AND out-of-order delivery converge."""
     payload = [c for c in batch.columns if c not in key_cols]
+    _check_bucket_count(spark, snapshot_dir, n_buckets)
     b = _with_bucket(batch, key_cols, n_buckets)
     touched = sorted(
         r[BUCKET_COL] for r in b.select(BUCKET_COL).distinct().collect())
