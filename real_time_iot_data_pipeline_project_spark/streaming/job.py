@@ -103,7 +103,8 @@ def start_parquet_sink(df: DataFrame, path: str, checkpoint: str,
 
 def start_alert_stream(df: DataFrame, power_col: str, threshold: float,
                        require_positive_col: str | None = None,
-                       processing_time: str | None = None):
+                       processing_time: str | None = None,
+                       available_now: bool = False):
     """T6/P11 — threshold alerting (power < threshold → alert row;
     solar also requires irradiance > 0, Solar_Generation.py:289-290).
     Emits to an in-memory sink named 'alerts' (swap for kafka/webhook
@@ -121,7 +122,8 @@ def start_alert_stream(df: DataFrame, power_col: str, threshold: float,
 
 
 def start_console_sink(df: DataFrame, num_rows: int = 20, truncate: bool = True,
-                       processing_time: str | None = None):
+                       processing_time: str | None = None,
+                       available_now: bool = False):
     """S12 — console debug sink (docx §wind:query_raw last cell:
     ``writeStream.format("console")``). Debug-only: prints each
     micro-batch to the driver's stdout; never a production sink."""
@@ -161,7 +163,8 @@ def active_stream_status(spark: SparkSession) -> list[dict]:
 def start_grouped_agg_stream(df: DataFrame, group_cols: list[str],
                              aggs: list[F.Column], query_name: str,
                              output_mode: str = "update",
-                             processing_time: str | None = None):
+                             processing_time: str | None = None,
+                             available_now: bool = False):
     """T7 — streaming grouped aggregate with ``update``/``complete``
     output (A1 per-station totals on a live stream — the dashboard
     panels fed incrementally instead of by batch rescan). ``update``
