@@ -160,6 +160,7 @@ def main(argv: list[str] | None = None) -> None:
             for c in df.columns if not c.startswith("__")
         }
         report = audit.column_checks(df, checks=checks)
+        # report is one row per CHECK (aggregated), never data-sized
         rows = report.collect()
         bad = 0
         for r in rows:

@@ -85,6 +85,9 @@ def apply_cdc_batch(spark: SparkSession, batch: DataFrame, snapshot_dir: str,
     payload = [c for c in batch.columns if c not in key_cols]
     _check_bucket_count(spark, snapshot_dir, n_buckets)
     b = _with_bucket(batch, key_cols, n_buckets)
+    # control-flow collect, NOT data collection: ≤ n_buckets small ints
+    # deciding which partition dirs to read/overwrite (same class as the
+    # 1-row max() read in warehouse.incremental)
     touched = sorted(
         r[BUCKET_COL] for r in b.select(BUCKET_COL).distinct().collect())
     if not touched:
