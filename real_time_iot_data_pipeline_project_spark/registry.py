@@ -4137,6 +4137,38 @@ def q107_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q108_unpivot_melt",
+    """
+    SELECT l_orderkey, l_linenumber, measure, value
+    FROM (
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+             l_discount, l_tax
+      FROM lineitem WHERE l_linenumber <= 2
+    )
+    UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice,
+                                   l_discount, l_tax))
+    """,
+)
+def q108_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt (the INVERSE of J2's pivot, q08): every numeric
+    lineitem measure becomes a (measure, value) row — the shape
+    long-format plotting, per-metric quality rules, and EAV-style ML
+    feature stores consume. Native DataFrame.unpivot: Catalyst plans
+    one Expand node (4 output rows per input row, column pruned to the
+    id + measure columns), entirely map-side — zero shuffles, same
+    physical family as q57's CUBE. UNPIVOT never emits null-valued
+    rows in either engine for non-null inputs; these measures are
+    non-null by schema."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") <= 2)
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
 # Operators added AFTER the 50-slot window filled with unique-operator
 # queries: fully oracle-checked by the local gate, first in line for a
 # window slot if one opens.
@@ -4202,6 +4234,8 @@ POST_WINDOW: list[str] = [
     "q106_aligned_corr",
     # round 6: chi-square independence (categorical analytics tier)
     "q107_chi2_independence",
+    # round 6: wide→long melt (inverse of J2 pivot; map-side Expand)
+    "q108_unpivot_melt",
 ]
 
 

@@ -413,3 +413,11 @@ def test_partitioned_sink_prunes_partitions(spark, tmp_path):
     # the pruned read touches exactly the matching partition's rows
     expected = ev.filter(F.to_date("ts") == "2024-01-03").count()
     assert df.count() == expected and expected > 0
+
+
+def test_unpivot_is_map_side_expand(spark):
+    """q108 melt: one Expand node, zero Exchanges — wide→long must
+    never shuffle."""
+    plan = plan_of(spark, "q108_unpivot_melt")
+    assert "Expand" in plan
+    assert "Exchange" not in plan
