@@ -82,6 +82,22 @@ def wind_stream_transform(parsed: DataFrame,
     return _transform(parsed, "wind", watermark)
 
 
+def _trigger(writer, processing_time: str | None, available_now: bool):
+    """Apply the caller's trigger choice, refusing conflicting requests:
+    DataStreamWriter keeps only the LAST trigger() call, so passing both
+    would silently drop processingTime — mirror Spark's own one-trigger
+    rule and fail loudly instead."""
+    if processing_time and available_now:
+        raise ValueError(
+            "pass either processing_time or available_now, not both — "
+            "a stream has exactly one trigger")
+    if processing_time:
+        return writer.trigger(processingTime=processing_time)
+    if available_now:
+        return writer.trigger(availableNow=True)
+    return writer
+
+
 def start_parquet_sink(df: DataFrame, path: str, checkpoint: str,
                        available_now: bool = False,
                        partition_by: list[str] | None = None):
@@ -114,11 +130,7 @@ def start_alert_stream(df: DataFrame, power_col: str, threshold: float,
         pred = pred & (F.col(require_positive_col) > 0)
     alerts = df.filter(pred).withColumn("alert_ts", F.current_timestamp())
     w = alerts.writeStream.format("memory").queryName("alerts").outputMode("append")
-    if processing_time:
-        w = w.trigger(processingTime=processing_time)
-    if available_now:
-        w = w.trigger(availableNow=True)
-    return w.start()
+    return _trigger(w, processing_time, available_now).start()
 
 
 def start_console_sink(df: DataFrame, num_rows: int = 20, truncate: bool = True,
@@ -133,11 +145,7 @@ def start_console_sink(df: DataFrame, num_rows: int = 20, truncate: bool = True,
         .option("truncate", str(truncate).lower())
         .outputMode("append")
     )
-    if processing_time:
-        w = w.trigger(processingTime=processing_time)
-    if available_now:
-        w = w.trigger(availableNow=True)
-    return w.start()
+    return _trigger(w, processing_time, available_now).start()
 
 
 def active_stream_status(spark: SparkSession) -> list[dict]:
@@ -176,11 +184,7 @@ def start_grouped_agg_stream(df: DataFrame, group_cols: list[str],
         .writeStream.format("memory").queryName(query_name)
         .outputMode(output_mode)
     )
-    if processing_time:
-        w = w.trigger(processingTime=processing_time)
-    if available_now:
-        w = w.trigger(availableNow=True)
-    return w.start()
+    return _trigger(w, processing_time, available_now).start()
 
 
 def start_foreach_batch_sink(df: DataFrame, batch_fn, checkpoint: str | None = None,
@@ -194,11 +198,7 @@ def start_foreach_batch_sink(df: DataFrame, batch_fn, checkpoint: str | None = N
     w = df.writeStream.foreachBatch(batch_fn).outputMode(output_mode)
     if checkpoint:
         w = w.option("checkpointLocation", checkpoint)
-    if processing_time:
-        w = w.trigger(processingTime=processing_time)
-    if available_now:
-        w = w.trigger(availableNow=True)
-    return w.start()
+    return _trigger(w, processing_time, available_now).start()
 
 
 def latest_snapshot_writer(path: str):

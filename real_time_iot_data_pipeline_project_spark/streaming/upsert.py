@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from .curation import _dir_exists
 
 BUCKET_COL = "__bucket"
+META_FILE = "_n_buckets"  # sidecar: the bucket count the snapshot was built with
 
 
 def _with_bucket(df: DataFrame, key_cols: list[str], n_buckets: int) -> DataFrame:
@@ -48,18 +49,65 @@ def _with_bucket(df: DataFrame, key_cols: list[str], n_buckets: int) -> DataFram
         .cast("int"))
 
 
+def _fs_and_path(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _read_meta(spark: SparkSession, snapshot_dir: str) -> int | None:
+    fs, hpath = _fs_and_path(spark, f"{snapshot_dir}/{META_FILE}")
+    if not fs.exists(hpath):
+        return None
+    stream = fs.open(hpath)
+    try:
+        buf = bytearray()
+        b = stream.read()  # FSDataInputStream.read(): one byte, -1 at EOF
+        while b != -1 and len(buf) < 64:
+            buf.append(b)
+            b = stream.read()
+    finally:
+        stream.close()
+    return int(bytes(buf).decode("ascii").strip())
+
+
+def _write_meta(spark: SparkSession, snapshot_dir: str, n_buckets: int) -> None:
+    fs, hpath = _fs_and_path(spark, f"{snapshot_dir}/{META_FILE}")
+    stream = fs.create(hpath, True)
+    try:
+        stream.write(bytearray(f"{n_buckets}\n".encode("ascii")))
+    finally:
+        stream.close()
+
+
 def _check_bucket_count(spark: SparkSession, snapshot_dir: str,
                         n_buckets: int) -> None:
     """``n_buckets`` is part of the snapshot's on-disk identity: a
     different count re-routes keys to different bucket dirs, so rows
     already stored under the old hashing would silently stop being
     merged against (stale survivors, resurrect-after-delete). Refuse
-    loudly instead — re-bucketing is an explicit offline rewrite."""
+    loudly instead — re-bucketing is an explicit offline rewrite.
+
+    The authoritative record is the ``_n_buckets`` sidecar written at
+    snapshot creation and compared EXACTLY on every batch — dir-name
+    inspection alone cannot detect a count INCREASE (every stored dir
+    id stays < the larger count). The dir scan remains as the fallback
+    for pre-sidecar snapshots, and such a legacy snapshot gets the
+    sidecar backfilled on its next successful batch."""
     if not _dir_exists(spark, snapshot_dir):
         return
-    jvm = spark.sparkContext._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(snapshot_dir)
-    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    stored = _read_meta(spark, snapshot_dir)
+    if stored is not None:
+        if stored != n_buckets:
+            raise ValueError(
+                f"snapshot {snapshot_dir!r} was built with "
+                f"n_buckets={stored} but this batch uses "
+                f"n_buckets={n_buckets}; the bucket count is fixed at "
+                "snapshot creation — rewrite the snapshot offline to "
+                "re-bucket")
+        return
+    fs, hpath = _fs_and_path(spark, snapshot_dir)
     for st in fs.listStatus(hpath):
         name = st.getPath().getName()
         if name.startswith(f"{BUCKET_COL}="):
@@ -81,8 +129,22 @@ def apply_cdc_batch(spark: SparkSession, batch: DataFrame, snapshot_dir: str,
     touched bucket is replaced by latest-wins over (existing rows ∪
     batch ops). ``order_cols`` must totally order ops per key across
     batches (event time + a unique tiebreaker) — that is what makes
-    replay AND out-of-order delivery converge."""
+    replay AND out-of-order delivery converge.
+
+    ``op_col`` must exist and be non-null on every batch row: a
+    null-op row would occupy snapshot state yet silently vanish from
+    ``read_snapshot`` (NULL != 'D' is NULL → filtered) — malformed
+    changelog rows are rejected loudly here instead."""
     payload = [c for c in batch.columns if c not in key_cols]
+    if op_col not in batch.columns:
+        raise ValueError(f"changelog batch has no op column {op_col!r}")
+    # cheap validation scan of the (small) micro-batch only — never of
+    # accumulated state; limit(1) stops at the first offender
+    if batch.filter(F.col(op_col).isNull()).limit(1).count() > 0:
+        raise ValueError(
+            f"changelog batch contains NULL {op_col!r} rows; ops must be "
+            "non-null (e.g. 'U'/'D') — a null op can neither be read "
+            "back nor tombstoned")
     _check_bucket_count(spark, snapshot_dir, n_buckets)
     b = _with_bucket(batch, key_cols, n_buckets)
     # control-flow collect, NOT data collection: ≤ n_buckets small ints
@@ -119,6 +181,10 @@ def apply_cdc_batch(spark: SparkSession, batch: DataFrame, snapshot_dir: str,
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy(BUCKET_COL)
      .parquet(snapshot_dir))
+    # record (or backfill, for pre-sidecar snapshots) the bucket count
+    # the snapshot is hashed with; _check_bucket_count compares exactly
+    if _read_meta(spark, snapshot_dir) is None:
+        _write_meta(spark, snapshot_dir, n_buckets)
 
 
 def make_cdc_upsert_batch_fn(snapshot_dir: str, key_cols: list[str],
@@ -135,9 +201,13 @@ def make_cdc_upsert_batch_fn(snapshot_dir: str, key_cols: list[str],
 
 def read_snapshot(spark: SparkSession, snapshot_dir: str, op_col: str,
                   delete_op: str = "D") -> DataFrame:
-    """Current state: stored rows minus retained tombstones."""
+    """Current state: stored rows minus retained tombstones. Null-safe:
+    ``apply_cdc_batch`` rejects null-op rows at write time, but a
+    pre-validation (or hand-written) snapshot may still hold them —
+    eqNullSafe surfaces such rows instead of silently dropping state
+    that ``!=`` would evaluate to NULL on."""
     return (spark.read.parquet(snapshot_dir)
-            .filter(F.col(op_col) != F.lit(delete_op))
+            .filter(~F.col(op_col).eqNullSafe(F.lit(delete_op)))
             .drop(BUCKET_COL))
 
 

@@ -1111,3 +1111,21 @@ def test_cdc_upsert_streaming_wiring(spark, tmp_path):
     got2 = {(r["k"], r["v"]) for r in
             upsert.read_snapshot(spark, snap, op_col="op").collect()}
     assert got2 == got
+
+
+def test_conflicting_trigger_request_rejected(spark, tmp_path):
+    """processing_time + available_now on one sink helper is a
+    contradiction (a stream has exactly one trigger); DataStreamWriter
+    would silently keep only the last trigger() — the helpers must
+    raise instead (ADVICE r6)."""
+    src = str(tmp_path / "trig_src")
+    spark.createDataFrame([("S1",)], ["station_id"]).select(
+        F.to_json(F.struct("*")).alias("value")
+    ).coalesce(1).write.text(src)
+    raw = spark.readStream.schema(
+        T.StructType([T.StructField("value", T.StringType())])
+    ).text(src)
+    with pytest.raises(ValueError, match="not both"):
+        job.start_console_sink(raw, processing_time="1 second",
+                               available_now=True)
+    assert job.active_stream_status(spark) == []  # nothing started
