@@ -2750,6 +2750,37 @@ DEFERRED: list[str] = [
     # brute-force cosine top-k — the verification-tier twin of the
     # in-window IVF production shape (q56/q79 precedent)
     "q37_cosine_topk",
+    # --- round-7 consolidation (VERDICT r6 item 1): nine subsumable
+    # twins deferred so the monitoring tier (q86-q93) and the
+    # stream-stream-join batch twin (q109) carry official gate rows.
+    # tests/test_export_order.py SUBSUMPTION maps each to in-window
+    # survivors; every deferred oracle still runs in the local gate.
+    # W1 latest-per-key: max_by(struct) winner-per-key is exactly q88's
+    # OHLC open/close core
+    "q06_latest_per_key",
+    # L1/L2 global sort + top-k: q94's TakeOrderedAndProject; W2 window
+    # ranking: q54's per-doc row_number
+    "q07_topk",
+    # J2 pivot-align: the pivot stage of q92's feature matrix
+    "q08_pivot_align",
+    # W6 lag-delta: lead/lag window twin of q87's gap report
+    "q09_lag_delta",
+    # F4/F5 hour + day name run verbatim in q26's datetime dim; F8
+    # day/night labels in q27's clean chain
+    "q13_time_features",
+    # A5 capacity factor: F22 capacity-utilization arithmetic in q21,
+    # grouped multi-metric mean shape in q01
+    "q14_capacity_factor",
+    # P7/P9 null predicate + fill: q27 runs drop/fill in its clean
+    # chain; q102's audit counts null violations with the same
+    # conditional-agg pass
+    "q18_null_handling",
+    # T4 tumbling window: q88's time-bucket agg is the richer twin;
+    # q47 holds the windowed-streaming family row
+    "q22_tumbling_window",
+    # A3/A13 global scalar aggregates: q11's closed-form regression
+    # pass and q102's conditional-agg audit cover the shape
+    "q40_global_metrics",
 ]
 
 
@@ -4169,6 +4200,46 @@ def q108_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q109_interval_join",
+    """
+    SELECT c.user_id AS user_id,
+           c.event_id AS event_id_l, c.ts AS ts_l, c.value AS value_l,
+           p.event_id AS event_id_r, p.ts AS ts_r, p.value AS value_r
+    FROM (SELECT user_id, event_id, ts, value FROM events
+          WHERE event_type = 'click') c
+    JOIN (SELECT user_id, event_id, ts, value FROM events
+          WHERE event_type = 'purchase') p
+    ON c.user_id = p.user_id
+       AND p.ts >= c.ts
+       AND p.ts <= c.ts + INTERVAL 300 SECOND
+    """,
+)
+def q109_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 — the BATCH twin of the stream-stream interval join, through
+    the SAME callable (``streaming.job.join_streams_interval``): click →
+    purchase by the same user within 5 minutes, the attribution shape.
+    In batch Spark plans a plain inequality-bounded equi-join (the
+    watermark is a no-op); in streaming the identical code runs with
+    double-watermark state eviction (tests/test_streaming.py proves
+    stream == batch on the same input). This oracle row therefore
+    chains stream == batch == DuckDB for the T8 operator family.
+
+    Scale shape: equi-join on user_id carries the shuffle; the time
+    bounds prune inside each key group. Both sides are filtered to
+    their event_type BEFORE the join (parquet-pushed), so join input is
+    the click/purchase subset, not all events."""
+    from .streaming.job import join_streams_interval
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts", "value")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value")
+    return join_streams_interval(clicks, purchases, key="user_id",
+                                 ts_col="ts", within_seconds=300)
+
+
 # Operators added AFTER the 50-slot window filled with unique-operator
 # queries: fully oracle-checked by the local gate, first in line for a
 # window slot if one opens.
@@ -4196,24 +4267,10 @@ POST_WINDOW: list[str] = [
     # as-of, range join, rolling time agg — promoted INTO the official
     # window; they are no longer listed here, so export_order() places
     # them in the first-50 head in registration order.)
-    # round 6: time-weighted sensor average (holding-time integral)
-    "q86_time_weighted_avg",
-    # round 6: sensor dropout/gap report (monitoring tier S13 as a query)
-    "q87_gap_report",
-    # round 6: OHLC telemetry bars (single-shuffle min_by/max_by agg)
-    "q88_ohlc_bars",
-    # round 6: regular-grid forward-fill resample (spine ∘ as-of join)
-    "q89_resample_ffill",
-    # round 6: adaptive trailing-baseline anomaly flags (P11 upgrade)
-    "q90_rolling_zscore",
-    # round 6: REAL WAV decode → signal stats (closed-form square-wave
-    # oracle, the q80 pattern for audio)
-    "q91_audio_decode_stats",
-    # round 6: multi-signal aligned feature matrix (spine ∘ tagged
-    # as-of ∘ pivot — one shuffle for all signal columns)
-    "q92_feature_matrix",
-    # round 6: ordered-sequence conversion funnel (single-shuffle fold)
-    "q93_conversion_funnel",
+    # (round 7: the monitoring tier q86-q93 promoted INTO the official
+    # window — nine subsumable twins deferred (see DEFERRED round-7
+    # block); they are no longer listed here, so export_order() places
+    # them in the first-50 head in registration order.)
     # (round 6 second wave: q94/q96/q97/q98/q102 promoted INTO the
     # official window — five subsumed twins deferred; q95/q99/q100/q103
     # stay here on local-gate evidence.)

@@ -49,6 +49,17 @@ FLAGSHIP = [
     "q97_cdc_snapshot",
     "q98_scd2_intervals",
     "q102_dq_audit",
+    # round-7 promotions: the monitoring tier (VERDICT r6 item 1) + the
+    # stream-stream interval join's batch twin (VERDICT r6 item 3)
+    "q86_time_weighted_avg",
+    "q87_gap_report",
+    "q88_ohlc_bars",
+    "q89_resample_ffill",
+    "q90_rolling_zscore",
+    "q91_audio_decode_stats",
+    "q92_feature_matrix",
+    "q93_conversion_funnel",
+    "q109_interval_join",
 ]
 
 # The exact round-6 official window (VERDICT r3 item 8: pin it so a
@@ -62,17 +73,19 @@ FLAGSHIP = [
 # an in-window survivor, see SUBSUMPTION), q94/q96/q97/q98/q102
 # promoted so the relational / warehouse-history / audit tier carries
 # official CORRECTNESS rows.
+# Round-7 change: q06/q07/q08/q09/q13/q14/q18/q22/q40 deferred (each
+# subsumed by an in-window survivor, see SUBSUMPTION), the monitoring
+# tier q86-q93 plus the interval-join batch twin q109 promoted so they
+# carry official CORRECTNESS rows (VERDICT r6 items 1 and 3).
 EXPECTED_WINDOW = [
     "q01_pricing_summary", "q04_star_join",
-    "q06_latest_per_key", "q07_topk", "q08_pivot_align", "q09_lag_delta",
-    "q11_regression", "q13_time_features", "q14_capacity_factor",
-    "q18_null_handling", "q20_wind_physics", "q21_solar_physics",
-    "q22_tumbling_window", "q23_ewma", "q25_corr_matrix",
+    "q11_regression", "q20_wind_physics", "q21_solar_physics",
+    "q23_ewma", "q25_corr_matrix",
     "q26_dwh_datetime_dim", "q27_iot_pipeline", "q28_text_stats",
     "q30_fingerprint_dedup",
     "q32_minhash_lsh_pairs", "q33_simhash",
     "q36_multimodal_features",
-    "q38_ivf_topk", "q39_embedding_near_dup", "q40_global_metrics",
+    "q38_ivf_topk", "q39_embedding_near_dup",
     "q57_cube_rollup",
     "q79_winnow_overlap_bounded", "q47_session_windows",
     "q50_salted_join", "q53_dedup_clusters",
@@ -83,8 +96,13 @@ EXPECTED_WINDOW = [
     "q77_train_val_test",
     "q80_image_decode_stats", "q81_asof_join", "q82_range_join",
     "q83_rolling_time_agg", "q84_asof_forward", "q85_asof_nearest",
+    "q86_time_weighted_avg", "q87_gap_report", "q88_ohlc_bars",
+    "q89_resample_ffill", "q90_rolling_zscore",
+    "q91_audio_decode_stats", "q92_feature_matrix",
+    "q93_conversion_funnel",
     "q94_shipping_priority", "q96_order_priority_check",
     "q97_cdc_snapshot", "q98_scd2_intervals", "q102_dq_audit",
+    "q109_interval_join",
 ]
 
 # Round-4/6 deferrals: each subsumed query's operator stays asserted by
@@ -96,9 +114,13 @@ SUBSUMPTION = {
     # bin/when-chain + grouped count shape (q98's value banding is the
     # same CASE-bucket expr; q01 the grouped-count half)
     "q12_histogram": ["q98_scd2_intervals", "q01_pricing_summary"],
-    "q15_describe": ["q40_global_metrics"],
+    # (r7 re-point: former survivor q40 deferred) global scalar-agg pass
+    # = q11's closed-form regression aggregates + q102's conditional aggs
+    "q15_describe": ["q11_regression", "q102_dq_audit"],
     "q16_distinct_stats": ["q54_tfidf_top_terms"],
-    "q43_time_spine": ["q13_time_features"],
+    # (r7 re-point: former survivor q13 deferred) the sequence+explode
+    # spine is the grid_spine driving q89's resample and q92's matrix
+    "q43_time_spine": ["q89_resample_ffill", "q92_feature_matrix"],
     # --- round 6 ---
     # D1 key dedup: dropDuplicates runs inside q27's clean chain; the
     # exact-dedup family row is q30 (md5 fingerprint hash-groupBy)
@@ -109,14 +131,17 @@ SUBSUMPTION = {
     # P6/W4 interval retention: trailing event-time window arithmetic is
     # q83's RANGE frame (count-based twin q24 deferred since round 1)
     "q41_retention_interval": ["q83_rolling_time_agg"],
-    # F8 day/night labels inside q13/q27; F26 NOAA astro chain stays
-    # pinned by tests/test_astro.py and the local oracle gate
-    "q44_daytime_flag": ["q13_time_features", "q27_iot_pipeline"],
+    # F8 day/night labels inside q27's clean chain; F26 NOAA astro chain
+    # stays pinned by tests/test_astro.py and the local oracle gate
+    # (r7 re-point: former co-survivor q13 deferred)
+    "q44_daytime_flag": ["q27_iot_pipeline"],
     # winnow fingerprint extraction is the literal prefix stage of the
     # in-window winnow-overlap query (q79 since the round-6 swap)
     "q46_winnow_fingerprints": ["q79_winnow_overlap_bounded"],
-    # T4 hopping window = two-offset UNION of q22's tumbling window
-    "q49_hopping_window": ["q22_tumbling_window"],
+    # T4 hopping window = two-offset UNION of a tumbling window; the
+    # time-bucket agg survivor is q88's OHLC bars (r7 re-point: former
+    # survivor q22 deferred), the streaming-window family row is q47
+    "q49_hopping_window": ["q88_ohlc_bars", "q47_session_windows"],
     # unbounded winnow overlap = verification tier of the bounded
     # production shape (identical semantics minus the max_doc_freq
     # stop-fingerprint filter; x10-measured 14× vs 3.1×)
@@ -135,6 +160,32 @@ SUBSUMPTION = {
     # production shape (identical cosine arithmetic; IVF adds broadcast
     # centroids + nprobe pruning)
     "q37_cosine_topk": ["q38_ivf_topk"],
+    # --- round 7 (VERDICT r6 item 1: open slots for q86-q93 + q109) ---
+    # W1 latest-per-key: max_by(struct) winner-per-key is q88's OHLC
+    # open/close core
+    "q06_latest_per_key": ["q88_ohlc_bars"],
+    # L1/L2 global sort + top-k: q94's TakeOrderedAndProject; W2 window
+    # ranking: q54's per-doc row_number over tfidf
+    "q07_topk": ["q94_shipping_priority", "q54_tfidf_top_terms"],
+    # J2 pivot-align is the pivot stage of the aligned feature matrix
+    "q08_pivot_align": ["q92_feature_matrix"],
+    # W6 lag-delta: lead/lag window arithmetic is q87's gap report
+    "q09_lag_delta": ["q87_gap_report"],
+    # F4/F5 hour + day name run verbatim in q26's datetime dim; F8
+    # day/night labels in q27's clean chain
+    "q13_time_features": ["q26_dwh_datetime_dim", "q27_iot_pipeline"],
+    # A5 capacity factor: F22 capacity-utilization arithmetic in q21,
+    # grouped multi-metric mean shape in q01
+    "q14_capacity_factor": ["q21_solar_physics", "q01_pricing_summary"],
+    # P7/P9 null predicate + fill: q27 runs drop/fill in its clean
+    # chain; q102 counts null violations with the same conditional aggs
+    "q18_null_handling": ["q27_iot_pipeline", "q102_dq_audit"],
+    # T4 tumbling window: q88's time-bucket agg is the richer twin; q47
+    # holds the streaming windowed-agg family row
+    "q22_tumbling_window": ["q88_ohlc_bars", "q47_session_windows"],
+    # A3/A13 global scalar aggregates: q11's closed-form regression
+    # pass + q102's conditional-agg audit
+    "q40_global_metrics": ["q11_regression", "q102_dq_audit"],
 }
 
 
@@ -165,7 +216,7 @@ def test_deferred_names_exist():
 
 
 def test_window_contract_pinned():
-    """The first 50 exported queries are EXACTLY the pinned round-4
+    """The first 50 exported queries are EXACTLY the pinned round-7
     window, in order."""
     order = list(entrymod.queries())
     assert order[:GATE_WINDOW] == EXPECTED_WINDOW
