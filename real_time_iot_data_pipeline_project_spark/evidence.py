@@ -95,7 +95,7 @@ EVIDENCE: dict[str, dict] = {
         "test_plans.py::test_dim_joins_are_broadcast"]},
     "J2": {"queries": ["q08_pivot_align"], "tests": []},
     "J3": {"queries": ["q42_series_align"], "tests": []},
-    "J4": {"queries": ["q04_star_join", "q26_dwh_datetime_dim"], "tests": []},
+    "J4": {"queries": ["q04_star_join", "q26_dwh_datetime_dim", "q110_history_star"], "tests": []},
     "J5": {"queries": ["q81_asof_join", "q84_asof_forward",
                        "q85_asof_nearest"], "tests": [
         "test_join_props.py::test_asof_join_matches_pandas_merge_asof"]},
@@ -154,9 +154,9 @@ EVIDENCE: dict[str, dict] = {
     "R3": {"queries": ["q96_order_priority_check"], "tests": [
         "test_plans.py::test_order_priority_is_left_semi"]},
     "R4": {"queries": ["q100_retention_cohorts"], "tests": []},
-    "H1": {"queries": ["q97_cdc_snapshot"], "tests": [
+    "H1": {"queries": ["q97_cdc_snapshot", "q110_history_star"], "tests": [
         "test_history.py::test_cdc_latest_upsert_wins"]},
-    "H2": {"queries": ["q98_scd2_intervals"], "tests": [
+    "H2": {"queries": ["q98_scd2_intervals", "q110_history_star"], "tests": [
         "test_history.py::test_scd2_collapses_runs_and_closes_intervals"]},
     "H3": {"queries": ["q103_incremental_rollup"], "tests": [
         "test_audit_aggstate.py::test_agg_state_fold_equals_direct_aggregate"]},
@@ -165,7 +165,7 @@ EVIDENCE: dict[str, dict] = {
         "test_approx_tier.py::test_approx_within_bounds"]},
     "C3": {"queries": ["q104_weighted_sample"], "tests": [
         "test_misc_ops.py::test_weighted_sample_deterministic_and_partition_invariant"]},
-    "Q1": {"queries": ["q102_dq_audit"], "tests": [
+    "Q1": {"queries": ["q102_dq_audit", "q111_null_safe_unique"], "tests": [
         "test_audit_aggstate.py::test_column_checks_counts_are_exact"]},
     "O1": {"queries": ["q105_skew_report"], "tests": []},
     # --- §2.7 sorts / limits; §2.8 set ops ---

@@ -36,15 +36,24 @@ def column_checks(df: DataFrame, checks: dict[str, F.Column],
     check name → key columns whose combination must be unique (the
     violation count is the number of surplus rows, count −
     countDistinct). Returns (check_name, n_violations), one row per
-    check, computed in a single aggregate."""
+    check, computed in a single aggregate.
+
+    Uniqueness is NULL-SAFE: the distinct count runs over a struct of
+    the key columns, so rows with null key parts participate (two
+    ``(null, 1)`` rows are duplicates, and one is counted as surplus) —
+    bare ``countDistinct(k1, k2)`` would silently skip every null-key
+    tuple and understate violations. Matches SQL
+    ``COUNT(DISTINCT (k1, k2))`` row-value semantics."""
     # coalesce: SUM over zero rows is NULL, but an empty table VIOLATES
     # nothing — the report must say 0 so a `n_violations == 0` publish
     # gate passes (and to match COUNT(*) FILTER oracle semantics)
     aggs = [F.coalesce(F.sum(c.cast("long")), F.lit(0)).alias(name)
             for name, c in checks.items()]
     for name, keys in (unique_keys or {}).items():
+        # struct() is itself never null, so no tuple is dropped
         aggs.append(
-            (F.count(F.lit(1)) - F.countDistinct(*[F.col(k) for k in keys]))
+            (F.count(F.lit(1))
+             - F.countDistinct(F.struct(*[F.col(k) for k in keys])))
             .alias(name))
     one = df.agg(*aggs)
     names = list(checks) + list(unique_keys or {})

@@ -3908,10 +3908,11 @@ def q102_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     count. On this corpus every check is clean EXCEPT the lineitem
     primary key — (l_orderkey, l_linenumber) carries thousands of
     surplus rows, which is exactly the kind of silent contract break
-    the report exists to surface. Note: countDistinct skips null key
-    tuples (SQL semantics); the uniqueness check therefore assumes
-    non-null keys, which lineitem_quantity_not_null-style checks can
-    assert separately."""
+    the report exists to surface. The uniqueness check is null-safe
+    (countDistinct over a key struct, matching the oracle's
+    COUNT(DISTINCT (k1, k2)) row-value semantics), so null-key rows
+    count as duplicates of each other rather than silently vanishing
+    from the check."""
     from .operators import audit
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
@@ -4240,6 +4241,133 @@ def q109_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  ts_col="ts", within_seconds=300)
 
 
+@query(
+    "q110_history_star",
+    """
+    WITH h AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN value < 20 THEN 'low'
+                  WHEN value < 60 THEN 'mid'
+                  ELSE 'high' END AS state
+      FROM events
+    ),
+    c AS (
+      SELECT *, lag(state) OVER w AS prev_state, lag(ts) OVER w AS prev_ts
+      FROM h WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    o AS (
+      SELECT user_id, event_id, state, ts AS effective_from FROM c
+      WHERE prev_ts IS NULL OR state IS DISTINCT FROM prev_state
+    ),
+    dim AS (
+      SELECT user_id, state, effective_from,
+             lead(effective_from) OVER w2 AS effective_to
+      FROM o WINDOW w2 AS (PARTITION BY user_id
+                           ORDER BY effective_from, event_id)
+    ),
+    fact AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT d.state AS state,
+           COUNT(*) AS n_facts,
+           CAST(SUM(CAST(f.value AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(DISTINCT f.user_id) AS n_users
+    FROM fact f
+    JOIN dim d
+      ON f.user_id = d.user_id
+     AND f.ts >= d.effective_from
+     AND (d.effective_to IS NULL OR f.ts < d.effective_to)
+    GROUP BY d.state
+    """,
+)
+def q110_history_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1→H2→J4 composed end-to-end — the star-query-over-history shape
+    the reference's DWH docx implies (Fact↔Dim FK joins, DWH/SQL
+    queries.docx §Fact_Solar): the SAME changelog drives an SCD2
+    dimension build (q98's state-band history via
+    warehouse.history.scd2_from_history), then purchase facts join the
+    dimension AS OF each fact's event time (interval containment
+    ``[effective_from, effective_to)``) and roll up revenue per
+    historical state. Each fact matches exactly one interval (its own
+    event opens or extends a run at its timestamp).
+
+    Scale shape: one shuffle builds the dimension (q98's shared window
+    exchange), one user_id equi-join shuffle attributes facts — the
+    interval predicates evaluate inside each key group, so there is no
+    quadratic interval fan-out; the final rollup is a 3-group partial
+    agg. The dimension is NOT broadcast: per-user interval counts grow
+    with the corpus, so the equi-join (AQE-planned) is the 100 TB
+    shape."""
+    from .warehouse import history as wh
+
+    ev = _t(spark, sf_dir, "events")
+    hist = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("value") < 20, "low")
+        .when(F.col("value") < 60, "mid")
+        .otherwise("high").alias("state"),
+    )
+    dim = wh.scd2_from_history(
+        hist, key_cols=["user_id"], ts_col="ts", attr_col="state",
+        tiebreak_col="event_id").alias("d")
+    fact = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value").alias("f")
+    joined = fact.join(
+        dim,
+        (F.col("f.user_id") == F.col("d.user_id"))
+        & (F.col("f.ts") >= F.col("d.effective_from"))
+        & (F.col("d.effective_to").isNull()
+           | (F.col("f.ts") < F.col("d.effective_to"))),
+        "inner")
+    return joined.groupBy(F.col("d.state").alias("state")).agg(
+        F.count(F.lit(1)).alias("n_facts"),
+        _dsum(F.col("f.value"), "revenue"),
+        F.countDistinct(F.col("f.user_id")).alias("n_users"),
+    )
+
+
+@query(
+    "q111_null_safe_unique",
+    """
+    WITH e AS (
+      SELECT user_id, nullif(event_type, 'error') AS etype_or_null
+      FROM events
+    )
+    SELECT 'events_error_rows' AS check_name,
+           CAST(COUNT(*) FILTER (etype_or_null IS NULL) AS BIGINT)
+             AS n_violations
+    FROM e
+    UNION ALL
+    SELECT 'events_nullable_key_unique',
+           CAST(COUNT(*) - COUNT(DISTINCT (user_id, etype_or_null))
+                AS BIGINT)
+    FROM e
+    """,
+)
+def q111_null_safe_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 null-key tier — the uniqueness audit EXERCISED ON NULL KEYS
+    (VERDICT r6 item 9): the testdata has no null columns, so a null
+    key part is synthesized deterministically (``nullif(event_type,
+    'error')``) in both engines. The null-safe struct-distinct counts
+    every error-row tuple as a duplicate of its user's other error rows
+    (two ``(u, null)`` rows = one surplus), where the bare
+    ``countDistinct(k1, k2)`` SQL semantics would drop null tuples from
+    the distinct count entirely and overstate the surplus — this oracle
+    row pins the null-safe number. Same single-aggregate-pass plan as
+    q102 (operators/audit.column_checks)."""
+    from .operators import audit
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("nullif(event_type, 'error')").alias("etype_or_null"))
+    return audit.column_checks(
+        e,
+        checks={"events_error_rows": F.col("etype_or_null").isNull()},
+        unique_keys={
+            "events_nullable_key_unique": ["user_id", "etype_or_null"]},
+    )
+
+
 # Operators added AFTER the 50-slot window filled with unique-operator
 # queries: fully oracle-checked by the local gate, first in line for a
 # window slot if one opens.
@@ -4293,6 +4421,12 @@ POST_WINDOW: list[str] = [
     "q107_chi2_independence",
     # round 6: wide→long melt (inverse of J2 pivot; map-side Expand)
     "q108_unpivot_melt",
+    # round 7: warehouse-history tier composed end-to-end — changelog →
+    # SCD2 dim → as-of-fact star join → rollup (H1→H2→J4)
+    "q110_history_star",
+    # round 7: null-safe uniqueness audit exercised on synthesized null
+    # keys (closes q102's former countDistinct caveat)
+    "q111_null_safe_unique",
 ]
 
 

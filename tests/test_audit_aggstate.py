@@ -111,3 +111,21 @@ def test_agg_state_empty_batch_is_identity(spark):
     merged = inc.merge_agg_states(s, empty, ["user_id"])
     assert merged.exceptAll(s).count() == 0
     assert s.exceptAll(merged).count() == 0
+
+
+def test_unique_check_is_null_safe(spark):
+    """Null key parts must participate in the uniqueness check: two
+    (u, null) rows are duplicates (1 surplus), and a null-key row is
+    never silently dropped from the distinct count the way bare
+    countDistinct(k1, k2) would drop it (VERDICT r6 item 9)."""
+    rows = [
+        (1, "x"), (1, "x"),     # plain duplicate -> 1 surplus
+        (2, None), (2, None),   # null-key duplicate -> 1 surplus
+        (3, None),              # unique despite null part -> 0 surplus
+    ]
+    df = spark.createDataFrame(rows, "id long, k string")
+    rep = audit.column_checks(
+        df, checks={}, unique_keys={"pk_unique": ["id", "k"]})
+    got = {r["check_name"]: r["n_violations"] for r in rep.collect()}
+    # bare countDistinct would report 5 - 1 = 4; null-safe reports 2
+    assert got == {"pk_unique": 2}
