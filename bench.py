@@ -90,6 +90,19 @@ HEADLINE = [
     "q105_skew_report",
     "q106_aligned_corr",
     "q107_chi2_independence",
+    # round-7 tail closure (VERDICT r6 item 5): the monitoring/codec
+    # queries not yet in the headline set
+    "q87_gap_report",
+    "q91_audio_decode_stats",
+    "q92_feature_matrix",
+    "q93_conversion_funnel",
+    "q101_quality_band_approx",
+    "q108_unpivot_melt",
+    # round-7 additions: interval-join batch twin, history star, null-
+    # safe uniqueness audit
+    "q109_interval_join",
+    "q110_history_star",
+    "q111_null_safe_unique",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

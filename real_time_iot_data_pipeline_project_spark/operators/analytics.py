@@ -201,16 +201,33 @@ def histogram(df: DataFrame, col: str, bins: list[float]) -> DataFrame:
     )
 
 
+def row_salt(df: DataFrame, salt: int) -> F.Column:
+    """Deterministic ROW-dependent salt in [0, salt): hash over ALL
+    columns, so rows sharing a join key still spread across salts (only
+    full-row duplicates collide). Deterministic — replay/retry-stable
+    where ``rand()`` is not — and independent of input partitioning."""
+    return F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(salt))
+
+
 def salted_join(left: DataFrame, right: DataFrame, left_key: str,
                 right_key: str, salt: int = 8, how: str = "inner") -> DataFrame:
     """Skew-resistant equi-join: the (large, possibly skewed) ``left``
-    side gets a deterministic hash salt in [0, salt); the (smaller,
-    non-broadcastable) ``right`` side is exploded ×``salt`` replicas;
-    the join runs on (key, salt), spreading each hot key over ``salt``
-    reducers. For ``how`` in ('inner', 'left') the result is
+    side gets a deterministic ROW-dependent salt in [0, salt); the
+    (smaller, non-broadcastable) ``right`` side is exploded ×``salt``
+    replicas; the join runs on (key, salt), spreading each hot key over
+    ``salt`` reducers. For ``how`` in ('inner', 'left') the result is
     row-identical to the plain join; right/full outer joins are
     REJECTED — each unmatched right-side salt replica would survive as
     a spurious null-extended row (up to ``salt`` per right row).
+
+    The salt MUST vary within a key: hashing the key alone would give
+    every row of the hot key the same salt and re-converge them on one
+    reducer, silently providing zero mitigation (caught by the round-7
+    planted-whale demo, tools/skew_demo.py). It is therefore hashed
+    over ALL left columns — deterministic (replay/retry-stable, unlike
+    rand()) and partitioning-independent; only full-row duplicates
+    share a salt. The join RESULT is salt-invariant either way (each
+    left row matches exactly the replica carrying its salt).
 
     Use when AQE skew-join can't help (single extreme key, or the
     engine predates runtime re-planning); otherwise prefer broadcast
@@ -223,7 +240,7 @@ def salted_join(left: DataFrame, right: DataFrame, left_key: str,
             "the exploded right side would emit spurious null-extended "
             "rows under right/full outer semantics"
         )
-    l = left.withColumn("__salt_l", F.pmod(F.hash(F.col(left_key)), F.lit(salt)))
+    l = left.withColumn("__salt_l", row_salt(left, salt))
     r = right.withColumn(
         "__salt_r", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )

@@ -440,3 +440,33 @@ def test_dq_audit_cli_gates_on_violations(spark, tmp_path, capsys):
     ).write.parquet(dirty)
     with _pytest.raises(SystemExit, match="1 check"):
         pipelines.main(["dq-audit", dirty])
+
+
+def test_salted_join_salt_varies_within_hot_key(spark):
+    """Regression pin for the round-7 whale-demo finding: a salt that is
+    a function of the join key alone re-converges every hot-key row on
+    one reducer — zero mitigation. The salt must spread a single key's
+    rows across (nearly) all salt buckets, be deterministic across
+    runs, and leave the join result identical to the plain join."""
+    from pyspark.sql import functions as F
+
+    from real_time_iot_data_pipeline_project_spark.operators import analytics
+
+    whale = spark.range(2000).select(
+        F.lit(1).alias("k"), F.col("id").alias("v"))
+    salts = whale.select(
+        analytics.row_salt(whale, 8).alias("s")).distinct().collect()
+    got = sorted(r["s"] for r in salts)
+    assert got == list(range(8))  # one key, all 8 salt buckets hit
+
+    # determinism: same expression, same rows -> same assignment
+    a = whale.select("v", analytics.row_salt(whale, 8).alias("s")).collect()
+    b = whale.select("v", analytics.row_salt(whale, 8).alias("s")).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    # result parity with the plain join on skewed input
+    dim = spark.createDataFrame([(1, "x"), (2, "y")], "rk long, p string")
+    plain = whale.join(dim, F.col("k") == F.col("rk")).drop("rk")
+    salted = analytics.salted_join(whale, dim, "k", "rk", salt=8).drop("rk")
+    assert sorted(map(tuple, salted.collect())) == \
+        sorted(map(tuple, plain.collect()))
