@@ -103,6 +103,7 @@ HEADLINE = [
     "q109_interval_join",
     "q110_history_star",
     "q111_null_safe_unique",
+    "q112_scd2_incremental",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

@@ -4368,6 +4368,64 @@ def q111_null_safe_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q112_scd2_incremental",
+    """
+    WITH h AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN value < 20 THEN 'low'
+                  WHEN value < 60 THEN 'mid'
+                  ELSE 'high' END AS state
+      FROM events
+    ),
+    c AS (
+      SELECT *, lag(state) OVER w AS prev_state, lag(ts) OVER w AS prev_ts
+      FROM h WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    o AS (
+      SELECT user_id, event_id, state, ts AS effective_from FROM c
+      WHERE prev_ts IS NULL OR state IS DISTINCT FROM prev_state
+    )
+    SELECT user_id, state, effective_from,
+           lead(effective_from) OVER w2 AS effective_to,
+           CAST(row_number() OVER w2 AS INT) AS version,
+           (lead(effective_from) OVER w2) IS NULL AS is_current
+    FROM o WINDOW w2 AS (PARTITION BY user_id
+                         ORDER BY effective_from, event_id)
+    """,
+)
+def q112_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2+ — INCREMENTAL SCD2 maintenance (warehouse.history.
+    scd2_apply_increment): the dimension is built from the first 19
+    days of events, then the remaining days arrive as an increment and
+    are folded in WITHOUT re-reading history — each key's current row
+    seeds the same lag/lead/row_number recipe over (seed ∪ increment),
+    versions continue from the seed's, closed intervals pass through
+    untouched. The oracle is the FULL REBUILD over all events (q98's
+    formulation) — so this row IS the incremental == rebuild invariant,
+    cross-engine. Cost model: one shuffle of (touched current rows +
+    increment), never O(accumulated dimension) — the property that lets
+    a 100 TB dimension absorb a daily changelog."""
+    from .warehouse import history as wh
+
+    cutoff = "2024-01-20 00:00:00"
+    ev = _t(spark, sf_dir, "events")
+    hist = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("value") < 20, "low")
+        .when(F.col("value") < 60, "mid")
+        .otherwise("high").alias("state"),
+    )
+    base = hist.filter(F.col("ts") <= F.lit(cutoff).cast("timestamp"))
+    inc = hist.filter(F.col("ts") > F.lit(cutoff).cast("timestamp"))
+    dim = wh.scd2_from_history(
+        base, key_cols=["user_id"], ts_col="ts", attr_col="state",
+        tiebreak_col="event_id")
+    return wh.scd2_apply_increment(
+        dim, inc, key_cols=["user_id"], ts_col="ts", attr_col="state",
+        tiebreak_col="event_id")
+
+
 # Operators added AFTER the 50-slot window filled with unique-operator
 # queries: fully oracle-checked by the local gate, first in line for a
 # window slot if one opens.
@@ -4427,6 +4485,9 @@ POST_WINDOW: list[str] = [
     # round 7: null-safe uniqueness audit exercised on synthesized null
     # keys (closes q102's former countDistinct caveat)
     "q111_null_safe_unique",
+    # round 7: incremental SCD2 maintenance — the oracle IS the full
+    # rebuild, so the row pins incremental == rebuild cross-engine
+    "q112_scd2_incremental",
 ]
 
 

@@ -10,6 +10,10 @@ This module adds the two canonical shapes:
 - ``scd2_from_history`` — Slowly-Changing-Dimension Type 2: collapse an
   attribute's change history into validity intervals
   ``[effective_from, effective_to)`` with a current-row flag.
+- ``scd2_apply_increment`` — incremental SCD2 maintenance: fold a new
+  batch of observations into an existing dimension WITHOUT re-reading
+  history (rebuild cost tracks the increment + touched current rows,
+  never the accumulated dimension).
 
 Scale notes (the 100 TB shapes):
 
@@ -101,3 +105,92 @@ def scd2_from_history(history: DataFrame, key_cols: list[str], ts_col: str,
         .select(*key_cols, attr_col, "effective_from", "effective_to",
                 "version", "is_current")
     )
+
+
+def scd2_apply_increment(dim: DataFrame, increment: DataFrame,
+                         key_cols: list[str], ts_col: str, attr_col: str,
+                         tiebreak_col: str) -> DataFrame:
+    """Incrementally maintain an SCD2 dimension: fold a new batch of
+    observations into an existing ``scd2_from_history`` output without
+    re-reading the underlying history.
+
+    The append-only contract: every increment row's ``ts_col`` must be
+    >= its key's current ``effective_from`` (validated — a strictly
+    earlier observation would rewrite closed history, which is a full
+    rebuild, not an increment). Under that contract the result is
+    row-identical to ``scd2_from_history`` over the concatenated
+    history — pinned by tests and by registry q112, which runs the
+    incremental path against the full-rebuild oracle.
+
+    How: each key's CURRENT row acts as the seed observation (carrying
+    its version); seed ∪ increment re-runs the same lag/lead/row_number
+    recipe per key (seed ordered before equal-``ts`` increment rows);
+    new versions continue from the seed's; closed intervals and keys
+    untouched by the increment pass through unchanged. Cost: one
+    shuffle of (touched current rows + increment) + a pass-through
+    union — never O(accumulated history).
+    """
+    inc = increment.select(
+        *key_cols, F.col(ts_col), F.col(attr_col), F.col(tiebreak_col))
+    touched = inc.select(*key_cols).distinct()
+    current = dim.filter(F.col("is_current"))
+    cur_touched = current.join(touched, key_cols, "left_semi")
+
+    # append-only validation: an increment row older than its key's
+    # open interval cannot be folded (it belongs to closed history)
+    stale = (inc.groupBy(*key_cols).agg(F.min(ts_col).alias("__min_ts"))
+             .join(cur_touched.select(*key_cols, "effective_from"), key_cols)
+             .filter(F.col("__min_ts") < F.col("effective_from")))
+    if stale.limit(1).count() > 0:
+        raise ValueError(
+            "increment contains observations earlier than a key's open "
+            "interval — that rewrites closed history; run "
+            "scd2_from_history over the full history instead")
+
+    seed = cur_touched.select(
+        *key_cols,
+        F.col("effective_from").alias(ts_col),
+        F.col(attr_col),
+        F.lit(None).cast(inc.schema[tiebreak_col].dataType)
+        .alias(tiebreak_col),
+        F.col("version").alias("__seed_version"),
+        F.lit(0).alias("__ord"),
+    )
+    obs = inc.select(
+        *key_cols, ts_col, attr_col, tiebreak_col,
+        F.lit(None).cast("int").alias("__seed_version"),
+        F.lit(1).alias("__ord"),
+    ).unionByName(seed)
+
+    # one exchange: seed first within equal timestamps (__ord), then the
+    # caller's tiebreak — the same total order a full rebuild derives
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col).asc(), F.col("__ord").asc(),
+        F.col(tiebreak_col).asc_nulls_first())
+    prev_attr = F.lag(attr_col).over(w)
+    prev_ts = F.lag(ts_col).over(w)
+    opens = (
+        obs.withColumn(
+            "__open",
+            prev_ts.isNull() | ~F.col(attr_col).eqNullSafe(prev_attr))
+        .filter(F.col("__open"))
+    )
+    base_version = F.first("__seed_version").over(
+        Window.partitionBy(*key_cols).orderBy(
+            F.col(ts_col).asc(), F.col("__ord").asc(),
+            F.col(tiebreak_col).asc_nulls_first()))
+    rebuilt = (
+        opens.withColumn("effective_from", F.col(ts_col))
+        .withColumn("effective_to", F.lead("effective_from").over(w))
+        .withColumn(
+            "version",
+            F.coalesce(base_version, F.lit(1)).cast("int")
+            + F.row_number().over(w) - F.lit(1))
+        .withColumn("is_current", F.col("effective_to").isNull())
+        .select(*key_cols, attr_col, "effective_from", "effective_to",
+                "version", "is_current")
+    )
+    untouched = dim.join(touched, key_cols, "left_anti")
+    closed_touched = (dim.filter(~F.col("is_current"))
+                      .join(touched, key_cols, "left_semi"))
+    return untouched.unionByName(closed_touched).unionByName(rebuilt)

@@ -154,3 +154,92 @@ def test_cdc_snapshot_matches_window_formulation(spark):
     )
     assert agg.exceptAll(win).count() == 0
     assert win.exceptAll(agg).count() == 0
+
+
+def _hist(spark, rows):
+    return spark.createDataFrame(rows, "k long, ts timestamp, tb long, a string")
+
+
+def _rows(df):
+    # None-safe canonical order (the null-state run makes `a` nullable)
+    return sorted(map(tuple, df.collect()),
+                  key=lambda t: tuple((x is None, x) for x in t))
+
+
+def test_scd2_increment_equals_rebuild_at_any_split(spark):
+    """The core invariant: fold(increment) over dim(base) must be
+    row-identical to the full rebuild over base + increment — at every
+    split point of the history."""
+    rows = [
+        (1, _ts(1), 1, "A"), (1, _ts(2), 2, "A"), (1, _ts(3), 3, "B"),
+        (1, _ts(4), 4, "B"), (1, _ts(5), 5, "A"),
+        (2, _ts(1), 6, "X"), (2, _ts(6), 7, None), (2, _ts(7), 8, "X"),
+        (3, _ts(2), 9, "Q"),
+    ]
+    full = history.scd2_from_history(
+        _hist(spark, rows), key_cols=["k"], ts_col="ts", attr_col="a",
+        tiebreak_col="tb")
+    expected = _rows(full)
+    for split_h in (2, 3, 5, 6):
+        base = [r for r in rows if r[1] <= _ts(split_h)]
+        inc = [r for r in rows if r[1] > _ts(split_h)]
+        dim = history.scd2_from_history(
+            _hist(spark, base), key_cols=["k"], ts_col="ts", attr_col="a",
+            tiebreak_col="tb")
+        got = history.scd2_apply_increment(
+            dim, _hist(spark, inc), key_cols=["k"], ts_col="ts",
+            attr_col="a", tiebreak_col="tb")
+        assert _rows(got) == expected, f"split at hour {split_h}"
+
+
+def test_scd2_increment_chained_folds_equal_rebuild(spark):
+    """Two successive increments == one rebuild (associativity of the
+    maintenance fold — the shape a daily changelog pipeline runs)."""
+    rows = [(1, _ts(h), h, a) for h, a in
+            [(1, "A"), (2, "B"), (3, "B"), (4, "C"), (5, "A"), (6, "A")]]
+    full = history.scd2_from_history(
+        _hist(spark, rows), key_cols=["k"], ts_col="ts", attr_col="a",
+        tiebreak_col="tb")
+    dim = history.scd2_from_history(
+        _hist(spark, rows[:2]), key_cols=["k"], ts_col="ts", attr_col="a",
+        tiebreak_col="tb")
+    dim = history.scd2_apply_increment(
+        dim, _hist(spark, rows[2:4]), key_cols=["k"], ts_col="ts",
+        attr_col="a", tiebreak_col="tb")
+    dim = history.scd2_apply_increment(
+        dim, _hist(spark, rows[4:]), key_cols=["k"], ts_col="ts",
+        attr_col="a", tiebreak_col="tb")
+    assert _rows(dim) == _rows(full)
+
+
+def test_scd2_increment_untouched_keys_pass_through(spark):
+    """Keys absent from the increment keep their exact rows; brand-new
+    keys get a fresh version-1 interval."""
+    base = [(1, _ts(1), 1, "A"), (2, _ts(1), 2, "X")]
+    dim = history.scd2_from_history(
+        _hist(spark, base), key_cols=["k"], ts_col="ts", attr_col="a",
+        tiebreak_col="tb")
+    before = {r["k"]: r for r in dim.collect()}
+    out = history.scd2_apply_increment(
+        dim, _hist(spark, [(2, _ts(3), 3, "Y"), (9, _ts(2), 4, "N")]),
+        key_cols=["k"], ts_col="ts", attr_col="a", tiebreak_col="tb")
+    got = {(r["k"], r["version"]): r for r in out.collect()}
+    assert tuple(got[(1, 1)]) == tuple(before[1])      # untouched key
+    assert got[(2, 1)]["is_current"] is False          # closed by Y
+    assert got[(2, 2)]["a"] == "Y" and got[(2, 2)]["is_current"] is True
+    assert got[(9, 1)]["a"] == "N" and got[(9, 1)]["is_current"] is True
+
+
+def test_scd2_increment_rejects_history_rewrites(spark):
+    """An increment row older than a key's open interval would rewrite
+    closed history — refuse loudly (the full-rebuild path exists for
+    that)."""
+    import pytest
+
+    dim = history.scd2_from_history(
+        _hist(spark, [(1, _ts(1), 1, "A"), (1, _ts(5), 2, "B")]),
+        key_cols=["k"], ts_col="ts", attr_col="a", tiebreak_col="tb")
+    with pytest.raises(ValueError, match="closed history"):
+        history.scd2_apply_increment(
+            dim, _hist(spark, [(1, _ts(3), 9, "C")]), key_cols=["k"],
+            ts_col="ts", attr_col="a", tiebreak_col="tb")

@@ -421,3 +421,37 @@ def test_unpivot_is_map_side_expand(spark):
     plan = plan_of(spark, "q108_unpivot_melt")
     assert "Expand" in plan
     assert "Exchange" not in plan
+
+
+def test_interval_join_is_equi_with_time_bounds(spark):
+    """q109 (T8 batch twin): the user_id equality must carry the join
+    (hash-partitioned equi-join — never BroadcastNestedLoopJoin or
+    CartesianProduct over the time bounds), and both event_type filters
+    are pushed to the parquet scans so join input is the click/purchase
+    subset, not all events."""
+    plan = plan_of(spark, "q109_interval_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EqualTo(event_type,click)" in plan
+    assert "EqualTo(event_type,purchase)" in plan
+
+
+def test_history_star_one_dim_exchange_no_fanout_join(spark):
+    """q110 (H1→H2→J4 composed): the SCD2 dimension build keeps q98's
+    single user_id exchange (lag / filter / lead / row_number all on
+    one partitioning), and the fact↔dim attribution is an equi-join on
+    user_id with the interval predicates evaluated in-group — no
+    nested-loop fan-out anywhere in the plan."""
+    plan = plan_of(spark, "q110_history_star")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # fact-side event_type filter pushed to scan
+    assert "EqualTo(event_type,purchase)" in plan
+
+
+def test_null_safe_unique_single_aggregate_pass(spark):
+    """q111: the whole audit (null count + null-safe uniqueness) is ONE
+    aggregate over ONE scan of events — no join, no second scan."""
+    plan = plan_of(spark, "q111_null_safe_unique")
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
