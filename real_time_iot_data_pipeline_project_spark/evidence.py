@@ -254,6 +254,10 @@ EVIDENCE: dict[str, dict] = {
     "T8": {"queries": ["q109_interval_join"], "tests": [
         "test_streaming.py::test_stream_stream_interval_join_matches_batch",
         "test_streaming.py::test_stream_stream_join_state_is_bounded"]},
+    "T10": {"queries": [], "tests": [
+        "test_streaming.py::test_scd2_sink_stream_equals_full_rebuild",
+        "test_streaming.py::test_scd2_sink_replay_is_byte_identical",
+        "test_streaming.py::test_scd2_sink_streaming_wiring"]},
     "T9": {"queries": [], "tests": [
         "test_streaming.py::test_cdc_upsert_snapshot_matches_batch_compaction",
         "test_streaming.py::test_cdc_upsert_replay_and_stale_ops_converge"]},

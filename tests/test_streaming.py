@@ -1129,3 +1129,183 @@ def test_conflicting_trigger_request_rejected(spark, tmp_path):
         job.start_console_sink(raw, processing_time="1 second",
                                available_now=True)
     assert job.active_stream_status(spark) == []  # nothing started
+
+
+def _obs_rows(spark, rows):
+    return spark.createDataFrame(
+        rows, "k long, ts timestamp, tb long, a string")
+
+
+def test_scd2_sink_stream_equals_full_rebuild(spark, tmp_path):
+    """Streaming SCD2 dimension sink: a sequence of micro-batches folded
+    through apply_scd2_batch must equal scd2_from_history over the
+    concatenated observations (the q112 invariant, now through the
+    bucketed streaming storage)."""
+    import datetime as dt
+
+    from real_time_iot_data_pipeline_project_spark.streaming import scd2
+    from real_time_iot_data_pipeline_project_spark.warehouse import history
+
+    def t(h):
+        return dt.datetime(2024, 5, 1, h)
+
+    all_rows = [
+        (1, t(1), 1, "A"), (1, t(2), 2, "B"), (1, t(3), 3, "B"),
+        (1, t(4), 4, "C"),
+        (2, t(1), 5, "X"), (2, t(5), 6, "Y"),
+        (3, t(6), 7, "Q"),
+    ]
+    dim_dir = str(tmp_path / "dim")
+    for batch in (all_rows[:3], all_rows[3:5], all_rows[5:]):
+        scd2.apply_scd2_batch(
+            spark, _obs_rows(spark, batch), dim_dir, key_cols=["k"],
+            ts_col="ts", attr_col="a", tiebreak_col="tb", n_buckets=4)
+    got = sorted(map(tuple, scd2.read_dim(spark, dim_dir).collect()))
+    want = sorted(map(tuple, history.scd2_from_history(
+        _obs_rows(spark, all_rows), key_cols=["k"], ts_col="ts",
+        attr_col="a", tiebreak_col="tb").collect()))
+    assert got == want
+
+
+def test_scd2_sink_replay_is_byte_identical(spark, tmp_path):
+    """Crash-replay: re-applying an already-folded batch must leave the
+    dimension byte-identical (late rows skipped, re-folded rows detect
+    no change) — exactly-once at the sink without a batch_id ledger."""
+    import datetime as dt
+    import hashlib
+
+    from real_time_iot_data_pipeline_project_spark.streaming import scd2
+
+    def t(h):
+        return dt.datetime(2024, 5, 1, h)
+
+    from real_time_iot_data_pipeline_project_spark.streaming.upsert import (
+        BUCKET_COL, _with_bucket,
+    )
+
+    def touched_of(batch):
+        wb = _with_bucket(_obs_rows(spark, batch), ["k"], 4)
+        return {r[BUCKET_COL] for r in wb.select(BUCKET_COL).collect()}
+
+    def dir_digest(path, exclude_buckets=()):
+        import os
+        skip = tuple(f"{BUCKET_COL}={b}" for b in exclude_buckets)
+        h = hashlib.md5()
+        for root, _d, names in sorted(os.walk(path)):
+            if any(s in root for s in skip):
+                continue
+            for n in sorted(names):
+                if n.startswith(("_", ".")):
+                    continue
+                p = os.path.join(root, n)
+                h.update(n.encode())
+                h.update(open(p, "rb").read())
+        return h.hexdigest()
+
+    dim_dir = str(tmp_path / "dim")
+    b1 = [(1, t(1), 1, "A"), (2, t(1), 2, "X")]
+    b2 = [(1, t(2), 3, "B"), (1, t(3), 4, "B"), (2, t(4), 5, "Y")]
+    scd2.apply_scd2_batch(spark, _obs_rows(spark, b1), dim_dir,
+                          key_cols=["k"], ts_col="ts", attr_col="a",
+                          tiebreak_col="tb", n_buckets=4)
+    scd2.apply_scd2_batch(spark, _obs_rows(spark, b2), dim_dir,
+                          key_cols=["k"], ts_col="ts", attr_col="a",
+                          tiebreak_col="tb", n_buckets=4)
+    untouched = dir_digest(dim_dir, exclude_buckets=touched_of(b2))
+    rows_before = sorted(map(tuple, scd2.read_dim(spark, dim_dir).collect()))
+    # replay the last batch (the foreachBatch crash-recovery scenario)
+    scd2.apply_scd2_batch(spark, _obs_rows(spark, b2), dim_dir,
+                          key_cols=["k"], ts_col="ts", attr_col="a",
+                          tiebreak_col="tb", n_buckets=4)
+    # content converges row-identically (rewritten files carry fresh
+    # part-UUID names, so byte-identity applies to untouched buckets)
+    assert sorted(map(tuple, scd2.read_dim(spark, dim_dir).collect())) \
+        == rows_before
+    assert dir_digest(dim_dir, exclude_buckets=touched_of(b2)) == untouched
+
+
+def test_scd2_sink_untouched_buckets_and_late_policy(spark, tmp_path):
+    """A batch touching one key rewrites only that key's bucket; the
+    other buckets' files stay byte-identical. late_policy='error'
+    refuses genuinely-late observations instead of skipping."""
+    import datetime as dt
+    import os
+
+    import pytest as _pytest
+
+    from real_time_iot_data_pipeline_project_spark.streaming import scd2
+
+    def t(h):
+        return dt.datetime(2024, 5, 1, h)
+
+    dim_dir = str(tmp_path / "dim")
+    seed = [(k, t(1), k, "A") for k in range(1, 30)]
+    scd2.apply_scd2_batch(spark, _obs_rows(spark, seed), dim_dir,
+                          key_cols=["k"], ts_col="ts", attr_col="a",
+                          tiebreak_col="tb", n_buckets=8)
+    mtimes = {}
+    for root, _d, names in os.walk(dim_dir):
+        for n in names:
+            p = os.path.join(root, n)
+            mtimes[p] = os.path.getmtime(p)
+    scd2.apply_scd2_batch(spark, _obs_rows(spark, [(1, t(2), 100, "B")]),
+                          dim_dir, key_cols=["k"], ts_col="ts",
+                          attr_col="a", tiebreak_col="tb", n_buckets=8)
+    from real_time_iot_data_pipeline_project_spark.streaming.upsert import (
+        BUCKET_COL, _with_bucket,
+    )
+    wb = _with_bucket(_obs_rows(spark, [(1, t(2), 100, "B")]), ["k"], 8)
+    touched_bucket = wb.select(BUCKET_COL).collect()[0][0]
+    for p, m in mtimes.items():
+        if os.path.exists(p) and f"{BUCKET_COL}={touched_bucket}" not in p \
+                and p.endswith(".parquet"):
+            assert os.path.getmtime(p) == m, f"untouched file rewritten: {p}"
+    # genuinely late (ts before key 1's open interval) with error policy
+    with _pytest.raises(ValueError, match="late_policy"):
+        scd2.apply_scd2_batch(spark, _obs_rows(spark, [(1, t(1), 200, "C")]),
+                              dim_dir, key_cols=["k"], ts_col="ts",
+                              attr_col="a", tiebreak_col="tb", n_buckets=8,
+                              late_policy="error")
+    # default skip: same call is a no-op, not an error
+    before = sorted(map(tuple, scd2.read_dim(spark, dim_dir).collect()))
+    scd2.apply_scd2_batch(spark, _obs_rows(spark, [(1, t(1), 200, "C")]),
+                          dim_dir, key_cols=["k"], ts_col="ts",
+                          attr_col="a", tiebreak_col="tb", n_buckets=8)
+    assert sorted(map(tuple, scd2.read_dim(spark, dim_dir).collect())) \
+        == before
+
+
+def test_scd2_sink_streaming_wiring(spark, tmp_path):
+    """End-to-end through a real stream: observation file stream →
+    foreachBatch SCD2 fold → bucketed dimension; restart with the same
+    checkpoint adds nothing."""
+    import datetime as dt
+
+    from real_time_iot_data_pipeline_project_spark.streaming import job, scd2
+    from real_time_iot_data_pipeline_project_spark.warehouse import history
+
+    def t(h):
+        return dt.datetime(2024, 5, 1, h)
+
+    rows = [(1, t(1), 1, "A"), (1, t(2), 2, "B"), (2, t(1), 3, "X")]
+    src = tmp_path / "src"
+    src.mkdir()
+    _obs_rows(spark, rows).write.parquet(str(src / "f1"))
+    dim_dir = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema(
+        "k long, ts timestamp, tb long, a string").parquet(f"{src}/*")
+    fn = scd2.make_scd2_batch_fn(dim_dir, key_cols=["k"], ts_col="ts",
+                                 attr_col="a", tiebreak_col="tb",
+                                 n_buckets=4)
+    q = job.start_foreach_batch_sink(stream, fn, checkpoint=ckpt,
+                                     available_now=True)
+    q.awaitTermination(120)
+    want = sorted(map(tuple, history.scd2_from_history(
+        _obs_rows(spark, rows), key_cols=["k"], ts_col="ts",
+        attr_col="a", tiebreak_col="tb").collect()))
+    assert sorted(map(tuple, scd2.read_dim(spark, dim_dir).collect())) == want
+    q2 = job.start_foreach_batch_sink(stream, fn, checkpoint=ckpt,
+                                      available_now=True)
+    q2.awaitTermination(120)
+    assert sorted(map(tuple, scd2.read_dim(spark, dim_dir).collect())) == want
