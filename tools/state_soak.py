@@ -156,6 +156,56 @@ def soak_cdc_upsert(spark, workdir: str, n_batches: int) -> None:
     print("RESULT   cdc-upsert plateau: PASS", flush=True)
 
 
+def soak_scd2_sink(spark, workdir: str, n_batches: int) -> None:
+    """The SCD2 sink's state GROWS only with genuine attribute changes
+    (each opens one more interval row), never with observation volume:
+    feed 60 batches over a fixed key population where only 1-in-10
+    observations change the attribute; dimension rows must track
+    (keys + changes), bytes must grow sub-linearly in batches, and the
+    per-batch cost must stay flat."""
+    from real_time_iot_data_pipeline_project_spark.streaming import scd2
+
+    n_keys = 100
+    dim_dir = os.path.join(workdir, "scd2_dim")
+    rows_hist, size_hist, t_hist = [], [], []
+    for b in range(n_batches):
+        base = dt.datetime(2025, 1, 1) + dt.timedelta(minutes=b)
+        rows = []
+        for i in range(n_keys):
+            # attribute changes only when (b + i) crosses a decade —
+            # ~10% of observations open a new interval
+            attr = f"s{(b + i) // 10 % 4}"
+            rows.append((i, base + dt.timedelta(seconds=i),
+                         b * n_keys + i, attr))
+        batch = spark.createDataFrame(
+            rows, "k long, ts timestamp, tb long, a string")
+        t0 = time.monotonic()
+        scd2.apply_scd2_batch(spark, batch, dim_dir, key_cols=["k"],
+                              ts_col="ts", attr_col="a",
+                              tiebreak_col="tb", n_buckets=8)
+        t_hist.append(time.monotonic() - t0)
+        size, _files = dir_stats(dim_dir)
+        size_hist.append(size)
+        rows_hist.append(spark.read.parquet(dim_dir).count())
+
+    half = n_batches // 2
+    changes = rows_hist[-1] - n_keys  # intervals beyond the initial ones
+    print(f"RESULT scd2-sink batches={n_batches} keys={n_keys} buckets=8",
+          flush=True)
+    print(f"RESULT   dim rows: batch1={rows_hist[0]} mid={rows_hist[half]} "
+          f"last={rows_hist[-1]} (initial {n_keys} + {changes} changes)",
+          flush=True)
+    print(f"RESULT   dim bytes: batch1={size_hist[0]} mid={size_hist[half]} "
+          f"last={size_hist[-1]}", flush=True)
+    print(f"RESULT   batch wall s: first10={sum(t_hist[:10]) / 10:.2f} "
+          f"last10={sum(t_hist[-10:]) / 10:.2f}", flush=True)
+    # rows track genuine changes (~n_keys * n_batches / 10), never
+    # observation volume (n_keys * n_batches)
+    assert rows_hist[-1] < n_keys * n_batches / 5, rows_hist[-1]
+    assert sum(t_hist[-10:]) <= sum(t_hist[:10]) * 1.5, "batch time trending up"
+    print("RESULT   scd2-sink growth-tracks-changes: PASS", flush=True)
+
+
 def main() -> None:
     n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 60
     spark = get_spark(app_name="state-soak")
@@ -164,6 +214,7 @@ def main() -> None:
     try:
         soak_alert_stream(spark, workdir, n_batches)
         soak_cdc_upsert(spark, workdir, n_batches)
+        soak_scd2_sink(spark, workdir, n_batches)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
