@@ -135,7 +135,8 @@ def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(description="batch consume-and-process pipeline")
     p.add_argument("domain",
                    choices=["solar", "wind", "curate", "compact",
-                            "compact-store", "dq-audit"])
+                            "compact-store", "dq-audit", "cdc-apply",
+                            "scd2-apply"])
     p.add_argument("input_path")
     p.add_argument("--output", default=None)
     p.add_argument("--store", default=None,
@@ -146,6 +147,20 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--min-quality", type=float, default=0.45)
     p.add_argument("--langs", default="en",
                    help="comma-separated language allowlist (curate domain)")
+    p.add_argument("--keys", default=None,
+                   help="comma-separated key columns (cdc-apply/scd2-apply)")
+    p.add_argument("--order", default=None,
+                   help="comma-separated total-order columns (cdc-apply)")
+    p.add_argument("--op-col", default="op",
+                   help="changelog op column (cdc-apply)")
+    p.add_argument("--ts-col", default="ts",
+                   help="observation timestamp column (scd2-apply)")
+    p.add_argument("--attr-col", default=None,
+                   help="tracked attribute column (scd2-apply)")
+    p.add_argument("--tiebreak", default=None,
+                   help="unique tiebreak column (scd2-apply)")
+    p.add_argument("--buckets", type=int, default=16,
+                   help="snapshot/dimension bucket count (fixed at creation)")
     args = p.parse_args(argv)
     spark = get_spark(app_name=f"{args.domain}-processing")
     if args.domain == "dq-audit":
@@ -169,6 +184,38 @@ def main(argv: list[str] | None = None) -> None:
         if bad:
             raise SystemExit(f"dq-audit: {bad} check(s) failing")
         print("dq-audit: all checks clean")
+        return
+    if args.domain == "cdc-apply":
+        # operational entry for the streaming CDC upsert sink's batch
+        # core: fold one changelog parquet into the bucketed snapshot
+        from .streaming.upsert import apply_cdc_batch
+
+        if not (args.output and args.keys and args.order):
+            p.error("cdc-apply requires --output (snapshot dir), --keys "
+                    "and --order; input_path is the changelog batch")
+        batch = spark.read.parquet(args.input_path)
+        apply_cdc_batch(spark, batch, args.output,
+                        key_cols=args.keys.split(","),
+                        order_cols=args.order.split(","),
+                        op_col=args.op_col, n_buckets=args.buckets)
+        print(f"cdc-apply: folded {args.input_path} into {args.output}")
+        return
+    if args.domain == "scd2-apply":
+        # operational entry for the streaming SCD2 sink's batch core:
+        # fold one observation parquet into the bucketed dimension
+        from .streaming.scd2 import apply_scd2_batch
+
+        if not (args.output and args.keys and args.attr_col
+                and args.tiebreak):
+            p.error("scd2-apply requires --output (dimension dir), "
+                    "--keys, --attr-col and --tiebreak; input_path is "
+                    "the observation batch")
+        batch = spark.read.parquet(args.input_path)
+        apply_scd2_batch(spark, batch, args.output,
+                         key_cols=args.keys.split(","), ts_col=args.ts_col,
+                         attr_col=args.attr_col, tiebreak_col=args.tiebreak,
+                         n_buckets=args.buckets)
+        print(f"scd2-apply: folded {args.input_path} into {args.output}")
         return
     if args.domain == "compact":
         from .streaming.curation import compact_corpus

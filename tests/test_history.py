@@ -243,3 +243,33 @@ def test_scd2_increment_rejects_history_rewrites(spark):
         history.scd2_apply_increment(
             dim, _hist(spark, [(1, _ts(3), 9, "C")]), key_cols=["k"],
             ts_col="ts", attr_col="a", tiebreak_col="tb")
+
+
+def test_warehouse_maintenance_cli(spark, tmp_path):
+    """cdc-apply / scd2-apply CLI domains: fold parquet batches into
+    the bucketed snapshot/dimension from the command line (the
+    scheduler-operated shape of the streaming sinks' batch cores)."""
+    from real_time_iot_data_pipeline_project_spark import pipelines
+    from real_time_iot_data_pipeline_project_spark.streaming import scd2, upsert
+
+    log = _changelog(spark, [(1, _ts(1), 1, "a", "U"), (2, _ts(1), 2, "b", "U"),
+                             (1, _ts(2), 3, "a2", "U"), (2, _ts(3), 4, "b", "D")])
+    batch_path = str(tmp_path / "batch")
+    log.write.parquet(batch_path)
+    snap = str(tmp_path / "snap")
+    pipelines.main(["cdc-apply", batch_path, "--output", snap,
+                    "--keys", "k", "--order", "ts,seq", "--buckets", "4"])
+    got = {(r["k"], r["v"]) for r in
+           upsert.read_snapshot(spark, snap, op_col="op").collect()}
+    assert got == {(1, "a2")}
+
+    obs = _hist(spark, [(1, _ts(1), 1, "A"), (1, _ts(2), 2, "B")])
+    obs_path = str(tmp_path / "obs")
+    obs.write.parquet(obs_path)
+    dim = str(tmp_path / "dim")
+    pipelines.main(["scd2-apply", obs_path, "--output", dim,
+                    "--keys", "k", "--ts-col", "ts", "--attr-col", "a",
+                    "--tiebreak", "tb", "--buckets", "4"])
+    rows = {(r["k"], r["a"], r["version"], r["is_current"])
+            for r in scd2.read_dim(spark, dim).collect()}
+    assert rows == {(1, "A", 1, False), (1, "B", 2, True)}
