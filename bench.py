@@ -104,6 +104,7 @@ HEADLINE = [
     "q110_history_star",
     "q111_null_safe_unique",
     "q112_scd2_incremental",
+    "q113_dim_snapshot_at",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

@@ -157,7 +157,8 @@ EVIDENCE: dict[str, dict] = {
     "H1": {"queries": ["q97_cdc_snapshot", "q110_history_star"], "tests": [
         "test_history.py::test_cdc_latest_upsert_wins"]},
     "H2": {"queries": ["q98_scd2_intervals", "q110_history_star",
-                       "q112_scd2_incremental"], "tests": [
+                       "q112_scd2_incremental",
+                       "q113_dim_snapshot_at"], "tests": [
         "test_history.py::test_scd2_collapses_runs_and_closes_intervals"]},
     "H3": {"queries": ["q103_incremental_rollup"], "tests": [
         "test_audit_aggstate.py::test_agg_state_fold_equals_direct_aggregate"]},

@@ -4309,20 +4309,14 @@ def q110_history_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dim = wh.scd2_from_history(
         hist, key_cols=["user_id"], ts_col="ts", attr_col="state",
-        tiebreak_col="event_id").alias("d")
+        tiebreak_col="event_id")
     fact = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "value").alias("f")
-    joined = fact.join(
-        dim,
-        (F.col("f.user_id") == F.col("d.user_id"))
-        & (F.col("f.ts") >= F.col("d.effective_from"))
-        & (F.col("d.effective_to").isNull()
-           | (F.col("f.ts") < F.col("d.effective_to"))),
-        "inner")
-    return joined.groupBy(F.col("d.state").alias("state")).agg(
+        "user_id", "ts", "value")
+    joined = wh.scd2_lookup(fact, dim, key_cols=["user_id"], ts_col="ts")
+    return joined.groupBy("state").agg(
         F.count(F.lit(1)).alias("n_facts"),
-        _dsum(F.col("f.value"), "revenue"),
-        F.countDistinct(F.col("f.user_id")).alias("n_users"),
+        _dsum(F.col("value"), "revenue"),
+        F.countDistinct(F.col("user_id")).alias("n_users"),
     )
 
 
@@ -4426,6 +4420,64 @@ def q112_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak_col="event_id")
 
 
+@query(
+    "q113_dim_snapshot_at",
+    """
+    WITH h AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN value < 20 THEN 'low'
+                  WHEN value < 60 THEN 'mid'
+                  ELSE 'high' END AS state
+      FROM events
+    ),
+    c AS (
+      SELECT *, lag(state) OVER w AS prev_state, lag(ts) OVER w AS prev_ts
+      FROM h WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    o AS (
+      SELECT user_id, event_id, state, ts AS effective_from FROM c
+      WHERE prev_ts IS NULL OR state IS DISTINCT FROM prev_state
+    ),
+    dim AS (
+      SELECT user_id, state, effective_from,
+             lead(effective_from) OVER w2 AS effective_to,
+             CAST(row_number() OVER w2 AS INT) AS version,
+             (lead(effective_from) OVER w2) IS NULL AS is_current
+      FROM o WINDOW w2 AS (PARTITION BY user_id
+                           ORDER BY effective_from, event_id)
+    )
+    SELECT user_id, state, effective_from, effective_to, version,
+           is_current
+    FROM dim
+    WHERE effective_from <= TIMESTAMP '2024-01-15 00:00:00'
+      AND (effective_to IS NULL
+           OR effective_to > TIMESTAMP '2024-01-15 00:00:00')
+    """,
+)
+def q113_dim_snapshot_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2+ — TIME-TRAVEL dimension read (warehouse.history.
+    scd2_snapshot_at): the SCD2 dimension's state as of Jan 15 — one
+    row per key whose history had begun by then, selected by pure
+    interval filter (no shuffle beyond the dim build itself; on a
+    stored dimension this is a scan-with-predicate, partition-pruning
+    friendly). The read side of the SCD2 contract: snapshot_at(t) over
+    the intervals == what cdc-style latest-state compaction of the
+    history truncated at t would produce."""
+    from .warehouse import history as wh
+
+    ev = _t(spark, sf_dir, "events")
+    hist = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("value") < 20, "low")
+        .when(F.col("value") < 60, "mid")
+        .otherwise("high").alias("state"),
+    )
+    dim = wh.scd2_from_history(
+        hist, key_cols=["user_id"], ts_col="ts", attr_col="state",
+        tiebreak_col="event_id")
+    return wh.scd2_snapshot_at(dim, "2024-01-15 00:00:00")
+
+
 # Operators added AFTER the 50-slot window filled with unique-operator
 # queries: fully oracle-checked by the local gate, first in line for a
 # window slot if one opens.
@@ -4488,6 +4540,8 @@ POST_WINDOW: list[str] = [
     # round 7: incremental SCD2 maintenance — the oracle IS the full
     # rebuild, so the row pins incremental == rebuild cross-engine
     "q112_scd2_incremental",
+    # round 7: time-travel dimension read (snapshot_at over intervals)
+    "q113_dim_snapshot_at",
 ]
 
 

@@ -107,6 +107,46 @@ def scd2_from_history(history: DataFrame, key_cols: list[str], ts_col: str,
     )
 
 
+def scd2_lookup(facts: DataFrame, dim: DataFrame, key_cols: list[str],
+                ts_col: str) -> DataFrame:
+    """Resolve each fact row's dimension attributes AS OF its event
+    time: equi-join on the key with the interval-containment predicate
+    ``effective_from <= ts < effective_to`` (open intervals match
+    everything from their start). Facts outside every interval (before
+    a key's first observation, or unknown keys) drop out — inner-join
+    semantics, matching the SQL formulation.
+
+    Scale shape: the key equality carries the (single) shuffle; the
+    interval predicates evaluate inside each key group — no interval
+    fan-out. The dimension is deliberately NOT broadcast (per-key
+    interval counts grow with history). The attribution core of
+    registry q110."""
+    f = facts.alias("f")
+    d = dim.alias("d")
+    cond = F.lit(True)
+    for k in key_cols:
+        cond = cond & (F.col(f"f.{k}") == F.col(f"d.{k}"))
+    cond = cond & (F.col(f"f.{ts_col}") >= F.col("d.effective_from")) & (
+        F.col("d.effective_to").isNull()
+        | (F.col(f"f.{ts_col}") < F.col("d.effective_to")))
+    dim_cols = [c for c in dim.columns if c not in key_cols]
+    return f.join(d, cond, "inner").select(
+        *[F.col(f"f.{c}") for c in facts.columns],
+        *[F.col(f"d.{c}") for c in dim_cols])
+
+
+def scd2_snapshot_at(dim: DataFrame, at_ts) -> DataFrame:
+    """Time-travel read: the dimension's state AS OF ``at_ts`` (a
+    timestamp literal/Column) — one row per key whose history had begun
+    by then. A pure filter (partition-pruning-friendly, no shuffle):
+    ``effective_from <= at_ts < effective_to``."""
+    at = F.lit(at_ts).cast("timestamp") if not isinstance(at_ts, F.Column) \
+        else at_ts
+    return dim.filter(
+        (F.col("effective_from") <= at)
+        & (F.col("effective_to").isNull() | (F.col("effective_to") > at)))
+
+
 def scd2_apply_increment(dim: DataFrame, increment: DataFrame,
                          key_cols: list[str], ts_col: str, attr_col: str,
                          tiebreak_col: str) -> DataFrame:

@@ -273,3 +273,47 @@ def test_warehouse_maintenance_cli(spark, tmp_path):
     rows = {(r["k"], r["a"], r["version"], r["is_current"])
             for r in scd2.read_dim(spark, dim).collect()}
     assert rows == {(1, "A", 1, False), (1, "B", 2, True)}
+
+
+def test_scd2_snapshot_at_equals_truncated_latest_state(spark):
+    """The read-side contract: snapshot_at(t) over the SCD2 intervals
+    must equal the latest state of the history TRUNCATED at t (one row
+    per key observed by then, carrying the attribute of its last
+    pre-t observation) — at several probe times."""
+    rows = [
+        (1, _ts(1), 1, "A"), (1, _ts(3), 2, "B"), (1, _ts(6), 3, "C"),
+        (2, _ts(2), 4, "X"), (2, _ts(5), 5, "X"),
+        (3, _ts(4), 6, "Q"),
+    ]
+    dim = history.scd2_from_history(
+        _hist(spark, rows), key_cols=["k"], ts_col="ts", attr_col="a",
+        tiebreak_col="tb")
+    for probe_h in (1, 2, 4, 5, 7):
+        snap = history.scd2_snapshot_at(dim, _ts(probe_h))
+        got = {r["k"]: r["a"] for r in snap.collect()}
+        # python oracle: last observation per key at/before the probe
+        want = {}
+        for k, ts, tb, a in sorted(rows, key=lambda r: (r[1], r[2])):
+            if ts <= _ts(probe_h):
+                want[k] = a
+        assert got == want, f"probe at hour {probe_h}"
+        # exactly one row per surviving key
+        assert snap.count() == len(want)
+
+
+def test_scd2_lookup_facts_outside_history_drop(spark):
+    """scd2_lookup: facts before a key's first observation or for
+    unknown keys drop out (inner-join semantics); in-interval facts
+    resolve to the attribute valid at their timestamp."""
+    dim = history.scd2_from_history(
+        _hist(spark, [(1, _ts(2), 1, "A"), (1, _ts(4), 2, "B")]),
+        key_cols=["k"], ts_col="ts", attr_col="a", tiebreak_col="tb")
+    facts = spark.createDataFrame(
+        [(1, _ts(1), 10.0),   # before history -> drops
+         (1, _ts(3), 20.0),   # inside A
+         (1, _ts(4), 30.0),   # boundary -> B (intervals are [from, to))
+         (9, _ts(3), 40.0)],  # unknown key -> drops
+        "k long, ts timestamp, v double")
+    got = {(r["v"], r["a"]) for r in history.scd2_lookup(
+        facts, dim, key_cols=["k"], ts_col="ts").collect()}
+    assert got == {(20.0, "A"), (30.0, "B")}
