@@ -105,6 +105,7 @@ HEADLINE = [
     "q111_null_safe_unique",
     "q112_scd2_incremental",
     "q113_dim_snapshot_at",
+    "q114_heavy_hitters",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

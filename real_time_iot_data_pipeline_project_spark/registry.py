@@ -4478,6 +4478,41 @@ def q113_dim_snapshot_at(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wh.scd2_snapshot_at(dim, "2024-01-15 00:00:00")
 
 
+@query(
+    "q114_heavy_hitters",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    t AS (SELECT token FROM tok WHERE token <> '')
+    SELECT token, COUNT(*) AS count
+    FROM t
+    GROUP BY token
+    HAVING COUNT(*) >= ceil(0.01 * (SELECT COUNT(*) FROM t))
+    """,
+)
+def q114_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X29 — deterministic distributed heavy hitters over the corpus
+    token stream (operators/heavy.heavy_hitters): every token with
+    frequency ≥ 1% of all tokens, with its EXACT count. Phase 1 runs a
+    Misra-Gries(⌈1/support⌉) summary per partition inside mapInPandas
+    (one scan, ≤ k candidate rows per task — the no-miss guarantee
+    means no true heavy hitter can be lost); phase 2 broadcast-semi-
+    joins the bounded candidate set back and counts exactly, so the
+    aggregation hash table is candidate-sized, never vocabulary-sized.
+    Output is identical to the domain-sized GROUP BY ... HAVING the
+    oracle runs — which is the whole point: sketch-bounded state,
+    exact cross-engine-checkable answer."""
+    from .operators.heavy import heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = (docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"))
+        .where(F.col("token") != ""))
+    return heavy_hitters(toks, "token", support=0.01)
+
+
 # Operators added AFTER the 50-slot window filled with unique-operator
 # queries: fully oracle-checked by the local gate, first in line for a
 # window slot if one opens.
@@ -4542,6 +4577,9 @@ POST_WINDOW: list[str] = [
     "q112_scd2_incremental",
     # round 7: time-travel dimension read (snapshot_at over intervals)
     "q113_dim_snapshot_at",
+    # round 7: deterministic heavy hitters (Misra-Gries candidates +
+    # exact bounded recount; oracle = domain-sized GROUP BY/HAVING)
+    "q114_heavy_hitters",
 ]
 
 

@@ -1,0 +1,92 @@
+"""Deterministic heavy hitters (operators/heavy.py): the candidate
+pass may not MISS any true heavy hitter (Misra-Gries no-miss bound),
+and the exact recount must make the output identical to a plain
+domain-sized GROUP BY/HAVING — under any partitioning."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from real_time_iot_data_pipeline_project_spark.operators import heavy
+
+
+def _exact(rows, support):
+    counts: dict = {}
+    for v in rows:
+        if v is not None:
+            counts[v] = counts.get(v, 0) + 1
+    n = sum(counts.values())
+    thr = math.ceil(support * n)
+    return {(v, c) for v, c in counts.items() if c >= thr}
+
+
+def test_heavy_hitters_equal_exact_groupby(spark):
+    rng = random.Random(7)
+    # zipf-ish skew: value i appears ~ 2000/i times
+    rows = [f"v{i}" for i in range(1, 60) for _ in range(2000 // i)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame([(v,) for v in rows], "x string")
+    for support in (0.2, 0.05, 0.01):
+        got = {(r["x"], r["count"]) for r in
+               heavy.heavy_hitters(df, "x", support).collect()}
+        assert got == _exact(rows, support), support
+
+
+def test_heavy_hitters_partitioning_invariant(spark):
+    """Misra-Gries candidate SETS depend on partitioning, but the exact
+    recount + threshold filter must erase that: identical output under
+    1, 7 and 32 partitions."""
+    rng = random.Random(11)
+    rows = [f"v{i}" for i in range(1, 40) for _ in range(1000 // i)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame([(v,) for v in rows], "x string")
+    results = []
+    for parts in (1, 7, 32):
+        got = {(r["x"], r["count"]) for r in heavy.heavy_hitters(
+            df.repartition(parts), "x", 0.03).collect()}
+        results.append(got)
+    assert results[0] == results[1] == results[2] == _exact(rows, 0.03)
+
+
+def test_heavy_hitters_threshold_boundary(spark):
+    """An item exactly AT ceil(support*n) is included; one occurrence
+    below is excluded — planted construction, fixed counts."""
+    # n = 100: whale 20, edge exactly 10, below 9, filler 61 unique-ish
+    rows = (["whale"] * 20 + ["edge"] * 10 + ["below"] * 9
+            + [f"f{i}" for i in range(61)])
+    df = spark.createDataFrame([(v,) for v in rows], "x string")
+    got = {(r["x"], r["count"]) for r in
+           heavy.heavy_hitters(df, "x", 0.10).collect()}
+    assert got == {("whale", 20), ("edge", 10)}
+
+
+def test_heavy_hitters_ignores_nulls_and_validates_support(spark):
+    df = spark.createDataFrame(
+        [("a",), ("a",), (None,), (None,), (None,), ("b",)], "x string")
+    # nulls excluded from both candidates and n: n=3, support 0.5 -> a
+    got = {(r["x"], r["count"]) for r in
+           heavy.heavy_hitters(df, "x", 0.5).collect()}
+    assert got == {("a", 2)}
+    with pytest.raises(ValueError, match="support"):
+        heavy.heavy_hitters(df, "x", 0.0)
+
+
+def test_misra_gries_no_miss_property():
+    """Pure-Python check of the bound the distributed guarantee rests
+    on: any value with frequency ≥ n/k survives a capacity-k summary."""
+    rng = random.Random(3)
+    for trial in range(20):
+        n, k = 500, rng.randint(2, 20)
+        vals = [rng.randint(0, 30) for _ in range(n)]
+        cands = set(heavy._misra_gries_candidates(vals, k))
+        counts: dict = {}
+        for v in vals:
+            counts[v] = counts.get(v, 0) + 1
+        for v, c in counts.items():
+            if c > n / k:
+                assert v in cands, (trial, v, c, n, k)
