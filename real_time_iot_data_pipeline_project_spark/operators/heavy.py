@@ -97,11 +97,16 @@ def heavy_hitters(df: DataFrame, col: str, support: float) -> DataFrame:
 
     cand = df.select(col).where(F.col(col).isNotNull()) \
         .mapInPandas(candidates, schema=out_schema).distinct()
-    # exact pass: count ONLY candidate rows — the broadcast semi-join
-    # keeps the aggregation candidate-sized; total n is a map-side agg
+    # exact pass: count ONLY candidate rows — the semi-join keeps the
+    # aggregation candidate-sized; total n is a map-side agg. The
+    # candidate set is ≤ k · num_partitions rows, so Catalyst
+    # auto-broadcasts it for any sane support; the broadcast is NOT
+    # forced because a tiny support on a many-partition cluster (e.g.
+    # support=1e-5 × 2000 tasks → 200M candidates) must be allowed to
+    # fall back to a shuffled semi-join instead of OOMing the driver.
     counted = (
         df.where(F.col(col).isNotNull())
-        .join(F.broadcast(cand), col, "left_semi")
+        .join(cand, col, "left_semi")
         .groupBy(col).agg(F.count(F.lit(1)).alias("count"))
     )
     total = df.where(F.col(col).isNotNull()).agg(
