@@ -106,6 +106,7 @@ HEADLINE = [
     "q112_scd2_incremental",
     "q113_dim_snapshot_at",
     "q114_heavy_hitters",
+    "q115_grouped_heavy_hitters",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

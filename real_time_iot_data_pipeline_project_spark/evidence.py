@@ -307,7 +307,8 @@ EVIDENCE: dict[str, dict] = {
         "test_dedup_similarity.py::test_star_cc_matches_union_find_oracle"]},
     "X28": {"queries": [], "tests": [
         "test_streaming.py::test_compaction_under_live_stream_loop"]},
-    "X29": {"queries": ["q114_heavy_hitters"], "tests": [
+    "X29": {"queries": ["q114_heavy_hitters",
+                        "q115_grouped_heavy_hitters"], "tests": [
         "test_heavy.py::test_heavy_hitters_partitioning_invariant",
         "test_heavy.py::test_misra_gries_no_miss_property"]},
 }

@@ -116,3 +116,63 @@ def heavy_hitters(df: DataFrame, col: str, support: float) -> DataFrame:
         .where(F.col("count") >= F.ceil(F.lit(support) * F.col("__n")))
         .select(col, "count")
     )
+
+
+def grouped_heavy_hitters(df: DataFrame, group_cols: list[str], col: str,
+                          support: float) -> DataFrame:
+    """Per-group exact frequent items: for each group, every value of
+    ``col`` occurring in ≥ ``support`` of THAT GROUP's (non-null) rows,
+    with its exact count — the per-source boilerplate-detection shape
+    (which header/license/separator tokens dominate each corpus
+    source?).
+
+    Same two-phase scheme as :func:`heavy_hitters`, with the
+    Misra-Gries no-miss bound applied per (partition, group): each task
+    keeps one capacity-k summary per group it sees, so task state is
+    O(groups-in-partition · k). The exact recount joins candidates on
+    (group, value), keeping the aggregation candidate-sized; the
+    threshold compares against each group's own total. Output:
+    group_cols + (col, count), engine-independent."""
+    if not (0.0 < support <= 1.0):
+        raise ValueError(f"support must be in (0, 1], got {support}")
+    k = math.ceil(1.0 / support)
+    fields = [T.StructField(g, df.schema[g].dataType) for g in group_cols]
+    fields.append(T.StructField(col, df.schema[col].dataType))
+    out_schema = T.StructType(fields)
+
+    def candidates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        summaries: dict = {}  # group key tuple -> MG counters
+        for pdf in batches:
+            gvals = [pdf[g] for g in group_cols]
+            for i, v in enumerate(pdf[col]):
+                if v is None or (isinstance(v, float) and pd.isna(v)):
+                    continue
+                gk = tuple(gv.iloc[i] for gv in gvals)
+                counters = summaries.setdefault(gk, {})
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    dead = [c for c in counters if counters[c] == 1]
+                    for c in counters:
+                        counters[c] -= 1
+                    for c in dead:
+                        del counters[c]
+        rows = [(*gk, v) for gk, counters in summaries.items()
+                for v in counters]
+        yield pd.DataFrame(rows, columns=[*group_cols, col])
+
+    nn = df.where(F.col(col).isNotNull())
+    cand = (nn.select(*group_cols, col)
+            .mapInPandas(candidates, schema=out_schema).distinct())
+    counted = (
+        nn.join(cand, [*group_cols, col], "left_semi")
+        .groupBy(*group_cols, col).agg(F.count(F.lit(1)).alias("count"))
+    )
+    totals = nn.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        counted.join(totals, group_cols)
+        .where(F.col("count") >= F.ceil(F.lit(support) * F.col("__n")))
+        .select(*group_cols, col, "count")
+    )

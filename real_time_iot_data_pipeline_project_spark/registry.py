@@ -4513,6 +4513,39 @@ def q114_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(toks, "token", support=0.01)
 
 
+@query(
+    "q115_grouped_heavy_hitters",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    t AS (SELECT source, token FROM tok WHERE token <> ''),
+    tot AS (SELECT source, COUNT(*) AS n FROM t GROUP BY source)
+    SELECT t.source AS source, t.token AS token, COUNT(*) AS count
+    FROM t JOIN tot ON t.source = tot.source
+    GROUP BY t.source, t.token, tot.n
+    HAVING COUNT(*) >= ceil(0.02 * tot.n)
+    """,
+)
+def q115_grouped_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X29 grouped tier — per-SOURCE frequent tokens (the boilerplate
+    detector: which header/separator/license tokens dominate each
+    corpus source), each token kept when it reaches 2% of ITS OWN
+    source's token stream. Same Misra-Gries candidates + exact
+    bounded recount as q114, with the no-miss bound applied per
+    (partition, source) and the threshold computed against each
+    source's own total (operators/heavy.grouped_heavy_hitters)."""
+    from .operators.heavy import grouped_heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = (docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"))
+        .where(F.col("token") != ""))
+    return grouped_heavy_hitters(toks, ["source"], "token", support=0.02)
+
+
 # Operators added AFTER the 50-slot window filled with unique-operator
 # queries: fully oracle-checked by the local gate, first in line for a
 # window slot if one opens.
@@ -4580,6 +4613,8 @@ POST_WINDOW: list[str] = [
     # round 7: deterministic heavy hitters (Misra-Gries candidates +
     # exact bounded recount; oracle = domain-sized GROUP BY/HAVING)
     "q114_heavy_hitters",
+    # round 7: per-source frequent tokens (boilerplate detector)
+    "q115_grouped_heavy_hitters",
 ]
 
 

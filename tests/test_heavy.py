@@ -90,3 +90,31 @@ def test_misra_gries_no_miss_property():
         for v, c in counts.items():
             if c > n / k:
                 assert v in cands, (trial, v, c, n, k)
+
+
+def test_grouped_heavy_hitters_equal_exact_per_group(spark):
+    """Per-group output equals exact per-group counting with each
+    group's OWN threshold — and a value heavy in one group must not
+    leak into another group's result."""
+    rng = random.Random(5)
+    rows = []
+    # group A: 'boiler' dominates; group B: 'other' dominates, 'boiler'
+    # rare (below B's threshold)
+    rows += [("A", "boiler")] * 50 + [("A", f"a{i}") for i in range(50)]
+    rows += [("B", "other")] * 40 + [("B", "boiler")] * 2 \
+        + [("B", f"b{i}") for i in range(58)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "g string, x string")
+    got = {(r["g"], r["x"], r["count"]) for r in heavy.grouped_heavy_hitters(
+        df.repartition(9), ["g"], "x", 0.10).collect()}
+    assert got == {("A", "boiler", 50), ("B", "other", 40)}
+
+    # cross-check against python exact per group at another support
+    got2 = {(r["g"], r["x"], r["count"]) for r in heavy.grouped_heavy_hitters(
+        df, ["g"], "x", 0.02).collect()}
+    want2 = set()
+    for g in ("A", "B"):
+        vals = [x for gg, x in rows if gg == g]
+        for v, c in _exact(vals, 0.02):
+            want2.add((g, v, c))
+    assert got2 == want2
