@@ -455,3 +455,14 @@ def test_null_safe_unique_single_aggregate_pass(spark):
     plan = plan_of(spark, "q111_null_safe_unique")
     assert plan.count("FileScan") == 1
     assert "Join" not in plan
+
+
+def test_heavy_hitters_recount_is_broadcast_semi(spark):
+    """q114/q115: the exact recount must semi-join the bounded
+    candidate set (broadcast at any sane support — never a
+    domain-sized shuffle of the raw token stream against itself), and
+    the final grouped count runs on candidate-filtered rows."""
+    for name in ("q114_heavy_hitters", "q115_grouped_heavy_hitters"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, name
+        assert "CartesianProduct" not in plan, name
