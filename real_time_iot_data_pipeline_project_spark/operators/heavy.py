@@ -89,8 +89,9 @@ def heavy_hitters(df: DataFrame, col: str, support: float) -> DataFrame:
     """Exact frequent items: every value of ``col`` occurring in at
     least ``support`` (0 < support ≤ 1) of the rows, with its exact
     count — computed with candidate-bounded state in two data scans
-    (see module doc). Null values are ignored (SQL COUNT semantics: a
-    null is not a value). Returns (col, count) rows; ties and order
+    (see module doc). Null values — and NaN floats, which behave as
+    nulls here — are ignored (SQL COUNT semantics: a null is not a
+    value). Returns (col, count) rows; ties and order
     are exact, so the result is engine-independent."""
     if not (0.0 < support <= 1.0):
         raise ValueError(f"support must be in (0, 1], got {support}")
