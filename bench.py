@@ -107,6 +107,7 @@ HEADLINE = [
     "q113_dim_snapshot_at",
     "q114_heavy_hitters",
     "q115_grouped_heavy_hitters",
+    "q116_unconverted_clicks",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

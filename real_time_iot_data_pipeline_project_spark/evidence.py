@@ -252,7 +252,8 @@ EVIDENCE: dict[str, dict] = {
     "T6": {"queries": [], "tests": ["test_streaming.py::test_alert_stream"]},
     "T7": {"queries": [], "tests": [
         "test_streaming.py::test_update_mode_grouped_agg_across_batches"]},
-    "T8": {"queries": ["q109_interval_join"], "tests": [
+    "T8": {"queries": ["q109_interval_join",
+                       "q116_unconverted_clicks"], "tests": [
         "test_streaming.py::test_stream_stream_interval_join_matches_batch",
         "test_streaming.py::test_stream_stream_join_state_is_bounded"]},
     "T10": {"queries": [], "tests": [

@@ -4546,6 +4546,44 @@ def q115_grouped_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_heavy_hitters(toks, ["source"], "token", support=0.02)
 
 
+@query(
+    "q116_unconverted_clicks",
+    """
+    SELECT c.user_id AS user_id, c.event_id AS event_id, c.ts AS ts
+    FROM (SELECT user_id, event_id, ts FROM events
+          WHERE event_type = 'click') c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM events p
+      WHERE p.event_type = 'purchase'
+        AND p.user_id = c.user_id
+        AND p.ts >= c.ts
+        AND p.ts <= c.ts + INTERVAL 300 SECOND
+    )
+    """,
+)
+def q116_unconverted_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 complement — clicks that NEVER converted within the
+    attribution window: the left-ANTI interval join the
+    ``join_streams_interval`` docstring prescribes for the negative
+    case (a streaming inner join cannot emit absence; the anti-join
+    runs in batch over the sink table). NOT EXISTS with the time-range
+    predicate rides the user_id equi-join as a LEFT ANTI — the
+    anti-twin of q96's LEFT SEMI — so there is no fan-out and the
+    probe short-circuits per key. Both event_type filters are
+    parquet-pushed before the join."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts").alias("c")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+    cond = (
+        (F.col("c.user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c.ts"))
+        & (F.col("p_ts") <= F.col("c.ts") + F.expr("INTERVAL 300 SECONDS"))
+    )
+    return clicks.join(purchases, cond, "left_anti")
+
+
 # Operators added AFTER the 50-slot window filled with unique-operator
 # queries: fully oracle-checked by the local gate, first in line for a
 # window slot if one opens.
@@ -4615,6 +4653,9 @@ POST_WINDOW: list[str] = [
     "q114_heavy_hitters",
     # round 7: per-source frequent tokens (boilerplate detector)
     "q115_grouped_heavy_hitters",
+    # round 7: the anti-join complement of the interval join (clicks
+    # that never converted — the negative attribution case)
+    "q116_unconverted_clicks",
 ]
 
 

@@ -466,3 +466,15 @@ def test_heavy_hitters_recount_is_broadcast_semi(spark):
         plan = plan_of(spark, name)
         assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_unconverted_clicks_is_left_anti(spark):
+    """q116: NOT EXISTS with the time-range predicate must plan a LEFT
+    ANTI on the user_id equi-join (no fan-out, per-key short-circuit),
+    with both event_type filters pushed to the scans."""
+    plan = plan_of(spark, "q116_unconverted_clicks")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EqualTo(event_type,click)" in plan
+    assert "EqualTo(event_type,purchase)" in plan
