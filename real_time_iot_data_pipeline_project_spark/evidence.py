@@ -1,6 +1,6 @@
 """Machine-checkable operator → evidence map (VERDICT r6 item 2).
 
-With 114 registry queries and a 50-row official correctness window,
+With 115 registry queries and a 50-row official correctness window,
 window rotations alone could silently strand a SURVEY.md §2 operator
 with no live evidence. This module is the declarative contract that
 prevents that: every §2 operator ID maps to the registry queries and/or
