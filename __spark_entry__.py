@@ -37,9 +37,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query — every query has one (the
-    md5-chain fake decoder of q36 is replicated with chained md5/substr
-    hex arithmetic, so even the mapInPandas path is value-checked)."""
+    """DuckDB-equivalent SQL per query — every query except the three
+    approximate-sketch-tier entries (q58/q59/q101, which are verified
+    locally under explicit error bounds instead of value hashes). Even
+    the mapInPandas paths are value-checked: q36's md5-chain fake
+    decoder is replicated with chained md5/substr hex arithmetic, and
+    the real PNG/WAV decodes carry closed-form pixel/signal oracles."""
     return {
         name: registry.ORACLES[name]
         for name in registry.export_order()
