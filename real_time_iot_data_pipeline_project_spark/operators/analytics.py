@@ -205,7 +205,18 @@ def row_salt(df: DataFrame, salt: int) -> F.Column:
     """Deterministic ROW-dependent salt in [0, salt): hash over ALL
     columns, so rows sharing a join key still spread across salts (only
     full-row duplicates collide). Deterministic — replay/retry-stable
-    where ``rand()`` is not — and independent of input partitioning."""
+    where ``rand()`` is not — and independent of input partitioning.
+
+    LIMITATION: full-row duplicates share one salt by construction, so
+    a whale key whose rows are LITERALLY identical (a fact projected
+    down to key-only columns, or key + low-cardinality payload)
+    re-converges on few reducers and gets little or no mitigation —
+    the key-only failure mode one step removed. When rows are known
+    non-unique, mix in a physical disambiguator yourself (e.g.
+    ``F.spark_partition_id()`` or ``F.monotonically_increasing_id()``
+    as an extra hashed column); the default stays value-only because
+    physical ids are not replay-stable across different input
+    partitionings."""
     return F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(salt))
 
 
@@ -226,8 +237,13 @@ def salted_join(left: DataFrame, right: DataFrame, left_key: str,
     planted-whale demo, tools/skew_demo.py). It is therefore hashed
     over ALL left columns — deterministic (replay/retry-stable, unlike
     rand()) and partitioning-independent; only full-row duplicates
-    share a salt. The join RESULT is salt-invariant either way (each
-    left row matches exactly the replica carrying its salt).
+    share a salt. That is also the residual limitation: a hot key whose
+    rows are literally identical (e.g. the fact pre-projected to
+    key-only columns) still lands on one reducer — keep a
+    distinguishing column through the join, or mix a physical
+    disambiguator into the salt (see :func:`row_salt`). The join
+    RESULT is salt-invariant either way (each left row matches exactly
+    the replica carrying its salt).
 
     Use when AQE skew-join can't help (single extreme key, or the
     engine predates runtime re-planning); otherwise prefer broadcast

@@ -109,6 +109,13 @@ def _wav_features(payload: bytes, dim: int) -> list[float]:
     from ..functions import wav as _wav
 
     rate, ch, samples = _wav.decode_wav(payload)
+    if not samples:
+        # decode_wav accepts a structurally-valid WAV whose data chunk
+        # is empty; without this guard numpy's mean/std would emit NaN
+        # heads and the poison-payload contract would hinge on
+        # arr.min's empty-reduction ValueError firing first — make the
+        # rejection explicit instead of stat-order-dependent
+        raise ValueError("corrupt WAV: empty data chunk")
     arr = (np.asarray(samples, dtype=np.float64).reshape(-1, ch) / 32768.0)
     head: list[float] = []
     for stat in (arr.mean(axis=0), arr.std(axis=0),

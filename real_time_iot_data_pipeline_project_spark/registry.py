@@ -4489,7 +4489,7 @@ def q113_dim_snapshot_at(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT token, COUNT(*) AS count
     FROM t
     GROUP BY token
-    HAVING COUNT(*) >= ceil(0.01 * (SELECT COUNT(*) FROM t))
+    HAVING COUNT(*) * 100 >= 1 * (SELECT COUNT(*) FROM t)
     """,
 )
 def q114_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4501,6 +4501,8 @@ def q114_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     means no true heavy hitter can be lost); phase 2 broadcast-semi-
     joins the bounded candidate set back and counts exactly, so the
     aggregation hash table is candidate-sized, never vocabulary-sized.
+    The 1% threshold is evaluated in exact integer arithmetic
+    (count·100 ≥ n) in BOTH engines — no IEEE ceil at the boundary.
     Output is identical to the domain-sized GROUP BY ... HAVING the
     oracle runs — which is the whole point: sketch-bounded state,
     exact cross-engine-checkable answer."""
@@ -4525,7 +4527,7 @@ def q114_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT t.source AS source, t.token AS token, COUNT(*) AS count
     FROM t JOIN tot ON t.source = tot.source
     GROUP BY t.source, t.token, tot.n
-    HAVING COUNT(*) >= ceil(0.02 * tot.n)
+    HAVING COUNT(*) * 50 >= 1 * tot.n
     """,
 )
 def q115_grouped_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4535,7 +4537,8 @@ def q115_grouped_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     source's token stream. Same Misra-Gries candidates + exact
     bounded recount as q114, with the no-miss bound applied per
     (partition, source) and the threshold computed against each
-    source's own total (operators/heavy.grouped_heavy_hitters)."""
+    source's own total in exact integer arithmetic (count·50 ≥ n_src,
+    both engines — operators/heavy.grouped_heavy_hitters)."""
     from .operators.heavy import grouped_heavy_hitters
 
     docs = _t(spark, sf_dir, "documents")

@@ -112,13 +112,16 @@ def apply_scd2_batch(spark: SparkSession, batch: DataFrame, dim_dir: str,
 
 def make_scd2_batch_fn(dim_dir: str, key_cols: list[str], ts_col: str,
                        attr_col: str, tiebreak_col: str,
-                       n_buckets: int = 16):
-    """foreachBatch adapter for job.start_foreach_batch_sink."""
+                       n_buckets: int = 16, late_policy: str = "skip"):
+    """foreachBatch adapter for job.start_foreach_batch_sink.
+    ``late_policy`` is forwarded to :func:`apply_scd2_batch` so
+    streaming callers on exactly-once ordered transports can select
+    ``"error"`` (the module docstring's recommendation)."""
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         apply_scd2_batch(batch_df.sparkSession, batch_df, dim_dir,
                          key_cols, ts_col, attr_col, tiebreak_col,
-                         n_buckets)
+                         n_buckets, late_policy=late_policy)
 
     return fn
 

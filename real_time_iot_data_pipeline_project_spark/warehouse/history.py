@@ -155,9 +155,13 @@ def scd2_apply_increment(dim: DataFrame, increment: DataFrame,
     re-reading the underlying history.
 
     The append-only contract: every increment row's ``ts_col`` must be
-    >= its key's current ``effective_from`` (validated — a strictly
-    earlier observation would rewrite closed history, which is a full
-    rebuild, not an increment). Under that contract the result is
+    STRICTLY LATER than its key's current ``effective_from`` (validated
+    — an earlier observation would rewrite closed history, and an
+    equal-``ts`` one is order-ambiguous against the open row: the fold
+    seeds the current row first regardless of tiebreak, while a full
+    rebuild orders by (ts, tiebreak), so accepting it could diverge
+    from the rebuild; ``streaming/scd2.py`` filters the same ``<=``
+    predicate before calling here). Under that contract the result is
     row-identical to ``scd2_from_history`` over the concatenated
     history — pinned by tests and by registry q112, which runs the
     incremental path against the full-rebuild oracle.
@@ -176,15 +180,18 @@ def scd2_apply_increment(dim: DataFrame, increment: DataFrame,
     current = dim.filter(F.col("is_current"))
     cur_touched = current.join(touched, key_cols, "left_semi")
 
-    # append-only validation: an increment row older than its key's
-    # open interval cannot be folded (it belongs to closed history)
+    # append-only validation: an increment row at or before its key's
+    # open interval cannot be folded (earlier = belongs to closed
+    # history; equal = order-ambiguous vs the seed, could diverge from
+    # a full rebuild when the increment's tiebreak sorts first)
     stale = (inc.groupBy(*key_cols).agg(F.min(ts_col).alias("__min_ts"))
              .join(cur_touched.select(*key_cols, "effective_from"), key_cols)
-             .filter(F.col("__min_ts") < F.col("effective_from")))
+             .filter(F.col("__min_ts") <= F.col("effective_from")))
     if stale.limit(1).count() > 0:
         raise ValueError(
-            "increment contains observations earlier than a key's open "
-            "interval — that rewrites closed history; run "
+            "increment contains observations at or earlier than a key's "
+            "open interval — that rewrites closed history (or is "
+            "order-ambiguous against the open row); run "
             "scd2_from_history over the full history instead")
 
     seed = cur_touched.select(

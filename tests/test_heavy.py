@@ -16,13 +16,19 @@ from real_time_iot_data_pipeline_project_spark.operators import heavy
 
 
 def _exact(rows, support):
+    """Exact-rational reference: count*den >= num*n for the Fraction of
+    the decimal the caller wrote — the operator's documented semantics
+    (IEEE ceil(support*n) shifts the cutoff for e.g. support=0.07)."""
+    from fractions import Fraction
+
+    frac = Fraction(str(support))
     counts: dict = {}
     for v in rows:
         if v is not None:
             counts[v] = counts.get(v, 0) + 1
     n = sum(counts.values())
-    thr = math.ceil(support * n)
-    return {(v, c) for v, c in counts.items() if c >= thr}
+    return {(v, c) for v, c in counts.items()
+            if c * frac.denominator >= frac.numerator * n}
 
 
 def test_heavy_hitters_equal_exact_groupby(spark):
@@ -74,6 +80,43 @@ def test_heavy_hitters_ignores_nulls_and_validates_support(spark):
     assert got == {("a", 2)}
     with pytest.raises(ValueError, match="support"):
         heavy.heavy_hitters(df, "x", 0.0)
+
+
+def test_heavy_hitters_exact_rational_threshold(spark):
+    """support=0.07, n=100: IEEE doubles give 0.07*100 =
+    7.000000000000001 -> ceil = 8, wrongly excluding an item at exactly
+    the documented 7% frequency. The exact integer threshold
+    (count*100 >= 7*n) must include it."""
+    assert math.ceil(0.07 * 100) == 8  # the double-math trap is real
+    rows = ["edge"] * 7 + [f"f{i}" for i in range(93)]
+    df = spark.createDataFrame([(v,) for v in rows], "x string")
+    got = {(r["x"], r["count"]) for r in
+           heavy.heavy_hitters(df, "x", 0.07).collect()}
+    assert ("edge", 7) in got
+
+
+def test_weighted_mg_matches_classic_no_miss():
+    """The vectorized weighted-MG update must satisfy the same no-miss
+    bound as the classic row-at-a-time reference: feeding pre-aggregated
+    (value, weight) pairs in any order may not lose a true heavy
+    hitter."""
+    rng = random.Random(17)
+    for trial in range(20):
+        n, k = 500, rng.randint(2, 20)
+        vals = [rng.randint(0, 30) for _ in range(n)]
+        counts: dict = {}
+        for v in vals:
+            counts[v] = counts.get(v, 0) + 1
+        # simulate batch pre-aggregation: shuffled distinct pairs,
+        # split across several "batches"
+        pairs = list(counts.items())
+        rng.shuffle(pairs)
+        counters: dict = {}
+        for v, w in pairs:
+            heavy._mg_update_weighted(counters, v, w, k)
+        for v, c in counts.items():
+            if c > n / k:
+                assert v in counters, (trial, v, c, n, k)
 
 
 def test_misra_gries_no_miss_property():

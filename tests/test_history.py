@@ -245,6 +245,25 @@ def test_scd2_increment_rejects_history_rewrites(spark):
             ts_col="ts", attr_col="a", tiebreak_col="tb")
 
 
+def test_scd2_increment_rejects_equal_ts_observations(spark):
+    """An increment row whose ts EQUALS its key's open effective_from is
+    order-ambiguous: the fold seeds the current row first regardless of
+    tiebreak, while a full rebuild orders by (ts, tiebreak) — so if the
+    increment's tiebreak sorted before the original opening row's, the
+    incremental result would diverge from the claimed row-identical
+    rebuild. Refuse it like the streaming sink's <= late filter does."""
+    import pytest
+
+    dim = history.scd2_from_history(
+        _hist(spark, [(1, _ts(1), 5, "A"), (1, _ts(5), 6, "B")]),
+        key_cols=["k"], ts_col="ts", attr_col="a", tiebreak_col="tb")
+    # ts == open interval's effective_from (_ts(5)), tiebreak 2 < 6
+    with pytest.raises(ValueError, match="at or earlier"):
+        history.scd2_apply_increment(
+            dim, _hist(spark, [(1, _ts(5), 2, "C")]), key_cols=["k"],
+            ts_col="ts", attr_col="a", tiebreak_col="tb")
+
+
 def test_warehouse_maintenance_cli(spark, tmp_path):
     """cdc-apply / scd2-apply CLI domains: fold parquet batches into
     the bucketed snapshot/dimension from the command line (the

@@ -353,3 +353,18 @@ def test_extract_features_real_wav_decode(spark):
     # genuinely unsupported formats still refuse up front
     with pytest.raises(NotImplementedError, match="mp3"):
         multimodal.extract_features(df, codec="mp3")
+
+
+def test_wav_empty_data_chunk_rejected_explicitly():
+    """A structurally-valid WAV with a ZERO-sample data chunk must be
+    rejected by an explicit guard in _wav_features, not by the accident
+    of numpy's empty-reduction ValueError firing before the NaN-head
+    stats (mean/std on an empty array silently yield NaN)."""
+    hdr = (b"RIFF" + struct.pack("<I", 36) + b"WAVEfmt "
+           + struct.pack("<I", 16)
+           + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+           + b"data" + struct.pack("<I", 0))
+    # the decoder itself accepts it (zero samples is structurally legal)
+    assert wav.decode_wav(hdr) == (8000, 1, [])
+    with pytest.raises(ValueError, match="empty data chunk"):
+        multimodal._wav_features(hdr, 16)

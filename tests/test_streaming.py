@@ -1273,6 +1273,13 @@ def test_scd2_sink_untouched_buckets_and_late_policy(spark, tmp_path):
                           attr_col="a", tiebreak_col="tb", n_buckets=8)
     assert sorted(map(tuple, scd2.read_dim(spark, dim_dir).collect())) \
         == before
+    # the foreachBatch adapter must FORWARD late_policy (a streaming
+    # caller on an exactly-once ordered transport selects 'error')
+    strict_fn = scd2.make_scd2_batch_fn(
+        dim_dir, key_cols=["k"], ts_col="ts", attr_col="a",
+        tiebreak_col="tb", n_buckets=8, late_policy="error")
+    with _pytest.raises(ValueError, match="late_policy"):
+        strict_fn(_obs_rows(spark, [(1, t(1), 201, "D")]), 99)
 
 
 def test_scd2_sink_streaming_wiring(spark, tmp_path):
