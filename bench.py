@@ -108,6 +108,22 @@ HEADLINE = [
     "q114_heavy_hitters",
     "q115_grouped_heavy_hitters",
     "q116_unconverted_clicks",
+    # round-8 window closure (VERDICT r7 item 6): every official-window
+    # query plus the rotated-out round-6/7 tier now has a headline row,
+    # so regressions in gated queries stay visible round-over-round
+    "q21_solar_physics",
+    "q25_corr_matrix",
+    "q30_fingerprint_dedup",
+    "q36_multimodal_features",
+    "q39_embedding_near_dup",
+    "q47_session_windows",
+    "q50_salted_join",
+    "q69_curation_funnel",
+    "q75_incremental_dedup",
+    "q76_near_dedup_corpus",
+    "q77_train_val_test",
+    "q80_image_decode_stats",
+    "q84_asof_forward",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

@@ -36,11 +36,13 @@ FLAGSHIP = [
     "q76_near_dedup_corpus",
     "q77_train_val_test",
     # round-6 promotions: the join + real-codec tier (VERDICT r5 item 1)
+    # (round 8: q84_asof_forward rotated out — the as-of family rows
+    # are held by q81 backward + q85 nearest; q84 carried official rows
+    # in CORRECTNESS_r06 and _r07)
     "q80_image_decode_stats",
     "q81_asof_join",
     "q82_range_join",
     "q83_rolling_time_agg",
-    "q84_asof_forward",
     "q85_asof_nearest",
     # round-6 second-wave promotions: relational / warehouse-history /
     # audit tier
@@ -60,6 +62,19 @@ FLAGSHIP = [
     "q92_feature_matrix",
     "q93_conversion_funnel",
     "q109_interval_join",
+    # round-8 promotions (rotation #4, VERDICT r7 item 1): the
+    # warehouse-history increment tier + the round-6 analytics tail
+    "q103_incremental_rollup",
+    "q105_skew_report",
+    "q106_aligned_corr",
+    "q108_unpivot_melt",
+    "q110_history_star",
+    "q111_null_safe_unique",
+    "q112_scd2_incremental",
+    "q113_dim_snapshot_at",
+    "q114_heavy_hitters",
+    "q115_grouped_heavy_hitters",
+    "q116_unconverted_clicks",
 ]
 
 # The exact round-6 official window (VERDICT r3 item 8: pin it so a
@@ -77,15 +92,17 @@ FLAGSHIP = [
 # subsumed by an in-window survivor, see SUBSUMPTION), the monitoring
 # tier q86-q93 plus the interval-join batch twin q109 promoted so they
 # carry official CORRECTNESS rows (VERDICT r6 items 1 and 3).
+# Round-8 change (rotation #4, VERDICT r7 item 1): q01/q11/q20/q21/q25/
+# q26/q28/q33/q36/q39/q84 deferred (each subsumed by an in-window
+# survivor, see SUBSUMPTION; all eleven carried official rows in
+# earlier rounds — see tools/coverage_ledger.py), the warehouse-history
+# increment tier q110-q116 plus the round-6 analytics tail q103/q105/
+# q106/q108 promoted so they carry first-time official CORRECTNESS
+# rows.
 EXPECTED_WINDOW = [
-    "q01_pricing_summary", "q04_star_join",
-    "q11_regression", "q20_wind_physics", "q21_solar_physics",
-    "q23_ewma", "q25_corr_matrix",
-    "q26_dwh_datetime_dim", "q27_iot_pipeline", "q28_text_stats",
-    "q30_fingerprint_dedup",
-    "q32_minhash_lsh_pairs", "q33_simhash",
-    "q36_multimodal_features",
-    "q38_ivf_topk", "q39_embedding_near_dup",
+    "q04_star_join", "q23_ewma", "q27_iot_pipeline",
+    "q30_fingerprint_dedup", "q32_minhash_lsh_pairs",
+    "q38_ivf_topk",
     "q57_cube_rollup",
     "q79_winnow_overlap_bounded", "q47_session_windows",
     "q50_salted_join", "q53_dedup_clusters",
@@ -95,14 +112,20 @@ EXPECTED_WINDOW = [
     "q75_incremental_dedup", "q76_near_dedup_corpus",
     "q77_train_val_test",
     "q80_image_decode_stats", "q81_asof_join", "q82_range_join",
-    "q83_rolling_time_agg", "q84_asof_forward", "q85_asof_nearest",
+    "q83_rolling_time_agg", "q85_asof_nearest",
     "q86_time_weighted_avg", "q87_gap_report", "q88_ohlc_bars",
     "q89_resample_ffill", "q90_rolling_zscore",
     "q91_audio_decode_stats", "q92_feature_matrix",
     "q93_conversion_funnel",
     "q94_shipping_priority", "q96_order_priority_check",
     "q97_cdc_snapshot", "q98_scd2_intervals", "q102_dq_audit",
+    "q103_incremental_rollup", "q105_skew_report",
+    "q106_aligned_corr", "q108_unpivot_melt",
     "q109_interval_join",
+    "q110_history_star", "q111_null_safe_unique",
+    "q112_scd2_incremental", "q113_dim_snapshot_at",
+    "q114_heavy_hitters", "q115_grouped_heavy_hitters",
+    "q116_unconverted_clicks",
 ]
 
 # Round-4/6 deferrals: each subsumed query's operator stays asserted by
@@ -112,11 +135,13 @@ SUBSUMPTION = {
     "q02_range_filter": ["q27_iot_pipeline", "q48_training_data_pipeline"],
     "q03_dim_join": ["q04_star_join"],
     # bin/when-chain + grouped count shape (q98's value banding is the
-    # same CASE-bucket expr; q01 the grouped-count half)
-    "q12_histogram": ["q98_scd2_intervals", "q01_pricing_summary"],
-    # (r7 re-point: former survivor q40 deferred) global scalar-agg pass
-    # = q11's closed-form regression aggregates + q102's conditional aggs
-    "q15_describe": ["q11_regression", "q102_dq_audit"],
+    # same CASE-bucket expr; r8 re-point: former survivor q01 deferred,
+    # the grouped count/sum half is q94's rollup)
+    "q12_histogram": ["q98_scd2_intervals", "q94_shipping_priority"],
+    # (r8 re-point: former survivor q11 deferred) global scalar-agg
+    # pass = q106's closed-form corr aggregates + q102's conditional
+    # aggs
+    "q15_describe": ["q106_aligned_corr", "q102_dq_audit"],
     "q16_distinct_stats": ["q54_tfidf_top_terms"],
     # (r7 re-point: former survivor q13 deferred) the sequence+explode
     # spine is the grid_spine driving q89's resample and q92's matrix
@@ -149,9 +174,11 @@ SUBSUMPTION = {
     # --- round-6 second wave ---
     # signature extraction is stage one of the LSH pairs pipeline
     "q31_minhash_signatures": ["q32_minhash_lsh_pairs"],
-    # binary stats surface = prefix of feature extraction; real decode
-    # tier goes further
-    "q35_binary_stats": ["q36_multimodal_features", "q80_image_decode_stats"],
+    # binary stats surface = prefix of feature extraction; both real-
+    # decode tiers go further (r8 re-point: former survivor q36
+    # deferred)
+    "q35_binary_stats": ["q80_image_decode_stats",
+                         "q91_audio_decode_stats"],
     # quality scoring runs verbatim as q48's scan-stage gate
     "q45_quality_score": ["q48_training_data_pipeline"],
     # lang-ID runs verbatim inside q48 (detected_lang gate)
@@ -171,21 +198,60 @@ SUBSUMPTION = {
     "q08_pivot_align": ["q92_feature_matrix"],
     # W6 lag-delta: lead/lag window arithmetic is q87's gap report
     "q09_lag_delta": ["q87_gap_report"],
-    # F4/F5 hour + day name run verbatim in q26's datetime dim; F8
-    # day/night labels in q27's clean chain
-    "q13_time_features": ["q26_dwh_datetime_dim", "q27_iot_pipeline"],
-    # A5 capacity factor: F22 capacity-utilization arithmetic in q21,
-    # grouped multi-metric mean shape in q01
-    "q14_capacity_factor": ["q21_solar_physics", "q01_pricing_summary"],
+    # F4 hour + F8 day/night labels run in q27's clean chain (r8
+    # re-point: former co-survivor q26 deferred; the F5 day-name
+    # derivation stays pinned by q26's local oracle + golden parity)
+    "q13_time_features": ["q27_iot_pipeline"],
+    # A5 capacity factor (r8 re-point: former survivors q21/q01
+    # deferred): the grouped ratio-of-aggregates shape is q86's
+    # sum(weighted)/sum(weights); grouped multi-agg shape is q94; the
+    # F22 utilization arithmetic stays pinned by test_physics + q21's
+    # local oracle
+    "q14_capacity_factor": ["q86_time_weighted_avg",
+                            "q94_shipping_priority"],
     # P7/P9 null predicate + fill: q27 runs drop/fill in its clean
     # chain; q102 counts null violations with the same conditional aggs
     "q18_null_handling": ["q27_iot_pipeline", "q102_dq_audit"],
     # T4 tumbling window: q88's time-bucket agg is the richer twin; q47
     # holds the streaming windowed-agg family row
     "q22_tumbling_window": ["q88_ohlc_bars", "q47_session_windows"],
-    # A3/A13 global scalar aggregates: q11's closed-form regression
-    # pass + q102's conditional-agg audit
-    "q40_global_metrics": ["q11_regression", "q102_dq_audit"],
+    # A3/A13 global scalar aggregates (r8 re-point: former survivor
+    # q11 deferred): q106's closed-form corr pass + q102's
+    # conditional-agg audit
+    "q40_global_metrics": ["q106_aligned_corr", "q102_dq_audit"],
+    # --- round 8 (rotation #4, VERDICT r7 item 1: open slots for
+    # q103/q105/q106/q108 + q110-q116) ---
+    # A1 grouped multi-agg over lineitem: q94's grouped decimal-exact
+    # revenue rollup is the richer TPC-H twin
+    "q01_pricing_summary": ["q94_shipping_priority"],
+    # A11 closed-form regression: corr/cov scalar-agg core = q106's
+    # aligned Pearson pass; conditional scalar aggs = q102
+    "q11_regression": ["q106_aligned_corr", "q102_dq_audit"],
+    # F9-F18 physics chains: VALUES pinned by golden parity vs the
+    # reference outputs + property tests; the scan-stage Column-chain
+    # SHAPE is q27's clean chain
+    "q20_wind_physics": ["q27_iot_pipeline"],
+    "q21_solar_physics": ["q27_iot_pipeline"],
+    # A10 pairwise corr: q106 runs the same pivot-align ∘ F.corr
+    # arithmetic on the (richer, as-of aligned) grid
+    "q25_corr_matrix": ["q106_aligned_corr"],
+    # S14/J4 dim-build → fact-attribute → rollup star shape = q110's
+    # history star; datetime field derivations stay in the local gate
+    "q26_dwh_datetime_dim": ["q110_history_star"],
+    # text-stat Column exprs: token/explode prefix of q54; quality
+    # consumers run inside q48's gate
+    "q28_text_stats": ["q54_tfidf_top_terms",
+                       "q48_training_data_pipeline"],
+    # simhash block-LSH: near-dup family row stays with q32's
+    # MinHash-LSH
+    "q33_simhash": ["q32_minhash_lsh_pairs"],
+    # multimodal feature surface: both real-decode tiers go further
+    "q36_multimodal_features": ["q80_image_decode_stats",
+                                "q91_audio_decode_stats"],
+    # embedding near-dup: ANN family row stays with q38's IVF
+    "q39_embedding_near_dup": ["q38_ivf_topk"],
+    # forward as-of = direction mirror of q81; q85 composes both
+    "q84_asof_forward": ["q81_asof_join", "q85_asof_nearest"],
 }
 
 

@@ -1316,3 +1316,78 @@ def test_scd2_sink_streaming_wiring(spark, tmp_path):
                                       available_now=True)
     q2.awaitTermination(120)
     assert sorted(map(tuple, scd2.read_dim(spark, dim_dir).collect())) == want
+
+
+def test_scd2_stream_equals_incremental_equals_rebuild_equals_duckdb(
+        spark, duck, tmp_path):
+    """The strongest H2-family equivalence chain (VERDICT r7 item 7):
+    the SAME event slice q112 gates on, driven through the STREAMING
+    SCD2 sink as two micro-batches (base days, then the increment),
+    must be row-identical to (a) the incremental batch fold (q112's
+    exact path), (b) the full rebuild (q98's formulation), and (c) the
+    DuckDB oracle — chaining stream == incremental == rebuild == DuckDB
+    in one test."""
+    from real_time_iot_data_pipeline_project_spark import registry
+    from real_time_iot_data_pipeline_project_spark.streaming import scd2
+    from real_time_iot_data_pipeline_project_spark.warehouse import history
+    from tests.conftest import SF_SMOKE
+    from tools.verify_oracles import compare
+
+    cutoff = "2024-01-20 00:00:00"
+    ev = registry._t(spark, SF_SMOKE, "events")
+    hist = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("value") < 20, "low")
+        .when(F.col("value") < 60, "mid")
+        .otherwise("high").alias("state"),
+    )
+    base = hist.filter(F.col("ts") <= F.lit(cutoff).cast("timestamp"))
+    inc = hist.filter(F.col("ts") > F.lit(cutoff).cast("timestamp"))
+
+    # --- streaming path: two real micro-batches through the sink ---
+    src = tmp_path / "src"
+    src.mkdir()
+    dim_dir = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ckpt")
+    stream_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in hist.schema)
+    fn = scd2.make_scd2_batch_fn(dim_dir, key_cols=["user_id"],
+                                 ts_col="ts", attr_col="state",
+                                 tiebreak_col="event_id", n_buckets=8)
+    base.write.parquet(str(src / "f1"))
+    stream = spark.readStream.schema(stream_schema).parquet(f"{src}/*")
+    q1 = job.start_foreach_batch_sink(stream, fn, checkpoint=ckpt,
+                                      available_now=True)
+    q1.awaitTermination(120)
+    inc.write.parquet(str(src / "f2"))
+    q2 = job.start_foreach_batch_sink(stream, fn, checkpoint=ckpt,
+                                      available_now=True)
+    q2.awaitTermination(120)
+    streamed = scd2.read_dim(spark, dim_dir).select(
+        "user_id", "state", "effective_from", "effective_to",
+        "version", "is_current")
+
+    def key(rows):
+        return sorted((r["user_id"], r["state"], r["effective_from"],
+                       r["effective_to"], r["version"], r["is_current"])
+                      for r in rows)
+
+    got_stream = key(streamed.collect())
+
+    # --- incremental batch fold (q112's exact path) ---
+    got_inc = key(registry.QUERIES["q112_scd2_incremental"](
+        spark, SF_SMOKE).collect())
+
+    # --- full rebuild over the concatenated history ---
+    got_rebuild = key(history.scd2_from_history(
+        hist, key_cols=["user_id"], ts_col="ts", attr_col="state",
+        tiebreak_col="event_id").collect())
+
+    assert got_stream == got_inc, "stream != incremental fold"
+    assert got_inc == got_rebuild, "incremental fold != full rebuild"
+
+    # --- DuckDB: the streamed dimension vs q112's oracle SQL ---
+    problems = compare(spark, duck, "scd2_stream_chain",
+                       lambda s, sf: streamed,
+                       registry.ORACLES["q112_scd2_incremental"], SF_SMOKE)
+    assert not problems, problems
