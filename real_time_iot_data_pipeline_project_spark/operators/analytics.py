@@ -201,27 +201,34 @@ def histogram(df: DataFrame, col: str, bins: list[float]) -> DataFrame:
     )
 
 
-def row_salt(df: DataFrame, salt: int) -> F.Column:
+def row_salt(df: DataFrame, salt: int, physical: bool = False) -> F.Column:
     """Deterministic ROW-dependent salt in [0, salt): hash over ALL
     columns, so rows sharing a join key still spread across salts (only
     full-row duplicates collide). Deterministic — replay/retry-stable
     where ``rand()`` is not — and independent of input partitioning.
 
-    LIMITATION: full-row duplicates share one salt by construction, so
-    a whale key whose rows are LITERALLY identical (a fact projected
-    down to key-only columns, or key + low-cardinality payload)
-    re-converges on few reducers and gets little or no mitigation —
-    the key-only failure mode one step removed. When rows are known
-    non-unique, mix in a physical disambiguator yourself (e.g.
-    ``F.spark_partition_id()`` or ``F.monotonically_increasing_id()``
-    as an extra hashed column); the default stays value-only because
-    physical ids are not replay-stable across different input
-    partitionings."""
-    return F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(salt))
+    LIMITATION of the default: full-row duplicates share one salt by
+    construction, so a whale key whose rows are LITERALLY identical (a
+    fact projected down to key-only columns, or key + low-cardinality
+    payload) re-converges on few reducers and gets little or no
+    mitigation — the key-only failure mode one step removed. For that
+    case pass ``physical=True``: ``F.spark_partition_id()`` and the
+    within-partition ``monotonically_increasing_id()`` are mixed into
+    the hash, spreading even byte-identical rows. The trade, stated
+    plainly: the physical salt depends on the input partitioning, so
+    it is NOT stable across a replay that repartitions the input (the
+    join RESULT is still exactly the plain join either way — only
+    which reducer a row lands on moves). Default stays value-only
+    because replay-stable placement is the safer default."""
+    cols = [F.col(c) for c in df.columns]
+    if physical:
+        cols += [F.spark_partition_id(), F.monotonically_increasing_id()]
+    return F.pmod(F.hash(*cols), F.lit(salt))
 
 
 def salted_join(left: DataFrame, right: DataFrame, left_key: str,
-                right_key: str, salt: int = 8, how: str = "inner") -> DataFrame:
+                right_key: str, salt: int = 8, how: str = "inner",
+                physical_salt: bool = False) -> DataFrame:
     """Skew-resistant equi-join: the (large, possibly skewed) ``left``
     side gets a deterministic ROW-dependent salt in [0, salt); the
     (smaller, non-broadcastable) ``right`` side is exploded ×``salt``
@@ -240,10 +247,12 @@ def salted_join(left: DataFrame, right: DataFrame, left_key: str,
     share a salt. That is also the residual limitation: a hot key whose
     rows are literally identical (e.g. the fact pre-projected to
     key-only columns) still lands on one reducer — keep a
-    distinguishing column through the join, or mix a physical
-    disambiguator into the salt (see :func:`row_salt`). The join
-    RESULT is salt-invariant either way (each left row matches exactly
-    the replica carrying its salt).
+    distinguishing column through the join, or pass
+    ``physical_salt=True`` to mix ``spark_partition_id`` +
+    ``monotonically_increasing_id`` into the salt (spreads even
+    byte-identical rows; placement then depends on input partitioning,
+    see :func:`row_salt`). The join RESULT is salt-invariant either
+    way (each left row matches exactly the replica carrying its salt).
 
     Use when AQE skew-join can't help (single extreme key, or the
     engine predates runtime re-planning); otherwise prefer broadcast
@@ -256,7 +265,8 @@ def salted_join(left: DataFrame, right: DataFrame, left_key: str,
             "the exploded right side would emit spurious null-extended "
             "rows under right/full outer semantics"
         )
-    l = left.withColumn("__salt_l", row_salt(left, salt))
+    l = left.withColumn("__salt_l",
+                        row_salt(left, salt, physical=physical_salt))
     r = right.withColumn(
         "__salt_r", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )

@@ -130,7 +130,8 @@ def _small_star(e: DataFrame) -> DataFrame:
 def connected_components_star(nodes: DataFrame, edges: DataFrame,
                               id_col: str = "id", src_col: str = "id_a",
                               dst_col: str = "id_b",
-                              max_iters: int = 60) -> DataFrame:
+                              max_iters: int = 60,
+                              stats: dict | None = None) -> DataFrame:
     """(id, component) via alternating large-star / small-star rounds
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
     SoCC'14) — same output contract as ``connected_components`` (the
@@ -175,10 +176,14 @@ def connected_components_star(nodes: DataFrame, edges: DataFrame,
         return (row[0], row[1])
 
     prev_fp = fingerprint(e)
-    for _ in range(max_iters):
+    for rounds in range(max_iters):
         e = _small_star(_large_star(e)).localCheckpoint()
         fp = fingerprint(e)
         if fp == prev_fp:
+            if stats is not None:
+                # rounds until the fixed point repeated (scale probes
+                # read this to check the O(log² n) bound empirically)
+                stats["rounds"] = rounds + 1
             break
         prev_fp = fp
     else:

@@ -136,7 +136,7 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("domain",
                    choices=["solar", "wind", "curate", "compact",
                             "compact-store", "dq-audit", "cdc-apply",
-                            "scd2-apply"])
+                            "scd2-apply", "plan-audit"])
     p.add_argument("input_path")
     p.add_argument("--output", default=None)
     p.add_argument("--store", default=None,
@@ -163,6 +163,40 @@ def main(argv: list[str] | None = None) -> None:
                    help="snapshot/dimension bucket count (fixed at creation)")
     args = p.parse_args(argv)
     spark = get_spark(app_name=f"{args.domain}-processing")
+    if args.domain == "plan-audit":
+        # the engine's own physical-plan anti-pattern report, as a CLI
+        # (plans/inspect.py): input_path is a registry query name; the
+        # optional --output is the sf_dir to plan against. Exits
+        # non-zero on a scale-killing anti-pattern (row-at-a-time
+        # Python in the plan, or full rows funneling through one
+        # partition), so users can gate CI on the same checks
+        # tests/test_plans.py pins for the headline queries.
+        from . import registry
+        from .plans import inspect as plan_inspect
+
+        name = args.input_path
+        if name not in registry.QUERIES:
+            p.error(f"unknown query {name!r}; one of: "
+                    + ", ".join(sorted(registry.QUERIES)))
+        sf_dir = args.output or "/root/testdata/sf0.001"
+        df = registry.QUERIES[name](spark, sf_dir)
+        df.explain("formatted")
+        flags = plan_inspect.audit(df)
+        print(f"== plan-audit: {name} ==")
+        for k, v in flags.items():
+            print(f"  {k}: {v}")
+        bad = []
+        if flags["python_row_udf"]:
+            bad.append("python_row_udf (row-at-a-time BatchEvalPython "
+                       "in the plan — use Arrow/pandas boundaries)")
+        if flags["single_partition_full_data"]:
+            bad.append("single_partition_full_data (full rows funnel "
+                       "through one task — a global-window smell)")
+        if bad:
+            raise SystemExit(
+                "plan-audit: anti-pattern(s) found:\n  " + "\n  ".join(bad))
+        print("plan-audit: no scale anti-patterns")
+        return
     if args.domain == "dq-audit":
         # publish gate: tall violation report over a parquet table;
         # exit non-zero when any contract is broken so CI/schedulers

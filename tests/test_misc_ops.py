@@ -470,3 +470,51 @@ def test_salted_join_salt_varies_within_hot_key(spark):
     salted = analytics.salted_join(whale, dim, "k", "rk", salt=8).drop("rk")
     assert sorted(map(tuple, salted.collect())) == \
         sorted(map(tuple, plain.collect()))
+
+
+def test_plan_audit_cli(spark, capsys):
+    """`pipelines plan-audit <query>` surfaces the engine's own
+    physical-plan anti-pattern report (plans/inspect.py) and exits
+    cleanly for a healthy plan."""
+    from real_time_iot_data_pipeline_project_spark import pipelines
+
+    pipelines.main(["plan-audit", "q04_star_join"])
+    out = capsys.readouterr().out
+    assert "plan-audit: no scale anti-patterns" in out
+    assert "broadcast_join: True" in out
+
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        pipelines.main(["plan-audit", "not_a_query"])
+
+
+def test_salted_join_physical_salt_spreads_identical_rows(spark):
+    """The round-8 ADVICE follow-through: a whale key whose rows are
+    BYTE-IDENTICAL defeats the value-only row salt (all duplicates hash
+    to one salt). physical_salt=True mixes spark_partition_id +
+    monotonically_increasing_id into the hash so even identical rows
+    spread — and the join RESULT must still equal the plain join."""
+    from real_time_iot_data_pipeline_project_spark.operators import analytics
+
+    # 400 literally identical rows of the hot key, pre-partitioned wide
+    whale = spark.createDataFrame(
+        [(1,)] * 400 + [(k,) for k in range(2, 10)], "k long"
+    ).repartition(8)
+    # value-only salt: identical rows collapse onto ONE salt value
+    value_salts = whale.filter(F.col("k") == 1).select(
+        analytics.row_salt(whale, 8).alias("s")).distinct().count()
+    assert value_salts == 1
+    # physical salt: the same rows spread over (nearly) all 8 salts
+    phys_salts = whale.filter(F.col("k") == 1).select(
+        analytics.row_salt(whale, 8, physical=True).alias("s")
+    ).distinct().count()
+    assert phys_salts >= 4
+
+    dim = spark.createDataFrame([(k, f"d{k}") for k in range(1, 10)],
+                                "rk long, attr string")
+    plain = sorted(map(tuple, whale.join(
+        dim, whale["k"] == dim["rk"]).drop("rk").collect()))
+    salted = sorted(map(tuple, analytics.salted_join(
+        whale, dim, "k", "rk", salt=8, physical_salt=True)
+        .drop("rk").collect()))
+    assert salted == plain

@@ -1,0 +1,186 @@
+"""x100 scale probe (VERDICT r7 item 5): two decades of scaling
+evidence for the three structurally riskiest queries.
+
+The x10 stress harness (tools/scale_stress.py + STRESS_X10.md) gives
+one decade; this probe replicates sf0.1 by 100 (≈10M events / ≈500k
+documents, same key-remapped non-duplicating scheme) and measures:
+
+- **q53 (LSH connected components)**: does the large-star/small-star
+  round count stay logarithmic-flat on the 100× pair graph, and is
+  wall time ~linear in edges?
+- **q79 (bounded winnow overlap)**: does the stop-fingerprint cap keep
+  the emitted pair count and wall time ~linear in documents?
+- **q112-shape SCD2 fold (bucketed sink locality)**: with the
+  accumulated dimension grown 100× and n_buckets scaled with it
+  (production sizing: constant bucket bytes), does folding a FIXED
+  50-key increment stay ~flat? This is the O(touched + increment),
+  never O(accumulated dimension), claim measured directly.
+
+Usage:
+  python tools/x100_probe.py [--skip-build]
+Writes replicas to /tmp/sfx10_probe and /tmp/sfx100_probe (outside the
+repo); never touches /root/testdata. Single-run timings at x100 (the
+queries are minutes-scale there; run-to-run noise is small relative to
+the decade ratios being measured).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from real_time_iot_data_pipeline_project_spark import registry  # noqa: E402
+from real_time_iot_data_pipeline_project_spark.session import get_spark  # noqa: E402
+
+from scale_stress import scale_table  # noqa: E402
+
+SF01 = "/root/testdata/sf0.1"
+X10 = "/tmp/sfx10_probe"
+X100 = "/tmp/sfx100_probe"
+
+
+def build(spark, out_dir: str, factor: int) -> None:
+    for t in ("documents", "events"):
+        path = f"{out_dir}/{t}.parquet"
+        if os.path.exists(path):
+            continue
+        scale_table(spark, t, factor).write.mode("overwrite").parquet(path)
+        n = spark.read.parquet(path).count()
+        print(f"BUILD {out_dir}/{t}: {n} rows", flush=True)
+
+
+def probe_q53(spark, sf_dir: str) -> dict:
+    """q53's exact pipeline, with the star round count captured."""
+    from real_time_iot_data_pipeline_project_spark.operators import (
+        dedup, graph,
+    )
+
+    docs = registry._t(spark, sf_dir, "documents")
+    t0 = time.monotonic()
+    pairs = dedup.minhash_lsh_candidates(docs).filter(
+        F.col("est_jaccard") >= 0.75)
+    stats: dict = {}
+    comp = graph.connected_components_star(
+        docs.select("doc_id"), pairs, id_col="doc_id", stats=stats)
+    n = comp.count()
+    dt = time.monotonic() - t0
+    return {"sec": round(dt, 2), "rows": n,
+            "rounds": stats.get("rounds")}
+
+
+def probe_q79(spark, sf_dir: str) -> dict:
+    t0 = time.monotonic()
+    df = registry.QUERIES["q79_winnow_overlap_bounded"](spark, sf_dir)
+    n = df.count()
+    return {"sec": round(time.monotonic() - t0, 2), "pairs": n}
+
+
+def _hist_replicated(spark, factor: int):
+    """sf0.1 events replicated with USER remapping: each replica's rows
+    get fresh user_ids (and offset event_ids), so the SCD2 dimension's
+    key population — and therefore the accumulated dimension — really
+    grows ×factor. (The on-disk x10/x100 replicas keep user_id fixed so
+    per-key join fan-out grows like production facts-per-dim growth;
+    that collapses duplicate state runs and leaves the DIMENSION flat,
+    which is the wrong axis for the fold-locality claim.)"""
+    ev = registry._t(spark, SF01, "events").select(
+        "user_id", "ts", "event_id", "value")
+    row = ev.agg(F.max("event_id"), F.max("user_id")).head()
+    eoff, uoff = row[0] + 1, row[1] + 1
+    out = ev
+    for i in range(1, factor):
+        out = out.unionByName(ev.select(
+            (F.col("user_id") + F.lit(i * uoff)).alias("user_id"),
+            "ts",
+            (F.col("event_id") + F.lit(i * eoff)).alias("event_id"),
+            "value"))
+    return out.select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("value") < 20, "low")
+        .when(F.col("value") < 60, "mid")
+        .otherwise("high").alias("state"),
+    )
+
+
+def probe_scd2_fold(spark, factor: int, n_buckets: int, tag: str) -> dict:
+    """Seed a bucketed SCD2 dimension from user-remapped ×factor events
+    (one-time cost, reported separately), then time folding a FIXED
+    50-key increment — the daily-changelog shape. Locality claim: the
+    fold reads/rewrites only the buckets containing the 50 keys, so
+    with n_buckets scaled to keep bucket bytes constant (production
+    sizing), fold cost stays ~flat while the dimension grows ×factor."""
+    import shutil
+
+    from real_time_iot_data_pipeline_project_spark.streaming import scd2
+
+    dim_dir = f"/tmp/x100_dim_{tag}"
+    shutil.rmtree(dim_dir, ignore_errors=True)
+    hist = _hist_replicated(spark, factor)
+    t0 = time.monotonic()
+    scd2.apply_scd2_batch(spark, hist, dim_dir, key_cols=["user_id"],
+                          ts_col="ts", attr_col="state",
+                          tiebreak_col="event_id", n_buckets=n_buckets)
+    seed_sec = time.monotonic() - t0
+    dim_rows = spark.read.parquet(dim_dir).count()
+
+    # fixed increment: 50 replica-0 keys (present at every scale),
+    # 3 observations each, strictly after every seeded ts
+    keys = [r[0] for r in
+            registry._t(spark, SF01, "events")
+            .select("user_id").distinct().orderBy("user_id")
+            .limit(50).collect()]
+    inc_rows = [(int(k), f"2025-06-01 00:0{j}:00", 10_000_000 + i * 3 + j,
+                 ["low", "mid", "high"][j])
+                for i, k in enumerate(keys) for j in range(3)]
+    inc = spark.createDataFrame(
+        inc_rows, "user_id long, ts string, event_id long, state string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    t0 = time.monotonic()
+    scd2.apply_scd2_batch(spark, inc, dim_dir, key_cols=["user_id"],
+                          ts_col="ts", attr_col="state",
+                          tiebreak_col="event_id", n_buckets=n_buckets)
+    fold_sec = time.monotonic() - t0
+    shutil.rmtree(dim_dir, ignore_errors=True)
+    return {"seed_sec": round(seed_sec, 2), "dim_rows": dim_rows,
+            "fold_sec": round(fold_sec, 2), "n_buckets": n_buckets}
+
+
+def main() -> None:
+    spark = get_spark(app_name="x100-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.read.parquet(f"{SF01}/region.parquet").count()  # warmup
+
+    if "--skip-build" not in sys.argv:
+        build(spark, X10, 10)
+        build(spark, X100, 100)
+
+    for name, fn in (("q53_cc", probe_q53), ("q79_winnow", probe_q79)):
+        fn(spark, SF01)           # throwaway: absorb first-run codegen
+        r1 = fn(spark, SF01)
+        r10 = fn(spark, X10)
+        r100 = fn(spark, X100)
+        s10 = r10["sec"] / max(r1["sec"], 1e-9)
+        s100 = r100["sec"] / max(r10["sec"], 1e-9)
+        print(f"RESULT {name} x1={r1} x10={r10} x100={r100} "
+              f"slope_x1_x10={s10:.1f} slope_x10_x100={s100:.1f} "
+              f"(linear=10.0)", flush=True)
+
+    probe_scd2_fold(spark, 1, 8, "warm")  # throwaway: absorb codegen
+    f1 = probe_scd2_fold(spark, 1, 8, "x1")
+    f10 = probe_scd2_fold(spark, 10, 80, "x10")
+    f100 = probe_scd2_fold(spark, 100, 800, "x100")
+    print(f"RESULT scd2_fold_locality x1={f1} x10={f10} x100={f100} "
+          f"fold_slope_x1_x100="
+          f"{f100['fold_sec'] / max(f1['fold_sec'], 1e-9):.1f} "
+          f"(flat=1.0, dim grew "
+          f"{f100['dim_rows'] / max(f1['dim_rows'], 1):.0f}x)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
