@@ -185,3 +185,53 @@ def test_grouped_heavy_hitters_planted_whale_group(spark):
             for v, c in _exact(vals, 0.05):
                 want.add((g, v, c))
         assert got == want, parts
+
+
+# --- hypothesis property tests (pure Python, no Spark session) ---
+
+from fractions import Fraction  # noqa: E402
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 20), st.integers(1, 50)),
+             min_size=1, max_size=60),
+    st.integers(1, 15),
+)
+@settings(max_examples=300, deadline=None)
+def test_weighted_mg_no_miss_hypothesis(pairs, k):
+    """Arbitrary (value, weight) sequences — duplicates, any order, any
+    k: every item with total weight > n/k must survive the weighted-MG
+    summary (the bound the distributed candidate pass rests on)."""
+    counters: dict = {}
+    for v, w in pairs:
+        heavy._mg_update_weighted(counters, v, w, k)
+    totals: dict = {}
+    for v, w in pairs:
+        totals[v] = totals.get(v, 0) + w
+    n = sum(totals.values())
+    for v, c in totals.items():
+        if c > n / k:
+            assert v in counters, (v, c, n, k)
+    # summary stays bounded
+    assert len(counters) <= k
+
+
+@given(
+    st.decimals(min_value="0.000001", max_value="1",
+                allow_nan=False, allow_infinity=False, places=6),
+    st.integers(0, 10_000),
+    st.integers(1, 10_000),
+)
+@settings(max_examples=300, deadline=None)
+def test_integer_threshold_equals_rational_ceil(support_dec, count, n):
+    """The shipped predicate count*den >= num*n is exactly
+    count >= ceil(support*n) under RATIONAL arithmetic, for any decimal
+    support — the property the Fraction rewrite claims (IEEE-double
+    ceil disagrees at boundaries like 0.07*100)."""
+    frac = Fraction(str(support_dec))
+    lhs = count * frac.denominator >= frac.numerator * n
+    exact_threshold = -(-(frac.numerator * n) // frac.denominator)  # ceil
+    rhs = count >= exact_threshold
+    assert lhs == rhs
