@@ -98,11 +98,19 @@ def test_ungateable_set_is_the_approx_tier():
 
 
 def test_coverage_doc_is_fresh():
-    """COVERAGE.md in the repo matches the generator's current output
-    (regenerate with --write after any CORRECTNESS/rotation change)."""
+    """COVERAGE.md matches the generator's output FOR THE ROUNDS THE
+    DOC COVERS (its 'Rounds covered: r1..rN' line) — so the driver
+    dropping a NEW CORRECTNESS_r{N+1}.json after the doc was generated
+    doesn't fail the suite, but any rotation/plan/registry change that
+    alters the report does (regenerate with --write)."""
+    import re
+
     doc = os.path.join(coverage_ledger.REPO, "COVERAGE.md")
     with open(doc) as f:
-        assert f.read() == coverage_ledger.report()
+        text = f.read()
+    m = re.search(r"Rounds covered: r1\.\.r(\d+)\.", text)
+    assert m, "COVERAGE.md is missing its 'Rounds covered' horizon line"
+    assert text == coverage_ledger.report(max_round=int(m.group(1)))
 
 
 def test_bench_headline_covers_official_window():

@@ -74,7 +74,7 @@ PLANNED_ROTATIONS: dict[int, list[str]] = {
 }
 
 
-def _correctness_files() -> list[tuple[int, str]]:
+def _correctness_files(max_round: int | None = None) -> list[tuple[int, str]]:
     out = []
     for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
         base = os.path.basename(p)
@@ -82,18 +82,23 @@ def _correctness_files() -> list[tuple[int, str]]:
             rnd = int(base.split("_r")[1].split(".")[0])
         except (IndexError, ValueError):
             continue
+        if max_round is not None and rnd > max_round:
+            continue
         out.append((rnd, p))
     return sorted(out)
 
 
-def ledger() -> dict[str, dict]:
+def ledger(max_round: int | None = None) -> dict[str, dict]:
     """query -> {'rounds': [..green official rounds..], 'first': r|None,
     'last': r|None}. A row counts as green when hash_match is true, or
-    (for rows-only checks) rows_match is true with no error."""
+    (for rows-only checks) rows_match is true with no error.
+    ``max_round`` restricts to CORRECTNESS files ≤ that round (the doc
+    freshness test replays the doc's own horizon, so a NEW round file
+    appearing after the doc was generated doesn't fail the suite)."""
     from real_time_iot_data_pipeline_project_spark import registry
 
     hist: dict[str, list[int]] = {q: [] for q in registry.QUERIES}
-    for rnd, path in _correctness_files():
+    for rnd, path in _correctness_files(max_round):
         with open(path) as f:
             data = json.load(f)
         for q, rec in data.items():
@@ -108,8 +113,13 @@ def ledger() -> dict[str, dict]:
     }
 
 
-def never_gated() -> set[str]:
-    return {q for q, rec in ledger().items() if not rec["rounds"]}
+def never_gated(max_round: int | None = None) -> set[str]:
+    return {q for q, rec in ledger(max_round).items() if not rec["rounds"]}
+
+
+def latest_round() -> int:
+    files = _correctness_files()
+    return files[-1][0] if files else 0
 
 
 def current_window() -> list[str]:
@@ -117,10 +127,12 @@ def current_window() -> list[str]:
     return list(entrymod.queries())[:50]
 
 
-def report() -> str:
-    led = ledger()
+def report(max_round: int | None = None) -> str:
+    if max_round is None:
+        max_round = latest_round()
+    led = ledger(max_round)
     window = set(current_window())
-    never = never_gated()
+    never = never_gated(max_round)
     never_hash = sorted(never - UNGATEABLE)
     scheduled = set().union(*PLANNED_ROTATIONS.values())
     lines = [
@@ -131,6 +143,8 @@ def report() -> str:
         "recorded a green official row for it. The external gate covers "
         "the first 50 exported queries per round, so rotation planning "
         "works off this ledger, not any single round.",
+        "",
+        f"Rounds covered: r1..r{max_round}.",
         "",
         f"- registered queries: {len(led)}",
         f"- ever gated: {len(led) - len(never)}",
