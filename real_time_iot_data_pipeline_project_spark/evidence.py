@@ -169,7 +169,10 @@ EVIDENCE: dict[str, dict] = {
         "test_misc_ops.py::test_weighted_sample_deterministic_and_partition_invariant"]},
     "Q1": {"queries": ["q102_dq_audit", "q111_null_safe_unique"], "tests": [
         "test_audit_aggstate.py::test_column_checks_counts_are_exact"]},
-    "O1": {"queries": ["q105_skew_report"], "tests": []},
+    "O1": {"queries": ["q105_skew_report"], "tests": [
+        "test_misc_ops.py::test_salted_join_physical_salt_spreads_identical_rows"]},
+    "O2": {"queries": [], "tests": [
+        "test_misc_ops.py::test_plan_audit_cli"]},
     # --- §2.7 sorts / limits; §2.8 set ops ---
     "L1": {"queries": ["q07_topk"], "tests": []},
     "L2": {"queries": ["q07_topk", "q94_shipping_priority"], "tests": [
