@@ -124,6 +124,8 @@ HEADLINE = [
     "q77_train_val_test",
     "q80_image_decode_stats",
     "q84_asof_forward",
+    # round-8 addition: the batch model-inference boundary (X30)
+    "q117_model_scores",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

@@ -173,6 +173,10 @@ EVIDENCE: dict[str, dict] = {
         "test_misc_ops.py::test_salted_join_physical_salt_spreads_identical_rows"]},
     "O2": {"queries": [], "tests": [
         "test_misc_ops.py::test_plan_audit_cli"]},
+    "X30": {"queries": ["q117_model_scores"], "tests": [
+        "test_inference.py::test_scorer_built_once_per_task_even_across_batches",
+        "test_inference.py::test_inference_slices_are_bounded_by_batch_size",
+        "test_inference.py::test_null_rows_get_null_score_and_skip_the_model"]},
     # --- §2.7 sorts / limits; §2.8 set ops ---
     "L1": {"queries": ["q07_topk"], "tests": []},
     "L2": {"queries": ["q07_topk", "q94_shipping_priority"], "tests": [

@@ -4627,6 +4627,57 @@ def q116_unconverted_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clicks.join(purchases, cond, "left_anti")
 
 
+@query(
+    "q117_model_scores",
+    """
+    SELECT doc_id,
+           (0.25
+            + (-2.0) * (CASE WHEN length(text) = 0 THEN 0.0
+               ELSE CAST(length(regexp_replace(text,
+                    '[^!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE)
+                    / length(text) END)
+            + 1.5 * (CAST(len(list_filter(string_split(lower(text), ' '),
+                     t -> t IN ('the','a','of','and','to','in','is',
+                                'that','it','for'))) AS DOUBLE)
+                     / len(string_split(lower(text), ' ')))
+            + 0.5 * (least(length(text), 2000) / 2000.0))
+           /
+           (1.0 + abs(0.25
+            + (-2.0) * (CASE WHEN length(text) = 0 THEN 0.0
+               ELSE CAST(length(regexp_replace(text,
+                    '[^!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE)
+                    / length(text) END)
+            + 1.5 * (CAST(len(list_filter(string_split(lower(text), ' '),
+                     t -> t IN ('the','a','of','and','to','in','is',
+                                'that','it','for'))) AS DOUBLE)
+                     / len(string_split(lower(text), ' ')))
+            + 0.5 * (least(length(text), 2000) / 2000.0)))
+           AS score
+    FROM documents
+    """,
+)
+def q117_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X30 — the batch model-inference boundary (operators/inference.
+    batch_score): classifier scoring as a curation stage, with the
+    three production properties encoded — model init ONCE per task
+    (make_scorer inside mapInPandas, never per row/batch), bounded
+    inference slices (batch_size caps peak model memory independent of
+    Arrow chunking), scan-stage placement (projection before the
+    Python boundary, no shuffle). The default scorer is a closed-form
+    softsign model over text statistics built from pure IEEE +,*,/
+    (no transcendentals), so the PYTHON-side scores hash-match the SQL
+    oracle bit-for-bit — the whole Python boundary is cross-engine
+    value-checked, not just smoke-tested. Swapping in a real
+    quality/toxicity/reward model is replacing make_scorer."""
+    from .operators.inference import batch_score, default_quality_scorer
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = batch_score(docs, default_quality_scorer,
+                         input_cols=["text"], score_col="score",
+                         batch_size=256)
+    return scored.select("doc_id", "score")
+
+
 # Operators added AFTER the 50-slot window filled with unique-operator
 # queries: fully oracle-checked by the local gate, first in line for a
 # window slot if one opens.
@@ -4676,6 +4727,9 @@ POST_WINDOW: list[str] = [
     # twins deferred (see DEFERRED round-8 block); they are no longer
     # listed here, so export_order() places them in the first-50 head
     # in registration order.)
+    # round 8: batch model-inference boundary (X30) — scheduled for
+    # rotation #6 in tools/coverage_ledger.py
+    "q117_model_scores",
 ]
 
 

@@ -1,0 +1,115 @@
+"""Batch model-inference boundary (operators/inference.py): the three
+production properties — scorer built ONCE per task, inference fed
+bounded slices, null rows never reach the model — plus input
+validation. The cross-engine value check is registry q117's oracle."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from real_time_iot_data_pipeline_project_spark.operators import inference
+
+
+def _docs(spark, n=50, parts=2):
+    return spark.createDataFrame(
+        [(i, f"doc {i} text") for i in range(n)], "id long, text string"
+    ).repartition(parts)
+
+
+def test_scorer_built_once_per_task_even_across_batches(spark):
+    """make_scorer must run once per TASK: with Arrow forced to hand
+    each task many small batches, every row's score still reports
+    init-count 1 — a per-batch (or per-row) re-init would score 2+."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "7")  # 25 rows/task -> ~4 Arrow batches/task
+    try:
+        # worker-process-level latch: every make_scorer call bumps a
+        # counter, and every score reports the counter AT INIT time
+        def make_counting():
+            import builtins
+            cnt = getattr(builtins, "_scorer_inits", 0) + 1
+            builtins._scorer_inits = cnt
+
+            def score(pdf):
+                import pandas as pd
+                return pd.Series(float(cnt), index=pdf.index)
+
+            return score
+
+        out = inference.batch_score(
+            _docs(spark, n=50, parts=2), make_counting,
+            input_cols=["text"], batch_size=1000)
+        scores = {r["score"] for r in out.collect()}
+        # 2 tasks -> at most 2 inits even though each task sees ~4
+        # Arrow batches; a per-batch init would yield values up to ~8
+        assert scores <= {1.0, 2.0}, scores
+    finally:
+        spark.conf.set(key, old)
+
+
+def test_inference_slices_are_bounded_by_batch_size(spark):
+    """The scorer must never see more rows than batch_size at once,
+    whatever Arrow chunking delivers."""
+    def make_scorer():
+        def score(pdf):
+            import pandas as pd
+            assert len(pdf) <= 8, f"slice of {len(pdf)} rows leaked"
+            return pd.Series(float(len(pdf)), index=pdf.index)
+
+        return score
+
+    out = inference.batch_score(
+        _docs(spark, n=100, parts=3), make_scorer,
+        input_cols=["text"], batch_size=8)
+    assert out.count() == 100
+    assert out.agg(F.max("score")).head()[0] <= 8.0
+
+
+def test_null_rows_get_null_score_and_skip_the_model(spark):
+    df = spark.createDataFrame(
+        [(1, "real text"), (2, None), (3, "more text")],
+        "id long, text string")
+
+    def make_scorer():
+        def score(pdf):
+            import pandas as pd
+            assert not pdf["text"].isna().any(), "null reached the model"
+            return pd.Series(0.5, index=pdf.index)
+
+        return score
+
+    got = {r["id"]: r["score"] for r in inference.batch_score(
+        df, make_scorer, input_cols=["text"]).collect()}
+    assert got[1] == 0.5 and got[3] == 0.5
+    assert got[2] is None
+
+
+def test_batch_score_validates_inputs(spark):
+    df = _docs(spark, n=3)
+    mk = inference.default_quality_scorer
+    with pytest.raises(ValueError, match="at least one column"):
+        inference.batch_score(df, lambda: mk(), input_cols=[])
+    with pytest.raises(ValueError, match="not in DataFrame"):
+        inference.batch_score(df, lambda: mk(), input_cols=["nope"])
+    with pytest.raises(ValueError, match="batch_size"):
+        inference.batch_score(df, lambda: mk(), input_cols=["text"],
+                              batch_size=0)
+    with pytest.raises(ValueError, match="already exists"):
+        inference.batch_score(df, lambda: mk(), input_cols=["text"],
+                              score_col="text")
+
+
+def test_default_scorer_matches_python_reference(spark):
+    """The closed-form softsign model: spot-check the arithmetic on a
+    handmade doc where every feature is known."""
+    text = "the cat, and a dog!"  # 19 chars, 2 punct, 5 tokens, 3 stop
+    df = spark.createDataFrame([(1, text)], "id long, text string")
+    got = inference.batch_score(
+        df, inference.default_quality_scorer,
+        input_cols=["text"]).head()["score"]
+    w0, w1, w2, w3 = inference.DEFAULT_WEIGHTS
+    z = w0 + w1 * (2 / 19) + w2 * (3 / 5) + w3 * (19 / 2000)
+    assert got == z / (1.0 + abs(z))

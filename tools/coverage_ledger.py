@@ -60,7 +60,7 @@ PLANNED_ROTATIONS: dict[int, list[str]] = {
         "q71_source_leakage",
         "q72_unigram_logprob",
     ],
-    # rotation #6 — the packing/analytics tail
+    # rotation #6 — the packing/analytics tail + round-8's new X30
     10: [
         "q73_context_windows",
         "q74_packing_report",
@@ -70,6 +70,7 @@ PLANNED_ROTATIONS: dict[int, list[str]] = {
         "q100_retention_cohorts",
         "q104_weighted_sample",
         "q107_chi2_independence",
+        "q117_model_scores",
     ],
 }
 
