@@ -124,8 +124,10 @@ HEADLINE = [
     "q77_train_val_test",
     "q80_image_decode_stats",
     "q84_asof_forward",
-    # round-8 addition: the batch model-inference boundary (X30)
+    # round-8 additions: the batch model-inference boundary (X30) and
+    # the feature-hashing embedder (X31)
     "q117_model_scores",
+    "q118_hashing_embed",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

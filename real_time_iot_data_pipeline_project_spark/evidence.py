@@ -177,6 +177,10 @@ EVIDENCE: dict[str, dict] = {
         "test_inference.py::test_scorer_built_once_per_task_even_across_batches",
         "test_inference.py::test_inference_slices_are_bounded_by_batch_size",
         "test_inference.py::test_null_rows_get_null_score_and_skip_the_model"]},
+    "X31": {"queries": ["q118_hashing_embed"], "tests": [
+        "test_embedding.py::test_unit_norm_and_duplicate_docs_identical",
+        "test_embedding.py::test_partitioning_invariance",
+        "test_embedding.py::test_embed_plan_is_jvm_only_and_validates_dim"]},
     # --- §2.7 sorts / limits; §2.8 set ops ---
     "L1": {"queries": ["q07_topk"], "tests": []},
     "L2": {"queries": ["q07_topk", "q94_shipping_priority"], "tests": [

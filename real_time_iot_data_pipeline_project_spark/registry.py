@@ -4678,6 +4678,58 @@ def q117_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("doc_id", "score")
 
 
+@query(
+    "q118_hashing_embed",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+      FROM documents
+    ),
+    tt AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+    h AS (
+      SELECT doc_id, {_hash60_sql('t')} AS h60 FROM tt
+    ),
+    s AS (
+      SELECT doc_id, h60 % 64 AS bucket,
+             CASE WHEN (h60 // 64) % 2 = 0 THEN 1 ELSE -1 END AS sign
+      FROM h
+    ),
+    w AS (
+      SELECT doc_id, bucket, SUM(sign) AS wsum
+      FROM s GROUP BY doc_id, bucket
+      HAVING SUM(sign) <> 0
+    ),
+    n AS (
+      SELECT doc_id,
+             sqrt(SUM(CAST(wsum AS DOUBLE) * wsum)) AS nrm
+      FROM w GROUP BY doc_id
+    )
+    SELECT w.doc_id AS doc_id, CAST(w.bucket AS BIGINT) AS bucket,
+           w.wsum / n.nrm AS weight
+    FROM w JOIN n ON w.doc_id = n.doc_id
+    """,
+)
+def q118_hashing_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X31 — feature-hashing document embedder (operators/embedding.
+    hashing_embed_sparse): vocabulary-free 64-dim signed-count
+    embeddings via the hashing trick (Weinberger et al. ICML'09),
+    entirely JVM-side — explode → portable hash → (doc, bucket)
+    partial-agg sum → doc-keyed norm window; zero Python, zero UDFs,
+    so the embed stage runs at scan-shuffle speed over 100 TB and
+    feeds the existing cosine/IVF/LSH tier directly.
+
+    Determinism: bucket weights are integer sums of hash-derived ±1
+    (order-free), the L2 norm is sqrt of an integer-valued double
+    (IEEE sqrt correctly rounded = exact), and the final division is
+    one exact IEEE op — both engines produce bit-identical doubles, no
+    rounding needed. The sign bit comes from integer DIV of the 60-bit
+    hash (a double quotient would lose it)."""
+    from .operators.embedding import hashing_embed_sparse
+
+    docs = _t(spark, sf_dir, "documents")
+    return hashing_embed_sparse(docs, dim=64)
+
+
 # Operators added AFTER the 50-slot window filled with unique-operator
 # queries: fully oracle-checked by the local gate, first in line for a
 # window slot if one opens.
@@ -4730,6 +4782,9 @@ POST_WINDOW: list[str] = [
     # round 8: batch model-inference boundary (X30) — scheduled for
     # rotation #6 in tools/coverage_ledger.py
     "q117_model_scores",
+    # round 8: feature-hashing embedder (X31) — scheduled for
+    # rotation #6 in tools/coverage_ledger.py
+    "q118_hashing_embed",
 ]
 
 

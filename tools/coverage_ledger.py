@@ -71,6 +71,7 @@ PLANNED_ROTATIONS: dict[int, list[str]] = {
         "q104_weighted_sample",
         "q107_chi2_independence",
         "q117_model_scores",
+        "q118_hashing_embed",
     ],
 }
 
