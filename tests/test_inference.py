@@ -113,3 +113,32 @@ def test_default_scorer_matches_python_reference(spark):
     w0, w1, w2, w3 = inference.DEFAULT_WEIGHTS
     z = w0 + w1 * (2 / 19) + w2 * (3 / 5) + w3 * (19 / 2000)
     assert got == z / (1.0 + abs(z))
+
+
+def test_batch_score_composes_with_streaming(spark, tmp_path):
+    """The inference boundary is a stateless mapInPandas, so the SAME
+    call works on a streaming DataFrame — score-as-you-ingest without a
+    separate code path. File stream -> batch_score -> parquet sink must
+    produce exactly the batch scores."""
+    src = tmp_path / "src"
+    src.mkdir()
+    df = spark.createDataFrame(
+        [(i, f"some text number {i} the and") for i in range(40)],
+        "id long, text string")
+    df.write.parquet(str(src / "f1"))
+    stream = spark.readStream.schema("id long, text string").parquet(
+        f"{src}/*")
+    scored = inference.batch_score(
+        stream, inference.default_quality_scorer,
+        input_cols=["text"], batch_size=16)
+    out = str(tmp_path / "out")
+    q = (scored.writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["id"]: r["score"] for r in spark.read.parquet(out).collect()}
+    want = {r["id"]: r["score"] for r in inference.batch_score(
+        df, inference.default_quality_scorer,
+        input_cols=["text"], batch_size=16).collect()}
+    assert got == want and len(got) == 40
