@@ -31,8 +31,13 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (see each
     callable's docstring for the operator IDs it covers), in
-    ``registry.export_order()``: unique-operator queries first, the six
-    redundant twins (registry.DEFERRED) last."""
+    ``registry.export_order()``: the 50-query official window first
+    (the external gate records rows for exactly that prefix), then the
+    deferred redundant twins (registry.DEFERRED — every one mapped to
+    an in-window survivor in tests/test_export_order.py SUBSUMPTION),
+    the POST_WINDOW tail (scheduled for official rows by
+    tools/coverage_ledger.py's rotation plan), and the bounded
+    approx-sketch tier."""
     return {name: registry.QUERIES[name] for name in registry.export_order()}
 
 

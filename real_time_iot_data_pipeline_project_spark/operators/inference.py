@@ -102,6 +102,8 @@ def batch_score(df: DataFrame, make_scorer: Callable[[], Callable],
         df.schema.fields + [T.StructField(score_col, T.DoubleType())])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         scorer = make_scorer()   # ONCE per task — the expensive init
         for pdf in batches:
             scores = pd.Series(float("nan"), index=pdf.index,
@@ -111,9 +113,20 @@ def batch_score(df: DataFrame, make_scorer: Callable[[], Callable],
             vidx = pdf.index[valid]
             for lo in range(0, len(vidx), batch_size):
                 sl = vidx[lo:lo + batch_size]
-                scores.loc[sl] = scorer(feed.loc[sl])
+                out = scorer(feed.loc[sl])
+                # POSITIONAL semantics: accept Series/ndarray/list and
+                # bind by position, so a scorer that reset its Series
+                # index cannot silently misalign via .loc label match
+                vals = np.asarray(out, dtype="float64")
+                if vals.shape != (len(sl),):
+                    raise ValueError(
+                        f"scorer returned shape {vals.shape} for a "
+                        f"{len(sl)}-row slice — must return one float "
+                        "per input row")
+                scores.loc[sl] = vals
             res = pdf.copy()
-            # NaN marks the all-null rows -> Arrow null double
+            # NaN marks the all-null rows -> Arrow null double (note a
+            # scorer RETURNING NaN also surfaces as SQL null)
             res[score_col] = scores.where(valid, other=None)
             yield res
 

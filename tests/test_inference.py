@@ -142,3 +142,39 @@ def test_batch_score_composes_with_streaming(spark, tmp_path):
         df, inference.default_quality_scorer,
         input_cols=["text"], batch_size=16).collect()}
     assert got == want and len(got) == 40
+
+
+def test_scorer_output_is_bound_positionally_and_shape_checked(spark):
+    """A scorer that resets its Series index must NOT misalign (values
+    bind by position), and a wrong-length output raises instead of
+    silently NaN-filling."""
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(6)], "id long, text string"
+    ).coalesce(1)
+
+    def make_reset_index_scorer():
+        def score(pdf):
+            import pandas as pd
+            # deliberately break label alignment
+            return pd.Series([float(len(t)) for t in pdf["text"]])
+
+        return score
+
+    got = {r["id"]: r["score"] for r in inference.batch_score(
+        df, make_reset_index_scorer, input_cols=["text"],
+        batch_size=4).collect()}
+    assert got == {i: float(len(f"t{i}")) for i in range(6)}
+
+    def make_short_scorer():
+        def score(pdf):
+            import pandas as pd
+            return pd.Series([1.0])  # wrong length
+
+        return score
+
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    with _pytest.raises((Py4JJavaError, Exception), match="one float"):
+        inference.batch_score(df, make_short_scorer,
+                              input_cols=["text"]).collect()
