@@ -2681,8 +2681,9 @@ DEFERRED: list[str] = [
     "q24_retention_last_n",
     # J3 inner series align — align twin of q08 pivot-align
     "q42_series_align",
-    # token frequency — the explode→grouped-agg prefix of q54 TF-IDF
-    "q51_token_frequency",
+    # (round 9, rotation #5: q51_token_frequency promoted INTO the
+    # official window so the explode→grouped-agg operator carries its
+    # own official row.)
     # --- round-4 consolidation (VERDICT r3 item 1): six subsumed twins
     # deferred to open official-gate slots for the LLM-curation flagship
     # tier.  Each subsumed operator stays asserted by an in-window query
@@ -2821,6 +2822,67 @@ DEFERRED: list[str] = [
     # J5 forward as-of: direction mirror of in-window q81 (backward);
     # q85 (nearest) composes both directions in one query
     "q84_asof_forward",
+    # --- round-9 consolidation (VERDICT r8 item 1, rotation #5):
+    # thirteen subsumable twins deferred so the LLM-curation mid tail
+    # (q51, q60-q72 tier) plus the round-8 operators (q117 model
+    # inference, q118 hashing embedder — pulled forward from rotation
+    # #6) carry official gate rows.  tests/test_export_order.py
+    # SUBSUMPTION maps each to in-window survivors; every deferred
+    # oracle still runs in the local gate (tools/verify_oracles.py and
+    # tests/test_oracle_parity.py).
+    # J4 broadcast star join: the dim-build → fact-join → rollup star
+    # shape is q110's history star; the broadcast-dim physical plan
+    # stays asserted by tests/test_plans.py
+    "q04_star_join",
+    # X-family exact dedup: the md5 fingerprint hash-groupBy is the
+    # identical core of q64 (chunk granularity) and q75 (incremental,
+    # anti-join vs store)
+    "q30_fingerprint_dedup",
+    # contamination screen: q71's source-leakage matrix is the same
+    # verbatim-chunk overlap operator at source granularity (promoted
+    # this rotation); probe-dim broadcast + winnow guarantee stay
+    # pinned by tests/test_contamination.py
+    "q52_contamination_screen",
+    # curation funnel: stage counts are conditional aggregates over
+    # q48's gate chain (quality/lang/dedup run verbatim in q48); the
+    # conditional-agg audit shape is q102's
+    "q69_curation_funnel",
+    # sampling splits: pure-hash membership family rows move to the
+    # promoted q61 (stratified sample) + q70 (epoch shuffle); the
+    # assign_split callable stays pinned by tests/test_sampling.py
+    "q77_train_val_test",
+    # J5 backward as-of: q85 (nearest) composes backward+forward; q92's
+    # feature matrix runs the same asof_join callable keyed by
+    # (user, signal)
+    "q81_asof_join",
+    # J6 bucketized range join: the interval-join family row is q109
+    # (inequality-bounded equi-join, the same pairs family); the
+    # no-BroadcastNestedLoopJoin bucketization plan stays asserted by
+    # tests/test_plans.py
+    "q82_range_join",
+    # W9 gap report: the lead() pairing with (ts, event_id) tie-break
+    # is exactly q86's time-weighted-avg holding-interval core; the
+    # filter is display-grade
+    "q87_gap_report",
+    # resample+ffill: grid_spine + as-of carry-forward is the literal
+    # prefix of q92's aligned feature matrix (spine → asof → pivot)
+    "q89_resample_ffill",
+    # W12 rolling z-score: same RANGE-frame time-window pass as q83's
+    # trailing agg (adds the (x-mean)/std arithmetic on the same frame)
+    "q90_rolling_zscore",
+    # TPC-H Q4 semi join: q116's unconverted-clicks is the LEFT ANTI
+    # complement of the same exists-per-key family (non-equi predicate
+    # riding the join condition); the grouped rollup is q94's; the
+    # left_semi plan stays asserted by tests/test_plans.py
+    "q96_order_priority_check",
+    # S14+ CDC snapshot: max_by(struct) winner-per-key is q88's OHLC
+    # open/close core; the history-tier consumer is q113's as-of
+    # dim snapshot
+    "q97_cdc_snapshot",
+    # S14+ SCD2 build: q110's history star BUILDS the same dimension
+    # via warehouse.history.scd2_from_history; q112's incremental
+    # oracle IS the full rebuild
+    "q98_scd2_intervals",
 ]
 
 
@@ -4737,16 +4799,10 @@ POST_WINDOW: list[str] = [
     # (round 4: q64/q67/q69/q75/q76/q77 promoted INTO the official
     # window — they are no longer listed here, so export_order() places
     # them in the first-50 head in registration order.)
-    "q60_repetition_signals",
-    "q61_stratified_sample",
-    "q62_shard_stats",
-    "q63_pii_redaction",
-    "q65_corpus_stats",
-    "q66_domain_mixing",
-    "q68_embedding_quantization",
-    "q70_epoch_shuffle",
-    "q71_source_leakage",
-    "q72_unigram_logprob",
+    # (round 9, rotation #5: q60-q63/q65/q66/q68/q70-q72 — the
+    # LLM-curation mid tail — promoted INTO the official window; they
+    # are no longer listed here, so export_order() places them in the
+    # first-50 head in registration order.)
     "q73_context_windows",
     "q74_packing_report",
     "q78_langid_confidence",
@@ -4779,12 +4835,10 @@ POST_WINDOW: list[str] = [
     # twins deferred (see DEFERRED round-8 block); they are no longer
     # listed here, so export_order() places them in the first-50 head
     # in registration order.)
-    # round 8: batch model-inference boundary (X30) — scheduled for
-    # rotation #6 in tools/coverage_ledger.py
-    "q117_model_scores",
-    # round 8: feature-hashing embedder (X31) — scheduled for
-    # rotation #6 in tools/coverage_ledger.py
-    "q118_hashing_embed",
+    # (round 9, rotation #5: q117_model_scores and q118_hashing_embed —
+    # the round-8 operators — pulled forward from rotation #6 INTO the
+    # official window, so the two newest operators get hard rows one
+    # round early; VERDICT r8 item 1.)
 ]
 
 

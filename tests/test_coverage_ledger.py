@@ -83,7 +83,7 @@ def test_backlog_fully_scheduled():
     a planned rotation."""
     never = coverage_ledger.never_gated() - coverage_ledger.UNGATEABLE
     window = set(coverage_ledger.current_window())
-    scheduled = set().union(*coverage_ledger.PLANNED_ROTATIONS.values())
+    scheduled = coverage_ledger.scheduled_queries()
     orphans = never - window - scheduled
     assert orphans == set(), (
         f"never-gated queries with no route to an official row: "
@@ -93,7 +93,8 @@ def test_backlog_fully_scheduled():
 def test_planned_rotations_name_real_queries():
     from real_time_iot_data_pipeline_project_spark import registry
 
-    for rnd, qs in coverage_ledger.PLANNED_ROTATIONS.items():
+    for rnd, (no, qs) in coverage_ledger.PLANNED_ROTATIONS.items():
+        assert isinstance(no, int) and no > 0, (rnd, no)
         unknown = [q for q in qs if q not in registry.QUERIES]
         assert unknown == [], (rnd, unknown)
         # a planned promotion that's already in the window is stale

@@ -40,28 +40,18 @@ UNGATEABLE = frozenset({
 })
 
 # Rotation plan for the remaining hash-checkable backlog (VERDICT r7
-# item 3): after rotation #4 (round 8: q103/q105/q106/q108 + q110-q116
-# promoted), the round-4/5 POST_WINDOW tail still has no official row.
-# Schedule it so every hash-checkable query has a row by round 10.
-# Deferral candidates are chosen when the rotation lands (same
-# subsumption playbook, tests/test_export_order.py SUBSUMPTION).
-PLANNED_ROTATIONS: dict[int, list[str]] = {
-    # rotation #5 — the LLM-curation mid tail
-    9: [
-        "q51_token_frequency",
-        "q60_repetition_signals",
-        "q61_stratified_sample",
-        "q62_shard_stats",
-        "q63_pii_redaction",
-        "q65_corpus_stats",
-        "q66_domain_mixing",
-        "q68_embedding_quantization",
-        "q70_epoch_shuffle",
-        "q71_source_leakage",
-        "q72_unigram_logprob",
-    ],
-    # rotation #6 — the packing/analytics tail + round-8's new X30
-    10: [
+# item 3, r8 item 1): rotation #4 (round 8) promoted q103/q105/q106/
+# q108 + q110-q116; rotation #5 (round 9) promoted the LLM-curation
+# mid tail q51/q60-q63/q65/q66/q68/q70-q72 plus q117/q118 (pulled
+# forward from rotation #6). Rotation #6 retires the rest so every
+# hash-checkable query has a row by round 10. Deferral candidates are
+# chosen when the rotation lands (same subsumption playbook,
+# tests/test_export_order.py SUBSUMPTION). Each entry maps the ROUND it
+# lands in to (rotation_no, queries) — the rotation number is stored,
+# not derived, so editing history never misnumbers the report.
+PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
+    # rotation #6 — the packing/analytics tail
+    10: (6, [
         "q73_context_windows",
         "q74_packing_report",
         "q78_langid_confidence",
@@ -70,9 +60,7 @@ PLANNED_ROTATIONS: dict[int, list[str]] = {
         "q100_retention_cohorts",
         "q104_weighted_sample",
         "q107_chi2_independence",
-        "q117_model_scores",
-        "q118_hashing_embed",
-    ],
+    ]),
 }
 
 
@@ -129,6 +117,11 @@ def current_window() -> list[str]:
     return list(entrymod.queries())[:50]
 
 
+def scheduled_queries() -> set[str]:
+    return set().union(*(qs for _, qs in PLANNED_ROTATIONS.values())) \
+        if PLANNED_ROTATIONS else set()
+
+
 def report(max_round: int | None = None) -> str:
     if max_round is None:
         max_round = latest_round()
@@ -136,7 +129,7 @@ def report(max_round: int | None = None) -> str:
     window = set(current_window())
     never = never_gated(max_round)
     never_hash = sorted(never - UNGATEABLE)
-    scheduled = set().union(*PLANNED_ROTATIONS.values())
+    scheduled = scheduled_queries()
     lines = [
         "# COVERAGE — official-row ledger",
         "",
@@ -160,8 +153,8 @@ def report(max_round: int | None = None) -> str:
         "|---|---|---|",
     ]
     for q in never_hash:
-        rot = next((f"round {r} (#{i})" for i, (r, qs) in
-                    enumerate(sorted(PLANNED_ROTATIONS.items()), start=5)
+        rot = next((f"round {r} (#{no})" for r, (no, qs) in
+                    sorted(PLANNED_ROTATIONS.items())
                     if q in qs), "")
         lines.append(
             f"| {q} | {'yes — gates this round' if q in window else 'no'} "
@@ -171,9 +164,8 @@ def report(max_round: int | None = None) -> str:
         "## Planned rotations",
         "",
     ]
-    for i, (rnd, qs) in enumerate(sorted(PLANNED_ROTATIONS.items()),
-                                  start=5):
-        lines.append(f"- **rotation #{i} (round {rnd})**: promote "
+    for rnd, (no, qs) in sorted(PLANNED_ROTATIONS.items()):
+        lines.append(f"- **rotation #{no} (round {rnd})**: promote "
                      + ", ".join(qs))
     lines += [
         "",
