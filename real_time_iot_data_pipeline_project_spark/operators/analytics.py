@@ -214,12 +214,19 @@ def row_salt(df: DataFrame, salt: int, physical: bool = False) -> F.Column:
     mitigation — the key-only failure mode one step removed. For that
     case pass ``physical=True``: ``F.spark_partition_id()`` and the
     within-partition ``monotonically_increasing_id()`` are mixed into
-    the hash, spreading even byte-identical rows. The trade, stated
-    plainly: the physical salt depends on the input partitioning, so
-    it is NOT stable across a replay that repartitions the input (the
-    join RESULT is still exactly the plain join either way — only
-    which reducer a row lands on moves). Default stays value-only
-    because replay-stable placement is the safer default."""
+    the hash, spreading even byte-identical rows. The trades, stated
+    plainly: (1) the physical salt depends on the input partitioning,
+    so it is NOT stable across a replay that repartitions the input;
+    (2) both expressions are NONDETERMINISTIC — if a fetch failure
+    triggers a partial stage retry, recomputed map tasks can assign
+    DIFFERENT salts than the first attempt, which for a join key means
+    a row can match zero or two replicas (dropped/duplicated output) —
+    the same failure class that makes rand() salting unsafe. So with
+    ``physical=True`` the salt-invariance claim holds only for
+    retry-free runs; pin the salted side with ``persist()`` or
+    ``localCheckpoint()`` BEFORE the join if the job must survive task
+    retries. Default stays value-only because it is deterministic
+    under both replay and in-job retry."""
     cols = [F.col(c) for c in df.columns]
     if physical:
         cols += [F.spark_partition_id(), F.monotonically_increasing_id()]
@@ -251,8 +258,15 @@ def salted_join(left: DataFrame, right: DataFrame, left_key: str,
     ``physical_salt=True`` to mix ``spark_partition_id`` +
     ``monotonically_increasing_id`` into the salt (spreads even
     byte-identical rows; placement then depends on input partitioning,
-    see :func:`row_salt`). The join RESULT is salt-invariant either
-    way (each left row matches exactly the replica carrying its salt).
+    see :func:`row_salt`). The join RESULT is salt-invariant (each
+    left row matches exactly the replica carrying its salt) — with the
+    caveat that ``physical_salt=True`` uses NONDETERMINISTIC
+    expressions, so under an in-job partial stage retry (fetch
+    failure) recomputed tasks can re-salt rows differently and
+    drop/duplicate matches; for retry-safety ``persist()`` or
+    ``localCheckpoint()`` the salted left side before joining (see
+    :func:`row_salt` for the full statement). The value-only default
+    is safe under both replay and retry.
 
     Use when AQE skew-join can't help (single extreme key, or the
     engine predates runtime re-planning); otherwise prefer broadcast

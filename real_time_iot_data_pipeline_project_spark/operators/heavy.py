@@ -99,8 +99,17 @@ def _misra_gries_candidates(values, k: int) -> list:
 
 def _mg_update_weighted(counters: dict, v, w: int, k: int) -> None:
     """Weighted Misra-Gries update: absorb ``w`` occurrences of ``v``
-    in O(k) amortized, preserving the classic undercount bound (each
-    decrement of d removes d·(k+1) total mass)."""
+    in O(k) WORST CASE per call, preserving the classic undercount
+    bound (each decrement of d removes d·(k+1) total mass).
+
+    Why worst case and not just amortized: the loop body runs at most
+    TWICE. When ``v`` is absent and the table is full, the first pass
+    decrements every counter by d = min(min_count, w); either w ≤
+    min_count (w is fully absorbed as decrements — loop exits with
+    w == 0) or w > min_count (every counter holding min_count hits 0
+    and is evicted, so the second pass takes the ``len(counters) < k``
+    insert branch and returns). Each pass scans the ≤ k counters once,
+    so a single call is ≤ 2 scans = O(k)."""
     while w > 0:
         if v in counters:
             counters[v] += w

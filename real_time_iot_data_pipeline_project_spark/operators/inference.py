@@ -54,26 +54,46 @@ def default_quality_scorer() -> Callable[[pd.DataFrame], pd.Series]:
     score = z / (1 + |z|) (softsign — bounded (-1, 1), exact IEEE ops).
     Feature extraction mirrors functions/textfns semantics closely
     enough to be SQL-expressible, which is what lets registry q117
-    hash-check the whole boundary cross-engine."""
-    import re
+    hash-check the whole boundary cross-engine.
 
-    punct_re = re.compile(r"[!-/:-@\[-`{-~]")
+    Fully VECTORIZED (pandas str ops + numpy arithmetic): the default
+    model is what users copy, so it models Arrow-batch-friendly scoring
+    instead of a per-row Python loop. Every feature is an integer count
+    divided by an integer count, so the vectorized path is bit-identical
+    to the per-row formulation (same ints → same IEEE doubles):
+
+    - punct count  = non-overlapping matches of the 1-char punct class
+      (== len(findall) of the same class per row),
+    - token count  = len(split(' ')) (single-space split, '' → ['']),
+    - stopword count = matches of ``(?:^| )<stop>(?= |$)`` on the
+      lowered text — each match is exactly a single-space-delimited
+      token equal to a stopword: the match consumes the token's LEFT
+      boundary only (lookahead right boundary), and a token's left
+      space is never consumed by the previous match, so consecutive
+      stopword tokens all count (== the split-membership count).
+    """
+    w0, w1, w2, w3 = DEFAULT_WEIGHTS
+    punct_pat = r"[!-/:-@\[-`{-~]"
     stop = ("the", "a", "of", "and", "to", "in", "is", "that", "it",
             "for")
+    stop_pat = r"(?:^| )(?:" + "|".join(stop) + r")(?= |$)"
 
     def score(pdf: pd.DataFrame) -> pd.Series:
-        w0, w1, w2, w3 = DEFAULT_WEIGHTS
-        out = []
-        for text in pdf["text"]:
-            n_chars = len(text)
-            toks = text.lower().split(" ")
-            n_tok = len(toks)
-            pr = len(punct_re.findall(text)) / n_chars if n_chars else 0.0
-            sr = sum(1 for t in toks if t in stop) / n_tok if n_tok else 0.0
-            lf = min(n_chars, 2000) / 2000.0
-            z = w0 + w1 * pr + w2 * sr + w3 * lf
-            out.append(z / (1.0 + abs(z)))
-        return pd.Series(out, index=pdf.index, dtype="float64")
+        import numpy as np
+
+        s = pdf["text"]
+        n_chars = s.str.len().to_numpy(dtype="int64")
+        n_punct = s.str.count(punct_pat).to_numpy(dtype="int64")
+        low = s.str.lower()
+        n_tok = (low.str.count(" ") + 1).to_numpy(dtype="int64")
+        n_stop = low.str.count(stop_pat).to_numpy(dtype="int64")
+        with np.errstate(divide="ignore", invalid="ignore"):
+            pr = np.where(n_chars > 0, n_punct / n_chars, 0.0)
+            sr = np.where(n_tok > 0, n_stop / n_tok, 0.0)
+        lf = np.minimum(n_chars, 2000) / 2000.0
+        z = w0 + w1 * pr + w2 * sr + w3 * lf
+        return pd.Series(z / (1.0 + np.abs(z)), index=pdf.index,
+                         dtype="float64")
 
     return score
 

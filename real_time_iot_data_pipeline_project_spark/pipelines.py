@@ -137,8 +137,16 @@ def main(argv: list[str] | None = None) -> None:
                    choices=["solar", "wind", "curate", "compact",
                             "compact-store", "dq-audit", "cdc-apply",
                             "scd2-apply", "plan-audit"])
-    p.add_argument("input_path")
-    p.add_argument("--output", default=None)
+    p.add_argument("input_path",
+                   help="input directory to consume — EXCEPT for the "
+                        "plan-audit domain, where it is a registry "
+                        "query name (e.g. q48_training_data_pipeline)")
+    p.add_argument("--output", default=None,
+                   help="output directory (write domains)")
+    p.add_argument("--sf-dir", default=None,
+                   help="parquet table directory to plan against "
+                        "(plan-audit domain; default "
+                        "/root/testdata/sf0.001)")
     p.add_argument("--store", default=None,
                    help="signature store to compact (compact-store domain)")
     p.add_argument("--format", choices=["csv", "parquet"], default="parquet")
@@ -165,12 +173,13 @@ def main(argv: list[str] | None = None) -> None:
     spark = get_spark(app_name=f"{args.domain}-processing")
     if args.domain == "plan-audit":
         # the engine's own physical-plan anti-pattern report, as a CLI
-        # (plans/inspect.py): input_path is a registry query name; the
-        # optional --output is the sf_dir to plan against. Exits
-        # non-zero on a scale-killing anti-pattern (row-at-a-time
-        # Python in the plan, or full rows funneling through one
-        # partition), so users can gate CI on the same checks
-        # tests/test_plans.py pins for the headline queries.
+        # (plans/inspect.py): input_path is a registry query name (see
+        # its help string); --sf-dir picks the tables to plan against
+        # (--output is still honored for back-compat with round-8
+        # invocations). Exits non-zero on a scale-killing anti-pattern
+        # (row-at-a-time Python in the plan, or full rows funneling
+        # through one partition), so users can gate CI on the same
+        # checks tests/test_plans.py pins for the headline queries.
         from . import registry
         from .plans import inspect as plan_inspect
 
@@ -178,7 +187,7 @@ def main(argv: list[str] | None = None) -> None:
         if name not in registry.QUERIES:
             p.error(f"unknown query {name!r}; one of: "
                     + ", ".join(sorted(registry.QUERIES)))
-        sf_dir = args.output or "/root/testdata/sf0.001"
+        sf_dir = args.sf_dir or args.output or "/root/testdata/sf0.001"
         df = registry.QUERIES[name](spark, sf_dir)
         df.explain("formatted")
         flags = plan_inspect.audit(df)

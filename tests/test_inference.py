@@ -178,3 +178,50 @@ def test_scorer_output_is_bound_positionally_and_shape_checked(spark):
     with _pytest.raises((Py4JJavaError, Exception), match="one float"):
         inference.batch_score(df, make_short_scorer,
                               input_cols=["text"]).collect()
+
+
+def test_stateful_model_init_amortizes_per_task_exactly(spark, tmp_path):
+    """VERDICT r8 item 5: a model-ish scorer with REAL internal state —
+    a numpy weight matrix loaded from a file inside make_scorer — must
+    be loaded exactly n_tasks times (never n_batches), pinned via a
+    Spark accumulator at TWO different Arrow maxRecordsPerBatch
+    settings so init semantics can't drift with Arrow chunking."""
+    import numpy as np
+
+    wfile = tmp_path / "weights.npy"
+    np.save(wfile, np.array([0.5, 2.0], dtype="float64"))
+    wpath = str(wfile)
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    n, parts = 60, 4
+    df = spark.createDataFrame(
+        [(i, "x" * (i % 7 + 1)) for i in range(n)],
+        "id long, text string").repartition(parts)
+    expected = {i: 0.5 + 2.0 * (i % 7 + 1) for i in range(n)}
+
+    try:
+        for batch_setting in ("5", "50"):   # ~3 batches/task vs 1
+            spark.conf.set(key, batch_setting)
+            inits = spark.sparkContext.accumulator(0)
+
+            def make_weighted(inits=inits, wpath=wpath):
+                import numpy as _np
+                w = _np.load(wpath)          # the expensive init
+                inits.add(1)
+
+                def score(pdf):
+                    import pandas as _pd
+                    x = pdf["text"].str.len().to_numpy(dtype="float64")
+                    return _pd.Series(w[0] + w[1] * x, index=pdf.index)
+
+                return score
+
+            out = inference.batch_score(
+                df, make_weighted, input_cols=["text"], batch_size=8)
+            got = {r["id"]: r["score"] for r in out.collect()}
+            assert got == expected
+            # exactly one load per task, regardless of Arrow chunking
+            assert inits.value == parts, (batch_setting, inits.value)
+    finally:
+        spark.conf.set(key, old)
