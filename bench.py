@@ -140,6 +140,8 @@ HEADLINE = [
     "q70_epoch_shuffle",
     "q71_source_leakage",
     "q72_unigram_logprob",
+    # round-9 addition: the embedder → IVF-ANN handoff composition
+    "q119_embed_ann",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

@@ -4792,6 +4792,122 @@ def q118_hashing_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashing_embed_sparse(docs, dim=64)
 
 
+def _embed_ann_sql(n_centroids: int = 16, nprobe: int = 4,
+                   k: int = 20) -> str:
+    """q119 oracle: q118's sparse-embedding CTEs → dense 64-dim arrays
+    → the q38-shaped IVF search, all in one statement. Exactness chain:
+    the sparse weights are bit-identical cross-engine (q118's
+    determinism argument — integer sums, exact sqrt, one division);
+    densification only inserts literal 0.0 at empty buckets; and the
+    cosine/argmax/probe arithmetic is the same list_dot_product
+    formulation q38 has hash-matched since round 3."""
+    cos = (
+        "list_dot_product({a}, {b})"
+        " / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b})))"
+    )
+    v_c = cos.format(a="e.embedding", b="c.cvec")
+    c_q = cos.format(a="c.cvec", b="q.qv")
+    v_q = cos.format(a="e.embedding", b="q.qv")
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+      FROM documents
+    ),
+    tt AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+    h AS (
+      SELECT doc_id, {_hash60_sql('t')} AS h60 FROM tt
+    ),
+    s AS (
+      SELECT doc_id, h60 % 64 AS bucket,
+             CASE WHEN (h60 // 64) % 2 = 0 THEN 1 ELSE -1 END AS sign
+      FROM h
+    ),
+    w AS (
+      SELECT doc_id, bucket, SUM(sign) AS wsum
+      FROM s GROUP BY doc_id, bucket
+      HAVING SUM(sign) <> 0
+    ),
+    n AS (
+      SELECT doc_id, sqrt(SUM(CAST(wsum AS DOUBLE) * wsum)) AS nrm
+      FROM w GROUP BY doc_id
+    ),
+    sp AS (
+      SELECT w.doc_id, w.bucket, w.wsum / n.nrm AS weight
+      FROM w JOIN n ON w.doc_id = n.doc_id
+    ),
+    g AS (
+      SELECT i.doc_id, gs.pos
+      FROM (SELECT DISTINCT doc_id FROM sp) i
+      CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS pos) gs
+    ),
+    dense AS (
+      SELECT g.doc_id,
+             list(COALESCE(sp.weight, 0.0) ORDER BY g.pos) AS embedding
+      FROM g LEFT JOIN sp ON sp.doc_id = g.doc_id AND sp.bucket = g.pos
+      GROUP BY g.doc_id
+    ),
+    q AS (
+      SELECT embedding AS qv FROM dense
+      WHERE doc_id = (SELECT min(doc_id) FROM dense)
+    ),
+    c AS (
+      SELECT doc_id AS centroid_id, embedding AS cvec FROM dense
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT {n_centroids}
+    ),
+    assigned AS (
+      SELECT doc_id, centroid_id FROM (
+        SELECT e.doc_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.doc_id
+                                  ORDER BY {v_c} DESC,
+                                           c.centroid_id ASC) AS rn
+        FROM dense e, c
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT c.centroid_id FROM c, q
+      ORDER BY {c_q} DESC, c.centroid_id ASC LIMIT {nprobe}
+    )
+    SELECT e.doc_id, round({v_q}, 6) AS cosine_sim
+    FROM dense e JOIN assigned a ON a.doc_id = e.doc_id
+                 JOIN probe p ON p.centroid_id = a.centroid_id, q
+    ORDER BY {v_q} DESC, e.doc_id ASC
+    LIMIT {k}
+    """
+
+
+@query("q119_embed_ann", _embed_ann_sql())
+def q119_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X31 → ANN handoff (VERDICT r8 item 6): the hashing embedder's
+    output drives the existing IVF similarity tier end-to-end —
+    hashing_embed_sparse → to_dense → ivf_topk, querying for the 20
+    docs nearest (by cosine) to the corpus's smallest doc_id. Proves
+    the embed → search composition is real, not just type-compatible:
+    the same dense vectors flow through centroid selection, argmax
+    assignment and nprobe probing, and the result hash-matches the
+    DuckDB oracle running the identical pipeline in SQL.
+
+    Scale shape: the embedding stages are q118's (two aggregated
+    exchanges, zero Python); to_dense is one doc-keyed aggregate run
+    here over the corpus because IVF assignment needs fixed-width
+    vectors; ivf_topk adds one broadcast of 16 centroids, a
+    partial-aggregatable argmax, and a TakeOrderedAndProject — no
+    all-pairs stage anywhere. The single driver .head() fetches ONE
+    64-float query vector (bounded control flow, q37 precedent)."""
+    from .operators.embedding import hashing_embed_sparse, to_dense
+
+    docs = _t(spark, sf_dir, "documents")
+    dense = to_dense(hashing_embed_sparse(docs, dim=64),
+                     id_col="doc_id", dim=64)
+    qvec = [float(x) for x in
+            dense.orderBy("doc_id").select("embedding").head()[0]]
+    out = similarity.ivf_topk(dense, qvec, k=20, n_centroids=16,
+                              nprobe=4, vec_col="embedding",
+                              id_col="doc_id")
+    return out.select("doc_id",
+                      F.round("cosine_sim", 6).alias("cosine_sim"))
+
+
 # Operators added AFTER the 50-slot window filled with unique-operator
 # queries: fully oracle-checked by the local gate, first in line for a
 # window slot if one opens.
@@ -4839,6 +4955,9 @@ POST_WINDOW: list[str] = [
     # the round-8 operators — pulled forward from rotation #6 INTO the
     # official window, so the two newest operators get hard rows one
     # round early; VERDICT r8 item 1.)
+    # round 9: embedder → IVF-ANN handoff (X31 composition, VERDICT r8
+    # item 6) — scheduled for rotation #6 in tools/coverage_ledger.py
+    "q119_embed_ann",
 ]
 
 

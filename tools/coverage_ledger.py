@@ -60,6 +60,8 @@ PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
         "q100_retention_cohorts",
         "q104_weighted_sample",
         "q107_chi2_independence",
+        # round-9 addition: the embedder → IVF-ANN handoff query
+        "q119_embed_ann",
     ]),
 }
 
