@@ -128,28 +128,30 @@ def _mg_update_weighted(counters: dict, v, w: int, k: int) -> None:
         w -= d
 
 
-def heavy_hitters(df: DataFrame, col: str, support: float) -> DataFrame:
-    """Exact frequent items: every value of ``col`` occurring in at
-    least ``support`` (0 < support ≤ 1, read as the exact decimal
-    written — see module doc on threshold exactness) of the rows, with
-    its exact count — computed with candidate-bounded state in two
-    data scans (see module doc). Null values — and NaN floats, which
-    behave as nulls here — are ignored (SQL COUNT semantics: a null is
-    not a value). Returns (col, count) rows; ties and order are exact,
-    so the result is engine-independent."""
+def support_capacity(support: float) -> int:
+    """k = ⌈1/support⌉ in exact integer arithmetic."""
     frac = _support_fraction(support)
-    # k = ceil(1/support) in exact integer arithmetic
-    k = -(-frac.denominator // frac.numerator)
+    return -(-frac.denominator // frac.numerator)
+
+
+def task_summaries(df: DataFrame, col: str, k: int) -> DataFrame:
+    """One weighted Misra-Gries summary per TASK over non-null values
+    of ``col``: rows (col=value, __w=MG counter weight, __pn=NULL) for
+    each of the ≤ k surviving counters, plus ONE marker row
+    (col=NULL, __w=NULL, __pn=partition row count). Input nulls are
+    filtered, so a NULL value column unambiguously marks the marker.
+
+    Shared by the batch operator (which ignores __w — phase 2 recounts
+    exactly) and the streaming fold (which merges the weighted
+    counters; MG summaries are mergeable with the εn bound preserved —
+    Berinde et al. PODS'09, Agarwal et al. 'Mergeable Summaries')."""
     out_schema = T.StructType([
         T.StructField(col, df.schema[col].dataType),
-        T.StructField("__pn", T.LongType()),  # marker rows: partition n
+        T.StructField("__w", T.LongType()),
+        T.StructField("__pn", T.LongType()),
     ])
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # one Misra-Gries summary per TASK plus the partition row count
-        # — candidates carry __pn NULL, the single marker row carries
-        # (NULL value, n_p); input nulls are filtered upstream so a
-        # NULL value column unambiguously marks the total row
         counters: dict = {}
         n_p = 0
         for pdf in batches:
@@ -160,10 +162,25 @@ def heavy_hitters(df: DataFrame, col: str, support: float) -> DataFrame:
             for v, w in vc.items():
                 _mg_update_weighted(counters, v, int(w), k)
         yield pd.DataFrame({col: list(counters) + [None],
+                            "__w": list(counters.values()) + [None],
                             "__pn": [None] * len(counters) + [n_p]})
 
-    summary = (df.select(col).where(F.col(col).isNotNull())
-               .mapInPandas(summarize, schema=out_schema)
+    return (df.select(col).where(F.col(col).isNotNull())
+            .mapInPandas(summarize, schema=out_schema))
+
+
+def heavy_hitters(df: DataFrame, col: str, support: float) -> DataFrame:
+    """Exact frequent items: every value of ``col`` occurring in at
+    least ``support`` (0 < support ≤ 1, read as the exact decimal
+    written — see module doc on threshold exactness) of the rows, with
+    its exact count — computed with candidate-bounded state in two
+    data scans (see module doc). Null values — and NaN floats, which
+    behave as nulls here — are ignored (SQL COUNT semantics: a null is
+    not a value). Returns (col, count) rows; ties and order are exact,
+    so the result is engine-independent."""
+    frac = _support_fraction(support)
+    k = support_capacity(support)
+    summary = (task_summaries(df, col, k)
                # ≤ (k+1)·tasks rows: materialize once so candidates and
                # totals both derive from ONE scan of the data
                .localCheckpoint(eager=True))

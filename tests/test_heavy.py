@@ -235,3 +235,86 @@ def test_integer_threshold_equals_rational_ceil(support_dec, count, n):
     exact_threshold = -(-(frac.numerator * n) // frac.denominator)  # ceil
     rhs = count >= exact_threshold
     assert lhs == rhs
+
+
+def test_streaming_fold_matches_batch_oracle(spark, tmp_path):
+    """VERDICT r8 item 7: the foreachBatch streaming twin. Fold-oracle
+    chain — after streaming all batches through the k-bounded MG state:
+    (a) refine_exact over the concatenated stream == batch
+    heavy_hitters (exact set AND counts), (b) no true heavy hitter is
+    missing from the live candidates, (c) every live estimate obeys
+    est ≤ true ≤ est + n//(k+1) (the mergeable-MG bound)."""
+    from real_time_iot_data_pipeline_project_spark.streaming.heavy_stream import (
+        StreamingHeavyHitters,
+    )
+
+    support = 0.05
+    src = tmp_path / "src"
+    src.mkdir()
+    rng = random.Random(7)
+    for b in range(3):
+        toks = (["hot"] * 40 + ["warm"] * 12
+                + [f"rare{b}_{i}" for i in range(30)]
+                + ["semi"] * (8 if b == 0 else 2))
+        rng.shuffle(toks)
+        spark.createDataFrame(
+            [(t,) for t in toks], "token string"
+        ).coalesce(2).write.parquet(str(src / f"b{b}"))
+
+    shh = StreamingHeavyHitters("token", support,
+                                str(tmp_path / "hh_state.json"))
+    stream = (spark.readStream.schema("token string")
+              .option("maxFilesPerTrigger", "1").parquet(f"{src}/*"))
+    q = (stream.writeStream.foreachBatch(shh.process_batch)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    concat = spark.read.parquet(f"{src}/*")
+    exact = {(r["token"], r["count"]) for r in
+             heavy.heavy_hitters(concat, "token", support).collect()}
+    refined = {(r["token"], r["count"]) for r in
+               shh.refine_exact(concat).collect()}
+    assert refined == exact and exact, (refined, exact)
+
+    counters, n = shh.snapshot()
+    truth = {r["token"]: r["cnt"] for r in
+             concat.groupBy("token")
+             .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert n == sum(truth.values())
+    # (b) no-miss: true frequency ≥ support ⇒ present in candidates
+    for v, cnt in truth.items():
+        if cnt * 20 >= n:          # support 0.05 = 1/20 exactly
+            assert v in counters, v
+    # (c) mergeable-MG bound on every surviving estimate
+    for v, est in counters.items():
+        assert est <= truth[v], (v, est, truth[v])
+        assert truth[v] - est <= n // (shh.k + 1), (v, est, truth[v])
+    # live estimates surface the same numbers
+    ests = {r["token"]: r["est_count"]
+            for r in shh.estimates(spark).collect()}
+    assert ests == {v: int(w) for v, w in counters.items()}
+
+
+def test_streaming_fold_replay_is_noop_and_state_guarded(spark, tmp_path):
+    """A foreachBatch replay of an already-folded batch_id must not
+    double-count (exactly-once on restart), and reusing a state file
+    with a different support/k must fail loudly."""
+    from real_time_iot_data_pipeline_project_spark.streaming.heavy_stream import (
+        StreamingHeavyHitters,
+    )
+
+    state = str(tmp_path / "s.json")
+    shh = StreamingHeavyHitters("token", 0.25, state)
+    df = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 2, "token string")
+    shh.process_batch(df, 0)
+    snap1 = shh.snapshot()
+    shh.process_batch(df, 0)   # replay: must be a no-op
+    assert shh.snapshot() == snap1
+    shh.process_batch(df, 1)   # a NEW batch does fold
+    _, n2 = shh.snapshot()
+    assert n2 == 16
+
+    with pytest.raises(ValueError, match="fresh state path"):
+        StreamingHeavyHitters("token", 0.5, state).process_batch(df, 2)

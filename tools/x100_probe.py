@@ -81,6 +81,17 @@ def probe_q79(spark, sf_dir: str) -> dict:
     return {"sec": round(time.monotonic() - t0, 2), "pairs": n}
 
 
+def probe_query(name: str):
+    """Generic registry-query probe (round 9: q76 near-dedup e2e and
+    q48 training pipeline — the two headline compositions that only had
+    x10 evidence; VERDICT r8 item 3)."""
+    def p(spark, sf_dir: str) -> dict:
+        t0 = time.monotonic()
+        n = registry.QUERIES[name](spark, sf_dir).count()
+        return {"sec": round(time.monotonic() - t0, 2), "rows": n}
+    return p
+
+
 def _hist_replicated(spark, factor: int):
     """sf0.1 events replicated with USER remapping: each replica's rows
     get fresh user_ids (and offset event_ids), so the SCD2 dimension's
@@ -160,7 +171,20 @@ def main() -> None:
         build(spark, X10, 10)
         build(spark, X100, 100)
 
-    for name, fn in (("q53_cc", probe_q53), ("q79_winnow", probe_q79)):
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
+
+    probes = (
+        ("q53_cc", probe_q53),
+        ("q79_winnow", probe_q79),
+        ("q76_near_dedup", probe_query("q76_near_dedup_corpus")),
+        ("q48_training", probe_query("q48_training_data_pipeline")),
+    )
+    for name, fn in probes:
+        if only is not None and name not in only:
+            continue
         fn(spark, SF01)           # throwaway: absorb first-run codegen
         r1 = fn(spark, SF01)
         r10 = fn(spark, X10)
@@ -171,6 +195,8 @@ def main() -> None:
               f"slope_x1_x10={s10:.1f} slope_x10_x100={s100:.1f} "
               f"(linear=10.0)", flush=True)
 
+    if only is not None and "scd2_fold" not in only:
+        return
     probe_scd2_fold(spark, 1, 8, "warm")  # throwaway: absorb codegen
     f1 = probe_scd2_fold(spark, 1, 8, "x1")
     f10 = probe_scd2_fold(spark, 10, 80, "x10")
