@@ -140,8 +140,10 @@ HEADLINE = [
     "q70_epoch_shuffle",
     "q71_source_leakage",
     "q72_unigram_logprob",
-    # round-9 addition: the embedder → IVF-ANN handoff composition
+    # round-9 additions: the embedder → IVF-ANN handoff composition
+    # and the hash-gated streaming heavy-hitters fold
     "q119_embed_ann",
+    "q120_stream_heavy_fold",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

@@ -4908,6 +4908,64 @@ def q119_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("cosine_sim", 6).alias("cosine_sim"))
 
 
+@query(
+    "q120_stream_heavy_fold",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    t AS (SELECT token FROM tok WHERE token <> '')
+    SELECT token, COUNT(*) AS count
+    FROM t
+    GROUP BY token
+    HAVING COUNT(*) * 50 >= 1 * (SELECT COUNT(*) FROM t)
+    """,
+)
+def q120_stream_heavy_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X29 streaming tier, hash-gated end-to-end (round 9): the corpus
+    token stream folded through the STREAMING heavy-hitters state
+    (streaming/heavy_stream.StreamingHeavyHitters) in four
+    deterministic micro-batches (doc_id mod 4 — the foreachBatch body
+    invoked directly with its batch_id contract; stream-engine ==
+    direct-invocation equivalence is pinned by the availableNow test in
+    tests/test_heavy.py), then resolved to the EXACT 2% heavy-hitter
+    set via refine_exact (phase-2 recount over the retained stream).
+    Because the k-bounded fold preserves the mergeable-MG no-miss
+    guarantee across batches, the refined output equals the plain
+    domain-sized GROUP BY/HAVING the oracle runs — the whole streaming
+    path is cross-engine value-checked, not just soak-tested.
+
+    Scale shape: each fold moves only ≤ (k+1)·tasks summary rows to
+    the driver and keeps O(k) state; the recount is q114's bounded
+    broadcast-semi-join shape."""
+    import os
+    import tempfile
+
+    from .streaming.heavy_stream import StreamingHeavyHitters
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = (docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"))
+        .where(F.col("token") != ""))
+    fd, state = tempfile.mkstemp(suffix=".json")
+    os.close(fd)
+    os.unlink(state)   # StreamingHeavyHitters wants a fresh path
+    shh = StreamingHeavyHitters("token", 0.02, state)
+    try:
+        for b in range(4):
+            shh.process_batch(
+                toks.where(F.pmod(F.col("doc_id"), F.lit(4)) == b)
+                .select("token"), b)
+        # snapshot is read eagerly here; the state file is not needed
+        # by the returned (lazy) DataFrame
+        return shh.refine_exact(toks.select("token"))
+    finally:
+        if os.path.exists(state):
+            os.unlink(state)
+
+
 # Operators added AFTER the 50-slot window filled with unique-operator
 # queries: fully oracle-checked by the local gate, first in line for a
 # window slot if one opens.
@@ -4958,6 +5016,9 @@ POST_WINDOW: list[str] = [
     # round 9: embedder → IVF-ANN handoff (X31 composition, VERDICT r8
     # item 6) — scheduled for rotation #6 in tools/coverage_ledger.py
     "q119_embed_ann",
+    # round 9: streaming heavy-hitters fold, hash-gated (X29 streaming
+    # tier, VERDICT r8 item 7) — scheduled for rotation #6
+    "q120_stream_heavy_fold",
 ]
 
 

@@ -60,8 +60,10 @@ PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
         "q100_retention_cohorts",
         "q104_weighted_sample",
         "q107_chi2_independence",
-        # round-9 addition: the embedder → IVF-ANN handoff query
+        # round-9 additions: the embedder → IVF-ANN handoff and the
+        # streaming heavy-hitters fold
         "q119_embed_ann",
+        "q120_stream_heavy_fold",
     ]),
 }
 
