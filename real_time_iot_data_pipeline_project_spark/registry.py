@@ -4897,10 +4897,21 @@ def q119_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.embedding import hashing_embed_sparse, to_dense
 
     docs = _t(spark, sf_dir, "documents")
+    # materialize the embedding index ONCE: ivf_topk reads its input
+    # three times (centroid sample, assignment, recount join), and
+    # without this each read would re-run the tokenize+embed pipeline
+    # — the production shape is embed once, persist, then search
     dense = to_dense(hashing_embed_sparse(docs, dim=64),
-                     id_col="doc_id", dim=64)
+                     id_col="doc_id", dim=64).localCheckpoint(eager=True)
+    # query vector: embed ONLY the smallest doc — per-doc L2
+    # normalization makes a single-doc embed identical to that doc's
+    # row in the corpus embedding, so this skips a full corpus
+    # embed+densify pass that existed only to .head() one row
+    qdoc = docs.orderBy("doc_id").limit(1)
     qvec = [float(x) for x in
-            dense.orderBy("doc_id").select("embedding").head()[0]]
+            to_dense(hashing_embed_sparse(qdoc, dim=64),
+                     id_col="doc_id", dim=64)
+            .select("embedding").head()[0]]
     out = similarity.ivf_topk(dense, qvec, k=20, n_centroids=16,
                               nprobe=4, vec_col="embedding",
                               id_col="doc_id")
