@@ -181,6 +181,11 @@ def main() -> None:
         ("q79_winnow", probe_q79),
         ("q76_near_dedup", probe_query("q76_near_dedup_corpus")),
         ("q48_training", probe_query("q48_training_data_pipeline")),
+        # round-9 tier: hashing embedder, embed→IVF-ANN handoff,
+        # streaming heavy-hitter fold
+        ("q118_embed", probe_query("q118_hashing_embed")),
+        ("q119_ann", probe_query("q119_embed_ann")),
+        ("q120_hh_fold", probe_query("q120_stream_heavy_fold")),
     )
     for name, fn in probes:
         if only is not None and name not in only:
