@@ -177,10 +177,15 @@ EVIDENCE: dict[str, dict] = {
         "test_inference.py::test_scorer_built_once_per_task_even_across_batches",
         "test_inference.py::test_inference_slices_are_bounded_by_batch_size",
         "test_inference.py::test_null_rows_get_null_score_and_skip_the_model"]},
-    "X31": {"queries": ["q118_hashing_embed"], "tests": [
+    "X31": {"queries": ["q118_hashing_embed", "q119_embed_ann"], "tests": [
         "test_embedding.py::test_unit_norm_and_duplicate_docs_identical",
         "test_embedding.py::test_partitioning_invariance",
         "test_embedding.py::test_embed_plan_is_jvm_only_and_validates_dim"]},
+    "X32": {"queries": [], "tests": [
+        "test_ann_index.py::test_index_search_equals_ivf_topk",
+        "test_ann_index.py::test_append_equals_rebuild",
+        "test_ann_index.py::test_search_scan_is_partition_pruned",
+        "test_ann_index.py::test_appended_vectors_are_searchable"]},
     # --- §2.7 sorts / limits; §2.8 set ops ---
     "L1": {"queries": ["q07_topk"], "tests": []},
     "L2": {"queries": ["q07_topk", "q94_shipping_priority"], "tests": [
@@ -320,9 +325,11 @@ EVIDENCE: dict[str, dict] = {
     "X28": {"queries": [], "tests": [
         "test_streaming.py::test_compaction_under_live_stream_loop"]},
     "X29": {"queries": ["q114_heavy_hitters",
-                        "q115_grouped_heavy_hitters"], "tests": [
+                        "q115_grouped_heavy_hitters",
+                        "q120_stream_heavy_fold"], "tests": [
         "test_heavy.py::test_heavy_hitters_partitioning_invariant",
-        "test_heavy.py::test_misra_gries_no_miss_property"]},
+        "test_heavy.py::test_misra_gries_no_miss_property",
+        "test_heavy.py::test_streaming_fold_matches_batch_oracle"]},
 }
 
 

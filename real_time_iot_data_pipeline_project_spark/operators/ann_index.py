@@ -1,0 +1,119 @@
+"""Persistent IVF index: the ANN tier's storage story for 100 TB.
+
+``similarity.ivf_topk`` plans the two-stage search as one job — fine
+for a one-off query, but a production corpus answers MANY queries and
+GROWS. This module persists the IVF structure so that:
+
+- **search reads only the probed slice of the corpus.** The index data
+  is parquet partitioned by ``centroid_id``; a query filters on its
+  ``nprobe`` best centroids, which Spark turns into PARTITION PRUNING —
+  the scan touches ~nprobe/n_centroids of the files on disk, the
+  on-disk analogue of ivf_topk's left-semi probe (plan-asserted:
+  tests/test_ann_index.py checks the scan's partition filters).
+- **new vectors append without a rebuild.** ``append_index`` assigns
+  new vectors against the STORED centroids (broadcast, deterministic
+  argmax — the same assignment rule as the build) and appends their
+  partitions; existing data is never rewritten. Same incremental
+  contract as the dedup tier's signature store (dedup.py q75): the
+  index is a grow-only structure whose maintenance cost tracks the
+  increment, never the accumulated corpus.
+- **assignment is engine-independent.** Centroid selection is the
+  md5-ordered hash sample used by ivf_topk; assignment is max_by with
+  the (csim, -centroid_id) tie-break. Rebuilding the index over
+  base+increment yields byte-identical (id → centroid) assignment to
+  build+append — proven by test, and the reason search-after-append ==
+  search-after-rebuild exactly.
+
+Layout::
+
+    index_dir/centroids/   (centroid_id, cvec)          — tiny
+    index_dir/data/        (id, embedding) partitioned by centroid_id
+
+Centroid refinement (kmeans_refine) composes: refine BEFORE build on a
+sample, then build with the refined centroids via ``centroids=``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .similarity import cosine
+
+
+def _assign(df: DataFrame, centroids: DataFrame, vec_col: str,
+            id_col: str) -> DataFrame:
+    """Deterministic argmax-cosine assignment (the ivf_topk rule):
+    broadcast centroids, max_by with a (csim, -centroid_id) tie-break."""
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cvec_d = F.transform(F.col("cvec"), lambda x: x.cast("double"))
+    return (
+        df.crossJoin(F.broadcast(centroids))
+        .select(id_col, vec_col, "centroid_id",
+                cosine(vec_d, cvec_d).alias("csim"))
+        .groupBy(id_col, vec_col)
+        .agg(F.expr(
+            "max_by(centroid_id, struct(csim, -centroid_id))"
+        ).alias("centroid_id"))
+    )
+
+
+def build_index(df: DataFrame, index_dir: str, n_centroids: int = 16,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                centroids: DataFrame | None = None) -> None:
+    """Materialize the IVF index: pick centroids (md5-ordered hash
+    sample of ``df`` unless an explicit/refined set is passed), assign
+    every vector, write data partitioned by centroid_id."""
+    if centroids is None:
+        centroids = (
+            df.orderBy(F.md5(F.col(id_col).cast("string")), F.asc(id_col))
+            .limit(n_centroids)
+            .select(F.col(id_col).alias("centroid_id"),
+                    F.col(vec_col).alias("cvec"))
+        )
+    centroids.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    stored = df.sparkSession.read.parquet(f"{index_dir}/centroids")
+    (_assign(df, stored, vec_col, id_col)
+     .write.mode("overwrite").partitionBy("centroid_id")
+     .parquet(f"{index_dir}/data"))
+
+
+def append_index(df_new: DataFrame, index_dir: str,
+                 vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> None:
+    """Assign new vectors against the STORED centroids and append their
+    partitions — no rebuild, no rewrite of existing files. Cost tracks
+    the increment: one broadcast join over df_new + an append write."""
+    spark = df_new.sparkSession
+    centroids = spark.read.parquet(f"{index_dir}/centroids")
+    (_assign(df_new, centroids, vec_col, id_col)
+     .write.mode("append").partitionBy("centroid_id")
+     .parquet(f"{index_dir}/data"))
+
+
+def search_index(spark: SparkSession, index_dir: str,
+                 query_vec: list[float], k: int = 10, nprobe: int = 4,
+                 vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> DataFrame:
+    """Two-stage search against the persisted index: rank the stored
+    centroids vs the query (tiny), then scan ONLY the probed
+    partitions (partition pruning via the centroid_id filter) and
+    take the exact cosine top-k there. Matches ivf_topk's semantics
+    on the same centroid set by construction."""
+    q = [float(v) for v in query_vec]
+    qcol = F.array(*[F.lit(v) for v in q])
+    centroids = spark.read.parquet(f"{index_dir}/centroids")
+    cvec_d = F.transform(F.col("cvec"), lambda x: x.cast("double"))
+    probe = [r["centroid_id"] for r in
+             (centroids.select("centroid_id",
+                               cosine(cvec_d, qcol).alias("qsim"))
+              .orderBy(F.desc("qsim"), F.asc("centroid_id"))
+              .limit(nprobe).collect())]
+    data = spark.read.parquet(f"{index_dir}/data")
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return (
+        data.where(F.col("centroid_id").isin(probe))
+        .select(F.col(id_col), cosine(vec_d, qcol).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )
