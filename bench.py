@@ -191,11 +191,12 @@ def main() -> None:
 
 def _infer_round() -> str:
     """Round tag for the durable bench artifact: $SPARK_GRAFT_ROUND if
-    set, else (max CORRECTNESS_r{N} in the repo) + 1 — the driver runs
-    bench for round N while the newest correctness file is N-1."""
+    set (digits are zero-padded so r9 and r09 can't diverge), else
+    (max CORRECTNESS_r{N} in the repo) + 1 — the driver runs bench for
+    round N while the newest correctness file is N-1."""
     env = os.environ.get("SPARK_GRAFT_ROUND")
     if env:
-        return env
+        return f"{int(env):02d}" if env.isdigit() else env
     import glob
     import re
     rounds = []
@@ -212,11 +213,19 @@ def _persist(record: dict) -> None:
     driver keeps only the last 2000 chars of stdout, which truncates a
     90-entry headline JSON (BENCH_r08 lost q01-q31, the r1-baseline
     overlap) — the committed artifact is the durable record that
-    round-over-round comparison reads instead."""
+    round-over-round comparison reads instead.
+
+    Only a run at the OFFICIAL scale (sf0.1, the driver's default)
+    claims the plain r{N}.json name; ad-hoc runs at other SFs get an
+    sf-suffixed file so a sf0.001 smoke test can never clobber the
+    round's official record."""
     here = os.path.dirname(os.path.abspath(__file__))
     hist = os.path.join(here, "bench_history")
     os.makedirs(hist, exist_ok=True)
-    out = os.path.join(hist, f"r{_infer_round()}.json")
+    tag = f"r{_infer_round()}"
+    if record["sf"] != 0.1:
+        tag += f"_sf{record['sf']}"
+    out = os.path.join(hist, f"{tag}.json")
     with open(out, "w") as f:
         json.dump(record, f, indent=1, sort_keys=True)
         f.write("\n")

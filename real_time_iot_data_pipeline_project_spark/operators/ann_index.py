@@ -38,24 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .similarity import cosine
-
-
-def _assign(df: DataFrame, centroids: DataFrame, vec_col: str,
-            id_col: str) -> DataFrame:
-    """Deterministic argmax-cosine assignment (the ivf_topk rule):
-    broadcast centroids, max_by with a (csim, -centroid_id) tie-break."""
-    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    cvec_d = F.transform(F.col("cvec"), lambda x: x.cast("double"))
-    return (
-        df.crossJoin(F.broadcast(centroids))
-        .select(id_col, vec_col, "centroid_id",
-                cosine(vec_d, cvec_d).alias("csim"))
-        .groupBy(id_col, vec_col)
-        .agg(F.expr(
-            "max_by(centroid_id, struct(csim, -centroid_id))"
-        ).alias("centroid_id"))
-    )
+from .similarity import assign_centroids, cosine
 
 
 def build_index(df: DataFrame, index_dir: str, n_centroids: int = 16,
@@ -73,7 +56,7 @@ def build_index(df: DataFrame, index_dir: str, n_centroids: int = 16,
         )
     centroids.write.mode("overwrite").parquet(f"{index_dir}/centroids")
     stored = df.sparkSession.read.parquet(f"{index_dir}/centroids")
-    (_assign(df, stored, vec_col, id_col)
+    (assign_centroids(df, stored, vec_col, id_col)
      .write.mode("overwrite").partitionBy("centroid_id")
      .parquet(f"{index_dir}/data"))
 
@@ -86,7 +69,7 @@ def append_index(df_new: DataFrame, index_dir: str,
     the increment: one broadcast join over df_new + an append write."""
     spark = df_new.sparkSession
     centroids = spark.read.parquet(f"{index_dir}/centroids")
-    (_assign(df_new, centroids, vec_col, id_col)
+    (assign_centroids(df_new, centroids, vec_col, id_col)
      .write.mode("append").partitionBy("centroid_id")
      .parquet(f"{index_dir}/data"))
 

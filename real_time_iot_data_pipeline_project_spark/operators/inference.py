@@ -65,18 +65,21 @@ def default_quality_scorer() -> Callable[[pd.DataFrame], pd.Series]:
     - punct count  = non-overlapping matches of the 1-char punct class
       (== len(findall) of the same class per row),
     - token count  = len(split(' ')) (single-space split, '' → ['']),
-    - stopword count = matches of ``(?:^| )<stop>(?= |$)`` on the
+    - stopword count = matches of ``(?:^| )<stop>(?= |\\Z)`` on the
       lowered text — each match is exactly a single-space-delimited
       token equal to a stopword: the match consumes the token's LEFT
       boundary only (lookahead right boundary), and a token's left
       space is never consumed by the previous match, so consecutive
       stopword tokens all count (== the split-membership count).
+      ``\\Z`` (absolute end), NOT ``$``: ``$`` also matches before a
+      trailing newline, which would count ``'...the\\n'`` as a
+      stopword token that split(' ') membership does not.
     """
     w0, w1, w2, w3 = DEFAULT_WEIGHTS
     punct_pat = r"[!-/:-@\[-`{-~]"
     stop = ("the", "a", "of", "and", "to", "in", "is", "that", "it",
             "for")
-    stop_pat = r"(?:^| )(?:" + "|".join(stop) + r")(?= |$)"
+    stop_pat = r"(?:^| )(?:" + "|".join(stop) + r")(?= |\Z)"
 
     def score(pdf: pd.DataFrame) -> pd.Series:
         import numpy as np

@@ -139,6 +139,30 @@ def cosine_near_dup_lsh(df: DataFrame, planes: list[list[float]],
     )
 
 
+def assign_centroids(df: DataFrame, centroids: DataFrame,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """THE deterministic argmax-cosine assignment rule, written once:
+    broadcast crossJoin + ``max_by(centroid_id, struct(csim,
+    -centroid_id))`` (map-side combinable; -id = deterministic
+    min-centroid tie-break). Returns (id_col, vec_col, centroid_id).
+    Shared by ivf_topk, kmeans_refine and the persistent index
+    (ann_index) so the build/append/search equivalence contracts can
+    never drift apart on the assignment expression."""
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cvec_d = F.transform(F.col("cvec"), lambda x: x.cast("double"))
+    return (
+        df.crossJoin(F.broadcast(centroids))
+        .select(id_col, vec_col, "centroid_id",
+                cosine(vec_d, cvec_d).alias("csim"))
+        # id is unique; vec rides along as a functionally-dependent key
+        .groupBy(id_col, vec_col)
+        .agg(F.expr(
+            "max_by(centroid_id, struct(csim, -centroid_id))"
+        ).alias("centroid_id"))
+    )
+
+
 def kmeans_refine(df: DataFrame, centroids: DataFrame, iters: int = 1,
                   vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Deterministic Lloyd refinement of IVF centroids, pure DataFrame ops:
@@ -162,20 +186,7 @@ def kmeans_refine(df: DataFrame, centroids: DataFrame, iters: int = 1,
     tests/test_dedup_similarity.py). nprobe is the quality knob.
     """
     for _ in range(iters):
-        cvec_d = F.transform(F.col("cvec"), lambda x: x.cast("double"))
-        vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-        best = (
-            df.crossJoin(F.broadcast(centroids))
-            .select(
-                F.col(id_col),
-                F.col(vec_col),
-                F.col("centroid_id"),
-                cosine(vec_d, cvec_d).alias("csim"),
-            )
-            # id is unique; vec rides along as a functionally-dependent key
-            .groupBy(id_col, vec_col)
-            .agg(F.expr("max_by(centroid_id, struct(csim, -centroid_id))").alias("centroid_id"))
-        )
+        best = assign_centroids(df, centroids, vec_col, id_col)
         exp = best.select(
             "centroid_id",
             F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias("pos", "val"),
@@ -215,19 +226,9 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
         centroids = kmeans_refine(df, centroids, kmeans_iters, vec_col, id_col)
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     cvec_d = F.transform(F.col("cvec"), lambda x: x.cast("double"))
-    sim_to_c = cosine(vec_d, cvec_d)
-    # assign: argmax centroid per vector via max_by on struct(sim, -id) —
-    # partial-aggregatable (map-side combine), no window sort; -id gives a
-    # deterministic min-centroid_id tie-break
-    assigned = (
-        df.crossJoin(F.broadcast(centroids))
-        .select(id_col, "centroid_id", sim_to_c.alias("csim"))
-        .groupBy(id_col)
-        .agg(
-            F.expr("max_by(centroid_id, struct(csim, -centroid_id))").alias("centroid_id")
-        )
-        .join(df.select(id_col, vec_col), id_col)
-    )
+    # assign via the ONE shared argmax rule (assign_centroids): keeps
+    # the vector through the groupBy, so no join-back pass is needed
+    assigned = assign_centroids(df, centroids, vec_col, id_col)
     q = [float(v) for v in query_vec]
     qcol = F.array(*[F.lit(v) for v in q])
     probe = (

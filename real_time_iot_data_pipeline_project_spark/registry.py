@@ -4903,15 +4903,14 @@ def q119_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # — the production shape is embed once, persist, then search
     dense = to_dense(hashing_embed_sparse(docs, dim=64),
                      id_col="doc_id", dim=64).localCheckpoint(eager=True)
-    # query vector: embed ONLY the smallest doc — per-doc L2
-    # normalization makes a single-doc embed identical to that doc's
-    # row in the corpus embedding, so this skips a full corpus
-    # embed+densify pass that existed only to .head() one row
-    qdoc = docs.orderBy("doc_id").limit(1)
+    # query vector: the smallest doc_id PRESENT IN dense — reading it
+    # back from the checkpointed index costs one tiny job, and it
+    # matches the oracle's ``min(doc_id) FROM dense`` exactly (a doc
+    # with empty text or fully sign-cancelled buckets is absent from
+    # dense, so min over raw ``documents`` could name a doc that has
+    # no embedding and crash here while the oracle silently moved on)
     qvec = [float(x) for x in
-            to_dense(hashing_embed_sparse(qdoc, dim=64),
-                     id_col="doc_id", dim=64)
-            .select("embedding").head()[0]]
+            dense.orderBy("doc_id").select("embedding").head()[0]]
     out = similarity.ivf_topk(dense, qvec, k=20, n_centroids=16,
                               nprobe=4, vec_col="embedding",
                               id_col="doc_id")

@@ -94,8 +94,22 @@ class StreamingHeavyHitters:
     # -- the foreachBatch hook -----------------------------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         state = self._load()
-        if batch_id <= state["last_batch_id"]:
+        if batch_id == state["last_batch_id"]:
             return  # replayed batch after restart: already folded
+        if batch_id < state["last_batch_id"]:
+            # Structured Streaming replays at most the LAST uncommitted
+            # batch, so an id strictly below the fold horizon means the
+            # state file is paired with a DIFFERENT (fresh or older)
+            # checkpoint — silently skipping would undercount the
+            # stream and void the no-miss guarantee. State and
+            # checkpointLocation must live and die together.
+            raise ValueError(
+                f"batch_id {batch_id} is behind the state's fold "
+                f"horizon {state['last_batch_id']} at "
+                f"{self.state_path} — this state file belongs to a "
+                "different checkpoint; start a fresh state path with "
+                "a fresh checkpointLocation (or restore the matching "
+                "checkpoint)")
         # executor-side: the SAME per-task weighted-MG pass as batch
         # heavy_hitters; driver sees only ≤ (k+1)·tasks summary rows
         # (bounded control-flow collect, like upsert/scd2 bucket ids)

@@ -316,5 +316,11 @@ def test_streaming_fold_replay_is_noop_and_state_guarded(spark, tmp_path):
     _, n2 = shh.snapshot()
     assert n2 == 16
 
+    # a batch_id BEHIND the fold horizon = state paired with a
+    # different checkpoint (fresh checkpoints restart at 0) — must
+    # raise, not silently undercount
+    with pytest.raises(ValueError, match="different checkpoint"):
+        shh.process_batch(df, 0)
+
     with pytest.raises(ValueError, match="fresh state path"):
         StreamingHeavyHitters("token", 0.5, state).process_batch(df, 2)

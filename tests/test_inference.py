@@ -225,3 +225,28 @@ def test_stateful_model_init_amortizes_per_task_exactly(spark, tmp_path):
             assert inits.value == parts, (batch_setting, inits.value)
     finally:
         spark.conf.set(key, old)
+
+
+def test_default_scorer_trailing_newline_is_not_a_stopword(spark):
+    """Regression (round-9 review): the vectorized stopword regex must
+    use \\Z, not $ — '$' matches before a trailing newline, counting
+    'the\\n' as the stopword token that split(' ') membership does
+    not. Both texts have 2 tokens; only the one with a real trailing
+    stopword token counts it."""
+    df = spark.createDataFrame(
+        [(1, "hello the\n"), (2, "hello the")], "id long, text string")
+    got = {r["id"]: r["score"] for r in inference.batch_score(
+        df, inference.default_quality_scorer,
+        input_cols=["text"]).collect()}
+    w0, w1, w2, w3 = inference.DEFAULT_WEIGHTS
+
+    def ref(text):
+        toks = text.lower().split(" ")
+        sr = sum(t in ("the", "a", "of", "and", "to", "in", "is",
+                       "that", "it", "for") for t in toks) / len(toks)
+        z = w0 + w2 * sr + w3 * (len(text) / 2000.0)
+        return z / (1.0 + abs(z))
+
+    assert got[1] == ref("hello the\n")   # 'the\n' is NOT a stopword
+    assert got[2] == ref("hello the")     # 'the' IS
+    assert got[1] != got[2]
