@@ -185,7 +185,8 @@ EVIDENCE: dict[str, dict] = {
         "test_ann_index.py::test_index_search_equals_ivf_topk",
         "test_ann_index.py::test_append_equals_rebuild",
         "test_ann_index.py::test_search_scan_is_partition_pruned",
-        "test_ann_index.py::test_appended_vectors_are_searchable"]},
+        "test_ann_index.py::test_appended_vectors_are_searchable",
+        "test_ann_index.py::test_batch_search_equals_per_query_and_uses_dpp"]},
     # --- §2.7 sorts / limits; §2.8 set ops ---
     "L1": {"queries": ["q07_topk"], "tests": []},
     "L2": {"queries": ["q07_topk", "q94_shipping_priority"], "tests": [

@@ -35,7 +35,7 @@ sample, then build with the refined centroids via ``centroids=``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .similarity import assign_centroids, cosine
@@ -72,6 +72,59 @@ def append_index(df_new: DataFrame, index_dir: str,
     (assign_centroids(df_new, centroids, vec_col, id_col)
      .write.mode("append").partitionBy("centroid_id")
      .parquet(f"{index_dir}/data"))
+
+
+def search_index_batch(spark: SparkSession, index_dir: str,
+                       queries: DataFrame, k: int = 10, nprobe: int = 4,
+                       query_id_col: str = "query_id",
+                       query_vec_col: str = "qvec",
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> DataFrame:
+    """Batch ANN serving: top-k for MANY query vectors in one job.
+
+    ``queries`` is a (query_id_col, query_vec_col) frame. Per query,
+    the ``nprobe`` best centroids are ranked against the broadcast
+    centroid table (one tiny crossJoin + window); the probed
+    (query, centroid) pairs then JOIN the partitioned index data on
+    ``centroid_id`` — Spark's DYNAMIC PARTITION PRUNING turns the
+    broadcast join on the partition column into a runtime partition
+    filter, so the corpus scan still touches only the union of probed
+    partitions even though the probe set isn't known at plan time
+    (plan-asserted in tests). Scoring and per-query top-k
+    (row_number ≤ k on the (query) window) run over the pruned slice.
+
+    Per-query results are IDENTICAL to :func:`search_index` with the
+    same parameters (tested); the batch shape amortizes the corpus
+    scan across the whole query set — the difference between q
+    queries costing q scans and costing one."""
+    centroids = spark.read.parquet(f"{index_dir}/centroids")
+    qvec_d = F.transform(F.col(query_vec_col), lambda x: x.cast("double"))
+    cvec_d = F.transform(F.col("cvec"), lambda x: x.cast("double"))
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select(query_id_col, "centroid_id",
+                cosine(qvec_d, cvec_d).alias("qsim"))
+        .withColumn("__rn", F.row_number().over(
+            Window.partitionBy(query_id_col)
+            .orderBy(F.desc("qsim"), F.asc("centroid_id"))))
+        .where(F.col("__rn") <= nprobe)
+        .select(query_id_col, "centroid_id")
+    )
+    data = spark.read.parquet(f"{index_dir}/data")
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scored = (
+        data.join(F.broadcast(probes), "centroid_id")
+        .join(F.broadcast(queries), query_id_col)
+        .select(query_id_col, id_col,
+                cosine(vec_d, qvec_d).alias("cosine_sim"))
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(
+            Window.partitionBy(query_id_col)
+            .orderBy(F.desc("cosine_sim"), F.asc(id_col))))
+        .where(F.col("__rn") <= k)
+        .select(query_id_col, id_col, "cosine_sim")
+    )
 
 
 def search_index(spark: SparkSession, index_dir: str,

@@ -98,3 +98,39 @@ def test_appended_vectors_are_searchable(spark, tmp_path):
     hit = ann_index.search_index(spark, idx, _qvec(spark), k=1,
                                  nprobe=8).head()
     assert hit["vec_id"] == 0 and abs(hit["cosine_sim"] - 1.0) < 1e-9
+
+
+def test_batch_search_equals_per_query_and_uses_dpp(spark, tmp_path):
+    """search_index_batch must return, per query, exactly
+    search_index's rows — and the corpus scan must be DYNAMICALLY
+    partition-pruned (the probe set is computed at runtime, yet the
+    broadcast join on the partition column still reaches the scan as
+    a partition filter)."""
+    from real_time_iot_data_pipeline_project_spark.plans.inspect import (
+        plan_string,
+    )
+
+    emb = _emb(spark)
+    idx = str(tmp_path / "idx")
+    ann_index.build_index(emb, idx, n_centroids=8)
+
+    queries = (emb.where(F.col("vec_id").isin(0, 3, 7))
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qvec")))
+    out = ann_index.search_index_batch(spark, idx, queries, k=6,
+                                       nprobe=3)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["vec_id"], r["cosine_sim"]))
+
+    for qid in (0, 3, 7):
+        qvec = [float(x) for x in
+                emb.where(F.col("vec_id") == qid).head()["embedding"]]
+        want = [(r["vec_id"], r["cosine_sim"]) for r in
+                ann_index.search_index(spark, idx, qvec, k=6,
+                                       nprobe=3).collect()]
+        assert got[qid] == want, qid
+
+    plan = plan_string(out)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
