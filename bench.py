@@ -144,6 +144,7 @@ HEADLINE = [
     # and the hash-gated streaming heavy-hitters fold
     "q119_embed_ann",
     "q120_stream_heavy_fold",
+    "q121_index_batch_search",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

@@ -181,7 +181,7 @@ EVIDENCE: dict[str, dict] = {
         "test_embedding.py::test_unit_norm_and_duplicate_docs_identical",
         "test_embedding.py::test_partitioning_invariance",
         "test_embedding.py::test_embed_plan_is_jvm_only_and_validates_dim"]},
-    "X32": {"queries": [], "tests": [
+    "X32": {"queries": ["q121_index_batch_search"], "tests": [
         "test_ann_index.py::test_index_search_equals_ivf_topk",
         "test_ann_index.py::test_append_equals_rebuild",
         "test_ann_index.py::test_search_scan_is_partition_pruned",

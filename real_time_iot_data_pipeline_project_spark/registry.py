@@ -4976,6 +4976,95 @@ def q120_stream_heavy_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.unlink(state)
 
 
+def _index_batch_sql(n_centroids: int = 16, nprobe: int = 4,
+                     k: int = 10) -> str:
+    """q121 oracle: the persistent-index BATCH search replayed in SQL —
+    md5-sampled centroids, argmax assignment, per-QUERY centroid
+    ranking (row_number ≤ nprobe), candidate scoring over the probed
+    (query, centroid) pairs, per-query top-k. Identical arithmetic to
+    q38's proven formulation, generalized over a query SET."""
+    cos = (
+        "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+        " / (sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+        " * sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))"
+    )
+    v_c = cos.format(a="e.embedding", b="c.cvec")
+    c_q = cos.format(a="c.cvec", b="q.qv")
+    v_q = cos.format(a="e.embedding", b="q.qv")
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+    ),
+    c AS (
+      SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_centroids}
+    ),
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {v_c} DESC,
+                                           c.centroid_id ASC) AS rn
+        FROM embeddings e, c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, centroid_id FROM (
+        SELECT q.query_id, c.centroid_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {c_q} DESC,
+                                           c.centroid_id ASC) AS rn
+        FROM q, c
+      ) WHERE rn <= {nprobe}
+    )
+    SELECT query_id, vec_id, cosine_sim FROM (
+      SELECT q.query_id, e.vec_id,
+             round({v_q}, 6) AS cosine_sim,
+             row_number() OVER (PARTITION BY q.query_id
+                                ORDER BY {v_q} DESC,
+                                         e.vec_id ASC) AS rn
+      FROM embeddings e
+      JOIN assigned a ON a.vec_id = e.vec_id
+      JOIN probes p ON p.centroid_id = a.centroid_id
+      JOIN q ON q.query_id = p.query_id
+    ) WHERE rn <= {k}
+    """
+
+
+@query("q121_index_batch_search", _index_batch_sql())
+def q121_index_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X32 end-to-end, hash-gated (round 9): the PERSISTENT IVF index
+    built to parquet (data partitioned by centroid_id) and then served
+    a 5-query batch via search_index_batch — per-query nprobe centroid
+    ranking, dynamic-partition-pruned candidate join, per-query top-k.
+    The oracle replays the identical pipeline in SQL straight from the
+    base table, so a hash match proves BOTH the search arithmetic AND
+    the parquet round-trip fidelity of the on-disk index (floats
+    written and re-read bit-exactly).
+
+    The index is (re)built under /tmp per call — the registry contract
+    gives only (spark, sf_dir), and the build IS part of the operator
+    under test; the returned DataFrame lazily reads those files, so
+    they persist for the consumer (same lifecycle as the probe
+    tools' replica dirs; ~corpus-sized, /tmp-resident)."""
+    import hashlib
+
+    from .operators.ann_index import build_index, search_index_batch
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    idx = f"/tmp/sparkgraft_q121_index_{tag}"
+    build_index(emb, idx, n_centroids=16)
+    queries = (emb.where(F.col("vec_id").isin(0, 1, 2, 3, 4))
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qvec")))
+    out = search_index_batch(spark, idx, queries, k=10, nprobe=4)
+    return out.select("query_id", "vec_id",
+                      F.round("cosine_sim", 6).alias("cosine_sim"))
+
+
 # Operators added AFTER the 50-slot window filled with unique-operator
 # queries: fully oracle-checked by the local gate, first in line for a
 # window slot if one opens.
@@ -5029,6 +5118,9 @@ POST_WINDOW: list[str] = [
     # round 9: streaming heavy-hitters fold, hash-gated (X29 streaming
     # tier, VERDICT r8 item 7) — scheduled for rotation #6
     "q120_stream_heavy_fold",
+    # round 9: persistent-index batch ANN search (X32) — scheduled for
+    # rotation #6
+    "q121_index_batch_search",
 ]
 
 

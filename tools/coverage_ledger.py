@@ -64,6 +64,7 @@ PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
         # streaming heavy-hitters fold
         "q119_embed_ann",
         "q120_stream_heavy_fold",
+        "q121_index_batch_search",
     ]),
 }
 
