@@ -46,7 +46,7 @@ X100 = "/tmp/sfx100_probe"
 
 
 def build(spark, out_dir: str, factor: int) -> None:
-    for t in ("documents", "events"):
+    for t in ("documents", "events", "embeddings"):
         path = f"{out_dir}/{t}.parquet"
         if os.path.exists(path):
             continue
@@ -186,6 +186,7 @@ def main() -> None:
         ("q118_embed", probe_query("q118_hashing_embed")),
         ("q119_ann", probe_query("q119_embed_ann")),
         ("q120_hh_fold", probe_query("q120_stream_heavy_fold")),
+        ("q121_batch_ann", probe_query("q121_index_batch_search")),
     )
     for name, fn in probes:
         if only is not None and name not in only:
