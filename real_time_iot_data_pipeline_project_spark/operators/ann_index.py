@@ -114,7 +114,11 @@ def search_index_batch(spark: SparkSession, index_dir: str,
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     scored = (
         data.join(F.broadcast(probes), "centroid_id")
-        .join(F.broadcast(queries), query_id_col)
+        # no broadcast hint on the queries join: a bounded query batch
+        # broadcasts anyway under Catalyst's size rule, and an
+        # oversized one degrades to a shuffle join instead of a
+        # broadcast OOM (only the probes join needs the hint, for DPP)
+        .join(queries, query_id_col)
         .select(query_id_col, id_col,
                 cosine(vec_d, qvec_d).alias("cosine_sim"))
     )

@@ -1151,16 +1151,25 @@ def q37_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"))
 
 
+def _list_cos_sql(a: str, b: str, cast: bool = True) -> str:
+    """THE DuckDB cosine template, written once (round-9 review): every
+    ANN-tier oracle (q37/q38/q39/q119/q121) formats this same
+    expression, so a fix to the formulation can never apply to one
+    oracle and silently break the identical-arithmetic contract the
+    cross-engine hash checks rely on. ``cast=False`` for inputs that
+    are already DOUBLE[] (the q119 dense CTE)."""
+    if cast:
+        a, b = f"CAST({a} AS DOUBLE[])", f"CAST({b} AS DOUBLE[])"
+    return (f"list_dot_product({a}, {b})"
+            f" / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b})))")
+
+
 def _ivf_sql(n_centroids: int = 16, nprobe: int = 4, k: int = 20,
              kmeans_iters: int = 1, dim: int = 64) -> str:
-    cos = (
-        "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
-        " / (sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
-        " * sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))"
-    )
-    v_c = cos.format(a="e.embedding", b="c.cvec")
-    c_q = cos.format(a="c.cvec", b="q.qv")
-    v_q = cos.format(a="e.embedding", b="q.qv")
+    v_c = _list_cos_sql("e.embedding", "c.cvec")
+    c_q = _list_cos_sql("c.cvec", "q.qv")
+    v_q = _list_cos_sql("e.embedding", "q.qv")
     # c0 = hash-sampled init; each Lloyd iteration = argmax assignment +
     # exact DECIMAL(28,14) per-dim means (mirrors similarity.kmeans_refine
     # bit-for-bit: same cast chain, same tie-breaks)
@@ -1241,11 +1250,7 @@ def _hyperplane_lsh_sql(planes: list[list[float]], threshold: float, bands: int)
             f"SELECT vec_id, {j} AS band, ({bucket}) AS bucket FROM embeddings"
         )
     bkt = " UNION ALL ".join(band_selects)
-    cos = (
-        "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
-        " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
-        " * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"
-    )
+    cos = _list_cos_sql("a.embedding", "b.embedding")
     return f"""
     WITH bkt AS ({bkt}),
     cand AS (
@@ -4801,14 +4806,9 @@ def _embed_ann_sql(n_centroids: int = 16, nprobe: int = 4,
     densification only inserts literal 0.0 at empty buckets; and the
     cosine/argmax/probe arithmetic is the same list_dot_product
     formulation q38 has hash-matched since round 3."""
-    cos = (
-        "list_dot_product({a}, {b})"
-        " / (sqrt(list_dot_product({a}, {a}))"
-        " * sqrt(list_dot_product({b}, {b})))"
-    )
-    v_c = cos.format(a="e.embedding", b="c.cvec")
-    c_q = cos.format(a="c.cvec", b="q.qv")
-    v_q = cos.format(a="e.embedding", b="q.qv")
+    v_c = _list_cos_sql("e.embedding", "c.cvec", cast=False)
+    c_q = _list_cos_sql("c.cvec", "q.qv", cast=False)
+    v_q = _list_cos_sql("e.embedding", "q.qv", cast=False)
     return f"""
     WITH tok AS (
       SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
@@ -4983,14 +4983,9 @@ def _index_batch_sql(n_centroids: int = 16, nprobe: int = 4,
     ranking (row_number ≤ nprobe), candidate scoring over the probed
     (query, centroid) pairs, per-query top-k. Identical arithmetic to
     q38's proven formulation, generalized over a query SET."""
-    cos = (
-        "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
-        " / (sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
-        " * sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))"
-    )
-    v_c = cos.format(a="e.embedding", b="c.cvec")
-    c_q = cos.format(a="c.cvec", b="q.qv")
-    v_q = cos.format(a="e.embedding", b="q.qv")
+    v_c = _list_cos_sql("e.embedding", "c.cvec")
+    c_q = _list_cos_sql("c.cvec", "q.qv")
+    v_q = _list_cos_sql("e.embedding", "q.qv")
     return f"""
     WITH q AS (
       SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

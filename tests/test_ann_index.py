@@ -130,7 +130,9 @@ def test_batch_search_equals_per_query_and_uses_dpp(spark, tmp_path):
         want = [(r["vec_id"], r["cosine_sim"]) for r in
                 ann_index.search_index(spark, idx, qvec, k=6,
                                        nprobe=3).collect()]
-        assert got[qid] == want, qid
+        # out carries no final orderBy — within-query arrival order is
+        # a plan artifact, so compare rank-insensitively
+        assert sorted(got[qid]) == sorted(want), qid
 
     plan = plan_string(out)
     assert "dynamicpruning" in plan.lower(), plan[:2000]
