@@ -330,7 +330,8 @@ EVIDENCE: dict[str, dict] = {
                         "q120_stream_heavy_fold"], "tests": [
         "test_heavy.py::test_heavy_hitters_partitioning_invariant",
         "test_heavy.py::test_misra_gries_no_miss_property",
-        "test_heavy.py::test_streaming_fold_matches_batch_oracle"]},
+        "test_heavy.py::test_streaming_fold_matches_batch_oracle",
+        "test_heavy.py::test_streaming_fold_state_stays_k_bounded_over_many_batches"]},
 }
 
 

@@ -324,3 +324,41 @@ def test_streaming_fold_replay_is_noop_and_state_guarded(spark, tmp_path):
 
     with pytest.raises(ValueError, match="fresh state path"):
         StreamingHeavyHitters("token", 0.5, state).process_batch(df, 2)
+
+
+def test_streaming_fold_state_stays_k_bounded_over_many_batches(spark, tmp_path):
+    """O(1)-state soak for the streaming fold: across 40 batches with
+    churning vocabularies, the persisted state never exceeds k
+    counters (the MG capacity), the file stays KB-sized, and the final
+    refine_exact over the concatenation still equals the batch
+    operator — bounded state did not cost the no-miss guarantee."""
+    import os as _os
+
+    from real_time_iot_data_pipeline_project_spark.streaming.heavy_stream import (
+        StreamingHeavyHitters,
+    )
+
+    support = 0.1          # k = 10
+    state = str(tmp_path / "soak.json")
+    shh = StreamingHeavyHitters("token", support, state)
+    all_rows = []
+    for b in range(40):
+        toks = (["alpha"] * 12 + ["beta"] * 5
+                + [f"churn{b}_{i}" for i in range(25)])
+        all_rows.extend(toks)
+        shh.process_batch(
+            spark.createDataFrame([(t,) for t in toks], "token string"),
+            b)
+        counters, n = shh.snapshot()
+        assert len(counters) <= shh.k, (b, len(counters))
+        assert _os.path.getsize(state) < 4096, b
+        assert n == len(all_rows)
+
+    concat = spark.createDataFrame([(t,) for t in all_rows],
+                                   "token string")
+    exact = {(r["token"], r["count"]) for r in
+             heavy.heavy_hitters(concat, "token", support).collect()}
+    refined = {(r["token"], r["count"]) for r in
+               shh.refine_exact(concat).collect()}
+    assert refined == exact
+    assert ("alpha", 480) in exact
