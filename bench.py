@@ -145,6 +145,7 @@ HEADLINE = [
     "q119_embed_ann",
     "q120_stream_heavy_fold",
     "q121_index_batch_search",
+    "q122_drift_report",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

@@ -181,6 +181,10 @@ EVIDENCE: dict[str, dict] = {
         "test_embedding.py::test_unit_norm_and_duplicate_docs_identical",
         "test_embedding.py::test_partitioning_invariance",
         "test_embedding.py::test_embed_plan_is_jvm_only_and_validates_dim"]},
+    "X33": {"queries": ["q122_drift_report"], "tests": [
+        "test_drift.py::test_identical_snapshots_read_stable",
+        "test_drift.py::test_planted_shift_reads_major",
+        "test_drift.py::test_psi_partitioning_invariant"]},
     "X32": {"queries": ["q121_index_batch_search"], "tests": [
         "test_ann_index.py::test_index_search_equals_ivf_topk",
         "test_ann_index.py::test_append_equals_rebuild",

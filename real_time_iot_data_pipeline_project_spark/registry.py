@@ -5028,6 +5028,99 @@ def _index_batch_sql(n_centroids: int = 16, nprobe: int = 4,
     """
 
 
+_PUNCT_RATIO_SQL = (
+    "CASE WHEN length(text) = 0 THEN NULL ELSE "
+    "CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) "
+    "AS DOUBLE) / length(text) END"
+)
+
+
+@query(
+    "q122_drift_report",
+    f"""
+    WITH d AS (
+      SELECT doc_id % 2 AS snap,
+             len(string_split(text, ' ')) AS ntok,
+             {_PUNCT_RATIO_SQL} AS pr
+      FROM documents
+    ),
+    s AS (
+      SELECT snap, 'n_tok' AS feature,
+             CASE WHEN ntok < 20 THEN '<20'
+                  WHEN ntok < 60 THEN '<60'
+                  WHEN ntok < 120 THEN '<120'
+                  ELSE '>=120' END AS bin
+      FROM d
+      UNION ALL
+      SELECT snap, 'punct_ratio',
+             CASE WHEN pr IS NULL THEN NULL
+                  WHEN pr < 0.01 THEN 'p0'
+                  WHEN pr < 0.03 THEN 'p1'
+                  WHEN pr < 0.06 THEN 'p2'
+                  ELSE 'p3' END
+      FROM d
+    ),
+    c AS (
+      SELECT feature, bin,
+             SUM(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS n_a,
+             SUM(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS n_b
+      FROM s WHERE bin IS NOT NULL GROUP BY feature, bin
+    ),
+    p AS (
+      SELECT feature,
+             (CAST(n_a AS DOUBLE)
+              / SUM(n_a) OVER (PARTITION BY feature)) + 1e-06 AS pa,
+             (CAST(n_b AS DOUBLE)
+              / SUM(n_b) OVER (PARTITION BY feature)) + 1e-06 AS pb
+      FROM c
+    ),
+    t AS (
+      SELECT feature,
+             CAST((pa - pb) * ln(pa / pb) AS DECIMAL(18,12)) AS term
+      FROM p
+    ),
+    o AS (
+      SELECT feature, round(CAST(SUM(term) AS DOUBLE), 6) AS psi
+      FROM t GROUP BY feature
+    )
+    SELECT feature, psi,
+           CASE WHEN psi < 0.1 THEN 'stable'
+                WHEN psi < 0.25 THEN 'moderate_shift'
+                ELSE 'major_shift' END AS verdict
+    FROM o
+    """,
+)
+def q122_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X33 — snapshot drift monitor (operators/drift.psi_report): PSI
+    over binned token-count and punctuation-ratio distributions between
+    two corpus snapshots (here the even/odd doc_id halves — the
+    deterministic stand-in for snapshot N vs N+1). One scan over both
+    snapshots: bins stack map-side, one partial-agg counts the
+    (feature, bin, snapshot) cells, and the PSI fold runs on the
+    aggregated rows only. Per-bin ln terms are rounded to
+    DECIMAL(18,12) before the order-free decimal sum (q72's ln-sum
+    policy), so both engines hash-match at 6 dp; the verdict CASE
+    compares the ROUNDED psi so thresholds agree by construction."""
+    from .operators.drift import psi_report
+
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+    ntok = F.size(F.split(F.col("text"), " "))
+    n_chars = F.length("text")
+    pr = F.when(n_chars == 0, F.lit(None)).otherwise(
+        F.length(F.regexp_replace("text", "[^!-/:-@\\[-`{-~]", ""))
+        .cast("double") / n_chars)
+    features = {
+        "n_tok": F.when(ntok < 20, "<20").when(ntok < 60, "<60")
+        .when(ntok < 120, "<120").otherwise(">=120"),
+        "punct_ratio": F.when(pr.isNull(), F.lit(None))
+        .when(pr < 0.01, "p0").when(pr < 0.03, "p1")
+        .when(pr < 0.06, "p2").otherwise("p3"),
+    }
+    return psi_report(a, b, features)
+
+
 @query("q121_index_batch_search", _index_batch_sql())
 def q121_index_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X32 end-to-end, hash-gated (round 9): the PERSISTENT IVF index
@@ -5116,6 +5209,8 @@ POST_WINDOW: list[str] = [
     # round 9: persistent-index batch ANN search (X32) — scheduled for
     # rotation #6
     "q121_index_batch_search",
+    # round 9: snapshot drift monitor (X33) — scheduled for rotation #6
+    "q122_drift_report",
 ]
 
 

@@ -65,6 +65,7 @@ PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
         "q119_embed_ann",
         "q120_stream_heavy_fold",
         "q121_index_batch_search",
+        "q122_drift_report",
     ]),
 }
 
