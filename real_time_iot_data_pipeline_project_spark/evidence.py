@@ -68,6 +68,8 @@ EVIDENCE: dict[str, dict] = {
     "S14": {"queries": ["q26_dwh_datetime_dim"], "tests": [
         "test_misc_ops.py::test_star_schema_build"]},
     "S15": {"queries": ["q24_retention_last_n"], "tests": []},
+    "S16": {"queries": [], "tests": [
+        "test_misc_ops.py::test_jsonl_round_trip_sharded_and_compressed"]},
     # --- §2.2 projections / filters ---
     "P1": {"queries": ["q02_range_filter"], "tests": []},
     "P2": {"queries": [], "tests": [

@@ -57,6 +57,33 @@ def append_log_csv(df: DataFrame, path: str) -> None:
     df.write.mode("append").option("header", True).csv(path)
 
 
+def write_jsonl_shards(df: DataFrame, path: str, n_shards: int | None = None,
+                       mode: str = "overwrite",
+                       compression: str | None = None) -> None:
+    """S16 — JSONL export sink: newline-delimited JSON, the interchange
+    format training pipelines consume. One file per shard
+    (``repartition(n_shards)`` — omit to keep the upstream layout);
+    optional codec ('gzip'/'zstd'/...) for wire-size-sensitive
+    handoffs. Spark's native json writer: each row is one JSON object
+    per line, written in parallel — never a driver-side serialize."""
+    w = df.repartition(n_shards) if n_shards else df
+    writer = w.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str,
+               schema: T.StructType | str | None = None) -> DataFrame:
+    """S16 — JSONL batch source. Pass the schema in production (the
+    export wrote a known one) so Spark skips the inference scan; Spark
+    reads compressed parts transparently."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
 def write_bucketed_table(df: DataFrame, table: str, bucket_cols: list[str],
                          n_buckets: int = 32,
                          sort_cols: list[str] | None = None,
