@@ -183,6 +183,9 @@ EVIDENCE: dict[str, dict] = {
         "test_embedding.py::test_unit_norm_and_duplicate_docs_identical",
         "test_embedding.py::test_partitioning_invariance",
         "test_embedding.py::test_embed_plan_is_jvm_only_and_validates_dim"]},
+    "X34": {"queries": [], "tests": [
+        "test_drift.py::test_streaming_drift_fold_equals_batch_exactly",
+        "test_drift.py::test_streaming_drift_via_real_stream"]},
     "X33": {"queries": ["q122_drift_report"], "tests": [
         "test_drift.py::test_identical_snapshots_read_stable",
         "test_drift.py::test_planted_shift_reads_major",

@@ -36,13 +36,11 @@ PSI_MODERATE = 0.25
 _EPS = 1e-6
 
 
-def psi_report(df_a: DataFrame, df_b: DataFrame,
-               features: dict[str, Column],
-               round_dp: int = 6) -> DataFrame:
-    """(feature, psi, verdict) — one row per feature in ``features``
-    (name -> an integer/string BIN expression evaluated on each
-    snapshot's rows). Rows where a bin expression is null are excluded
-    from that feature's distribution (SQL aggregate semantics)."""
+def bin_cells(df_a: DataFrame, df_b: DataFrame,
+              features: dict[str, Column]) -> DataFrame:
+    """(feature, bin, n_a, n_b) count cells — the exactly-mergeable
+    intermediate (integer counts sum across batches/snapshots), shared
+    by the batch report and the streaming monitor's fold."""
     if not features:
         raise ValueError("features must name at least one binned column")
     names = list(features)
@@ -61,10 +59,17 @@ def psi_report(df_a: DataFrame, df_b: DataFrame,
             ", ".join(f"'{n}', __b_{i}" for i, n in enumerate(names)),
         )).alias("feature", "bin"),
     ).where(F.col("bin").isNotNull())
-    cells = stacked.groupBy("feature", "bin").agg(
+    return stacked.groupBy("feature", "bin").agg(
         F.sum(F.when(F.col("__snap") == 0, 1).otherwise(0)).alias("n_a"),
         F.sum(F.when(F.col("__snap") == 1, 1).otherwise(0)).alias("n_b"),
     )
+
+
+def psi_from_cells(cells: DataFrame, round_dp: int = 6) -> DataFrame:
+    """(feature, psi, verdict) from (feature, bin, n_a, n_b) cells —
+    the arithmetic tail of the report, callable on folded streaming
+    counts as well as batch cells (same doubles either way, because
+    the inputs are exactly-mergeable integers)."""
     from pyspark.sql import Window
     w = Window.partitionBy("feature")
     terms = cells.select(
@@ -88,3 +93,14 @@ def psi_report(df_a: DataFrame, df_b: DataFrame,
         .when(F.col("psi") < PSI_MODERATE, F.lit("moderate_shift"))
         .otherwise(F.lit("major_shift")).alias("verdict"),
     )
+
+
+def psi_report(df_a: DataFrame, df_b: DataFrame,
+               features: dict[str, Column],
+               round_dp: int = 6) -> DataFrame:
+    """(feature, psi, verdict) — one row per feature in ``features``
+    (name -> an integer/string BIN expression evaluated on each
+    snapshot's rows). Rows where a bin expression is null are excluded
+    from that feature's distribution (SQL aggregate semantics)."""
+    return psi_from_cells(bin_cells(df_a, df_b, features),
+                          round_dp=round_dp)

@@ -61,3 +61,81 @@ def test_null_bins_excluded_and_empty_features_rejected(spark):
     assert out["psi"] == 0.0 and out["verdict"] == "stable"
     with pytest.raises(ValueError, match="at least one"):
         drift.psi_report(a, b, {})
+
+
+def test_streaming_drift_fold_equals_batch_exactly(spark, tmp_path):
+    """X34: after streaming N batches through the monitor, report()
+    must equal psi_report(baseline, concatenated_batches) EXACTLY —
+    the folded integer cells are the same cells, the arithmetic tail
+    is the same code. Also: replay of the last batch_id is a no-op, a
+    behind-horizon id raises, and a shifted stream flips the alarm."""
+    from real_time_iot_data_pipeline_project_spark.streaming.drift_stream import (
+        StreamingDriftMonitor,
+    )
+
+    feats = {"v": _bins("v")}
+    baseline = spark.createDataFrame(
+        [(i % 30,) for i in range(300)], "v int")
+    # batches drift toward the 'hi' bin over time
+    batches = [
+        spark.createDataFrame([(i % 30,) for i in range(100)], "v int"),
+        spark.createDataFrame([(25,)] * 80 + [(5,)] * 20, "v int"),
+        spark.createDataFrame([(27,)] * 100, "v int"),
+    ]
+    mon = StreamingDriftMonitor(feats, baseline,
+                                str(tmp_path / "drift.json"))
+    concat = batches[0]
+    for b, df in enumerate(batches):
+        mon.process_batch(df, b)
+        if b:
+            concat = concat.unionByName(df)
+
+    got = [(r["feature"], r["psi"], r["verdict"])
+           for r in mon.report(spark).collect()]
+    want = [(r["feature"], r["psi"], r["verdict"])
+            for r in drift.psi_report(baseline, concat, feats).collect()]
+    assert got == want
+    assert got[0][2] == "major_shift"   # the planted drift is visible
+
+    # replay of the folded horizon: no-op
+    before = mon._load()
+    mon.process_batch(batches[2], 2)
+    assert mon._load() == before
+    # behind-horizon id: state/checkpoint mismatch must raise
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="different checkpoint"):
+        mon.process_batch(batches[0], 0)
+
+
+def test_streaming_drift_via_real_stream(spark, tmp_path):
+    """The monitor's foreachBatch hook driven by a REAL availableNow
+    stream must land on the same report as direct folding."""
+    from real_time_iot_data_pipeline_project_spark.streaming.drift_stream import (
+        StreamingDriftMonitor,
+    )
+
+    feats = {"v": _bins("v")}
+    baseline = spark.createDataFrame(
+        [(i % 30,) for i in range(120)], "v int")
+    src = tmp_path / "src"
+    src.mkdir()
+    dfs = [spark.createDataFrame([(i % 30,) for i in range(60)], "v int"),
+           spark.createDataFrame([(3,)] * 50, "v int")]
+    for i, df in enumerate(dfs):
+        df.coalesce(1).write.parquet(str(src / f"b{i}"))
+
+    mon = StreamingDriftMonitor(feats, baseline,
+                                str(tmp_path / "s.json"))
+    stream = (spark.readStream.schema("v int")
+              .option("maxFilesPerTrigger", "1").parquet(f"{src}/*"))
+    q = (stream.writeStream.foreachBatch(mon.process_batch)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {r["feature"]: (r["psi"], r["verdict"])
+           for r in mon.report(spark).collect()}
+    want = {r["feature"]: (r["psi"], r["verdict"]) for r in
+            drift.psi_report(baseline, dfs[0].unionByName(dfs[1]),
+                             feats).collect()}
+    assert got == want
