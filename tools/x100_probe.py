@@ -187,6 +187,7 @@ def main() -> None:
         ("q119_ann", probe_query("q119_embed_ann")),
         ("q120_hh_fold", probe_query("q120_stream_heavy_fold")),
         ("q121_batch_ann", probe_query("q121_index_batch_search")),
+        ("q122_drift", probe_query("q122_drift_report")),
     )
     for name, fn in probes:
         if only is not None and name not in only:
