@@ -52,13 +52,18 @@ def bin_cells(df_a: DataFrame, df_b: DataFrame,
             features[n].cast("string").alias(f"__b_{i}")
             for i, n in enumerate(names)]))
     )
-    stacked = tagged.select(
-        "__snap",
-        F.expr("stack({}, {})".format(
-            len(names),
-            ", ".join(f"'{n}', __b_{i}" for i, n in enumerate(names)),
-        )).alias("feature", "bin"),
-    ).where(F.col("bin").isNotNull())
+    # explode(array(struct(...))) rather than an F.expr stack() string:
+    # same map-side expansion, but feature names are Column literals —
+    # a quote or comma in a name cannot break parsing or inject
+    # expression text
+    pairs = F.array(*[
+        F.struct(F.lit(n).alias("feature"),
+                 F.col(f"__b_{i}").alias("bin"))
+        for i, n in enumerate(names)
+    ])
+    stacked = (tagged.select("__snap", F.explode(pairs).alias("__fb"))
+               .select("__snap", "__fb.feature", "__fb.bin")
+               .where(F.col("bin").isNotNull()))
     return stacked.groupBy("feature", "bin").agg(
         F.sum(F.when(F.col("__snap") == 0, 1).otherwise(0)).alias("n_a"),
         F.sum(F.when(F.col("__snap") == 1, 1).otherwise(0)).alias("n_b"),
@@ -72,10 +77,18 @@ def psi_from_cells(cells: DataFrame, round_dp: int = 6) -> DataFrame:
     the inputs are exactly-mergeable integers)."""
     from pyspark.sql import Window
     w = Window.partitionBy("feature")
+    # zero-total guard (ANSI mode makes x/0 an error, not NULL): an
+    # EMPTY snapshot side reads as all-zero proportions — i.e. maximal
+    # drift — instead of aborting the job; when the total is positive
+    # the expression is exactly the plain division
+    tot_a = F.sum("n_a").over(w)
+    tot_b = F.sum("n_b").over(w)
     terms = cells.select(
         "feature",
-        ((F.col("n_a") / F.sum("n_a").over(w)) + F.lit(_EPS)).alias("pa"),
-        ((F.col("n_b") / F.sum("n_b").over(w)) + F.lit(_EPS)).alias("pb"),
+        (F.when(tot_a > 0, F.col("n_a") / tot_a).otherwise(F.lit(0.0))
+         + F.lit(_EPS)).alias("pa"),
+        (F.when(tot_b > 0, F.col("n_b") / tot_b).otherwise(F.lit(0.0))
+         + F.lit(_EPS)).alias("pb"),
     ).select(
         "feature",
         # term rounded to DECIMAL(18,12) before the sum: decimal sums

@@ -75,8 +75,10 @@ def default_quality_scorer() -> Callable[[pd.DataFrame], pd.Series]:
       trailing newline, which would count ``'...the\\n'`` as a
       stopword token that split(' ') membership does not.
     """
+    from ..functions.textfns import PUNCT_RE
+
     w0, w1, w2, w3 = DEFAULT_WEIGHTS
-    punct_pat = r"[!-/:-@\[-`{-~]"
+    punct_pat = PUNCT_RE   # the ONE shared punctuation class
     stop = ("the", "a", "of", "and", "to", "in", "is", "that", "it",
             "for")
     stop_pat = r"(?:^| )(?:" + "|".join(stop) + r")(?= |\Z)"

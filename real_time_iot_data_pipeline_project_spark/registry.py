@@ -5109,7 +5109,8 @@ def q122_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntok = F.size(F.split(F.col("text"), " "))
     n_chars = F.length("text")
     pr = F.when(n_chars == 0, F.lit(None)).otherwise(
-        F.length(F.regexp_replace("text", "[^!-/:-@\\[-`{-~]", ""))
+        F.length(F.regexp_replace(
+            "text", f"[^{textfns.PUNCT_RE[1:-1]}]", ""))
         .cast("double") / n_chars)
     features = {
         "n_tok": F.when(ntok < 20, "<20").when(ntok < 60, "<60")

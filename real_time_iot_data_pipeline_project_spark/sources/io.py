@@ -66,7 +66,7 @@ def write_jsonl_shards(df: DataFrame, path: str, n_shards: int | None = None,
     optional codec ('gzip'/'zstd'/...) for wire-size-sensitive
     handoffs. Spark's native json writer: each row is one JSON object
     per line, written in parallel — never a driver-side serialize."""
-    w = df.repartition(n_shards) if n_shards else df
+    w = df.repartition(n_shards) if n_shards is not None else df
     writer = w.write.mode(mode)
     if compression:
         writer = writer.option("compression", compression)

@@ -75,9 +75,14 @@ class StreamingDriftMonitor:
         state = self._load()
         if batch_id == state["last_batch_id"]:
             return  # replay of the last uncommitted batch: already folded
-        if batch_id < state["last_batch_id"]:
+        if batch_id != state["last_batch_id"] + 1:
+            # sequential-id contract, both directions (see
+            # heavy_stream.process_batch): behind = fresh checkpoint on
+            # old state (double-count), ahead = fresh state on an
+            # advanced checkpoint (silently missing batches — the
+            # stream==batch equality claim would be false)
             raise ValueError(
-                f"batch_id {batch_id} is behind the fold horizon "
+                f"batch_id {batch_id} does not follow the fold horizon "
                 f"{state['last_batch_id']} at {self.state_path} — this "
                 "state belongs to a different checkpoint; use a fresh "
                 "state path with a fresh checkpointLocation")

@@ -96,20 +96,23 @@ class StreamingHeavyHitters:
         state = self._load()
         if batch_id == state["last_batch_id"]:
             return  # replayed batch after restart: already folded
-        if batch_id < state["last_batch_id"]:
-            # Structured Streaming replays at most the LAST uncommitted
-            # batch, so an id strictly below the fold horizon means the
-            # state file is paired with a DIFFERENT (fresh or older)
-            # checkpoint — silently skipping would undercount the
-            # stream and void the no-miss guarantee. State and
-            # checkpointLocation must live and die together.
+        if batch_id != state["last_batch_id"] + 1:
+            # Structured Streaming batch ids are sequential, and a
+            # restart replays at most the LAST uncommitted batch (the
+            # == case above) — so any other id means the state file is
+            # paired with a DIFFERENT checkpoint: behind-horizon =
+            # fresh checkpoint restarted at 0 (folding would
+            # double-count), forward gap = fresh/lost state attached
+            # to an advanced checkpoint (batches 0..id-1 would be
+            # silently missing and the no-miss guarantee voided).
+            # State and checkpointLocation must live and die together.
             raise ValueError(
-                f"batch_id {batch_id} is behind the state's fold "
-                f"horizon {state['last_batch_id']} at "
+                f"batch_id {batch_id} does not follow the state's "
+                f"fold horizon {state['last_batch_id']} at "
                 f"{self.state_path} — this state file belongs to a "
                 "different checkpoint; start a fresh state path with "
                 "a fresh checkpointLocation (or restore the matching "
-                "checkpoint)")
+                "state/checkpoint pair)")
         # executor-side: the SAME per-task weighted-MG pass as batch
         # heavy_hitters; driver sees only ≤ (k+1)·tasks summary rows
         # (bounded control-flow collect, like upsert/scd2 bucket ids)

@@ -139,3 +139,19 @@ def test_streaming_drift_via_real_stream(spark, tmp_path):
             drift.psi_report(baseline, dfs[0].unionByName(dfs[1]),
                              feats).collect()}
     assert got == want
+
+
+def test_streaming_drift_forward_gap_raises(spark, tmp_path):
+    """A forward batch-id gap means a fresh/lost state file was paired
+    with an ADVANCED checkpoint — folding would silently miss batches,
+    so it must raise (the sequential-id contract, both directions)."""
+    from real_time_iot_data_pipeline_project_spark.streaming.drift_stream import (
+        StreamingDriftMonitor,
+    )
+
+    baseline = spark.createDataFrame([(1,)], "v int")
+    mon = StreamingDriftMonitor({"v": _bins("v")}, baseline,
+                                str(tmp_path / "g.json"))
+    mon.process_batch(baseline, 0)
+    with pytest.raises(ValueError, match="different checkpoint"):
+        mon.process_batch(baseline, 5)

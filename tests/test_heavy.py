@@ -362,3 +362,18 @@ def test_streaming_fold_state_stays_k_bounded_over_many_batches(spark, tmp_path)
                shh.refine_exact(concat).collect()}
     assert refined == exact
     assert ("alpha", 480) in exact
+
+
+def test_streaming_fold_forward_gap_raises(spark, tmp_path):
+    """A forward batch-id gap = fresh/lost state on an advanced
+    checkpoint: folding would silently miss batches and void the
+    no-miss guarantee, so the sequential-id contract raises."""
+    from real_time_iot_data_pipeline_project_spark.streaming.heavy_stream import (
+        StreamingHeavyHitters,
+    )
+
+    shh = StreamingHeavyHitters("token", 0.5, str(tmp_path / "g.json"))
+    df = spark.createDataFrame([("a",)], "token string")
+    shh.process_batch(df, 0)
+    with pytest.raises(ValueError, match="different checkpoint"):
+        shh.process_batch(df, 2)
