@@ -70,6 +70,8 @@ EVIDENCE: dict[str, dict] = {
     "S15": {"queries": ["q24_retention_last_n"], "tests": []},
     "S16": {"queries": [], "tests": [
         "test_misc_ops.py::test_jsonl_round_trip_sharded_and_compressed"]},
+    "S17": {"queries": [], "tests": [
+        "test_misc_ops.py::test_partition_backfill_touches_only_incoming_partitions"]},
     # --- §2.2 projections / filters ---
     "P1": {"queries": ["q02_range_filter"], "tests": []},
     "P2": {"queries": [], "tests": [

@@ -84,6 +84,27 @@ def read_jsonl(spark: SparkSession, path: str,
     return reader.json(path)
 
 
+def overwrite_partitions(df: DataFrame, path: str,
+                         partition_by: list[str]) -> None:
+    """S17 — idempotent partition backfill (dynamic partition
+    overwrite): rewrite ONLY the partitions present in ``df``, leaving
+    every other partition untouched — the reprocess-a-date-range
+    pattern. A plain ``mode("overwrite")`` with static overwrite
+    semantics would DELETE the whole dataset first; the dynamic option
+    scopes the overwrite to the incoming partition values, so the same
+    backfill can be re-run safely (idempotent) and two backfills of
+    disjoint ranges compose. At 100 TB this is how corrections ship:
+    recompute the affected day/source partitions, swap them in place,
+    never touch the rest."""
+    if not partition_by:
+        raise ValueError("overwrite_partitions requires partition columns"
+                         " — for a full rewrite use mode('overwrite')")
+    (df.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy(*partition_by)
+     .parquet(path))
+
+
 def write_bucketed_table(df: DataFrame, table: str, bucket_cols: list[str],
                          n_buckets: int = 32,
                          sort_cols: list[str] | None = None,

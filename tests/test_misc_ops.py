@@ -556,3 +556,49 @@ def test_jsonl_round_trip_sharded_and_compressed(spark, tmp_path):
         lines = [ln for ln in fh.read().splitlines() if ln]
     assert all(_json.loads(ln)["text"].startswith("text ")
                for ln in lines)
+
+
+def test_partition_backfill_touches_only_incoming_partitions(spark, tmp_path):
+    """S17 dynamic partition overwrite: backfilling one date must
+    replace that partition wholly, leave the others row-identical, and
+    be idempotent on re-run."""
+    from pyspark.sql import functions as F
+
+    from real_time_iot_data_pipeline_project_spark.sources import io as sio
+
+    base = spark.createDataFrame(
+        [(d, i, float(i)) for d in ("2024-01-01", "2024-01-02",
+                                    "2024-01-03") for i in range(10)],
+        "day string, id int, v double")
+    out = str(tmp_path / "data")
+    sio.overwrite_partitions(base, out, ["day"])
+    assert spark.read.parquet(out).count() == 30
+
+    # corrected recompute of ONE day: fewer rows, new values
+    fix = spark.createDataFrame(
+        [("2024-01-02", i, float(i) * 10) for i in range(7)],
+        "day string, id int, v double")
+    sio.overwrite_partitions(fix, out, ["day"])
+    got = spark.read.parquet(out)
+    assert got.count() == 27
+    d2 = {(r["id"], r["v"]) for r in
+          got.where(F.col("day") == "2024-01-02").collect()}
+    assert d2 == {(i, float(i) * 10) for i in range(7)}
+    # partition values read back type-inferred (string day -> DATE):
+    # compare on the string form
+    untouched = {(str(r["day"]), r["id"], r["v"]) for r in
+                 got.where(F.col("day") != "2024-01-02").collect()}
+    assert untouched == {(d, i, float(i))
+                         for d in ("2024-01-01", "2024-01-03")
+                         for i in range(10)}
+
+    # idempotent: the same backfill again changes nothing
+    sio.overwrite_partitions(fix, out, ["day"])
+    again = {(str(r["day"]), r["id"], r["v"])
+             for r in spark.read.parquet(out).collect()}
+    assert again == {("2024-01-02", i, float(i) * 10) for i in range(7)} \
+        | untouched
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="partition columns"):
+        sio.overwrite_partitions(base, out, [])
