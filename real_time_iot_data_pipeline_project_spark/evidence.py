@@ -185,6 +185,10 @@ EVIDENCE: dict[str, dict] = {
         "test_embedding.py::test_unit_norm_and_duplicate_docs_identical",
         "test_embedding.py::test_partitioning_invariance",
         "test_embedding.py::test_embed_plan_is_jvm_only_and_validates_dim"]},
+    "X35": {"queries": [], "tests": [
+        "test_release.py::test_release_writes_shards_manifest_and_passes_stable_gate",
+        "test_release.py::test_release_gate_blocks_major_shift_unless_allowed",
+        "test_release.py::test_release_cli_end_to_end"]},
     "X34": {"queries": [], "tests": [
         "test_drift.py::test_streaming_drift_fold_equals_batch_exactly",
         "test_drift.py::test_streaming_drift_via_real_stream"]},

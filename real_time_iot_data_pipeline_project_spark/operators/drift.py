@@ -108,6 +108,27 @@ def psi_from_cells(cells: DataFrame, round_dp: int = 6) -> DataFrame:
     )
 
 
+def default_text_features(text_col: str = "text") -> dict[str, Column]:
+    """The standard text-profile bins (token-count and punctuation-
+    ratio bands) — shared by registry q122 and the release CLI's drift
+    gate, so "the corpus profile" means the same thing everywhere."""
+    from ..functions.textfns import PUNCT_RE
+
+    ntok = F.size(F.split(F.col(text_col), " "))
+    n_chars = F.length(text_col)
+    pr = F.when(n_chars == 0, F.lit(None)).otherwise(
+        F.length(F.regexp_replace(
+            text_col, f"[^{PUNCT_RE[1:-1]}]", ""))
+        .cast("double") / n_chars)
+    return {
+        "n_tok": F.when(ntok < 20, "<20").when(ntok < 60, "<60")
+        .when(ntok < 120, "<120").otherwise(">=120"),
+        "punct_ratio": F.when(pr.isNull(), F.lit(None))
+        .when(pr < 0.01, "p0").when(pr < 0.03, "p1")
+        .when(pr < 0.06, "p2").otherwise("p3"),
+    }
+
+
 def psi_report(df_a: DataFrame, df_b: DataFrame,
                features: dict[str, Column],
                round_dp: int = 6) -> DataFrame:

@@ -128,13 +128,81 @@ def curate_corpus(
     return final
 
 
+def release_corpus(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    baseline_path: str | None = None,
+    min_quality: float = 0.45,
+    langs: tuple[str, ...] = ("en",),
+    n_shards: int = 8,
+    allow_drift: bool = False,
+) -> dict:
+    """Entry point E — the full training-data RELEASE job: curate
+    (q48's chain) → JSONL shard export (S16, the training interchange
+    format) → manifest → drift gate vs the previous release (X33).
+
+    The drift gate is the publish gate: the curated output's text
+    profile (drift.default_text_features — the same bins q122
+    hash-checks) is PSI-compared against the prior release's; any
+    ``major_shift`` feature aborts the release (RuntimeError) unless
+    ``allow_drift`` — corrections to the pipeline should change the
+    corpus deliberately, not silently. Returns the manifest dict
+    (counts, token budget, per-lang breakdown, drift verdicts)."""
+    import json as _json
+    import os as _os
+
+    from .operators.drift import default_text_features, psi_report
+    from .sources import io as sio
+
+    final = curate_corpus(spark, input_path, output_path=None,
+                          min_quality=min_quality, langs=langs)
+    drift_rows: list[dict] = []
+    if baseline_path:
+        baseline = spark.read.json(f"{baseline_path}/data") \
+            if _os.path.exists(f"{baseline_path}/data") \
+            else spark.read.parquet(baseline_path)
+        report = psi_report(baseline, final,
+                            default_text_features("text"))
+        drift_rows = [{"feature": r["feature"], "psi": r["psi"],
+                       "verdict": r["verdict"]}
+                      for r in report.collect()]  # ≤ n_features rows
+        major = [d for d in drift_rows if d["verdict"] == "major_shift"]
+        if major and not allow_drift:
+            raise RuntimeError(
+                "release blocked: major profile shift vs baseline on "
+                + ", ".join(f"{d['feature']} (psi={d['psi']})"
+                            for d in major)
+                + " — pass allow_drift/--allow-drift to publish anyway")
+    sio.write_jsonl_shards(final, f"{output_path}/data",
+                           n_shards=n_shards)
+    # manifest from ONE aggregate over the released frame
+    stats = final.groupBy("detected_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens")).collect()
+    manifest = {
+        "n_docs": int(sum(r["n_docs"] for r in stats)),
+        "n_tokens": int(sum(r["n_tokens"] for r in stats)),
+        "by_lang": {r["detected_lang"]: {"n_docs": int(r["n_docs"]),
+                                         "n_tokens": int(r["n_tokens"])}
+                    for r in stats},
+        "min_quality": min_quality,
+        "langs": list(langs),
+        "n_shards": n_shards,
+        "drift": drift_rows,
+    }
+    with open(f"{output_path}/MANIFEST.json", "w") as fh:
+        _json.dump(manifest, fh, indent=1, sort_keys=True)
+    return manifest
+
+
 def main(argv: list[str] | None = None) -> None:
     """CLI mirroring Wind_Processing.py:113-128."""
     from .session import get_spark
 
     p = argparse.ArgumentParser(description="batch consume-and-process pipeline")
     p.add_argument("domain",
-                   choices=["solar", "wind", "curate", "compact",
+                   choices=["solar", "wind", "curate", "release", "compact",
                             "compact-store", "dq-audit", "cdc-apply",
                             "scd2-apply", "plan-audit"])
     p.add_argument("input_path",
@@ -155,6 +223,14 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--min-quality", type=float, default=0.45)
     p.add_argument("--langs", default="en",
                    help="comma-separated language allowlist (curate domain)")
+    p.add_argument("--baseline", default=None,
+                   help="previous release dir for the drift gate "
+                        "(release domain)")
+    p.add_argument("--shards", type=int, default=8,
+                   help="JSONL shard count (release domain)")
+    p.add_argument("--allow-drift", action="store_true",
+                   help="publish even on a major profile shift "
+                        "(release domain)")
     p.add_argument("--keys", default=None,
                    help="comma-separated key columns (cdc-apply/scd2-apply)")
     p.add_argument("--order", default=None,
@@ -278,6 +354,23 @@ def main(argv: list[str] | None = None) -> None:
         stats = compact_signature_store(
             spark, args.input_path, args.store, args.output)
         print(f"store compacted: {stats}")
+        return
+    if args.domain == "release":
+        if not args.output:
+            p.error("release requires --output (the release directory)")
+        manifest = release_corpus(
+            spark, args.input_path, args.output,
+            baseline_path=args.baseline,
+            min_quality=args.min_quality,
+            langs=tuple(args.langs.split(",")),
+            n_shards=args.shards,
+            allow_drift=args.allow_drift,
+        )
+        print(f"released {manifest['n_docs']} docs / "
+              f"{manifest['n_tokens']} tokens to {args.output}")
+        for d in manifest["drift"]:
+            print(f"  drift {d['feature']}: psi={d['psi']} "
+                  f"{d['verdict']}")
         return
     if args.domain == "curate":
         out = curate_corpus(

@@ -5101,25 +5101,12 @@ def q122_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(18,12) before the order-free decimal sum (q72's ln-sum
     policy), so both engines hash-match at 6 dp; the verdict CASE
     compares the ROUNDED psi so thresholds agree by construction."""
-    from .operators.drift import psi_report
+    from .operators.drift import default_text_features, psi_report
 
     docs = _t(spark, sf_dir, "documents")
     a = docs.where(F.col("doc_id") % 2 == 0)
     b = docs.where(F.col("doc_id") % 2 == 1)
-    ntok = F.size(F.split(F.col("text"), " "))
-    n_chars = F.length("text")
-    pr = F.when(n_chars == 0, F.lit(None)).otherwise(
-        F.length(F.regexp_replace(
-            "text", f"[^{textfns.PUNCT_RE[1:-1]}]", ""))
-        .cast("double") / n_chars)
-    features = {
-        "n_tok": F.when(ntok < 20, "<20").when(ntok < 60, "<60")
-        .when(ntok < 120, "<120").otherwise(">=120"),
-        "punct_ratio": F.when(pr.isNull(), F.lit(None))
-        .when(pr < 0.01, "p0").when(pr < 0.03, "p1")
-        .when(pr < 0.06, "p2").otherwise("p3"),
-    }
-    return psi_report(a, b, features)
+    return psi_report(a, b, default_text_features("text"))
 
 
 @query("q121_index_batch_search", _index_batch_sql())

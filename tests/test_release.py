@@ -1,0 +1,77 @@
+"""Release job (pipelines.release_corpus / CLI `release` domain):
+curate → JSONL shards → manifest → PSI drift gate vs the previous
+release. The gate must pass on a same-profile re-release, BLOCK a
+majorly-shifted corpus, and publish under --allow-drift."""
+
+from __future__ import annotations
+
+import glob
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from real_time_iot_data_pipeline_project_spark import pipelines
+from tests.conftest import SF_SMOKE
+
+
+def _docs_path():
+    return f"{SF_SMOKE}/documents.parquet"
+
+
+def test_release_writes_shards_manifest_and_passes_stable_gate(spark, tmp_path):
+    rel1 = str(tmp_path / "rel1")
+    m1 = pipelines.release_corpus(spark, _docs_path(), rel1, n_shards=3)
+    parts = [p for p in glob.glob(f"{rel1}/data/part-*")
+             if not p.endswith(".crc")]
+    assert len(parts) == 3
+    on_disk = json.load(open(f"{rel1}/MANIFEST.json"))
+    assert on_disk == m1 and m1["n_docs"] > 0
+    back = spark.read.json(f"{rel1}/data")
+    assert back.count() == m1["n_docs"]
+    assert int(back.agg(F.sum("n_tok")).head()[0]) == m1["n_tokens"]
+
+    # re-release of the SAME corpus against rel1: profile identical,
+    # gate must pass and record the verdicts in the manifest
+    rel2 = str(tmp_path / "rel2")
+    m2 = pipelines.release_corpus(spark, _docs_path(), rel2,
+                                  baseline_path=rel1, n_shards=2)
+    assert m2["n_docs"] == m1["n_docs"]
+    assert m2["drift"] and all(d["verdict"] == "stable"
+                               for d in m2["drift"])
+
+
+def test_release_gate_blocks_major_shift_unless_allowed(spark, tmp_path):
+    rel1 = str(tmp_path / "rel1")
+    pipelines.release_corpus(spark, _docs_path(), rel1, n_shards=2)
+
+    # doctored next snapshot: every text truncated to its first ~6
+    # tokens — the n_tok profile collapses into the lowest bin
+    shifted_src = str(tmp_path / "shifted_docs")
+    (spark.read.parquet(_docs_path())
+     .withColumn("text", F.concat_ws(
+         " ", F.slice(F.split(F.col("text"), " "), 1, 6)))
+     .write.parquet(shifted_src))
+
+    rel2 = str(tmp_path / "rel2")
+    with pytest.raises(RuntimeError, match="release blocked"):
+        pipelines.release_corpus(spark, shifted_src, rel2,
+                                 baseline_path=rel1, n_shards=2)
+
+    # explicit override publishes and records the major shift
+    m = pipelines.release_corpus(spark, shifted_src, rel2,
+                                 baseline_path=rel1, n_shards=2,
+                                 allow_drift=True)
+    assert any(d["verdict"] == "major_shift" for d in m["drift"])
+    assert json.load(open(f"{rel2}/MANIFEST.json"))["drift"] == m["drift"]
+
+
+def test_release_cli_end_to_end(spark, tmp_path):
+    """The `release` CLI domain drives the same path (argparse wiring,
+    gate exit, stdout summary)."""
+    rel = str(tmp_path / "rel_cli")
+    pipelines.main(["release", _docs_path(), "--output", rel,
+                    "--shards", "2"])
+    m = json.load(open(f"{rel}/MANIFEST.json"))
+    assert m["n_docs"] > 0 and m["n_shards"] == 2 and m["drift"] == []
