@@ -336,6 +336,9 @@ EVIDENCE: dict[str, dict] = {
         "test_multimodal_codec.py::test_extract_features_real_png_decode"]},
     "X26b": {"queries": ["q91_audio_decode_stats"], "tests": [
         "test_multimodal_codec.py::test_extract_features_real_wav_decode"]},
+    "X26c": {"queries": [], "tests": [
+        "test_multimodal.py::test_video_frame_sample_stride_cap_and_real_png_composition",
+        "test_multimodal.py::test_video_frame_sample_poison_contract"]},
     "X27": {"queries": [], "tests": [
         "test_dedup_similarity.py::test_star_cc_matches_union_find_oracle"]},
     "X28": {"queries": [], "tests": [

@@ -326,3 +326,107 @@ def image_pixel_stats(df: DataFrame, payload_col: str = "payload",
                 "channel_mean", "channel_std", "decode_error"])
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+# ---------------------------------------------------------------------
+# Video tier: frame sampling over an opaque binary container
+# ---------------------------------------------------------------------
+# Real video codecs (mp4/h264) need libraries absent from this
+# container, so the DECODE step uses SVID — a documented synthetic
+# raw-frame container — while every piece of Spark-side plumbing a real
+# frame sampler needs is genuine: typed explode-in-Python schema
+# (several output rows per input video), Arrow-batched mapInPandas,
+# stride/cap sampling, the poison-payload contract, and PNG-encoded
+# frame payloads that feed the REAL image decode path downstream
+# (frame_sample → image_pixel_stats is a tested composition). Swapping
+# in a real codec is replacing _decode_svid.
+#
+# SVID layout (big-endian): b"SVID" | u16 width | u16 height |
+# u16 n_frames | n_frames × (width·height·3) raw RGB bytes.
+
+_SVID_MAGIC = b"SVID"
+
+
+def encode_svid(width: int, height: int, frames: list[bytes]) -> bytes:
+    """Build an SVID container from raw RGB frames (test/generator
+    helper; each frame must be exactly width·height·3 bytes)."""
+    import struct as _struct
+
+    for i, f in enumerate(frames):
+        if len(f) != width * height * 3:
+            raise ValueError(
+                f"frame {i}: {len(f)} bytes != {width}x{height}x3")
+    head = _SVID_MAGIC + _struct.pack(">HHH", width, height, len(frames))
+    return head + b"".join(frames)
+
+
+def _decode_svid(payload: bytes) -> tuple[int, int, list[bytes]]:
+    import struct as _struct
+
+    if payload is None or len(payload) < 10:
+        raise ValueError("not an SVID payload: too short")
+    if payload[:4] != _SVID_MAGIC:
+        raise ValueError("not an SVID payload: bad magic")
+    w, h, n = _struct.unpack(">HHH", payload[4:10])
+    frame_bytes = w * h * 3
+    if len(payload) != 10 + n * frame_bytes:
+        raise ValueError(
+            f"truncated SVID: expected {10 + n * frame_bytes} bytes, "
+            f"got {len(payload)}")
+    body = payload[10:]
+    return w, h, [body[i * frame_bytes:(i + 1) * frame_bytes]
+                  for i in range(n)]
+
+
+def video_frame_sample(df: DataFrame, payload_col: str = "payload",
+                       id_col: str = "media_id", *, every_n: int = 1,
+                       max_frames: int | None = None,
+                       strict: bool = True) -> DataFrame:
+    """Frame sampling over video payloads: one OUTPUT ROW per sampled
+    frame — (id, frame_idx, n_frames, width, height, frame_png) —
+    taking every ``every_n``-th frame capped at ``max_frames``. Each
+    sampled frame is re-encoded as a standalone PNG by the stdlib
+    codec, so the output column feeds :func:`image_pixel_stats`
+    (the real decode path) directly. Poison payloads raise
+    (``strict=True``) or yield one (id, nulls..., decode_error) row."""
+    if every_n <= 0:
+        raise ValueError(f"every_n must be positive, got {every_n}")
+    if max_frames is not None and max_frames <= 0:
+        raise ValueError(f"max_frames must be positive, got {max_frames}")
+    from ..functions import png as _png
+
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("frame_png", T.BinaryType()),
+        T.StructField("decode_error", T.StringType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    w, h, frames = _decode_svid(
+                        None if payload is None else bytes(payload))
+                    idxs = range(0, len(frames), every_n)
+                    if max_frames is not None:
+                        idxs = list(idxs)[:max_frames]
+                    for i in idxs:
+                        rows.append((mid, i, len(frames), w, h,
+                                     _png.encode_png(w, h, frames[i]),
+                                     None))
+                except ValueError as e:
+                    if strict:
+                        raise
+                    rows.append((mid, None, None, None, None, None,
+                                 str(e)))
+            yield pd.DataFrame(rows, columns=[
+                id_col, "frame_idx", "n_frames", "width", "height",
+                "frame_png", "decode_error"])
+
+    return df.select(id_col, payload_col).mapInPandas(run,
+                                                      schema=out_schema)
