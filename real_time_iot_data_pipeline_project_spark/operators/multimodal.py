@@ -352,6 +352,12 @@ def encode_svid(width: int, height: int, frames: list[bytes]) -> bytes:
     helper; each frame must be exactly width·height·3 bytes)."""
     import struct as _struct
 
+    if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
+        raise ValueError(
+            f"width/height must be in [1, 65535], got {width}x{height}")
+    if not (0 < len(frames) <= 0xFFFF):
+        raise ValueError(
+            f"frame count must be in [1, 65535], got {len(frames)}")
     for i, f in enumerate(frames):
         if len(f) != width * height * 3:
             raise ValueError(
@@ -368,6 +374,10 @@ def _decode_svid(payload: bytes) -> tuple[int, int, list[bytes]]:
     if payload[:4] != _SVID_MAGIC:
         raise ValueError("not an SVID payload: bad magic")
     w, h, n = _struct.unpack(">HHH", payload[4:10])
+    if w == 0 or h == 0:
+        raise ValueError(f"degenerate SVID dimensions {w}x{h}")
+    if n == 0:
+        raise ValueError("empty SVID: zero frames")
     frame_bytes = w * h * 3
     if len(payload) != 10 + n * frame_bytes:
         raise ValueError(
@@ -381,14 +391,17 @@ def _decode_svid(payload: bytes) -> tuple[int, int, list[bytes]]:
 def video_frame_sample(df: DataFrame, payload_col: str = "payload",
                        id_col: str = "media_id", *, every_n: int = 1,
                        max_frames: int | None = None,
-                       strict: bool = True) -> DataFrame:
+                       strict: bool = False) -> DataFrame:
     """Frame sampling over video payloads: one OUTPUT ROW per sampled
     frame — (id, frame_idx, n_frames, width, height, frame_png) —
     taking every ``every_n``-th frame capped at ``max_frames``. Each
     sampled frame is re-encoded as a standalone PNG by the stdlib
     codec, so the output column feeds :func:`image_pixel_stats`
-    (the real decode path) directly. Poison payloads raise
-    (``strict=True``) or yield one (id, nulls..., decode_error) row."""
+    (the real decode path) directly. Poison payloads (bad magic,
+    truncation, degenerate dimensions, zero frames) yield one
+    (id, nulls..., decode_error) row by default — the same
+    never-kill-the-job contract as the PNG/WAV tiers — or raise with
+    ``strict=True``."""
     if every_n <= 0:
         raise ValueError(f"every_n must be positive, got {every_n}")
     if max_frames is not None and max_frames <= 0:

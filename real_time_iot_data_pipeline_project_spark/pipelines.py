@@ -149,19 +149,41 @@ def release_corpus(
     ``allow_drift`` — corrections to the pipeline should change the
     corpus deliberately, not silently. Returns the manifest dict
     (counts, token budget, per-lang breakdown, drift verdicts)."""
+    # persisted: the gate's collect, the shard write and the manifest
+    # aggregate all read FINAL — without the persist the whole dedup
+    # shuffle + scoring would recompute (up to) three times, and the
+    # gated profile and written corpus would come from different
+    # executions of the dedup
+    final = curate_corpus(spark, input_path, output_path=None,
+                          min_quality=min_quality, langs=langs).persist()
+    try:
+        return _release_body(spark, final, output_path, baseline_path,
+                             min_quality, langs, n_shards, allow_drift)
+    finally:
+        final.unpersist()
+
+
+def _release_body(spark, final, output_path, baseline_path, min_quality,
+                  langs, n_shards, allow_drift) -> dict:
     import json as _json
-    import os as _os
+
+    from pyspark.errors import AnalysisException
 
     from .operators.drift import default_text_features, psi_report
-    from .sources import io as sio
 
-    final = curate_corpus(spark, input_path, output_path=None,
-                          min_quality=min_quality, langs=langs)
     drift_rows: list[dict] = []
     if baseline_path:
-        baseline = spark.read.json(f"{baseline_path}/data") \
-            if _os.path.exists(f"{baseline_path}/data") \
-            else spark.read.parquet(baseline_path)
+        # a prior release's JSONL data dir, read back with the PINNED
+        # schema (the same job wrote it, so final's schema is its
+        # schema — no inference scan); fall back to a plain parquet
+        # corpus. Try/except instead of os.path checks so the paths
+        # work on any Hadoop filesystem, not just local.
+        try:
+            baseline = sio.read_jsonl(spark, f"{baseline_path}/data",
+                                      schema=final.schema)
+            baseline.head(1)
+        except AnalysisException:
+            baseline = spark.read.parquet(baseline_path)
         report = psi_report(baseline, final,
                             default_text_features("text"))
         drift_rows = [{"feature": r["feature"], "psi": r["psi"],
