@@ -75,3 +75,32 @@ def test_release_cli_end_to_end(spark, tmp_path):
                     "--shards", "2"])
     m = json.load(open(f"{rel}/MANIFEST.json"))
     assert m["n_docs"] > 0 and m["n_shards"] == 2 and m["drift"] == []
+
+
+def test_release_cli_with_baseline_gate(spark, tmp_path):
+    """The CLI --baseline wiring: a stable re-release passes and prints
+    drift lines; the gate error surfaces through the CLI too."""
+    rel1 = str(tmp_path / "r1")
+    pipelines.main(["release", _docs_path(), "--output", rel1,
+                    "--shards", "2"])
+    rel2 = str(tmp_path / "r2")
+    pipelines.main(["release", _docs_path(), "--output", rel2,
+                    "--shards", "2", "--baseline", rel1])
+    m = json.load(open(f"{rel2}/MANIFEST.json"))
+    assert m["drift"] and all(d["verdict"] == "stable"
+                              for d in m["drift"])
+
+    shifted = str(tmp_path / "shifted")
+    (spark.read.parquet(_docs_path())
+     .withColumn("text", F.concat_ws(
+         " ", F.slice(F.split(F.col("text"), " "), 1, 6)))
+     .write.parquet(shifted))
+    with pytest.raises(RuntimeError, match="release blocked"):
+        pipelines.main(["release", shifted,
+                        "--output", str(tmp_path / "r3"),
+                        "--baseline", rel1])
+    # --allow-drift publishes through the CLI
+    pipelines.main(["release", shifted, "--output", str(tmp_path / "r4"),
+                    "--baseline", rel1, "--allow-drift"])
+    m4 = json.load(open(f"{tmp_path}/r4/MANIFEST.json"))
+    assert any(d["verdict"] == "major_shift" for d in m4["drift"])
