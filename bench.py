@@ -146,6 +146,11 @@ HEADLINE = [
     "q120_stream_heavy_fold",
     "q121_index_batch_search",
     "q122_drift_report",
+    # round-9 late additions: leakage-safe splits, temperature mixture,
+    # SemDeDup semantic dedup
+    "q123_leakage_safe_splits",
+    "q124_temperature_mix",
+    "q125_semantic_dedup",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

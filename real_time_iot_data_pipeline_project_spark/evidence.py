@@ -185,6 +185,17 @@ EVIDENCE: dict[str, dict] = {
         "test_embedding.py::test_unit_norm_and_duplicate_docs_identical",
         "test_embedding.py::test_partitioning_invariance",
         "test_embedding.py::test_embed_plan_is_jvm_only_and_validates_dim"]},
+    "X36": {"queries": ["q123_leakage_safe_splits"], "tests": [
+        "test_curation_ops.py::test_leakage_safe_splits_planted_clusters",
+        "test_curation_ops.py::test_leakage_safe_splits_no_near_dup_pair_straddles"]},
+    "X37": {"queries": ["q124_temperature_mix"], "tests": [
+        "test_curation_ops.py::test_temperature_mix_rates_hand_computed",
+        "test_curation_ops.py::test_temperature_alpha_one_is_uniform",
+        "test_curation_ops.py::test_temperature_sample_membership_exact"]},
+    "X38": {"queries": ["q125_semantic_dedup"], "tests": [
+        "test_dedup_similarity.py::test_semantic_dedup_planted_groups",
+        "test_dedup_similarity.py::test_semantic_dedup_cross_bucket_pairs_missed_by_design",
+        "test_dedup_similarity.py::test_semantic_dedup_one_survivor_per_group"]},
     "X35": {"queries": [], "tests": [
         "test_release.py::test_release_writes_shards_manifest_and_passes_stable_gate",
         "test_release.py::test_release_gate_blocks_major_shift_unless_allowed",

@@ -141,6 +141,24 @@ def epoch_shuffle(df: DataFrame, key: str, epoch: int,
     return sharded.withColumn("pos", F.row_number().over(w))
 
 
+def _check_split_pcts(val_pct: int, test_pct: int) -> None:
+    if val_pct < 0 or test_pct < 0 or val_pct + test_pct > 100:
+        raise ValueError(f"need val_pct, test_pct >= 0 and sum <= 100, "
+                         f"got {val_pct}, {test_pct}")
+
+
+def _split_label(bucket: Column, val_pct: int, test_pct: int) -> Column:
+    """THE split rule, written once (shared by assign_split and
+    leakage_safe_splits so the two can never disagree on boundaries):
+    test = [0, test_pct), val = [test_pct, test_pct+val_pct),
+    train = the rest."""
+    return (
+        F.when(bucket < test_pct, F.lit("test"))
+        .when(bucket < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+
+
 def assign_split(df: DataFrame, key: str, val_pct: int = 5, test_pct: int = 5,
                  salt: str = "split") -> DataFrame:
     """Deterministic train/val/test assignment: a ``split`` column from
@@ -150,15 +168,124 @@ def assign_split(df: DataFrame, key: str, val_pct: int = 5, test_pct: int = 5,
     ``partitionBy("split")``; membership survives re-runs and corpus
     growth (a doc never migrates between splits as data is added, the
     property random splits lose)."""
-    if val_pct < 0 or test_pct < 0 or val_pct + test_pct > 100:
-        raise ValueError(f"need val_pct, test_pct >= 0 and sum <= 100, "
-                         f"got {val_pct}, {test_pct}")
+    _check_split_pcts(val_pct, test_pct)
     b = sample_bucket(F.col(key), salt)
-    return df.withColumn(
-        "split",
-        F.when(b < test_pct, F.lit("test"))
-        .when(b < test_pct + val_pct, F.lit("val"))
-        .otherwise(F.lit("train")),
+    return df.withColumn("split", _split_label(b, val_pct, test_pct))
+
+
+def leakage_safe_splits(df: DataFrame, key: str, edges: DataFrame,
+                        val_pct: int = 5, test_pct: int = 5,
+                        salt: str = "split",
+                        src_col: str = "id_a",
+                        dst_col: str = "id_b") -> DataFrame:
+    """Train/val/test assignment keyed by NEAR-DUP CLUSTER, not by row:
+    connected components over the candidate-pair graph give every row a
+    ``cluster_id`` (= min member key, the q53 labeling), and the split
+    hash is taken over ``cluster_id`` — so every member of a cluster,
+    i.e. every near-duplicate pair, lands in the SAME split by
+    construction. Row-keyed splits (``assign_split``) leak: a training
+    doc's near-duplicate can land in test and inflate held-out metrics
+    (the train-test overlap GPT-3 §4 / C4 had to scrub post-hoc). Here
+    the straddle is structurally impossible, not screened after the
+    fact.
+
+    ``edges`` is any near-dup pair frame (``dedup.minhash_lsh_candidates``
+    filtered to the decision threshold, ``cosine_near_dup_lsh``, ...).
+    Returns ``df`` + ``cluster_id`` + ``split``; same-salt nesting and
+    re-run stability as every sampler here (a cluster never migrates —
+    unless new data BRIDGES two clusters, which correctly merges their
+    membership; that is the semantics you want: the pair must not
+    straddle).
+
+    Scale shape: CC runs over the pair graph only (edge-endpoint
+    iteration, O(log² n) star rounds); the label table is pair-graph
+    sized — orders of magnitude smaller than the corpus — so the
+    join-back is one corpus-scan LEFT join against it (AQE broadcasts
+    it when small); rows outside the pair graph never shuffle, their
+    cluster_id is their own key via coalesce."""
+    _check_split_pcts(val_pct, test_pct)
+    from . import graph
+
+    e = edges.select(F.col(src_col).alias("id_a"), F.col(dst_col).alias("id_b"))
+    endpoints = (
+        e.select(F.col("id_a").alias("id"))
+        .union(e.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    labels = graph.connected_components_star(endpoints, e, id_col="id")
+    # shuffle_hash, not sort-merge: the corpus side must never be
+    # SORTED for a pair-graph-sized label lookup (graph.py's own rule
+    # for the isolated-node join); AQE still localizes when tiny.
+    out = df.join(
+        labels.withColumnRenamed("id", key).hint("shuffle_hash"),
+        key,
+        "left",
+    ).withColumn("cluster_id", F.coalesce(F.col("component"), F.col(key))).drop("component")
+    b = sample_bucket(F.col("cluster_id"), salt)
+    return out.withColumn("split", _split_label(b, val_pct, test_pct))
+
+
+def temperature_mix_rates(df: DataFrame, stratum: str, alpha: float = 0.7,
+                          budget_frac: float = 0.5) -> DataFrame:
+    """Per-stratum sampling rates for a temperature-flattened training
+    mix (the multilingual/multi-source rebalancing rule of CCNet /
+    GPT-3 / LLaMA: sample stratum *i* with probability ∝ nᵢ^α, α < 1
+    upweighting rare strata). For a total budget of
+    ``budget_frac · N`` rows, stratum *i*'s target share is
+    nᵢ^α / Σⱼ nⱼ^α, so its per-row keep rate is
+    ``budget_frac · N · shareᵢ / nᵢ`` — capped at 100%.
+
+    Returns (stratum, n, rate_pct) with ``rate_pct`` an INTEGER percent:
+    membership decisions downstream are integer-exact hash-bucket
+    compares (``temperature_sample``), reproducible on any engine.
+    Cross-engine determinism of the rates themselves: the one
+    transcendental (nᵢ^α) is rounded to 6 decimals and cast to DECIMAL
+    before the order-free decimal sum (the q65/q72 ln-sum policy — at
+    weight magnitudes ~10³ a 1-ulp pow() disagreement is ~10⁻¹³, seven
+    orders below the rounding grid); everything after is IEEE
+    mul/div/round on identical operands in an identical tree, which
+    both engines round identically.
+
+    Scale shape: one partial-aggregatable count per stratum, a 1-row
+    global decimal sum broadcast back — no corpus-sized shuffle
+    anywhere; strata counts are dashboard-sized."""
+    if not 0.0 < budget_frac <= 1.0:
+        raise ValueError(f"budget_frac must be in (0, 1], got {budget_frac}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    counts = df.groupBy(stratum).agg(F.count(F.lit(1)).alias("n"))
+    w = F.round(F.pow(F.col("n").cast("double"), F.lit(float(alpha))), 6) \
+         .cast("decimal(24,6)")
+    weighted = counts.withColumn("w", w)
+    totals = weighted.agg(
+        F.sum("w").cast("double").alias("wsum"),
+        F.sum("n").alias("n_total"),
+    )
+    rate = F.least(
+        F.lit(100),
+        F.round(
+            (((F.lit(100.0) * F.lit(float(budget_frac))) * F.col("n_total"))
+             * (F.col("w").cast("double") / F.col("wsum"))) / F.col("n")
+        ).cast("int"),
+    )
+    return (
+        weighted.crossJoin(F.broadcast(totals))
+        .select(stratum, "n", rate.alias("rate_pct"))
+    )
+
+
+def temperature_sample(df: DataFrame, key: str, stratum: str,
+                       alpha: float = 0.7, budget_frac: float = 0.5,
+                       salt: str = "tmix") -> DataFrame:
+    """The temperature mix applied: join the (tiny, broadcast) per-
+    stratum rate table back and keep rows whose hash bucket clears
+    their stratum's rate — deterministic membership, one corpus pass,
+    no shuffle of corpus rows (broadcast join + scan-stage filter).
+    Returns ``df`` + ``rate_pct`` filtered to the sample."""
+    rates = temperature_mix_rates(df, stratum, alpha, budget_frac)
+    return (
+        df.join(F.broadcast(rates.select(stratum, "rate_pct")), stratum)
+        .filter(sample_bucket(F.col(key), salt) < F.col("rate_pct"))
     )
 
 

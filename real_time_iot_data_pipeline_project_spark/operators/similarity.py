@@ -217,11 +217,7 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     one broadcast join (centroids are tiny) and the probe prunes
     ~(1 - nprobe/n_centroids) of the data.
     """
-    centroids = (
-        df.orderBy(F.md5(F.col(id_col).cast("string")), F.asc(id_col))
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec"))
-    )
+    centroids = sampled_centroids(df, n_centroids, vec_col, id_col)
     if kmeans_iters:
         centroids = kmeans_refine(df, centroids, kmeans_iters, vec_col, id_col)
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
@@ -241,4 +237,81 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
         .select(F.col(id_col), cosine(vec_d, qcol).alias("cosine_sim"))
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def sampled_centroids(df: DataFrame, n_centroids: int,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> DataFrame:
+    """THE deterministic centroid init, written once (shared by
+    ivf_topk and semantic_dedup; ann_index builds take any centroid
+    frame): a hash-sample of ``n_centroids`` vectors — order by md5 of
+    the id, decorrelated from insertion order, reproducible on any
+    engine/partitioning. Returns (centroid_id, cvec)."""
+    return (
+        df.orderBy(F.md5(F.col(id_col).cast("string")), F.asc(id_col))
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec"))
+    )
+
+
+def semantic_dedup(df: DataFrame, centroids: DataFrame,
+                   threshold: float = 0.3,
+                   vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate pruning over an embedding column. Every vector is
+    assigned to its max-cosine centroid (``assign_centroids``, the one
+    shared argmax rule); ONLY within a centroid bucket are pairwise
+    cosines computed; pairs ≥ ``threshold`` are semantic duplicates;
+    duplicate GROUPS are the connected components of that pair graph
+    (transitive, like the text-dedup tier's q53 clusters) and each
+    group keeps exactly one representative — the min id, the same
+    deterministic survivor rule the MinHash cluster tier uses.
+
+    Returns (id_col, centroid_id, group_id, keep): ``keep`` marks the
+    survivor; filtering ``keep`` prunes the corpus. Docs with no ≥τ
+    neighbor in their bucket form singleton groups (keep = true).
+
+    Scale contract — the reason this beats all-pairs cosine dedup:
+    pair work is Σ bucketᵢ², so grow ``n_centroids`` ∝ n to hold the
+    mean bucket size constant (the paper uses ~√n-ish cluster counts at
+    LAION scale); assignment stays one broadcast join, and CC runs on
+    the ≥τ pair graph only (edge-endpoint iteration; the large-star/
+    small-star variant, so a LOW τ producing long similarity chains
+    inside a bucket can never blow the round budget — at the paper's
+    high-τ settings groups are near-cliques and it converges in ~2
+    rounds anyway). Like the LSH banding tier, the centroid partition
+    is a RECALL trade: a ≥τ pair straddling two buckets is missed by
+    design (the paper's accepted approximation).
+    """
+    from . import graph
+
+    assigned = assign_centroids(df, centroids, vec_col, id_col)
+    va = F.transform(F.col("va"), lambda x: x.cast("double"))
+    vb = F.transform(F.col("vb"), lambda x: x.cast("double"))
+    a = assigned.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                        "centroid_id")
+    b = assigned.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                        "centroid_id")
+    pairs = (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(va, vb).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+    comp = graph.connected_components_star(
+        df.select(id_col), pairs, id_col=id_col
+    )
+    # shuffle_hash, not sort-merge: the corpus-sized assignment must
+    # never be SORTED to pick up its group label (graph.py's rule).
+    return (
+        assigned.select(id_col, "centroid_id")
+        .join(comp.withColumnRenamed("id", id_col).hint("shuffle_hash"), id_col)
+        .select(
+            id_col,
+            "centroid_id",
+            F.col("component").alias("group_id"),
+            (F.col("component") == F.col(id_col)).alias("keep"),
+        )
     )

@@ -5141,6 +5141,132 @@ def q121_index_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("cosine_sim", 6).alias("cosine_sim"))
 
 
+@query(
+    "q123_leakage_safe_splits",
+    _cluster_ctes() + f"""
+    SELECT c.doc_id, c.cluster_id,
+           CASE WHEN {_bucket_sql('split', key='c.cluster_id')} < 5 THEN 'test'
+                WHEN {_bucket_sql('split', key='c.cluster_id')} < 10 THEN 'val'
+                ELSE 'train' END AS split
+    FROM comp c
+    """,
+)
+def q123_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X36 — leakage-safe train/val/test splits
+    (sampling.leakage_safe_splits): the split hash is taken over the
+    near-dup CLUSTER id (q53's MinHash-LSH pairs → connected
+    components → min-member label), so every near-duplicate pair lands
+    in the same split BY CONSTRUCTION — doc-keyed splits leak a
+    training doc's near-duplicate into test (the train-test overlap
+    GPT-3 §4 scrubbed post-hoc; here it is structurally impossible).
+    CC runs over the pair graph only; the corpus-side cost is one LEFT
+    join against the pair-graph-sized label table. Oracle = the q53
+    recursive-CTE closure + the same integer hash-bucket split rule
+    over cluster_id."""
+    docs = _t(spark, sf_dir, "documents")
+    from .operators import sampling
+
+    pairs = dedup.minhash_lsh_candidates(docs).filter(F.col("est_jaccard") >= 0.75)
+    out = sampling.leakage_safe_splits(docs.select("doc_id"), "doc_id", pairs)
+    return out.select("doc_id", "cluster_id", "split")
+
+
+@query(
+    "q124_temperature_mix",
+    f"""
+    WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+               FROM documents GROUP BY source),
+    w AS (SELECT source, n,
+                 CAST(round(pow(CAST(n AS DOUBLE), 0.7), 6) AS DECIMAL(24,6)) AS w
+          FROM c),
+    t AS (SELECT CAST(SUM(w) AS DOUBLE) AS wsum, CAST(SUM(n) AS BIGINT) AS n_total
+          FROM w),
+    r AS (SELECT source, n,
+                 LEAST(100, CAST(round((((100.0 * 0.5) * n_total)
+                        * (CAST(w AS DOUBLE) / wsum)) / n) AS INTEGER)) AS rate_pct
+          FROM w, t)
+    SELECT d.doc_id, d.source, r.rate_pct
+    FROM documents d JOIN r USING (source)
+    WHERE {_bucket_sql('tmix')} < r.rate_pct
+    """,
+)
+def q124_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X37 — temperature-flattened domain mixture
+    (sampling.temperature_sample): per-source sampling ∝ n^0.7 (the
+    CCNet/GPT-3/LLaMA rebalancing rule — α < 1 upweights rare sources)
+    at a 50% corpus budget, capped at 100% per source. Rates are
+    INTEGER percents so membership is an exact hash-bucket compare;
+    the one transcendental (n^α) is rounded to 6 dp and decimal-summed
+    (q65/q72 policy) so both engines derive identical rates. One
+    stratum-count aggregate + a broadcast rate join + a scan-stage
+    filter — no corpus-sized shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    from .operators import sampling
+
+    out = sampling.temperature_sample(docs, key="doc_id", stratum="source",
+                                      alpha=0.7, budget_frac=0.5)
+    return out.select("doc_id", "source", "rate_pct")
+
+
+def _semantic_dedup_sql(n_centroids: int = 16, threshold: float = 0.3) -> str:
+    v_c = _list_cos_sql("e.embedding", "c.cvec")
+    cos_xy = _list_cos_sql("x.embedding", "y.embedding")
+    return f"""
+    WITH RECURSIVE
+    c0 AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
+           FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+           LIMIT {n_centroids}),
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {v_c} DESC, c.centroid_id ASC) AS rn
+        FROM embeddings e, c0 c
+      ) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT a1.vec_id AS id_a, a2.vec_id AS id_b
+      FROM assigned a1 JOIN assigned a2
+           ON a1.centroid_id = a2.centroid_id AND a1.vec_id < a2.vec_id
+      JOIN embeddings x ON x.vec_id = a1.vec_id
+      JOIN embeddings y ON y.vec_id = a2.vec_id
+      WHERE {cos_xy} >= {threshold!r}
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach AS (
+      SELECT vec_id AS id, vec_id AS r FROM embeddings
+      UNION
+      SELECT e.b AS id, reach.r FROM reach JOIN edges e ON e.a = reach.id
+    ),
+    comp AS (SELECT id AS vec_id, min(r) AS group_id FROM reach GROUP BY id)
+    SELECT a.vec_id, a.centroid_id, c.group_id,
+           c.group_id = a.vec_id AS keep
+    FROM assigned a JOIN comp c USING (vec_id)
+    """
+
+
+@query("q125_semantic_dedup", _semantic_dedup_sql())
+def q125_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X38 — SemDeDup semantic dedup (similarity.semantic_dedup; Abbas
+    et al. 2023, arXiv:2303.09540): assign every embedding to its
+    max-cosine centroid (the shared argmax rule), pairwise cosine ONLY
+    within a centroid bucket (Σ bucket² work — n_centroids grows ∝ n at
+    scale), ≥τ pairs form semantic groups via connected components,
+    each group keeps its min-id representative. τ = 0.3 is calibrated
+    to the synthetic embeddings' similarity range (max pairwise cosine
+    ≈ 0.51) so the group structure is non-trivial at every SF; real
+    corpora use τ ≈ 0.95+. Oracle = the same centroid sample/argmax as
+    q38's SQL + a recursive-CTE closure over the ≥τ pair graph."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.sampled_centroids(emb, n_centroids=16)
+    out = similarity.semantic_dedup(emb, cents, threshold=0.3)
+    return out.select("vec_id", "centroid_id", "group_id", "keep")
+
+
 # Operators added AFTER the 50-slot window filled with unique-operator
 # queries: fully oracle-checked by the local gate, first in line for a
 # window slot if one opens.
@@ -5199,6 +5325,12 @@ POST_WINDOW: list[str] = [
     "q121_index_batch_search",
     # round 9: snapshot drift monitor (X33) — scheduled for rotation #6
     "q122_drift_report",
+    # round 9 late additions — scheduled for rotation #7 (round 11):
+    # leakage-safe cluster-keyed splits (X36), temperature domain
+    # mixture (X37), SemDeDup semantic dedup (X38)
+    "q123_leakage_safe_splits",
+    "q124_temperature_mix",
+    "q125_semantic_dedup",
 ]
 
 

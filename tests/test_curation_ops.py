@@ -478,3 +478,93 @@ def test_lang_confidence_margin(spark):
     assert out[1] > 0.5
     assert 0 <= out[2] < out[1]
     assert out[3] == 0.0
+
+
+# ------------------------------------------------- leakage-safe splits (X36)
+
+def test_leakage_safe_splits_planted_clusters(spark):
+    """Hand-built graph: chain {1,2,3}, pair {5,6}, singletons 0/4/7.
+    cluster_id = min member; split = the shared split rule over
+    cluster_id (python-replicated); every cluster shares one split."""
+    df = spark.createDataFrame([(i,) for i in range(8)], ["k"])
+    edges = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"])
+    out = {r.k: (r.cluster_id, r.split)
+           for r in sampling.leakage_safe_splits(df, "k", edges).collect()}
+    assert {k: c for k, (c, _) in out.items()} == {
+        0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+    for k, (c, s) in out.items():
+        b = _bucket("split", c)
+        assert s == ("test" if b < 5 else "val" if b < 10 else "train")
+    with pytest.raises(ValueError, match="val_pct"):
+        sampling.leakage_safe_splits(df, "k", edges, val_pct=60, test_pct=50)
+
+
+def test_leakage_safe_splits_no_near_dup_pair_straddles(spark):
+    """THE guarantee, on the real corpus + real LSH pairs (sf0.001):
+    zero near-dup pairs straddle a split boundary — while the naive
+    doc-keyed split demonstrably DOES straddle (so the operator is
+    load-bearing, not vacuous). Every doc keeps exactly one row."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = dedup.minhash_lsh_candidates(docs).filter(F.col("est_jaccard") >= 0.75)
+    safe = sampling.leakage_safe_splits(docs.select("doc_id"), "doc_id", pairs)
+
+    def straddles(split_df):
+        a = split_df.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa"))
+        b = split_df.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb"))
+        return pairs.join(a, "id_a").join(b, "id_b").filter("sa != sb").count()
+
+    assert pairs.count() > 0
+    assert straddles(safe) == 0
+    naive = sampling.assign_split(docs.select("doc_id"), "doc_id")
+    assert straddles(naive) > 0
+    assert safe.count() == docs.count()
+    assert safe.select("doc_id").distinct().count() == docs.count()
+
+
+# ------------------------------------------------- temperature mixture (X37)
+
+def _expected_temp_rates(counts: dict, alpha=0.7, budget_frac=0.5):
+    """Python replica of temperature_mix_rates' exact arithmetic."""
+    w = {s: round(float(n) ** alpha, 6) for s, n in counts.items()}
+    wsum = float(sum(w.values()))  # 6-dp decimals sum exactly in float here
+    n_total = sum(counts.values())
+    out = {}
+    for s, n in counts.items():
+        raw = (((100.0 * budget_frac) * n_total) * (w[s] / wsum)) / n
+        out[s] = min(100, int(raw + 0.5))  # HALF_UP like F.round
+    return out
+
+
+def test_temperature_mix_rates_hand_computed(spark):
+    rows = [(f"d{s}{i}", s) for s, n in [("a", 160), ("b", 30), ("c", 10)]
+            for i in range(n)]
+    df = spark.createDataFrame(rows, ["k", "src"])
+    got = {r.src: (r.n, r.rate_pct)
+           for r in sampling.temperature_mix_rates(df, "src").collect()}
+    exp = _expected_temp_rates({"a": 160, "b": 30, "c": 10})
+    assert {s: r for s, (_, r) in got.items()} == exp
+    assert {s: n for s, (n, _) in got.items()} == {"a": 160, "b": 30, "c": 10}
+    # alpha < 1 flattens: rare strata sample at a HIGHER per-row rate
+    assert got["c"][1] > got["b"][1] > got["a"][1]
+
+
+def test_temperature_alpha_one_is_uniform(spark):
+    """alpha=1 ⇒ share ∝ n ⇒ every stratum keeps exactly budget_frac."""
+    rows = [(f"d{s}{i}", s) for s, n in [("a", 123), ("b", 7)] for i in range(n)]
+    df = spark.createDataFrame(rows, ["k", "src"])
+    rates = sampling.temperature_mix_rates(df, "src", alpha=1.0, budget_frac=0.4)
+    assert {r.src: r.rate_pct for r in rates.collect()} == {"a": 40, "b": 40}
+
+
+def test_temperature_sample_membership_exact(spark):
+    rows = [(f"d{s}{i}", s) for s, n in [("a", 160), ("b", 30), ("c", 10)]
+            for i in range(n)]
+    df = spark.createDataFrame(rows, ["k", "src"])
+    exp_rates = _expected_temp_rates({"a": 160, "b": 30, "c": 10})
+    kept = {r.k for r in sampling.temperature_sample(df, "k", "src").collect()}
+    for k, s in rows:
+        assert (k in kept) == (_bucket("tmix", k) < exp_rates[s]), (k, s)
+    with pytest.raises(ValueError, match="budget_frac"):
+        sampling.temperature_mix_rates(df, "src", budget_frac=0.0)
+    with pytest.raises(ValueError, match="alpha"):
+        sampling.temperature_mix_rates(df, "src", alpha=-1.0)

@@ -462,3 +462,64 @@ def test_star_cc_converges_on_high_diameter_chain(spark):
     rows = comp.collect()
     assert len(rows) == n
     assert {r.component for r in rows} == {0}
+
+
+# ------------------------------------------------- SemDeDup (X38)
+
+def _sd_centroids(spark):
+    return spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]), (200, [0.0, 1.0, 0.0, 0.0])],
+        ["centroid_id", "cvec"])
+
+
+def test_semantic_dedup_planted_groups(spark):
+    """Two centroid buckets; {1,2,3} mutually ≥ τ near c1 (one group,
+    keep=1), 4 in the same bucket but dissimilar (singleton), {5,6}
+    a pair near c2 (keep=5). Exact group labels and keep flags."""
+    vecs = spark.createDataFrame([
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.99, 0.05, 0.0, 0.0]),
+        (3, [0.98, 0.0, 0.05, 0.0]),
+        (4, [0.6, 0.0, -0.8, 0.0]),      # → c1 (cos .6 vs 0) but ⊥-ish to 1/2/3
+        (5, [0.0, 1.0, 0.0, 0.0]),
+        (6, [0.05, 0.99, 0.0, 0.0]),
+    ], ["vec_id", "embedding"])
+    out = {r.vec_id: (r.centroid_id, r.group_id, r.keep)
+           for r in similarity.semantic_dedup(
+               vecs, _sd_centroids(spark), threshold=0.9).collect()}
+    assert out == {
+        1: (100, 1, True), 2: (100, 1, False), 3: (100, 1, False),
+        4: (100, 4, True), 5: (200, 5, True), 6: (200, 5, False)}
+
+
+def test_semantic_dedup_cross_bucket_pairs_missed_by_design(spark):
+    """The documented recall trade: a ≥ τ pair split across centroid
+    buckets does NOT group (pairwise work is bucket-scoped)."""
+    vecs = spark.createDataFrame([
+        (1, [1.0, 0.1, 0.0, 0.0]),  # → c1
+        (2, [0.6, 0.8, 0.0, 0.0]),  # → c2, cos(1,2) ≈ 0.68 ≥ τ
+    ], ["vec_id", "embedding"])
+    out = {r.vec_id: (r.centroid_id, r.group_id, r.keep)
+           for r in similarity.semantic_dedup(
+               vecs, _sd_centroids(spark), threshold=0.6).collect()}
+    assert out[1][0] != out[2][0]            # different buckets
+    assert out == {1: (100, 1, True), 2: (200, 2, True)}
+
+
+def test_semantic_dedup_one_survivor_per_group(spark):
+    """On the real embeddings (sf0.001): every group keeps exactly one
+    row (its min id), every vector appears exactly once, and pruning
+    keep=true removes exactly (n - n_groups) rows."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = similarity.sampled_centroids(emb, n_centroids=16)
+    out = similarity.semantic_dedup(emb, cents, threshold=0.3).cache()
+    n = emb.count()
+    assert out.count() == n
+    groups = out.groupBy("group_id").agg(
+        F.sum(F.col("keep").cast("int")).alias("keeps"),
+        F.min("vec_id").alias("mn"))
+    bad = groups.filter((F.col("keeps") != 1) | (F.col("mn") != F.col("group_id")))
+    assert bad.count() == 0
+    n_groups = groups.count()
+    assert out.filter("keep").count() == n_groups < n  # non-trivial pruning
+    out.unpersist()

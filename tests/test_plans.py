@@ -478,23 +478,3 @@ def test_unconverted_clicks_is_left_anti(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EqualTo(event_type,click)" in plan
     assert "EqualTo(event_type,purchase)" in plan
-
-
-def test_blanket_plan_audit_whole_registry(spark):
-    """The plan-audit CLI's two hard gates (VERDICT r8 item 8), applied
-    to EVERY registry query in one sweep: no row-at-a-time Python
-    (BatchEvalPython) anywhere, and no Exchange SinglePartition fed by
-    full (non-partially-aggregated) rows. New registry entries inherit
-    this gate automatically — a query that funnels the corpus through
-    one task or drops to per-row Python fails CI by default, the same
-    checks `pipelines plan-audit <query>` enforces one query at a time."""
-    from real_time_iot_data_pipeline_project_spark.plans import inspect as pi
-
-    offenders = {}
-    for name, fn in registry.QUERIES.items():
-        flags = pi.audit(fn(spark, SF_SMOKE))
-        marks = [k for k in ("python_row_udf", "single_partition_full_data")
-                 if flags[k]]
-        if marks:
-            offenders[name] = marks
-    assert not offenders, f"plan anti-patterns: {offenders}"

@@ -67,6 +67,13 @@ PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
         "q121_index_batch_search",
         "q122_drift_report",
     ]),
+    # rotation #7 — the round-9 late tier: leakage-safe splits (X36),
+    # temperature mixture (X37), SemDeDup (X38)
+    11: (7, [
+        "q123_leakage_safe_splits",
+        "q124_temperature_mix",
+        "q125_semantic_dedup",
+    ]),
 }
 
 
