@@ -283,8 +283,13 @@ def temperature_sample(df: DataFrame, key: str, stratum: str,
     no shuffle of corpus rows (broadcast join + scan-stage filter).
     Returns ``df`` + ``rate_pct`` filtered to the sample."""
     rates = temperature_mix_rates(df, stratum, alpha, budget_frac)
+    # null-SAFE equi-join: temperature_mix_rates computes a rate for a
+    # NULL stratum group like any other, so null-stratum rows must
+    # reach it rather than silently vanish through a null ≠ null join.
+    r = F.broadcast(rates.select(F.col(stratum).alias("__stratum"), "rate_pct"))
     return (
-        df.join(F.broadcast(rates.select(stratum, "rate_pct")), stratum)
+        df.join(r, df[stratum].eqNullSafe(r["__stratum"]))
+        .drop("__stratum")
         .filter(sample_bucket(F.col(key), salt) < F.col("rate_pct"))
     )
 

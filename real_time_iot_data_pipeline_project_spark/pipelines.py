@@ -137,34 +137,70 @@ def release_corpus(
     langs: tuple[str, ...] = ("en",),
     n_shards: int = 8,
     allow_drift: bool = False,
+    mix_alpha: float | None = None,
+    mix_budget: float = 0.5,
 ) -> dict:
     """Entry point E — the full training-data RELEASE job: curate
-    (q48's chain) → JSONL shard export (S16, the training interchange
-    format) → manifest → drift gate vs the previous release (X33).
+    (q48's chain) → optional temperature domain mix (X37) → JSONL shard
+    export (S16, the training interchange format) → manifest → drift
+    gate vs the previous release (X33).
 
-    The drift gate is the publish gate: the curated output's text
+    ``mix_alpha`` switches on per-source temperature rebalancing
+    (sampling.temperature_mix_rates: keep rate ∝ n^(α−1) at a
+    ``mix_budget`` corpus budget) between curation and export; the
+    integer per-source rates land in the manifest under ``mix`` so a
+    release records exactly how its mixture was drawn. Membership is
+    the same deterministic hash rule as the operator (salt "tmix"), so
+    a re-release reproduces the identical sample.
+
+    The drift gate is the publish gate: the released output's text
     profile (drift.default_text_features — the same bins q122
     hash-checks) is PSI-compared against the prior release's; any
     ``major_shift`` feature aborts the release (RuntimeError) unless
     ``allow_drift`` — corrections to the pipeline should change the
-    corpus deliberately, not silently. Returns the manifest dict
-    (counts, token budget, per-lang breakdown, drift verdicts)."""
+    corpus deliberately, not silently (turning mixing on for a
+    previously-unmixed corpus is exactly the kind of change the gate
+    makes explicit). Returns the manifest dict (counts, token budget,
+    per-lang breakdown, mix rates, drift verdicts)."""
     # persisted: the gate's collect, the shard write and the manifest
     # aggregate all read FINAL — without the persist the whole dedup
     # shuffle + scoring would recompute (up to) three times, and the
     # gated profile and written corpus would come from different
     # executions of the dedup
-    final = curate_corpus(spark, input_path, output_path=None,
-                          min_quality=min_quality, langs=langs).persist()
+    curated = curate_corpus(spark, input_path, output_path=None,
+                            min_quality=min_quality, langs=langs).persist()
+    final = curated
     try:
+        mix_info = None
+        if mix_alpha is not None:
+            from .operators import sampling
+
+            # rates once, driver-side (≤ n_sources rows): the SAME
+            # collected rows drive the membership filter AND the
+            # manifest record, so they can never disagree
+            rate_rows = sampling.temperature_mix_rates(
+                final, "source", mix_alpha, mix_budget).collect()
+            rate = F.lit(0)
+            for r in sorted(rate_rows, key=lambda r: str(r["source"])):
+                rate = F.when(F.col("source").eqNullSafe(F.lit(r["source"])),
+                              F.lit(int(r["rate_pct"]))).otherwise(rate)
+            final = final.filter(
+                sampling.sample_bucket(F.col("doc_id"), "tmix") < rate)
+            mix_info = {
+                "alpha": mix_alpha,
+                "budget_frac": mix_budget,
+                "rates": {str(r["source"]): int(r["rate_pct"])
+                          for r in rate_rows},
+            }
         return _release_body(spark, final, output_path, baseline_path,
-                             min_quality, langs, n_shards, allow_drift)
+                             min_quality, langs, n_shards, allow_drift,
+                             mix_info)
     finally:
-        final.unpersist()
+        curated.unpersist()
 
 
 def _release_body(spark, final, output_path, baseline_path, min_quality,
-                  langs, n_shards, allow_drift) -> dict:
+                  langs, n_shards, allow_drift, mix_info=None) -> dict:
     import json as _json
 
     from pyspark.errors import AnalysisException
@@ -211,6 +247,7 @@ def _release_body(spark, final, output_path, baseline_path, min_quality,
         "min_quality": min_quality,
         "langs": list(langs),
         "n_shards": n_shards,
+        "mix": mix_info,
         "drift": drift_rows,
     }
     with open(f"{output_path}/MANIFEST.json", "w") as fh:
@@ -253,6 +290,13 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--allow-drift", action="store_true",
                    help="publish even on a major profile shift "
                         "(release domain)")
+    p.add_argument("--mix-alpha", type=float, default=None,
+                   help="temperature exponent for per-source mixture "
+                        "rebalancing, e.g. 0.7 (release domain; off "
+                        "when omitted)")
+    p.add_argument("--mix-budget", type=float, default=0.5,
+                   help="corpus fraction the temperature mix targets "
+                        "(release domain; used with --mix-alpha)")
     p.add_argument("--keys", default=None,
                    help="comma-separated key columns (cdc-apply/scd2-apply)")
     p.add_argument("--order", default=None,
@@ -387,6 +431,8 @@ def main(argv: list[str] | None = None) -> None:
             langs=tuple(args.langs.split(",")),
             n_shards=args.shards,
             allow_drift=args.allow_drift,
+            mix_alpha=args.mix_alpha,
+            mix_budget=args.mix_budget,
         )
         print(f"released {manifest['n_docs']} docs / "
               f"{manifest['n_tokens']} tokens to {args.output}")

@@ -568,3 +568,18 @@ def test_temperature_sample_membership_exact(spark):
         sampling.temperature_mix_rates(df, "src", budget_frac=0.0)
     with pytest.raises(ValueError, match="alpha"):
         sampling.temperature_mix_rates(df, "src", alpha=-1.0)
+
+
+def test_temperature_sample_keeps_null_stratum_rows(spark):
+    """A NULL stratum is a group like any other (rates has a row for
+    it); the join-back is null-SAFE, so null-stratum rows sample at
+    their group's rate instead of silently vanishing."""
+    rows = [(f"a{i}", "a") for i in range(40)] + [(f"n{i}", None) for i in range(40)]
+    df = spark.createDataFrame(rows, ["k", "src"])
+    rates = {r.src: r.rate_pct
+             for r in sampling.temperature_mix_rates(df, "src").collect()}
+    assert None in rates and rates[None] == rates["a"]  # equal-sized groups
+    kept = {r.k for r in sampling.temperature_sample(df, "k", "src").collect()}
+    for k, s in rows:
+        assert (k in kept) == (_bucket("tmix", k) < rates[s]), (k, s)
+    assert any(k.startswith("n") for k in kept)

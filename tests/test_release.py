@@ -104,3 +104,49 @@ def test_release_cli_with_baseline_gate(spark, tmp_path):
                     "--baseline", rel1, "--allow-drift"])
     m4 = json.load(open(f"{tmp_path}/r4/MANIFEST.json"))
     assert any(d["verdict"] == "major_shift" for d in m4["drift"])
+
+
+def test_release_with_temperature_mix(spark, tmp_path):
+    """--mix-alpha: the released corpus is the deterministic
+    temperature sample of the curated corpus — membership replays from
+    the manifest's own per-source rates (same salt, same bucket rule),
+    the rates themselves match the operator, and the unmixed release is
+    a strict superset."""
+    import hashlib
+
+    from real_time_iot_data_pipeline_project_spark.operators import sampling
+
+    rel_plain = str(tmp_path / "plain")
+    m_plain = pipelines.release_corpus(spark, _docs_path(), rel_plain,
+                                       n_shards=2)
+    assert m_plain["mix"] is None
+
+    rel_mix = str(tmp_path / "mix")
+    m_mix = pipelines.release_corpus(spark, _docs_path(), rel_mix,
+                                     n_shards=2, mix_alpha=0.7)
+    assert m_mix["mix"]["alpha"] == 0.7 and m_mix["mix"]["budget_frac"] == 0.5
+    assert 0 < m_mix["n_docs"] < m_plain["n_docs"]
+
+    plain = {(r.doc_id, r.source)
+             for r in spark.read.json(f"{rel_plain}/data")
+             .select("doc_id", "source").collect()}
+    mixed = {r.doc_id: r.source
+             for r in spark.read.json(f"{rel_mix}/data")
+             .select("doc_id", "source").collect()}
+
+    def bucket(key):
+        return int(hashlib.md5(f"tmix|{key}".encode()).hexdigest()[:15], 16) % 100
+
+    # exact membership: curated doc kept iff its bucket clears its
+    # source's manifest rate
+    rates = m_mix["mix"]["rates"]
+    for doc_id, source in plain:
+        assert ((doc_id in mixed) ==
+                (bucket(doc_id) < rates[source])), (doc_id, source)
+    assert set(mixed.items()) <= plain
+    # and the manifest rates ARE the operator's rates
+    curated = pipelines.curate_corpus(spark, _docs_path())
+    op_rates = {r.source: r.rate_pct
+                for r in sampling.temperature_mix_rates(
+                    curated, "source", 0.7, 0.5).collect()}
+    assert rates == {str(k): v for k, v in op_rates.items()}

@@ -92,6 +92,26 @@ def probe_query(name: str):
     return p
 
 
+def probe_semdedup(spark, sf_dir: str) -> dict:
+    """X38 probe at the operator's own production sizing: n_centroids
+    grows with the corpus (16 → 160 → 1600) so mean bucket size stays
+    constant — the registry query pins 16 for oracle parity, but the
+    100 TB claim is about the SCALED shape (Σ bucket² stays ~linear in
+    n when buckets are constant-sized). One aggregate action counts
+    rows and survivors in a single pass."""
+    from real_time_iot_data_pipeline_project_spark.operators import similarity
+
+    n_cents = {SF01: 16, X10: 160, X100: 1600}[sf_dir]
+    t0 = time.monotonic()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = similarity.sampled_centroids(emb, n_cents)
+    out = similarity.semantic_dedup(emb, cents, threshold=0.3)
+    row = out.agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.col("keep").cast("long")).alias("kept")).head()
+    return {"sec": round(time.monotonic() - t0, 2),
+            "rows": row.n, "kept": row.kept, "cents": n_cents}
+
+
 def _hist_replicated(spark, factor: int):
     """sf0.1 events replicated with USER remapping: each replica's rows
     get fresh user_ids (and offset event_ids), so the SCD2 dimension's
@@ -188,6 +208,12 @@ def main() -> None:
         ("q120_hh_fold", probe_query("q120_stream_heavy_fold")),
         ("q121_batch_ann", probe_query("q121_index_batch_search")),
         ("q122_drift", probe_query("q122_drift_report")),
+        # round-9 late tier: leakage-safe splits (q53's CC + label
+        # join-back), temperature mixture (scan-bound), SemDeDup at
+        # production centroid sizing
+        ("q123_splits", probe_query("q123_leakage_safe_splits")),
+        ("q124_tmix", probe_query("q124_temperature_mix")),
+        ("q125_semdedup", probe_semdedup),
     )
     for name, fn in probes:
         if only is not None and name not in only:
