@@ -195,7 +195,10 @@ EVIDENCE: dict[str, dict] = {
     "X38": {"queries": ["q125_semantic_dedup"], "tests": [
         "test_dedup_similarity.py::test_semantic_dedup_planted_groups",
         "test_dedup_similarity.py::test_semantic_dedup_cross_bucket_pairs_missed_by_design",
-        "test_dedup_similarity.py::test_semantic_dedup_one_survivor_per_group"]},
+        "test_dedup_similarity.py::test_semantic_dedup_one_survivor_per_group",
+        "test_dedup_similarity.py::test_two_level_assign_equals_flat_on_separated_data",
+        "test_dedup_similarity.py::test_two_level_assign_is_bucket_consistent_on_real_data",
+        "test_dedup_similarity.py::test_semantic_dedup_two_level_keeps_invariants"]},
     "X35": {"queries": [], "tests": [
         "test_release.py::test_release_writes_shards_manifest_and_passes_stable_gate",
         "test_release.py::test_release_gate_blocks_major_shift_unless_allowed",

@@ -258,12 +258,18 @@ def sampled_centroids(df: DataFrame, n_centroids: int,
 def semantic_dedup(df: DataFrame, centroids: DataFrame,
                    threshold: float = 0.3,
                    vec_col: str = "embedding",
-                   id_col: str = "vec_id") -> DataFrame:
+                   id_col: str = "vec_id",
+                   two_level: bool = False) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     near-duplicate pruning over an embedding column. Every vector is
     assigned to its max-cosine centroid (``assign_centroids``, the one
-    shared argmax rule); ONLY within a centroid bucket are pairwise
-    cosines computed; pairs ≥ ``threshold`` are semantic duplicates;
+    shared argmax rule; ``two_level=True`` swaps in
+    ``assign_centroids_two_level`` — the O(n·√C) coarse-quantized
+    assignment for SemDeDup's C ∝ n sizing, where the flat rule's
+    O(n·C) is quadratic: the x100 probe measured the flat rule
+    superlinear and the two-level path ~linear per decade); ONLY
+    within a centroid bucket are pairwise cosines computed; pairs ≥
+    ``threshold`` are semantic duplicates;
     duplicate GROUPS are the connected components of that pair graph
     (transitive, like the text-dedup tier's q53 clusters) and each
     group keeps exactly one representative — the min id, the same
@@ -287,7 +293,8 @@ def semantic_dedup(df: DataFrame, centroids: DataFrame,
     """
     from . import graph
 
-    assigned = assign_centroids(df, centroids, vec_col, id_col)
+    assign = assign_centroids_two_level if two_level else assign_centroids
+    assigned = assign(df, centroids, vec_col=vec_col, id_col=id_col)
     va = F.transform(F.col("va"), lambda x: x.cast("double"))
     vb = F.transform(F.col("vb"), lambda x: x.cast("double"))
     a = assigned.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
@@ -314,4 +321,77 @@ def semantic_dedup(df: DataFrame, centroids: DataFrame,
             F.col("component").alias("group_id"),
             (F.col("component") == F.col(id_col)).alias("keep"),
         )
+    )
+
+
+def assign_centroids_two_level(df: DataFrame, centroids: DataFrame,
+                               n_coarse: int | None = None,
+                               vec_col: str = "embedding",
+                               id_col: str = "vec_id") -> DataFrame:
+    """Approximate argmax-cosine assignment in O(n·(√C + C/√C)) work
+    instead of the flat rule's O(n·C) — the scale path when the
+    centroid count grows with the corpus (SemDeDup sizing: C ∝ n makes
+    flat assignment O(n²); measured superlinear in the x100 probe).
+
+    Standard IVF coarse quantization, one level up: the centroids are
+    THEMSELVES bucketed under ``n_coarse`` (default ⌈√C⌉) coarse
+    centroids (hash-sampled from the centroid frame by the shared
+    ``sampled_centroids`` rule, fine→coarse mapping by the shared
+    ``assign_centroids`` argmax); a vector argmaxes the coarse table
+    first (n·√C), then only the fine centroids in its coarse bucket
+    (n·C/√C expected). Same output contract and tie-break as
+    ``assign_centroids``. Deterministic end-to-end.
+
+    Approximation (the IVF trade, restated at the assignment level): a
+    vector whose true nearest fine centroid lives in a DIFFERENT coarse
+    bucket gets its best in-bucket centroid instead. For SemDeDup this
+    moves borderline vectors between buckets — a recall knob, never a
+    correctness one (the survivor rule applies to whatever buckets
+    form). Exact equality with the flat rule on well-separated data is
+    pinned by test.
+
+    The one driver action is ``centroids.count()`` — centroid-frame-
+    sized, bounded (annotated per the repo's collect policy).
+
+    Broadcast envelope: the (coarse_id, fine) table is the FULL
+    centroid frame and is force-broadcast — ~0.5 GB at C = 10⁶,
+    dim 64, comfortably inside executor memory for any C this
+    operator's Σ bucket² pair stage could tolerate anyway; if C ever
+    outgrows that, raise ``n_coarse`` (the per-vector candidate set is
+    C/n_coarse — the knob trades coarse-pass cost against fine-table
+    pressure) before reaching for a shuffle join here."""
+    import math
+
+    n_c = centroids.count() if n_coarse is None else None
+    if n_coarse is None:
+        n_coarse = max(1, math.isqrt(n_c))
+    coarse = (
+        sampled_centroids(centroids, n_coarse, vec_col="cvec",
+                          id_col="centroid_id")
+        .select(F.col("centroid_id").alias("coarse_id"),
+                F.col("cvec").alias("coarse_vec"))
+    )
+    coarse_as_cents = coarse.select(
+        F.col("coarse_id").alias("centroid_id"),
+        F.col("coarse_vec").alias("cvec"))
+    fine = (
+        assign_centroids(
+            centroids.select(F.col("centroid_id").alias("fine_id"),
+                             F.col("cvec").alias("fine_vec")),
+            coarse_as_cents, vec_col="fine_vec", id_col="fine_id")
+        .select(F.col("centroid_id").alias("coarse_id"),
+                "fine_id", "fine_vec")
+    )
+    v2c = assign_centroids(df, coarse_as_cents, vec_col, id_col).select(
+        id_col, vec_col, F.col("centroid_id").alias("coarse_id"))
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    fine_d = F.transform(F.col("fine_vec"), lambda x: x.cast("double"))
+    return (
+        v2c.join(F.broadcast(fine), "coarse_id")
+        .select(id_col, vec_col, "fine_id",
+                cosine(vec_d, fine_d).alias("csim"))
+        .groupBy(id_col, vec_col)
+        .agg(F.expr(
+            "max_by(fine_id, struct(csim, -fine_id))"
+        ).alias("centroid_id"))
     )

@@ -523,3 +523,74 @@ def test_semantic_dedup_one_survivor_per_group(spark):
     n_groups = groups.count()
     assert out.filter("keep").count() == n_groups < n  # non-trivial pruning
     out.unpersist()
+
+
+def test_two_level_assign_equals_flat_on_separated_data(spark):
+    """On data whose centroids form coherent super-groups — the shape
+    the coarse quantization is FOR — two-level == flat exactly: 4
+    centroids in 2 correlated pairs (within-pair cos ≈ 0.98, cross-pair
+    0), coarse reps land one per pair (md5 order picks ids 1 and 2), so
+    every vector's true argmax centroid is inside its coarse bucket.
+    (Mutually ORTHOGONAL centroids are the adversarial case — every
+    cross-cosine ties at 0 and bucketing is arbitrary; that loss is the
+    documented approximation, not a bug.)"""
+    base = [[1.0, 0.8, 0, 0], [0.8, 1.0, 0, 0],
+            [0, 0, 1.0, 0.8], [0, 0, 0.8, 1.0]]
+    rows = []
+    for ci, b in enumerate(base):
+        for j, eps in enumerate((0.0, 0.05, -0.04, 0.08)):
+            v = [x + (eps if k == (ci + 2) % 4 else 0.0)
+                 for k, x in enumerate(b)]
+            rows.append((ci * 10 + j, [float(x) for x in v]))
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = spark.createDataFrame(
+        [(ci, [float(x) for x in b]) for ci, b in enumerate(base)],
+        ["centroid_id", "cvec"])
+    flat = {r.vec_id: r.centroid_id for r in
+            similarity.assign_centroids(vecs, cents).collect()}
+    two = {r.vec_id: r.centroid_id for r in
+           similarity.assign_centroids_two_level(vecs, cents, n_coarse=2).collect()}
+    assert flat == two
+    assert set(flat.values()) == {0, 1, 2, 3}
+
+
+def test_two_level_assign_is_bucket_consistent_on_real_data(spark):
+    """Internal contract on the real embeddings: every vector assigned
+    exactly once, and its fine centroid belongs to the vector's OWN
+    coarse bucket (the definition of the two-level rule); agreement
+    with the flat rule is high but not required to be total."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = similarity.sampled_centroids(emb, n_centroids=16)
+    two = similarity.assign_centroids_two_level(emb, cents).cache()
+    assert two.count() == emb.count()
+    assert two.select("vec_id").distinct().count() == emb.count()
+    flat = similarity.assign_centroids(emb, cents)
+    both = (two.select("vec_id", F.col("centroid_id").alias("c2"))
+            .join(flat.select("vec_id", F.col("centroid_id").alias("c1")),
+                  "vec_id"))
+    agree = both.filter("c1 = c2").count() / both.count()
+    # the sf0.001 embeddings are CLUSTERLESS (random vectors) — the
+    # worst case for coarse quantization; measured agreement ≈ 0.47,
+    # still ~7× the 1/16 random-assignment rate. On clustered data the
+    # companion test pins exact equality.
+    assert agree > 0.25, agree
+    two.unpersist()
+
+
+def test_semantic_dedup_two_level_keeps_invariants(spark):
+    """two_level=True preserves the operator's structural contract on
+    the real embeddings: one survivor per group, min-id label, full
+    coverage, non-trivial pruning."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = similarity.sampled_centroids(emb, n_centroids=16)
+    out = similarity.semantic_dedup(emb, cents, threshold=0.3,
+                                    two_level=True).cache()
+    n = emb.count()
+    assert out.count() == n
+    groups = out.groupBy("group_id").agg(
+        F.sum(F.col("keep").cast("int")).alias("keeps"),
+        F.min("vec_id").alias("mn"))
+    assert groups.filter(
+        (F.col("keeps") != 1) | (F.col("mn") != F.col("group_id"))).count() == 0
+    assert out.filter("keep").count() < n
+    out.unpersist()

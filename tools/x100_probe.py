@@ -92,6 +92,24 @@ def probe_query(name: str):
     return p
 
 
+def probe_semdedup_2l(spark, sf_dir: str) -> dict:
+    """X38 probe, two-level assignment: same C ∝ n production sizing as
+    probe_semdedup, but the coarse-quantized O(n·√C) assignment — the
+    scale path the flat probe's superlinearity motivates."""
+    from real_time_iot_data_pipeline_project_spark.operators import similarity
+
+    n_cents = {SF01: 16, X10: 160, X100: 1600}[sf_dir]
+    t0 = time.monotonic()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = similarity.sampled_centroids(emb, n_cents)
+    out = similarity.semantic_dedup(emb, cents, threshold=0.3,
+                                    two_level=True)
+    row = out.agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.col("keep").cast("long")).alias("kept")).head()
+    return {"sec": round(time.monotonic() - t0, 2),
+            "rows": row.n, "kept": row.kept, "cents": n_cents}
+
+
 def probe_semdedup(spark, sf_dir: str) -> dict:
     """X38 probe at the operator's own production sizing: n_centroids
     grows with the corpus (16 → 160 → 1600) so mean bucket size stays
@@ -214,6 +232,7 @@ def main() -> None:
         ("q123_splits", probe_query("q123_leakage_safe_splits")),
         ("q124_tmix", probe_query("q124_temperature_mix")),
         ("q125_semdedup", probe_semdedup),
+        ("q125_semdedup_2l", probe_semdedup_2l),
     )
     for name, fn in probes:
         if only is not None and name not in only:
