@@ -199,20 +199,23 @@ def leakage_safe_splits(df: DataFrame, key: str, edges: DataFrame,
 
     Scale shape: CC runs over the pair graph only (edge-endpoint
     iteration, O(log² n) star rounds); the label table is pair-graph
-    sized — orders of magnitude smaller than the corpus — so the
-    join-back is one corpus-scan LEFT join against it (AQE broadcasts
-    it when small); rows outside the pair graph never shuffle, their
-    cluster_id is their own key via coalesce."""
+    sized — orders of magnitude smaller than the corpus. The join-back
+    is one LEFT join of the corpus against it: broadcast (zero corpus
+    movement) while the label table fits AQE's threshold, one hash
+    shuffle of the corpus by key — never a sort — beyond that. Rows
+    outside the pair graph take cluster_id = their own key via
+    coalesce either way."""
     _check_split_pcts(val_pct, test_pct)
     from . import graph
 
     e = edges.select(F.col(src_col).alias("id_a"), F.col(dst_col).alias("id_b"))
-    endpoints = (
-        e.select(F.col("id_a").alias("id"))
-        .union(e.select(F.col("id_b").alias("id")))
-        .distinct()
-    )
-    labels = graph.connected_components_star(endpoints, e, id_col="id")
+    # nodes = an EMPTY frame (schema only): the CC's labels already
+    # cover every edge endpoint, and its isolated-node branch is
+    # handled by the coalesce below — passing the endpoints would just
+    # duplicate the union+distinct pass CC does internally (review
+    # catch).
+    empty_nodes = e.select(F.col("id_a").alias("id")).filter(F.lit(False))
+    labels = graph.connected_components_star(empty_nodes, e, id_col="id")
     # shuffle_hash, not sort-merge: the corpus side must never be
     # SORTED for a pair-graph-sized label lookup (graph.py's own rule
     # for the isolated-node join); AQE still localizes when tiny.

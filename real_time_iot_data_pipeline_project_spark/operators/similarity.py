@@ -294,7 +294,15 @@ def semantic_dedup(df: DataFrame, centroids: DataFrame,
     from . import graph
 
     assign = assign_centroids_two_level if two_level else assign_centroids
-    assigned = assign(df, centroids, vec_col=vec_col, id_col=id_col)
+    # localCheckpoint: the assignment is the dominant stage (O(n·C)
+    # flat / O(n·√C) two-level) and is read THREE times — both sides of
+    # the pair self-join and the final join-back; without
+    # materialization the CC's eager checkpoint of the pair graph would
+    # execute it once and the returned plan would recompute it again
+    # (the round-9 review catch). Same pattern as graph.py's per-round
+    # checkpoints.
+    assigned = assign(df, centroids, vec_col=vec_col, id_col=id_col) \
+        .localCheckpoint()
     va = F.transform(F.col("va"), lambda x: x.cast("double"))
     vb = F.transform(F.col("vb"), lambda x: x.cast("double"))
     a = assigned.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
@@ -362,9 +370,10 @@ def assign_centroids_two_level(df: DataFrame, centroids: DataFrame,
     pressure) before reaching for a shuffle join here."""
     import math
 
-    n_c = centroids.count() if n_coarse is None else None
     if n_coarse is None:
-        n_coarse = max(1, math.isqrt(n_c))
+        n_c = centroids.count()
+        s = math.isqrt(n_c)  # exact integer ⌈√C⌉, per the documented default
+        n_coarse = max(1, s if s * s == n_c else s + 1)
     coarse = (
         sampled_centroids(centroids, n_coarse, vec_col="cvec",
                           id_col="centroid_id")

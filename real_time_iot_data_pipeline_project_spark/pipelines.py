@@ -177,15 +177,30 @@ def release_corpus(
 
             # rates once, driver-side (≤ n_sources rows): the SAME
             # collected rows drive the membership filter AND the
-            # manifest record, so they can never disagree
+            # manifest record, so they can never disagree. Re-emitted
+            # as a broadcast rate table (the operator's own join shape)
+            # rather than a CASE chain — a when-chain grows Catalyst
+            # expression depth with the source count and can blow the
+            # analyzer stack on a many-source corpus (review catch).
+            from pyspark.sql import types as T
+
             rate_rows = sampling.temperature_mix_rates(
                 final, "source", mix_alpha, mix_budget).collect()
-            rate = F.lit(0)
-            for r in sorted(rate_rows, key=lambda r: str(r["source"])):
-                rate = F.when(F.col("source").eqNullSafe(F.lit(r["source"])),
-                              F.lit(int(r["rate_pct"]))).otherwise(rate)
-            final = final.filter(
-                sampling.sample_bucket(F.col("doc_id"), "tmix") < rate)
+            rdf = spark.createDataFrame(
+                [(r["source"], int(r["rate_pct"])) for r in rate_rows],
+                T.StructType([
+                    T.StructField("__stratum",
+                                  final.schema["source"].dataType),
+                    T.StructField("rate_pct", T.IntegerType()),
+                ]))
+            final = (
+                final.join(F.broadcast(rdf),
+                           final["source"].eqNullSafe(rdf["__stratum"]))
+                .drop("__stratum")
+                .filter(sampling.sample_bucket(F.col("doc_id"), "tmix")
+                        < F.col("rate_pct"))
+                .drop("rate_pct")
+            )
             mix_info = {
                 "alpha": mix_alpha,
                 "budget_frac": mix_budget,

@@ -5186,7 +5186,7 @@ def q123_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
                         * (CAST(w AS DOUBLE) / wsum)) / n) AS INTEGER)) AS rate_pct
           FROM w, t)
     SELECT d.doc_id, d.source, r.rate_pct
-    FROM documents d JOIN r USING (source)
+    FROM documents d JOIN r ON d.source IS NOT DISTINCT FROM r.source
     WHERE {_bucket_sql('tmix')} < r.rate_pct
     """,
 )

@@ -92,10 +92,14 @@ def probe_query(name: str):
     return p
 
 
-def probe_semdedup_2l(spark, sf_dir: str) -> dict:
-    """X38 probe, two-level assignment: same C ∝ n production sizing as
-    probe_semdedup, but the coarse-quantized O(n·√C) assignment — the
-    scale path the flat probe's superlinearity motivates."""
+def _probe_semdedup(spark, sf_dir: str, two_level: bool) -> dict:
+    """X38 probe at the operator's own production sizing: n_centroids
+    grows with the corpus (16 → 160 → 1600) so mean bucket size stays
+    constant — the registry query pins 16 for oracle parity, but the
+    100 TB claim is about the SCALED shape. ONE body for both the flat
+    and the two-level A/B legs (only the flag differs), so the sizing/
+    threshold/agg can never desynchronize between them. One aggregate
+    action counts rows and survivors in a single pass."""
     from real_time_iot_data_pipeline_project_spark.operators import similarity
 
     n_cents = {SF01: 16, X10: 160, X100: 1600}[sf_dir]
@@ -103,7 +107,7 @@ def probe_semdedup_2l(spark, sf_dir: str) -> dict:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cents = similarity.sampled_centroids(emb, n_cents)
     out = similarity.semantic_dedup(emb, cents, threshold=0.3,
-                                    two_level=True)
+                                    two_level=two_level)
     row = out.agg(F.count(F.lit(1)).alias("n"),
                   F.sum(F.col("keep").cast("long")).alias("kept")).head()
     return {"sec": round(time.monotonic() - t0, 2),
@@ -111,23 +115,11 @@ def probe_semdedup_2l(spark, sf_dir: str) -> dict:
 
 
 def probe_semdedup(spark, sf_dir: str) -> dict:
-    """X38 probe at the operator's own production sizing: n_centroids
-    grows with the corpus (16 → 160 → 1600) so mean bucket size stays
-    constant — the registry query pins 16 for oracle parity, but the
-    100 TB claim is about the SCALED shape (Σ bucket² stays ~linear in
-    n when buckets are constant-sized). One aggregate action counts
-    rows and survivors in a single pass."""
-    from real_time_iot_data_pipeline_project_spark.operators import similarity
+    return _probe_semdedup(spark, sf_dir, two_level=False)
 
-    n_cents = {SF01: 16, X10: 160, X100: 1600}[sf_dir]
-    t0 = time.monotonic()
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    cents = similarity.sampled_centroids(emb, n_cents)
-    out = similarity.semantic_dedup(emb, cents, threshold=0.3)
-    row = out.agg(F.count(F.lit(1)).alias("n"),
-                  F.sum(F.col("keep").cast("long")).alias("kept")).head()
-    return {"sec": round(time.monotonic() - t0, 2),
-            "rows": row.n, "kept": row.kept, "cents": n_cents}
+
+def probe_semdedup_2l(spark, sf_dir: str) -> dict:
+    return _probe_semdedup(spark, sf_dir, two_level=True)
 
 
 def _hist_replicated(spark, factor: int):
