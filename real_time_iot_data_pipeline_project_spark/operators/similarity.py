@@ -303,16 +303,27 @@ def semantic_dedup(df: DataFrame, centroids: DataFrame,
     # checkpoints.
     assigned = assign(df, centroids, vec_col=vec_col, id_col=id_col) \
         .localCheckpoint()
+    # per-VECTOR norms precomputed BEFORE the pair join: cosine(a, b)
+    # = dot/(‖a‖·‖b‖) with each ‖·‖ the same sqrt-of-aggregate
+    # expression evaluated once per row instead of once per PAIR —
+    # bit-identical value (identical expression tree per operand),
+    # ~3× less per-pair array work on the Σ bucket² stage
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sides = assigned.select(
+        F.col(id_col), F.col(vec_col), "centroid_id",
+        _norm(vec_d).alias("__norm"))
     va = F.transform(F.col("va"), lambda x: x.cast("double"))
     vb = F.transform(F.col("vb"), lambda x: x.cast("double"))
-    a = assigned.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-                        "centroid_id")
-    b = assigned.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-                        "centroid_id")
+    a = sides.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                     "centroid_id", F.col("__norm").alias("__na"))
+    b = sides.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                     "centroid_id", F.col("__norm").alias("__nb"))
     pairs = (
         a.join(b, "centroid_id")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(va, vb).alias("cosine_sim"))
+        .select("id_a", "id_b",
+                (_dot(va, vb) / (F.col("__na") * F.col("__nb")))
+                .alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
     comp = graph.connected_components_star(
