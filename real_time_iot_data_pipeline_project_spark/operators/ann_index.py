@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .similarity import assign_centroids, cosine
+from .similarity import _dot, _norm, _py_norm, assign_centroids, cosine
 
 
 def build_index(df: DataFrame, index_dir: str, n_centroids: int = 16,
@@ -112,15 +112,22 @@ def search_index_batch(spark: SparkSession, index_dir: str,
     )
     data = spark.read.parquet(f"{index_dir}/data")
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # per-operand norms BEFORE the (data × queries) pairing — once per
+    # data row / once per query, not once per scored pair;
+    # bit-identical (same expression tree per operand)
+    queries_n = queries.withColumn("__qnorm", _norm(qvec_d))
     scored = (
         data.join(F.broadcast(probes), "centroid_id")
+        .withColumn("__dnorm", _norm(vec_d))
         # no broadcast hint on the queries join: a bounded query batch
         # broadcasts anyway under Catalyst's size rule, and an
         # oversized one degrades to a shuffle join instead of a
         # broadcast OOM (only the probes join needs the hint, for DPP)
-        .join(queries, query_id_col)
+        .join(queries_n, query_id_col)
         .select(query_id_col, id_col,
-                cosine(vec_d, qvec_d).alias("cosine_sim"))
+                (_dot(vec_d, qvec_d)
+                 / (F.col("__dnorm") * F.col("__qnorm")))
+                .alias("cosine_sim"))
     )
     return (
         scored.withColumn("__rn", F.row_number().over(
@@ -151,9 +158,12 @@ def search_index(spark: SparkSession, index_dir: str,
               .limit(nprobe).collect())]
     data = spark.read.parquet(f"{index_dir}/data")
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    qn = F.lit(_py_norm(q))  # literal query norm — value-identical
     return (
         data.where(F.col("centroid_id").isin(probe))
-        .select(F.col(id_col), cosine(vec_d, qcol).alias("cosine_sim"))
+        .select(F.col(id_col),
+                (_dot(vec_d, qcol) / (_norm(vec_d) * qn))
+                .alias("cosine_sim"))
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .limit(k)
     )
