@@ -151,6 +151,7 @@ HEADLINE = [
     "q123_leakage_safe_splits",
     "q124_temperature_mix",
     "q125_semantic_dedup",
+    "q126_semantic_dedup_2l",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

@@ -192,7 +192,8 @@ EVIDENCE: dict[str, dict] = {
         "test_curation_ops.py::test_temperature_mix_rates_hand_computed",
         "test_curation_ops.py::test_temperature_alpha_one_is_uniform",
         "test_curation_ops.py::test_temperature_sample_membership_exact"]},
-    "X38": {"queries": ["q125_semantic_dedup"], "tests": [
+    "X38": {"queries": ["q125_semantic_dedup",
+                        "q126_semantic_dedup_2l"], "tests": [
         "test_dedup_similarity.py::test_semantic_dedup_planted_groups",
         "test_dedup_similarity.py::test_semantic_dedup_cross_bucket_pairs_missed_by_design",
         "test_dedup_similarity.py::test_semantic_dedup_one_survivor_per_group",

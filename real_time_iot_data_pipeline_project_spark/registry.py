@@ -5249,6 +5249,88 @@ def _semantic_dedup_sql(n_centroids: int = 16, threshold: float = 0.3) -> str:
     """
 
 
+def _semantic_dedup_2l_sql(n_centroids: int = 16, n_coarse: int = 4,
+                           threshold: float = 0.3) -> str:
+    cc = _list_cos_sql("f.cvec", "co.coarse_vec")
+    vc = _list_cos_sql("e.embedding", "co.coarse_vec")
+    vf = _list_cos_sql("e.embedding", "f.fine_vec")
+    cos_xy = _list_cos_sql("x.embedding", "y.embedding")
+    return f"""
+    WITH RECURSIVE
+    c0 AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
+           FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+           LIMIT {n_centroids}),
+    coarse AS (SELECT centroid_id AS coarse_id, cvec AS coarse_vec FROM c0
+               ORDER BY md5(CAST(centroid_id AS VARCHAR)), centroid_id
+               LIMIT {n_coarse}),
+    fine AS (
+      SELECT coarse_id, fine_id, fine_vec FROM (
+        SELECT co.coarse_id, f.centroid_id AS fine_id, f.cvec AS fine_vec,
+               row_number() OVER (PARTITION BY f.centroid_id
+                                  ORDER BY {cc} DESC, co.coarse_id ASC) AS rn
+        FROM c0 f, coarse co
+      ) WHERE rn = 1
+    ),
+    v2c AS (
+      SELECT vec_id, coarse_id FROM (
+        SELECT e.vec_id, co.coarse_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {vc} DESC, co.coarse_id ASC) AS rn
+        FROM embeddings e, coarse co
+      ) WHERE rn = 1
+    ),
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, f.fine_id AS centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {vf} DESC, f.fine_id ASC) AS rn
+        FROM embeddings e JOIN v2c v ON v.vec_id = e.vec_id
+                          JOIN fine f ON f.coarse_id = v.coarse_id
+      ) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT a1.vec_id AS id_a, a2.vec_id AS id_b
+      FROM assigned a1 JOIN assigned a2
+           ON a1.centroid_id = a2.centroid_id AND a1.vec_id < a2.vec_id
+      JOIN embeddings x ON x.vec_id = a1.vec_id
+      JOIN embeddings y ON y.vec_id = a2.vec_id
+      WHERE {cos_xy} >= {threshold!r}
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach AS (
+      SELECT vec_id AS id, vec_id AS r FROM embeddings
+      UNION
+      SELECT e.b AS id, reach.r FROM reach JOIN edges e ON e.a = reach.id
+    ),
+    comp AS (SELECT id AS vec_id, min(r) AS group_id FROM reach GROUP BY id)
+    SELECT a.vec_id, a.centroid_id, c.group_id,
+           c.group_id = a.vec_id AS keep
+    FROM assigned a JOIN comp c USING (vec_id)
+    """
+
+
+@query("q126_semantic_dedup_2l", _semantic_dedup_2l_sql())
+def q126_semantic_dedup_2l(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X38 at the SCALE-path setting, hash-gated: semantic_dedup with
+    the two-level coarse-quantized assignment (O(n·√C) — the x100-
+    probed answer to the flat rule's O(n·C) superlinearity). The
+    oracle replays the ENTIRE two-level rule in SQL — coarse sample of
+    the centroid sample (same md5 order), fine→coarse argmax, vector→
+    coarse argmax, in-bucket fine argmax, then the same ≥τ closure as
+    q125 — so a hash match proves the 'approximate' path is a pinned
+    deterministic rule cross-engine, not an unspecified heuristic.
+    ⌈√16⌉ = 4 coarse reps at the gated sizing."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.sampled_centroids(emb, n_centroids=16)
+    out = similarity.semantic_dedup(emb, cents, threshold=0.3,
+                                    two_level=True)
+    return out.select("vec_id", "centroid_id", "group_id", "keep")
+
+
 @query("q125_semantic_dedup", _semantic_dedup_sql())
 def q125_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X38 — SemDeDup semantic dedup (similarity.semantic_dedup; Abbas
@@ -5331,6 +5413,7 @@ POST_WINDOW: list[str] = [
     "q123_leakage_safe_splits",
     "q124_temperature_mix",
     "q125_semantic_dedup",
+    "q126_semantic_dedup_2l",
 ]
 
 

@@ -73,6 +73,7 @@ PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
         "q123_leakage_safe_splits",
         "q124_temperature_mix",
         "q125_semantic_dedup",
+        "q126_semantic_dedup_2l",
     ]),
 }
 
