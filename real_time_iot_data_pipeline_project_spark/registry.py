@@ -5131,7 +5131,13 @@ def q121_index_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    idx = f"/tmp/sparkgraft_q121_index_{tag}"
+    # per-PROCESS path: two concurrent runners against the same sf_dir
+    # must not race each other's rebuild (one sweep read a half-written
+    # index exactly once before this; the consumer is always the same
+    # process, so the lifecycle contract is unchanged)
+    import os as _os
+
+    idx = f"/tmp/sparkgraft_q121_index_{tag}_{_os.getpid()}"
     build_index(emb, idx, n_centroids=16)
     queries = (emb.where(F.col("vec_id").isin(0, 1, 2, 3, 4))
                .select(F.col("vec_id").alias("query_id"),
