@@ -114,11 +114,15 @@ def search_index_batch(spark: SparkSession, index_dir: str,
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     # per-operand norms BEFORE the (data × queries) pairing — once per
     # data row / once per query, not once per scored pair;
-    # bit-identical (same expression tree per operand)
+    # bit-identical (same expression tree per operand). The data-side
+    # norm is projected BELOW the probes join (a projection above it
+    # would run once per fanned-out (row, query) pair — review catch);
+    # the join key is untouched, so dynamic partition pruning still
+    # applies (plan-asserted by test).
     queries_n = queries.withColumn("__qnorm", _norm(qvec_d))
     scored = (
-        data.join(F.broadcast(probes), "centroid_id")
-        .withColumn("__dnorm", _norm(vec_d))
+        data.withColumn("__dnorm", _norm(vec_d))
+        .join(F.broadcast(probes), "centroid_id")
         # no broadcast hint on the queries join: a bounded query batch
         # broadcasts anyway under Catalyst's size rule, and an
         # oversized one degrades to a shuffle join instead of a

@@ -424,6 +424,12 @@ def assign_centroids_two_level(df: DataFrame, centroids: DataFrame,
     pressure) before reaching for a shuffle join here."""
     import math
 
+    # one materialization of the (tiny) centroid frame: it feeds the
+    # count, the coarse sample, the fine mapping and two broadcasts —
+    # when it is itself a corpus-derived plan (sampled_centroids over
+    # the data, the standard usage) each of those would otherwise
+    # re-run a corpus-scale TakeOrdered (review catch)
+    centroids = centroids.localCheckpoint()
     if n_coarse is None:
         n_c = centroids.count()
         s = math.isqrt(n_c)  # exact integer ⌈√C⌉, per the documented default
@@ -437,12 +443,23 @@ def assign_centroids_two_level(df: DataFrame, centroids: DataFrame,
     coarse_as_cents = coarse.select(
         F.col("coarse_id").alias("centroid_id"),
         F.col("coarse_vec").alias("cvec"))
+    # a coarse REP's own fine→coarse assignment is pinned to ITSELF:
+    # cos(v, v) computes to 1±ulp, so on near-parallel coarse reps the
+    # argmax could put rep B into bucket C, leaving bucket B empty —
+    # and a vector argmaxing B would then vanish through the inner
+    # candidate join (review catch). The pin makes every coarse bucket
+    # non-empty by construction, so the full-coverage contract (one
+    # output row per input row) is structural. Mirrored in q126's SQL.
+    is_rep = coarse.select(F.col("coarse_id").alias("fine_id"),
+                           F.lit(True).alias("__is_rep"))
     fine = (
         assign_centroids(
             centroids.select(F.col("centroid_id").alias("fine_id"),
                              F.col("cvec").alias("fine_vec")),
             coarse_as_cents, vec_col="fine_vec", id_col="fine_id")
-        .select(F.col("centroid_id").alias("coarse_id"),
+        .join(F.broadcast(is_rep), "fine_id", "left")
+        .select(F.when(F.col("__is_rep"), F.col("fine_id"))
+                .otherwise(F.col("centroid_id")).alias("coarse_id"),
                 "fine_id", "fine_vec")
     )
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))

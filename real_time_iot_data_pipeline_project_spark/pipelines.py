@@ -175,32 +175,17 @@ def release_corpus(
         if mix_alpha is not None:
             from .operators import sampling
 
-            # rates once, driver-side (≤ n_sources rows): the SAME
-            # collected rows drive the membership filter AND the
-            # manifest record, so they can never disagree. Re-emitted
-            # as a broadcast rate table (the operator's own join shape)
-            # rather than a CASE chain — a when-chain grows Catalyst
-            # expression depth with the source count and can blow the
-            # analyzer stack on a many-source corpus (review catch).
-            from pyspark.sql import types as T
-
+            # membership comes from the OPERATOR itself — the exact
+            # rule q124 hash-gates (a re-implementation here could
+            # drift from the gated contract; review catch). The
+            # manifest's rates are one extra tiny collect of the same
+            # deterministic aggregate, so filter and record agree by
+            # determinism rather than by code duplication.
             rate_rows = sampling.temperature_mix_rates(
                 final, "source", mix_alpha, mix_budget).collect()
-            rdf = spark.createDataFrame(
-                [(r["source"], int(r["rate_pct"])) for r in rate_rows],
-                T.StructType([
-                    T.StructField("__stratum",
-                                  final.schema["source"].dataType),
-                    T.StructField("rate_pct", T.IntegerType()),
-                ]))
-            final = (
-                final.join(F.broadcast(rdf),
-                           final["source"].eqNullSafe(rdf["__stratum"]))
-                .drop("__stratum")
-                .filter(sampling.sample_bucket(F.col("doc_id"), "tmix")
-                        < F.col("rate_pct"))
-                .drop("rate_pct")
-            )
+            final = sampling.temperature_sample(
+                final, key="doc_id", stratum="source",
+                alpha=mix_alpha, budget_frac=mix_budget).drop("rate_pct")
             mix_info = {
                 "alpha": mix_alpha,
                 "budget_frac": mix_budget,

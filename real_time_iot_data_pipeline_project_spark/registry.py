@@ -5134,10 +5134,16 @@ def q121_index_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-PROCESS path: two concurrent runners against the same sf_dir
     # must not race each other's rebuild (one sweep read a half-written
     # index exactly once before this; the consumer is always the same
-    # process, so the lifecycle contract is unchanged)
+    # process, so the lifecycle contract is unchanged). The dir is
+    # removed at interpreter exit so repeated runs don't accumulate
+    # corpus-sized /tmp copies (review catch) — within the process the
+    # returned DataFrame reads it lazily, which atexit respects.
+    import atexit as _atexit
     import os as _os
+    import shutil as _shutil
 
     idx = f"/tmp/sparkgraft_q121_index_{tag}_{_os.getpid()}"
+    _atexit.register(_shutil.rmtree, idx, ignore_errors=True)
     build_index(emb, idx, n_centroids=16)
     queries = (emb.where(F.col("vec_id").isin(0, 1, 2, 3, 4))
                .select(F.col("vec_id").alias("query_id"),
@@ -5270,12 +5276,17 @@ def _semantic_dedup_2l_sql(n_centroids: int = 16, n_coarse: int = 4,
                ORDER BY md5(CAST(centroid_id AS VARCHAR)), centroid_id
                LIMIT {n_coarse}),
     fine AS (
-      SELECT coarse_id, fine_id, fine_vec FROM (
+      -- a coarse rep's own mapping is pinned to ITSELF (mirrors the
+      -- operator's non-empty-bucket guarantee)
+      SELECT CASE WHEN f2.fine_id IN (SELECT coarse_id FROM coarse)
+                  THEN f2.fine_id ELSE f2.coarse_id END AS coarse_id,
+             f2.fine_id, f2.fine_vec
+      FROM (
         SELECT co.coarse_id, f.centroid_id AS fine_id, f.cvec AS fine_vec,
                row_number() OVER (PARTITION BY f.centroid_id
                                   ORDER BY {cc} DESC, co.coarse_id ASC) AS rn
         FROM c0 f, coarse co
-      ) WHERE rn = 1
+      ) f2 WHERE rn = 1
     ),
     v2c AS (
       SELECT vec_id, coarse_id FROM (

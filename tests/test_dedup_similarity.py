@@ -574,6 +574,32 @@ def test_two_level_assign_is_bucket_consistent_on_real_data(spark):
     # still ~7× the 1/16 random-assignment rate. On clustered data the
     # companion test pins exact equality.
     assert agree > 0.25, agree
+    # THE named invariant, asserted independently via the flat rule as
+    # the spec: each vector's assigned fine centroid must live in the
+    # vector's OWN coarse bucket — i.e. the vector's coarse argmax ==
+    # its fine centroid's coarse argmax (coarse reps map to themselves)
+    n_coarse = 4  # ceil(sqrt(16)), the default the operator derives
+    coarse = (similarity.sampled_centroids(cents, n_coarse,
+                                           vec_col="cvec",
+                                           id_col="centroid_id")
+              .select(F.col("centroid_id").alias("coarse_of"),
+                      F.col("cvec").alias("cv")))
+    coarse_cents = coarse.select(F.col("coarse_of").alias("centroid_id"),
+                                 F.col("cv").alias("cvec"))
+    v_coarse = similarity.assign_centroids(emb, coarse_cents).select(
+        "vec_id", F.col("centroid_id").alias("v_bucket"))
+    coarse_ids = {r.coarse_of for r in coarse.collect()}
+    f_coarse = {r.fine_id: (r.fine_id if r.fine_id in coarse_ids
+                            else r.centroid_id)
+                for r in similarity.assign_centroids(
+                    cents.select(F.col("centroid_id").alias("fine_id"),
+                                 F.col("cvec").alias("fine_vec")),
+                    coarse_cents, vec_col="fine_vec",
+                    id_col="fine_id").collect()}
+    joined = two.select("vec_id", "centroid_id").join(v_coarse, "vec_id")
+    bad = [r for r in joined.collect()
+           if f_coarse[r.centroid_id] != r.v_bucket]
+    assert not bad, bad[:5]
     two.unpersist()
 
 
