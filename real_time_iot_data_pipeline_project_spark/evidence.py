@@ -200,6 +200,12 @@ EVIDENCE: dict[str, dict] = {
         "test_dedup_similarity.py::test_two_level_assign_equals_flat_on_separated_data",
         "test_dedup_similarity.py::test_two_level_assign_is_bucket_consistent_on_real_data",
         "test_dedup_similarity.py::test_semantic_dedup_two_level_keeps_invariants"]},
+    "X39": {"queries": ["q127_dup_span_removal"], "tests": [
+        "test_dedup_similarity.py::test_dup_span_keep_first_and_excise_rest",
+        "test_dedup_similarity.py::test_dup_span_overlapping_windows_merge",
+        "test_dedup_similarity.py::test_dup_span_short_and_unique_docs_intact",
+        "test_dedup_similarity.py::test_dup_span_within_doc_self_repeat",
+        "test_dedup_similarity.py::test_dup_span_rejects_bad_window"]},
     "X35": {"queries": [], "tests": [
         "test_release.py::test_release_writes_shards_manifest_and_passes_stable_gate",
         "test_release.py::test_release_gate_blocks_major_shift_unless_allowed",

@@ -550,3 +550,100 @@ def near_dedup_against(new_docs: DataFrame, base_signatures: DataFrame,
                .localCheckpoint(eager=True))
     sig_new.unpersist()
     return new_docs.join(dropped, id_col, "left_anti")
+
+
+def duplicate_span_removal(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           window_tokens: int = 8) -> DataFrame:
+    """Stride-1 exact duplicate-SPAN removal (the ExactSubstr rule of
+    Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499, on a whitespace-token grid): every
+    ``window_tokens``-token sliding window of normalized text that
+    occurs more than once corpus-wide keeps its FIRST occurrence
+    (min (doc, pos)) and is excised everywhere else; a token is removed
+    iff some excised window covers it, so overlapping duplicate windows
+    merge into maximal removed spans (gaps-and-islands, not the disjoint
+    chunk grid of :func:`chunk_dedup`, which misses duplicates that
+    straddle a chunk boundary or sit at a different alignment).
+
+    Output (one row per non-empty doc):
+    ``(id_col, n_tokens, n_tokens_kept, cleaned_fp)`` — ``cleaned_fp``
+    is the md5 of the surviving tokens joined by single spaces (''
+    when every token sat inside a duplicated span).
+
+    Scale shape: windows and tokens are both map-side array transforms
+    (no UDF); the first-occurrence winner is one shuffle keyed by the
+    window md5 (uniform by construction) whose payload is just
+    (hash, id, pos) — the window TEXT never travels. Flagged positions
+    join back to the token grid on (id, pos); coverage is a per-doc
+    running max over token position (``max(flag_end) OVER (ORDER BY t
+    ROWS UNBOUNDED PRECEDING) >= t`` — correct because all windows have
+    identical length, so the latest start before t has the furthest
+    end), and the reassembly agg reuses the doc-keyed partitioning the
+    window just established. Per-doc cost is O(n log n) in its token
+    count regardless of how many spans are flagged — there is no
+    per-token scan over the flag list. Empty/whitespace-only docs are
+    dropped up front (same contract as chunk_dedup); docs shorter than
+    ``window_tokens`` produce no windows and survive intact.
+
+    Reference anchor: the C4/chunk rule (reference `data_prep` dedup
+    stage) only removes grid-aligned repeats; this is the alignment-free
+    production scrubber a 100 TB pretraining corpus needs.
+    """
+    if window_tokens <= 0:
+        raise ValueError(f"window_tokens must be positive, got {window_tokens}")
+    from pyspark.sql import Window
+
+    k = window_tokens
+    df = df.filter(F.length(textfns.normalize_text(text_col)) > 0)
+    toks = textfns.whitespace_tokens(text_col)
+    base = df.select(F.col(id_col), toks.alias("ts"),
+                     F.size(toks).alias("n_tokens"))
+
+    # window grid: one row per start pos 0..n-k; hash only, text stays put
+    starts = F.when(
+        F.col("n_tokens") >= k,
+        F.sequence(F.lit(0), F.col("n_tokens") - k),
+    ).otherwise(F.array().cast("array<int>"))
+    wins = base.select(
+        id_col,
+        F.explode(starts).alias("pos"),
+        F.col("ts"),
+    ).select(
+        id_col, "pos",
+        F.md5(F.array_join(F.slice("ts", F.col("pos") + 1, k), " ")).alias("wh"),
+    )
+    wwin = Window.partitionBy("wh").orderBy(id_col, "pos")
+    flagged = (
+        wins.withColumn("rn", F.row_number().over(wwin))
+        .filter(F.col("rn") > 1)
+        .select(id_col, "pos")
+    )
+
+    # token grid + coverage running-max + reassembly (one doc-keyed shuffle)
+    tok = base.select(id_col, F.posexplode("ts").alias("t", "tok"))
+    dwin = (Window.partitionBy(id_col).orderBy("t")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cov = (
+        tok.join(flagged.withColumnRenamed("pos", "t").withColumn(
+            "is_flag", F.lit(True)), [id_col, "t"], "left")
+        .withColumn("runmax", F.max(
+            F.when(F.col("is_flag"), F.col("t") + (k - 1)).otherwise(F.lit(-1))
+        ).over(dwin))
+        .withColumn("keep", (F.col("runmax") < F.col("t")).cast("int"))
+    )
+    return cov.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("keep").alias("n_tokens_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.when(F.col("keep") == 1, F.struct("t", "tok"))
+                    )),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            )
+        ).alias("cleaned_fp"),
+    )

@@ -5366,6 +5366,65 @@ def q125_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "centroid_id", "group_id", "keep")
 
 
+@query(
+    "q127_dup_span_removal",
+    f"""
+    WITH d AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ts
+               FROM documents WHERE length({_NORM_SQL}) > 0),
+    wx AS (
+      SELECT doc_id, ts,
+             unnest(range(0, greatest(CAST(len(ts) AS BIGINT) - 7, 0))) AS pos
+      FROM d
+    ),
+    wh AS (
+      SELECT doc_id, pos,
+             md5(array_to_string(list_slice(ts, CAST(pos + 1 AS INTEGER),
+                                            CAST(pos + 8 AS INTEGER)), ' ')) AS h
+      FROM wx
+    ),
+    fl AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        FROM wh
+      ) WHERE rn > 1
+    ),
+    tok AS (
+      SELECT doc_id, ts, unnest(range(0, CAST(len(ts) AS BIGINT))) AS t
+      FROM d
+    ),
+    tk AS (
+      SELECT tok.doc_id, tok.t, tok.ts[CAST(tok.t + 1 AS INTEGER)] AS tok,
+             (fl.pos IS NOT NULL) AS is_flag
+      FROM tok LEFT JOIN fl ON fl.doc_id = tok.doc_id AND fl.pos = tok.t
+    ),
+    cov AS (
+      SELECT doc_id, t, tok,
+             max(CASE WHEN is_flag THEN t + 7 ELSE -1 END)
+               OVER (PARTITION BY doc_id ORDER BY t
+                     ROWS UNBOUNDED PRECEDING) AS runmax
+      FROM tk
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN runmax < t THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_tokens_kept,
+           md5(coalesce(string_agg(CASE WHEN runmax < t THEN tok END, ' '
+                                   ORDER BY t), '')) AS cleaned_fp
+    FROM cov GROUP BY doc_id
+    """,
+)
+def q127_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X39 — stride-1 duplicate-span removal (dedup.duplicate_span_removal;
+    Lee et al. 2021 ExactSubstr on a token grid): every 8-token sliding
+    window duplicated corpus-wide keeps only its first occurrence
+    (min (doc, pos)); overlapping excised windows merge into maximal
+    removed spans via a per-doc running-max (gaps-and-islands). Catches
+    the straddling / misaligned repeats the disjoint chunk grid (q64)
+    structurally misses. Oracle replays the identical rule in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.duplicate_span_removal(docs, window_tokens=8)
+
+
 # Operators added AFTER the 50-slot window filled with unique-operator
 # queries: fully oracle-checked by the local gate, first in line for a
 # window slot if one opens.
@@ -5431,6 +5490,9 @@ POST_WINDOW: list[str] = [
     "q124_temperature_mix",
     "q125_semantic_dedup",
     "q126_semantic_dedup_2l",
+    # round 9 third wave: stride-1 duplicate-span removal (X39) —
+    # scheduled for rotation #7 alongside q123-q126
+    "q127_dup_span_removal",
 ]
 
 

@@ -620,3 +620,65 @@ def test_semantic_dedup_two_level_keeps_invariants(spark):
         (F.col("keeps") != 1) | (F.col("mn") != F.col("group_id"))).count() == 0
     assert out.filter("keep").count() < n
     out.unpersist()
+
+
+# --- X39: stride-1 duplicate-span removal ---------------------------------
+
+def _spans(df):
+    return {r.doc_id: (r.n_tokens, r.n_tokens_kept, r.cleaned_fp)
+            for r in df.collect()}
+
+
+def test_dup_span_keep_first_and_excise_rest(spark):
+    # doc 0 owns the 8-token run; doc 1 repeats it at a SHIFTED
+    # alignment (prefix token), which the disjoint chunk grid misses
+    run = "a1 a2 a3 a4 a5 a6 a7 a8"
+    df = spark.createDataFrame(
+        [(0, run + " tail0"), (1, "prefix " + run + " tail1")],
+        ["doc_id", "text"],
+    )
+    out = _spans(dedup.duplicate_span_removal(df, window_tokens=8))
+    assert out[0] == (9, 9, out[0][2])            # first occurrence intact
+    n, kept, _ = out[1]
+    assert (n, kept) == (10, 2)                   # only 'prefix' + 'tail1' survive
+    # the chunk grid (q64's rule) would NOT remove the shifted repeat:
+    ch = {r.doc_id: (r.n_chunks, r.n_chunks_kept)
+          for r in dedup.chunk_dedup(df, chunk_tokens=8).collect()}
+    assert ch[1][0] == ch[1][1]                   # all chunks kept -> miss
+
+
+def test_dup_span_overlapping_windows_merge(spark):
+    # a 10-token duplicated run -> 3 overlapping flagged windows in the
+    # copy; gaps-and-islands must merge them into ONE 10-token span
+    run = " ".join(f"b{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(0, run), (1, "x " + run + " y")], ["doc_id", "text"])
+    out = _spans(dedup.duplicate_span_removal(df, window_tokens=8))
+    assert out[1][:2] == (12, 2)                  # x + y survive
+
+
+def test_dup_span_short_and_unique_docs_intact(spark):
+    import hashlib
+    df = spark.createDataFrame(
+        [(0, "tiny doc"), (1, "seven tokens only in this doc here"),
+         (2, "   ")], ["doc_id", "text"])
+    out = _spans(dedup.duplicate_span_removal(df, window_tokens=8))
+    assert 2 not in out                           # whitespace-only dropped
+    assert out[0][:2] == (2, 2)
+    assert out[1][:2] == (7, 7)
+    assert out[0][2] == hashlib.md5(b"tiny doc").hexdigest()
+
+
+def test_dup_span_within_doc_self_repeat(spark):
+    # the same window repeated INSIDE one doc: first stays, second goes
+    run = "c1 c2 c3 c4 c5 c6 c7 c8"
+    df = spark.createDataFrame(
+        [(0, run + " mid " + run)], ["doc_id", "text"])
+    out = _spans(dedup.duplicate_span_removal(df, window_tokens=8))
+    assert out[0][:2] == (17, 9)                  # run + 'mid' survive
+
+
+def test_dup_span_rejects_bad_window(spark):
+    df = spark.createDataFrame([(0, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        dedup.duplicate_span_removal(df, window_tokens=0)

@@ -74,6 +74,8 @@ PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
         "q124_temperature_mix",
         "q125_semantic_dedup",
         "q126_semantic_dedup_2l",
+        # round-9 third wave: stride-1 duplicate-span removal (X39)
+        "q127_dup_span_removal",
     ]),
 }
 
