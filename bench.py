@@ -152,6 +152,10 @@ HEADLINE = [
     "q124_temperature_mix",
     "q125_semantic_dedup",
     "q126_semantic_dedup_2l",
+    # round-9 third wave: duplicate-span removal (X39) and
+    # edit-distance LSH verification (X40)
+    "q127_dup_span_removal",
+    "q128_edit_distance_verify",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

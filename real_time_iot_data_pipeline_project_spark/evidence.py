@@ -200,6 +200,11 @@ EVIDENCE: dict[str, dict] = {
         "test_dedup_similarity.py::test_two_level_assign_equals_flat_on_separated_data",
         "test_dedup_similarity.py::test_two_level_assign_is_bucket_consistent_on_real_data",
         "test_dedup_similarity.py::test_semantic_dedup_two_level_keeps_invariants"]},
+    "X40": {"queries": ["q128_edit_distance_verify"], "tests": [
+        "test_dedup_similarity.py::test_edit_verify_exact_and_near_dups",
+        "test_dedup_similarity.py::test_edit_verify_rejects_block_swapped_candidate",
+        "test_dedup_similarity.py::test_edit_verify_integer_boundary",
+        "test_dedup_similarity.py::test_edit_verify_validation"]},
     "X39": {"queries": ["q127_dup_span_removal"], "tests": [
         "test_dedup_similarity.py::test_dup_span_keep_first_and_excise_rest",
         "test_dedup_similarity.py::test_dup_span_overlapping_windows_merge",

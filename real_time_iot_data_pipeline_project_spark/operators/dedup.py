@@ -647,3 +647,71 @@ def duplicate_span_removal(df: DataFrame, text_col: str = "text",
             )
         ).alias("cleaned_fp"),
     )
+
+
+def edit_distance_verify(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         max_rel_dist: str | float = "0.2",
+                         k: int = DEFAULT_SHINGLE_K,
+                         num_hashes: int = DEFAULT_NUM_HASHES,
+                         bands: int = DEFAULT_BANDS,
+                         pairs: DataFrame | None = None) -> DataFrame:
+    """Exact edit-distance verification of the MinHash-LSH candidate
+    set (X40): the standard LSH-then-verify contract with Levenshtein
+    as the verify metric — a character-level complement to the
+    bag-of-shingles Jaccard estimate (est_jaccard is blind to token
+    ORDER; edit distance is not, so a shuffled near-dup that fools
+    MinHash fails here).
+
+    A pair (a, b) is verified when
+    ``lev(norm_a, norm_b) · den ≤ max(len_a, len_b) · num`` with
+    num/den = Fraction(str(max_rel_dist)) — the integer-exact threshold
+    policy shared with the heavy-hitters tier (operators/heavy.py), so
+    both engines agree at the boundary by construction; no IEEE
+    division ever happens.
+
+    ``pairs`` overrides the candidate source: any (id_a, id_b) frame —
+    SimHash blocks, winnow overlaps, embedding near-dups — can feed the
+    same verify stage; the default is the MinHash-LSH candidate set.
+
+    Output: (id_a, id_b, edit_dist, len_a, len_b), all BIGINT —
+    verified pairs only.
+
+    Scale shape: candidate generation is q32's banded LSH (bounded
+    fan-out per band bucket — never all-pairs); the exact O(len_a·len_b)
+    DP runs ONLY on the surviving candidate set, reached by two id-keyed
+    joins that ship the normalized text once each. At production doc
+    lengths, switch the verify expression to Spark's banded
+    ``levenshtein(l, r, threshold)`` form (O(threshold·len) and
+    early-exits at threshold+1) with an absolute cap — kept unbanded
+    here because the relative threshold is per-row.
+    """
+    from fractions import Fraction
+
+    frac = Fraction(str(max_rel_dist))
+    if not 0 < frac <= 1:
+        raise ValueError(f"max_rel_dist must be in (0, 1], got {max_rel_dist}")
+    num, den = frac.numerator, frac.denominator
+    if pairs is None:
+        pairs = minhash_lsh_candidates(df, text_col, id_col, k, num_hashes,
+                                       bands)
+    pairs = pairs.select("id_a", "id_b")
+    norm = df.select(
+        F.col(id_col),
+        textfns.normalize_text(text_col).alias("_ntext"),
+    )
+    na = norm.select(F.col(id_col).alias("id_a"),
+                     F.col("_ntext").alias("_ta"))
+    nb = norm.select(F.col(id_col).alias("id_b"),
+                     F.col("_ntext").alias("_tb"))
+    return (
+        pairs.join(na, "id_a").join(nb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.levenshtein("_ta", "_tb").cast("long").alias("edit_dist"),
+            F.length("_ta").cast("long").alias("len_a"),
+            F.length("_tb").cast("long").alias("len_b"),
+        )
+        .filter(F.col("edit_dist") * den
+                <= F.greatest("len_a", "len_b") * num)
+    )

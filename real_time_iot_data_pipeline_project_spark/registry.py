@@ -5425,6 +5425,37 @@ def q127_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_span_removal(docs, window_tokens=8)
 
 
+def _edit_verify_sql(num: int = 1, den: int = 5) -> str:
+    ctes, _ = _lsh_parts()
+    return f"""
+    WITH {ctes},
+    n AS (SELECT doc_id, {_NORM_SQL} AS ntext FROM documents),
+    v AS (
+      SELECT p.id_a, p.id_b,
+             CAST(levenshtein(na.ntext, nb.ntext) AS BIGINT) AS edit_dist,
+             CAST(length(na.ntext) AS BIGINT) AS len_a,
+             CAST(length(nb.ntext) AS BIGINT) AS len_b
+      FROM pairs p JOIN n na ON na.doc_id = p.id_a
+                   JOIN n nb ON nb.doc_id = p.id_b
+    )
+    SELECT id_a, id_b, edit_dist, len_a, len_b
+    FROM v WHERE edit_dist * {den} <= greatest(len_a, len_b) * {num}
+    """
+
+
+@query("q128_edit_distance_verify", _edit_verify_sql())
+def q128_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X40 — exact Levenshtein verification of the q32 MinHash-LSH
+    candidate set (dedup.edit_distance_verify): character-level verify
+    metric that, unlike the bag-of-shingles Jaccard estimate, is order-
+    sensitive. Threshold rel ≤ 1/5 evaluated in integer arithmetic
+    (dist·5 ≤ max_len·1, the heavy-hitters boundary policy) so both
+    engines agree at the cutoff by construction. The exact O(len²) DP
+    runs only on the LSH-bounded candidate set — never all-pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.edit_distance_verify(docs, max_rel_dist="0.2")
+
+
 # Operators added AFTER the 50-slot window filled with unique-operator
 # queries: fully oracle-checked by the local gate, first in line for a
 # window slot if one opens.
@@ -5490,9 +5521,11 @@ POST_WINDOW: list[str] = [
     "q124_temperature_mix",
     "q125_semantic_dedup",
     "q126_semantic_dedup_2l",
-    # round 9 third wave: stride-1 duplicate-span removal (X39) —
-    # scheduled for rotation #7 alongside q123-q126
+    # round 9 third wave: stride-1 duplicate-span removal (X39) and
+    # edit-distance LSH verification (X40) — scheduled for rotation #7
+    # alongside q123-q126
     "q127_dup_span_removal",
+    "q128_edit_distance_verify",
 ]
 
 

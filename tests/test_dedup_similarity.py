@@ -682,3 +682,57 @@ def test_dup_span_rejects_bad_window(spark):
     df = spark.createDataFrame([(0, "x")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         dedup.duplicate_span_removal(df, window_tokens=0)
+
+
+# --- X40: edit-distance LSH verification -----------------------------------
+
+def test_edit_verify_exact_and_near_dups(docs):
+    out = {(r.id_a, r.id_b): r.edit_dist
+           for r in dedup.edit_distance_verify(docs).collect()}
+    assert out[(0, 1)] == 0                       # exact dup pair
+    assert 0 < out[(0, 2)] <= 5                   # quick->swift near dup
+    assert all(a in (0, 1, 2) and b in (0, 1, 2) for a, b in out)
+
+
+def test_edit_verify_rejects_block_swapped_candidate(spark):
+    # block transposition: shingle BAG nearly identical (est_jaccard
+    # hits 1.0 — MinHash is order-blind), but the swap costs ~|block|
+    # edits, so the order-sensitive verify must reject the pair
+    x = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 2
+    y = "lambda mu nu xi omicron pi rho sigma tau upsilon " * 2
+    df = spark.createDataFrame(
+        [(0, (x + y).strip()), (1, (y + x).strip())], ["doc_id", "text"])
+    cand = {(r.id_a, r.id_b): r.est_jaccard
+            for r in dedup.minhash_lsh_candidates(df).collect()}
+    ver = {(r.id_a, r.id_b)
+           for r in dedup.edit_distance_verify(df).collect()}
+    assert cand[(0, 1)] == 1.0                    # LSH fully fooled
+    assert (0, 1) not in ver                      # verify rejects it
+
+
+def test_edit_verify_integer_boundary(spark):
+    # normalized len 600; threshold 0.01 -> keep iff dist*100 <= 600,
+    # i.e. dist <= 6: dist 6 sits ON the <= boundary (kept,
+    # integer-exact), dist 7 is rejected. Explicit candidate pairs (the
+    # injectable-pairs API) so the boundary check never depends on
+    # banding luck.
+    base = ("abcde fghij klmno pqrst uvwxy " * 20).strip()[:599] + "z"
+    assert len(base) == 600
+    d6 = base[:-6] + "9" * 6
+    d7 = base[:-7] + "9" * 7
+    df = spark.createDataFrame(
+        [(0, base), (1, d6), (2, d7)], ["doc_id", "text"])
+    explicit = spark.createDataFrame([(0, 1), (0, 2)], ["id_a", "id_b"])
+    ver = {(r.id_a, r.id_b): (r.edit_dist, r.len_a, r.len_b)
+           for r in dedup.edit_distance_verify(
+               df, max_rel_dist="0.01", pairs=explicit).collect()}
+    assert ver[(0, 1)] == (6, 600, 600)           # dist*100 == len: kept
+    assert (0, 2) not in ver                      # dist*100 > len: rejected
+
+
+def test_edit_verify_validation(spark):
+    df = spark.createDataFrame([(0, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        dedup.edit_distance_verify(df, max_rel_dist="0")
+    with pytest.raises(ValueError):
+        dedup.edit_distance_verify(df, max_rel_dist=1.5)

@@ -75,7 +75,9 @@ PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
         "q125_semantic_dedup",
         "q126_semantic_dedup_2l",
         # round-9 third wave: stride-1 duplicate-span removal (X39)
+        # and edit-distance LSH verification (X40)
         "q127_dup_span_removal",
+        "q128_edit_distance_verify",
     ]),
 }
 

@@ -225,6 +225,10 @@ def main() -> None:
         ("q124_tmix", probe_query("q124_temperature_mix")),
         ("q125_semdedup", probe_semdedup),
         ("q125_semdedup_2l", probe_semdedup_2l),
+        # round-9 third wave: stride-1 duplicate-span removal — cost
+        # center is the token-level grid (one row per token and per
+        # window start), so the expectation is ~linear in corpus tokens
+        ("q127_dupspan", probe_query("q127_dup_span_removal")),
     )
     for name, fn in probes:
         if only is not None and name not in only:
