@@ -156,6 +156,7 @@ HEADLINE = [
     # edit-distance LSH verification (X40)
     "q127_dup_span_removal",
     "q128_edit_distance_verify",
+    "q129_dup_span_incremental",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

@@ -205,12 +205,16 @@ EVIDENCE: dict[str, dict] = {
         "test_dedup_similarity.py::test_edit_verify_rejects_block_swapped_candidate",
         "test_dedup_similarity.py::test_edit_verify_integer_boundary",
         "test_dedup_similarity.py::test_edit_verify_validation"]},
-    "X39": {"queries": ["q127_dup_span_removal"], "tests": [
+    "X39": {"queries": ["q127_dup_span_removal",
+                        "q129_dup_span_incremental"], "tests": [
         "test_dedup_similarity.py::test_dup_span_keep_first_and_excise_rest",
         "test_dedup_similarity.py::test_dup_span_overlapping_windows_merge",
         "test_dedup_similarity.py::test_dup_span_short_and_unique_docs_intact",
         "test_dedup_similarity.py::test_dup_span_within_doc_self_repeat",
-        "test_dedup_similarity.py::test_dup_span_rejects_bad_window"]},
+        "test_dedup_similarity.py::test_dup_span_rejects_bad_window",
+        "test_dedup_similarity.py::test_dup_span_against_equals_full_rule_when_base_ids_first",
+        "test_dedup_similarity.py::test_dup_span_against_store_wins_regardless_of_id_order",
+        "test_dedup_similarity.py::test_dup_span_against_validation"]},
     "X35": {"queries": [], "tests": [
         "test_release.py::test_release_writes_shards_manifest_and_passes_stable_gate",
         "test_release.py::test_release_gate_blocks_major_shift_unless_allowed",

@@ -595,17 +595,34 @@ def duplicate_span_removal(df: DataFrame, text_col: str = "text",
     from pyspark.sql import Window
 
     k = window_tokens
+    base = _span_base(df, text_col, id_col)
+    wins = _window_grid(base, id_col, k)
+    wwin = Window.partitionBy("wh").orderBy(id_col, "pos")
+    flagged = (
+        wins.withColumn("rn", F.row_number().over(wwin))
+        .filter(F.col("rn") > 1)
+        .select(id_col, "pos")
+    )
+    return _excise_spans(base, flagged, id_col, k)
+
+
+def _span_base(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, ts, n_tokens) over non-empty normalized docs — the shared
+    input frame of the duplicate-span family."""
     df = df.filter(F.length(textfns.normalize_text(text_col)) > 0)
     toks = textfns.whitespace_tokens(text_col)
-    base = df.select(F.col(id_col), toks.alias("ts"),
+    return df.select(F.col(id_col), toks.alias("ts"),
                      F.size(toks).alias("n_tokens"))
 
-    # window grid: one row per start pos 0..n-k; hash only, text stays put
+
+def _window_grid(base: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Stride-1 window grid (id, pos, wh): one row per start pos
+    0..n-k, hash only — the window text never leaves the doc row."""
     starts = F.when(
         F.col("n_tokens") >= k,
         F.sequence(F.lit(0), F.col("n_tokens") - k),
     ).otherwise(F.array().cast("array<int>"))
-    wins = base.select(
+    return base.select(
         id_col,
         F.explode(starts).alias("pos"),
         F.col("ts"),
@@ -613,14 +630,15 @@ def duplicate_span_removal(df: DataFrame, text_col: str = "text",
         id_col, "pos",
         F.md5(F.array_join(F.slice("ts", F.col("pos") + 1, k), " ")).alias("wh"),
     )
-    wwin = Window.partitionBy("wh").orderBy(id_col, "pos")
-    flagged = (
-        wins.withColumn("rn", F.row_number().over(wwin))
-        .filter(F.col("rn") > 1)
-        .select(id_col, "pos")
-    )
 
-    # token grid + coverage running-max + reassembly (one doc-keyed shuffle)
+
+def _excise_spans(base: DataFrame, flagged: DataFrame, id_col: str,
+                  k: int) -> DataFrame:
+    """Token grid + coverage running-max + reassembly — flagged
+    positions (id, pos) become removed [pos, pos+k-1] spans; one
+    doc-keyed shuffle shared by the window and the final agg."""
+    from pyspark.sql import Window
+
     tok = base.select(id_col, F.posexplode("ts").alias("t", "tok"))
     dwin = (Window.partitionBy(id_col).orderBy("t")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -647,6 +665,51 @@ def duplicate_span_removal(df: DataFrame, text_col: str = "text",
             )
         ).alias("cleaned_fp"),
     )
+
+
+def duplicate_span_removal_against(new_docs: DataFrame,
+                                   base_docs: DataFrame,
+                                   text_col: str = "text",
+                                   id_col: str = "doc_id",
+                                   window_tokens: int = 8) -> DataFrame:
+    """Incremental duplicate-span removal (X39's daily-increment shape,
+    the dedup_against pattern): excise from NEW docs every
+    ``window_tokens``-token sliding window that (a) already occurs
+    anywhere in the BASE corpus — the store always wins, regardless of
+    id order — or (b) occurred earlier within the increment itself
+    (min (doc, pos) first-occurrence, q127's rule). The base corpus is
+    never re-scrubbed. When every base id sorts before every new id,
+    the output equals the full-corpus rule restricted to new docs
+    (pinned by test).
+
+    Output: q127's schema, restricted to the increment.
+
+    Scale shape: the base side reduces to DISTINCT window hashes before
+    the join — at a real store, keep that hash table materialized and
+    bucketed by ``wh``; each increment then costs one join against it
+    shuffled by the uniform md5 key, plus the increment-sized
+    first-occurrence window. Base text is never tokenized twice across
+    increments and never travels."""
+    if window_tokens <= 0:
+        raise ValueError(f"window_tokens must be positive, got {window_tokens}")
+    from pyspark.sql import Window
+
+    k = window_tokens
+    base_hashes = (
+        _window_grid(_span_base(base_docs, text_col, id_col), id_col, k)
+        .select("wh").distinct()
+        .withColumn("in_base", F.lit(True))
+    )
+    nb = _span_base(new_docs, text_col, id_col)
+    nw = _window_grid(nb, id_col, k)
+    wwin = Window.partitionBy("wh").orderBy(id_col, "pos")
+    flagged = (
+        nw.withColumn("rn", F.row_number().over(wwin))
+        .join(base_hashes, "wh", "left")
+        .filter((F.col("rn") > 1) | F.col("in_base").isNotNull())
+        .select(id_col, "pos")
+    )
+    return _excise_spans(nb, flagged, id_col, k)
 
 
 def edit_distance_verify(df: DataFrame, text_col: str = "text",

@@ -5443,6 +5443,77 @@ def _edit_verify_sql(num: int = 1, den: int = 5) -> str:
     """
 
 
+@query(
+    "q129_dup_span_incremental",
+    f"""
+    WITH d AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ts
+               FROM documents WHERE length({_NORM_SQL}) > 0),
+    bw AS (
+      SELECT DISTINCT md5(array_to_string(
+               list_slice(ts, CAST(pos + 1 AS INTEGER),
+                          CAST(pos + 8 AS INTEGER)), ' ')) AS h
+      FROM (SELECT doc_id, ts,
+                   unnest(range(0, greatest(CAST(len(ts) AS BIGINT) - 7, 0)))
+                     AS pos
+            FROM d WHERE doc_id % 2 = 1)
+    ),
+    nw AS (
+      SELECT doc_id, pos,
+             md5(array_to_string(list_slice(ts, CAST(pos + 1 AS INTEGER),
+                                            CAST(pos + 8 AS INTEGER)), ' '))
+               AS h
+      FROM (SELECT doc_id, ts,
+                   unnest(range(0, greatest(CAST(len(ts) AS BIGINT) - 7, 0)))
+                     AS pos
+            FROM d WHERE doc_id % 2 = 0)
+    ),
+    fl AS (
+      SELECT doc_id, pos FROM (
+        SELECT nw.doc_id, nw.pos,
+               row_number() OVER (PARTITION BY nw.h
+                                  ORDER BY nw.doc_id, nw.pos) AS rn,
+               (bw.h IS NOT NULL) AS in_base
+        FROM nw LEFT JOIN bw ON bw.h = nw.h
+      ) WHERE rn > 1 OR in_base
+    ),
+    tok AS (
+      SELECT doc_id, ts, unnest(range(0, CAST(len(ts) AS BIGINT))) AS t
+      FROM d WHERE doc_id % 2 = 0
+    ),
+    tk AS (
+      SELECT tok.doc_id, tok.t, tok.ts[CAST(tok.t + 1 AS INTEGER)] AS tok,
+             (fl.pos IS NOT NULL) AS is_flag
+      FROM tok LEFT JOIN fl ON fl.doc_id = tok.doc_id AND fl.pos = tok.t
+    ),
+    cov AS (
+      SELECT doc_id, t, tok,
+             max(CASE WHEN is_flag THEN t + 7 ELSE -1 END)
+               OVER (PARTITION BY doc_id ORDER BY t
+                     ROWS UNBOUNDED PRECEDING) AS runmax
+      FROM tk
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN runmax < t THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_tokens_kept,
+           md5(coalesce(string_agg(CASE WHEN runmax < t THEN tok END, ' '
+                                   ORDER BY t), '')) AS cleaned_fp
+    FROM cov GROUP BY doc_id
+    """,
+)
+def q129_dup_span_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X39's incremental shape (dedup.duplicate_span_removal_against):
+    scrub a crawl increment (even-id docs) against the existing store's
+    window-hash set (odd-id docs) — store windows always win, plus
+    q127's first-occurrence rule within the increment; the store is
+    never re-scrubbed. The base side reduces to DISTINCT hashes before
+    the join. Oracle replays the identical two-source rule."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    return dedup.duplicate_span_removal_against(
+        docs.filter(did % 2 == 0), docs.filter(did % 2 == 1),
+        window_tokens=8)
+
+
 @query("q128_edit_distance_verify", _edit_verify_sql())
 def q128_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X40 — exact Levenshtein verification of the q32 MinHash-LSH
@@ -5526,6 +5597,7 @@ POST_WINDOW: list[str] = [
     # alongside q123-q126
     "q127_dup_span_removal",
     "q128_edit_distance_verify",
+    "q129_dup_span_incremental",
 ]
 
 

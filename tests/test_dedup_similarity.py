@@ -736,3 +736,46 @@ def test_edit_verify_validation(spark):
         dedup.edit_distance_verify(df, max_rel_dist="0")
     with pytest.raises(ValueError):
         dedup.edit_distance_verify(df, max_rel_dist=1.5)
+
+
+# --- X39 incremental: dup-span removal against a base corpus ---------------
+
+def test_dup_span_against_equals_full_rule_when_base_ids_first(spark):
+    run = "d1 d2 d3 d4 d5 d6 d7 d8"
+    rows = [
+        (0, run + " base tail"),
+        (1, "some other base content entirely distinct here"),
+        (10, "fresh " + run + " increment"),          # window hits base
+        (11, run + " again"),                          # also hits base
+        (12, "unique increment text with no repeats at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    base = df.filter("doc_id < 10")
+    new = df.filter("doc_id >= 10")
+    inc = {r.doc_id: (r.n_tokens, r.n_tokens_kept, r.cleaned_fp)
+           for r in dedup.duplicate_span_removal_against(
+               new, base, window_tokens=8).collect()}
+    full = {r.doc_id: (r.n_tokens, r.n_tokens_kept, r.cleaned_fp)
+            for r in dedup.duplicate_span_removal(
+                df, window_tokens=8).collect() if r.doc_id >= 10}
+    assert inc == full                               # the equality property
+    assert set(inc) == {10, 11, 12}                  # base never in output
+    assert inc[10][:2] == (10, 2)                    # run excised
+    assert inc[12][0] == inc[12][1]                  # untouched
+
+
+def test_dup_span_against_store_wins_regardless_of_id_order(spark):
+    # the NEW doc has the SMALLER id: the full-corpus rule would keep
+    # its occurrence (min doc wins), but the store must always win
+    run = "e1 e2 e3 e4 e5 e6 e7 e8"
+    base = spark.createDataFrame([(100, run + " stored")], ["doc_id", "text"])
+    new = spark.createDataFrame([(1, run + " arriving")], ["doc_id", "text"])
+    out = dedup.duplicate_span_removal_against(
+        new, base, window_tokens=8).collect()
+    assert [(r.doc_id, r.n_tokens, r.n_tokens_kept) for r in out] == [(1, 9, 1)]
+
+
+def test_dup_span_against_validation(spark):
+    df = spark.createDataFrame([(0, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        dedup.duplicate_span_removal_against(df, df, window_tokens=-1)

@@ -78,6 +78,7 @@ PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
         # and edit-distance LSH verification (X40)
         "q127_dup_span_removal",
         "q128_edit_distance_verify",
+        "q129_dup_span_incremental",
     ]),
 }
 
