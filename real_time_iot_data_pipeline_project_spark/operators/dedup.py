@@ -401,19 +401,27 @@ def chunk_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
             F.sum("kept").alias("n_chunks_kept"),
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(
-                                F.when(F.col("kept") == 1, F.struct("cidx", "chunk"))
-                            )
-                        ),
-                        lambda s: s["chunk"],
-                    ),
-                    " ",
-                )
-            ).alias("kept_fp"),
+            _ordered_kept_md5("cidx", "chunk", "kept").alias("kept_fp"),
+        )
+    )
+
+
+def _ordered_kept_md5(order_col: str, value_col: str, keep_col: str):
+    """md5 of the kept ``value_col`` pieces joined by single spaces in
+    ``order_col`` order — the one reassembly-fingerprint rule shared by
+    the chunk and span dedup families (their oracles replay it as
+    ``md5(coalesce(string_agg(CASE WHEN kept THEN v END, ' ' ORDER BY
+    o), ''))``, so both engines' rules change together or not at all)."""
+    return F.md5(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.when(F.col(keep_col) == 1,
+                           F.struct(order_col, value_col))
+                )),
+                lambda s: s[value_col],
+            ),
+            " ",
         )
     )
 
@@ -653,17 +661,7 @@ def _excise_spans(base: DataFrame, flagged: DataFrame, id_col: str,
     return cov.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum("keep").alias("n_tokens_kept"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(
-                        F.when(F.col("keep") == 1, F.struct("t", "tok"))
-                    )),
-                    lambda s: s["tok"],
-                ),
-                " ",
-            )
-        ).alias("cleaned_fp"),
+        _ordered_kept_md5("t", "tok", "keep").alias("cleaned_fp"),
     )
 
 
@@ -754,6 +752,15 @@ def edit_distance_verify(df: DataFrame, text_col: str = "text",
     frac = Fraction(str(max_rel_dist))
     if not 0 < frac <= 1:
         raise ValueError(f"max_rel_dist must be in (0, 1], got {max_rel_dist}")
+    if frac.denominator > 10**6:
+        # a float that doesn't round-trip to a short decimal (e.g. 1/3)
+        # yields den ~ 10^16, and edit_dist * den overflows BIGINT for
+        # dist >= ~10^3 — ANSI mode crashes, non-ANSI silently wraps and
+        # wrongly verifies pairs. Force an exact short-decimal spelling.
+        raise ValueError(
+            f"max_rel_dist={max_rel_dist!r} does not reduce to a short "
+            f"decimal (denominator {frac.denominator}); pass a string "
+            f"with <= 6 decimal places, e.g. '0.333333'")
     num, den = frac.numerator, frac.denominator
     if pairs is None:
         pairs = minhash_lsh_candidates(df, text_col, id_col, k, num_hashes,

@@ -5366,32 +5366,58 @@ def q125_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "centroid_id", "group_id", "keep")
 
 
-@query(
-    "q127_dup_span_removal",
-    f"""
-    WITH d AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ts
-               FROM documents WHERE length({_NORM_SQL}) > 0),
-    wx AS (
-      SELECT doc_id, ts,
-             unnest(range(0, greatest(CAST(len(ts) AS BIGINT) - 7, 0))) AS pos
-      FROM d
-    ),
-    wh AS (
-      SELECT doc_id, pos,
-             md5(array_to_string(list_slice(ts, CAST(pos + 1 AS INTEGER),
-                                            CAST(pos + 8 AS INTEGER)), ' ')) AS h
-      FROM wx
+def _dup_span_sql(source_pred: str = "TRUE",
+                  base_pred: str | None = None, k: int = 8) -> str:
+    """One SQL generator for the duplicate-span family (q127/q129), the
+    oracle twin of dedup._window_grid + dedup._excise_spans: a single
+    window-size constant and ONE copy of the first-occurrence /
+    running-max-coverage / ordered-reassembly rule, so the batch and
+    incremental oracles can never diverge from each other. With
+    ``base_pred``, windows of the base corpus always flag matching
+    source windows (the store-wins incremental rule); without it, the
+    pure min-(doc,pos) first-occurrence rule."""
+    win_h = (f"md5(array_to_string(list_slice(ts, CAST(pos + 1 AS INTEGER), "
+             f"CAST(pos + {k} AS INTEGER)), ' '))")
+    grid = (f"SELECT doc_id, ts, unnest(range(0, greatest("
+            f"CAST(len(ts) AS BIGINT) - {k - 1}, 0))) AS pos FROM d")
+    if base_pred is None:
+        flag_ctes = f"""
+    nw AS (
+      SELECT doc_id, pos, {win_h} AS h
+      FROM ({grid} WHERE {source_pred})
     ),
     fl AS (
       SELECT doc_id, pos FROM (
         SELECT doc_id, pos,
                row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
-        FROM wh
+        FROM nw
       ) WHERE rn > 1
+    )"""
+    else:
+        flag_ctes = f"""
+    bw AS (
+      SELECT DISTINCT {win_h} AS h
+      FROM ({grid} WHERE {base_pred})
     ),
+    nw AS (
+      SELECT doc_id, pos, {win_h} AS h
+      FROM ({grid} WHERE {source_pred})
+    ),
+    fl AS (
+      SELECT doc_id, pos FROM (
+        SELECT nw.doc_id, nw.pos,
+               row_number() OVER (PARTITION BY nw.h
+                                  ORDER BY nw.doc_id, nw.pos) AS rn,
+               (bw.h IS NOT NULL) AS in_base
+        FROM nw LEFT JOIN bw ON bw.h = nw.h
+      ) WHERE rn > 1 OR in_base
+    )"""
+    return f"""
+    WITH d AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ts
+               FROM documents WHERE length({_NORM_SQL}) > 0),{flag_ctes},
     tok AS (
       SELECT doc_id, ts, unnest(range(0, CAST(len(ts) AS BIGINT))) AS t
-      FROM d
+      FROM d WHERE {source_pred}
     ),
     tk AS (
       SELECT tok.doc_id, tok.t, tok.ts[CAST(tok.t + 1 AS INTEGER)] AS tok,
@@ -5400,7 +5426,7 @@ def q125_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cov AS (
       SELECT doc_id, t, tok,
-             max(CASE WHEN is_flag THEN t + 7 ELSE -1 END)
+             max(CASE WHEN is_flag THEN t + {k - 1} ELSE -1 END)
                OVER (PARTITION BY doc_id ORDER BY t
                      ROWS UNBOUNDED PRECEDING) AS runmax
       FROM tk
@@ -5411,8 +5437,10 @@ def q125_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            md5(coalesce(string_agg(CASE WHEN runmax < t THEN tok END, ' '
                                    ORDER BY t), '')) AS cleaned_fp
     FROM cov GROUP BY doc_id
-    """,
-)
+    """
+
+
+@query("q127_dup_span_removal", _dup_span_sql())
 def q127_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X39 — stride-1 duplicate-span removal (dedup.duplicate_span_removal;
     Lee et al. 2021 ExactSubstr on a token grid): every 8-token sliding
@@ -5443,63 +5471,8 @@ def _edit_verify_sql(num: int = 1, den: int = 5) -> str:
     """
 
 
-@query(
-    "q129_dup_span_incremental",
-    f"""
-    WITH d AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ts
-               FROM documents WHERE length({_NORM_SQL}) > 0),
-    bw AS (
-      SELECT DISTINCT md5(array_to_string(
-               list_slice(ts, CAST(pos + 1 AS INTEGER),
-                          CAST(pos + 8 AS INTEGER)), ' ')) AS h
-      FROM (SELECT doc_id, ts,
-                   unnest(range(0, greatest(CAST(len(ts) AS BIGINT) - 7, 0)))
-                     AS pos
-            FROM d WHERE doc_id % 2 = 1)
-    ),
-    nw AS (
-      SELECT doc_id, pos,
-             md5(array_to_string(list_slice(ts, CAST(pos + 1 AS INTEGER),
-                                            CAST(pos + 8 AS INTEGER)), ' '))
-               AS h
-      FROM (SELECT doc_id, ts,
-                   unnest(range(0, greatest(CAST(len(ts) AS BIGINT) - 7, 0)))
-                     AS pos
-            FROM d WHERE doc_id % 2 = 0)
-    ),
-    fl AS (
-      SELECT doc_id, pos FROM (
-        SELECT nw.doc_id, nw.pos,
-               row_number() OVER (PARTITION BY nw.h
-                                  ORDER BY nw.doc_id, nw.pos) AS rn,
-               (bw.h IS NOT NULL) AS in_base
-        FROM nw LEFT JOIN bw ON bw.h = nw.h
-      ) WHERE rn > 1 OR in_base
-    ),
-    tok AS (
-      SELECT doc_id, ts, unnest(range(0, CAST(len(ts) AS BIGINT))) AS t
-      FROM d WHERE doc_id % 2 = 0
-    ),
-    tk AS (
-      SELECT tok.doc_id, tok.t, tok.ts[CAST(tok.t + 1 AS INTEGER)] AS tok,
-             (fl.pos IS NOT NULL) AS is_flag
-      FROM tok LEFT JOIN fl ON fl.doc_id = tok.doc_id AND fl.pos = tok.t
-    ),
-    cov AS (
-      SELECT doc_id, t, tok,
-             max(CASE WHEN is_flag THEN t + 7 ELSE -1 END)
-               OVER (PARTITION BY doc_id ORDER BY t
-                     ROWS UNBOUNDED PRECEDING) AS runmax
-      FROM tk
-    )
-    SELECT doc_id, COUNT(*) AS n_tokens,
-           CAST(SUM(CASE WHEN runmax < t THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_tokens_kept,
-           md5(coalesce(string_agg(CASE WHEN runmax < t THEN tok END, ' '
-                                   ORDER BY t), '')) AS cleaned_fp
-    FROM cov GROUP BY doc_id
-    """,
-)
+@query("q129_dup_span_incremental",
+       _dup_span_sql(source_pred="doc_id % 2 = 0", base_pred="doc_id % 2 = 1"))
 def q129_dup_span_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X39's incremental shape (dedup.duplicate_span_removal_against):
     scrub a crawl increment (even-id docs) against the existing store's

@@ -736,6 +736,12 @@ def test_edit_verify_validation(spark):
         dedup.edit_distance_verify(df, max_rel_dist="0")
     with pytest.raises(ValueError):
         dedup.edit_distance_verify(df, max_rel_dist=1.5)
+    # a float that doesn't round-trip to a short decimal would give
+    # den ~ 10^16 and overflow dist*den in the BIGINT filter: rejected
+    # loudly at construction instead
+    with pytest.raises(ValueError, match="short.*decimal"):
+        dedup.edit_distance_verify(df, max_rel_dist=1 / 3)
+    dedup.edit_distance_verify(df, max_rel_dist="0.333333")  # fine
 
 
 # --- X39 incremental: dup-span removal against a base corpus ---------------
