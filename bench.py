@@ -157,6 +157,7 @@ HEADLINE = [
     "q127_dup_span_removal",
     "q128_edit_distance_verify",
     "q129_dup_span_incremental",
+    "q130_stream_span_scrub",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

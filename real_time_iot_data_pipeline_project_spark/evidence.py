@@ -206,7 +206,11 @@ EVIDENCE: dict[str, dict] = {
         "test_dedup_similarity.py::test_edit_verify_integer_boundary",
         "test_dedup_similarity.py::test_edit_verify_validation"]},
     "X39": {"queries": ["q127_dup_span_removal",
-                        "q129_dup_span_incremental"], "tests": [
+                        "q129_dup_span_incremental",
+                        "q130_stream_span_scrub"], "tests": [
+        "test_streaming.py::test_streaming_dup_span_across_batches",
+        "test_streaming.py::test_dup_span_sink_crash_replay_idempotent",
+        "test_streaming.py::test_dup_span_sink_empty_batch_noop",
         "test_dedup_similarity.py::test_dup_span_keep_first_and_excise_rest",
         "test_dedup_similarity.py::test_dup_span_overlapping_windows_merge",
         "test_dedup_similarity.py::test_dup_span_short_and_unique_docs_intact",

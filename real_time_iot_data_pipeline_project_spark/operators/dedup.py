@@ -665,11 +665,27 @@ def _excise_spans(base: DataFrame, flagged: DataFrame, id_col: str,
     )
 
 
+def span_window_hashes(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       window_tokens: int = 8) -> DataFrame:
+    """DISTINCT stride-1 window hashes of a corpus — the persistable
+    store side of incremental/streaming duplicate-span removal (column:
+    ``wh``). Feed back via ``duplicate_span_removal_against(...,
+    base_hashes=...)`` so the store corpus is never re-tokenized."""
+    if window_tokens <= 0:
+        raise ValueError(f"window_tokens must be positive, got {window_tokens}")
+    return (
+        _window_grid(_span_base(df, text_col, id_col), id_col, window_tokens)
+        .select("wh").distinct()
+    )
+
+
 def duplicate_span_removal_against(new_docs: DataFrame,
-                                   base_docs: DataFrame,
+                                   base_docs: DataFrame | None = None,
                                    text_col: str = "text",
                                    id_col: str = "doc_id",
-                                   window_tokens: int = 8) -> DataFrame:
+                                   window_tokens: int = 8,
+                                   base_hashes: DataFrame | None = None) -> DataFrame:
     """Incremental duplicate-span removal (X39's daily-increment shape,
     the dedup_against pattern): excise from NEW docs every
     ``window_tokens``-token sliding window that (a) already occurs
@@ -682,6 +698,10 @@ def duplicate_span_removal_against(new_docs: DataFrame,
 
     Output: q127's schema, restricted to the increment.
 
+    Pass EITHER ``base_docs`` (tokenized here) or ``base_hashes`` (a
+    precomputed ``span_window_hashes`` frame — the persisted-store
+    shape used by the streaming sink, where base text is long gone).
+
     Scale shape: the base side reduces to DISTINCT window hashes before
     the join — at a real store, keep that hash table materialized and
     bucketed by ``wh``; each increment then costs one join against it
@@ -690,14 +710,15 @@ def duplicate_span_removal_against(new_docs: DataFrame,
     increments and never travels."""
     if window_tokens <= 0:
         raise ValueError(f"window_tokens must be positive, got {window_tokens}")
+    if (base_docs is None) == (base_hashes is None):
+        raise ValueError("pass exactly one of base_docs / base_hashes")
     from pyspark.sql import Window
 
     k = window_tokens
-    base_hashes = (
-        _window_grid(_span_base(base_docs, text_col, id_col), id_col, k)
-        .select("wh").distinct()
-        .withColumn("in_base", F.lit(True))
-    )
+    if base_hashes is None:
+        base_hashes = span_window_hashes(base_docs, text_col, id_col, k)
+    base_hashes = (base_hashes.select("wh").distinct()
+                   .withColumn("in_base", F.lit(True)))
     nb = _span_base(new_docs, text_col, id_col)
     nw = _window_grid(nb, id_col, k)
     wwin = Window.partitionBy("wh").orderBy(id_col, "pos")

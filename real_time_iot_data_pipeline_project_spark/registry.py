@@ -5367,7 +5367,8 @@ def q125_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dup_span_sql(source_pred: str = "TRUE",
-                  base_pred: str | None = None, k: int = 8) -> str:
+                  base_pred: str | None = None, k: int = 8,
+                  order_sql: str = "doc_id, pos") -> str:
     """One SQL generator for the duplicate-span family (q127/q129), the
     oracle twin of dedup._window_grid + dedup._excise_spans: a single
     window-size constant and ONE copy of the first-occurrence /
@@ -5375,7 +5376,9 @@ def _dup_span_sql(source_pred: str = "TRUE",
     incremental oracles can never diverge from each other. With
     ``base_pred``, windows of the base corpus always flag matching
     source windows (the store-wins incremental rule); without it, the
-    pure min-(doc,pos) first-occurrence rule."""
+    pure min-(doc,pos) first-occurrence rule. ``order_sql`` overrides
+    the first-occurrence ORDER (single-source branch only) — q130 uses
+    (batch, doc, pos) to replay the streaming fold exactly."""
     win_h = (f"md5(array_to_string(list_slice(ts, CAST(pos + 1 AS INTEGER), "
              f"CAST(pos + {k} AS INTEGER)), ' '))")
     grid = (f"SELECT doc_id, ts, unnest(range(0, greatest("
@@ -5389,7 +5392,7 @@ def _dup_span_sql(source_pred: str = "TRUE",
     fl AS (
       SELECT doc_id, pos FROM (
         SELECT doc_id, pos,
-               row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+               row_number() OVER (PARTITION BY h ORDER BY {order_sql}) AS rn
         FROM nw
       ) WHERE rn > 1
     )"""
@@ -5469,6 +5472,42 @@ def _edit_verify_sql(num: int = 1, den: int = 5) -> str:
     SELECT id_a, id_b, edit_dist, len_a, len_b
     FROM v WHERE edit_dist * {den} <= greatest(len_a, len_b) * {num}
     """
+
+
+@query("q130_stream_span_scrub",
+       _dup_span_sql(order_sql="doc_id % 3, doc_id, pos"))
+def q130_stream_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X39 streaming tier, hash-gated end-to-end (round 9): the corpus
+    folded through the STREAMING duplicate-span scrubber
+    (streaming/curation.process_span_batch) in three deterministic
+    micro-batches (doc_id mod 3 — the foreachBatch body invoked
+    directly with its batch_id contract; stream-engine ==
+    direct-invocation equivalence is pinned by the availableNow test in
+    tests/test_streaming.py). Each batch is scrubbed against the
+    window-hash store of all prior batches, and extends the store with
+    its own hashes — which makes the whole fold equal q127's rule under
+    (batch, doc, pos) first-occurrence order, which is EXACTLY what the
+    oracle replays (the same _dup_span_sql, order_sql overridden). The
+    /tmp sink+store are per-process and removed at exit (q121's
+    concurrent-sweep lifecycle)."""
+    import atexit
+    import hashlib
+    import os
+    import shutil
+
+    from .streaming import curation
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = f"/tmp/sparkgraft_q130_{tag}_{os.getpid()}"
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
+    for b in range(3):
+        curation.process_span_batch(
+            docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == b),
+            b, f"{root}/sink", f"{root}/store")
+    return (spark.read.parquet(f"{root}/sink")
+            .select("doc_id", "n_tokens", "n_tokens_kept", "cleaned_fp"))
 
 
 @query("q129_dup_span_incremental",
@@ -5571,6 +5610,7 @@ POST_WINDOW: list[str] = [
     "q127_dup_span_removal",
     "q128_edit_distance_verify",
     "q129_dup_span_incremental",
+    "q130_stream_span_scrub",
 ]
 
 

@@ -319,3 +319,71 @@ def start_corpus_sink(curated: DataFrame, path: str, checkpoint: str,
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def process_span_batch(batch_df: DataFrame, batch_id: int, path: str,
+                       span_store: str, window_tokens: int = 8) -> None:
+    """One micro-batch of the streaming duplicate-span scrubber
+    (module-level so the crash-replay test and the hash-gated registry
+    query can drive it directly with pinned batch_ids).
+
+    Fold rule: the batch is scrubbed against the window-hash store
+    accumulated from every PRIOR batch (store windows always win), plus
+    q127's min-(doc,pos) first-occurrence rule within the batch — i.e.
+    exactly ``dedup.duplicate_span_removal`` under (batch, doc, pos)
+    first-occurrence order, which is what the q130 oracle replays.
+    The batch's own DISTINCT window hashes (pre-scrub: a window's first
+    appearance claims it whether or not it survived here) then extend
+    the store.
+
+    Exactly-once: both writes are batch_id-keyed overwrite directories
+    (the process_corpus_batch idempotency pattern), and the store read
+    excludes the batch's OWN partition so a checkpoint replay cannot
+    scrub the batch against its own prior contribution."""
+    from ..operators import dedup as dedup_ops
+
+    spark = batch_df.sparkSession
+    if not batch_df.head(1):
+        return
+    hashes_path = f"{span_store}/hashes"
+    if _dir_exists(spark, hashes_path):
+        base_hashes = (spark.read.parquet(hashes_path)
+                       .filter(F.col("batch_id") != F.lit(batch_id))
+                       .drop("batch_id"))
+    else:
+        base_hashes = spark.createDataFrame([], "wh string")
+    out = dedup_ops.duplicate_span_removal_against(
+        batch_df, base_hashes=base_hashes, window_tokens=window_tokens
+    ).localCheckpoint(eager=True)
+    out.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
+    (dedup_ops.span_window_hashes(batch_df, window_tokens=window_tokens)
+     .write.mode("overwrite").parquet(f"{hashes_path}/batch_id={batch_id}"))
+
+
+def start_dup_span_sink(docs: DataFrame, path: str, checkpoint: str,
+                        span_store: str, window_tokens: int = 8,
+                        available_now: bool = False):
+    """Streaming duplicate-span removal (X39's streaming tier): each
+    micro-batch is span-scrubbed against the window-hash store of all
+    previously seen text and its own hashes extend the store — the
+    crawl-drop shape where repeated boilerplate arriving tomorrow is
+    excised against everything ingested today, without ever re-reading
+    ingested text (each trigger costs one join against the hash store,
+    shuffled by the uniform md5 key).
+
+    foreachBatch because the fold is a batch join against a growing
+    static table plus two idempotent writes — outside the continuous
+    API. Delivery: exactly-once (batch_id-keyed overwrite, see
+    process_span_batch)."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        process_span_batch(batch_df, batch_id, path, span_store,
+                           window_tokens)
+
+    w = (
+        docs.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -1391,3 +1391,107 @@ def test_scd2_stream_equals_incremental_equals_rebuild_equals_duckdb(
                        lambda s, sf: streamed,
                        registry.ORACLES["q112_scd2_incremental"], SF_SMOKE)
     assert not problems, problems
+
+
+def test_streaming_dup_span_across_batches(spark, tmp_path):
+    """X39 streaming tier: a batch-2 doc repeating an 8-token run from a
+    batch-1 doc is excised against the window-hash store; the whole
+    stream-engine run equals the direct foreachBatch-body fold (the
+    contract q130's hash gate builds on)."""
+    import json as _json
+
+    from real_time_iot_data_pipeline_project_spark.streaming import curation
+
+    run = "w1 w2 w3 w4 w5 w6 w7 w8"
+    rows1 = [
+        {"doc_id": 1, "text": run + " original tail", "lang": "en",
+         "source": "s1", "event_time": "2026-01-01T10:00:00"},
+        {"doc_id": 2, "text": "a wholly unrelated first batch document",
+         "lang": "en", "source": "s1",
+         "event_time": "2026-01-01T10:01:00"},
+    ]
+    rows2 = [
+        {"doc_id": 3, "text": "prefix " + run + " arriving later",
+         "lang": "en", "source": "s2",
+         "event_time": "2026-01-01T10:05:00"},
+        {"doc_id": 4, "text": "fresh second batch content with no repeats",
+         "lang": "en", "source": "s2",
+         "event_time": "2026-01-01T10:06:00"},
+    ]
+    src = tmp_path / "span_in"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in rows1))
+    (src / "b2.json").write_text("\n".join(_json.dumps(r) for r in rows2))
+
+    sink = str(tmp_path / "scrubbed")
+    store = str(tmp_path / "spanstore")
+    q = curation.start_dup_span_sink(
+        curation.read_doc_stream(spark, str(src)),
+        sink, str(tmp_path / "ckpt"), store, available_now=True,
+    )
+    q.awaitTermination(120)
+
+    got = {r.doc_id: (r.n_tokens, r.n_tokens_kept)
+           for r in spark.read.parquet(sink).collect()}
+    assert got[1] == (10, 10)              # first occurrence intact
+    assert got[3] == (11, 3)               # run excised: prefix+arriving+later
+    assert got[2][0] == got[2][1] and got[4][0] == got[4][1]
+
+    # stream-engine == direct foreachBatch-body invocation (q130's base)
+    direct_sink = str(tmp_path / "direct_sink")
+    direct_store = str(tmp_path / "direct_store")
+    for b, rows in enumerate([rows1, rows2]):
+        batch = spark.createDataFrame(
+            [(r["doc_id"], r["text"]) for r in rows], ["doc_id", "text"])
+        curation.process_span_batch(batch, b, direct_sink, direct_store)
+    direct = {r.doc_id: (r.n_tokens, r.n_tokens_kept, r.cleaned_fp)
+              for r in spark.read.parquet(direct_sink).collect()}
+    streamed = {r.doc_id: (r.n_tokens, r.n_tokens_kept, r.cleaned_fp)
+                for r in spark.read.parquet(sink).collect()}
+    assert streamed == direct
+
+
+def test_dup_span_sink_crash_replay_idempotent(spark, tmp_path):
+    """Exactly-once: a crash between the sink and store writes followed
+    by a checkpoint replay of the SAME batch_id converges — and the
+    replayed batch is never scrubbed against its own contribution
+    (the own-partition exclusion; without it every doc would lose all
+    its windows to 'the store' on replay)."""
+    import shutil
+
+    from real_time_iot_data_pipeline_project_spark.streaming import curation
+
+    run = "r1 r2 r3 r4 r5 r6 r7 r8"
+    docs = spark.createDataFrame(
+        [(1, run + " alpha"), (2, run + " beta")], ["doc_id", "text"])
+    sink = str(tmp_path / "scrubbed")
+    store = str(tmp_path / "spanstore")
+
+    curation.process_span_batch(docs, 0, sink, store)
+    baseline = sorted(map(tuple, spark.read.parquet(sink).collect()))
+    # within-batch rule held: doc 1 keeps the run, doc 2 loses it
+    by_id = {t[0]: t for t in baseline}
+    assert by_id[1][1:3] == (9, 9) and by_id[2][1:3] == (9, 1)
+    store_n = spark.read.parquet(f"{store}/hashes").count()
+
+    # crash between sink write and store write: replay fills the store
+    # without changing the sink bytes
+    shutil.rmtree(f"{store}/hashes/batch_id=0")
+    curation.process_span_batch(docs, 0, sink, store)
+    assert sorted(map(tuple, spark.read.parquet(sink).collect())) == baseline
+    assert spark.read.parquet(f"{store}/hashes").count() == store_n
+
+    # full replay after a completed batch: identical output (the store
+    # now EXISTS and holds this batch's own hashes — exclusion proven)
+    curation.process_span_batch(docs, 0, sink, store)
+    assert sorted(map(tuple, spark.read.parquet(sink).collect())) == baseline
+    assert spark.read.parquet(f"{store}/hashes").count() == store_n
+
+
+def test_dup_span_sink_empty_batch_noop(spark, tmp_path):
+    from real_time_iot_data_pipeline_project_spark.streaming import curation
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    curation.process_span_batch(
+        empty, 0, str(tmp_path / "s"), str(tmp_path / "st"))
+    assert not (tmp_path / "s").exists() and not (tmp_path / "st").exists()

@@ -79,6 +79,7 @@ PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
         "q127_dup_span_removal",
         "q128_edit_distance_verify",
         "q129_dup_span_incremental",
+        "q130_stream_span_scrub",
     ]),
 }
 
