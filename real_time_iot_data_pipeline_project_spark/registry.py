@@ -5109,6 +5109,30 @@ def q122_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_report(a, b, default_text_features("text"))
 
 
+def _scratch_dir(name: str, sf_dir: str) -> str:
+    """Per-process /tmp scratch dir for registry queries whose operator
+    includes a persist-to-disk stage (q121's index, q130's stream
+    sink+store): tagged by sf_dir so different scales never collide,
+    and by pid so two concurrent runners against the same sf_dir can't
+    race each other's rebuild (one sweep read a half-written q121 index
+    exactly once before this rule). Any stale copy from an earlier call
+    in this process is removed up front; the dir is removed at
+    interpreter exit so repeated runs don't accumulate corpus-sized
+    /tmp copies — within the process the returned (lazy) DataFrames
+    read it as needed, which atexit respects."""
+    import atexit
+    import hashlib
+    import os
+    import shutil
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/sparkgraft_{name}_{tag}_{os.getpid()}"
+    shutil.rmtree(path, ignore_errors=True)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
+
 @query("q121_index_batch_search", _index_batch_sql())
 def q121_index_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X32 end-to-end, hash-gated (round 9): the PERSISTENT IVF index
@@ -5125,25 +5149,10 @@ def q121_index_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     under test; the returned DataFrame lazily reads those files, so
     they persist for the consumer (same lifecycle as the probe
     tools' replica dirs; ~corpus-sized, /tmp-resident)."""
-    import hashlib
-
     from .operators.ann_index import build_index, search_index_batch
 
     emb = _t(spark, sf_dir, "embeddings")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    # per-PROCESS path: two concurrent runners against the same sf_dir
-    # must not race each other's rebuild (one sweep read a half-written
-    # index exactly once before this; the consumer is always the same
-    # process, so the lifecycle contract is unchanged). The dir is
-    # removed at interpreter exit so repeated runs don't accumulate
-    # corpus-sized /tmp copies (review catch) — within the process the
-    # returned DataFrame reads it lazily, which atexit respects.
-    import atexit as _atexit
-    import os as _os
-    import shutil as _shutil
-
-    idx = f"/tmp/sparkgraft_q121_index_{tag}_{_os.getpid()}"
-    _atexit.register(_shutil.rmtree, idx, ignore_errors=True)
+    idx = _scratch_dir("q121_index", sf_dir)
     build_index(emb, idx, n_centroids=16)
     queries = (emb.where(F.col("vec_id").isin(0, 1, 2, 3, 4))
                .select(F.col("vec_id").alias("query_id"),
@@ -5475,7 +5484,12 @@ def _edit_verify_sql(num: int = 1, den: int = 5) -> str:
 
 
 @query("q130_stream_span_scrub",
-       _dup_span_sql(order_sql="doc_id % 3, doc_id, pos"))
+       # (x % 3 + 3) % 3 == Spark's pmod for any sign; bare % is a
+       # C-style remainder in BOTH engines, so a negative doc_id would
+       # order batch -1 before batch 0 here while the Spark fold put it
+       # in batch 2 (review catch — ids are non-negative today, but the
+       # oracle should encode the fold's actual rule, not rely on that)
+       _dup_span_sql(order_sql="(doc_id % 3 + 3) % 3, doc_id, pos"))
 def q130_stream_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X39 streaming tier, hash-gated end-to-end (round 9): the corpus
     folded through the STREAMING duplicate-span scrubber
@@ -5489,19 +5503,11 @@ def q130_stream_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     (batch, doc, pos) first-occurrence order, which is EXACTLY what the
     oracle replays (the same _dup_span_sql, order_sql overridden). The
     /tmp sink+store are per-process and removed at exit (q121's
-    concurrent-sweep lifecycle)."""
-    import atexit
-    import hashlib
-    import os
-    import shutil
-
+    concurrent-sweep lifecycle, shared via _scratch_dir)."""
     from .streaming import curation
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    root = f"/tmp/sparkgraft_q130_{tag}_{os.getpid()}"
-    atexit.register(shutil.rmtree, root, ignore_errors=True)
-    shutil.rmtree(root, ignore_errors=True)
+    root = _scratch_dir("q130", sf_dir)
     for b in range(3):
         curation.process_span_batch(
             docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == b),

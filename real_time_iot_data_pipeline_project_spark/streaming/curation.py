@@ -347,14 +347,25 @@ def process_span_batch(batch_df: DataFrame, batch_id: int, path: str,
         return
     hashes_path = f"{span_store}/hashes"
     if _dir_exists(spark, hashes_path):
-        base_hashes = (spark.read.parquet(hashes_path)
-                       .filter(F.col("batch_id") != F.lit(batch_id))
-                       .drop("batch_id"))
+        # explicit schema: a crash during the FIRST batch's store write
+        # can leave only a _temporary dir here, and schema INFERENCE on
+        # a data-file-less directory raises — which would wedge every
+        # checkpoint replay; with the schema pinned the read is just
+        # empty and the replay proceeds (review catch). In that same
+        # state partition discovery sees no batch_id=N dirs at all, so
+        # the own-partition exclusion must be conditional too.
+        base_hashes = spark.read.schema("wh string").parquet(hashes_path)
+        if "batch_id" in base_hashes.columns:
+            base_hashes = (base_hashes
+                           .filter(F.col("batch_id") != F.lit(batch_id))
+                           .drop("batch_id"))
     else:
         base_hashes = spark.createDataFrame([], "wh string")
+    # no localCheckpoint: unlike process_corpus_batch there is no
+    # read-while-write to break — the sink write below reads the store,
+    # and the store write reads only batch_df
     out = dedup_ops.duplicate_span_removal_against(
-        batch_df, base_hashes=base_hashes, window_tokens=window_tokens
-    ).localCheckpoint(eager=True)
+        batch_df, base_hashes=base_hashes, window_tokens=window_tokens)
     out.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
     (dedup_ops.span_window_hashes(batch_df, window_tokens=window_tokens)
      .write.mode("overwrite").parquet(f"{hashes_path}/batch_id={batch_id}"))

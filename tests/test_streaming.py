@@ -1495,3 +1495,22 @@ def test_dup_span_sink_empty_batch_noop(spark, tmp_path):
     curation.process_span_batch(
         empty, 0, str(tmp_path / "s"), str(tmp_path / "st"))
     assert not (tmp_path / "s").exists() and not (tmp_path / "st").exists()
+
+
+def test_dup_span_sink_first_batch_store_crash_recovers(spark, tmp_path):
+    """A crash during the FIRST batch's store write can leave only a
+    _temporary dir under {store}/hashes — no data files, no batch_id
+    partition dirs. The replay must read that as an EMPTY store (pinned
+    schema + conditional exclusion), not wedge on schema inference."""
+    from real_time_iot_data_pipeline_project_spark.streaming import curation
+
+    docs = spark.createDataFrame(
+        [(1, "s1 s2 s3 s4 s5 s6 s7 s8 tail")], ["doc_id", "text"])
+    sink = str(tmp_path / "scrubbed")
+    store = str(tmp_path / "spanstore")
+    (tmp_path / "spanstore" / "hashes" / "_temporary").mkdir(parents=True)
+
+    curation.process_span_batch(docs, 0, sink, store)   # must not raise
+    got = spark.read.parquet(sink).collect()
+    assert [(r.doc_id, r.n_tokens, r.n_tokens_kept) for r in got] == [(1, 9, 9)]
+    assert spark.read.parquet(f"{store}/hashes").count() > 0

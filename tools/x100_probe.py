@@ -229,6 +229,13 @@ def main() -> None:
         # center is the token-level grid (one row per token and per
         # window start), so the expectation is ~linear in corpus tokens
         ("q127_dupspan", probe_query("q127_dup_span_removal")),
+        # the incremental shape: half the corpus scrubbed against the
+        # other half's DISTINCT hash store — expectation ~linear too
+        # (the store side is one distinct + one hash-keyed join)
+        ("q129_dupspan_inc", probe_query("q129_dup_span_incremental")),
+        # the streaming fold (3 batches, store re-read per batch):
+        # per-batch cost = increment join vs the growing store
+        ("q130_span_stream", probe_query("q130_stream_span_scrub")),
     )
     for name, fn in probes:
         if only is not None and name not in only:
