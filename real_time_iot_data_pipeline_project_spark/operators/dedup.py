@@ -737,7 +737,8 @@ def edit_distance_verify(df: DataFrame, text_col: str = "text",
                          k: int = DEFAULT_SHINGLE_K,
                          num_hashes: int = DEFAULT_NUM_HASHES,
                          bands: int = DEFAULT_BANDS,
-                         pairs: DataFrame | None = None) -> DataFrame:
+                         pairs: DataFrame | None = None,
+                         abs_cap: int | None = None) -> DataFrame:
     """Exact edit-distance verification of the MinHash-LSH candidate
     set (X40): the standard LSH-then-verify contract with Levenshtein
     as the verify metric — a character-level complement to the
@@ -759,14 +760,21 @@ def edit_distance_verify(df: DataFrame, text_col: str = "text",
     Output: (id_a, id_b, edit_dist, len_a, len_b), all BIGINT —
     verified pairs only.
 
+    ``abs_cap`` (the scale knob) switches the DP to Spark's banded
+    ``levenshtein(l, r, threshold)`` — O(cap·len) per pair with an
+    early exit the moment the whole band exceeds the cap, instead of
+    the full O(len_a·len_b) table. It ADDS ``edit_dist ≤ abs_cap`` to
+    the verify rule (the banded form returns -1 above the cap), so it
+    only preserves exact semantics when ``abs_cap ≥ max_rel_dist ·
+    max_doc_len`` over the corpus — pick it from the known length cap
+    of the pipeline (q128 uses 120 against ≤577-char normalized docs at
+    rel 0.2 → rel-verified dist can never exceed 116: provably
+    non-binding there, measured ~4× cheaper).
+
     Scale shape: candidate generation is q32's banded LSH (bounded
-    fan-out per band bucket — never all-pairs); the exact O(len_a·len_b)
-    DP runs ONLY on the surviving candidate set, reached by two id-keyed
-    joins that ship the normalized text once each. At production doc
-    lengths, switch the verify expression to Spark's banded
-    ``levenshtein(l, r, threshold)`` form (O(threshold·len) and
-    early-exits at threshold+1) with an absolute cap — kept unbanded
-    here because the relative threshold is per-row.
+    fan-out per band bucket — never all-pairs); the DP runs ONLY on the
+    surviving candidate set, reached by two id-keyed joins that ship
+    the normalized text once each.
     """
     from fractions import Fraction
 
@@ -795,14 +803,22 @@ def edit_distance_verify(df: DataFrame, text_col: str = "text",
                      F.col("_ntext").alias("_ta"))
     nb = norm.select(F.col(id_col).alias("id_b"),
                      F.col("_ntext").alias("_tb"))
+    if abs_cap is None:
+        dist = F.levenshtein("_ta", "_tb")
+        extra = F.lit(True)
+    else:
+        if abs_cap <= 0:
+            raise ValueError(f"abs_cap must be positive, got {abs_cap}")
+        dist = F.levenshtein("_ta", "_tb", abs_cap)
+        extra = F.col("edit_dist") >= 0   # banded form returns -1 above cap
     return (
         pairs.join(na, "id_a").join(nb, "id_b")
         .select(
             "id_a", "id_b",
-            F.levenshtein("_ta", "_tb").cast("long").alias("edit_dist"),
+            dist.cast("long").alias("edit_dist"),
             F.length("_ta").cast("long").alias("len_a"),
             F.length("_tb").cast("long").alias("len_b"),
         )
-        .filter(F.col("edit_dist") * den
-                <= F.greatest("len_a", "len_b") * num)
+        .filter(extra & (F.col("edit_dist") * den
+                         <= F.greatest("len_a", "len_b") * num))
     )

@@ -785,3 +785,23 @@ def test_dup_span_against_validation(spark):
     df = spark.createDataFrame([(0, "x")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         dedup.duplicate_span_removal_against(df, df, window_tokens=-1)
+
+
+def test_edit_verify_banded_cap_semantics(spark):
+    # non-binding cap: identical output to the full DP; binding cap:
+    # the pair whose dist exceeds it drops (banded lev returns -1,
+    # which must never leak through the rel filter as a negative)
+    base = ("abcde fghij klmno pqrst uvwxy " * 20).strip()[:599] + "z"
+    d6 = base[:-6] + "9" * 6
+    df = spark.createDataFrame([(0, base), (1, d6)], ["doc_id", "text"])
+    explicit = spark.createDataFrame([(0, 1)], ["id_a", "id_b"])
+    full = sorted(map(tuple, dedup.edit_distance_verify(
+        df, max_rel_dist="0.01", pairs=explicit).collect()))
+    banded = sorted(map(tuple, dedup.edit_distance_verify(
+        df, max_rel_dist="0.01", pairs=explicit, abs_cap=6).collect()))
+    assert full == banded == [(0, 1, 6, 600, 600)]
+    capped = dedup.edit_distance_verify(
+        df, max_rel_dist="0.01", pairs=explicit, abs_cap=5).collect()
+    assert capped == []                           # dist 6 > cap 5: dropped
+    with pytest.raises(ValueError):
+        dedup.edit_distance_verify(df, abs_cap=0)
