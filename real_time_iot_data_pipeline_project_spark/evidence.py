@@ -204,7 +204,9 @@ EVIDENCE: dict[str, dict] = {
         "test_dedup_similarity.py::test_edit_verify_exact_and_near_dups",
         "test_dedup_similarity.py::test_edit_verify_rejects_block_swapped_candidate",
         "test_dedup_similarity.py::test_edit_verify_integer_boundary",
-        "test_dedup_similarity.py::test_edit_verify_validation"]},
+        "test_dedup_similarity.py::test_edit_verify_validation",
+        "test_dedup_similarity.py::test_edit_verify_banded_cap_semantics",
+        "test_dedup_similarity.py::test_q128_abs_cap_non_binding_on_corpus"]},
     "X39": {"queries": ["q127_dup_span_removal",
                         "q129_dup_span_incremental",
                         "q130_stream_span_scrub"], "tests": [

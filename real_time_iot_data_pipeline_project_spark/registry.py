@@ -5465,8 +5465,7 @@ def q127_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_span_removal(docs, window_tokens=8)
 
 
-def _edit_verify_sql(num: int = 1, den: int = 5,
-                     abs_cap: int = 120) -> str:
+def _edit_verify_sql(num: int = 1, den: int = 5) -> str:
     ctes, _ = _lsh_parts()
     return f"""
     WITH {ctes},
@@ -5481,7 +5480,6 @@ def _edit_verify_sql(num: int = 1, den: int = 5,
     )
     SELECT id_a, id_b, edit_dist, len_a, len_b
     FROM v WHERE edit_dist * {den} <= greatest(len_a, len_b) * {num}
-      AND edit_dist <= {abs_cap}
     """
 
 
@@ -5543,10 +5541,13 @@ def q128_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dist·5 ≤ max_len·1, the heavy-hitters boundary policy) so both
     engines agree at the cutoff by construction. The DP runs only on
     the LSH-bounded candidate set — never all-pairs — and uses the
-    BANDED abs_cap=120 form (O(cap·len) + early exit; provably
-    non-binding here: normalized docs cap at 577 chars, so any
-    rel-verified pair has dist ≤ 116 — the oracle carries the same
-    ≤120 predicate). Measured 13.4 → ~3 s at sf0.1."""
+    BANDED abs_cap=120 form (O(cap·len) + early exit; non-binding
+    today: normalized docs cap at 577 chars, so any rel-verified pair
+    has dist ≤ 116). The oracle deliberately carries the PURE rel rule
+    with no cap predicate: the cap is an optimization that must not
+    change results, so if a future corpus ever makes it bind, the hash
+    gate goes red instead of both engines silently agreeing on a
+    weaker rule (review catch). Measured 13.4 → 2.9 s at sf0.1."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.edit_distance_verify(docs, max_rel_dist="0.2",
                                       abs_cap=120)

@@ -805,3 +805,22 @@ def test_edit_verify_banded_cap_semantics(spark):
     assert capped == []                           # dist 6 > cap 5: dropped
     with pytest.raises(ValueError):
         dedup.edit_distance_verify(df, abs_cap=0)
+
+
+def test_q128_abs_cap_non_binding_on_corpus(spark):
+    """q128's banded cap is an optimization that must not change
+    results. Its oracle deliberately carries the PURE rel rule, so a
+    binding cap turns the hash gate red — this test is the fast,
+    attributable version of that check: cap*den must dominate
+    max_normalized_len*num for the corpus the gate runs on."""
+    from tests.conftest import SF_CORRECT
+    from real_time_iot_data_pipeline_project_spark.functions import textfns
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    max_len = docs.select(
+        F.max(F.length(textfns.normalize_text("text"))).alias("m")
+    ).head().m
+    num, den, cap = 1, 5, 120          # q128's settings
+    assert max_len * num <= cap * den, (
+        f"abs_cap={cap} binds at max normalized len {max_len}: raise the "
+        f"cap in q128 or the oracle gate will (correctly) go red")
