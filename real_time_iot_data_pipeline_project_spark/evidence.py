@@ -224,7 +224,10 @@ EVIDENCE: dict[str, dict] = {
     "X35": {"queries": [], "tests": [
         "test_release.py::test_release_writes_shards_manifest_and_passes_stable_gate",
         "test_release.py::test_release_gate_blocks_major_shift_unless_allowed",
-        "test_release.py::test_release_cli_end_to_end"]},
+        "test_release.py::test_release_cli_end_to_end",
+        "test_release.py::test_release_with_span_scrub",
+        "test_release.py::test_release_without_scrub_manifest_null",
+        "test_release.py::test_release_cli_span_scrub_wiring"]},
     "X34": {"queries": [], "tests": [
         "test_drift.py::test_streaming_drift_fold_equals_batch_exactly",
         "test_drift.py::test_streaming_drift_via_real_stream"]},

@@ -406,24 +406,27 @@ def chunk_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
-def _ordered_kept_md5(order_col: str, value_col: str, keep_col: str):
-    """md5 of the kept ``value_col`` pieces joined by single spaces in
-    ``order_col`` order — the one reassembly-fingerprint rule shared by
-    the chunk and span dedup families (their oracles replay it as
+def _ordered_kept_join(order_col: str, value_col: str, keep_col: str):
+    """The kept ``value_col`` pieces joined by single spaces in
+    ``order_col`` order — the one reassembly rule shared by the chunk
+    and span dedup families (their oracles replay its fingerprint as
     ``md5(coalesce(string_agg(CASE WHEN kept THEN v END, ' ' ORDER BY
     o), ''))``, so both engines' rules change together or not at all)."""
-    return F.md5(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(
-                    F.when(F.col(keep_col) == 1,
-                           F.struct(order_col, value_col))
-                )),
-                lambda s: s[value_col],
-            ),
-            " ",
-        )
+    return F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(
+                F.when(F.col(keep_col) == 1,
+                       F.struct(order_col, value_col))
+            )),
+            lambda s: s[value_col],
+        ),
+        " ",
     )
+
+
+def _ordered_kept_md5(order_col: str, value_col: str, keep_col: str):
+    """md5 of :func:`_ordered_kept_join` — the fingerprint form."""
+    return F.md5(_ordered_kept_join(order_col, value_col, keep_col))
 
 
 def source_overlap_matrix(df: DataFrame, group_col: str = "source",
@@ -562,7 +565,8 @@ def near_dedup_against(new_docs: DataFrame, base_signatures: DataFrame,
 
 def duplicate_span_removal(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id",
-                           window_tokens: int = 8) -> DataFrame:
+                           window_tokens: int = 8,
+                           with_text: bool = False) -> DataFrame:
     """Stride-1 exact duplicate-SPAN removal (the ExactSubstr rule of
     Lee et al. 2021, "Deduplicating Training Data Makes Language Models
     Better", arXiv:2107.06499, on a whitespace-token grid): every
@@ -577,7 +581,9 @@ def duplicate_span_removal(df: DataFrame, text_col: str = "text",
     Output (one row per non-empty doc):
     ``(id_col, n_tokens, n_tokens_kept, cleaned_fp)`` — ``cleaned_fp``
     is the md5 of the surviving tokens joined by single spaces (''
-    when every token sat inside a duplicated span).
+    when every token sat inside a duplicated span). ``with_text=True``
+    additionally emits the reassembled ``cleaned_text`` itself — the
+    release-job shape, where the scrubbed corpus is what ships.
 
     Scale shape: windows and tokens are both map-side array transforms
     (no UDF); the first-occurrence winner is one shuffle keyed by the
@@ -611,7 +617,7 @@ def duplicate_span_removal(df: DataFrame, text_col: str = "text",
         .filter(F.col("rn") > 1)
         .select(id_col, "pos")
     )
-    return _excise_spans(base, flagged, id_col, k)
+    return _excise_spans(base, flagged, id_col, k, with_text)
 
 
 def _span_base(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -641,10 +647,13 @@ def _window_grid(base: DataFrame, id_col: str, k: int) -> DataFrame:
 
 
 def _excise_spans(base: DataFrame, flagged: DataFrame, id_col: str,
-                  k: int) -> DataFrame:
+                  k: int, with_text: bool = False) -> DataFrame:
     """Token grid + coverage running-max + reassembly — flagged
     positions (id, pos) become removed [pos, pos+k-1] spans; one
-    doc-keyed shuffle shared by the window and the final agg."""
+    doc-keyed shuffle shared by the window and the final agg.
+    ``with_text`` additionally emits the reassembled ``cleaned_text``
+    itself (the release-job shape); the fingerprint is derived from the
+    same single collect_list either way."""
     from pyspark.sql import Window
 
     tok = base.select(id_col, F.posexplode("ts").alias("t", "tok"))
@@ -658,11 +667,16 @@ def _excise_spans(base: DataFrame, flagged: DataFrame, id_col: str,
         ).over(dwin))
         .withColumn("keep", (F.col("runmax") < F.col("t")).cast("int"))
     )
-    return cov.groupBy(id_col).agg(
+    agged = cov.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum("keep").alias("n_tokens_kept"),
-        _ordered_kept_md5("t", "tok", "keep").alias("cleaned_fp"),
+        _ordered_kept_join("t", "tok", "keep").alias("cleaned_text"),
     )
+    out = agged.withColumn("cleaned_fp", F.md5("cleaned_text"))
+    if with_text:
+        return out.select(id_col, "n_tokens", "n_tokens_kept",
+                          "cleaned_fp", "cleaned_text")
+    return out.select(id_col, "n_tokens", "n_tokens_kept", "cleaned_fp")
 
 
 def span_window_hashes(df: DataFrame, text_col: str = "text",

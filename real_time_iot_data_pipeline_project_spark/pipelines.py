@@ -139,11 +139,28 @@ def release_corpus(
     allow_drift: bool = False,
     mix_alpha: float | None = None,
     mix_budget: float = 0.5,
+    span_scrub: bool = False,
+    span_window: int = 8,
 ) -> dict:
     """Entry point E — the full training-data RELEASE job: curate
-    (q48's chain) → optional temperature domain mix (X37) → JSONL shard
-    export (S16, the training interchange format) → manifest → drift
-    gate vs the previous release (X33).
+    (q48's chain) → optional duplicate-span scrub (X39) → optional
+    temperature domain mix (X37) → JSONL shard export (S16, the
+    training interchange format) → manifest → drift gate vs the
+    previous release (X33).
+
+    ``span_scrub`` excises corpus-wide duplicated ``span_window``-token
+    spans from the curated survivors (dedup.duplicate_span_removal with
+    the rewritten text, q127's exact rule): released ``text`` becomes
+    the scrubbed text, ``n_tok`` the surviving token count, and docs
+    whose every token sat in a duplicated span are dropped. The scrub
+    runs BEFORE mixing so the mixture rates reflect the corpus that
+    actually ships. Quality/language gates keep their pre-scrub values
+    (the scrub removes only text that already appears earlier in the
+    corpus — gate decisions are about the doc, not the boilerplate).
+    The manifest records the stage under ``span_scrub`` (window, doc
+    and token counts) — and scrubbing a previously-unscrubbed corpus
+    shifts the text profile, which the drift gate will surface, by
+    design.
 
     ``mix_alpha`` switches on per-source temperature rebalancing
     (sampling.temperature_mix_rates: keep rate ∝ n^(α−1) at a
@@ -170,7 +187,37 @@ def release_corpus(
     curated = curate_corpus(spark, input_path, output_path=None,
                             min_quality=min_quality, langs=langs).persist()
     final = curated
+    scrubbed = None
     try:
+        scrub_info = None
+        if span_scrub:
+            from .operators import dedup as dedup_ops
+
+            # the rewrite is the OPERATOR itself (q127's hash-gated
+            # rule, with_text form); persisted because the manifest
+            # stats and the join below — and through it every _release_
+            # body consumer — read it
+            scrubbed = dedup_ops.duplicate_span_removal(
+                final, window_tokens=span_window, with_text=True).persist()
+            srow = scrubbed.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").alias("tok_in"),
+                F.sum("n_tokens_kept").alias("tok_kept"),
+                F.sum((F.col("n_tokens_kept") == 0).cast("long"))
+                 .alias("emptied")).head()  # 1-row manifest aggregate
+            scrub_info = {
+                "window_tokens": span_window,
+                "n_docs_in": int(srow["n_docs"]),
+                "n_docs_emptied": int(srow["emptied"]),
+                "n_tokens_in": int(srow["tok_in"]),
+                "n_tokens_removed": int(srow["tok_in"] - srow["tok_kept"]),
+            }
+            final = final.drop("text", "n_tok").join(
+                scrubbed.filter(F.col("n_tokens_kept") > 0)
+                .select("doc_id",
+                        F.col("cleaned_text").alias("text"),
+                        F.col("n_tokens_kept").alias("n_tok")),
+                "doc_id")
         mix_info = None
         if mix_alpha is not None:
             from .operators import sampling
@@ -194,13 +241,16 @@ def release_corpus(
             }
         return _release_body(spark, final, output_path, baseline_path,
                              min_quality, langs, n_shards, allow_drift,
-                             mix_info)
+                             mix_info, scrub_info)
     finally:
         curated.unpersist()
+        if scrubbed is not None:
+            scrubbed.unpersist()
 
 
 def _release_body(spark, final, output_path, baseline_path, min_quality,
-                  langs, n_shards, allow_drift, mix_info=None) -> dict:
+                  langs, n_shards, allow_drift, mix_info=None,
+                  scrub_info=None) -> dict:
     import json as _json
 
     from pyspark.errors import AnalysisException
@@ -248,6 +298,7 @@ def _release_body(spark, final, output_path, baseline_path, min_quality,
         "langs": list(langs),
         "n_shards": n_shards,
         "mix": mix_info,
+        "span_scrub": scrub_info,
         "drift": drift_rows,
     }
     with open(f"{output_path}/MANIFEST.json", "w") as fh:
@@ -297,6 +348,13 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--mix-budget", type=float, default=0.5,
                    help="corpus fraction the temperature mix targets "
                         "(release domain; used with --mix-alpha)")
+    p.add_argument("--span-scrub", action="store_true",
+                   help="excise corpus-wide duplicated token spans "
+                        "from the released text (release domain; "
+                        "q127's exact rule)")
+    p.add_argument("--span-window", type=int, default=8,
+                   help="duplicate-span window size in tokens "
+                        "(release domain; used with --span-scrub)")
     p.add_argument("--keys", default=None,
                    help="comma-separated key columns (cdc-apply/scd2-apply)")
     p.add_argument("--order", default=None,
@@ -433,6 +491,8 @@ def main(argv: list[str] | None = None) -> None:
             allow_drift=args.allow_drift,
             mix_alpha=args.mix_alpha,
             mix_budget=args.mix_budget,
+            span_scrub=args.span_scrub,
+            span_window=args.span_window,
         )
         print(f"released {manifest['n_docs']} docs / "
               f"{manifest['n_tokens']} tokens to {args.output}")

@@ -150,3 +150,59 @@ def test_release_with_temperature_mix(spark, tmp_path):
                 for r in sampling.temperature_mix_rates(
                     curated, "source", 0.7, 0.5).collect()}
     assert rates == {str(k): v for k, v in op_rates.items()}
+
+
+def test_release_with_span_scrub(spark, tmp_path):
+    """--span-scrub: released text is the q127-scrubbed text (the
+    duplicated run survives only at its first corpus occurrence),
+    n_tok is the surviving token count, emptied docs drop, and the
+    manifest records the stage."""
+    from real_time_iot_data_pipeline_project_spark.operators import dedup
+
+    # the duplicated run must survive the curation gates (detected_lang
+    # "en"), so it is a stopword-rich English 8-token window
+    run = "the quick brown fox jumps over the lazy"
+    rows = [
+        (1, run + " dog near the river bank", "en", "s1"),  # first occurrence
+        (2, "meanwhile " + run + " dog sits on the porch", "en", "s1"),
+        (3, run, "en", "s2"),                           # fully duplicated
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"]) \
+         .write.parquet(src)
+
+    rel = str(tmp_path / "rel")
+    m = pipelines.release_corpus(spark, src, rel, n_shards=1,
+                                 min_quality=0.0, span_scrub=True)
+    assert m["span_scrub"]["window_tokens"] == 8
+    assert m["span_scrub"]["n_docs_emptied"] == 1        # doc 3
+    assert m["span_scrub"]["n_tokens_removed"] >= 8
+    back = {r.doc_id: r for r in spark.read.json(f"{rel}/data").collect()}
+    assert set(back) == {1, 2}                           # doc 3 dropped
+    assert back[1].text.startswith("the quick brown")    # first kept
+    assert run not in back[2].text                       # repeat excised
+    # released text/n_tok match the operator's own with_text output
+    expect = {r.doc_id: (r.cleaned_text, r.n_tokens_kept)
+              for r in dedup.duplicate_span_removal(
+                  spark.createDataFrame(rows,
+                                        ["doc_id", "text", "lang", "source"]),
+                  with_text=True).collect()}
+    for d in (1, 2):
+        assert (back[d].text, back[d].n_tok) == expect[d]
+    # manifest token budget reflects the scrubbed corpus
+    assert m["n_tokens"] == sum(v[1] for k, v in expect.items() if k != 3)
+
+
+def test_release_without_scrub_manifest_null(spark, tmp_path):
+    rel = str(tmp_path / "rel")
+    m = pipelines.release_corpus(spark, _docs_path(), rel, n_shards=1)
+    assert m["span_scrub"] is None
+
+
+def test_release_cli_span_scrub_wiring(spark, tmp_path):
+    rel = str(tmp_path / "rel_scrub_cli")
+    pipelines.main(["release", _docs_path(), "--output", rel,
+                    "--shards", "1", "--span-scrub", "--span-window", "8"])
+    m = json.load(open(f"{rel}/MANIFEST.json"))
+    assert m["span_scrub"]["window_tokens"] == 8
+    assert m["span_scrub"]["n_docs_in"] > 0
