@@ -582,8 +582,12 @@ def duplicate_span_removal(df: DataFrame, text_col: str = "text",
     ``(id_col, n_tokens, n_tokens_kept, cleaned_fp)`` — ``cleaned_fp``
     is the md5 of the surviving tokens joined by single spaces (''
     when every token sat inside a duplicated span). ``with_text=True``
-    additionally emits the reassembled ``cleaned_text`` itself — the
-    release-job shape, where the scrubbed corpus is what ships.
+    additionally emits the reassembled ``cleaned_text`` — the
+    release-job shape, where the scrubbed corpus is what ships: token
+    CASE is preserved from the original text (matching still runs on
+    the normalized grid), inter-token whitespace canonicalizes to
+    single spaces (the rule is token-grid-granular), and ``cleaned_fp``
+    stays the md5 of the NORMALIZED reassembly either way.
 
     Scale shape: windows and tokens are both map-side array transforms
     (no UDF); the first-occurrence winner is one shuffle keyed by the
@@ -621,11 +625,20 @@ def duplicate_span_removal(df: DataFrame, text_col: str = "text",
 
 
 def _span_base(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, ts, n_tokens) over non-empty normalized docs — the shared
-    input frame of the duplicate-span family."""
+    """(id, ts, ts_raw, n_tokens) over non-empty normalized docs — the
+    shared input frame of the duplicate-span family. ``ts`` is the
+    NORMALIZED token array (every matching/fingerprint rule runs on
+    it); ``ts_raw`` is the same token grid with original CASE preserved
+    (whitespace-collapsed only), so the with_text reassembly ships the
+    user's casing instead of silently lowercasing the corpus. The two
+    arrays are positionally identical: lowering never touches the
+    spaces the split runs on."""
     df = df.filter(F.length(textfns.normalize_text(text_col)) > 0)
     toks = textfns.whitespace_tokens(text_col)
+    toks_raw = F.split(
+        F.trim(F.regexp_replace(F.col(text_col), "\\s+", " ")), " ")
     return df.select(F.col(id_col), toks.alias("ts"),
+                     toks_raw.alias("ts_raw"),
                      F.size(toks).alias("n_tokens"))
 
 
@@ -652,11 +665,17 @@ def _excise_spans(base: DataFrame, flagged: DataFrame, id_col: str,
     positions (id, pos) become removed [pos, pos+k-1] spans; one
     doc-keyed shuffle shared by the window and the final agg.
     ``with_text`` additionally emits the reassembled ``cleaned_text``
-    itself (the release-job shape); the fingerprint is derived from the
-    same single collect_list either way."""
+    with original token CASE preserved (inter-token whitespace is
+    canonicalized to single spaces — the rule works on a token grid).
+    ``cleaned_fp`` is ALWAYS md5 of the NORMALIZED reassembly (the
+    cross-engine dedup contract), so with_text never changes hashes."""
     from pyspark.sql import Window
 
-    tok = base.select(id_col, F.posexplode("ts").alias("t", "tok"))
+    tok = base.select(
+        id_col,
+        F.posexplode(F.arrays_zip("ts", "ts_raw")).alias("t", "z"),
+    ).select(id_col, "t", F.col("z.ts").alias("tok"),
+             F.col("z.ts_raw").alias("tok_raw"))
     dwin = (Window.partitionBy(id_col).orderBy("t")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cov = (
@@ -667,16 +686,17 @@ def _excise_spans(base: DataFrame, flagged: DataFrame, id_col: str,
         ).over(dwin))
         .withColumn("keep", (F.col("runmax") < F.col("t")).cast("int"))
     )
-    agged = cov.groupBy(id_col).agg(
+    aggs = [
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum("keep").alias("n_tokens_kept"),
-        _ordered_kept_join("t", "tok", "keep").alias("cleaned_text"),
-    )
-    out = agged.withColumn("cleaned_fp", F.md5("cleaned_text"))
+        F.md5(_ordered_kept_join("t", "tok", "keep")).alias("cleaned_fp"),
+    ]
     if with_text:
-        return out.select(id_col, "n_tokens", "n_tokens_kept",
-                          "cleaned_fp", "cleaned_text")
-    return out.select(id_col, "n_tokens", "n_tokens_kept", "cleaned_fp")
+        aggs.append(
+            _ordered_kept_join("t", "tok_raw", "keep").alias("cleaned_text"))
+    cols = [id_col, "n_tokens", "n_tokens_kept", "cleaned_fp"] + (
+        ["cleaned_text"] if with_text else [])
+    return cov.groupBy(id_col).agg(*aggs).select(*cols)
 
 
 def span_window_hashes(df: DataFrame, text_col: str = "text",

@@ -151,8 +151,13 @@ def release_corpus(
     ``span_scrub`` excises corpus-wide duplicated ``span_window``-token
     spans from the curated survivors (dedup.duplicate_span_removal with
     the rewritten text, q127's exact rule): released ``text`` becomes
-    the scrubbed text, ``n_tok`` the surviving token count, and docs
-    whose every token sat in a duplicated span are dropped. The scrub
+    the scrubbed text — original token CASE preserved, inter-token
+    whitespace canonicalized to single spaces (the rule is token-grid-
+    granular; matching itself runs on the normalized grid) — ``n_tok``
+    the surviving token count, and docs whose every token sat in a
+    duplicated span are dropped (as are whitespace-only docs, counted
+    under ``n_docs_dropped``: released = n_docs_in − n_docs_dropped).
+    The scrub
     runs BEFORE mixing so the mixture rates reflect the corpus that
     actually ships. Quality/language gates keep their pre-scrub values
     (the scrub removes only text that already appears earlier in the
@@ -199,15 +204,27 @@ def release_corpus(
             # body consumer — read it
             scrubbed = dedup_ops.duplicate_span_removal(
                 final, window_tokens=span_window, with_text=True).persist()
+            # coalesce: SUM over an empty curated corpus is NULL, and
+            # the scrub stage must publish an empty release exactly
+            # like the unscrubbed path (review catch)
             srow = scrubbed.agg(
                 F.count(F.lit(1)).alias("n_docs"),
-                F.sum("n_tokens").alias("tok_in"),
-                F.sum("n_tokens_kept").alias("tok_kept"),
-                F.sum((F.col("n_tokens_kept") == 0).cast("long"))
+                F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("tok_in"),
+                F.coalesce(F.sum("n_tokens_kept"), F.lit(0))
+                 .alias("tok_kept"),
+                F.coalesce(F.sum((F.col("n_tokens_kept") == 0)
+                                 .cast("long")), F.lit(0))
                  .alias("emptied")).head()  # 1-row manifest aggregate
+            # n_docs_in counts the CURATED frame, not the scrub output:
+            # whitespace-only docs never enter the token grid and are
+            # dropped by the join below, and the manifest must
+            # reconcile (released = in - dropped; review catch)
+            n_in = final.count()
+            n_dropped = n_in - (int(srow["n_docs"]) - int(srow["emptied"]))
             scrub_info = {
                 "window_tokens": span_window,
-                "n_docs_in": int(srow["n_docs"]),
+                "n_docs_in": n_in,
+                "n_docs_dropped": n_dropped,
                 "n_docs_emptied": int(srow["emptied"]),
                 "n_tokens_in": int(srow["tok_in"]),
                 "n_tokens_removed": int(srow["tok_in"] - srow["tok_kept"]),

@@ -163,8 +163,8 @@ def test_release_with_span_scrub(spark, tmp_path):
     # "en"), so it is a stopword-rich English 8-token window
     run = "the quick brown fox jumps over the lazy"
     rows = [
-        (1, run + " dog near the river bank", "en", "s1"),  # first occurrence
-        (2, "meanwhile " + run + " dog sits on the porch", "en", "s1"),
+        (1, run + " dog near the River Bank", "en", "s1"),  # first occurrence
+        (2, "Meanwhile " + run + " dog sits on the porch", "en", "s1"),
         (3, run, "en", "s2"),                           # fully duplicated
     ]
     src = str(tmp_path / "docs.parquet")
@@ -177,10 +177,17 @@ def test_release_with_span_scrub(spark, tmp_path):
     assert m["span_scrub"]["window_tokens"] == 8
     assert m["span_scrub"]["n_docs_emptied"] == 1        # doc 3
     assert m["span_scrub"]["n_tokens_removed"] >= 8
+    # manifest reconciles: released = in - dropped
+    assert m["n_docs"] == (m["span_scrub"]["n_docs_in"]
+                           - m["span_scrub"]["n_docs_dropped"])
     back = {r.doc_id: r for r in spark.read.json(f"{rel}/data").collect()}
     assert set(back) == {1, 2}                           # doc 3 dropped
     assert back[1].text.startswith("the quick brown")    # first kept
-    assert run not in back[2].text                       # repeat excised
+    assert run not in back[2].text.lower()               # repeat excised
+    # original token CASE is preserved in the released text (matching
+    # runs on the normalized grid, shipping does not lowercase)
+    assert back[1].text.endswith("River Bank")
+    assert back[2].text.startswith("Meanwhile")
     # released text/n_tok match the operator's own with_text output
     expect = {r.doc_id: (r.cleaned_text, r.n_tokens_kept)
               for r in dedup.duplicate_span_removal(
@@ -200,9 +207,23 @@ def test_release_without_scrub_manifest_null(spark, tmp_path):
 
 
 def test_release_cli_span_scrub_wiring(spark, tmp_path):
+    # non-default window so a broken --span-window mapping can't hide
+    # behind the default (review catch)
     rel = str(tmp_path / "rel_scrub_cli")
     pipelines.main(["release", _docs_path(), "--output", rel,
-                    "--shards", "1", "--span-scrub", "--span-window", "8"])
+                    "--shards", "1", "--span-scrub", "--span-window", "3"])
     m = json.load(open(f"{rel}/MANIFEST.json"))
-    assert m["span_scrub"]["window_tokens"] == 8
+    assert m["span_scrub"]["window_tokens"] == 3
     assert m["span_scrub"]["n_docs_in"] > 0
+
+
+def test_release_span_scrub_empty_corpus(spark, tmp_path):
+    """An all-filtered corpus must publish an empty-but-valid release
+    with the scrub on, exactly like the unscrubbed path (the SUM-over-
+    zero-rows NULLs are coalesced)."""
+    rel = str(tmp_path / "rel_empty")
+    m = pipelines.release_corpus(spark, _docs_path(), rel, n_shards=1,
+                                 min_quality=9.9, span_scrub=True)
+    assert m["n_docs"] == 0
+    assert m["span_scrub"]["n_docs_in"] == 0
+    assert m["span_scrub"]["n_tokens_removed"] == 0
