@@ -398,3 +398,53 @@ def start_dup_span_sink(docs: DataFrame, path: str, checkpoint: str,
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def compact_span_store(spark, span_store: str, output_store: str) -> dict:
+    """Span-store lifecycle companion to ``compact_signature_store``:
+    the window-hash store grows one partition per micro-batch and the
+    SAME hash can recur in every batch that re-saw the window (DISTINCT
+    is per batch, not global), so a periodic rewrite folds history into
+    one globally-DISTINCT set.
+
+    Replay-safety contract: all partitions EXCEPT the newest batch are
+    folded under the sentinel partition ``batch_id=-1`` (foreachBatch
+    ids are never negative), and the newest batch's partition is kept
+    as-is — so the sink's own-partition exclusion
+    (``batch_id != current``) still works even if the stream crashed
+    before committing that last batch and replays it against the
+    compacted store. History semantics are unchanged by construction:
+    the store means "windows seen so far", and a global DISTINCT of
+    seen windows is the same set.
+
+    Out-of-place like the other compactors: caller validates, then
+    swaps pointers while the sink is stopped. Returns before/after row
+    counts and the preserved newest batch id.
+
+    Scale shape: one DISTINCT shuffle over the store keyed by the
+    uniform md5 — linear, no corpus read."""
+    import os as _os
+
+    if _os.path.abspath(output_store) == _os.path.abspath(span_store):
+        raise ValueError(
+            "output_store must differ from span_store: overwriting the "
+            "store while lazily reading it races the scan — compact "
+            "out-of-place, validate, then swap")
+    src = f"{span_store}/hashes"
+    if not _dir_exists(spark, src):
+        raise ValueError(f"span store {src!r} is missing or empty")
+    rows = spark.read.schema("wh string").parquet(src)
+    if "batch_id" not in rows.columns:
+        raise ValueError(f"span store {src!r} has no batch partitions")
+    n_before = rows.count()
+    max_b = rows.agg(F.max("batch_id")).head()[0]
+    folded = (rows.filter(F.col("batch_id") != max_b)
+              .select("wh").distinct()
+              .withColumn("batch_id", F.lit(-1)))
+    newest = rows.filter(F.col("batch_id") == max_b)
+    compacted = folded.unionByName(newest).localCheckpoint(eager=True)
+    n_after = compacted.count()
+    (compacted.write.mode("overwrite").partitionBy("batch_id")
+     .parquet(f"{output_store}/hashes"))
+    return {"before": n_before, "after": n_after,
+            "kept_batch": int(max_b)}

@@ -1514,3 +1514,72 @@ def test_dup_span_sink_first_batch_store_crash_recovers(spark, tmp_path):
     got = spark.read.parquet(sink).collect()
     assert [(r.doc_id, r.n_tokens, r.n_tokens_kept) for r in got] == [(1, 9, 9)]
     assert spark.read.parquet(f"{store}/hashes").count() > 0
+
+
+def test_compact_span_store_preserves_scrub_decisions(spark, tmp_path):
+    """Folding all but the newest batch into the batch_id=-1 sentinel
+    shrinks the store (global DISTINCT) without changing any future
+    scrub decision, and keeps the newest batch's replay exclusion
+    working."""
+    from real_time_iot_data_pipeline_project_spark.streaming import curation
+
+    run = "c1 c2 c3 c4 c5 c6 c7 c8"
+    batches = [
+        [(1, run + " alpha")],
+        [(2, run + " beta"), (3, "other early content here now")],
+        [(4, run + " gamma")],
+    ]
+    sink = str(tmp_path / "scrubbed")
+    store = str(tmp_path / "store")
+    for b, rows in enumerate(batches):
+        curation.process_span_batch(
+            spark.createDataFrame(rows, ["doc_id", "text"]), b, sink, store)
+
+    before = spark.read.parquet(f"{store}/hashes").count()
+    out_store = str(tmp_path / "store_c")
+    rep = curation.compact_span_store(spark, store, out_store)
+    assert rep == {"before": before,
+                   "after": spark.read.parquet(f"{out_store}/hashes").count(),
+                   "kept_batch": 2}
+    assert rep["after"] < rep["before"]        # the shared run deduped
+    hashes = spark.read.parquet(f"{out_store}/hashes")
+    assert {r.batch_id for r in hashes.select("batch_id").distinct()
+            .collect()} == {-1, 2}
+
+    # a NEW batch scrubs identically against original vs compacted
+    new_rows = [(5, "prefix " + run + " delta"), (6, "fresh unseen text")]
+    new_df = spark.createDataFrame(new_rows, ["doc_id", "text"])
+    s_orig = str(tmp_path / "s_orig")
+    s_comp = str(tmp_path / "s_comp")
+    import shutil
+    o2 = str(tmp_path / "store_orig2"); shutil.copytree(store, o2)
+    c2 = str(tmp_path / "store_comp2"); shutil.copytree(out_store, c2)
+    curation.process_span_batch(new_df, 3, s_orig, o2)
+    curation.process_span_batch(new_df, 3, s_comp, c2)
+    a = sorted(map(tuple, spark.read.parquet(s_orig).collect()))
+    b = sorted(map(tuple, spark.read.parquet(s_comp).collect()))
+    assert a == b
+
+    # replay of the NEWEST folded-around batch (id 2) against the
+    # compacted store: own-partition exclusion intact -> same output
+    replay_sink = str(tmp_path / "replay_sink")
+    import shutil as _sh
+    c3 = str(tmp_path / "store_comp3"); _sh.copytree(out_store, c3)
+    curation.process_span_batch(
+        spark.createDataFrame(batches[2], ["doc_id", "text"]),
+        2, replay_sink, c3)
+    got = spark.read.parquet(replay_sink).head()
+    orig = {r.doc_id: r for r in spark.read.parquet(sink).collect()}
+    assert (got.n_tokens, got.n_tokens_kept, got.cleaned_fp) == (
+        orig[4].n_tokens, orig[4].n_tokens_kept, orig[4].cleaned_fp)
+
+
+def test_compact_span_store_validation(spark, tmp_path):
+    from real_time_iot_data_pipeline_project_spark.streaming import curation
+
+    with pytest.raises(ValueError, match="differ"):
+        curation.compact_span_store(spark, str(tmp_path / "x"),
+                                    str(tmp_path / "x"))
+    with pytest.raises(ValueError, match="missing"):
+        curation.compact_span_store(spark, str(tmp_path / "nope"),
+                                    str(tmp_path / "out"))
