@@ -216,6 +216,7 @@ EVIDENCE: dict[str, dict] = {
         "test_streaming.py::test_dup_span_sink_first_batch_store_crash_recovers",
         "test_streaming.py::test_compact_span_store_preserves_scrub_decisions",
         "test_streaming.py::test_compact_span_store_validation",
+        "test_streaming.py::test_compact_span_store_cli_and_empty_store",
         "test_dedup_similarity.py::test_dup_span_keep_first_and_excise_rest",
         "test_dedup_similarity.py::test_dup_span_overlapping_windows_merge",
         "test_dedup_similarity.py::test_dup_span_short_and_unique_docs_intact",

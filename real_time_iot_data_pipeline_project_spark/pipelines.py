@@ -330,7 +330,8 @@ def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(description="batch consume-and-process pipeline")
     p.add_argument("domain",
                    choices=["solar", "wind", "curate", "release", "compact",
-                            "compact-store", "dq-audit", "cdc-apply",
+                            "compact-store", "compact-span-store",
+                            "dq-audit", "cdc-apply",
                             "scd2-apply", "plan-audit"])
     p.add_argument("input_path",
                    help="input directory to consume — EXCEPT for the "
@@ -495,6 +496,16 @@ def main(argv: list[str] | None = None) -> None:
         stats = compact_signature_store(
             spark, args.input_path, args.store, args.output)
         print(f"store compacted: {stats}")
+        return
+    if args.domain == "compact-span-store":
+        from .streaming.curation import compact_span_store
+
+        if not args.output:
+            p.error("compact-span-store requires --output (store "
+                    "compaction is out-of-place); input_path is the "
+                    "span store root")
+        stats = compact_span_store(spark, args.input_path, args.output)
+        print(f"span store compacted: {stats}")
         return
     if args.domain == "release":
         if not args.output:

@@ -204,6 +204,19 @@ def start_near_dedup_corpus_sink(docs: DataFrame, path: str, checkpoint: str,
     return w.start()
 
 
+def _require_out_of_place(src: str, dst: str, what: str) -> None:
+    """Shared guard of every compactor: overwriting a store/corpus
+    while lazily reading it races the scan and can destroy it —
+    compact out-of-place, validate, then swap pointers. realpath (not
+    abspath) so a symlinked alias of the same directory is caught."""
+    import os
+
+    if os.path.realpath(dst) == os.path.realpath(src):
+        raise ValueError(
+            f"output must differ from the {what} being compacted "
+            f"({src!r}): compact out-of-place, validate, then swap")
+
+
 def compact_corpus(spark, corpus_path: str, output_path: str,
                    text_col: str = "text", id_col: str = "doc_id") -> dict:
     """The periodic batch compaction ``curate_stream``'s docstring
@@ -268,14 +281,8 @@ def compact_signature_store(spark, corpus_path: str, signature_store: str,
     Scale shape: two broadcast-or-shuffle left-semi joins on the id —
     linear in store size, no signature recomputation, no corpus text
     read (only the id column is scanned, column-pruned)."""
-    import os as _os
-
-    if (_os.path.abspath(output_store)
-            == _os.path.abspath(signature_store)):
-        raise ValueError(
-            "output_store must differ from signature_store: overwriting "
-            "the store while lazily reading it races the scan and can "
-            "destroy it — compact out-of-place, validate, then swap")
+    _require_out_of_place(signature_store, output_store,
+                          "signature store")
     if not _dir_exists(spark, corpus_path):
         raise ValueError(
             f"corpus path {corpus_path!r} is missing or empty — refusing "
@@ -423,21 +430,23 @@ def compact_span_store(spark, span_store: str, output_store: str) -> dict:
 
     Scale shape: one DISTINCT shuffle over the store keyed by the
     uniform md5 — linear, no corpus read."""
-    import os as _os
-
-    if _os.path.abspath(output_store) == _os.path.abspath(span_store):
-        raise ValueError(
-            "output_store must differ from span_store: overwriting the "
-            "store while lazily reading it races the scan — compact "
-            "out-of-place, validate, then swap")
+    _require_out_of_place(span_store, output_store, "span store")
     src = f"{span_store}/hashes"
     if not _dir_exists(spark, src):
         raise ValueError(f"span store {src!r} is missing or empty")
     rows = spark.read.schema("wh string").parquet(src)
     if "batch_id" not in rows.columns:
         raise ValueError(f"span store {src!r} has no batch partitions")
-    n_before = rows.count()
-    max_b = rows.agg(F.max("batch_id")).head()[0]
+    # one job for both metadata values; max is NULL over an all-empty
+    # store (every batch held only sub-window docs) — fail cleanly
+    # BEFORE writing anything rather than int(None) after (review catch)
+    meta = rows.agg(F.count(F.lit(1)).alias("n"),
+                    F.max("batch_id").alias("mb")).head()
+    n_before, max_b = meta["n"], meta["mb"]
+    if max_b is None:
+        raise ValueError(
+            f"span store {src!r} holds no hash rows — nothing to "
+            "compact (all batches were sub-window docs?)")
     folded = (rows.filter(F.col("batch_id") != max_b)
               .select("wh").distinct()
               .withColumn("batch_id", F.lit(-1)))

@@ -705,7 +705,7 @@ def test_compaction_guards(spark, tmp_path):
 
     with pytest.raises(ValueError, match="out-of-place"):
         curation.compact_corpus(spark, corpus, corpus)
-    with pytest.raises(ValueError, match="differ from signature_store"):
+    with pytest.raises(ValueError, match="differ from the signature store"):
         curation.compact_signature_store(spark, corpus, store, store)
     with pytest.raises(ValueError, match="missing or empty"):
         curation.compact_signature_store(
@@ -1563,8 +1563,7 @@ def test_compact_span_store_preserves_scrub_decisions(spark, tmp_path):
     # replay of the NEWEST folded-around batch (id 2) against the
     # compacted store: own-partition exclusion intact -> same output
     replay_sink = str(tmp_path / "replay_sink")
-    import shutil as _sh
-    c3 = str(tmp_path / "store_comp3"); _sh.copytree(out_store, c3)
+    c3 = str(tmp_path / "store_comp3"); shutil.copytree(out_store, c3)
     curation.process_span_batch(
         spark.createDataFrame(batches[2], ["doc_id", "text"]),
         2, replay_sink, c3)
@@ -1583,3 +1582,31 @@ def test_compact_span_store_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="missing"):
         curation.compact_span_store(spark, str(tmp_path / "nope"),
                                     str(tmp_path / "out"))
+
+
+def test_compact_span_store_cli_and_empty_store(spark, tmp_path):
+    from real_time_iot_data_pipeline_project_spark import pipelines
+    from real_time_iot_data_pipeline_project_spark.operators import dedup
+    from real_time_iot_data_pipeline_project_spark.streaming import curation
+
+    # all-empty store (every batch held only sub-window docs): clean
+    # ValueError before anything is written, not int(None) after
+    store = str(tmp_path / "empty_store")
+    dedup.span_window_hashes(
+        spark.createDataFrame([(1, "too short")], ["doc_id", "text"])
+    ).write.parquet(f"{store}/hashes/batch_id=0")
+    with pytest.raises(ValueError, match="no hash rows"):
+        curation.compact_span_store(spark, store, str(tmp_path / "out"))
+    assert not (tmp_path / "out").exists()
+
+    # CLI domain wiring
+    run = "k1 k2 k3 k4 k5 k6 k7 k8"
+    real = str(tmp_path / "real_store")
+    for b in range(2):
+        curation.process_span_batch(
+            spark.createDataFrame([(b, run + f" tail{b}")],
+                                  ["doc_id", "text"]),
+            b, str(tmp_path / "sink"), real)
+    out = str(tmp_path / "out_cli")
+    pipelines.main(["compact-span-store", real, "--output", out])
+    assert spark.read.parquet(f"{out}/hashes").count() > 0
