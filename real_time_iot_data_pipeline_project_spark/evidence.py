@@ -72,6 +72,8 @@ EVIDENCE: dict[str, dict] = {
         "test_misc_ops.py::test_jsonl_round_trip_sharded_and_compressed"]},
     "S17": {"queries": [], "tests": [
         "test_misc_ops.py::test_partition_backfill_touches_only_incoming_partitions"]},
+    "S18": {"queries": [], "tests": [
+        "test_misc_ops.py::test_orc_round_trip_values_pushdown_and_partitioning"]},
     # --- §2.2 projections / filters ---
     "P1": {"queries": ["q02_range_filter"], "tests": []},
     "P2": {"queries": [], "tests": [

@@ -173,3 +173,28 @@ def compact_parquet(spark: SparkSession, path: str, target_files: int,
     shutil.rmtree(aside)
     shutil.rmtree(tmp, ignore_errors=True)
     return n
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite",
+              partition_by: list[str] | None = None,
+              compression: str = "zlib") -> None:
+    """S18 — ORC batch sink (beyond-reference format breadth): the
+    columnar interchange format Hive/Trino/Presto warehouses consume.
+    Spark-native writer (predicate pushdown, column pruning and
+    vectorized reads all apply on the way back in, same as parquet);
+    codec: zlib (default) / snappy / zstd / none."""
+    w = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str,
+             schema: str | None = None) -> DataFrame:
+    """S18 — ORC batch source. Pass ``schema`` (DDL string) to pin the
+    read schema (no inference footer scan), same contract as
+    read_jsonl."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.orc(path)

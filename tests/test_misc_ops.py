@@ -602,3 +602,36 @@ def test_partition_backfill_touches_only_incoming_partitions(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="partition columns"):
         sio.overwrite_partitions(base, out, [])
+
+
+def test_orc_round_trip_values_pushdown_and_partitioning(spark, tmp_path):
+    """S18: ORC write/read round-trips values and schema exactly (incl.
+    decimals/dates/timestamps from the TPC-H tables), the partitioned
+    write prunes on read, and a filter reaches the ORC scan as a pushed
+    predicate."""
+    from real_time_iot_data_pipeline_project_spark.sources import io as sio
+    from tests.conftest import SF_SMOKE
+
+    df = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    p = str(tmp_path / "li_orc")
+    sio.write_orc(df, p)
+    back = sio.read_orc(spark, p)
+    assert back.schema == df.schema
+    a = sorted(map(str, df.collect()))
+    b = sorted(map(str, back.collect()))
+    assert a == b
+
+    # partitioned write + pruned read
+    p2 = str(tmp_path / "li_orc_part")
+    sio.write_orc(df, p2, partition_by=["l_returnflag"])
+    one = sio.read_orc(spark, p2).filter(F.col("l_returnflag") == "A")
+    assert one.count() == df.filter(F.col("l_returnflag") == "A").count()
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "l_returnflag" in plan.split(
+        "PartitionFilters")[1][:120]
+
+    # predicate pushdown reaches the ORC scan
+    flt = sio.read_orc(spark, p).filter(F.col("l_quantity") > 30)
+    fplan = flt._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in fplan and "l_quantity" in fplan.split(
+        "PushedFilters")[1][:120]

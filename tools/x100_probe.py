@@ -236,6 +236,10 @@ def main() -> None:
         # the streaming fold (3 batches, store re-read per batch):
         # per-batch cost = increment join vs the growing store
         ("q130_span_stream", probe_query("q130_stream_span_scrub")),
+        # edit-distance verify: candidates grow ~linearly under the
+        # rotated-alphabet replicas (replicas share no shingles), and
+        # the banded DP is constant per pair — expectation ~linear
+        ("q128_edit_verify", probe_query("q128_edit_distance_verify")),
     )
     for name, fn in probes:
         if only is not None and name not in only:
