@@ -226,7 +226,9 @@ EVIDENCE: dict[str, dict] = {
         "test_dedup_similarity.py::test_dup_span_rejects_bad_window",
         "test_dedup_similarity.py::test_dup_span_against_equals_full_rule_when_base_ids_first",
         "test_dedup_similarity.py::test_dup_span_against_store_wins_regardless_of_id_order",
-        "test_dedup_similarity.py::test_dup_span_against_validation"]},
+        "test_dedup_similarity.py::test_dup_span_against_validation",
+        "test_dedup_similarity.py::test_running_max_coverage_equals_naive_interval_check",
+        "test_dedup_similarity.py::test_dup_span_differential_vs_python_mirror"]},
     "X35": {"queries": [], "tests": [
         "test_release.py::test_release_writes_shards_manifest_and_passes_stable_gate",
         "test_release.py::test_release_gate_blocks_major_shift_unless_allowed",

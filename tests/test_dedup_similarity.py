@@ -824,3 +824,83 @@ def test_q128_abs_cap_non_binding_on_corpus(spark):
     assert max_len * num <= cap * den, (
         f"abs_cap={cap} binds at max normalized len {max_len}: raise the "
         f"cap in q128 or the oracle gate will (correctly) go red")
+
+
+# --- span-family property tests --------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@given(
+    st.integers(1, 12),                       # window k
+    st.integers(0, 40),                       # doc length n
+    st.sets(st.integers(0, 39), max_size=15), # flagged start positions
+)
+@settings(max_examples=300, deadline=None)
+def test_running_max_coverage_equals_naive_interval_check(k, n, flags):
+    """The gaps-and-islands trick _excise_spans rests on: with
+    fixed-length windows, `max(flag_end among starts <= t) >= t` is
+    EXACTLY `exists flagged f with f <= t <= f+k-1` — the latest start
+    before t also has the furthest end."""
+    flags = {f for f in flags if f < n}
+    runmax = -1
+    for t in range(n):
+        if t in flags:
+            runmax = max(runmax, t + k - 1)
+        covered_rule = runmax >= t
+        covered_naive = any(f <= t <= f + k - 1 for f in flags)
+        assert covered_rule == covered_naive, (k, t, sorted(flags))
+
+
+def _py_dup_span(docs, k):
+    """Pure-Python mirror of q127's rule (differential reference)."""
+    toks = {d: t.split() for d, t in docs if t.split()}
+    first: dict = {}
+    flags: dict = {d: set() for d in toks}
+    for d in sorted(toks):
+        ts = toks[d]
+        for p in range(len(ts) - k + 1):
+            w = " ".join(ts[p:p + k])
+            if w in first:
+                flags[d].add(p)
+            else:
+                first[w] = (d, p)
+    out = {}
+    for d, ts in toks.items():
+        runmax, kept = -1, []
+        for t, tok in enumerate(ts):
+            if t in flags[d]:
+                runmax = max(runmax, t + k - 1)
+            if runmax < t:
+                kept.append(tok)
+        out[d] = (len(ts), len(kept), " ".join(kept))
+    return out
+
+
+def test_dup_span_differential_vs_python_mirror(spark):
+    """Differential test on a seeded random corpus with a tiny
+    vocabulary (dense window collisions, many overlaps/self-repeats):
+    the Spark operator must agree with an independent pure-Python
+    implementation of the same rule, doc for doc."""
+    import hashlib
+    import random
+
+    rng = random.Random(1234)
+    vocab = [f"w{i}" for i in range(6)]
+    docs = [(d, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(0, 30))))
+            for d in range(40)]
+    expect = _py_dup_span(docs, 8)
+    got = {r.doc_id: (r.n_tokens, r.n_tokens_kept, r.cleaned_text)
+           for r in dedup.duplicate_span_removal(
+               spark.createDataFrame(docs, ["doc_id", "text"]),
+               window_tokens=8, with_text=True).collect()}
+    assert got == expect
+    # and the fingerprint column is md5 of the (normalized) reassembly
+    fp = {r.doc_id: r.cleaned_fp
+          for r in dedup.duplicate_span_removal(
+              spark.createDataFrame(docs, ["doc_id", "text"]),
+              window_tokens=8).collect()}
+    for d, (_, _, text) in expect.items():
+        assert fp[d] == hashlib.md5(text.encode()).hexdigest()
