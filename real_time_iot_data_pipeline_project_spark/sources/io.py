@@ -190,10 +190,10 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite",
 
 
 def read_orc(spark: SparkSession, path: str,
-             schema: str | None = None) -> DataFrame:
-    """S18 — ORC batch source. Pass ``schema`` (DDL string) to pin the
-    read schema (no inference footer scan), same contract as
-    read_jsonl."""
+             schema: T.StructType | str | None = None) -> DataFrame:
+    """S18 — ORC batch source. Pass ``schema`` (StructType or DDL
+    string) to pin the read schema (no inference footer scan), same
+    contract as read_jsonl."""
     r = spark.read
     if schema is not None:
         r = r.schema(schema)

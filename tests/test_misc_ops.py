@@ -630,6 +630,14 @@ def test_orc_round_trip_values_pushdown_and_partitioning(spark, tmp_path):
     assert "PartitionFilters: [" in plan and "l_returnflag" in plan.split(
         "PartitionFilters")[1][:120]
 
+    # schema-pinned read branch (StructType AND DDL string both accepted)
+    pinned = sio.read_orc(spark, p, schema=df.schema)
+    assert pinned.schema == df.schema and pinned.count() == df.count()
+    ddl = sio.read_orc(spark, p, schema=df.schema.simpleString()
+                       .removeprefix("struct<").removesuffix(">")
+                       .replace(":", " "))
+    assert ddl.count() == df.count()
+
     # predicate pushdown reaches the ORC scan
     flt = sio.read_orc(spark, p).filter(F.col("l_quantity") > 30)
     fplan = flt._jdf.queryExecution().executedPlan().toString()

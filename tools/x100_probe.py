@@ -236,9 +236,12 @@ def main() -> None:
         # the streaming fold (3 batches, store re-read per batch):
         # per-batch cost = increment join vs the growing store
         ("q130_span_stream", probe_query("q130_stream_span_scrub")),
-        # edit-distance verify: candidates grow ~linearly under the
-        # rotated-alphabet replicas (replicas share no shingles), and
-        # the banded DP is constant per pair — expectation ~linear
+        # edit-distance verify: ~linear through x10 (rotated-alphabet
+        # replicas share no shingles) — but ROT wraps at 26, so at
+        # factor 100 every doc has ~4 exact cross-replica twins and the
+        # verified-pair count itself explodes (measured 25.8x for the
+        # last decade; see STRESS_X10.md — a replica artifact, not
+        # operator cost). Per-verified-pair cost FELL at x100.
         ("q128_edit_verify", probe_query("q128_edit_distance_verify")),
     )
     for name, fn in probes:
