@@ -2888,6 +2888,56 @@ DEFERRED: list[str] = [
     # via warehouse.history.scd2_from_history; q112's incremental
     # oracle IS the full rebuild
     "q98_scd2_intervals",
+    # --- round-10 consolidation (VERDICT r9 item 1, rotation #6):
+    # twelve subsumable twins deferred so the round-6 analytics tail
+    # (q73/q74/q78/q95/q99/q100/q104/q107) and the round-9 operator
+    # tier (q119-q122) carry first-time official gate rows.  All twelve
+    # deferred twins carried green rows in CORRECTNESS_r09 (verified
+    # before this rotation); tests/test_export_order.py SUBSUMPTION
+    # maps each to in-window survivors; every deferred oracle still
+    # runs in the local gate.
+    # explode→grouped-count token aggregation is the literal prefix of
+    # q54's TF-IDF (document-frequency + term-count stages)
+    "q51_token_frequency",
+    # repetition-signal column arithmetic: the n-gram explode/agg shape
+    # is q54's prefix; scan-stage text-metric consumers run in q48's
+    # gate; values stay pinned by tests/test_textfns.py
+    "q60_repetition_signals",
+    # pure-hash stratified membership: family rows move to q70 (epoch
+    # shuffle, same pmod-hash membership) + promoted q104 (integer-
+    # lottery weighted sample); assign_split pinned by test_sampling
+    "q61_stratified_sample",
+    # scan-stage regexp redaction chain: shape runs inside q48's gate;
+    # the PII patterns stay value-pinned by tests/test_textfns.py
+    "q63_pii_redaction",
+    # corpus-level stat rollup: q62's per-shard stats is the same
+    # multi-metric agg over the same columns, one groupBy deeper (ONE
+    # corpus-stat row stays official, per the rotation sketch)
+    "q65_corpus_stats",
+    # int8 quantization: broadcast-dim grid twin of the ANN family row
+    # (q38 IVF); round-trip + grid math pinned by tests/test_quantize
+    "q68_embedding_quantization",
+    # source-leakage matrix: the verbatim 8-token chunk-hash overlap
+    # core is q64's chunk dedup (same grid, same md5 key); the
+    # contamination guarantee stays pinned by tests/test_contamination
+    "q71_source_leakage",
+    # unigram log-prob: token explode → frequency join is q54's
+    # document-frequency core; ln-sum decimal policy shared with q122
+    "q72_unigram_logprob",
+    # null-safe distinct audit: the conditional-agg DQ family row is
+    # q102's audit (same count_if/null-violation pass)
+    "q111_null_safe_unique",
+    # as-of dim snapshot read: q110 BUILDS the history star it reads;
+    # q112's incremental oracle replays the same SCD2 intervals
+    "q113_dim_snapshot_at",
+    # grouped Misra-Gries: q114 holds the batch heavy-hitter family
+    # row; promoted q120 hash-gates the streaming fold of the same
+    # bounded-state summary
+    "q115_grouped_heavy_hitters",
+    # LEFT ANTI exists-complement: the non-equi predicate riding an
+    # equi-join is q109's interval-join core; the grouped rollup is
+    # q94's; the anti/semi plan shape stays in tests/test_plans.py
+    "q116_unconverted_clicks",
 ]
 
 
@@ -5564,9 +5614,10 @@ POST_WINDOW: list[str] = [
     # LLM-curation mid tail — promoted INTO the official window; they
     # are no longer listed here, so export_order() places them in the
     # first-50 head in registration order.)
-    "q73_context_windows",
-    "q74_packing_report",
-    "q78_langid_confidence",
+    # (round 10, rotation #6: q73/q74/q78/q95/q99/q100/q104/q107 — the
+    # round-6 analytics tail — plus the round-9 operator tier
+    # q119-q122 promoted INTO the official window; twelve subsumable
+    # twins deferred, see the round-10 DEFERRED block.)
     # (round 6: q79 promoted INTO the official window — the bounded
     # max_doc_freq variant is the 100 TB production shape; its unbounded
     # exact-MOSS twin q56 moved to DEFERRED as the verification tier.)
@@ -5579,18 +5630,8 @@ POST_WINDOW: list[str] = [
     # block); they are no longer listed here, so export_order() places
     # them in the first-50 head in registration order.)
     # (round 6 second wave: q94/q96/q97/q98/q102 promoted INTO the
-    # official window — five subsumed twins deferred; q95/q99/q100/q103
-    # stay here on local-gate evidence.)
-    "q95_regional_revenue",
-    # round 6: per-domain quantile-band curation
-    "q99_quality_band",
-    # round 6: retention cohort matrix (first-event cohorts × weekly
-    # activity, all partial-aggregatable stages)
-    "q100_retention_cohorts",
-    # round 6: integer-exact weighted sampling (lottery tickets)
-    "q104_weighted_sample",
-    # round 6: chi-square independence (categorical analytics tier)
-    "q107_chi2_independence",
+    # official window — five subsumed twins deferred; q103 promoted in
+    # round 8; q95/q99/q100/q104/q107 promoted in round 10.)
     # (round 8, rotation #4: q103/q105/q106/q108 and the round-7 tier
     # q110-q116 promoted INTO the official window — eleven subsumable
     # twins deferred (see DEFERRED round-8 block); they are no longer
@@ -5600,17 +5641,9 @@ POST_WINDOW: list[str] = [
     # the round-8 operators — pulled forward from rotation #6 INTO the
     # official window, so the two newest operators get hard rows one
     # round early; VERDICT r8 item 1.)
-    # round 9: embedder → IVF-ANN handoff (X31 composition, VERDICT r8
-    # item 6) — scheduled for rotation #6 in tools/coverage_ledger.py
-    "q119_embed_ann",
-    # round 9: streaming heavy-hitters fold, hash-gated (X29 streaming
-    # tier, VERDICT r8 item 7) — scheduled for rotation #6
-    "q120_stream_heavy_fold",
-    # round 9: persistent-index batch ANN search (X32) — scheduled for
-    # rotation #6
-    "q121_index_batch_search",
-    # round 9: snapshot drift monitor (X33) — scheduled for rotation #6
-    "q122_drift_report",
+    # (round 10, rotation #6: q119 embed→ANN handoff, q120 streaming
+    # heavy-hitters fold, q121 persistent-index batch ANN, q122 drift
+    # monitor promoted INTO the official window.)
     # round 9 late additions — scheduled for rotation #7 (round 11):
     # leakage-safe cluster-keyed splits (X36), temperature domain
     # mixture (X37), SemDeDup semantic dedup (X38)

@@ -71,28 +71,35 @@ FLAGSHIP = [
     "q105_skew_report",
     "q106_aligned_corr",
     "q108_unpivot_melt",
+    # (round 10: q111/q113/q115/q116 rotated out — each carried
+    # official rows in CORRECTNESS_r08/_r09; survivors in SUBSUMPTION)
     "q110_history_star",
-    "q111_null_safe_unique",
     "q112_scd2_incremental",
-    "q113_dim_snapshot_at",
     "q114_heavy_hitters",
-    "q115_grouped_heavy_hitters",
-    "q116_unconverted_clicks",
     # round-9 promotions (rotation #5, VERDICT r8 item 1): the
     # LLM-curation mid tail + the round-8 operators pulled forward
-    "q51_token_frequency",
-    "q60_repetition_signals",
-    "q61_stratified_sample",
+    # (round 10: q51/q60/q61/q63/q65/q68/q71/q72 rotated out — each
+    # carried official rows in CORRECTNESS_r09; survivors in
+    # SUBSUMPTION below)
     "q62_shard_stats",
-    "q63_pii_redaction",
-    "q65_corpus_stats",
     "q66_domain_mixing",
-    "q68_embedding_quantization",
     "q70_epoch_shuffle",
-    "q71_source_leakage",
-    "q72_unigram_logprob",
     "q117_model_scores",
     "q118_hashing_embed",
+    # round-10 promotions (rotation #6, VERDICT r9 item 1): the
+    # round-6 analytics tail + the round-9 operator tier
+    "q73_context_windows",
+    "q74_packing_report",
+    "q78_langid_confidence",
+    "q95_regional_revenue",
+    "q99_quality_band",
+    "q100_retention_cohorts",
+    "q104_weighted_sample",
+    "q107_chi2_independence",
+    "q119_embed_ann",
+    "q120_stream_heavy_fold",
+    "q121_index_batch_search",
+    "q122_drift_report",
 ]
 
 # The exact round-6 official window (VERDICT r3 item 8: pin it so a
@@ -124,33 +131,47 @@ FLAGSHIP = [
 # LLM-curation mid tail q51/q60-q63/q65/q66/q68/q70-q72 plus the
 # round-8 operators q117/q118 (pulled forward from rotation #6)
 # promoted so they carry first-time official CORRECTNESS rows.
+# Round-10 change (rotation #6, VERDICT r9 item 1): q51/q60/q61/q63/
+# q65/q68/q71/q72/q111/q113/q115/q116 deferred (each subsumed by an
+# in-window survivor, see SUBSUMPTION; all twelve carried official rows
+# in CORRECTNESS_r09 — see tools/coverage_ledger.py), the round-6
+# analytics tail q73/q74/q78/q95/q99/q100/q104/q107 plus the round-9
+# operator tier q119-q122 promoted so they carry first-time official
+# CORRECTNESS rows.
 EXPECTED_WINDOW = [
-    "q23_ewma", "q27_iot_pipeline", "q60_repetition_signals",
+    "q23_ewma", "q27_iot_pipeline",
     "q32_minhash_lsh_pairs", "q38_ivf_topk",
     "q57_cube_rollup",
     "q79_winnow_overlap_bounded", "q47_session_windows",
     "q50_salted_join", "q53_dedup_clusters",
-    "q51_token_frequency", "q54_tfidf_top_terms",
+    "q54_tfidf_top_terms",
     "q48_training_data_pipeline",
-    "q61_stratified_sample", "q62_shard_stats", "q63_pii_redaction",
-    "q64_chunk_dedup", "q65_corpus_stats", "q66_domain_mixing",
-    "q67_sequence_packing", "q68_embedding_quantization",
-    "q70_epoch_shuffle", "q71_source_leakage", "q72_unigram_logprob",
+    "q62_shard_stats",
+    "q64_chunk_dedup", "q66_domain_mixing",
+    "q67_sequence_packing",
+    "q70_epoch_shuffle",
+    "q73_context_windows", "q74_packing_report",
     "q75_incremental_dedup", "q76_near_dedup_corpus",
+    "q78_langid_confidence",
     "q80_image_decode_stats",
     "q83_rolling_time_agg", "q85_asof_nearest",
     "q86_time_weighted_avg", "q88_ohlc_bars",
     "q91_audio_decode_stats", "q92_feature_matrix",
     "q93_conversion_funnel",
-    "q94_shipping_priority", "q102_dq_audit",
-    "q103_incremental_rollup", "q105_skew_report",
-    "q106_aligned_corr", "q108_unpivot_melt",
+    "q94_shipping_priority", "q95_regional_revenue",
+    "q99_quality_band", "q100_retention_cohorts",
+    "q102_dq_audit",
+    "q103_incremental_rollup", "q104_weighted_sample",
+    "q105_skew_report",
+    "q106_aligned_corr", "q107_chi2_independence",
+    "q108_unpivot_melt",
     "q109_interval_join",
-    "q110_history_star", "q111_null_safe_unique",
-    "q112_scd2_incremental", "q113_dim_snapshot_at",
-    "q114_heavy_hitters", "q115_grouped_heavy_hitters",
-    "q116_unconverted_clicks",
+    "q110_history_star",
+    "q112_scd2_incremental",
+    "q114_heavy_hitters",
     "q117_model_scores", "q118_hashing_embed",
+    "q119_embed_ann", "q120_stream_heavy_fold",
+    "q122_drift_report", "q121_index_batch_search",
 ]
 
 # Round-4/6 deferrals: each subsumed query's operator stays asserted by
@@ -294,15 +315,18 @@ SUBSUMPTION = {
     # exact-dedup md5 hash-groupBy: identical core of q64 (chunk
     # granularity) and q75 (incremental anti-join)
     "q30_fingerprint_dedup": ["q64_chunk_dedup", "q75_incremental_dedup"],
-    # contamination: q71's source-leakage matrix is the same verbatim-
-    # chunk overlap operator (promoted this rotation)
-    "q52_contamination_screen": ["q71_source_leakage"],
+    # contamination: the verbatim 8-token chunk-hash overlap core is
+    # q64's chunk-dedup grid (r10 re-point: former survivor q71
+    # deferred, itself subsumed by q64); the probe-dim broadcast +
+    # winnow guarantee stay pinned by tests/test_contamination.py
+    "q52_contamination_screen": ["q64_chunk_dedup"],
     # funnel stage counts = conditional aggregates over q48's verbatim
     # gate chain; the conditional-agg audit shape is q102's
     "q69_curation_funnel": ["q48_training_data_pipeline", "q102_dq_audit"],
-    # pure-hash split membership: family rows move to the promoted
-    # stratified sample + epoch shuffle
-    "q77_train_val_test": ["q61_stratified_sample", "q70_epoch_shuffle"],
+    # pure-hash split membership: family rows are q70's epoch-shuffle
+    # pmod-hash membership + promoted q104's integer-lottery sampling
+    # (r10 re-point: former survivor q61 deferred)
+    "q77_train_val_test": ["q70_epoch_shuffle", "q104_weighted_sample"],
     # backward as-of: q85 composes backward+forward; q92 runs the same
     # asof_join callable keyed by (user, signal)
     "q81_asof_join": ["q85_asof_nearest", "q92_feature_matrix"],
@@ -320,14 +344,64 @@ SUBSUMPTION = {
     # exists-per-key semi/anti family: q116 is the LEFT ANTI complement
     # with the same non-equi predicate riding the join; grouped rollup
     # is q94's; left_semi plan pinned by tests/test_plans.py
-    "q96_order_priority_check": ["q116_unconverted_clicks",
+    # (r10 re-point: former survivor q116 deferred — the non-equi
+    # predicate riding an equi-join is q109's interval-join core)
+    "q96_order_priority_check": ["q109_interval_join",
                                  "q94_shipping_priority"],
     # max_by(struct) winner-per-key is q88's OHLC open/close core; the
     # history-tier snapshot consumer is q113's as-of dim lookup
-    "q97_cdc_snapshot": ["q88_ohlc_bars", "q113_dim_snapshot_at"],
+    # (r10 re-point: former survivor q113 deferred — q112's
+    # incremental oracle replays the same SCD2 interval read)
+    "q97_cdc_snapshot": ["q88_ohlc_bars", "q112_scd2_incremental"],
     # SCD2 build: q110 builds the same dimension via
     # warehouse.history.scd2_from_history; q112's oracle IS the rebuild
     "q98_scd2_intervals": ["q110_history_star", "q112_scd2_incremental"],
+    # --- round 10 (rotation #6, VERDICT r9 item 1: open slots for the
+    # q73-q107 analytics tail + the round-9 operator tier q119-q122) ---
+    # explode→grouped-count token aggregation is the literal prefix of
+    # q54's TF-IDF (term-count + document-frequency stages)
+    "q51_token_frequency": ["q54_tfidf_top_terms"],
+    # repetition n-gram explode/agg shape is q54's prefix; scan-stage
+    # text-metric consumers run inside q48's gate; values pinned by
+    # tests/test_textfns.py
+    "q60_repetition_signals": ["q54_tfidf_top_terms",
+                               "q48_training_data_pipeline"],
+    # pure-hash stratified membership: q70's pmod-hash epoch shuffle +
+    # promoted q104's integer-lottery weighted sample; assign_split
+    # stays pinned by tests/test_sampling.py
+    "q61_stratified_sample": ["q70_epoch_shuffle", "q104_weighted_sample"],
+    # scan-stage regexp redaction chain runs with q48's gate shape; the
+    # PII patterns stay value-pinned by tests/test_textfns.py
+    "q63_pii_redaction": ["q48_training_data_pipeline"],
+    # corpus-level stat rollup: q62's per-shard stats is the same
+    # multi-metric agg over the same columns, one groupBy deeper
+    "q65_corpus_stats": ["q62_shard_stats"],
+    # int8 quantization: broadcast-grid twin of the ANN family row;
+    # round-trip + grid math pinned by tests/test_quantize.py
+    "q68_embedding_quantization": ["q38_ivf_topk"],
+    # source-leakage matrix: the verbatim 8-token chunk-hash overlap
+    # core is q64's chunk-dedup grid (same md5 key); contamination
+    # guarantee pinned by tests/test_contamination.py
+    "q71_source_leakage": ["q64_chunk_dedup"],
+    # unigram log-prob: token explode → frequency join is q54's
+    # document-frequency core
+    "q72_unigram_logprob": ["q54_tfidf_top_terms"],
+    # null-safe distinct audit: conditional-agg DQ family row is q102
+    "q111_null_safe_unique": ["q102_dq_audit"],
+    # as-of dim snapshot read: q110 builds the star it reads; q112's
+    # incremental oracle replays the same SCD2 intervals
+    "q113_dim_snapshot_at": ["q110_history_star",
+                             "q112_scd2_incremental"],
+    # grouped Misra-Gries: q114 holds the batch heavy-hitter family
+    # row; promoted q120 hash-gates the streaming fold of the same
+    # bounded-state summary
+    "q115_grouped_heavy_hitters": ["q114_heavy_hitters",
+                                   "q120_stream_heavy_fold"],
+    # LEFT ANTI exists-complement: non-equi predicate riding an
+    # equi-join is q109's core; grouped rollup is q94's; anti/semi
+    # plan shape stays in tests/test_plans.py
+    "q116_unconverted_clicks": ["q109_interval_join",
+                                "q94_shipping_priority"],
 }
 
 
