@@ -140,6 +140,11 @@ HEADLINE = [
     "q70_epoch_shuffle",
     "q71_source_leakage",
     "q72_unigram_logprob",
+    # round-10 window closure (rotation #6): the promoted round-6
+    # tail queries not yet in the headline set
+    "q73_context_windows",
+    "q74_packing_report",
+    "q78_langid_confidence",
     # round-9 additions: the embedder → IVF-ANN handoff composition
     # and the hash-gated streaming heavy-hitters fold
     "q119_embed_ann",
@@ -206,8 +211,20 @@ def main() -> None:
 def _infer_round() -> str:
     """Round tag for the durable bench artifact: $SPARK_GRAFT_ROUND if
     set (digits are zero-padded so r9 and r09 can't diverge), else
-    (max CORRECTNESS_r{N} in the repo) + 1 — the driver runs bench for
-    round N while the newest correctness file is N-1."""
+    inferred from the driver's artifact sequence.  The driver's
+    end-of-round-N sequence is: write CORRECTNESS_r{N} → run bench →
+    write BENCH_r{N} (observed in round 9: both landed in one driver
+    commit, with bench running in between).  So at bench time:
+
+    - CORRECTNESS_r{maxC} present but BENCH_r{maxC} absent → this IS
+      the driver's official run for round maxC → plain ``r{maxC}``.
+    - both present → round maxC is closed, this is a mid-round-(maxC+1)
+      local run → ``r{maxC+1}_local`` (plain r{N}.json names stay
+      driver-reserved, per the BENCH.md protocol note).
+
+    The round-9 inference (always maxC+1) misfiled the driver's own
+    round-9 record as r10.json — VERDICT r9 residual nit; fixed here
+    and the artifact renamed to r09.json."""
     env = os.environ.get("SPARK_GRAFT_ROUND")
     if env:
         return f"{int(env):02d}" if env.isdigit() else env
@@ -219,7 +236,12 @@ def _infer_round() -> str:
         m = re.search(r"_r(\d+)\.json$", p)
         if m:
             rounds.append(int(m.group(1)))
-    return f"{max(rounds) + 1:02d}" if rounds else "unknown"
+    if not rounds:
+        return "unknown"
+    max_c = max(rounds)
+    if not os.path.exists(os.path.join(here, f"BENCH_r{max_c:02d}.json")):
+        return f"{max_c:02d}"
+    return f"{max_c + 1:02d}_local"
 
 
 def _persist(record: dict) -> None:
@@ -230,9 +252,11 @@ def _persist(record: dict) -> None:
     round-over-round comparison reads instead.
 
     Only a run at the OFFICIAL scale (sf0.1, the driver's default)
-    claims the plain r{N}.json name; ad-hoc runs at other SFs get an
+    claims an unsuffixed-sf name; ad-hoc runs at other SFs get an
     sf-suffixed file so a sf0.001 smoke test can never clobber the
-    round's official record."""
+    round's official record.  An existing file is NEVER overwritten
+    (lineage safety, VERDICT r9 item 4): collisions fall through to
+    ``-2``, ``-3``, ... suffixes."""
     here = os.path.dirname(os.path.abspath(__file__))
     hist = os.path.join(here, "bench_history")
     os.makedirs(hist, exist_ok=True)
@@ -240,6 +264,10 @@ def _persist(record: dict) -> None:
     if record["sf"] != 0.1:
         tag += f"_sf{record['sf']}"
     out = os.path.join(hist, f"{tag}.json")
+    n = 1
+    while os.path.exists(out):
+        n += 1
+        out = os.path.join(hist, f"{tag}-{n}.json")
     with open(out, "w") as f:
         json.dump(record, f, indent=1, sort_keys=True)
         f.write("\n")
