@@ -50,23 +50,10 @@ UNGATEABLE = frozenset({
 # lands in to (rotation_no, queries) — the rotation number is stored,
 # not derived, so editing history never misnumbers the report.
 PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
-    # rotation #6 — the packing/analytics tail
-    10: (6, [
-        "q73_context_windows",
-        "q74_packing_report",
-        "q78_langid_confidence",
-        "q95_regional_revenue",
-        "q99_quality_band",
-        "q100_retention_cohorts",
-        "q104_weighted_sample",
-        "q107_chi2_independence",
-        # round-9 additions: the embedder → IVF-ANN handoff and the
-        # streaming heavy-hitters fold
-        "q119_embed_ann",
-        "q120_stream_heavy_fold",
-        "q121_index_batch_search",
-        "q122_drift_report",
-    ]),
+    # (rotation #6 — the packing/analytics tail q73/q74/q78/q95/q99/
+    # q100/q104/q107 + the round-9 operator tier q119-q122 — EXECUTED
+    # in round 10; entry removed per the staleness contract in
+    # tests/test_coverage_ledger.py.)
     # rotation #7 — the round-9 late tier: leakage-safe splits (X36),
     # temperature mixture (X37), SemDeDup (X38)
     11: (7, [
