@@ -163,6 +163,8 @@ HEADLINE = [
     "q128_edit_distance_verify",
     "q129_dup_span_incremental",
     "q130_stream_span_scrub",
+    # round 10: real merge-table BPE tokenization (X41)
+    "q131_bpe_token_frequency",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

@@ -202,6 +202,14 @@ EVIDENCE: dict[str, dict] = {
         "test_dedup_similarity.py::test_two_level_assign_equals_flat_on_separated_data",
         "test_dedup_similarity.py::test_two_level_assign_is_bucket_consistent_on_real_data",
         "test_dedup_similarity.py::test_semantic_dedup_two_level_keeps_invariants"]},
+    "X41": {"queries": ["q131_bpe_token_frequency"], "tests": [
+        "test_bpe.py::test_training_is_deterministic_and_pinned",
+        "test_bpe.py::test_merge_table_well_formed",
+        "test_bpe.py::test_single_step_equals_all_occurrences",
+        "test_bpe.py::test_spark_recursive_encoder_matches_reference",
+        "test_bpe.py::test_bpe_token_frequency_matches_reference",
+        "test_bpe.py::test_with_bpe_tokens_order_and_counts",
+        "test_bpe.py::test_chunking_bounds_sequences"]},
     "X40": {"queries": ["q128_edit_distance_verify"], "tests": [
         "test_dedup_similarity.py::test_edit_verify_exact_and_near_dups",
         "test_dedup_similarity.py::test_edit_verify_rejects_block_swapped_candidate",
