@@ -163,8 +163,10 @@ HEADLINE = [
     "q128_edit_distance_verify",
     "q129_dup_span_incremental",
     "q130_stream_span_scrub",
-    # round 10: real merge-table BPE tokenization (X41)
+    # round 10: real merge-table BPE tokenization (X41) and the
+    # streaming SemDeDup increment (X42)
     "q131_bpe_token_frequency",
+    "q132_stream_semantic_dedup",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

@@ -210,6 +210,12 @@ EVIDENCE: dict[str, dict] = {
         "test_bpe.py::test_bpe_token_frequency_matches_reference",
         "test_bpe.py::test_with_bpe_tokens_order_and_counts",
         "test_bpe.py::test_chunking_bounds_sequences"]},
+    "X42": {"queries": ["q132_stream_semantic_dedup"], "tests": [
+        "test_streaming.py::test_streaming_semantic_dedup_retroactive_merge",
+        "test_streaming.py::test_streaming_semantic_sink_engine_equals_direct",
+        "test_streaming.py::test_semantic_sink_crash_replay_idempotent",
+        "test_streaming.py::test_semantic_sink_empty_batch_and_no_pairs",
+        "test_streaming.py::test_semantic_sink_first_batch_store_crash_recovers"]},
     "X40": {"queries": ["q128_edit_distance_verify"], "tests": [
         "test_dedup_similarity.py::test_edit_verify_exact_and_near_dups",
         "test_dedup_similarity.py::test_edit_verify_rejects_block_swapped_candidate",

@@ -298,6 +298,46 @@ def sampled_centroids(df: DataFrame, n_centroids: int,
     )
 
 
+def pair_side(assigned: DataFrame, tag: str,
+              vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """One side of the in-bucket pair join, written once (shared by
+    ``semantic_dedup`` and the streaming fold in
+    streaming/semantic_stream.py so the pair expression can never
+    drift between the batch rule and its incremental twin): projects
+    an ``assign_centroids`` frame to ``(id_{tag}, v{tag}, centroid_id,
+    __n{tag})`` with the per-VECTOR norm precomputed BEFORE the join —
+    cosine(a, b) = dot/(‖a‖·‖b‖) with each ‖·‖ the same
+    sqrt-of-aggregate expression evaluated once per row instead of
+    once per PAIR: bit-identical value (identical expression tree per
+    operand), ~3× less per-pair array work on the Σ bucket² stage."""
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return assigned.select(
+        F.col(id_col).alias(f"id_{tag}"),
+        F.col(vec_col).alias(f"v{tag}"),
+        "centroid_id",
+        _norm(vec_d).alias(f"__n{tag}"))
+
+
+def bucket_cosine_pairs(a: DataFrame, b: DataFrame,
+                        threshold: float) -> DataFrame:
+    """In-bucket ≥ ``threshold`` cosine pairs between two ``pair_side``
+    frames (tags 'a'/'b'): returns (id_a, id_b, cosine_sim). Pure
+    equi-join on centroid_id — Σ bucket² work, never all-pairs.
+    Orientation/self-pair policy is the CALLER's (semantic_dedup
+    filters id_a < id_b on the self-join; the streaming fold joins the
+    batch side against the store side where ids are disjoint)."""
+    va = F.transform(F.col("va"), lambda x: x.cast("double"))
+    vb = F.transform(F.col("vb"), lambda x: x.cast("double"))
+    return (
+        a.join(b, "centroid_id")
+        .select("id_a", "id_b",
+                (_dot(va, vb) / (F.col("__na") * F.col("__nb")))
+                .alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def semantic_dedup(df: DataFrame, centroids: DataFrame,
                    threshold: float = 0.3,
                    vec_col: str = "embedding",
@@ -346,28 +386,11 @@ def semantic_dedup(df: DataFrame, centroids: DataFrame,
     # checkpoints.
     assigned = assign(df, centroids, vec_col=vec_col, id_col=id_col) \
         .localCheckpoint()
-    # per-VECTOR norms precomputed BEFORE the pair join: cosine(a, b)
-    # = dot/(‖a‖·‖b‖) with each ‖·‖ the same sqrt-of-aggregate
-    # expression evaluated once per row instead of once per PAIR —
-    # bit-identical value (identical expression tree per operand),
-    # ~3× less per-pair array work on the Σ bucket² stage
-    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    sides = assigned.select(
-        F.col(id_col), F.col(vec_col), "centroid_id",
-        _norm(vec_d).alias("__norm"))
-    va = F.transform(F.col("va"), lambda x: x.cast("double"))
-    vb = F.transform(F.col("vb"), lambda x: x.cast("double"))
-    a = sides.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-                     "centroid_id", F.col("__norm").alias("__na"))
-    b = sides.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-                     "centroid_id", F.col("__norm").alias("__nb"))
     pairs = (
-        a.join(b, "centroid_id")
+        bucket_cosine_pairs(pair_side(assigned, "a", vec_col, id_col),
+                            pair_side(assigned, "b", vec_col, id_col),
+                            threshold)
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b",
-                (_dot(va, vb) / (F.col("__na") * F.col("__nb")))
-                .alias("cosine_sim"))
-        .filter(F.col("cosine_sim") >= threshold)
     )
     comp = graph.connected_components_star(
         df.select(id_col), pairs, id_col=id_col

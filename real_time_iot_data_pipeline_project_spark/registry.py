@@ -5667,6 +5667,37 @@ def q131_bpe_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenize.bpe_token_frequency(spark, docs)
 
 
+@query("q132_stream_semantic_dedup", _semantic_dedup_sql())
+def q132_stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X42 streaming tier of X38, hash-gated end-to-end (VERDICT r9
+    item 6): the corpus folded through the STREAMING SemDeDup increment
+    (streaming/semantic_stream.process_semantic_batch) in three
+    deterministic micro-batches (vec_id mod 3 — the foreachBatch body
+    invoked directly with its batch_id contract; stream-engine ==
+    direct-invocation equivalence is pinned by the availableNow test in
+    tests/test_streaming.py). Each batch logs its ≥τ in-bucket pairs
+    against the pinned-centroid store of all prior batches plus itself,
+    and ``semantic_groups`` closes the log with one edge-sized CC —
+    which equals the BATCH rule exactly (every unordered pair lands in
+    exactly one fold step, so the edge-log union IS q125's pair graph;
+    retroactive cross-batch group merges close at read time). The
+    oracle is therefore literally q125's SQL: a green hash proves
+    fold == batch, the strongest incremental contract the dedup tier
+    has. /tmp store is per-process, removed at exit (_scratch_dir)."""
+    from .streaming import semantic_stream
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.sampled_centroids(emb, n_centroids=16)
+    root = _scratch_dir("q132", sf_dir)
+    semantic_stream.init_semantic_store(cents, f"{root}/store")
+    for b in range(3):
+        semantic_stream.process_semantic_batch(
+            emb.filter(F.pmod(F.col("vec_id"), F.lit(3)) == b), b,
+            f"{root}/store", threshold=0.3)
+    return (semantic_stream.semantic_groups(spark, f"{root}/store")
+            .select("vec_id", "centroid_id", "group_id", "keep"))
+
+
 @query("q128_edit_distance_verify", _edit_verify_sql())
 def q128_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X40 — exact Levenshtein verification of the q32 MinHash-LSH
@@ -5746,6 +5777,9 @@ POST_WINDOW: list[str] = [
     # round 10: real merge-table BPE tokenization (X41, VERDICT r9
     # item 3) — scheduled for rotation #7 alongside q123-q130
     "q131_bpe_token_frequency",
+    # round 10: streaming SemDeDup increment (X42, VERDICT r9 item 6)
+    # — scheduled for rotation #7 alongside q123-q131
+    "q132_stream_semantic_dedup",
 ]
 
 

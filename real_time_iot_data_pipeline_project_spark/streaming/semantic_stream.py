@@ -1,0 +1,206 @@
+"""Streaming SemDeDup increment (X42): fold embedding micro-batches
+into the batch semantic-dedup rule (operators/similarity.semantic_dedup;
+Abbas et al. 2023, arXiv:2303.09540) without ever re-pairing ingested
+vectors — the crawl shape where tomorrow's embeddings must be deduped
+against everything embedded today.
+
+Why the fold is EXACT (not approximate): the batch rule's group
+structure is the connected components of the ≥τ in-bucket pair graph.
+For a corpus arriving in batches, every unordered pair (i, j) with i in
+batch p ≥ q ∋ j lands in exactly one fold step — batch p's, where j is
+either already in the store (p > q) or in the same batch (p = q, taken
+once under id_a < id_b). So the UNION of the per-batch edge logs is
+exactly the batch pair graph, and one read-time connected-components
+pass over the log (edge-sized, the same CC the batch rule runs)
+reproduces the batch groups bit-for-bit — including RETROACTIVE merges,
+where a new vector bridges two groups formed in earlier batches. No
+per-batch group state is ever rewritten; merges are closed at read
+time.
+
+Centroids are pinned at ``init_semantic_store`` and never move (the
+persistent IVF index's append contract, operators/ann_index.py): the
+fold assigns every batch against the SAME centroid frame, which is what
+makes per-batch work O(batch·C) assignment + batch-vs-store in-bucket
+pairs instead of a full recompute. Like the batch rule, the bucket
+partition is a recall trade — a ≥τ pair straddling two buckets is
+missed identically in both paths.
+
+Per-batch cost at scale: one broadcast assignment of the batch, one
+equi-join of the batch's buckets against the store's (Σ per-bucket
+batch·store work — the store side is shuffled by centroid_id, vectors
+never ride a corpus-wide shuffle), two batch-keyed writes. Store
+growth: vectors += batch, edges += new ≥τ pairs (the same Σ bucket²
+total the batch rule materializes transiently).
+
+Delivery: exactly-once via the q130 span-sink contract
+(streaming/curation.process_span_batch) — both writes are
+batch_id-keyed overwrite directories, and the store-side read excludes
+the batch's OWN partition so a checkpoint replay cannot pair a batch
+against its prior contribution. Vector ids must be unique across the
+stream (the same contract every dedup tier carries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import graph, similarity
+from .curation import _dir_exists
+
+__all__ = [
+    "init_semantic_store",
+    "process_semantic_batch",
+    "start_semantic_dedup_sink",
+    "semantic_groups",
+]
+
+
+def init_semantic_store(centroids: DataFrame, store: str) -> None:
+    """Pin the centroid frame the whole stream will assign against —
+    (centroid_id, cvec), e.g. ``similarity.sampled_centroids`` of a
+    seed corpus. Write-once semantics: the fold's exactness argument
+    assumes every batch saw the SAME centroids, so re-initialising an
+    in-flight store with different centroids corrupts it (overwrite
+    mode only so a driver-side retry of the init itself is idempotent;
+    it is not a re-centering mechanism — recentering means rebuild,
+    exactly like the persistent IVF index)."""
+    centroids.select("centroid_id", "cvec") \
+        .write.mode("overwrite").parquet(f"{store}/centroids")
+
+
+def process_semantic_batch(batch_df: DataFrame, batch_id: int, store: str,
+                           threshold: float = 0.3,
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id") -> None:
+    """One micro-batch of the streaming SemDeDup fold (module-level so
+    the crash-replay test and the hash-gated registry query can drive
+    it directly with pinned batch_ids — the q130 pattern).
+
+    Fold step: assign the batch against the pinned centroids, log every
+    ≥τ in-bucket pair the batch forms with (a) the stored vectors of
+    all PRIOR batches and (b) itself (id_a < id_b — each unordered pair
+    once), then append the assigned batch to the vector store. Edges
+    are normalized to (least, greatest) so the accumulated log is
+    orientation-identical to the batch rule's id_a < id_b pair set.
+
+    Exactly-once: both writes are batch_id-keyed overwrite directories
+    and the store read excludes the batch's OWN partition (checkpoint
+    replay cannot pair the batch against its prior contribution). The
+    edge write happens FIRST: it is the one that reads the vector
+    store, and the vector write must never race a reader of the
+    partition it overwrites (the assignment is localCheckpointed, so
+    the vector write reads nothing but materialized state)."""
+    spark = batch_df.sparkSession
+    if not batch_df.head(1):
+        return
+    cents = spark.read.parquet(f"{store}/centroids")
+    # localCheckpoint: read three times (both pair sides + the vector
+    # write) — and it makes the vector-store write below plan-free of
+    # the store it overwrites a partition of (see docstring)
+    assigned = similarity.assign_centroids(
+        batch_df.select(id_col, vec_col), cents,
+        vec_col=vec_col, id_col=id_col).localCheckpoint()
+    vec_path = f"{store}/vectors"
+    if _dir_exists(spark, vec_path):
+        # explicit schema: a crash during the FIRST batch's vector
+        # write can leave a data-file-less directory, and schema
+        # inference there raises — wedging every checkpoint replay
+        # (the q130 first-batch-crash contract). In that state
+        # partition discovery sees no batch_id=N dirs either, so the
+        # own-partition exclusion is conditional too.
+        base = spark.read.schema(assigned.schema).parquet(vec_path)
+        if "batch_id" in base.columns:
+            base = (base
+                    .filter(F.col("batch_id") != F.lit(batch_id))
+                    .drop("batch_id"))
+    else:
+        base = spark.createDataFrame([], assigned.schema)
+    a = similarity.pair_side(assigned, "a", vec_col, id_col)
+    edges = (
+        similarity.bucket_cosine_pairs(
+            a, similarity.pair_side(base, "b", vec_col, id_col), threshold)
+        .unionByName(
+            similarity.bucket_cosine_pairs(
+                a, similarity.pair_side(assigned, "b", vec_col, id_col),
+                threshold)
+            .filter(F.col("id_a") < F.col("id_b")))
+        .select(F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"))
+    )
+    edges.write.mode("overwrite").parquet(
+        f"{store}/edges/batch_id={batch_id}")
+    assigned.write.mode("overwrite").parquet(
+        f"{vec_path}/batch_id={batch_id}")
+
+
+def start_semantic_dedup_sink(vecs: DataFrame, checkpoint: str, store: str,
+                              threshold: float = 0.3,
+                              vec_col: str = "embedding",
+                              id_col: str = "vec_id",
+                              available_now: bool = False):
+    """Streaming SemDeDup sink: each micro-batch of embeddings extends
+    the pinned-centroid semantic-dedup store (see module docstring);
+    ``semantic_groups`` closes the accumulated log into the exact batch
+    groups at read time. ``init_semantic_store`` must have run first.
+
+    foreachBatch because the fold is a batch join against a growing
+    static table plus two idempotent writes — outside the continuous
+    API. Delivery: exactly-once (batch_id-keyed overwrite)."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        process_semantic_batch(batch_df, batch_id, store,
+                               threshold=threshold,
+                               vec_col=vec_col, id_col=id_col)
+
+    w = (
+        vecs.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def semantic_groups(spark: SparkSession, store: str,
+                    id_col: str = "vec_id") -> DataFrame:
+    """Close the accumulated fold into groups: one connected-components
+    pass over the edge LOG (edge-sized — the identical CC the batch
+    rule runs on its transient pair frame), joined back to the stored
+    assignments. Returns (id_col, centroid_id, group_id, keep) — the
+    exact ``semantic_dedup`` output schema and, because the edge-log
+    union IS the batch pair graph (module docstring), the exact batch
+    values: retroactive group merges are closed here, not by rewriting
+    store partitions.
+
+    Raises if the vector store is unreadable/uninitialized (no batch
+    ever committed) — there is nothing to group. The edge log, by
+    contrast, is read with a pinned schema: a batch whose edge frame
+    was EMPTY can legitimately leave a data-file-less partition (AQE
+    may plan zero output files), and that must read as zero edges, not
+    an inference error."""
+    vecs = spark.read.parquet(f"{store}/vectors")
+    if "batch_id" in vecs.columns:
+        vecs = vecs.drop("batch_id")
+    idt = dict(vecs.dtypes)[id_col]
+    edge_path = f"{store}/edges"
+    if _dir_exists(spark, edge_path):
+        edges = spark.read.schema(f"id_a {idt}, id_b {idt}") \
+            .parquet(edge_path)
+    else:
+        edges = spark.createDataFrame([], f"id_a {idt}, id_b {idt}")
+    comp = graph.connected_components_star(
+        vecs.select(id_col), edges, id_col=id_col)
+    # shuffle_hash join-back, the batch rule's: the corpus-sized
+    # assignment must never be SORTED to pick up its group label
+    return (
+        vecs.select(id_col, "centroid_id")
+        .join(comp.withColumnRenamed("id", id_col).hint("shuffle_hash"),
+              id_col)
+        .select(
+            id_col,
+            "centroid_id",
+            F.col("component").alias("group_id"),
+            (F.col("component") == F.col(id_col)).alias("keep"),
+        )
+    )

@@ -1610,3 +1610,193 @@ def test_compact_span_store_cli_and_empty_store(spark, tmp_path):
     out = str(tmp_path / "out_cli")
     pipelines.main(["compact-span-store", real, "--output", out])
     assert spark.read.parquet(f"{out}/hashes").count() > 0
+
+
+# ---------------------------------------------------------------------------
+# X42 — streaming SemDeDup increment (semantic_stream)
+# ---------------------------------------------------------------------------
+
+def _sem_vectors():
+    """A 4-dim corpus with controlled cosine structure at τ = 0.9
+    (cos 25.84°): bucket c1 holds vectors at angles 0°/20°/60°/40° in
+    the (dim0, dim1) plane — v1~v2 (cos 20° ≈ .94) group in batch 0,
+    v3 (60°) is a singleton after batch 1, and v4 (40°) arriving in
+    batch 2 bridges BOTH (cos 20° to each) — the retroactive
+    cross-batch merge. v5 sits alone in bucket c2."""
+    import math
+
+    def at(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r), 0.0, 0.0]
+
+    return {
+        0: [(1, at(0)), (2, at(20))],
+        1: [(3, at(60)), (5, [0.0, 0.0, 1.0, 0.0])],
+        2: [(4, at(40))],
+    }
+
+
+def _sem_store(spark, tmp_path, threshold=0.9):
+    from real_time_iot_data_pipeline_project_spark.streaming import (
+        semantic_stream,
+    )
+
+    cents = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]), (200, [0.0, 0.0, 1.0, 0.0])],
+        "centroid_id long, cvec array<float>")
+    store = str(tmp_path / "semstore")
+    semantic_stream.init_semantic_store(cents, store)
+    return cents, store
+
+
+def _sem_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>")
+
+
+def test_streaming_semantic_dedup_retroactive_merge(spark, tmp_path):
+    """The fold's headline exactness claim: a batch-2 vector bridging
+    two groups formed in batches 0/1 merges them at read time, and the
+    closed result equals BATCH semantic_dedup on the full corpus with
+    the same pinned centroids — bit-for-bit (q132's hash gate is this
+    contract at corpus scale)."""
+    from real_time_iot_data_pipeline_project_spark.operators import (
+        similarity,
+    )
+    from real_time_iot_data_pipeline_project_spark.streaming import (
+        semantic_stream,
+    )
+
+    batches = _sem_vectors()
+    cents, store = _sem_store(spark, tmp_path)
+    for b in range(3):
+        semantic_stream.process_semantic_batch(
+            _sem_df(spark, batches[b]), b, store, threshold=0.9)
+
+    got = {r.vec_id: (r.centroid_id, r.group_id, r.keep)
+           for r in semantic_stream.semantic_groups(spark, store).collect()}
+    # v1..v4 one group rooted at 1 (v4 bridged {1,2} and {3}); v5 alone
+    assert got == {
+        1: (100, 1, True), 2: (100, 1, False), 3: (100, 1, False),
+        4: (100, 1, False), 5: (200, 5, True),
+    }
+
+    full = _sem_df(spark, [v for b in batches.values() for v in b])
+    batch_rule = {r.vec_id: (r.centroid_id, r.group_id, r.keep)
+                  for r in similarity.semantic_dedup(
+                      full, cents, threshold=0.9).collect()}
+    assert got == batch_rule
+
+
+def test_streaming_semantic_sink_engine_equals_direct(spark, tmp_path):
+    """availableNow stream-engine run == direct foreachBatch-body
+    invocation (the equivalence q132's direct-drive gate builds on)."""
+    from real_time_iot_data_pipeline_project_spark.streaming import (
+        semantic_stream,
+    )
+
+    batches = _sem_vectors()
+    src = tmp_path / "vec_in"
+    src.mkdir()
+    for b in range(3):
+        _sem_df(spark, batches[b]).coalesce(1).write.mode(
+            "overwrite").parquet(str(src / f"b{b}.parquet"))
+
+    _, stream_store = _sem_store(spark, tmp_path / "s1")
+    vecs = (spark.readStream
+            .schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*/"))
+    q = semantic_stream.start_semantic_dedup_sink(
+        vecs, str(tmp_path / "ckpt"), stream_store, threshold=0.9,
+        available_now=True)
+    q.awaitTermination(120)
+
+    _, direct_store = _sem_store(spark, tmp_path / "s2")
+    for b in range(3):
+        semantic_stream.process_semantic_batch(
+            _sem_df(spark, batches[b]), b, direct_store, threshold=0.9)
+
+    key = lambda d: sorted(map(tuple, d.collect()))  # noqa: E731
+    assert key(semantic_stream.semantic_groups(spark, stream_store)) \
+        == key(semantic_stream.semantic_groups(spark, direct_store))
+
+
+def test_semantic_sink_crash_replay_idempotent(spark, tmp_path):
+    """Exactly-once: a crash between the edge write and the vector
+    write, followed by a checkpoint replay of the SAME batch_id,
+    converges; so does a full replay after a completed batch (the
+    store now holds this batch's own vectors — the own-partition
+    exclusion keeps the replayed edges identical)."""
+    import shutil
+
+    from real_time_iot_data_pipeline_project_spark.streaming import (
+        semantic_stream,
+    )
+
+    batches = _sem_vectors()
+    _, store = _sem_store(spark, tmp_path)
+    for b in range(3):
+        semantic_stream.process_semantic_batch(
+            _sem_df(spark, batches[b]), b, store, threshold=0.9)
+    baseline = sorted(map(tuple, semantic_stream.semantic_groups(
+        spark, store).collect()))
+    edges_n = spark.read.parquet(f"{store}/edges").count()
+
+    # crash between the edge write and the vector write of batch 2
+    shutil.rmtree(f"{store}/vectors/batch_id=2")
+    semantic_stream.process_semantic_batch(
+        _sem_df(spark, batches[2]), 2, store, threshold=0.9)
+    assert sorted(map(tuple, semantic_stream.semantic_groups(
+        spark, store).collect())) == baseline
+    assert spark.read.parquet(f"{store}/edges").count() == edges_n
+
+    # full replay after a completed batch: identical close
+    semantic_stream.process_semantic_batch(
+        _sem_df(spark, batches[2]), 2, store, threshold=0.9)
+    assert sorted(map(tuple, semantic_stream.semantic_groups(
+        spark, store).collect())) == baseline
+    assert spark.read.parquet(f"{store}/edges").count() == edges_n
+
+
+def test_semantic_sink_empty_batch_and_no_pairs(spark, tmp_path):
+    """An empty micro-batch is a no-op; a stream whose batches never
+    form a ≥τ pair closes to all-singleton groups — exercising the
+    pinned-schema edge read over data-file-less partitions."""
+    from real_time_iot_data_pipeline_project_spark.streaming import (
+        semantic_stream,
+    )
+
+    _, store = _sem_store(spark, tmp_path)
+    semantic_stream.process_semantic_batch(
+        _sem_df(spark, []), 0, store, threshold=0.9)
+    assert not (tmp_path / "semstore" / "vectors").exists()
+
+    semantic_stream.process_semantic_batch(
+        _sem_df(spark, [(1, [1.0, 0.0, 0.0, 0.0])]), 0, store,
+        threshold=0.9)
+    semantic_stream.process_semantic_batch(
+        _sem_df(spark, [(2, [0.0, 0.0, 1.0, 0.0])]), 1, store,
+        threshold=0.9)
+    got = {r.vec_id: (r.group_id, r.keep) for r in
+           semantic_stream.semantic_groups(spark, store).collect()}
+    assert got == {1: (1, True), 2: (2, True)}
+
+
+def test_semantic_sink_first_batch_store_crash_recovers(spark, tmp_path):
+    """A crash during the FIRST batch's vector write can leave only a
+    _temporary dir under {store}/vectors — no data files, no batch_id
+    partition dirs. The replay must read that as an EMPTY store (pinned
+    schema + conditional exclusion), not wedge on schema inference."""
+    from real_time_iot_data_pipeline_project_spark.streaming import (
+        semantic_stream,
+    )
+
+    _, store = _sem_store(spark, tmp_path)
+    (tmp_path / "semstore" / "vectors" / "_temporary").mkdir(parents=True)
+
+    semantic_stream.process_semantic_batch(     # must not raise
+        _sem_df(spark, _sem_vectors()[0]), 0, store, threshold=0.9)
+    got = {r.vec_id: r.keep for r in
+           semantic_stream.semantic_groups(spark, store).collect()}
+    assert got == {1: True, 2: False}

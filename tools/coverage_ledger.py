@@ -67,8 +67,10 @@ PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
         "q128_edit_distance_verify",
         "q129_dup_span_incremental",
         "q130_stream_span_scrub",
-        # round-10 addition: real merge-table BPE tokenization (X41)
+        # round-10 additions: real merge-table BPE tokenization (X41)
+        # and the streaming SemDeDup increment (X42)
         "q131_bpe_token_frequency",
+        "q132_stream_semantic_dedup",
     ]),
 }
 
