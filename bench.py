@@ -167,6 +167,7 @@ HEADLINE = [
     # streaming SemDeDup increment (X42)
     "q131_bpe_token_frequency",
     "q132_stream_semantic_dedup",
+    "q133_bpe_sequence_packing",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

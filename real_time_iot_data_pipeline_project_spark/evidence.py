@@ -202,7 +202,9 @@ EVIDENCE: dict[str, dict] = {
         "test_dedup_similarity.py::test_two_level_assign_equals_flat_on_separated_data",
         "test_dedup_similarity.py::test_two_level_assign_is_bucket_consistent_on_real_data",
         "test_dedup_similarity.py::test_semantic_dedup_two_level_keeps_invariants"]},
-    "X41": {"queries": ["q131_bpe_token_frequency"], "tests": [
+    "X41": {"queries": ["q131_bpe_token_frequency",
+                        "q133_bpe_sequence_packing"], "tests": [
+        "test_bpe.py::test_bpe_token_counts_match_array_path",
         "test_bpe.py::test_training_is_deterministic_and_pinned",
         "test_bpe.py::test_merge_table_well_formed",
         "test_bpe.py::test_single_step_equals_all_occurrences",
@@ -249,7 +251,9 @@ EVIDENCE: dict[str, dict] = {
         "test_release.py::test_release_cli_end_to_end",
         "test_release.py::test_release_with_span_scrub",
         "test_release.py::test_release_without_scrub_manifest_null",
-        "test_release.py::test_release_cli_span_scrub_wiring"]},
+        "test_release.py::test_release_cli_span_scrub_wiring",
+        "test_release.py::test_release_bpe_manifest_records_real_counts",
+        "test_release.py::test_release_cli_bpe_manifest_wiring"]},
     "X34": {"queries": [], "tests": [
         "test_drift.py::test_streaming_drift_fold_equals_batch_exactly",
         "test_drift.py::test_streaming_drift_via_real_stream"]},

@@ -172,6 +172,38 @@ def bpe_token_frequency(spark: SparkSession, df: DataFrame,
     )
 
 
+def bpe_token_counts(spark: SparkSession, df: DataFrame,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(id_col, n_bpe_tokens) — the COUNT-only consumer path (sequence
+    packing, token budgets): per-WORD token counts are taken on the
+    vocabulary-sized encode result, and the corpus stage is one
+    hash-join + one integer sum per doc.  Unlike ``with_bpe_tokens``
+    no per-doc token ARRAY is ever assembled or shuffled — at 100 TB
+    the difference is shipping one long per word occurrence vs
+    re-materializing the tokenized corpus.  Wordless (empty/whitespace)
+    docs count 0."""
+    occ = doc_words(df, text_col, id_col)
+    word_counts = (
+        encode_distinct_words(spark, occ.select("w"))
+        .select("w", F.size("tokens").alias("__n_word_toks"))
+    )
+    counts = (
+        occ.join(word_counts.hint("shuffle_hash"), "w")
+        .groupBy(id_col)
+        .agg(F.sum("__n_word_toks").cast("long").alias("n_bpe_tokens"))
+    )
+    # shuffle_hash, not sort-merge: neither side of the id join-back
+    # should be SORTED (the corpus id frame and the count frame are
+    # both corpus-sized; graph.py's join-back rule)
+    return (
+        df.select(id_col)
+        .join(counts.hint("shuffle_hash"), id_col, "left")
+        .withColumn("n_bpe_tokens",
+                    F.coalesce("n_bpe_tokens", F.lit(0).cast("long")))
+    )
+
+
 def with_bpe_tokens(spark: SparkSession, df: DataFrame,
                     text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:

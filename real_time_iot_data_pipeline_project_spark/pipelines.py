@@ -141,6 +141,7 @@ def release_corpus(
     mix_budget: float = 0.5,
     span_scrub: bool = False,
     span_window: int = 8,
+    bpe_manifest: bool = False,
 ) -> dict:
     """Entry point E — the full training-data RELEASE job: curate
     (q48's chain) → optional duplicate-span scrub (X39) → optional
@@ -182,8 +183,12 @@ def release_corpus(
     ``allow_drift`` — corrections to the pipeline should change the
     corpus deliberately, not silently (turning mixing on for a
     previously-unmixed corpus is exactly the kind of change the gate
-    makes explicit). Returns the manifest dict (counts, token budget,
-    per-lang breakdown, mix rates, drift verdicts)."""
+    makes explicit). ``bpe_manifest`` additionally records real BPE
+    token totals (overall + per-lang, tokenize.bpe_token_counts — the
+    q133-gated count path) under ``bpe``: training budgets are in
+    tokenizer tokens, and whitespace counts under-state a BPE corpus
+    by the merge ratio. Returns the manifest dict (counts, token
+    budget, per-lang breakdown, mix rates, drift verdicts)."""
     # persisted: the gate's collect, the shard write and the manifest
     # aggregate all read FINAL — without the persist the whole dedup
     # shuffle + scoring would recompute (up to) three times, and the
@@ -258,7 +263,7 @@ def release_corpus(
             }
         return _release_body(spark, final, output_path, baseline_path,
                              min_quality, langs, n_shards, allow_drift,
-                             mix_info, scrub_info)
+                             mix_info, scrub_info, bpe_manifest)
     finally:
         curated.unpersist()
         if scrubbed is not None:
@@ -267,7 +272,7 @@ def release_corpus(
 
 def _release_body(spark, final, output_path, baseline_path, min_quality,
                   langs, n_shards, allow_drift, mix_info=None,
-                  scrub_info=None) -> dict:
+                  scrub_info=None, bpe_manifest=False) -> dict:
     import json as _json
 
     from pyspark.errors import AnalysisException
@@ -318,6 +323,28 @@ def _release_body(spark, final, output_path, baseline_path, min_quality,
         "span_scrub": scrub_info,
         "drift": drift_rows,
     }
+    if bpe_manifest:
+        # real tokenizer-token totals alongside the whitespace counts
+        # (X41's count-only path — per-word sizes on the vocabulary
+        # encode, one integer sum per doc, one extra rollup here);
+        # training budgets are in tokenizer tokens, and a release
+        # manifest that only reports whitespace tokens under-states a
+        # BPE corpus by the merge ratio
+        from .operators import tokenize
+
+        bstats = (
+            final.select("doc_id", "detected_lang")
+            .join(tokenize.bpe_token_counts(spark, final)
+                  .hint("shuffle_hash"), "doc_id")
+            .groupBy("detected_lang")
+            .agg(F.sum("n_bpe_tokens").alias("n_bpe_tokens"))
+            .collect()  # ≤ n_langs rows
+        )
+        manifest["bpe"] = {
+            "n_tokens": int(sum(r["n_bpe_tokens"] for r in bstats)),
+            "by_lang": {r["detected_lang"]: int(r["n_bpe_tokens"])
+                        for r in bstats},
+        }
     with open(f"{output_path}/MANIFEST.json", "w") as fh:
         _json.dump(manifest, fh, indent=1, sort_keys=True)
     return manifest
@@ -370,6 +397,10 @@ def main(argv: list[str] | None = None) -> None:
                    help="excise corpus-wide duplicated token spans "
                         "from the released text (release domain; "
                         "q127's exact rule)")
+    p.add_argument("--bpe-manifest", action="store_true",
+                   help="record real BPE token totals (X41's "
+                        "count-only path) in the release manifest "
+                        "alongside whitespace counts (release domain)")
     p.add_argument("--span-window", type=int, default=8,
                    help="duplicate-span window size in tokens "
                         "(release domain; used with --span-scrub)")
@@ -521,6 +552,7 @@ def main(argv: list[str] | None = None) -> None:
             mix_budget=args.mix_budget,
             span_scrub=args.span_scrub,
             span_window=args.span_window,
+            bpe_manifest=args.bpe_manifest,
         )
         print(f"released {manifest['n_docs']} docs / "
               f"{manifest['n_tokens']} tokens to {args.output}")

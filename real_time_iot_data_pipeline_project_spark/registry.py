@@ -5593,6 +5593,27 @@ def _bpe_freq_sql() -> str:
     ``sequence(1, len-1)``, 1-based list indexing both sides."""
     from .functions import bpe as _bpe
 
+    return f"""
+    WITH RECURSIVE
+    {_bpe_cte_prefix()},
+    occtok AS (
+      SELECT o.doc_id, unnest(t.tokens) AS token
+      FROM occ o JOIN wchunks wc ON o.w = wc.w JOIN ctoks t ON wc.c = t.c
+    )
+    SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM occtok GROUP BY token
+    """
+
+
+def _bpe_cte_prefix() -> str:
+    """The shared DuckDB replica of the recursive BPE encode (norm →
+    word occurrences → distinct ≤32-char chunks → one-merge-per-step
+    recursion → chunk tokens), written ONCE so the q131 frequency
+    oracle and the q133 packing oracle can never diverge on the
+    tokenization rule itself."""
+    from .functions import bpe as _bpe
+
     pairs = [p1 + _bpe.SEP + p2 for p1, p2 in _bpe.merges()]
     merges = "[" + ", ".join(
         "'" + p.replace("'", "''") + "'" for p in pairs) + "]"
@@ -5604,7 +5625,6 @@ def _bpe_freq_sql() -> str:
                 f"list_position({merges}, {s}[i] || {sep} || {s}[i+1]))")
 
     return f"""
-    WITH RECURSIVE
     norm AS (
       SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
       FROM documents
@@ -5634,15 +5654,7 @@ def _bpe_freq_sql() -> str:
     ctoks AS (
       SELECT c, s AS tokens FROM bpe
       WHERE len(s) = 1 OR len(list_filter({ranks('s')}, r -> r > 0)) = 0
-    ),
-    occtok AS (
-      SELECT o.doc_id, unnest(t.tokens) AS token
-      FROM occ o JOIN wchunks wc ON o.w = wc.w JOIN ctoks t ON wc.c = t.c
-    )
-    SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences,
-           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
-    FROM occtok GROUP BY token
-    """
+    )"""
 
 
 @query("q131_bpe_token_frequency", _bpe_freq_sql())
@@ -5665,6 +5677,68 @@ def q131_bpe_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks ≪ occurrences)."""
     docs = _t(spark, sf_dir, "documents")
     return tokenize.bpe_token_frequency(spark, docs)
+
+
+def _bpe_packing_sql(capacity: int = 256, n_shards: int = 8) -> str:
+    """q133's oracle: the q131 recursive-BPE encode (shared prefix —
+    one copy of the tokenization rule) feeding q67's greedy sequential
+    packing recursion, per-doc counts in between.  Two recursive CTEs
+    in one WITH RECURSIVE block; docs whose normalized text has no
+    words pack with n_tok = 0 (the LEFT JOIN + COALESCE)."""
+    return f"""
+    WITH RECURSIVE
+    {_bpe_cte_prefix()},
+    doccnt AS (
+      SELECT o.doc_id, CAST(sum(len(t.tokens)) AS BIGINT) AS n_tok
+      FROM occ o JOIN wchunks wc ON o.w = wc.w JOIN ctoks t ON wc.c = t.c
+      GROUP BY o.doc_id
+    ),
+    base AS (
+      SELECT d.doc_id, {_bucket_sql('shard', n_shards)} AS shard,
+             COALESCE(c.n_tok, 0) AS n_tok
+      FROM documents d LEFT JOIN doccnt c USING (doc_id)
+    ),
+    o2 AS (
+      SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      FROM base
+    ),
+    pack AS (
+      SELECT shard, rn, doc_id, n_tok, CAST(0 AS BIGINT) AS bin_id,
+             n_tok AS fill
+      FROM o2 WHERE rn = 1
+      UNION ALL
+      SELECT o2.shard, o2.rn, o2.doc_id, o2.n_tok,
+             CASE WHEN p.fill + o2.n_tok > {capacity} THEN p.bin_id + 1
+                  ELSE p.bin_id END,
+             CASE WHEN p.fill + o2.n_tok > {capacity} THEN o2.n_tok
+                  ELSE p.fill + o2.n_tok END
+      FROM pack p JOIN o2 ON o2.shard = p.shard AND o2.rn = p.rn + 1
+    )
+    SELECT shard, doc_id, n_tok, bin_id FROM pack
+    """
+
+
+@query("q133_bpe_sequence_packing", _bpe_packing_sql())
+def q133_bpe_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X41's consumer follow-through (VERDICT r9 item 3 second half):
+    sequence packing driven by REAL BPE token counts instead of q67's
+    whitespace proxy — the production shape, where training-sequence
+    budgets are in tokenizer tokens.  Counts come from
+    ``tokenize.bpe_token_counts`` (the count-only path: per-WORD sizes
+    on the vocabulary encode, one integer sum per doc — no per-doc
+    token array is ever assembled), then the same greedy per-shard
+    packing rule as q67 at capacity 256.  The oracle chains the q131
+    recursive-BPE replica (shared CTE prefix) into q67's packing
+    recursion, so the hash pins the COMPOSITION end-to-end."""
+    from .operators import packing, sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    base = (tokenize.bpe_token_counts(spark, docs)
+            .select("doc_id", F.col("n_bpe_tokens").alias("n_tok")))
+    sharded = sampling.shard_assign(base, key="doc_id", n_shards=8)
+    packed = packing.pack_sequences(sharded, tokens_col="n_tok",
+                                    capacity=256)
+    return packed.select("shard", "doc_id", "n_tok", "bin_id")
 
 
 @query("q132_stream_semantic_dedup", _semantic_dedup_sql())
@@ -5780,6 +5854,9 @@ POST_WINDOW: list[str] = [
     # round 10: streaming SemDeDup increment (X42, VERDICT r9 item 6)
     # — scheduled for rotation #7 alongside q123-q131
     "q132_stream_semantic_dedup",
+    # round 10: BPE-count sequence packing (X41's consumer tier) —
+    # scheduled for rotation #7 alongside q123-q132
+    "q133_bpe_sequence_packing",
 ]
 
 

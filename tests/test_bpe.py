@@ -180,3 +180,20 @@ def test_merges_sql_array_quoting():
     # the pinned table contains no quotes today; the quoting path is
     # exercised directly
     assert tokenize._sql_quote("o'x") == "'o''x'"
+
+
+def test_bpe_token_counts_match_array_path(spark):
+    """The count-only consumer path (q133's input) equals
+    size(with_bpe_tokens.bpe_tokens) on every doc — including the
+    wordless docs' zero — without ever building the arrays."""
+    from real_time_iot_data_pipeline_project_spark.operators import tokenize
+
+    rows = [(1, "the table holds the data"), (2, ""), (3, "   "),
+            (4, "windowing aggregate"), (5, "a " * 40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fast = {r.doc_id: r.n_bpe_tokens for r in
+            tokenize.bpe_token_counts(spark, df).collect()}
+    full = {r.doc_id: r.n_bpe_tokens for r in
+            tokenize.with_bpe_tokens(spark, df).collect()}
+    assert fast == full and fast[2] == 0 and fast[3] == 0
+    assert set(fast) == {1, 2, 3, 4, 5}

@@ -227,3 +227,36 @@ def test_release_span_scrub_empty_corpus(spark, tmp_path):
     assert m["n_docs"] == 0
     assert m["span_scrub"]["n_docs_in"] == 0
     assert m["span_scrub"]["n_tokens_removed"] == 0
+
+
+def test_release_bpe_manifest_records_real_counts(spark, tmp_path):
+    """--bpe-manifest adds real tokenizer-token totals under `bpe`,
+    equal to summing tokenize.bpe_token_counts over the released
+    frame — and they exceed the whitespace totals (merges split
+    unseen/long words into multiple tokens, never below 1 per word)."""
+    from real_time_iot_data_pipeline_project_spark.operators import tokenize
+
+    rel = str(tmp_path / "rel_bpe")
+    m = pipelines.release_corpus(spark, _docs_path(), rel, n_shards=2,
+                                 bpe_manifest=True)
+    assert set(m["bpe"]["by_lang"]) == set(m["by_lang"])
+    assert m["bpe"]["n_tokens"] == sum(m["bpe"]["by_lang"].values())
+    assert m["bpe"]["n_tokens"] >= m["n_tokens"] > 0
+
+    back = spark.read.json(f"{rel}/data")
+    direct = (tokenize.bpe_token_counts(spark, back)
+              .agg(F.sum("n_bpe_tokens")).head()[0])
+    assert int(direct) == m["bpe"]["n_tokens"]
+
+    # off by default: the field is absent, not null
+    rel2 = str(tmp_path / "rel_nobpe")
+    m2 = pipelines.release_corpus(spark, _docs_path(), rel2, n_shards=2)
+    assert "bpe" not in m2
+
+
+def test_release_cli_bpe_manifest_wiring(spark, tmp_path):
+    rel = str(tmp_path / "rel_bpe_cli")
+    pipelines.main(["release", _docs_path(), "--output", rel,
+                    "--shards", "1", "--bpe-manifest"])
+    m = json.load(open(f"{rel}/MANIFEST.json"))
+    assert m["bpe"]["n_tokens"] >= m["n_tokens"] > 0

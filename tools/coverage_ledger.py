@@ -67,10 +67,12 @@ PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
         "q128_edit_distance_verify",
         "q129_dup_span_incremental",
         "q130_stream_span_scrub",
-        # round-10 additions: real merge-table BPE tokenization (X41)
-        # and the streaming SemDeDup increment (X42)
+        # round-10 additions: real merge-table BPE tokenization (X41),
+        # the streaming SemDeDup increment (X42), and BPE-count
+        # sequence packing (X41's consumer tier)
         "q131_bpe_token_frequency",
         "q132_stream_semantic_dedup",
+        "q133_bpe_sequence_packing",
     ]),
 }
 
