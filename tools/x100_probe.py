@@ -118,6 +118,36 @@ def probe_semdedup(spark, sf_dir: str) -> dict:
     return _probe_semdedup(spark, sf_dir, two_level=False)
 
 
+def probe_edit_verify_sized(spark, sf_dir: str) -> dict:
+    """X40 probe at the operator's own production sizing: with the
+    gate's pinned (12 hashes, 4 bands) banding, the per-pair random
+    band-collision probability is a CONSTANT, so noise candidates grow
+    superlinearly (→ ~n² in the limit) while true near-dup pairs grow
+    ~n — measured on the wrap-free affine harness: candidates
+    170k → 2.7M → 22M per decade vs verified pairs 256 → 2.6k → 25.6k
+    (exactly linear), and the DP wall time follows the candidates, not
+    the answers. Production LSH sizing therefore grows rows-per-band
+    with the corpus to hold per-doc candidate fan-out ~constant,
+    adding bands to keep the probability knee t ≈ (1/b)^(1/r) in
+    place: (12,4) → knee 0.63; (96,16) → 0.63; (256,32) → 0.65.
+    Signature cost grows with num_hashes but is strictly linear in
+    docs (one md5 per shingle, num_hashes XOR+min aggs) — which is why
+    the sized leg COSTS MORE at x10 and wins 2× at x100 (the
+    measured crossover; STRESS_X10.md round-10 section)."""
+    from real_time_iot_data_pipeline_project_spark.operators import dedup
+
+    num_hashes, bands = {SF01: (12, 4), X10: (96, 16),
+                         X100: (256, 32)}[sf_dir]
+    t0 = time.monotonic()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dedup.edit_distance_verify(
+        docs, max_rel_dist="0.2", abs_cap=120,
+        num_hashes=num_hashes, bands=bands)
+    n = out.count()
+    return {"sec": round(time.monotonic() - t0, 2), "rows": n,
+            "lsh": f"{num_hashes}x{bands}"}
+
+
 def probe_semdedup_2l(spark, sf_dir: str) -> dict:
     return _probe_semdedup(spark, sf_dir, two_level=True)
 
@@ -236,13 +266,14 @@ def main() -> None:
         # the streaming fold (3 batches, store re-read per batch):
         # per-batch cost = increment join vs the growing store
         ("q130_span_stream", probe_query("q130_stream_span_scrub")),
-        # edit-distance verify: ~linear through x10 (rotated-alphabet
-        # replicas share no shingles) — but ROT wraps at 26, so at
-        # factor 100 every doc has ~4 exact cross-replica twins and the
-        # verified-pair count itself explodes (measured 25.8x for the
-        # last decade; see STRESS_X10.md — a replica artifact, not
-        # operator cost). Per-verified-pair cost FELL at x100.
+        # edit-distance verify at the GATE's pinned (12,4) banding:
+        # verified pairs grow ~linearly on the wrap-free harness, but
+        # fixed banding makes random-collision candidates grow ~n² and
+        # the DP time follows them (measured 34x for the last decade)
         ("q128_edit_verify", probe_query("q128_edit_distance_verify")),
+        # ... and at production sizing: rows-per-band grows with the
+        # corpus (constant per-doc fan-out, knee held at ~0.63-0.65)
+        ("q128_edit_verify_sized", probe_edit_verify_sized),
     )
     for name, fn in probes:
         if only is not None and name not in only:
