@@ -292,8 +292,13 @@ def salted_join(left: DataFrame, right: DataFrame, left_key: str,
         # spark_partition_id/monotonically_increasing_id; if an
         # executor holding a block is lost the job fails LOUDLY
         # (blocks are non-replicated) rather than silently re-salting.
-        # Lazy: materializes with the join's first action.
-        l = l.localCheckpoint(eager=False)
+        # EAGER, deliberately: a lazy checkpoint only truncates lineage
+        # AFTER the first job completes, so a fetch failure during the
+        # join's own first action — the exact retry window this pin
+        # exists for — would still recompute lost map partitions from
+        # live lineage and re-salt them silently. Materializing in its
+        # own job first costs one extra pass over the left side.
+        l = l.localCheckpoint()
     r = right.withColumn(
         "__salt_r", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )

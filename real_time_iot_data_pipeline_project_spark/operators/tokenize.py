@@ -100,7 +100,14 @@ def encode_chunks(spark: SparkSession, chunks: DataFrame,
     WHERE size(s) = 1
        OR NOT exists({ranks}, r -> r > 0)
     """
-    return spark.sql(sql)
+    out = spark.sql(sql)
+    # spark.sql analyzes eagerly (the returned DataFrame holds the
+    # resolved plan), so the view can be dropped immediately — without
+    # this, every bpe_token_frequency/bpe_token_counts/with_bpe_tokens
+    # call leaked one catalog entry (and its captured plan) for the
+    # session lifetime (review catch)
+    spark.catalog.dropTempView(view)
+    return out
 
 
 def explode_word_chunks(words: DataFrame, word_col: str = "w") -> DataFrame:

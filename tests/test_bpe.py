@@ -70,22 +70,22 @@ def test_single_step_equals_all_occurrences(text):
 
 
 def test_single_step_equality_needs_well_formed():
-    """Counter-example documenting WHY well-formedness is required:
-    with rank('bc') < rank('ab') < rank('a','bc') inverted, the two
-    rules diverge — pinning that the theorem's hypothesis is real."""
-    # ill-formed: pair ('a','bc') ranked BEFORE ('b','c') which makes 'bc'
-    ill = (("a", "bc"), ("b", "c"))
-    word = "abc"
-    # all-occurrences: only (b,c) is present initially -> [a, bc];
-    # then ('a','bc') ranks 0 (best) -> ['abc']
-    assert bpe.encode_word(word, ill) == ["abc"]
-    # single-step agrees here (min-rank present pair is the same), so
-    # build the real divergence: rank inversion on overlapping pairs
-    ill2 = (("c", "d"), ("b", "c"), ("bc", "d"))
-    # word 'bcd': all-at-once: best present = (c,d) rank0 -> [b, cd] stop.
-    assert bpe.encode_word("bcd", ill2) == ["b", "cd"]
-    assert bpe.encode_word_single_step("bcd", ill2) == ["b", "cd"]
-    # chunking guard: both mirrors chunk identically
+    """Counter-example pinning WHY well-formedness is required: on an
+    ill-formed table the two rules genuinely DIVERGE, so the theorem's
+    hypothesis is real, not decorative. Table (('ab','a'), ('a','b'))
+    is ill-formed ('ab' is merged before any merge produces it) — on
+    'abab' the all-occurrences rule merges BOTH (a,b) occurrences in
+    one pass then joins them (['ab','ab']), while the one-merge-per-
+    step rule merges only the first, after which ('ab','a') — the
+    lower rank — fires first (['aba','b'])."""
+    ill = (("ab", "a"), ("a", "b"))
+    with pytest.raises(AssertionError):
+        bpe.assert_well_formed(ill)
+    assert bpe.encode_word("abab", ill) == ["ab", "ab"]
+    assert bpe.encode_word_single_step("abab", ill) == ["aba", "b"]
+    assert (bpe.encode_word("abab", ill)
+            != bpe.encode_word_single_step("abab", ill))
+    # chunking guard: both mirrors chunk identically on the REAL table
     long = "ab" * 40
     assert bpe.encode_word(long) == bpe.encode_word_single_step(long)
 
