@@ -217,7 +217,9 @@ EVIDENCE: dict[str, dict] = {
         "test_streaming.py::test_streaming_semantic_sink_engine_equals_direct",
         "test_streaming.py::test_semantic_sink_crash_replay_idempotent",
         "test_streaming.py::test_semantic_sink_empty_batch_and_no_pairs",
-        "test_streaming.py::test_semantic_sink_first_batch_store_crash_recovers"]},
+        "test_streaming.py::test_semantic_sink_first_batch_store_crash_recovers",
+        "test_streaming.py::test_compact_semantic_store_preserves_groups_and_replay",
+        "test_streaming.py::test_compact_semantic_store_cli"]},
     "X40": {"queries": ["q128_edit_distance_verify"], "tests": [
         "test_dedup_similarity.py::test_edit_verify_exact_and_near_dups",
         "test_dedup_similarity.py::test_edit_verify_rejects_block_swapped_candidate",

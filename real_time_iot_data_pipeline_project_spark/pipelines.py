@@ -358,6 +358,7 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("domain",
                    choices=["solar", "wind", "curate", "release", "compact",
                             "compact-store", "compact-span-store",
+                            "compact-semantic-store",
                             "dq-audit", "cdc-apply",
                             "scd2-apply", "plan-audit"])
     p.add_argument("input_path",
@@ -537,6 +538,16 @@ def main(argv: list[str] | None = None) -> None:
                     "span store root")
         stats = compact_span_store(spark, args.input_path, args.output)
         print(f"span store compacted: {stats}")
+        return
+    if args.domain == "compact-semantic-store":
+        from .streaming.semantic_stream import compact_semantic_store
+
+        if not args.output:
+            p.error("compact-semantic-store requires --output (store "
+                    "compaction is out-of-place); input_path is the "
+                    "semantic store root")
+        stats = compact_semantic_store(spark, args.input_path, args.output)
+        print(f"semantic store compacted: {stats}")
         return
     if args.domain == "release":
         if not args.output:

@@ -46,13 +46,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import graph, similarity
-from .curation import _dir_exists
+from .curation import _dir_exists, _require_out_of_place
 
 __all__ = [
     "init_semantic_store",
     "process_semantic_batch",
     "start_semantic_dedup_sink",
     "semantic_groups",
+    "compact_semantic_store",
 ]
 
 
@@ -160,6 +161,71 @@ def start_semantic_dedup_sink(vecs: DataFrame, checkpoint: str, store: str,
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def compact_semantic_store(spark: SparkSession, store: str,
+                           output_store: str) -> dict:
+    """Semantic-store lifecycle companion to the span/signature
+    compactors: vectors and edges grow one partition per micro-batch,
+    so a periodic rewrite folds history into the sentinel partition
+    ``batch_id=-1`` (foreachBatch ids are never negative). Contents
+    are copied, never recomputed — the edge log IS the batch pair
+    graph and must stay exactly as logged (no DISTINCT needed either:
+    every unordered pair is logged exactly once by construction).
+
+    Replay-safety contract (the span-compactor rule, applied to BOTH
+    directories): the NEWEST batch's partitions are kept as-is, so a
+    stream that crashed before committing that batch can replay it —
+    the vector read's own-partition exclusion still works, and the
+    replay's batch_id-keyed overwrite still targets a live partition
+    instead of silently double-counting into the sentinel. The newest
+    id is taken as the max over BOTH stores: the fold writes edges
+    BEFORE vectors, so a mid-batch crash can leave an edge partition
+    one batch ahead of the vector store.
+
+    Centroids are copied verbatim (the pinned frame the whole store's
+    exactness argument rests on). Out-of-place like every compactor:
+    caller validates, then swaps pointers while the sink is stopped.
+    Returns per-store row counts and the preserved newest batch id."""
+    _require_out_of_place(store, output_store, "semantic store")
+    vec_src, edge_src = f"{store}/vectors", f"{store}/edges"
+    if not _dir_exists(spark, vec_src):
+        raise ValueError(f"semantic store {vec_src!r} is missing or empty")
+    vecs = spark.read.parquet(vec_src)
+    if "batch_id" not in vecs.columns:
+        raise ValueError(f"semantic store {vec_src!r} has no batch "
+                         "partitions")
+    idt = dict(vecs.dtypes)["vec_id" if "vec_id" in vecs.columns
+                            else vecs.columns[0]]
+    if _dir_exists(spark, edge_src):
+        edges = spark.read.schema(f"id_a {idt}, id_b {idt}") \
+            .parquet(edge_src)
+        if "batch_id" not in edges.columns:
+            edges = edges.withColumn("batch_id", F.lit(-1))
+    else:
+        edges = spark.createDataFrame(
+            [], f"id_a {idt}, id_b {idt}, batch_id int")
+    max_v = vecs.agg(F.max("batch_id")).head()[0]
+    max_e = edges.agg(F.max("batch_id")).head()[0]
+    keep = max((b for b in (max_v, max_e) if b is not None), default=None)
+    if keep is None:
+        raise ValueError(f"semantic store {store!r} holds no batch rows")
+
+    def _fold(df):
+        folded = (df.filter(F.col("batch_id") != keep)
+                  .withColumn("batch_id", F.lit(-1)))
+        return folded.unionByName(df.filter(F.col("batch_id") == keep)) \
+            .localCheckpoint()
+
+    cv, ce = _fold(vecs), _fold(edges)
+    n_vec, n_edge = cv.count(), ce.count()
+    (cv.write.mode("overwrite").partitionBy("batch_id")
+     .parquet(f"{output_store}/vectors"))
+    (ce.write.mode("overwrite").partitionBy("batch_id")
+     .parquet(f"{output_store}/edges"))
+    (spark.read.parquet(f"{store}/centroids")
+     .write.mode("overwrite").parquet(f"{output_store}/centroids"))
+    return {"vectors": n_vec, "edges": n_edge, "kept_batch": int(keep)}
 
 
 def semantic_groups(spark: SparkSession, store: str,

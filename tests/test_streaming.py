@@ -1800,3 +1800,81 @@ def test_semantic_sink_first_batch_store_crash_recovers(spark, tmp_path):
     got = {r.vec_id: r.keep for r in
            semantic_stream.semantic_groups(spark, store).collect()}
     assert got == {1: True, 2: False}
+
+
+def test_compact_semantic_store_preserves_groups_and_replay(spark, tmp_path):
+    """Folding all but the newest batch into the batch_id=-1 sentinel
+    changes neither the closed groups nor the fold's forward/replay
+    behavior: the close over the compacted store is identical, a
+    replay of the preserved newest batch converges, and a NEW batch
+    folded onto the compacted store closes exactly like the same batch
+    on the uncompacted one."""
+    import shutil
+
+    from real_time_iot_data_pipeline_project_spark.streaming import (
+        semantic_stream,
+    )
+
+    batches = _sem_vectors()
+    _, store = _sem_store(spark, tmp_path)
+    for b in (0, 1):
+        semantic_stream.process_semantic_batch(
+            _sem_df(spark, batches[b]), b, store, threshold=0.9)
+
+    out = str(tmp_path / "compacted")
+    rep = semantic_stream.compact_semantic_store(spark, store, out)
+    assert rep["kept_batch"] == 1 and rep["vectors"] == 4
+
+    key = lambda d: sorted(map(tuple, d.collect()))  # noqa: E731
+    assert key(semantic_stream.semantic_groups(spark, out)) \
+        == key(semantic_stream.semantic_groups(spark, store))
+
+    # replay of the preserved newest batch against the compacted store
+    semantic_stream.process_semantic_batch(
+        _sem_df(spark, batches[1]), 1, out, threshold=0.9)
+    assert key(semantic_stream.semantic_groups(spark, out)) \
+        == key(semantic_stream.semantic_groups(spark, store))
+
+    # a NEW batch on the compacted store == the same batch uncompacted
+    # (the retroactive-merge batch, so the sentinel partitions are
+    # actually exercised by the close)
+    semantic_stream.process_semantic_batch(
+        _sem_df(spark, batches[2]), 2, out, threshold=0.9)
+    semantic_stream.process_semantic_batch(
+        _sem_df(spark, batches[2]), 2, store, threshold=0.9)
+    assert key(semantic_stream.semantic_groups(spark, out)) \
+        == key(semantic_stream.semantic_groups(spark, store))
+    got = {r.vec_id: r.group_id for r in
+           semantic_stream.semantic_groups(spark, out).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5}
+
+    # in-place compaction is refused
+    with pytest.raises(ValueError, match="out-of-place"):
+        semantic_stream.compact_semantic_store(spark, store, store)
+
+    # mid-batch crash shape: edges one batch ahead of vectors — the
+    # preserved id must come from the EDGE store so the replay's
+    # overwrite still targets a live partition
+    shutil.rmtree(f"{store}/vectors/batch_id=2")
+    out2 = str(tmp_path / "compacted2")
+    rep2 = semantic_stream.compact_semantic_store(spark, store, out2)
+    assert rep2["kept_batch"] == 2
+    semantic_stream.process_semantic_batch(   # replay of batch 2
+        _sem_df(spark, batches[2]), 2, out2, threshold=0.9)
+    assert {r.vec_id: r.group_id for r in
+            semantic_stream.semantic_groups(spark, out2).collect()} == got
+
+
+def test_compact_semantic_store_cli(spark, tmp_path):
+    from real_time_iot_data_pipeline_project_spark import pipelines
+    from real_time_iot_data_pipeline_project_spark.streaming import (
+        semantic_stream,
+    )
+
+    _, store = _sem_store(spark, tmp_path)
+    for b in (0, 1):
+        semantic_stream.process_semantic_batch(
+            _sem_df(spark, _sem_vectors()[b]), b, store, threshold=0.9)
+    out = str(tmp_path / "out_cli")
+    pipelines.main(["compact-semantic-store", store, "--output", out])
+    assert spark.read.parquet(f"{out}/vectors").count() == 4

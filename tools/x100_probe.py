@@ -118,6 +118,43 @@ def probe_semdedup(spark, sf_dir: str) -> dict:
     return _probe_semdedup(spark, sf_dir, two_level=False)
 
 
+def probe_semantic_stream(spark, sf_dir: str) -> dict:
+    """X42 probe at X38's production sizing (n_centroids ∝ corpus, the
+    probe_semdedup rule): the 3-batch streaming fold + read-time close,
+    end to end. Expectation: per-batch work = batch assignment
+    (O(batch·√C-ish) via the shared argmax) + batch-vs-store in-bucket
+    pairs (Σ per-bucket batch·store — bounded by the same constant
+    mean-bucket-size argument as the batch rule), and the close is one
+    edge-sized CC. Uses flat assignment like the gate; the two-level
+    swap is orthogonal (measured in the SemDeDup A/B above)."""
+    import shutil
+    import tempfile
+
+    from real_time_iot_data_pipeline_project_spark.operators import similarity
+    from real_time_iot_data_pipeline_project_spark.streaming import (
+        semantic_stream,
+    )
+
+    n_cents = {SF01: 16, X10: 160, X100: 1600}[sf_dir]
+    store = tempfile.mkdtemp(prefix="semstream_probe_") + "/store"
+    try:
+        t0 = time.monotonic()
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cents = similarity.sampled_centroids(emb, n_cents)
+        semantic_stream.init_semantic_store(cents, store)
+        for b in range(3):
+            semantic_stream.process_semantic_batch(
+                emb.filter(F.pmod(F.col("vec_id"), F.lit(3)) == b), b,
+                store, threshold=0.3)
+        row = (semantic_stream.semantic_groups(spark, store)
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col("keep").cast("long")).alias("kept")).head())
+        return {"sec": round(time.monotonic() - t0, 2),
+                "rows": row["n"], "kept": row["kept"], "cents": n_cents}
+    finally:
+        shutil.rmtree(os.path.dirname(store), ignore_errors=True)
+
+
 def probe_edit_verify_sized(spark, sf_dir: str) -> dict:
     """X40 probe at the operator's own production sizing: with the
     gate's pinned (12 hashes, 4 bands) banding, the per-pair random
@@ -274,6 +311,9 @@ def main() -> None:
         # ... and at production sizing: rows-per-band grows with the
         # corpus (constant per-doc fan-out, knee held at ~0.63-0.65)
         ("q128_edit_verify_sized", probe_edit_verify_sized),
+        # round-10: the streaming SemDeDup fold at production centroid
+        # sizing (3 batches + read-time close)
+        ("q132_sem_stream", probe_semantic_stream),
     )
     for name, fn in probes:
         if only is not None and name not in only:
