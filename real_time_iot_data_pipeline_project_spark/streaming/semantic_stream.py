@@ -73,7 +73,8 @@ def init_semantic_store(centroids: DataFrame, store: str) -> None:
 def process_semantic_batch(batch_df: DataFrame, batch_id: int, store: str,
                            threshold: float = 0.3,
                            vec_col: str = "embedding",
-                           id_col: str = "vec_id") -> None:
+                           id_col: str = "vec_id",
+                           two_level: bool = False) -> None:
     """One micro-batch of the streaming SemDeDup fold (module-level so
     the crash-replay test and the hash-gated registry query can drive
     it directly with pinned batch_ids — the q130 pattern).
@@ -91,15 +92,26 @@ def process_semantic_batch(batch_df: DataFrame, batch_id: int, store: str,
     edge write happens FIRST: it is the one that reads the vector
     store, and the vector write must never race a reader of the
     partition it overwrites (the assignment is localCheckpointed, so
-    the vector write reads nothing but materialized state)."""
+    the vector write reads nothing but materialized state).
+
+    ``two_level`` swaps in ``assign_centroids_two_level`` — the
+    O(batch·√C) coarse-quantized assignment for SemDeDup's C ∝ n
+    sizing, where the flat rule's O(batch·C) makes the fold
+    superlinear (measured 13.9×/decade at x100 centroid sizing; see
+    STRESS_X10.md). The SAME setting must be used for every batch of a
+    store (and by any batch run compared against it): both rules are
+    pinned and deterministic (q125/q126) but assign borderline vectors
+    to different buckets."""
     spark = batch_df.sparkSession
     if not batch_df.head(1):
         return
     cents = spark.read.parquet(f"{store}/centroids")
+    assign = (similarity.assign_centroids_two_level if two_level
+              else similarity.assign_centroids)
     # localCheckpoint: read three times (both pair sides + the vector
     # write) — and it makes the vector-store write below plan-free of
     # the store it overwrites a partition of (see docstring)
-    assigned = similarity.assign_centroids(
+    assigned = assign(
         batch_df.select(id_col, vec_col), cents,
         vec_col=vec_col, id_col=id_col).localCheckpoint()
     vec_path = f"{store}/vectors"
@@ -139,7 +151,8 @@ def start_semantic_dedup_sink(vecs: DataFrame, checkpoint: str, store: str,
                               threshold: float = 0.3,
                               vec_col: str = "embedding",
                               id_col: str = "vec_id",
-                              available_now: bool = False):
+                              available_now: bool = False,
+                              two_level: bool = False):
     """Streaming SemDeDup sink: each micro-batch of embeddings extends
     the pinned-centroid semantic-dedup store (see module docstring);
     ``semantic_groups`` closes the accumulated log into the exact batch
@@ -152,7 +165,8 @@ def start_semantic_dedup_sink(vecs: DataFrame, checkpoint: str, store: str,
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         process_semantic_batch(batch_df, batch_id, store,
                                threshold=threshold,
-                               vec_col=vec_col, id_col=id_col)
+                               vec_col=vec_col, id_col=id_col,
+                               two_level=two_level)
 
     w = (
         vecs.writeStream.foreachBatch(_process)

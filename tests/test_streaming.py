@@ -1878,3 +1878,34 @@ def test_compact_semantic_store_cli(spark, tmp_path):
     out = str(tmp_path / "out_cli")
     pipelines.main(["compact-semantic-store", store, "--output", out])
     assert spark.read.parquet(f"{out}/vectors").count() == 4
+
+
+def test_streaming_semantic_fold_two_level_equals_batch(spark, tmp_path):
+    """two_level=True folds with the coarse-quantized assignment (the
+    C ∝ n scale path) and still closes to EXACTLY the batch rule at
+    the same setting — on the real sf0.001 embeddings, where the
+    two assignments genuinely differ on borderline vectors."""
+    from real_time_iot_data_pipeline_project_spark.operators import (
+        similarity,
+    )
+    from real_time_iot_data_pipeline_project_spark.streaming import (
+        semantic_stream,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = similarity.sampled_centroids(emb, n_centroids=16)
+    store = str(tmp_path / "sem2l")
+    semantic_stream.init_semantic_store(cents, store)
+    for b in range(3):
+        semantic_stream.process_semantic_batch(
+            emb.filter(F.pmod(F.col("vec_id"), F.lit(3)) == b), b, store,
+            threshold=0.3, two_level=True)
+    key = lambda d: sorted(map(tuple, d.collect()))  # noqa: E731
+    got = key(semantic_stream.semantic_groups(spark, store))
+    batch = key(similarity.semantic_dedup(emb, cents, threshold=0.3,
+                                          two_level=True))
+    assert got == batch
+    # and it differs from the FLAT batch rule somewhere (otherwise this
+    # test proves nothing about the two-level path specifically)
+    flat = key(similarity.semantic_dedup(emb, cents, threshold=0.3))
+    assert got != flat

@@ -135,6 +135,26 @@ def probe_semantic_stream(spark, sf_dir: str) -> dict:
         semantic_stream,
     )
 
+    return _probe_semantic_stream(spark, sf_dir, two_level=False)
+
+
+def probe_semantic_stream_2l(spark, sf_dir: str) -> dict:
+    """The fold at the SCALE-path setting: two-level assignment (the
+    q126-pinned rule), same A/B as the batch flat-vs-2l probe — the
+    flat fold measured 13.9×/decade at x100 sizing because the
+    assignment is O(batch·C) with C ∝ n."""
+    return _probe_semantic_stream(spark, sf_dir, two_level=True)
+
+
+def _probe_semantic_stream(spark, sf_dir: str, two_level: bool) -> dict:
+    import shutil
+    import tempfile
+
+    from real_time_iot_data_pipeline_project_spark.operators import similarity
+    from real_time_iot_data_pipeline_project_spark.streaming import (
+        semantic_stream,
+    )
+
     n_cents = {SF01: 16, X10: 160, X100: 1600}[sf_dir]
     store = tempfile.mkdtemp(prefix="semstream_probe_") + "/store"
     try:
@@ -145,7 +165,7 @@ def probe_semantic_stream(spark, sf_dir: str) -> dict:
         for b in range(3):
             semantic_stream.process_semantic_batch(
                 emb.filter(F.pmod(F.col("vec_id"), F.lit(3)) == b), b,
-                store, threshold=0.3)
+                store, threshold=0.3, two_level=two_level)
         row = (semantic_stream.semantic_groups(spark, store)
                .agg(F.count(F.lit(1)).alias("n"),
                     F.sum(F.col("keep").cast("long")).alias("kept")).head())
@@ -312,8 +332,9 @@ def main() -> None:
         # corpus (constant per-doc fan-out, knee held at ~0.63-0.65)
         ("q128_edit_verify_sized", probe_edit_verify_sized),
         # round-10: the streaming SemDeDup fold at production centroid
-        # sizing (3 batches + read-time close)
+        # sizing (3 batches + read-time close), flat vs two-level A/B
         ("q132_sem_stream", probe_semantic_stream),
+        ("q132_sem_stream_2l", probe_semantic_stream_2l),
     )
     for name, fn in probes:
         if only is not None and name not in only:
