@@ -121,11 +121,41 @@ def scale_table(spark, name: str, factor: int) -> DataFrame:
     if name == "embeddings":
         off = df.agg(F.max("vec_id")).head()[0] + 1
         dim = len(df.select("embedding").head()[0])
+
+        def _vec(i: int) -> F.Column:
+            # dimension rotation wraps at dim (= 64): at factor 100,
+            # replicas i and i+64 were IDENTICAL vectors — 72k of 200k
+            # x100 vectors had an exact cosine-1.0 twin, inflating
+            # every ≥τ pair probe (the text harness's wrap artifact,
+            # embedding edition). Replicas past the first dim compose
+            # the rotation with a per-group ±1 sign mask (md5 parity
+            # of (group, dim), group 0 = all +1 so factors ≤ dim
+            # reproduce the historical harness byte-for-byte). A
+            # diagonal ±1 matrix is orthogonal: within-replica cosine
+            # structure is preserved EXACTLY (sign flips cancel in
+            # same-replica dot products and ±1·x is exact in floating
+            # point), while same-rotation cross-group vectors get
+            # independent sign patterns → expected cosine ~0, no
+            # manufactured near-dup pairs.
+            r = i % dim
+            rotated = F.expr(
+                f"concat(slice(embedding, {r + 1}, {dim - r}),"
+                f" slice(embedding, 1, {r}))")
+            g = i // dim
+            if not g:
+                return rotated
+            import hashlib
+
+            signs = F.array(*[
+                F.lit(1.0 if hashlib.md5(
+                    f"{g}|{d}".encode()).digest()[0] % 2 == 0 else -1.0)
+                for d in range(dim)])
+            return F.zip_with(rotated, signs,
+                              lambda x, s: (x * s).cast("float"))
+
         return _replicas(df, factor, lambda d, i: d.select(
             (F.col("vec_id") + F.lit(i * off)).alias("vec_id"),
-            F.expr(
-                f"concat(slice(embedding, {(i % dim) + 1}, {dim - (i % dim)}),"
-                f" slice(embedding, 1, {i % dim}))").alias("embedding"),
+            _vec(i).alias("embedding"),
             "label"))
     if name in ("orders", "lineitem"):
         key = "o_orderkey" if name == "orders" else "l_orderkey"
