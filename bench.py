@@ -168,6 +168,8 @@ HEADLINE = [
     "q131_bpe_token_frequency",
     "q132_stream_semantic_dedup",
     "q133_bpe_sequence_packing",
+    # round 10: Z-order layout curve (X43)
+    "q134_zorder_curve",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

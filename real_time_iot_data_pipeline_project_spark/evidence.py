@@ -220,6 +220,10 @@ EVIDENCE: dict[str, dict] = {
         "test_streaming.py::test_semantic_sink_first_batch_store_crash_recovers",
         "test_streaming.py::test_compact_semantic_store_preserves_groups_and_replay",
         "test_streaming.py::test_compact_semantic_store_cli"]},
+    "X43": {"queries": ["q134_zorder_curve"], "tests": [
+        "test_misc_ops.py::test_zvalue_known_values",
+        "test_misc_ops.py::test_zorder_validations",
+        "test_misc_ops.py::test_zorder_write_tightens_both_extents"]},
     "X40": {"queries": ["q128_edit_distance_verify"], "tests": [
         "test_dedup_similarity.py::test_edit_verify_exact_and_near_dups",
         "test_dedup_similarity.py::test_edit_verify_rejects_block_swapped_candidate",

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
 from .functions import astro, physics, textfns
-from .operators import analytics, dedup, ewma, multimodal, similarity, textops, tokenize, windows
+from .operators import analytics, dedup, ewma, layout, multimodal, similarity, textops, tokenize, windows
 from .stations import solar_station_dim
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -5741,6 +5741,52 @@ def q133_bpe_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select("shard", "doc_id", "n_tok", "bin_id")
 
 
+@query(
+    "q134_zorder_curve",
+    # events ids/hours are non-negative, so % here == Spark's pmod;
+    # range() yields BIGINTs in DuckDB and >>/<<//& are 64-bit, the
+    # same integer arithmetic Spark's unrolled shifts produce
+    """
+    WITH base AS (
+      SELECT event_id,
+             user_id % 65536 AS x,
+             (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 65536 AS y
+      FROM events
+    ),
+    z AS (
+      SELECT event_id, x, y,
+             CAST(list_sum(list_transform(range(0, 16), b ->
+                  (((x >> b) & 1) << (2 * b))
+                + (((y >> b) & 1) << (2 * b + 1)))) AS BIGINT) AS z_value
+      FROM base
+    )
+    SELECT event_id, x, y, z_value, z_value >> 28 AS z_bucket FROM z
+    """,
+)
+def q134_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X43 — Z-order (Morton) curve for multi-dimensional data layout
+    (operators/layout.py): interleave the bits of (user, hour) so that
+    range-partitioning the write on z makes every parquet file a small
+    RECTANGLE of the key domain — footer min/max stats go tight on
+    BOTH columns and a selective predicate on either prunes most files
+    at planning time (the Delta/Iceberg OPTIMIZE ZORDER idea as plain
+    DataFrame ops; the write + measured pruning live in
+    tests/test_misc_ops.py). The curve is unrolled bit shifts inside
+    whole-stage codegen — no UDF — and pure integer math, so the hash
+    gate pins it bit-for-bit against DuckDB's list-arithmetic twin,
+    including the fixed-width z_bucket rule (top-4-bit range buckets —
+    deterministic on any engine, unlike distribution-dependent
+    ntile)."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        F.pmod(F.col("user_id"), F.lit(65536)).alias("x"),
+        F.pmod(F.expr("unix_timestamp(ts) div 3600"),
+               F.lit(65536)).alias("y"))
+    return (layout.with_zorder(base, "x", "y", bits=16, n_buckets=16)
+            .select("event_id", "x", "y", "z_value", "z_bucket"))
+
+
 @query("q132_stream_semantic_dedup", _semantic_dedup_sql())
 def q132_stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X42 streaming tier of X38, hash-gated end-to-end (VERDICT r9
@@ -5857,6 +5903,8 @@ POST_WINDOW: list[str] = [
     # round 10: BPE-count sequence packing (X41's consumer tier) —
     # scheduled for rotation #7 alongside q123-q132
     "q133_bpe_sequence_packing",
+    # round 10: Z-order layout curve (X43) — scheduled for rotation #7
+    "q134_zorder_curve",
 ]
 
 

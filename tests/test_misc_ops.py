@@ -3,6 +3,8 @@ analytics library units."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from real_time_iot_data_pipeline_project_spark.operators import analytics, schema_drift, windows
@@ -643,3 +645,75 @@ def test_orc_round_trip_values_pushdown_and_partitioning(spark, tmp_path):
     fplan = flt._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in fplan and "l_quantity" in fplan.split(
         "PushedFilters")[1][:120]
+
+
+# ---------------------------------------------------------------------------
+# X43 — Z-order layout (operators/layout.py)
+# ---------------------------------------------------------------------------
+
+def test_zvalue_known_values(spark):
+    """Hand-computed Morton values: x bits land at even positions, y
+    bits at odd — zvalue(5, 3) = (1,0,1)→1+16 plus (1,1)→2+8 = 27."""
+    from real_time_iot_data_pipeline_project_spark.operators import layout
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (5, 3), (65535, 65535)], ["x", "y"])
+    got = {(r.x, r.y): r.z for r in df.select(
+        "x", "y", layout.zvalue(F.col("x"), F.col("y")).alias("z")).collect()}
+    assert got[(0, 0)] == 0
+    assert got[(1, 0)] == 1
+    assert got[(0, 1)] == 2
+    assert got[(5, 3)] == 27
+    assert got[(65535, 65535)] == (1 << 32) - 1
+
+
+def test_zorder_validations(spark):
+    from real_time_iot_data_pipeline_project_spark.operators import layout
+
+    df = spark.createDataFrame([(1, 2)], ["x", "y"])
+    with pytest.raises(ValueError, match="power of two"):
+        layout.with_zorder(df, "x", "y", n_buckets=12)
+    with pytest.raises(ValueError, match="bits"):
+        layout.zvalue(F.col("x"), F.col("y"), bits=40)
+
+
+def test_zorder_write_tightens_both_extents(spark, tmp_path):
+    """The data-skipping claim, measured: after zorder_write each file
+    covers a small rectangle of (x, y), so the mean per-file extent is
+    a small fraction of the domain on BOTH columns — while an x-sorted
+    layout is tight on x and covers ~the whole y domain per file (a
+    predicate on y reads every file)."""
+    from real_time_iot_data_pipeline_project_spark import registry
+    from real_time_iot_data_pipeline_project_spark.operators import layout
+    from tests.conftest import SF_SMOKE
+
+    ev = registry._t(spark, SF_SMOKE, "events").select(
+        "event_id",
+        F.pmod(F.col("user_id"), F.lit(65536)).alias("x"),
+        F.pmod(F.expr("unix_timestamp(ts) div 3600"),
+               F.lit(65536)).alias("y"))
+    dom = ev.agg(F.max("x") - F.min("x"), F.max("y") - F.min("y")).head()
+    xdom, ydom = max(dom[0], 1), max(dom[1], 1)
+
+    zdir, xdir = str(tmp_path / "zord"), str(tmp_path / "xsort")
+    layout.zorder_write(ev, zdir, "x", "y", n_files=64)
+    (ev.repartitionByRange(64, "x").sortWithinPartitions("x")
+     .write.parquet(xdir))
+
+    def mean_widths(path):
+        rows = layout.file_extents(spark, path, ["x", "y"]).collect()
+        assert sum(r.n_rows for r in rows) == ev.count()
+        mx = sum((r.max_x - r.min_x) / xdom for r in rows) / len(rows)
+        my = sum((r.max_y - r.min_y) / ydom for r in rows) / len(rows)
+        return mx, my
+
+    zx, zy = mean_widths(zdir)
+    sx, sy = mean_widths(xdir)
+    print("extents:", {"zx": zx, "zy": zy, "sx": sx, "sy": sy})
+    # x-sorted: tight on x, blind on y — a y-predicate reads EVERY file
+    assert sx < 0.2 and sy > 0.8
+    # z-ordered: rectangles, not stripes — the worst single-column
+    # point predicate reads a bounded fraction of files, instead of
+    # one column reading everything
+    assert max(zx, zy) < 0.5 * max(sx, sy)
+    assert zy < 0.35 and zx < 0.5

@@ -73,6 +73,8 @@ PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
         "q131_bpe_token_frequency",
         "q132_stream_semantic_dedup",
         "q133_bpe_sequence_packing",
+        # round-10 addition: Z-order layout curve (X43)
+        "q134_zorder_curve",
     ]),
 }
 
