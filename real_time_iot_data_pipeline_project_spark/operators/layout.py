@@ -60,6 +60,13 @@ def with_zorder(df: DataFrame, x_col: str, y_col: str,
     if nb <= 0 or nb & (nb - 1):
         raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
     shift = 2 * bits - nb.bit_length() + 1
+    if shift < 0:
+        # Java shift counts are masked mod 64, so a negative shift
+        # would silently collapse every row into bucket 0 instead of
+        # erroring (review catch)
+        raise ValueError(
+            f"n_buckets={n_buckets} exceeds the curve's 4^bits="
+            f"{4 ** bits} cells at bits={bits}")
     x = F.pmod(F.col(x_col).cast("long"), F.lit(1 << bits))
     y = F.pmod(F.col(y_col).cast("long"), F.lit(1 << bits))
     z = zvalue(x, y, bits)
@@ -94,16 +101,32 @@ def zorder_write(df: DataFrame, path: str, x_col: str, y_col: str,
     One range shuffle (sampling + exchange — the cost of any global
     sort-write). At 100 TB run it per partition/day, not globally:
     layout is a per-partition property."""
-    mm = df.agg(F.min(x_col).alias("nx"), F.max(x_col).alias("xx"),
+    mm = df.agg(F.count(F.lit(1)).alias("n"),
+                F.min(x_col).alias("nx"), F.max(x_col).alias("xx"),
                 F.min(y_col).alias("ny"), F.max(y_col).alias("xy")).head()
+    if mm["n"] == 0:
+        # empty input: write an empty directory with the right schema
+        # instead of int(None)-crashing — a per-day layout job must
+        # survive an empty partition (review catch)
+        df.write.mode(mode).parquet(path)
+        return
+    if mm["nx"] is None or mm["ny"] is None:
+        raise ValueError(
+            f"zorder_write keys must be non-null: min({x_col})="
+            f"{mm['nx']}, min({y_col})={mm['ny']} over {mm['n']} rows")
     top = (1 << bits) - 1
 
     def _scaled(col, lo, hi):
+        # divide FIRST, in double: (v − lo)/span ∈ [0, 1] never
+        # overflows for any domain width (multiplying a raw
+        # epoch-microsecond span by 65535 in long arithmetic would);
+        # × top then floor lands in [0, top]. Bucket boundaries are a
+        # LAYOUT choice, not a gated value, so double rounding at the
+        # 2⁻⁵³ scale is immaterial here — the gated curve arithmetic
+        # (q134) masks with pmod and never scales.
         span = max(int(hi) - int(lo), 1)
-        # (v - lo) * top fits a long for any 32-bit-ish domain; div is
-        # integer (floor on non-negatives), so the result is in [0, top]
-        return ((col.cast("long") - F.lit(int(lo))) * F.lit(top)
-                / F.lit(span)).cast("long")
+        frac = (col.cast("double") - F.lit(float(lo))) / F.lit(float(span))
+        return F.floor(frac * F.lit(float(top))).cast("long")
 
     shifted = df.withColumn(
         "__zx", _scaled(F.col(x_col), mm["nx"], mm["xx"])

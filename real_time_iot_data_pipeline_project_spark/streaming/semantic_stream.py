@@ -57,24 +57,44 @@ __all__ = [
 ]
 
 
-def init_semantic_store(centroids: DataFrame, store: str) -> None:
+def init_semantic_store(centroids: DataFrame, store: str,
+                        two_level: bool = False) -> None:
     """Pin the centroid frame the whole stream will assign against —
     (centroid_id, cvec), e.g. ``similarity.sampled_centroids`` of a
-    seed corpus. Write-once semantics: the fold's exactness argument
-    assumes every batch saw the SAME centroids, so re-initialising an
-    in-flight store with different centroids corrupts it (overwrite
-    mode only so a driver-side retry of the init itself is idempotent;
-    it is not a re-centering mechanism — recentering means rebuild,
+    seed corpus — AND the assignment rule (``two_level``: the
+    q126-pinned O(batch·√C) coarse-quantized argmax instead of the
+    flat O(batch·C) one; the scale path when C grows with the corpus —
+    flat measured 16.3×/decade at x100 centroid sizing, two-level
+    1.9×, STRESS_X10.md). The rule is STORE state, not a per-call
+    flag: both rules are deterministic but assign borderline vectors
+    to different buckets, so one batch folded under the other rule
+    would silently break the fold == batch exactness contract — every
+    ``process_semantic_batch`` reads the marker pinned here.
+
+    Write-once semantics: the fold's exactness argument assumes every
+    batch saw the SAME centroids and rule, so re-initialising an
+    in-flight store with different ones corrupts it (overwrite mode
+    only so a driver-side retry of the init itself is idempotent; it
+    is not a re-centering mechanism — recentering means rebuild,
     exactly like the persistent IVF index)."""
+    spark = centroids.sparkSession
     centroids.select("centroid_id", "cvec") \
         .write.mode("overwrite").parquet(f"{store}/centroids")
+    spark.createDataFrame([(bool(two_level),)], "two_level boolean") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{store}/meta")
+
+
+def _store_two_level(spark: SparkSession, store: str) -> bool:
+    meta_path = f"{store}/meta"
+    if not _dir_exists(spark, meta_path):
+        return False
+    return bool(spark.read.parquet(meta_path).head()["two_level"])
 
 
 def process_semantic_batch(batch_df: DataFrame, batch_id: int, store: str,
                            threshold: float = 0.3,
                            vec_col: str = "embedding",
-                           id_col: str = "vec_id",
-                           two_level: bool = False) -> None:
+                           id_col: str = "vec_id") -> None:
     """One micro-batch of the streaming SemDeDup fold (module-level so
     the crash-replay test and the hash-gated registry query can drive
     it directly with pinned batch_ids — the q130 pattern).
@@ -94,19 +114,18 @@ def process_semantic_batch(batch_df: DataFrame, batch_id: int, store: str,
     partition it overwrites (the assignment is localCheckpointed, so
     the vector write reads nothing but materialized state).
 
-    ``two_level`` swaps in ``assign_centroids_two_level`` — the
-    O(batch·√C) coarse-quantized assignment for SemDeDup's C ∝ n
-    sizing, where the flat rule's O(batch·C) makes the fold
-    superlinear (measured 13.9×/decade at x100 centroid sizing; see
-    STRESS_X10.md). The SAME setting must be used for every batch of a
-    store (and by any batch run compared against it): both rules are
-    pinned and deterministic (q125/q126) but assign borderline vectors
-    to different buckets."""
+    The assignment rule (flat vs two-level) is read from the marker
+    ``init_semantic_store`` pinned — store state, never a per-call
+    flag, so no restart or second caller can fold a batch under a
+    different rule than the store's history (which would silently
+    break fold == batch; review catch). Any batch run compared against
+    the store must use the same setting."""
     spark = batch_df.sparkSession
     if not batch_df.head(1):
         return
     cents = spark.read.parquet(f"{store}/centroids")
-    assign = (similarity.assign_centroids_two_level if two_level
+    assign = (similarity.assign_centroids_two_level
+              if _store_two_level(spark, store)
               else similarity.assign_centroids)
     # localCheckpoint: read three times (both pair sides + the vector
     # write) — and it makes the vector-store write below plan-free of
@@ -151,8 +170,7 @@ def start_semantic_dedup_sink(vecs: DataFrame, checkpoint: str, store: str,
                               threshold: float = 0.3,
                               vec_col: str = "embedding",
                               id_col: str = "vec_id",
-                              available_now: bool = False,
-                              two_level: bool = False):
+                              available_now: bool = False):
     """Streaming SemDeDup sink: each micro-batch of embeddings extends
     the pinned-centroid semantic-dedup store (see module docstring);
     ``semantic_groups`` closes the accumulated log into the exact batch
@@ -165,8 +183,7 @@ def start_semantic_dedup_sink(vecs: DataFrame, checkpoint: str, store: str,
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         process_semantic_batch(batch_df, batch_id, store,
                                threshold=threshold,
-                               vec_col=vec_col, id_col=id_col,
-                               two_level=two_level)
+                               vec_col=vec_col, id_col=id_col)
 
     w = (
         vecs.writeStream.foreachBatch(_process)
@@ -205,7 +222,17 @@ def compact_semantic_store(spark: SparkSession, store: str,
     vec_src, edge_src = f"{store}/vectors", f"{store}/edges"
     if not _dir_exists(spark, vec_src):
         raise ValueError(f"semantic store {vec_src!r} is missing or empty")
-    vecs = spark.read.parquet(vec_src)
+    from pyspark.errors import AnalysisException
+
+    try:
+        vecs = spark.read.parquet(vec_src)
+    except AnalysisException as e:
+        # schema inference over a data-file-less dir (first-batch
+        # vector-write crash left only _temporary): fail CLEANLY like
+        # compact_span_store, not with a raw inference error
+        raise ValueError(
+            f"semantic store {vec_src!r} holds no committed vector rows "
+            "(crashed first batch?) — nothing to compact") from e
     if "batch_id" not in vecs.columns:
         raise ValueError(f"semantic store {vec_src!r} has no batch "
                          "partitions")
@@ -239,6 +266,12 @@ def compact_semantic_store(spark: SparkSession, store: str,
      .parquet(f"{output_store}/edges"))
     (spark.read.parquet(f"{store}/centroids")
      .write.mode("overwrite").parquet(f"{output_store}/centroids"))
+    # the assignment-rule marker is store state: a compacted store
+    # must keep folding under the same rule
+    if _dir_exists(spark, f"{store}/meta"):
+        (spark.read.parquet(f"{store}/meta")
+         .coalesce(1).write.mode("overwrite")
+         .parquet(f"{output_store}/meta"))
     return {"vectors": n_vec, "edges": n_edge, "kept_batch": int(keep)}
 
 

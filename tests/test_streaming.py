@@ -1895,11 +1895,11 @@ def test_streaming_semantic_fold_two_level_equals_batch(spark, tmp_path):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     cents = similarity.sampled_centroids(emb, n_centroids=16)
     store = str(tmp_path / "sem2l")
-    semantic_stream.init_semantic_store(cents, store)
+    semantic_stream.init_semantic_store(cents, store, two_level=True)
     for b in range(3):
         semantic_stream.process_semantic_batch(
             emb.filter(F.pmod(F.col("vec_id"), F.lit(3)) == b), b, store,
-            threshold=0.3, two_level=True)
+            threshold=0.3)
     key = lambda d: sorted(map(tuple, d.collect()))  # noqa: E731
     got = key(semantic_stream.semantic_groups(spark, store))
     batch = key(similarity.semantic_dedup(emb, cents, threshold=0.3,

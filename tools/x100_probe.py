@@ -121,28 +121,21 @@ def probe_semdedup(spark, sf_dir: str) -> dict:
 def probe_semantic_stream(spark, sf_dir: str) -> dict:
     """X42 probe at X38's production sizing (n_centroids ∝ corpus, the
     probe_semdedup rule): the 3-batch streaming fold + read-time close,
-    end to end. Expectation: per-batch work = batch assignment
-    (O(batch·√C-ish) via the shared argmax) + batch-vs-store in-bucket
-    pairs (Σ per-bucket batch·store — bounded by the same constant
-    mean-bucket-size argument as the batch rule), and the close is one
-    edge-sized CC. Uses flat assignment like the gate; the two-level
-    swap is orthogonal (measured in the SemDeDup A/B above)."""
-    import shutil
-    import tempfile
-
-    from real_time_iot_data_pipeline_project_spark.operators import similarity
-    from real_time_iot_data_pipeline_project_spark.streaming import (
-        semantic_stream,
-    )
-
+    end to end. Expectation: per-batch work = batch assignment + the
+    batch-vs-store in-bucket pairs (Σ per-bucket batch·store — bounded
+    by the same constant mean-bucket-size argument as the batch rule),
+    and the close is one edge-sized CC. Flat assignment, like the
+    gate — which makes the fold inherit the flat rule's O(batch·C)
+    superlinearity at C ∝ n (measured 16.3×/decade; the two-level leg
+    below is the scale path)."""
     return _probe_semantic_stream(spark, sf_dir, two_level=False)
 
 
 def probe_semantic_stream_2l(spark, sf_dir: str) -> dict:
     """The fold at the SCALE-path setting: two-level assignment (the
-    q126-pinned rule), same A/B as the batch flat-vs-2l probe — the
-    flat fold measured 13.9×/decade at x100 sizing because the
-    assignment is O(batch·C) with C ∝ n."""
+    q126-pinned rule, pinned in the store at init), same A/B as the
+    batch flat-vs-2l probe — the flat fold measured 16.3×/decade at
+    x100 sizing because the assignment is O(batch·C) with C ∝ n."""
     return _probe_semantic_stream(spark, sf_dir, two_level=True)
 
 
@@ -161,11 +154,12 @@ def _probe_semantic_stream(spark, sf_dir: str, two_level: bool) -> dict:
         t0 = time.monotonic()
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         cents = similarity.sampled_centroids(emb, n_cents)
-        semantic_stream.init_semantic_store(cents, store)
+        semantic_stream.init_semantic_store(cents, store,
+                                             two_level=two_level)
         for b in range(3):
             semantic_stream.process_semantic_batch(
                 emb.filter(F.pmod(F.col("vec_id"), F.lit(3)) == b), b,
-                store, threshold=0.3, two_level=two_level)
+                store, threshold=0.3)
         row = (semantic_stream.semantic_groups(spark, store)
                .agg(F.count(F.lit(1)).alias("n"),
                     F.sum(F.col("keep").cast("long")).alias("kept")).head())
