@@ -80,15 +80,45 @@ def init_semantic_store(centroids: DataFrame, store: str,
     spark = centroids.sparkSession
     centroids.select("centroid_id", "cvec") \
         .write.mode("overwrite").parquet(f"{store}/centroids")
-    spark.createDataFrame([(bool(two_level),)], "two_level boolean") \
-        .coalesce(1).write.mode("overwrite").parquet(f"{store}/meta")
+    _write_marker(spark, store, two_level)
+
+
+def _marker_fs(spark: SparkSession, store: str):
+    jvm = spark.sparkContext._jvm
+    path = jvm.org.apache.hadoop.fs.Path(f"{store}/meta.json")
+    fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, path
+
+
+def _write_marker(spark: SparkSession, store: str, two_level: bool) -> None:
+    # a plain FS file, NOT a parquet write: the marker is read by EVERY
+    # fold step and q132 times the whole init+fold, so it must cost
+    # zero Spark jobs (the drift_stream JSON-state pattern — measured
+    # ~1s/call of pure job overhead as a 1-row parquet dataset)
+    import json
+
+    fs, path = _marker_fs(spark, store)
+    out = fs.create(path, True)
+    out.write(bytearray(json.dumps({"two_level": bool(two_level)}).encode()))
+    out.close()
 
 
 def _store_two_level(spark: SparkSession, store: str) -> bool:
-    meta_path = f"{store}/meta"
-    if not _dir_exists(spark, meta_path):
+    import json
+
+    fs, path = _marker_fs(spark, store)
+    if not fs.exists(path):
         return False
-    return bool(spark.read.parquet(meta_path).head()["two_level"])
+    stream = fs.open(path)
+    try:
+        # commons-io ships with Spark; py4j passes primitive arrays by
+        # value, so a Python-side read(buf) loop would never see the
+        # bytes — let the JVM drain the stream
+        text = spark.sparkContext._jvm.org.apache.commons.io.IOUtils \
+            .toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return bool(json.loads(text)["two_level"])
 
 
 def process_semantic_batch(batch_df: DataFrame, batch_id: int, store: str,
@@ -268,10 +298,7 @@ def compact_semantic_store(spark: SparkSession, store: str,
      .write.mode("overwrite").parquet(f"{output_store}/centroids"))
     # the assignment-rule marker is store state: a compacted store
     # must keep folding under the same rule
-    if _dir_exists(spark, f"{store}/meta"):
-        (spark.read.parquet(f"{store}/meta")
-         .coalesce(1).write.mode("overwrite")
-         .parquet(f"{output_store}/meta"))
+    _write_marker(spark, output_store, _store_two_level(spark, store))
     return {"vectors": n_vec, "edges": n_edge, "kept_batch": int(keep)}
 
 
