@@ -168,8 +168,9 @@ HEADLINE = [
     "q131_bpe_token_frequency",
     "q132_stream_semantic_dedup",
     "q133_bpe_sequence_packing",
-    # round 10: Z-order layout curve (X43)
+    # round 10: Z-order layout curves (X43)
     "q134_zorder_curve",
+    "q135_zorder_curve_3d",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

@@ -221,8 +221,10 @@ EVIDENCE: dict[str, dict] = {
         "test_streaming.py::test_streaming_semantic_fold_two_level_equals_batch",
         "test_streaming.py::test_compact_semantic_store_preserves_groups_and_replay",
         "test_streaming.py::test_compact_semantic_store_cli"]},
-    "X43": {"queries": ["q134_zorder_curve"], "tests": [
+    "X43": {"queries": ["q134_zorder_curve",
+                        "q135_zorder_curve_3d"], "tests": [
         "test_misc_ops.py::test_zvalue_known_values",
+        "test_misc_ops.py::test_zvalue_n_three_dims",
         "test_misc_ops.py::test_zorder_validations",
         "test_misc_ops.py::test_zorder_write_tightens_both_extents"]},
     "X40": {"queries": ["q128_edit_distance_verify"], "tests": [

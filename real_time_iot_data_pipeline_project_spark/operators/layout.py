@@ -25,27 +25,39 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["zvalue", "with_zorder", "zorder_write", "file_extents"]
+__all__ = ["zvalue", "zvalue_n", "with_zorder", "zorder_write",
+           "file_extents"]
+
+
+def zvalue_n(cols: list[Column], bits: int = 16) -> Column:
+    """n-column Morton/Z-order value: bit b of ``cols[i]`` lands at
+    position n·b + i, so z-adjacent rows are hyperrectangle-adjacent
+    in the n-dimensional key space. Caller contract: every input in
+    [0, 2^bits) (mask with ``pmod`` first; q134/q135 do).
+    n·bits ≤ 62 keeps the result a positive BIGINT. Pure column
+    arithmetic — unrolled shifts/adds inside whole-stage codegen, no
+    UDF; at the default 2×16 that is 32 add terms, well inside
+    codegen's expression budget."""
+    n = len(cols)
+    if n < 2:
+        raise ValueError(f"zvalue_n needs >= 2 key columns, got {n}")
+    if not 0 < bits or n * bits > 62:
+        raise ValueError(
+            f"n*bits must be in (0, 62] to stay a positive BIGINT, "
+            f"got {n}*{bits}")
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        cl = c.cast("long")
+        for b in range(bits):
+            z = z + F.shiftleft(
+                F.shiftright(cl, b).bitwiseAND(F.lit(1)), n * b + i)
+    return z
 
 
 def zvalue(x: Column, y: Column, bits: int = 16) -> Column:
-    """Morton/Z-order value of two non-negative ints: bit b of ``x``
-    lands at position 2b, bit b of ``y`` at 2b+1 — so z-adjacent rows
-    are rectangle-adjacent in (x, y). Caller contract: both inputs in
-    [0, 2^bits) (mask with ``pmod`` first; q134 does). bits ≤ 31 keeps
-    the result in a positive BIGINT. Pure column arithmetic — unrolled
-    shifts/adds inside whole-stage codegen, no UDF."""
-    if not 0 < bits <= 31:
-        raise ValueError(f"bits must be in (0, 31], got {bits}")
-    xl = x.cast("long")
-    yl = y.cast("long")
-    z = F.lit(0).cast("long")
-    for b in range(bits):
-        z = (z
-             + F.shiftleft(F.shiftright(xl, b).bitwiseAND(F.lit(1)), 2 * b)
-             + F.shiftleft(F.shiftright(yl, b).bitwiseAND(F.lit(1)),
-                           2 * b + 1))
-    return z
+    """The two-column Morton value (bit b of ``x`` at 2b, of ``y`` at
+    2b+1) — ``zvalue_n`` at n = 2, kept as the named common case."""
+    return zvalue_n([x, y], bits=bits)
 
 
 def with_zorder(df: DataFrame, x_col: str, y_col: str,

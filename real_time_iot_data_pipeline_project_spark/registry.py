@@ -5787,6 +5787,49 @@ def q134_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_id", "x", "y", "z_value", "z_bucket"))
 
 
+@query(
+    "q135_zorder_curve_3d",
+    f"""
+    WITH base AS (
+      SELECT event_id,
+             user_id % 1024 AS x,
+             (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 1024 AS y,
+             ({_hash60_sql('event_type')} % 1024) AS w
+      FROM events
+    )
+    SELECT event_id, x, y, w,
+           CAST(list_sum(list_transform(range(0, 10), b ->
+                (((x >> b) & 1) << (3 * b))
+              + (((y >> b) & 1) << (3 * b + 1))
+              + (((w >> b) & 1) << (3 * b + 2)))) AS BIGINT) AS z_value
+    FROM base
+    """,
+)
+def q135_zorder_curve_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X43's n-dimensional form (layout.zvalue_n): the 3-D Morton
+    curve over (user, hour, event-type-hash) — the common layout for
+    event tables queried by who/when/what, where a 2-D curve leaves
+    the third predicate unpruned. Bit b of column i lands at 3b + i;
+    10 bits per key keeps the value in 30 bits. The type dimension is
+    the shared portable 60-bit md5 hash (textfns.portable_hash60 /
+    _hash60_sql), so all three masked keys — and therefore the whole
+    interleave — are pinned bit-for-bit cross-engine. Hour and ids are
+    non-negative, and hash60 is a 60-bit non-negative value, so the
+    oracle's % equals Spark's pmod everywhere."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        F.pmod(F.col("user_id"), F.lit(1024)).alias("x"),
+        F.pmod(F.expr("unix_timestamp(ts) div 3600"),
+               F.lit(1024)).alias("y"),
+        F.pmod(textfns.portable_hash60("event_type"),
+               F.lit(1024)).alias("w"))
+    return base.select(
+        "event_id", "x", "y", "w",
+        layout.zvalue_n([F.col("x"), F.col("y"), F.col("w")],
+                        bits=10).alias("z_value"))
+
+
 @query("q132_stream_semantic_dedup", _semantic_dedup_sql())
 def q132_stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X42 streaming tier of X38, hash-gated end-to-end (VERDICT r9
@@ -5903,8 +5946,9 @@ POST_WINDOW: list[str] = [
     # round 10: BPE-count sequence packing (X41's consumer tier) —
     # scheduled for rotation #7 alongside q123-q132
     "q133_bpe_sequence_packing",
-    # round 10: Z-order layout curve (X43) — scheduled for rotation #7
+    # round 10: Z-order layout curves (X43) — scheduled for rotation #7
     "q134_zorder_curve",
+    "q135_zorder_curve_3d",
 ]
 
 

@@ -717,3 +717,38 @@ def test_zorder_write_tightens_both_extents(spark, tmp_path):
     # one column reading everything
     assert max(zx, zy) < 0.5 * max(sx, sy)
     assert zy < 0.35 and zx < 0.5
+
+
+def test_zvalue_n_three_dims(spark):
+    """3-D Morton: bit b of column i lands at 3b + i — zvalue_n([1,1,1])
+    = 0b111 = 7; [2,0,0] = bit1 of x at pos 3 = 8; and the 2-D form is
+    zvalue_n at n=2 (same values as the named zvalue)."""
+    from real_time_iot_data_pipeline_project_spark.operators import layout
+
+    df = spark.createDataFrame(
+        [(1, 1, 1), (2, 0, 0), (0, 2, 0), (0, 0, 2), (3, 5, 7)],
+        ["x", "y", "w"])
+    cols = [F.col("x"), F.col("y"), F.col("w")]
+    got = {(r.x, r.y, r.w): r.z for r in df.select(
+        "x", "y", "w", layout.zvalue_n(cols, bits=10).alias("z")).collect()}
+    assert got[(1, 1, 1)] == 7
+    assert got[(2, 0, 0)] == 8
+    assert got[(0, 2, 0)] == 16
+    assert got[(0, 0, 2)] == 32
+
+    def py_z(x, y, w):
+        z = 0
+        for b in range(10):
+            z += (((x >> b) & 1) << (3 * b)) \
+               + (((y >> b) & 1) << (3 * b + 1)) \
+               + (((w >> b) & 1) << (3 * b + 2))
+        return z
+    assert got[(3, 5, 7)] == py_z(3, 5, 7)
+
+    two = df.select(layout.zvalue_n([F.col("x"), F.col("y")]).alias("a"),
+                    layout.zvalue(F.col("x"), F.col("y")).alias("b"))
+    assert all(r.a == r.b for r in two.collect())
+    with pytest.raises(ValueError, match="key columns"):
+        layout.zvalue_n([F.col("x")])
+    with pytest.raises(ValueError, match="62"):
+        layout.zvalue_n(cols, bits=21)

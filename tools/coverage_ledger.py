@@ -73,8 +73,9 @@ PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
         "q131_bpe_token_frequency",
         "q132_stream_semantic_dedup",
         "q133_bpe_sequence_packing",
-        # round-10 addition: Z-order layout curve (X43)
+        # round-10 additions: Z-order layout curves (X43)
         "q134_zorder_curve",
+        "q135_zorder_curve_3d",
     ]),
 }
 
