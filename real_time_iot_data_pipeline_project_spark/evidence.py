@@ -219,6 +219,7 @@ EVIDENCE: dict[str, dict] = {
         "test_streaming.py::test_semantic_sink_empty_batch_and_no_pairs",
         "test_streaming.py::test_semantic_sink_first_batch_store_crash_recovers",
         "test_streaming.py::test_streaming_semantic_fold_two_level_equals_batch",
+        "test_streaming.py::test_semantic_store_marker_corrupt_fails_loudly",
         "test_streaming.py::test_compact_semantic_store_preserves_groups_and_replay",
         "test_streaming.py::test_compact_semantic_store_cli"]},
     "X43": {"queries": ["q134_zorder_curve",

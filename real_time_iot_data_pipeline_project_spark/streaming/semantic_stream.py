@@ -83,42 +83,49 @@ def init_semantic_store(centroids: DataFrame, store: str,
     _write_marker(spark, store, two_level)
 
 
-def _marker_fs(spark: SparkSession, store: str):
-    jvm = spark.sparkContext._jvm
-    path = jvm.org.apache.hadoop.fs.Path(f"{store}/meta.json")
-    fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    return fs, path
-
-
 def _write_marker(spark: SparkSession, store: str, two_level: bool) -> None:
-    # a plain FS file, NOT a parquet write: the marker is read by EVERY
-    # fold step and q132 times the whole init+fold, so it must cost
-    # zero Spark jobs (the drift_stream JSON-state pattern — measured
-    # ~1s/call of pure job overhead as a 1-row parquet dataset)
-    import json
+    # a plain FS sidecar, NOT a parquet write: the marker is read by
+    # EVERY fold step and q132 times the whole init+fold, so it must
+    # cost zero Spark jobs (measured ~1s/call of pure job overhead as
+    # a 1-row parquet dataset). Same plumbing as upsert.py's
+    # _n_buckets sidecar — reuse its helpers rather than grow a third
+    # copy of the JVM-FS read/write shape (review catch; that writer
+    # also carries the try/finally this one first lacked).
+    from .upsert import _fs_and_path
 
-    fs, path = _marker_fs(spark, store)
+    fs, path = _fs_and_path(spark, f"{store}/meta.json")
     out = fs.create(path, True)
-    out.write(bytearray(json.dumps({"two_level": bool(two_level)}).encode()))
-    out.close()
+    try:
+        out.write(bytearray(b"1\n" if two_level else b"0\n"))
+    finally:
+        out.close()
 
 
 def _store_two_level(spark: SparkSession, store: str) -> bool:
-    import json
+    from .upsert import _fs_and_path
 
-    fs, path = _marker_fs(spark, store)
+    fs, path = _fs_and_path(spark, f"{store}/meta.json")
     if not fs.exists(path):
         return False
     stream = fs.open(path)
     try:
-        # commons-io ships with Spark; py4j passes primitive arrays by
-        # value, so a Python-side read(buf) loop would never see the
-        # bytes — let the JVM drain the stream
-        text = spark.sparkContext._jvm.org.apache.commons.io.IOUtils \
-            .toString(stream, "UTF-8")
+        buf = bytearray()
+        b = stream.read()  # FSDataInputStream.read(): one byte, -1 at EOF
+        while b != -1 and len(buf) < 8:
+            buf.append(b)
+            b = stream.read()
     finally:
         stream.close()
-    return bool(json.loads(text)["two_level"])
+    text = bytes(buf).decode("ascii").strip()
+    if text not in ("0", "1"):
+        # a crash between create and close leaves an empty/partial
+        # file; the marker is store-critical state, so fail LOUDLY with
+        # the remedy instead of json-decode noise or a silent default
+        raise ValueError(
+            f"semantic store marker {store}/meta.json is corrupt "
+            f"({text!r}) — re-run init_semantic_store with the store's "
+            "original two_level setting")
+    return text == "1"
 
 
 def process_semantic_batch(batch_df: DataFrame, batch_id: int, store: str,

@@ -1909,3 +1909,19 @@ def test_streaming_semantic_fold_two_level_equals_batch(spark, tmp_path):
     # test proves nothing about the two-level path specifically)
     flat = key(similarity.semantic_dedup(emb, cents, threshold=0.3))
     assert got != flat
+
+
+def test_semantic_store_marker_corrupt_fails_loudly(spark, tmp_path):
+    """A crash between the marker's create and close leaves an
+    empty/partial meta.json; folding against such a store must fail
+    with the remedy, not json noise or a silent flat-rule default."""
+    from real_time_iot_data_pipeline_project_spark.streaming import (
+        semantic_stream,
+    )
+
+    _, store = _sem_store(spark, tmp_path)
+    assert semantic_stream._store_two_level(spark, store) is False
+    (tmp_path / "semstore" / "meta.json").write_text("")
+    with pytest.raises(ValueError, match="corrupt"):
+        semantic_stream.process_semantic_batch(
+            _sem_df(spark, _sem_vectors()[0]), 0, store, threshold=0.9)
