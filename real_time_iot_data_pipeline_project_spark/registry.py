@@ -2938,6 +2938,68 @@ DEFERRED: list[str] = [
     # equi-join is q109's interval-join core; the grouped rollup is
     # q94's; the anti/semi plan shape stays in tests/test_plans.py
     "q116_unconverted_clicks",
+    # --- round-11 consolidation (VERDICT r10 item 1, rotation #7):
+    # thirteen subsumable twins deferred so the round-9 late tier
+    # (q123-q130) and the round-10 BPE/streaming-SemDeDup/Z-order
+    # operators (q131-q135) carry first-time official gate rows.  All
+    # thirteen deferred twins carried green rows in CORRECTNESS_r10
+    # (the full r10 window was 50/50 green); tests/test_export_order.py
+    # SUBSUMPTION maps each to in-window survivors; every deferred
+    # oracle still runs in the local gate.
+    # greedy bin-packing recursion: promoted q133 replays the SAME
+    # packing rule (its oracle chains q67's recursive CTE) on real BPE
+    # token counts — the richer production twin
+    "q67_sequence_packing",
+    # pure-hash pmod membership: family rows move to promoted q123
+    # (cluster-keyed leakage-safe splits — the same hash-lottery over
+    # a leakage-closed key) and promoted q124 (temperature-rate
+    # membership); assign_split stays pinned by tests/test_sampling.py
+    "q70_epoch_shuffle",
+    # stride-window transform+explode: scan-stage sequence slicing is
+    # q54's token-explode prefix; the sample-construction (packing
+    # module) family row is promoted q133
+    "q73_context_windows",
+    # packing-efficiency rollup: one combinable agg over the packing
+    # output — the packing family row is promoted q133, the per-group
+    # multi-metric rollup shape is q62's shard stats
+    "q74_packing_report",
+    # near-dup decision layer: composes the two in-window stages it
+    # feeds from (q32 LSH pairs, q53 star-CC clusters + survivor rule);
+    # the per-source report is a combinable rollup
+    "q76_near_dedup_corpus",
+    # lang-ID margin: the langid scorer runs verbatim inside q48's
+    # detected_lang gate; the best-minus-second arithmetic stays
+    # value-pinned by tests/test_textfns.py
+    "q78_langid_confidence",
+    # TPC-H Q5 star: grouped decimal-exact revenue rollup is q94's;
+    # the multi-dim broadcast-star join shape is q110's history star;
+    # broadcast tiers stay plan-asserted by tests/test_plans.py
+    "q95_regional_revenue",
+    # per-source quantile banding: quality scoring runs verbatim in
+    # q48's gate; the per-group rank-window pass is q54's per-doc
+    # row_number; the approx tier stays bounds-checked via q101
+    "q99_quality_band",
+    # cohort triangle: first-event-per-user + per-user join-back is
+    # q93's per-user event shuffle; countDistinct rollup is q54's
+    # document-frequency core
+    "q100_retention_cohorts",
+    # mergeable-state fold: q112's incremental oracle pins the same
+    # rebuild==fold invariant on SCD2 state; q120 hash-gates the
+    # streaming fold of bounded mergeable state
+    "q103_incremental_rollup",
+    # integer-lottery weighted sample: promoted q124's temperature
+    # mixture IS weighted sampling by per-domain rate (richer: it also
+    # computes the rates); hash-lottery membership pinned by
+    # tests/test_sampling.py
+    "q104_weighted_sample",
+    # skew diagnosis: feeds q50's salted join (the in-window skew
+    # family row); the groupBy-count + TakeOrderedAndProject shape is
+    # q94's rollup/top-k
+    "q105_skew_report",
+    # chi² independence: closed-form statistical-association aggregate
+    # family is q106's aligned Pearson pass; the broadcast-margin
+    # conditional aggs are q102's audit shape
+    "q107_chi2_independence",
 ]
 
 
@@ -5923,32 +5985,15 @@ POST_WINDOW: list[str] = [
     # (round 10, rotation #6: q119 embed→ANN handoff, q120 streaming
     # heavy-hitters fold, q121 persistent-index batch ANN, q122 drift
     # monitor promoted INTO the official window.)
-    # round 9 late additions — scheduled for rotation #7 (round 11):
-    # leakage-safe cluster-keyed splits (X36), temperature domain
-    # mixture (X37), SemDeDup semantic dedup (X38)
-    "q123_leakage_safe_splits",
-    "q124_temperature_mix",
-    "q125_semantic_dedup",
-    "q126_semantic_dedup_2l",
-    # round 9 third wave: stride-1 duplicate-span removal (X39) and
-    # edit-distance LSH verification (X40) — scheduled for rotation #7
-    # alongside q123-q126
-    "q127_dup_span_removal",
-    "q128_edit_distance_verify",
-    "q129_dup_span_incremental",
-    "q130_stream_span_scrub",
-    # round 10: real merge-table BPE tokenization (X41, VERDICT r9
-    # item 3) — scheduled for rotation #7 alongside q123-q130
-    "q131_bpe_token_frequency",
-    # round 10: streaming SemDeDup increment (X42, VERDICT r9 item 6)
-    # — scheduled for rotation #7 alongside q123-q131
-    "q132_stream_semantic_dedup",
-    # round 10: BPE-count sequence packing (X41's consumer tier) —
-    # scheduled for rotation #7 alongside q123-q132
-    "q133_bpe_sequence_packing",
-    # round 10: Z-order layout curves (X43) — scheduled for rotation #7
-    "q134_zorder_curve",
-    "q135_zorder_curve_3d",
+    # (round 11, rotation #7: q123-q135 — the round-9 late tier
+    # (leakage-safe splits X36, temperature mixture X37, SemDeDup X38),
+    # the round-9 third wave (duplicate-span removal X39, edit-distance
+    # verify X40), and the round-10 operators (real BPE X41, streaming
+    # SemDeDup X42, Z-order layout X43) — promoted INTO the official
+    # window; thirteen subsumable twins deferred, see the round-11
+    # DEFERRED block.  This burns the never-gated hash-checkable
+    # backlog to zero: every registry query outside the approx sketch
+    # tier has now carried an official green row in some round.)
 ]
 
 

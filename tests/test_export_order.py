@@ -32,10 +32,12 @@ FLAGSHIP = [
     # family row moves to promoted twin q71 source-leakage, the funnel
     # counts to q48+q102, the split membership to q61+q70; all three
     # carried official rows in CORRECTNESS_r01..r08)
+    # (round 11, rotation #7: q67/q76 rotated out — the greedy packing
+    # recursion is replayed by promoted q133 on real BPE counts, the
+    # near-dup decision layer composes in-window q32+q53; both carried
+    # official rows in CORRECTNESS_r04..r10)
     "q64_chunk_dedup",
-    "q67_sequence_packing",
     "q75_incremental_dedup",
-    "q76_near_dedup_corpus",
     # round-6 promotions: the join + real-codec tier (VERDICT r5 item 1)
     # (round 8: q84_asof_forward rotated out — the as-of family rows
     # are held by q81 backward + q85 nearest; q84 carried official rows
@@ -67,8 +69,10 @@ FLAGSHIP = [
     "q109_interval_join",
     # round-8 promotions (rotation #4, VERDICT r7 item 1): the
     # warehouse-history increment tier + the round-6 analytics tail
-    "q103_incremental_rollup",
-    "q105_skew_report",
+    # (round 11, rotation #7: q103/q105 rotated out — the mergeable-
+    # state fold invariant is pinned by q112+q120, the skew diagnosis
+    # feeds in-window q50; both carried official rows in
+    # CORRECTNESS_r08..r10)
     "q106_aligned_corr",
     "q108_unpivot_melt",
     # (round 10: q111/q113/q115/q116 rotated out — each carried
@@ -81,25 +85,41 @@ FLAGSHIP = [
     # (round 10: q51/q60/q61/q63/q65/q68/q71/q72 rotated out — each
     # carried official rows in CORRECTNESS_r09; survivors in
     # SUBSUMPTION below)
+    # (round 11, rotation #7: q70 rotated out — pure-hash membership
+    # family rows move to promoted q123/q124; official rows in
+    # CORRECTNESS_r09/r10)
     "q62_shard_stats",
     "q66_domain_mixing",
-    "q70_epoch_shuffle",
     "q117_model_scores",
     "q118_hashing_embed",
     # round-10 promotions (rotation #6, VERDICT r9 item 1): the
     # round-6 analytics tail + the round-9 operator tier
-    "q73_context_windows",
-    "q74_packing_report",
-    "q78_langid_confidence",
-    "q95_regional_revenue",
-    "q99_quality_band",
-    "q100_retention_cohorts",
-    "q104_weighted_sample",
-    "q107_chi2_independence",
+    # (round 11, rotation #7: q73/q74/q78/q95/q99/q100/q104/q107
+    # rotated out after their first-time official rows landed in
+    # CORRECTNESS_r10 — each is subsumed by an in-window survivor, see
+    # SUBSUMPTION; the r10 rows stay in the COVERAGE.md ledger)
     "q119_embed_ann",
     "q120_stream_heavy_fold",
     "q121_index_batch_search",
     "q122_drift_report",
+    # round-11 promotions (rotation #7, VERDICT r10 item 1): the
+    # round-9 late tier (leakage-safe splits, temperature mixture,
+    # SemDeDup batch + two-level, duplicate-span removal + incremental
+    # + streaming fold, edit-distance verify) and the round-10
+    # operators (real BPE, streaming SemDeDup, BPE packing, Z-order)
+    "q123_leakage_safe_splits",
+    "q124_temperature_mix",
+    "q125_semantic_dedup",
+    "q126_semantic_dedup_2l",
+    "q127_dup_span_removal",
+    "q128_edit_distance_verify",
+    "q129_dup_span_incremental",
+    "q130_stream_span_scrub",
+    "q131_bpe_token_frequency",
+    "q132_stream_semantic_dedup",
+    "q133_bpe_sequence_packing",
+    "q134_zorder_curve",
+    "q135_zorder_curve_3d",
 ]
 
 # The exact round-6 official window (VERDICT r3 item 8: pin it so a
@@ -138,6 +158,13 @@ FLAGSHIP = [
 # analytics tail q73/q74/q78/q95/q99/q100/q104/q107 plus the round-9
 # operator tier q119-q122 promoted so they carry first-time official
 # CORRECTNESS rows.
+# Round-11 change (rotation #7, VERDICT r10 item 1): q67/q70/q73/q74/
+# q76/q78/q95/q99/q100/q103/q104/q105/q107 deferred (each subsumed by
+# an in-window survivor, see SUBSUMPTION; all thirteen carried official
+# rows in CORRECTNESS_r10 — the full r10 window was 50/50 green), the
+# round-9 late tier q123-q130 plus the round-10 operators q131-q135
+# promoted so they carry first-time official CORRECTNESS rows.  This
+# burns the never-gated hash-checkable backlog to zero.
 EXPECTED_WINDOW = [
     "q23_ewma", "q27_iot_pipeline",
     "q32_minhash_lsh_pairs", "q38_ivf_topk",
@@ -148,22 +175,15 @@ EXPECTED_WINDOW = [
     "q48_training_data_pipeline",
     "q62_shard_stats",
     "q64_chunk_dedup", "q66_domain_mixing",
-    "q67_sequence_packing",
-    "q70_epoch_shuffle",
-    "q73_context_windows", "q74_packing_report",
-    "q75_incremental_dedup", "q76_near_dedup_corpus",
-    "q78_langid_confidence",
+    "q75_incremental_dedup",
     "q80_image_decode_stats",
     "q83_rolling_time_agg", "q85_asof_nearest",
     "q86_time_weighted_avg", "q88_ohlc_bars",
     "q91_audio_decode_stats", "q92_feature_matrix",
     "q93_conversion_funnel",
-    "q94_shipping_priority", "q95_regional_revenue",
-    "q99_quality_band", "q100_retention_cohorts",
+    "q94_shipping_priority",
     "q102_dq_audit",
-    "q103_incremental_rollup", "q104_weighted_sample",
-    "q105_skew_report",
-    "q106_aligned_corr", "q107_chi2_independence",
+    "q106_aligned_corr",
     "q108_unpivot_melt",
     "q109_interval_join",
     "q110_history_star",
@@ -172,6 +192,13 @@ EXPECTED_WINDOW = [
     "q117_model_scores", "q118_hashing_embed",
     "q119_embed_ann", "q120_stream_heavy_fold",
     "q122_drift_report", "q121_index_batch_search",
+    "q123_leakage_safe_splits", "q124_temperature_mix",
+    "q126_semantic_dedup_2l", "q125_semantic_dedup",
+    "q127_dup_span_removal", "q130_stream_span_scrub",
+    "q129_dup_span_incremental", "q131_bpe_token_frequency",
+    "q133_bpe_sequence_packing", "q134_zorder_curve",
+    "q135_zorder_curve_3d", "q132_stream_semantic_dedup",
+    "q128_edit_distance_verify",
 ]
 
 # Round-4/6 deferrals: each subsumed query's operator stays asserted by
@@ -323,10 +350,11 @@ SUBSUMPTION = {
     # funnel stage counts = conditional aggregates over q48's verbatim
     # gate chain; the conditional-agg audit shape is q102's
     "q69_curation_funnel": ["q48_training_data_pipeline", "q102_dq_audit"],
-    # pure-hash split membership: family rows are q70's epoch-shuffle
-    # pmod-hash membership + promoted q104's integer-lottery sampling
-    # (r10 re-point: former survivor q61 deferred)
-    "q77_train_val_test": ["q70_epoch_shuffle", "q104_weighted_sample"],
+    # pure-hash split membership (r11 re-point: former survivors
+    # q70/q104 deferred): promoted q123's cluster-keyed hash lottery +
+    # promoted q124's temperature-rate membership carry the family
+    "q77_train_val_test": ["q123_leakage_safe_splits",
+                           "q124_temperature_mix"],
     # backward as-of: q85 composes backward+forward; q92 runs the same
     # asof_join callable keyed by (user, signal)
     "q81_asof_join": ["q85_asof_nearest", "q92_feature_matrix"],
@@ -366,10 +394,11 @@ SUBSUMPTION = {
     # tests/test_textfns.py
     "q60_repetition_signals": ["q54_tfidf_top_terms",
                                "q48_training_data_pipeline"],
-    # pure-hash stratified membership: q70's pmod-hash epoch shuffle +
-    # promoted q104's integer-lottery weighted sample; assign_split
-    # stays pinned by tests/test_sampling.py
-    "q61_stratified_sample": ["q70_epoch_shuffle", "q104_weighted_sample"],
+    # pure-hash stratified membership (r11 re-point: former survivors
+    # q70/q104 deferred): promoted q123/q124 carry the hash-lottery
+    # family; assign_split stays pinned by tests/test_sampling.py
+    "q61_stratified_sample": ["q123_leakage_safe_splits",
+                              "q124_temperature_mix"],
     # scan-stage regexp redaction chain runs with q48's gate shape; the
     # PII patterns stay value-pinned by tests/test_textfns.py
     "q63_pii_redaction": ["q48_training_data_pipeline"],
@@ -402,6 +431,62 @@ SUBSUMPTION = {
     # plan shape stays in tests/test_plans.py
     "q116_unconverted_clicks": ["q109_interval_join",
                                 "q94_shipping_priority"],
+    # --- round 11 (rotation #7, VERDICT r10 item 1: open slots for
+    # q123-q135 — the never-gated backlog burn-down) ---
+    # greedy bin-packing recursion: promoted q133 replays the same
+    # packing rule (its oracle chains q67's recursive CTE) on real BPE
+    # token counts — the richer production twin
+    "q67_sequence_packing": ["q133_bpe_sequence_packing"],
+    # pure-hash pmod membership: promoted q123's cluster-keyed hash
+    # lottery + promoted q124's temperature-rate membership
+    "q70_epoch_shuffle": ["q123_leakage_safe_splits",
+                          "q124_temperature_mix"],
+    # stride-window transform+explode: scan-stage sequence slicing is
+    # q54's token-explode prefix; the sample-construction (packing
+    # module) family row is promoted q133
+    "q73_context_windows": ["q54_tfidf_top_terms",
+                            "q133_bpe_sequence_packing"],
+    # packing-efficiency rollup: packing family row is promoted q133;
+    # per-group multi-metric rollup shape is q62's shard stats
+    "q74_packing_report": ["q133_bpe_sequence_packing",
+                           "q62_shard_stats"],
+    # near-dup decision layer composes the two in-window stages it
+    # feeds from (LSH pairs + star-CC clusters/survivor rule)
+    "q76_near_dedup_corpus": ["q32_minhash_lsh_pairs",
+                              "q53_dedup_clusters"],
+    # lang-ID margin: the langid scorer runs verbatim inside q48's
+    # detected_lang gate; margin arithmetic pinned by test_textfns
+    "q78_langid_confidence": ["q48_training_data_pipeline"],
+    # TPC-H Q5 star: decimal-exact revenue rollup is q94's; the
+    # multi-dim broadcast-star join shape is q110's history star
+    "q95_regional_revenue": ["q94_shipping_priority",
+                             "q110_history_star"],
+    # per-source quantile banding: quality scoring runs verbatim in
+    # q48's gate; the per-group rank-window pass is q54's per-doc
+    # row_number
+    "q99_quality_band": ["q48_training_data_pipeline",
+                         "q54_tfidf_top_terms"],
+    # cohort triangle: first-event-per-user + per-user join-back is
+    # q93's per-user event shuffle; countDistinct rollup is q54's
+    # document-frequency core
+    "q100_retention_cohorts": ["q93_conversion_funnel",
+                               "q54_tfidf_top_terms"],
+    # mergeable-state fold: q112's incremental oracle pins the same
+    # rebuild==fold invariant; q120 hash-gates the streaming fold of
+    # bounded mergeable state
+    "q103_incremental_rollup": ["q112_scd2_incremental",
+                                "q120_stream_heavy_fold"],
+    # integer-lottery weighted sample: promoted q124's temperature
+    # mixture IS weighted sampling by per-domain rate (richer: it
+    # also computes the rates)
+    "q104_weighted_sample": ["q124_temperature_mix"],
+    # skew diagnosis feeds q50's salted join (the in-window skew
+    # family row); groupBy-count + TakeOrderedAndProject is q94's
+    "q105_skew_report": ["q50_salted_join", "q94_shipping_priority"],
+    # chi² independence: closed-form statistical-association agg
+    # family is q106's aligned Pearson pass; broadcast-margin
+    # conditional aggs are q102's audit shape
+    "q107_chi2_independence": ["q106_aligned_corr", "q102_dq_audit"],
 }
 
 

@@ -54,29 +54,14 @@ PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
     # q100/q104/q107 + the round-9 operator tier q119-q122 — EXECUTED
     # in round 10; entry removed per the staleness contract in
     # tests/test_coverage_ledger.py.)
-    # rotation #7 — the round-9 late tier: leakage-safe splits (X36),
-    # temperature mixture (X37), SemDeDup (X38)
-    11: (7, [
-        "q123_leakage_safe_splits",
-        "q124_temperature_mix",
-        "q125_semantic_dedup",
-        "q126_semantic_dedup_2l",
-        # round-9 third wave: stride-1 duplicate-span removal (X39)
-        # and edit-distance LSH verification (X40)
-        "q127_dup_span_removal",
-        "q128_edit_distance_verify",
-        "q129_dup_span_incremental",
-        "q130_stream_span_scrub",
-        # round-10 additions: real merge-table BPE tokenization (X41),
-        # the streaming SemDeDup increment (X42), and BPE-count
-        # sequence packing (X41's consumer tier)
-        "q131_bpe_token_frequency",
-        "q132_stream_semantic_dedup",
-        "q133_bpe_sequence_packing",
-        # round-10 additions: Z-order layout curves (X43)
-        "q134_zorder_curve",
-        "q135_zorder_curve_3d",
-    ]),
+    # (rotation #7 — the round-9 late tier q123-q130 plus the round-10
+    # operators q131-q135 — EXECUTED in round 11; entry removed per the
+    # staleness contract in tests/test_coverage_ledger.py.  The
+    # never-gated hash-checkable backlog is now EMPTY: every registry
+    # query outside the approx sketch tier has carried an official
+    # green row in some round.  New queries must still be registered
+    # into POST_WINDOW and scheduled here, or they silently displace
+    # the pinned window.)
 }
 
 
