@@ -5944,6 +5944,51 @@ def q128_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       abs_cap=120)
 
 
+@query(
+    "q136_zorder_pruned_read",
+    # the oracle filters the BASE table directly — the layout must be
+    # invisible to results, so a hash match proves the z-ordered
+    # write→read round trip loses nothing and the pushed filter is
+    # exact. % == pmod here: both operands non-negative.
+    """
+    SELECT event_id,
+           user_id % 256 AS x,
+           (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 256 AS y
+    FROM events
+    WHERE (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 256
+          BETWEEN 96 AND 111
+    """,
+)
+def q136_zorder_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X43's READ side, hash-gated (VERDICT r10 item 3): q134/q135 pin
+    the curve arithmetic; this row pins what the layout is FOR — write
+    events z-ordered on (user, hour) via layout.zorder_write, read back
+    through a selective predicate on y (a 1/16 hour band — the
+    dimension an x-sorted layout cannot prune), and return the matching
+    rows. The result must equal the same filter over the base table, so
+    the gate proves the range-shuffled parquet round trip is lossless
+    and the pushed-down band filter (PushedFilters on the y column,
+    plan-asserted in tests/test_misc_ops.py) is exact. The files-read
+    economics — the z layout needs ~2/16 files for this band where the
+    x-sorted twin reads all 16 — are asserted by
+    test_zorder_pruned_read_skips_files via file_extents, mirroring how
+    q121 gates its persistent index: the on-disk artifact is the
+    operator under test (same _scratch_dir lifecycle). The events table
+    spans 30 days at every SF, so hour%256 covers the full domain and
+    the band is never empty."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        F.pmod(F.col("user_id"), F.lit(256)).alias("x"),
+        F.pmod(F.expr("unix_timestamp(ts) div 3600"),
+               F.lit(256)).alias("y"))
+    path = _scratch_dir("q136_zorder", sf_dir)
+    layout.zorder_write(base, path, "x", "y", bits=8, n_files=16)
+    return (spark.read.parquet(path)
+            .where(F.col("y").between(96, 111))
+            .select("event_id", "x", "y"))
+
+
 # Operators added AFTER the 50-slot window filled with unique-operator
 # queries: fully oracle-checked by the local gate, first in line for a
 # window slot if one opens.
@@ -5994,6 +6039,9 @@ POST_WINDOW: list[str] = [
     # DEFERRED block.  This burns the never-gated hash-checkable
     # backlog to zero: every registry query outside the approx sketch
     # tier has now carried an official green row in some round.)
+    # round 11: the z-ordered READ path (X43's consumer side, VERDICT
+    # r10 item 3) — scheduled for rotation #8 (round 12)
+    "q136_zorder_pruned_read",
 ]
 
 

@@ -719,6 +719,55 @@ def test_zorder_write_tightens_both_extents(spark, tmp_path):
     assert zy < 0.35 and zx < 0.5
 
 
+def test_zorder_pruned_read_skips_files(spark, tmp_path):
+    """q136's files-read economics, measured (VERDICT r10 item 3): for
+    the 1/16 band predicate y IN [96, 111], the x-sorted layout must
+    read EVERY file (its per-file y extents span the domain) while the
+    z-ordered layout reads only the files whose rectangle intersects
+    the band — and both layouts return identical rows through the
+    predicate, so the skipping costs nothing. Also asserts q136's read
+    path pushes the band filter into the parquet scan: file pruning
+    comes from the same footer stats the pushed filter consults."""
+    from real_time_iot_data_pipeline_project_spark import registry
+    from real_time_iot_data_pipeline_project_spark.operators import layout
+    from tests.conftest import SF_SMOKE
+
+    ev = registry._t(spark, SF_SMOKE, "events").select(
+        "event_id",
+        F.pmod(F.col("user_id"), F.lit(256)).alias("x"),
+        F.pmod(F.expr("unix_timestamp(ts) div 3600"),
+               F.lit(256)).alias("y"))
+    zdir, xdir = str(tmp_path / "zord"), str(tmp_path / "xsort")
+    layout.zorder_write(ev, zdir, "x", "y", bits=8, n_files=16)
+    (ev.repartitionByRange(16, "x").sortWithinPartitions("x")
+     .write.parquet(xdir))
+
+    def band_files(path):
+        rows = layout.file_extents(spark, path, ["y"]).collect()
+        return (sum(1 for r in rows if r.min_y <= 111 and r.max_y >= 96),
+                len(rows))
+
+    zhit, zn = band_files(zdir)
+    xhit, xn = band_files(xdir)
+    print("band files:", {"z": (zhit, zn), "x": (xhit, xn)})
+    assert xhit == xn  # x-sorted layout: blind on y, reads everything
+    assert zhit <= zn // 2  # z layout: the band lives in few rectangles
+
+    def band_rows(path):
+        return sorted(map(tuple, spark.read.parquet(path)
+                          .where(F.col("y").between(96, 111))
+                          .select("event_id", "x", "y").collect()))
+
+    z_rows = band_rows(zdir)
+    assert z_rows == band_rows(xdir) and len(z_rows) > 0
+
+    q = registry.QUERIES["q136_zorder_pruned_read"](spark, SF_SMOKE)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    pushed = plan.split("PushedFilters")[1][:200]
+    assert "GreaterThanOrEqual(y,96" in pushed
+    assert "LessThanOrEqual(y,111" in pushed
+
+
 def test_zvalue_n_three_dims(spark):
     """3-D Morton: bit b of column i lands at 3b + i — zvalue_n([1,1,1])
     = 0b111 = 7; [2,0,0] = bit1 of x at pos 3 = 8; and the 2-D form is

@@ -56,12 +56,15 @@ PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
     # tests/test_coverage_ledger.py.)
     # (rotation #7 — the round-9 late tier q123-q130 plus the round-10
     # operators q131-q135 — EXECUTED in round 11; entry removed per the
-    # staleness contract in tests/test_coverage_ledger.py.  The
-    # never-gated hash-checkable backlog is now EMPTY: every registry
-    # query outside the approx sketch tier has carried an official
-    # green row in some round.  New queries must still be registered
-    # into POST_WINDOW and scheduled here, or they silently displace
-    # the pinned window.)
+    # staleness contract in tests/test_coverage_ledger.py.  That burn
+    # left the pre-r11 never-gated hash-checkable backlog EMPTY.  New
+    # queries must still be registered into POST_WINDOW and scheduled
+    # here, or they silently displace the pinned window.)
+    # rotation #8 — the round-11 additions: the z-ordered pruned-read
+    # row (X43's consumer side, VERDICT r10 item 3)
+    12: (8, [
+        "q136_zorder_pruned_read",
+    ]),
 }
 
 
