@@ -1,7 +1,12 @@
 """Benchmark runner: executes the headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+local[$SPARK_GRAFT_CPUS] and prints ONE COMPACT JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {top-10},
+ "n_queries": N, "full_record": "bench_history/r{N}.json", "sf": ...}
+
+The full per-query map goes to bench_history/ (committed); stdout stays
+under the driver's 2000-char tail so BENCH_r{N}.json parses (the
+111-entry map stopped fitting in round 10).
 
 Each query is forced with a cheap count() action (no driver collect of
 result data beyond the count). A warmup pass on the smallest table
@@ -171,6 +176,8 @@ HEADLINE = [
     # round 10: Z-order layout curves (X43)
     "q134_zorder_curve",
     "q135_zorder_curve_3d",
+    # round 11: the z-ordered pruned-read row (X43's consumer side)
+    "q136_zorder_pruned_read",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask
@@ -212,11 +219,30 @@ def main() -> None:
         "repeats": REPEATS,
         "stat": "min_of_repeats",
     }
-    print(json.dumps(record))
-    _persist(record)
+    persisted_as = _persist(record)
+    # The driver keeps only the last 2000 chars of stdout and json-parses
+    # them; the full 100+-entry per-query map outgrew that in round 10
+    # (BENCH_r10.json parsed: null — VERDICT r10 item 4). Print a COMPACT
+    # line — totals + the 10 most expensive queries + a pointer to the
+    # committed full record — and keep the full map in bench_history/.
+    top10 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    compact = {
+        "metric": record["metric"],
+        "value": total,
+        "unit": "sec",
+        "sf": record["sf"],
+        "repeats": REPEATS,
+        "stat": "min_of_repeats",
+        "n_queries": len(timings),
+        "queries": top10,
+        "full_record": f"bench_history/{persisted_as}",
+    }
+    line = json.dumps(compact)
+    assert len(line) < 1900, f"compact bench line too long ({len(line)})"
+    print(line)
 
 
-def _infer_round() -> str:
+def _infer_round() -> tuple[str, str]:
     """Round tag for the durable bench artifact: $SPARK_GRAFT_ROUND if
     set (digits are zero-padded so r9 and r09 can't diverge), else
     inferred from the driver's artifact sequence.  The driver's
@@ -263,12 +289,13 @@ def _infer_round() -> str:
     return f"{max_c + 1:02d}_local", "local"
 
 
-def _persist(record: dict) -> None:
-    """Write the FULL per-query map to bench_history/r{N}.json. The
-    driver keeps only the last 2000 chars of stdout, which truncates a
-    90-entry headline JSON (BENCH_r08 lost q01-q31, the r1-baseline
-    overlap) — the committed artifact is the durable record that
-    round-over-round comparison reads instead.
+def _persist(record: dict) -> str:
+    """Write the FULL per-query map to bench_history/r{N}.json and
+    return the filename it landed in. The driver keeps only the last
+    2000 chars of stdout, which truncates a 90-entry headline JSON
+    (BENCH_r08 lost q01-q31, the r1-baseline overlap) — the committed
+    artifact is the durable record that round-over-round comparison
+    reads instead.
 
     Only a run at the OFFICIAL scale (sf0.1, the driver's default)
     claims an unsuffixed-sf name; ad-hoc runs at other SFs get an
@@ -283,18 +310,22 @@ def _persist(record: dict) -> None:
     tag = f"r{round_tag}"
     if record["sf"] != 0.1:
         tag += f"_sf{record['sf']}"
-    # provenance IN the record (see _infer_round: filenames can be
-    # claimed by the wrong writer in a crashed-driver window; contents
-    # can't lie about how the tag was chosen)
-    record = dict(record, round_inference=how, claimed_tag=tag)
     out = os.path.join(hist, f"{tag}.json")
     n = 1
     while os.path.exists(out):
         n += 1
         out = os.path.join(hist, f"{tag}-{n}.json")
+    # provenance IN the record (see _infer_round: filenames can be
+    # claimed by the wrong writer in a crashed-driver window; contents
+    # can't lie about how the tag was chosen).  claimed_tag is the
+    # FINAL resolved name — set after the collision loop, so a record
+    # that landed in r11-2.json says so itself (ADVICE r10).
+    final = os.path.splitext(os.path.basename(out))[0]
+    record = dict(record, round_inference=how, claimed_tag=final)
     with open(out, "w") as f:
         json.dump(record, f, indent=1, sort_keys=True)
         f.write("\n")
+    return os.path.basename(out)
 
 
 if __name__ == "__main__":

@@ -83,16 +83,12 @@ def _sub_alpha(i: int) -> str:
             f"replica factor too large for the affine family: {i} >= 312")
     a, b = _AFFINE_A[i // len(ALPHA)], i % len(ALPHA)
     return "".join(ALPHA[(a * c + b) % len(ALPHA)] for c in range(len(ALPHA)))
-
-
-def _rot_alpha(i: int) -> str:
-    # Caesar rotation of the full alphabet: the i < 26 member of the
-    # affine family (a 5-letter vowel rotation had period 5 — replicas
-    # i and i+5 came out IDENTICAL, planting exactly the exact-dup
-    # artifact this harness exists to avoid). Kept for the historical
-    # name; _sub_alpha is the wrap-free general form.
-    r = i % len(ALPHA)
-    return ALPHA[r:] + ALPHA[:r]
+    # (History: the first harness used a Caesar rotation of a 5-letter
+    # vowel set — period 5, so replicas i and i+5 came out IDENTICAL,
+    # planting exactly the exact-dup artifact this harness exists to
+    # avoid; then a full-alphabet rotation, period 26.  The a=1 members
+    # of the affine family reproduce that rotation exactly, so the
+    # standalone _rot_alpha helper was deleted in round 11.)
 
 
 def _replicas(df: DataFrame, factor: int, build) -> DataFrame:
