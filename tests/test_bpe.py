@@ -197,3 +197,53 @@ def test_bpe_token_counts_match_array_path(spark):
             tokenize.with_bpe_tokens(spark, df).collect()}
     assert fast == full and fast[2] == 0 and fast[3] == 0
     assert set(fast) == {1, 2, 3, 4, 5}
+
+
+def test_hash_rank_impl_matches_scan(spark):
+    """rank_impl='hash' (the O(1) open-hash bucket lookup — the 32k-
+    production-vocab setting, VERDICT r10 item 5) produces EXACTLY the
+    scan impl's tokens on a chunk set covering merges, unseen chars,
+    and adversarial repetition."""
+    from real_time_iot_data_pipeline_project_spark.operators import tokenize
+
+    random.seed(23)
+    alpha = "abcdefghijklmnopqrstuvwxyz.,;"
+    words = (["table", "windowing", "the", "xqzj", "ab" * 16]
+             + ["".join(random.choice(alpha)
+                        for _ in range(random.randint(1, 32)))
+                for _ in range(40)])
+    df = spark.createDataFrame([(w,) for w in set(words)], "c string")
+    scan = {r.c: list(r.tokens)
+            for r in tokenize.encode_chunks(spark, df).collect()}
+    hashed = {r.c: list(r.tokens)
+              for r in tokenize.encode_chunks(
+                  spark, df, rank_impl="hash").collect()}
+    assert scan == hashed
+    # and both equal the classic reference encoder
+    for w, toks in scan.items():
+        assert toks == bpe.encode_word(w), w
+    with pytest.raises(ValueError, match="rank_impl"):
+        tokenize._spark_ranks_expr("s", "bogus")
+
+
+def test_rank_buckets_shape_and_lookup(spark):
+    """The bucket literal: M is the power of two giving load ≤ 0.5,
+    every pinned merge resolves to its 1-based rank through the hash
+    path, and a miss resolves to 0 (array_position's contract)."""
+    from real_time_iot_data_pipeline_project_spark.operators import tokenize
+    from real_time_iot_data_pipeline_project_spark.functions import bpe as bpemod
+
+    _, m = tokenize.rank_buckets_sql()
+    v = len(bpemod.merges())
+    assert m & (m - 1) == 0 and m >= 2 * v
+    with pytest.raises(ValueError, match="non-empty"):
+        tokenize.rank_buckets_sql([])
+
+    pairs = [p1 + bpemod.SEP + p2 for p1, p2 in bpemod.merges()]
+    probe = pairs + ["zz" + bpemod.SEP + "qq"]  # one guaranteed miss
+    df = spark.createDataFrame([(k,) for k in probe], "k string")
+    got = {r.k: r.rank for r in df.selectExpr(
+        "k", tokenize._rank_lookup_hash("k") + " AS rank").collect()}
+    assert got["zz" + bpemod.SEP + "qq"] == 0
+    for rank, key in enumerate(pairs, start=1):
+        assert got[key] == rank, key
