@@ -107,7 +107,8 @@ def _dir_exists(spark, path: str) -> bool:
 def process_corpus_batch(batch_df: DataFrame, batch_id: int, path: str,
                          signature_store: str, threshold: float = 0.7,
                          min_quality: float = 0.45,
-                         langs: tuple[str, ...] | None = None) -> None:
+                         langs: tuple[str, ...] | None = None,
+                         bpe_counts: bool = False) -> None:
     """One micro-batch of the near-dedup corpus sink (module-level so the
     crash-replay test can drive it directly with a pinned batch_id).
 
@@ -117,6 +118,18 @@ def process_corpus_batch(batch_df: DataFrame, batch_id: int, path: str,
     that itself failed the gate (which would land that content in neither
     the corpus nor the store); the cost is that a failing doc cannot
     "represent" its near-dup cluster — the earliest PASSING doc does.
+
+    ``bpe_counts=True`` (VERDICT r10 item 6) annotates each batch's
+    SURVIVORS with real merge-table BPE token counts (``n_bpe_tokens``,
+    operators.tokenize.bpe_token_counts — the count-only path, no token
+    arrays materialized) before the sink write, closing the gap with the
+    batch release pipeline's ``--bpe-manifest``: the streaming corpus
+    then carries the same real counts per doc that the batch path would
+    compute (fold == batch, pinned by test — counts are a pure function
+    of text, so equality holds per doc regardless of batch boundaries).
+    Per-trigger cost is one vocabulary-sized recursive encode over the
+    batch's distinct words + one count join — increment-sized, like
+    every other stage of this sink.
 
     Exactly-once: every write is keyed by its batch_id directory and uses
     overwrite, so a replayed batch (the checkpoint re-delivers the same
@@ -155,8 +168,16 @@ def process_corpus_batch(batch_df: DataFrame, batch_id: int, path: str,
         base_bands = None
 
     written = dedup_ops.near_dedup_against(
-        gated, base_sigs, threshold=threshold, base_band_rows=base_bands
-    ).localCheckpoint(eager=True)
+        gated, base_sigs, threshold=threshold, base_band_rows=base_bands)
+    if bpe_counts:
+        from ..operators import tokenize
+
+        # count-only path: (doc_id, n_bpe_tokens) joined back to the
+        # survivors; shuffle_hash like the module's other id join-backs
+        # (neither side is sorted)
+        cnts = tokenize.bpe_token_counts(spark, written)
+        written = written.join(cnts.hint("shuffle_hash"), "doc_id")
+    written = written.localCheckpoint(eager=True)
     (written.write.mode("overwrite")
      .partitionBy("ingest_date", "detected_lang")
      .parquet(f"{path}/batch_id={batch_id}"))
@@ -171,7 +192,8 @@ def start_near_dedup_corpus_sink(docs: DataFrame, path: str, checkpoint: str,
                                  threshold: float = 0.7,
                                  min_quality: float = 0.45,
                                  langs: tuple[str, ...] | None = None,
-                                 available_now: bool = False):
+                                 available_now: bool = False,
+                                 bpe_counts: bool = False):
     """Streaming ingestion with cross-batch NEAR-dup dedup: each
     micro-batch is exact-deduped within itself, annotated + gated with
     the batch-identical chain, near-deduped (dedup.near_dedup_against)
@@ -189,11 +211,14 @@ def start_near_dedup_corpus_sink(docs: DataFrame, path: str, checkpoint: str,
     growing static table, which the continuous-query API cannot express.
 
     Delivery: exactly-once — see ``process_corpus_batch`` (batch_id-keyed
-    overwrite directories make replays idempotent)."""
+    overwrite directories make replays idempotent).  ``bpe_counts=True``
+    annotates survivors with real BPE token counts per micro-batch —
+    see ``process_corpus_batch``."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         process_corpus_batch(batch_df, batch_id, path, signature_store,
-                             threshold, min_quality, langs)
+                             threshold, min_quality, langs,
+                             bpe_counts=bpe_counts)
 
     w = (
         docs.writeStream.foreachBatch(_process)

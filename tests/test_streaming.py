@@ -1925,3 +1925,57 @@ def test_semantic_store_marker_corrupt_fails_loudly(spark, tmp_path):
     with pytest.raises(ValueError, match="corrupt"):
         semantic_stream.process_semantic_batch(
             _sem_df(spark, _sem_vectors()[0]), 0, store, threshold=0.9)
+
+
+def test_corpus_sink_bpe_counts_fold_equals_batch(spark, tmp_path):
+    """bpe_counts=True (VERDICT r10 item 6): the streamed corpus carries
+    real merge-table BPE token counts per surviving doc, and the fold
+    equals the batch path — tokenize.bpe_token_counts over the union of
+    all drops gives the SAME n_bpe_tokens for every survivor, mirroring
+    how q132's stream fold equals q125's batch rule."""
+    import json as _json
+
+    from real_time_iot_data_pipeline_project_spark.operators import tokenize
+    from real_time_iot_data_pipeline_project_spark.streaming import curation
+
+    rows1 = [
+        {"doc_id": 1, "text": "the quick brown fox jumps over the lazy "
+                              "dog and then runs far away " * 3,
+         "lang": "en", "source": "s1",
+         "event_time": "2026-01-01T10:00:00"},
+        {"doc_id": 2, "text": "a clearly different document about the "
+                              "weather and the seasons at length " * 2,
+         "lang": "en", "source": "s1",
+         "event_time": "2026-01-01T10:01:00"},
+    ]
+    rows2 = [
+        {"doc_id": 3, "text": "another genuinely new document describing "
+                              "checkpointed streaming state stores " * 2,
+         "lang": "en", "source": "s2",
+         "event_time": "2026-01-01T10:05:00"},
+    ]
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in rows1))
+    (src / "b2.json").write_text("\n".join(_json.dumps(r) for r in rows2))
+
+    sink = str(tmp_path / "corpus")
+    q = curation.start_near_dedup_corpus_sink(
+        curation.read_doc_stream(spark, str(src)),
+        sink, str(tmp_path / "ckpt"), str(tmp_path / "sigs"),
+        threshold=0.7, available_now=True, bpe_counts=True,
+    )
+    q.awaitTermination(120)
+
+    streamed = {r.doc_id: r.n_bpe_tokens
+                for r in spark.read.parquet(sink)
+                .select("doc_id", "n_bpe_tokens").collect()}
+    assert set(streamed) == {1, 2, 3}
+
+    union = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows1 + rows2],
+        ["doc_id", "text"])
+    batch = {r.doc_id: r.n_bpe_tokens
+             for r in tokenize.bpe_token_counts(spark, union).collect()}
+    assert streamed == {d: batch[d] for d in streamed}
+    assert all(v > 0 for v in streamed.values())
