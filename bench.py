@@ -177,7 +177,9 @@ HEADLINE = [
     "q134_zorder_curve",
     "q135_zorder_curve_3d",
     # round 11: the z-ordered pruned-read row (X43's consumer side)
+    # and the capacity-capped mixture waterfill (X44)
     "q136_zorder_pruned_read",
+    "q137_mixture_waterfill",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

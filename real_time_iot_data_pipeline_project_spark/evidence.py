@@ -223,11 +223,17 @@ EVIDENCE: dict[str, dict] = {
         "test_streaming.py::test_compact_semantic_store_preserves_groups_and_replay",
         "test_streaming.py::test_compact_semantic_store_cli"]},
     "X43": {"queries": ["q134_zorder_curve",
-                        "q135_zorder_curve_3d"], "tests": [
+                        "q135_zorder_curve_3d",
+                        "q136_zorder_pruned_read"], "tests": [
         "test_misc_ops.py::test_zvalue_known_values",
         "test_misc_ops.py::test_zvalue_n_three_dims",
         "test_misc_ops.py::test_zorder_validations",
-        "test_misc_ops.py::test_zorder_write_tightens_both_extents"]},
+        "test_misc_ops.py::test_zorder_write_tightens_both_extents",
+        "test_misc_ops.py::test_zorder_pruned_read_skips_files"]},
+    "X44": {"queries": ["q137_mixture_waterfill"], "tests": [
+        "test_curation_ops.py::test_mixture_waterfill_caps_and_redistributes",
+        "test_curation_ops.py::test_mixture_waterfill_infeasible_and_degenerate",
+        "test_curation_ops.py::test_mixture_waterfill_conservation_property"]},
     "X40": {"queries": ["q128_edit_distance_verify"], "tests": [
         "test_dedup_similarity.py::test_edit_verify_exact_and_near_dups",
         "test_dedup_similarity.py::test_edit_verify_rejects_block_swapped_candidate",

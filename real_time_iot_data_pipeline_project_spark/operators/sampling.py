@@ -334,3 +334,118 @@ def weighted_sample_tickets(df: DataFrame, key: str, weight_col: str,
     return (best.orderBy(F.col("ticket").desc(), F.col(key).asc())
             .limit(k)
             .select(F.col(key), F.col("__w").alias("weight"), "ticket"))
+
+
+def mixture_waterfill(df: DataFrame, stratum: str, weight: Column,
+                      budget_tokens: Column | int,
+                      tokens_col: str | None = None,
+                      text_col: str = "text") -> DataFrame:
+    """Capacity-capped mixture solver (X44): the feasibility step every
+    data-recipe mix needs that proportional rules skip.  Given target
+    mixture WEIGHTS (integer parts per stratum) and a total token
+    BUDGET, a stratum's fair share ``w_s/W · B`` can exceed what it
+    actually has — the waterfill caps such strata at their full
+    capacity and redistributes the excess over the rest, iterated to
+    the fixpoint (small sources saturate first, remaining demand
+    re-spreads; ``temperature_mix_rates`` caps at 100% but never
+    redistributes, so its realized mix silently under-delivers the
+    budget — this operator is the exact constrained solver).
+
+    Closed form instead of iteration: sort strata by capacity/weight
+    ascending (the saturation order); the capped set is a PREFIX of
+    that order, detected by a running AND of the exact integer test
+    ``capacity·W_tail ≤ weight·(B − C_prefix)`` (cross-multiplied — no
+    division), where ``C_prefix`` is the capacity already granted to
+    earlier (more-starved) strata and ``W_tail`` the weight still
+    competing.  Uncapped strata then split the residual budget
+    proportionally with integer floor division.  All arithmetic is
+    BIGINT (capacities to ~10^13 tokens × weight parts to ~10^4 stay
+    under 2^63), so the result is bit-identical on any engine — the
+    q137 oracle replays it in ANSI SQL.
+
+    The sort key is the 3-dp floor ``capacity·10^3 DIV weight`` with a
+    stratum-name tie-break: two strata whose true rationals differ
+    only past 3 dp may order either way, but BOTH engines order them
+    the same way, so the (documented) rule stays exact cross-engine
+    (the ·10^3 headroom keeps per-stratum capacity exact to
+    ~4.6·10^15 tokens — two decades past a 100 TB corpus).  Weight-0
+    strata sort last (key = max BIGINT), never cap, and get
+    allocation 0.
+
+    Shapes at 100 TB: one partial-aggregatable groupBy builds the
+    per-stratum capacity table; everything after runs on that
+    DIMENSION-sized frame (strata count, not corpus count — the
+    single-partition window is over dozens of rows, like every rate
+    table in this module).  Returns one row per stratum: weight,
+    capacity_tokens, capped (int 0/1), allocation_tokens; the sum of
+    allocations is ≤ budget by at most (#uncapped − 1) flooring
+    tokens, and equals min(budget, total capacity) up to that floor.
+
+    ``weight`` is a Column expression over the stratum column (so
+    recipes stay declarative: ``F.when(col == 'wiki', 30)...``);
+    ``budget_tokens`` a literal or scalar Column; ``tokens_col`` an
+    existing per-row count column, else whitespace ``token_count`` of
+    ``text_col``."""
+    from pyspark.sql import Window
+
+    from ..functions import textfns
+
+    toks = (F.col(tokens_col) if tokens_col
+            else textfns.token_count(text_col))
+    budget = (F.lit(budget_tokens) if isinstance(budget_tokens, int)
+              else budget_tokens).cast("long")
+    caps = (
+        df.groupBy(stratum)
+        .agg(F.sum(toks).cast("long").alias("capacity_tokens"))
+        .withColumn("weight", weight.cast("long"))
+        # negative weights are a recipe bug; clamp to 0 once, up front
+        .withColumn("weight", F.greatest("weight", F.lit(0)))
+        .withColumn("__budget", budget)
+    )
+    keyed = caps.withColumn(
+        "__key",
+        F.when(F.col("weight") <= 0, F.lit(1 << 62)).otherwise(
+            F.expr("(capacity_tokens * 1000) DIV weight")))
+
+    order = Window.orderBy("__key", stratum)
+    ranked = (
+        keyed
+        .withColumn("__c_prefix",
+                    F.coalesce(F.sum("capacity_tokens").over(
+                        order.rowsBetween(Window.unboundedPreceding, -1)),
+                        F.lit(0)).cast("long"))
+        .withColumn("__w_tail",
+                    F.sum("weight").over(
+                        order.rowsBetween(0, Window.unboundedFollowing))
+                    .cast("long"))
+        .withColumn("__cond",
+                    ((F.col("capacity_tokens") * F.col("__w_tail"))
+                     <= (F.col("weight")
+                         * (F.col("__budget") - F.col("__c_prefix"))))
+                    .cast("int"))
+        .withColumn("capped",
+                    F.min("__cond").over(
+                        order.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    totals = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    out = (
+        ranked
+        .withColumn("__r_final",
+                    F.col("__budget")
+                    - F.coalesce(F.sum(F.when(F.col("capped") == 1,
+                                              F.col("capacity_tokens")))
+                                 .over(totals), F.lit(0)))
+        .withColumn("__w_final",
+                    F.coalesce(F.sum(F.when(F.col("capped") == 0,
+                                            F.col("weight")))
+                               .over(totals), F.lit(0)))
+        .withColumn(
+            "allocation_tokens",
+            F.when(F.col("capped") == 1, F.col("capacity_tokens"))
+            .when(F.col("__w_final") <= 0, F.lit(0).cast("long"))
+            .otherwise(F.expr(
+                "(weight * __r_final) DIV __w_final")).cast("long"))
+    )
+    return out.select(stratum, "weight", "capacity_tokens", "capped",
+                      "allocation_tokens")

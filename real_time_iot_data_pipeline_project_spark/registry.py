@@ -5989,6 +5989,94 @@ def q136_zorder_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_id", "x", "y"))
 
 
+@query(
+    "q137_mixture_waterfill",
+    # the waterfill replayed in ANSI SQL: same 3-dp sort key, same
+    # cross-multiplied prefix-AND cap test, same integer floor split.
+    # DuckDB // floors (all operands non-negative); intermediate
+    # HUGEINT widening only tightens the comparisons.
+    f"""
+    WITH caps AS (
+      SELECT source,
+             CAST(sum(len(string_split({_NORM_SQL}, ' '))) AS BIGINT)
+               AS capacity_tokens,
+             CAST(CASE source WHEN 'src0' THEN 50 WHEN 'src1' THEN 30
+                  ELSE 1 END AS BIGINT) AS weight
+      FROM documents GROUP BY source
+    ),
+    budget AS (
+      SELECT CAST((sum(capacity_tokens) * 2) // 5 AS BIGINT) AS b
+      FROM caps
+    ),
+    keyed AS (
+      SELECT c.*, b.b,
+             CASE WHEN weight <= 0 THEN CAST(4611686018427387904 AS BIGINT)
+                  ELSE (capacity_tokens * 1000) // weight END AS k
+      FROM caps c, budget b
+    ),
+    ranked AS (
+      SELECT *,
+        COALESCE(sum(capacity_tokens) OVER (ORDER BY k, source
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS c_prefix,
+        sum(weight) OVER (ORDER BY k, source
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS w_tail
+      FROM keyed
+    ),
+    capfl AS (
+      SELECT *,
+        min(CASE WHEN capacity_tokens * w_tail <= weight * (b - c_prefix)
+                 THEN 1 ELSE 0 END)
+          OVER (ORDER BY k, source
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS capped
+      FROM ranked
+    ),
+    fin AS (
+      SELECT *,
+        b - COALESCE(sum(CASE WHEN capped = 1 THEN capacity_tokens END)
+                     OVER (), 0) AS r_final,
+        COALESCE(sum(CASE WHEN capped = 0 THEN weight END) OVER (), 0)
+          AS w_final
+      FROM capfl
+    )
+    SELECT source, weight, capacity_tokens,
+           CAST(capped AS INT) AS capped,
+           CAST(CASE WHEN capped = 1 THEN capacity_tokens
+                     WHEN w_final <= 0 THEN 0
+                     ELSE (weight * r_final) // w_final END AS BIGINT)
+             AS allocation_tokens
+    FROM fin
+    """,
+)
+def q137_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X44 — capacity-capped mixture waterfill
+    (sampling.mixture_waterfill): the feasibility solver every data
+    recipe needs once a target mix meets a finite corpus.  Recipe:
+    src0 weighted 50 parts and src1 30 against 1 part for each other
+    source, with a 40% token budget — both heavy sources' fair shares
+    (~20%/~12% of the corpus) exceed their ~5% capacities at every SF,
+    so they CAP at full capacity and the residual redistributes over
+    the 18 uncapped sources (the fixpoint q124's per-source 100% cap
+    alone never reaches — temperature mixing under-delivers its budget
+    when a source saturates; this row pins the exact constrained
+    answer).  All-integer closed form — 3-dp-floored saturation order,
+    cross-multiplied prefix-AND cap test, floor-division split — so
+    the hash gate pins the whole rule bit-for-bit.  One corpus-sized
+    partial-aggregatable groupBy; everything after is a dimension-
+    sized window frame (20 rows).  The budget scalar is one bounded
+    1-row aggregate (the zorder_write min/max precedent)."""
+    from .operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    total = docs.agg(
+        F.sum(textfns.token_count("text")).cast("long")).head()[0]
+    w = (F.when(F.col("source") == "src0", 50)
+         .when(F.col("source") == "src1", 30)
+         .otherwise(1))
+    return sampling.mixture_waterfill(
+        docs, "source", w, int(total) * 2 // 5)
+
+
 # Operators added AFTER the 50-slot window filled with unique-operator
 # queries: fully oracle-checked by the local gate, first in line for a
 # window slot if one opens.
@@ -6042,6 +6130,9 @@ POST_WINDOW: list[str] = [
     # round 11: the z-ordered READ path (X43's consumer side, VERDICT
     # r10 item 3) — scheduled for rotation #8 (round 12)
     "q136_zorder_pruned_read",
+    # round 11: capacity-capped mixture waterfill (X44) — scheduled
+    # for rotation #8 (round 12)
+    "q137_mixture_waterfill",
 ]
 
 

@@ -583,3 +583,68 @@ def test_temperature_sample_keeps_null_stratum_rows(spark):
     for k, s in rows:
         assert (k in kept) == (_bucket("tmix", k) < rates[s]), (k, s)
     assert any(k.startswith("n") for k in kept)
+
+
+def test_mixture_waterfill_caps_and_redistributes(spark):
+    """X44 hand case: a starved heavy-weight stratum caps at capacity
+    and its excess fair share redistributes over the rest — the
+    fixpoint a one-shot per-source cap never reaches."""
+    from real_time_iot_data_pipeline_project_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [("a", 100), ("b", 1000), ("c", 1000)], "s string, n int")
+    w = (F.when(F.col("s") == "a", 50)
+         .when(F.col("s") == "b", 25).otherwise(25))
+    got = {r.s: (r.capped, r.allocation_tokens) for r in
+           sampling.mixture_waterfill(df, "s", w, 1200,
+                                      tokens_col="n").collect()}
+    # fair shares at B=1200: a=600 > 100 -> capped; residual 1100
+    # splits 25:25 over b and c
+    assert got == {"a": (1, 100), "b": (0, 550), "c": (0, 550)}
+
+
+def test_mixture_waterfill_infeasible_and_degenerate(spark):
+    """Budget beyond total capacity caps everything at capacity;
+    budget 0 allocates nothing; a weight-0 stratum never receives."""
+    from real_time_iot_data_pipeline_project_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [("a", 100), ("b", 1000), ("c", 1000)], "s string, n int")
+    w = (F.when(F.col("s") == "a", 50)
+         .when(F.col("s") == "b", 25).otherwise(25))
+    allcap = {r.s: (r.capped, r.allocation_tokens) for r in
+              sampling.mixture_waterfill(df, "s", w, 99999,
+                                         tokens_col="n").collect()}
+    assert allcap == {"a": (1, 100), "b": (1, 1000), "c": (1, 1000)}
+
+    zero = {r.s: r.allocation_tokens for r in
+            sampling.mixture_waterfill(df, "s", w, 0,
+                                       tokens_col="n").collect()}
+    assert zero == {"a": 0, "b": 0, "c": 0}
+
+    w0 = F.when(F.col("s") == "a", 0).otherwise(1)
+    nw = {r.s: (r.capped, r.allocation_tokens) for r in
+          sampling.mixture_waterfill(df, "s", w0, 1200,
+                                     tokens_col="n").collect()}
+    assert nw == {"a": (0, 0), "b": (0, 600), "c": (0, 600)}
+
+
+def test_mixture_waterfill_conservation_property(spark):
+    """For any feasible budget: allocations never exceed capacity,
+    sum(alloc) <= B, and the flooring shortfall is < #uncapped —
+    checked across a budget sweep on skewed capacities."""
+    from real_time_iot_data_pipeline_project_spark.operators import sampling
+
+    rows = [("s%d" % i, (i * 37) % 900 + 10) for i in range(9)]
+    df = spark.createDataFrame(rows, "s string, n int")
+    total = sum(n for _, n in rows)
+    w = F.length("s") * 3 + F.ascii(F.substring("s", 2, 1))
+    for b in (0, 1, total // 10, total // 2, total - 1, total):
+        out = sampling.mixture_waterfill(df, "s", w, b,
+                                         tokens_col="n").collect()
+        caps = dict(rows)
+        assert all(r.allocation_tokens <= caps[r.s] for r in out)
+        alloc = sum(r.allocation_tokens for r in out)
+        n_uncapped = sum(1 for r in out if r.capped == 0)
+        assert alloc <= b
+        assert b - alloc < max(n_uncapped, 1), (b, alloc, n_uncapped)
