@@ -180,6 +180,8 @@ HEADLINE = [
     # and the capacity-capped mixture waterfill (X44)
     "q136_zorder_pruned_read",
     "q137_mixture_waterfill",
+    # round 11: the IVF recall@k evaluation curve (X45)
+    "q138_ann_recall",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

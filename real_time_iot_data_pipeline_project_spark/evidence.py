@@ -234,6 +234,8 @@ EVIDENCE: dict[str, dict] = {
         "test_curation_ops.py::test_mixture_waterfill_caps_and_redistributes",
         "test_curation_ops.py::test_mixture_waterfill_infeasible_and_degenerate",
         "test_curation_ops.py::test_mixture_waterfill_conservation_property"]},
+    "X45": {"queries": ["q138_ann_recall"], "tests": [
+        "test_ann_index.py::test_ann_recall_curve_monotone_and_anchored"]},
     "X40": {"queries": ["q128_edit_distance_verify"], "tests": [
         "test_dedup_similarity.py::test_edit_verify_exact_and_near_dups",
         "test_dedup_similarity.py::test_edit_verify_rejects_block_swapped_candidate",

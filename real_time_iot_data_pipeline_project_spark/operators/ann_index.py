@@ -171,3 +171,77 @@ def search_index(spark: SparkSession, index_dir: str,
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ann_recall_report(spark: SparkSession, df: DataFrame, index_dir: str,
+                      queries: DataFrame, k: int = 10,
+                      nprobe_values: tuple[int, ...] = (1, 2, 4, 16),
+                      query_id_col: str = "query_id",
+                      query_vec_col: str = "qvec",
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> DataFrame:
+    """Recall@k evaluation of the persistent IVF index (X45): the
+    nprobe sizing curve an operator reads before picking the
+    latency/recall trade-off — per (nprobe, query), how many of the
+    EXACT top-k the probed search returned.
+
+    The exact reference is the brute-force per-query top-k over the
+    full corpus (the q37 verification-tier arithmetic: per-operand
+    norms precomputed, (cosine DESC, id ASC) tie-break — identical to
+    the index search's ranking rule, so nprobe = n_centroids provably
+    reaches recall 100 and anchors the curve's top end).  Each nprobe
+    run is one ``search_index_batch`` call (dynamic-partition-pruned
+    probe reads); hits are an inner join against the exact set on
+    (query, vec); a (nprobe × query) spine keeps zero-recall rows
+    visible instead of silently missing.
+
+    Scale shape: the exact pass is the one corpus-sized stage — a
+    broadcast of the bounded query batch over one scan (evaluation
+    runs on a query SAMPLE, not the corpus; brute force over a sample
+    is the standard recall protocol).  Everything downstream is
+    k·|queries|·|nprobes| rows.  Returns (nprobe, query_id, n_hits,
+    k, recall_pct) with all-integer recall so the q138 oracle gate is
+    exact."""
+    qvec_d = F.transform(F.col(query_vec_col), lambda x: x.cast("double"))
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    queries_n = queries.withColumn("__qnorm", _norm(qvec_d))
+    exact = (
+        df.withColumn("__dnorm", _norm(vec_d))
+        .crossJoin(F.broadcast(queries_n))
+        .select(query_id_col, id_col,
+                (_dot(vec_d, qvec_d)
+                 / (F.col("__dnorm") * F.col("__qnorm")))
+                .alias("__cos"))
+        .withColumn("__rn", F.row_number().over(
+            Window.partitionBy(query_id_col)
+            .orderBy(F.desc("__cos"), F.asc(id_col))))
+        .where(F.col("__rn") <= k)
+        .select(query_id_col, id_col)
+    )
+    runs = None
+    for np_ in nprobe_values:
+        got = (
+            search_index_batch(spark, index_dir, queries, k=k,
+                               nprobe=int(np_),
+                               query_id_col=query_id_col,
+                               query_vec_col=query_vec_col,
+                               vec_col=vec_col, id_col=id_col)
+            .select(F.lit(int(np_)).alias("nprobe"),
+                    query_id_col, id_col))
+        runs = got if runs is None else runs.unionByName(got)
+    hits = (
+        runs.join(exact, [query_id_col, id_col])
+        .groupBy("nprobe", query_id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    np_frame = spark.createDataFrame(
+        [(int(n),) for n in nprobe_values], "nprobe int")
+    spine = queries.select(query_id_col).crossJoin(F.broadcast(np_frame))
+    return (
+        spine.join(hits, ["nprobe", query_id_col], "left")
+        .withColumn("n_hits",
+                    F.coalesce("n_hits", F.lit(0).cast("long")))
+        .withColumn("k", F.lit(int(k)))
+        .withColumn("recall_pct", F.expr(f"(n_hits * 100) DIV {int(k)}"))
+        .select("nprobe", query_id_col, "n_hits", "k", "recall_pct")
+    )

@@ -6077,6 +6077,106 @@ def q137_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "source", w, int(total) * 2 // 5)
 
 
+def _ann_recall_sql(n_centroids: int = 16, k: int = 10,
+                    nprobes: tuple[int, ...] = (1, 2, 4, 16)) -> str:
+    """q138 oracle: the recall@k curve replayed in SQL — q121's proven
+    index-search formulation generalized over an nprobe spine, joined
+    against the brute-force exact top-k (q37's formulation), with a
+    (nprobe × query) spine keeping zero-recall rows."""
+    v_c = _list_cos_sql("e.embedding", "c.cvec")
+    c_q = _list_cos_sql("c.cvec", "q.qv")
+    v_q = _list_cos_sql("e.embedding", "q.qv")
+    np_list = ", ".join(str(int(n)) for n in nprobes)
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+    ),
+    c AS (
+      SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_centroids}
+    ),
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {v_c} DESC,
+                                           c.centroid_id ASC) AS rn
+        FROM embeddings e, c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT q.query_id, c.centroid_id,
+             row_number() OVER (PARTITION BY q.query_id
+                                ORDER BY {c_q} DESC,
+                                         c.centroid_id ASC) AS rn
+      FROM q, c
+    ),
+    nps AS (SELECT unnest([{np_list}]) AS nprobe),
+    ivf AS (
+      SELECT nprobe, query_id, vec_id FROM (
+        SELECT n.nprobe, q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY n.nprobe, q.query_id
+                                  ORDER BY {v_q} DESC,
+                                           e.vec_id ASC) AS rn
+        FROM nps n
+        JOIN probes p ON p.rn <= n.nprobe
+        JOIN assigned a ON a.centroid_id = p.centroid_id
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        JOIN q ON q.query_id = p.query_id
+      ) WHERE rn <= {k}
+    ),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {v_q} DESC,
+                                           e.vec_id ASC) AS rn
+        FROM embeddings e, q
+      ) WHERE rn <= {k}
+    ),
+    hits AS (
+      SELECT i.nprobe, i.query_id, count(*) AS n_hits
+      FROM ivf i JOIN exact x
+        ON x.query_id = i.query_id AND x.vec_id = i.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT n.nprobe, q.query_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           {k} AS k,
+           CAST((COALESCE(h.n_hits, 0) * 100) // {k} AS BIGINT)
+             AS recall_pct
+    FROM nps n CROSS JOIN q
+    LEFT JOIN hits h ON h.nprobe = n.nprobe AND h.query_id = q.query_id
+    """
+
+
+@query("q138_ann_recall", _ann_recall_sql())
+def q138_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X45 — recall@k evaluation of the persistent IVF index
+    (ann_index.ann_recall_report): the nprobe sizing curve — per
+    (nprobe ∈ {1, 2, 4, 16}, query), how many of the brute-force exact
+    top-10 the probed search returns.  This is the measurement a user
+    runs before choosing nprobe; nprobe = n_centroids = 16 probes
+    every bucket and provably reaches recall 100 (same ranking rule
+    as the exact pass), anchoring the curve's top end inside the
+    gated rows themselves.  All-integer recall (n_hits, recall_pct =
+    n_hits·100 DIV k) so the hash gate is exact; the index build +
+    four DPP-pruned searches reuse q121's proven components verbatim
+    (same _scratch_dir lifecycle)."""
+    from .operators.ann_index import ann_recall_report, build_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = _scratch_dir("q138_index", sf_dir)
+    build_index(emb, idx, n_centroids=16)
+    queries = (emb.where(F.col("vec_id").isin(0, 1, 2, 3, 4))
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qvec")))
+    return ann_recall_report(spark, emb, idx, queries, k=10,
+                             nprobe_values=(1, 2, 4, 16))
+
+
 # Operators added AFTER the 50-slot window filled with unique-operator
 # queries: fully oracle-checked by the local gate, first in line for a
 # window slot if one opens.
@@ -6133,6 +6233,9 @@ POST_WINDOW: list[str] = [
     # round 11: capacity-capped mixture waterfill (X44) — scheduled
     # for rotation #8 (round 12)
     "q137_mixture_waterfill",
+    # round 11: IVF recall@k evaluation curve (X45) — scheduled for
+    # rotation #8 (round 12)
+    "q138_ann_recall",
 ]
 
 

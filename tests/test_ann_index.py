@@ -136,3 +136,28 @@ def test_batch_search_equals_per_query_and_uses_dpp(spark, tmp_path):
 
     plan = plan_string(out)
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_ann_recall_curve_monotone_and_anchored(spark, tmp_path):
+    """X45: per query, recall@k is non-decreasing in nprobe (probing
+    more buckets can only add candidates under the identical ranking
+    rule), and nprobe = n_centroids probes EVERY bucket so recall is
+    exactly 100 — the curve's provable top anchor. The (nprobe × query)
+    spine keeps every combination visible."""
+    emb = _emb(spark)
+    idx = str(tmp_path / "idx")
+    ann_index.build_index(emb, idx, n_centroids=16)
+    queries = (emb.where(F.col("vec_id").isin(0, 1, 2))
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qvec")))
+    out = ann_index.ann_recall_report(
+        spark, emb, idx, queries, k=10,
+        nprobe_values=(1, 4, 16)).collect()
+    assert len(out) == 9  # 3 nprobes x 3 queries, zero rows included
+    by_q: dict[int, dict[int, int]] = {}
+    for r in out:
+        assert 0 <= r.n_hits <= r.k and r.recall_pct == r.n_hits * 100 // r.k
+        by_q.setdefault(r.query_id, {})[r.nprobe] = r.n_hits
+    for qid, curve in by_q.items():
+        assert curve[1] <= curve[4] <= curve[16], (qid, curve)
+        assert curve[16] == 10, (qid, curve)  # all buckets probed

@@ -61,11 +61,12 @@ PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
     # queries must still be registered into POST_WINDOW and scheduled
     # here, or they silently displace the pinned window.)
     # rotation #8 — the round-11 additions: the z-ordered pruned-read
-    # row (X43's consumer side, VERDICT r10 item 3) and the
-    # capacity-capped mixture waterfill (X44)
+    # row (X43's consumer side, VERDICT r10 item 3), the capacity-
+    # capped mixture waterfill (X44), and the IVF recall@k curve (X45)
     12: (8, [
         "q136_zorder_pruned_read",
         "q137_mixture_waterfill",
+        "q138_ann_recall",
     ]),
 }
 
