@@ -418,10 +418,15 @@ def mixture_waterfill(df: DataFrame, stratum: str, weight: Column,
                     F.sum("weight").over(
                         order.rowsBetween(0, Window.unboundedFollowing))
                     .cast("long"))
+        # weight > 0 guard: a weight-0 stratum sorts last with
+        # w_tail = 0, so its bare test is the vacuous 0 ≤ 0 — without
+        # the guard it would "cap" (and receive its full capacity!)
+        # whenever every weighted stratum capped before it
         .withColumn("__cond",
-                    ((F.col("capacity_tokens") * F.col("__w_tail"))
-                     <= (F.col("weight")
-                         * (F.col("__budget") - F.col("__c_prefix"))))
+                    ((F.col("weight") > 0)
+                     & ((F.col("capacity_tokens") * F.col("__w_tail"))
+                        <= (F.col("weight")
+                            * (F.col("__budget") - F.col("__c_prefix")))))
                     .cast("int"))
         .withColumn("capped",
                     F.min("__cond").over(

@@ -6025,7 +6025,8 @@ def q136_zorder_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     capfl AS (
       SELECT *,
-        min(CASE WHEN capacity_tokens * w_tail <= weight * (b - c_prefix)
+        min(CASE WHEN weight > 0
+                  AND capacity_tokens * w_tail <= weight * (b - c_prefix)
                  THEN 1 ELSE 0 END)
           OVER (ORDER BY k, source
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS capped

@@ -628,6 +628,14 @@ def test_mixture_waterfill_infeasible_and_degenerate(spark):
                                      tokens_col="n").collect()}
     assert nw == {"a": (0, 0), "b": (0, 600), "c": (0, 600)}
 
+    # regression: a weight-0 stratum while EVERY weighted stratum caps
+    # (budget beyond their combined capacity) must still get 0 — its
+    # vacuous 0 <= 0 cap test once granted it full capacity here
+    nw2 = {r.s: (r.capped, r.allocation_tokens) for r in
+           sampling.mixture_waterfill(df, "s", w0, 99999,
+                                      tokens_col="n").collect()}
+    assert nw2 == {"a": (0, 0), "b": (1, 1000), "c": (1, 1000)}
+
 
 def test_mixture_waterfill_conservation_property(spark):
     """For any feasible budget: allocations never exceed capacity,
