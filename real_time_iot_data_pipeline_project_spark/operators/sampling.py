@@ -374,9 +374,9 @@ def mixture_waterfill(df: DataFrame, stratum: str, weight: Column,
 
     Shapes at 100 TB: one partial-aggregatable groupBy builds the
     per-stratum capacity table; everything after runs on that
-    DIMENSION-sized frame (strata count, not corpus count — the
-    single-partition window is over dozens of rows, like every rate
-    table in this module).  Returns one row per stratum: weight,
+    DIMENSION-sized frame (strata count, not corpus count) as
+    broadcast triangle joins — never a global-window single-partition
+    funnel of full rows.  Returns one row per stratum: weight,
     capacity_tokens, capped (int 0/1), allocation_tokens; the sum of
     allocations is ≤ budget by at most (#uncapped − 1) flooring
     tokens, and equals min(budget, total capacity) up to that floor.
@@ -386,8 +386,6 @@ def mixture_waterfill(df: DataFrame, stratum: str, weight: Column,
     ``budget_tokens`` a literal or scalar Column; ``tokens_col`` an
     existing per-row count column, else whitespace ``token_count`` of
     ``text_col``."""
-    from pyspark.sql import Window
-
     from ..functions import textfns
 
     toks = (F.col(tokens_col) if tokens_col
@@ -407,17 +405,38 @@ def mixture_waterfill(df: DataFrame, stratum: str, weight: Column,
         F.when(F.col("weight") <= 0, F.lit(1 << 62)).otherwise(
             F.expr("(capacity_tokens * 1000) DIV weight")))
 
-    order = Window.orderBy("__key", stratum)
-    ranked = (
-        keyed
-        .withColumn("__c_prefix",
-                    F.coalesce(F.sum("capacity_tokens").over(
-                        order.rowsBetween(Window.unboundedPreceding, -1)),
-                        F.lit(0)).cast("long"))
-        .withColumn("__w_tail",
-                    F.sum("weight").over(
-                        order.rowsBetween(0, Window.unboundedFollowing))
-                    .cast("long"))
+    # Prefix/suffix sums WITHOUT a global window: an unpartitioned
+    # Window.orderBy plans an Exchange SinglePartition of full rows —
+    # exactly what the fleet plan audit (tests/test_plans.py) forbids,
+    # and the audit can't see that this frame is dimension-sized.  The
+    # honest scale-clean form is the broadcast TRIANGLE join: every
+    # stage below is |strata|² rows through broadcast non-equi joins +
+    # partial-aggregatable groupBys — trivial at dozens-to-thousands
+    # of strata, and never a full-row single-partition funnel.
+    def _b(cols: dict[str, str]) -> DataFrame:
+        return F.broadcast(keyed.select(
+            *[F.col(src).alias(dst) for src, dst in cols.items()]))
+
+    before_eq = (F.col("__bk") < F.col("__key")) | (
+        (F.col("__bk") == F.col("__key"))
+        & (F.col("__bs") <= F.col(stratum)))
+    grp = [stratum, "capacity_tokens", "weight", "__budget", "__key"]
+    pref = (
+        keyed.join(_b({stratum: "__bs", "__key": "__bk",
+                       "capacity_tokens": "__bc", "weight": "__bw"}),
+                   before_eq)
+        .groupBy(*grp)
+        .agg(F.sum("__bc").cast("long").alias("__c_incl"),
+             F.sum("__bw").cast("long").alias("__w_incl"))
+    )
+    totals = F.broadcast(
+        keyed.agg(F.sum("weight").cast("long").alias("__total_w")))
+    conded = (
+        pref.crossJoin(totals)
+        .withColumn("__c_prefix", F.col("__c_incl")
+                    - F.col("capacity_tokens"))
+        .withColumn("__w_tail", F.col("__total_w")
+                    - F.col("__w_incl") + F.col("weight"))
         # weight > 0 guard: a weight-0 stratum sorts last with
         # w_tail = 0, so its bare test is the vacuous 0 ≤ 0 — without
         # the guard it would "cap" (and receive its full capacity!)
@@ -428,23 +447,26 @@ def mixture_waterfill(df: DataFrame, stratum: str, weight: Column,
                         <= (F.col("weight")
                             * (F.col("__budget") - F.col("__c_prefix")))))
                     .cast("int"))
-        .withColumn("capped",
-                    F.min("__cond").over(
-                        order.rowsBetween(Window.unboundedPreceding, 0)))
     )
-    totals = Window.partitionBy(F.lit(1)).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)
+    # running AND over the saturation order = min of every
+    # before-or-equal row's cond — the second triangle join
+    cond_b = F.broadcast(conded.select(
+        F.col(stratum).alias("__bs"), F.col("__key").alias("__bk"),
+        F.col("__cond").alias("__bcond")))
+    capped = (
+        conded.join(cond_b, before_eq)
+        .groupBy(*grp, "__cond")
+        .agg(F.min("__bcond").alias("capped"))
+    )
+    fin = F.broadcast(capped.agg(
+        F.coalesce(F.sum(F.when(F.col("capped") == 1,
+                                F.col("capacity_tokens"))),
+                   F.lit(0)).cast("long").alias("__c_capped"),
+        F.coalesce(F.sum(F.when(F.col("capped") == 0, F.col("weight"))),
+                   F.lit(0)).cast("long").alias("__w_final")))
     out = (
-        ranked
-        .withColumn("__r_final",
-                    F.col("__budget")
-                    - F.coalesce(F.sum(F.when(F.col("capped") == 1,
-                                              F.col("capacity_tokens")))
-                                 .over(totals), F.lit(0)))
-        .withColumn("__w_final",
-                    F.coalesce(F.sum(F.when(F.col("capped") == 0,
-                                            F.col("weight")))
-                               .over(totals), F.lit(0)))
+        capped.crossJoin(fin)
+        .withColumn("__r_final", F.col("__budget") - F.col("__c_capped"))
         .withColumn(
             "allocation_tokens",
             F.when(F.col("capped") == 1, F.col("capacity_tokens"))

@@ -6063,9 +6063,12 @@ def q137_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     answer).  All-integer closed form — 3-dp-floored saturation order,
     cross-multiplied prefix-AND cap test, floor-division split — so
     the hash gate pins the whole rule bit-for-bit.  One corpus-sized
-    partial-aggregatable groupBy; everything after is a dimension-
-    sized window frame (20 rows).  The budget scalar is one bounded
-    1-row aggregate (the zorder_write min/max precedent)."""
+    partial-aggregatable groupBy; everything after is |strata|² rows
+    through broadcast triangle joins (the scale-clean prefix-sum form
+    — no global-window single-partition funnel; the DuckDB oracle
+    uses window functions, Spark the joins, same answer).  The budget
+    scalar is one bounded 1-row aggregate (the zorder_write min/max
+    precedent)."""
     from .operators import sampling
 
     docs = _t(spark, sf_dir, "documents")

@@ -92,6 +92,47 @@ def probe_query(name: str):
     return p
 
 
+def probe_zorder_layout(spark, sf_dir: str) -> dict:
+    """X43 at production file sizing (round 11): n_files scales with
+    the corpus (constant rows-per-file ≈ 6.2k — at 100 TB this is
+    'constant file bytes'), the write is re-timed, and the band-
+    predicate files-read FRACTION is measured for the z layout vs the
+    x-sorted twin. The scale claim: the z fraction stays ~flat as file
+    count grows 100× (each file is a rectangle, the band covers a
+    fixed share of rectangles), while x-sorted stays at 1.0 — reading
+    EVERYTHING, 100× more bytes."""
+    import shutil
+
+    from real_time_iot_data_pipeline_project_spark.operators import layout
+
+    ev = (registry._t(spark, sf_dir, "events")
+          .select("event_id",
+                  F.pmod(F.col("user_id"), F.lit(256)).alias("x"),
+                  F.pmod(F.expr("unix_timestamp(ts) div 3600"),
+                         F.lit(256)).alias("y")))
+    n = ev.count()
+    n_files = max(16, n // 6250)
+    zdir, xdir = "/tmp/zprobe_z", "/tmp/zprobe_x"
+    t0 = time.monotonic()
+    layout.zorder_write(ev, zdir, "x", "y", bits=8, n_files=n_files)
+    z_write = time.monotonic() - t0
+    (ev.repartitionByRange(n_files, "x").sortWithinPartitions("x")
+     .write.mode("overwrite").parquet(xdir))
+
+    def band_frac(path):
+        rows = layout.file_extents(spark, path, ["y"]).collect()
+        hit = sum(1 for r in rows if r.min_y <= 111 and r.max_y >= 96)
+        return hit, len(rows)
+
+    zh, zn = band_frac(zdir)
+    xh, xn = band_frac(xdir)
+    shutil.rmtree(zdir, ignore_errors=True)
+    shutil.rmtree(xdir, ignore_errors=True)
+    return {"sec": round(z_write, 2), "rows": n, "n_files": n_files,
+            "z_band_frac": round(zh / max(zn, 1), 3),
+            "x_band_frac": round(xh / max(xn, 1), 3)}
+
+
 def _probe_semdedup(spark, sf_dir: str, two_level: bool) -> dict:
     """X38 probe at the operator's own production sizing: n_centroids
     grows with the corpus (16 → 160 → 1600) so mean bucket size stays
@@ -329,6 +370,18 @@ def main() -> None:
         # sizing (3 batches + read-time close), flat vs two-level A/B
         ("q132_sem_stream", probe_semantic_stream),
         ("q132_sem_stream_2l", probe_semantic_stream_2l),
+        # round-11: waterfill is one corpus groupBy + a 20-row window
+        # frame — expectation ~linear scan slope, dimension stage flat
+        ("q137_waterfill", probe_query("q137_mixture_waterfill")),
+        # round-11: recall evaluation — the exact brute-force pass over
+        # a bounded 5-query sample is the corpus-sized stage
+        # (expectation ~linear); the four probed searches ride the
+        # partition-pruned index
+        ("q138_ann_recall", probe_query("q138_ann_recall")),
+        # round-11: z-order layout at production file sizing (n_files
+        # scales with the corpus; band files-read FRACTION should stay
+        # ~flat for z while x-sorted reads 1.0 of a 100x larger table)
+        ("zorder_layout", probe_zorder_layout),
     )
     for name, fn in probes:
         if only is not None and name not in only:
