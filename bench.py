@@ -180,8 +180,10 @@ HEADLINE = [
     # and the capacity-capped mixture waterfill (X44)
     "q136_zorder_pruned_read",
     "q137_mixture_waterfill",
-    # round 11: the IVF recall@k evaluation curve (X45)
+    # round 11: the IVF recall@k evaluation curve (X45) and the
+    # waterfill allocations applied (X44's consumer tier)
     "q138_ann_recall",
+    "q139_waterfill_sample",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

@@ -230,10 +230,12 @@ EVIDENCE: dict[str, dict] = {
         "test_misc_ops.py::test_zorder_validations",
         "test_misc_ops.py::test_zorder_write_tightens_both_extents",
         "test_misc_ops.py::test_zorder_pruned_read_skips_files"]},
-    "X44": {"queries": ["q137_mixture_waterfill"], "tests": [
+    "X44": {"queries": ["q137_mixture_waterfill",
+                        "q139_waterfill_sample"], "tests": [
         "test_curation_ops.py::test_mixture_waterfill_caps_and_redistributes",
         "test_curation_ops.py::test_mixture_waterfill_infeasible_and_degenerate",
-        "test_curation_ops.py::test_mixture_waterfill_conservation_property"]},
+        "test_curation_ops.py::test_mixture_waterfill_conservation_property",
+        "test_curation_ops.py::test_waterfill_sample_greedy_maximal_and_monotone"]},
     "X45": {"queries": ["q138_ann_recall"], "tests": [
         "test_ann_index.py::test_ann_recall_curve_monotone_and_anchored"]},
     "X40": {"queries": ["q128_edit_distance_verify"], "tests": [

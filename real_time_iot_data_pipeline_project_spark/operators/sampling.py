@@ -476,3 +476,60 @@ def mixture_waterfill(df: DataFrame, stratum: str, weight: Column,
     )
     return out.select(stratum, "weight", "capacity_tokens", "capped",
                       "allocation_tokens")
+
+
+def waterfill_sample(df: DataFrame, stratum: str, key: str, weight: Column,
+                     budget_tokens: Column | int,
+                     tokens_col: str | None = None,
+                     text_col: str = "text",
+                     salt: str = "wfill") -> DataFrame:
+    """The waterfill APPLIED (X44's consumer tier): turn
+    :func:`mixture_waterfill`'s per-stratum token allocations into an
+    actual deterministic sample — within each stratum, rows are taken
+    in hash order (``portable_hash60(salt|key)``, key tie-break) while
+    the running token total stays within the allocation.  Greedy
+    prefix: a row is kept iff its INCLUSIVE cumulative token count ≤
+    the stratum's allocation, so the realized take undershoots each
+    allocation by at most one document — the budget-exact sampler the
+    rate-based members of this module (``temperature_sample``,
+    ``hash_sample``) only approximate in expectation.
+
+    Hash-order determinism means the kept set is a pure function of
+    (salt, key, allocation): re-runs, engines, and partitionings all
+    agree (the q139 oracle replays the rule in SQL), and GROWING a
+    stratum never evicts a previously kept doc unless the allocation
+    itself shrinks (hash order is stable under appends — the
+    epoch_shuffle/assign_split stability property, inherited).
+
+    Scale note: the cumulative sum is a per-stratum sorted window —
+    parallelism = strata count in that stage.  At 100 TB with few
+    strata, pre-thin with the rate-based filter (rate ≈ allocation /
+    capacity plus a safety margin) and run the exact trim on the
+    survivors; the trim rule here is unchanged by that optimization —
+    it only sees fewer rows.  Returns the KEPT rows as (stratum, key,
+    n_tok, cum_tokens, allocation_tokens)."""
+    from pyspark.sql import Window
+
+    from ..functions import textfns
+
+    toks = (F.col(tokens_col) if tokens_col
+            else textfns.token_count(text_col))
+    alloc = mixture_waterfill(df, stratum, weight, budget_tokens,
+                              tokens_col=tokens_col, text_col=text_col)
+    h = portable_hash60(F.concat(F.lit(salt + "|"),
+                                 F.col(key).cast("string")))
+    w = (Window.partitionBy(stratum)
+         .orderBy(F.col("__h"), F.col(key))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    rows = (
+        df.select(F.col(stratum), F.col(key),
+                  toks.cast("long").alias("n_tok"))
+        .withColumn("__h", h)
+        .withColumn("cum_tokens", F.sum("n_tok").over(w).cast("long"))
+    )
+    return (
+        rows.join(F.broadcast(alloc.select(stratum, "allocation_tokens")),
+                  stratum)
+        .where(F.col("cum_tokens") <= F.col("allocation_tokens"))
+        .select(stratum, key, "n_tok", "cum_tokens", "allocation_tokens")
+    )

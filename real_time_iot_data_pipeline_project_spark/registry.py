@@ -5989,14 +5989,16 @@ def q136_zorder_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_id", "x", "y"))
 
 
-@query(
-    "q137_mixture_waterfill",
-    # the waterfill replayed in ANSI SQL: same 3-dp sort key, same
-    # cross-multiplied prefix-AND cap test, same integer floor split.
-    # DuckDB // floors (all operands non-negative); intermediate
-    # HUGEINT widening only tightens the comparisons.
-    f"""
-    WITH caps AS (
+def _waterfill_ctes() -> str:
+    """Shared CTE chain for the waterfill oracles (q137 + the q139
+    consumer, the _bpe_cte_prefix precedent): the solver replayed in
+    ANSI SQL — same 3-dp sort key, same cross-multiplied prefix-AND
+    cap test, same integer floor split.  DuckDB // floors (all
+    operands non-negative); intermediate HUGEINT widening only
+    tightens the comparisons.  Ends with ``alloc`` = one row per
+    source with its final allocation."""
+    return f"""
+    caps AS (
       SELECT source,
              CAST(sum(len(string_split({_NORM_SQL}, ' '))) AS BIGINT)
                AS capacity_tokens,
@@ -6039,14 +6041,24 @@ def q136_zorder_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         COALESCE(sum(CASE WHEN capped = 0 THEN weight END) OVER (), 0)
           AS w_final
       FROM capfl
-    )
-    SELECT source, weight, capacity_tokens,
-           CAST(capped AS INT) AS capped,
-           CAST(CASE WHEN capped = 1 THEN capacity_tokens
-                     WHEN w_final <= 0 THEN 0
-                     ELSE (weight * r_final) // w_final END AS BIGINT)
-             AS allocation_tokens
-    FROM fin
+    ),
+    alloc AS (
+      SELECT source, weight, capacity_tokens,
+             CAST(capped AS INT) AS capped,
+             CAST(CASE WHEN capped = 1 THEN capacity_tokens
+                       WHEN w_final <= 0 THEN 0
+                       ELSE (weight * r_final) // w_final END AS BIGINT)
+               AS allocation_tokens
+      FROM fin
+    )"""
+
+
+@query(
+    "q137_mixture_waterfill",
+    f"""
+    WITH {_waterfill_ctes()}
+    SELECT source, weight, capacity_tokens, capped, allocation_tokens
+    FROM alloc
     """,
 )
 def q137_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6079,6 +6091,59 @@ def q137_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
          .otherwise(1))
     return sampling.mixture_waterfill(
         docs, "source", w, int(total) * 2 // 5)
+
+
+@query(
+    "q139_waterfill_sample",
+    f"""
+    WITH {_waterfill_ctes()},
+    toks AS (
+      SELECT source, doc_id,
+             CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT)
+               AS n_tok,
+             {_hash60_sql("concat('wfill|', CAST(doc_id AS VARCHAR))")}
+               AS h
+      FROM documents
+    ),
+    cum AS (
+      SELECT source, doc_id, n_tok,
+             CAST(sum(n_tok) OVER (PARTITION BY source
+                  ORDER BY h, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_tokens
+      FROM toks
+    )
+    SELECT c.source, c.doc_id, c.n_tok, c.cum_tokens,
+           a.allocation_tokens
+    FROM cum c JOIN alloc a ON a.source = c.source
+    WHERE c.cum_tokens <= a.allocation_tokens
+    """,
+)
+def q139_waterfill_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X44's consumer tier (sampling.waterfill_sample): the q137
+    allocations APPLIED — within each source, docs are taken in
+    portable-hash order while the inclusive running token total stays
+    within the source's waterfill allocation.  This is the budget-
+    EXACT sampler (undershoot ≤ one doc per stratum) that the
+    rate-based samplers only hit in expectation; kept membership is a
+    pure function of (salt, doc_id, allocation), so re-runs and corpus
+    appends never evict a kept doc unless its stratum's allocation
+    shrinks.  The oracle chains the shared q137 waterfill CTEs into
+    the same hash-ordered cumulative-sum trim, so the hash pins the
+    COMPOSITION end-to-end (the q133-chains-q131 precedent).  Scale:
+    the cumsum is a per-stratum sorted window (parallelism = strata);
+    at production, pre-thin with the rate filter and exact-trim the
+    survivors — documented in the operator."""
+    from .operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    total = docs.agg(
+        F.sum(textfns.token_count("text")).cast("long")).head()[0]
+    w = (F.when(F.col("source") == "src0", 50)
+         .when(F.col("source") == "src1", 30)
+         .otherwise(1))
+    return sampling.waterfill_sample(
+        docs, "source", "doc_id", w, int(total) * 2 // 5)
 
 
 def _ann_recall_sql(n_centroids: int = 16, k: int = 10,
@@ -6240,6 +6305,9 @@ POST_WINDOW: list[str] = [
     # round 11: IVF recall@k evaluation curve (X45) — scheduled for
     # rotation #8 (round 12)
     "q138_ann_recall",
+    # round 11: the waterfill allocations APPLIED (X44's consumer
+    # tier) — scheduled for rotation #8 (round 12)
+    "q139_waterfill_sample",
 ]
 
 

@@ -656,3 +656,49 @@ def test_mixture_waterfill_conservation_property(spark):
         n_uncapped = sum(1 for r in out if r.capped == 0)
         assert alloc <= b
         assert b - alloc < max(n_uncapped, 1), (b, alloc, n_uncapped)
+
+
+def test_waterfill_sample_greedy_maximal_and_monotone(spark):
+    """X44 consumer: per stratum the kept set is the maximal hash-order
+    prefix within the allocation (adding the next doc in hash order
+    would exceed it), and a larger budget's kept set CONTAINS a smaller
+    budget's (prefixes nest — mix growth without churn)."""
+    from real_time_iot_data_pipeline_project_spark.functions import textfns
+    from real_time_iot_data_pipeline_project_spark.operators import sampling
+
+    rows = [("s%d" % (i % 3), i, (i * 29) % 40 + 5) for i in range(30)]
+    df = spark.createDataFrame(rows, "src string, doc_id long, n int")
+    w = F.lit(1)
+
+    def kept(budget):
+        out = sampling.waterfill_sample(df, "src", "doc_id", w, budget,
+                                        tokens_col="n")
+        return {r.doc_id: r for r in out.collect()}
+
+    small, big = kept(120), kept(300)
+    assert set(small) <= set(big) and len(small) > 0
+
+    # greedy maximality: replay the rule in python per stratum
+    import hashlib
+
+    def h60(d):
+        s = f"wfill|{d}".encode()
+        return int(hashlib.md5(s).hexdigest()[:15], 16)
+
+    allocs = {r.src: r.allocation_tokens for r in
+              sampling.mixture_waterfill(df, "src", w, 300,
+                                         tokens_col="n").collect()}
+    by_src: dict[str, list] = {}
+    for src, d, n in rows:
+        by_src.setdefault(src, []).append((h60(d), d, n))
+    expect = {}
+    for src, docs in by_src.items():
+        cum = 0
+        for _, d, n in sorted(docs):
+            if cum + n > allocs[src]:
+                break
+            cum += n
+            expect[d] = (src, n, cum)
+    assert {d: (r.source if hasattr(r, "source") else r.src,
+                r.n_tok, r.cum_tokens)
+            for d, r in big.items()} == expect

@@ -67,6 +67,7 @@ PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
         "q136_zorder_pruned_read",
         "q137_mixture_waterfill",
         "q138_ann_recall",
+        "q139_waterfill_sample",
     ]),
 }
 
