@@ -184,6 +184,8 @@ HEADLINE = [
     # waterfill allocations applied (X44's consumer tier)
     "q138_ann_recall",
     "q139_waterfill_sample",
+    # round 11: release-to-release corpus diff (X46)
+    "q140_corpus_diff",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

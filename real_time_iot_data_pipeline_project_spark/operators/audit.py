@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.textfns import fingerprint
+
 REPORT_COLS = ("check_name", "n_violations")
 
 
@@ -78,3 +80,37 @@ def fk_orphans(child: DataFrame, parent: DataFrame,
     return orphans.agg(
         F.lit(check_name).alias("check_name"),
         F.count(F.lit(1)).alias("n_violations"))
+
+
+def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Release-to-release corpus diff (round 11): per doc id, whether
+    the doc was ``added`` (in new only), ``removed`` (in old only),
+    ``changed`` (both, different content fingerprint) or ``unchanged``
+    — the report a dataset release publishes next to its manifest, and
+    the input to incremental re-processing (only added/changed docs
+    need re-tokenizing, re-embedding, re-scoring; at 100 TB that is
+    the difference between an increment-sized refresh and a full one).
+
+    Content identity is the normalized md5 fingerprint (the exact-dup
+    key every dedup tier uses — whitespace/case-insensitive, so a
+    reformatted doc is ``unchanged``).  One FULL OUTER hash join on
+    the uniform id with map-side fingerprints — linear, no skew, no
+    text shuffled (fingerprints reduce each side to id + 32 bytes
+    before the exchange).  Returns (id, status, old_fp, new_fp); roll
+    up with a groupBy(status).count() for the release-note summary."""
+    o = old.select(F.col(id_col),
+                   fingerprint(text_col).alias("old_fp"))
+    n = new.select(F.col(id_col),
+                   fingerprint(text_col).alias("new_fp"))
+    status = (
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    # shuffle_hash, not sort-merge: both sides are corpus-sized id+fp
+    # projections and neither needs to be SORTED (graph.py's join-back
+    # rule; full-outer shuffled-hash is supported since Spark 3.1)
+    return (o.join(n.hint("shuffle_hash"), id_col, "full_outer")
+            .select(id_col, status.alias("status"), "old_fp", "new_fp"))

@@ -6146,6 +6146,59 @@ def q139_waterfill_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "source", "doc_id", w, int(total) * 2 // 5)
 
 
+@query(
+    "q140_corpus_diff",
+    # old/new releases derived deterministically from the one table:
+    # old is missing doc_id % 17 = 3 (those read as 'added'), new is
+    # missing doc_id % 19 = 5 ('removed'), and new's text for
+    # doc_id % 13 = 2 carries a ' v2' suffix ('changed')
+    f"""
+    WITH old AS (
+      SELECT doc_id, md5({_NORM_SQL}) AS old_fp
+      FROM documents WHERE doc_id % 17 <> 3
+    ),
+    new AS (
+      SELECT doc_id,
+             md5({_NORM_SQL.replace("text", "concat(text, ' v2')")})
+               AS new_fp
+      FROM documents WHERE doc_id % 19 <> 5 AND doc_id % 13 = 2
+      UNION ALL
+      SELECT doc_id, md5({_NORM_SQL})
+      FROM documents WHERE doc_id % 19 <> 5 AND doc_id % 13 <> 2
+    )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.old_fp <> n.new_fp THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           o.old_fp, n.new_fp
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    """,
+)
+def q140_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-to-release corpus diff (audit.corpus_diff): per doc,
+    added / removed / changed / unchanged by normalized content
+    fingerprint — the release-note report and the driver of
+    increment-sized refreshes (only added/changed docs re-tokenize /
+    re-embed / re-score; at 100 TB that is the whole point of keeping
+    releases diffable).  The two releases are derived deterministically
+    from the one documents table (drop-set, add-set, and a ' v2' text
+    mutation set chosen by coprime moduli so all four statuses are
+    populated at every SF).  One FULL OUTER hash join on the uniform
+    id; fingerprints reduce each side to id + 32 bytes before the
+    exchange — text never shuffles."""
+    from .operators import audit as audit_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.where(F.pmod(F.col("doc_id"), F.lit(17)) != 3)
+    new = (docs.where(F.pmod(F.col("doc_id"), F.lit(19)) != 5)
+           .withColumn("text",
+                       F.when(F.pmod(F.col("doc_id"), F.lit(13)) == 2,
+                              F.concat(F.col("text"), F.lit(" v2")))
+                       .otherwise(F.col("text"))))
+    return audit_ops.corpus_diff(old, new)
+
+
 def _ann_recall_sql(n_centroids: int = 16, k: int = 10,
                     nprobes: tuple[int, ...] = (1, 2, 4, 16)) -> str:
     """q138 oracle: the recall@k curve replayed in SQL — q121's proven
@@ -6308,6 +6361,9 @@ POST_WINDOW: list[str] = [
     # round 11: the waterfill allocations APPLIED (X44's consumer
     # tier) — scheduled for rotation #8 (round 12)
     "q139_waterfill_sample",
+    # round 11: release-to-release corpus diff (X46) — scheduled for
+    # rotation #8 (round 12)
+    "q140_corpus_diff",
 ]
 
 

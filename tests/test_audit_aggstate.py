@@ -129,3 +129,22 @@ def test_unique_check_is_null_safe(spark):
     got = {r["check_name"]: r["n_violations"] for r in rep.collect()}
     # bare countDistinct would report 5 - 1 = 4; null-safe reports 2
     assert got == {"pk_unique": 2}
+
+
+def test_corpus_diff_statuses_and_normalization(spark):
+    """X46: per-id diff statuses on a planted pair of releases — and a
+    whitespace/case reformat is UNCHANGED (content identity is the
+    normalized fingerprint, so reformats don't trigger re-processing)."""
+    old = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "kept  doc"),
+         (4, "to be dropped")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "alpha beta"),          # unchanged
+         (2, "gamma delta EDITED"),  # changed
+         (3, "  Kept   DOC "),       # reformat -> unchanged
+         (5, "brand new doc")],      # added
+        "doc_id long, text string")
+    got = {r.doc_id: r.status for r in
+           audit.corpus_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "unchanged",
+                   4: "removed", 5: "added"}

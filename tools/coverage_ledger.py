@@ -68,6 +68,7 @@ PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
         "q137_mixture_waterfill",
         "q138_ann_recall",
         "q139_waterfill_sample",
+        "q140_corpus_diff",
     ]),
 }
 
