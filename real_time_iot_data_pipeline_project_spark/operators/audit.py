@@ -99,14 +99,22 @@ def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
     text shuffled (fingerprints reduce each side to id + 32 bytes
     before the exchange).  Returns (id, status, old_fp, new_fp); roll
     up with a groupBy(status).count() for the release-note summary."""
+    # presence is a SIDE marker, not fingerprint nullness: a NULL-text
+    # doc has a NULL fingerprint, and inferring absence from that
+    # inverted the diff (a doc removed in new read as 'added' — review
+    # catch). eqNullSafe makes two NULL-text releases of a doc
+    # 'unchanged' rather than 'changed'.
     o = old.select(F.col(id_col),
-                   fingerprint(text_col).alias("old_fp"))
+                   fingerprint(text_col).alias("old_fp"),
+                   F.lit(True).alias("__in_old"))
     n = new.select(F.col(id_col),
-                   fingerprint(text_col).alias("new_fp"))
+                   fingerprint(text_col).alias("new_fp"),
+                   F.lit(True).alias("__in_new"))
     status = (
-        F.when(F.col("old_fp").isNull(), F.lit("added"))
-        .when(F.col("new_fp").isNull(), F.lit("removed"))
-        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(~F.col("old_fp").eqNullSafe(F.col("new_fp")),
+              F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
     # shuffle_hash, not sort-merge: both sides are corpus-sized id+fp

@@ -403,7 +403,17 @@ def mixture_waterfill(df: DataFrame, stratum: str, weight: Column,
     keyed = caps.withColumn(
         "__key",
         F.when(F.col("weight") <= 0, F.lit(1 << 62)).otherwise(
-            F.expr("(capacity_tokens * 1000) DIV weight")))
+            F.expr("(capacity_tokens * 1000) DIV weight"))
+    ).withColumn(
+        # null-safe tie-break surrogate: a NULL stratum (groupBy keeps
+        # the null group, and this module's convention preserves it —
+        # the temperature_sample eqNullSafe precedent) would otherwise
+        # evaluate the triangle-join predicate to NULL and silently
+        # vanish while still inflating total_w (review catch). The
+        # "1"-prefix keeps real values' order; NULL sorts first as "0".
+        "__s",
+        F.when(F.col(stratum).isNull(), F.lit("0")).otherwise(
+            F.concat(F.lit("1"), F.col(stratum).cast("string"))))
 
     # Prefix/suffix sums WITHOUT a global window: an unpartitioned
     # Window.orderBy plans an Exchange SinglePartition of full rows —
@@ -419,10 +429,11 @@ def mixture_waterfill(df: DataFrame, stratum: str, weight: Column,
 
     before_eq = (F.col("__bk") < F.col("__key")) | (
         (F.col("__bk") == F.col("__key"))
-        & (F.col("__bs") <= F.col(stratum)))
-    grp = [stratum, "capacity_tokens", "weight", "__budget", "__key"]
+        & (F.col("__bs") <= F.col("__s")))
+    grp = [stratum, "capacity_tokens", "weight", "__budget", "__key",
+           "__s"]
     pref = (
-        keyed.join(_b({stratum: "__bs", "__key": "__bk",
+        keyed.join(_b({"__s": "__bs", "__key": "__bk",
                        "capacity_tokens": "__bc", "weight": "__bw"}),
                    before_eq)
         .groupBy(*grp)
@@ -451,7 +462,7 @@ def mixture_waterfill(df: DataFrame, stratum: str, weight: Column,
     # running AND over the saturation order = min of every
     # before-or-equal row's cond — the second triangle join
     cond_b = F.broadcast(conded.select(
-        F.col(stratum).alias("__bs"), F.col("__key").alias("__bk"),
+        F.col("__s").alias("__bs"), F.col("__key").alias("__bk"),
         F.col("__cond").alias("__bcond")))
     capped = (
         conded.join(cond_b, before_eq)
@@ -495,11 +506,16 @@ def waterfill_sample(df: DataFrame, stratum: str, key: str, weight: Column,
     ``hash_sample``) only approximate in expectation.
 
     Hash-order determinism means the kept set is a pure function of
-    (salt, key, allocation): re-runs, engines, and partitionings all
-    agree (the q139 oracle replays the rule in SQL), and GROWING a
-    stratum never evicts a previously kept doc unless the allocation
-    itself shrinks (hash order is stable under appends — the
-    epoch_shuffle/assign_split stability property, inherited).
+    (salt, the stratum's full key set, allocation): re-runs, engines,
+    and partitionings all agree (the q139 oracle replays the rule in
+    SQL).  Unlike the per-row rate samplers, appends are NOT
+    churn-free: an appended doc whose hash lands inside the kept
+    prefix consumes budget ahead of existing docs and can push the
+    TAIL of the kept set over the allocation (docs with hashes below
+    every appended hash are never evicted — churn is confined to the
+    budget boundary).  If a release must pin membership across corpus
+    growth, persist the kept ids (the release-manifest pattern)
+    rather than re-deriving.
 
     Scale note: the cumulative sum is a per-stratum sorted window —
     parallelism = strata count in that stage.  At 100 TB with few
@@ -527,9 +543,13 @@ def waterfill_sample(df: DataFrame, stratum: str, key: str, weight: Column,
         .withColumn("__h", h)
         .withColumn("cum_tokens", F.sum("n_tok").over(w).cast("long"))
     )
+    # null-SAFE equi-join (the temperature_sample precedent): the
+    # waterfill computes an allocation for a NULL stratum like any
+    # other, so null-stratum rows must reach it
+    a = F.broadcast(alloc.select(F.col(stratum).alias("__astratum"),
+                                 "allocation_tokens"))
     return (
-        rows.join(F.broadcast(alloc.select(stratum, "allocation_tokens")),
-                  stratum)
+        rows.join(a, rows[stratum].eqNullSafe(a["__astratum"]))
         .where(F.col("cum_tokens") <= F.col("allocation_tokens"))
         .select(stratum, key, "n_tok", "cum_tokens", "allocation_tokens")
     )

@@ -162,29 +162,36 @@ def encode_chunks(spark: SparkSession, chunks: DataFrame,
     view = f"__bpe_chunks_{next(_view_counter)}"
     chunks.select(F.col(chunk_col).alias("c")).createOrReplaceTempView(view)
     ranks = _spark_ranks_expr("s", rank_impl)
+    # one {ranks} interpolation only: the fixpoint row per chunk is
+    # picked by max_by over a step counter instead of re-evaluating
+    # "no mergeable pair remains" in the final filter — with
+    # rank_impl='hash' the second interpolation doubled the megabyte
+    # bucket literal per plan, exactly the cost the hash impl's own
+    # measurements call dominant (review catch); the scan impl also
+    # saves one full rank pass per fixpoint row
     sql = f"""
-    WITH RECURSIVE bpe (c, s) AS (
-      SELECT c, split(c, '') AS s FROM {view}
+    WITH RECURSIVE bpe (c, s, step) AS (
+      SELECT c, split(c, '') AS s, 0 AS step FROM {view}
       UNION ALL
       SELECT c,
              concat(slice(s, 1, idx - 1),
                     array(concat(element_at(s, idx), element_at(s, idx + 1))),
-                    slice(s, idx + 2, size(s)))
+                    slice(s, idx + 2, size(s))),
+             step + 1
       FROM (
-        SELECT c, s,
+        SELECT c, s, step,
                CAST(array_position(ranks, array_min(filter(ranks, r -> r > 0))) AS INT) AS idx
         FROM (
-          SELECT c, s, {ranks} AS ranks
+          SELECT c, s, step, {ranks} AS ranks
           FROM bpe
           WHERE size(s) > 1
         ) with_ranks
       ) with_idx
       WHERE idx > 0
     )
-    SELECT c, s AS tokens
+    SELECT c, max_by(s, step) AS tokens
     FROM bpe
-    WHERE size(s) = 1
-       OR NOT exists({ranks}, r -> r > 0)
+    GROUP BY c
     """
     out = spark.sql(sql)
     # spark.sql analyzes eagerly (the returned DataFrame holds the
@@ -214,13 +221,18 @@ def explode_word_chunks(words: DataFrame, word_col: str = "w") -> DataFrame:
 
 
 def encode_distinct_words(spark: SparkSession, words: DataFrame,
-                          word_col: str = "w") -> DataFrame:
+                          word_col: str = "w",
+                          rank_impl: str = "scan") -> DataFrame:
     """(word) → (w, tokens array<string>): the vocabulary-sized encode.
 
     distinct words → distinct chunks → recursive merge loop → chunk
-    tokens → reassembled per word in chunk order."""
+    tokens → reassembled per word in chunk order.  ``rank_impl``
+    forwards to :func:`encode_chunks` (set ``'hash'`` at a 32k-merge
+    production vocab — without this plumbing the measured hash path
+    was unreachable from every doc-level consumer; review catch)."""
     wc = explode_word_chunks(words.select(word_col).distinct(), word_col)
-    toks = encode_chunks(spark, wc.select("c").distinct())
+    toks = encode_chunks(spark, wc.select("c").distinct(),
+                         rank_impl=rank_impl)
     return (
         wc.join(toks, "c")
         .groupBy("w")
@@ -243,13 +255,15 @@ def doc_words(df: DataFrame, text_col: str = "text",
 
 def bpe_token_frequency(spark: SparkSession, df: DataFrame,
                         text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        rank_impl: str = "scan") -> DataFrame:
     """Corpus token-frequency table under REAL BPE: (token,
     n_occurrences, n_docs).  The corpus-sized stages are one explode
     and two hash aggregations; the merge loop itself only ever sees
     distinct chunks."""
     occ = doc_words(df, text_col, id_col)
-    encoded = encode_distinct_words(spark, occ.select("w"))
+    encoded = encode_distinct_words(spark, occ.select("w"),
+                                    rank_impl=rank_impl)
     # scale shape: hash-join building on the vocabulary side — the
     # static planner has no stats for the recursion output and was
     # observed picking a corpus-side broadcast (backwards at 100 TB,
@@ -267,7 +281,8 @@ def bpe_token_frequency(spark: SparkSession, df: DataFrame,
 
 def bpe_token_counts(spark: SparkSession, df: DataFrame,
                      text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id",
+                     rank_impl: str = "scan") -> DataFrame:
     """(id_col, n_bpe_tokens) — the COUNT-only consumer path (sequence
     packing, token budgets): per-WORD token counts are taken on the
     vocabulary-sized encode result, and the corpus stage is one
@@ -278,7 +293,7 @@ def bpe_token_counts(spark: SparkSession, df: DataFrame,
     docs count 0."""
     occ = doc_words(df, text_col, id_col)
     word_counts = (
-        encode_distinct_words(spark, occ.select("w"))
+        encode_distinct_words(spark, occ.select("w"), rank_impl=rank_impl)
         .select("w", F.size("tokens").alias("__n_word_toks"))
     )
     counts = (
@@ -299,7 +314,8 @@ def bpe_token_counts(spark: SparkSession, df: DataFrame,
 
 def with_bpe_tokens(spark: SparkSession, df: DataFrame,
                     text_col: str = "text",
-                    id_col: str = "doc_id") -> DataFrame:
+                    id_col: str = "doc_id",
+                    rank_impl: str = "scan") -> DataFrame:
     """Adds ``bpe_tokens`` (array<string>, document order) and
     ``n_bpe_tokens`` to ``df`` — the real-count replacement for
     ``textfns.bpe_token_count`` consumers (sequence packing, token
@@ -310,7 +326,8 @@ def with_bpe_tokens(spark: SparkSession, df: DataFrame,
                   .alias("pos", "w"))
         .filter(F.length("w") > 0)
     )
-    encoded = encode_distinct_words(spark, occ.select("w"))
+    encoded = encode_distinct_words(spark, occ.select("w"),
+                                    rank_impl=rank_impl)
     per_doc = (
         occ.join(encoded.hint("shuffle_hash"), "w")
         .groupBy(id_col)

@@ -6126,9 +6126,11 @@ def q139_waterfill_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     within the source's waterfill allocation.  This is the budget-
     EXACT sampler (undershoot ≤ one doc per stratum) that the
     rate-based samplers only hit in expectation; kept membership is a
-    pure function of (salt, doc_id, allocation), so re-runs and corpus
-    appends never evict a kept doc unless its stratum's allocation
-    shrinks.  The oracle chains the shared q137 waterfill CTEs into
+    pure function of (salt, the stratum's key set, allocation) —
+    deterministic across re-runs and engines, though corpus appends
+    can churn the kept set's budget-boundary tail (the operator
+    docstring documents the manifest-pinning remedy).  The oracle
+    chains the shared q137 waterfill CTEs into
     the same hash-ordered cumulative-sum trim, so the hash pins the
     COMPOSITION end-to-end (the q133-chains-q131 precedent).  Scale:
     the cumsum is a per-stratum sorted window (parallelism = strata);

@@ -148,3 +148,15 @@ def test_corpus_diff_statuses_and_normalization(spark):
            audit.corpus_diff(old, new).collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "unchanged",
                    4: "removed", 5: "added"}
+
+    # NULL-text docs: presence comes from the SIDE, not the (null)
+    # fingerprint — a null-text doc present in both releases is
+    # unchanged, one only in old is removed (review catch: the
+    # fp-nullness rule inverted these into 'added')
+    o2 = spark.createDataFrame([(1, None), (3, None)],
+                               "doc_id long, text string")
+    n2 = spark.createDataFrame([(1, "hello")],
+                               "doc_id long, text string")
+    got2 = {r.doc_id: r.status for r in
+            audit.corpus_diff(o2, n2).collect()}
+    assert got2 == {1: "changed", 3: "removed"}

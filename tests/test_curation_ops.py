@@ -702,3 +702,26 @@ def test_waterfill_sample_greedy_maximal_and_monotone(spark):
     assert {d: (r.source if hasattr(r, "source") else r.src,
                 r.n_tok, r.cum_tokens)
             for d, r in big.items()} == expect
+
+
+def test_mixture_waterfill_preserves_null_stratum(spark):
+    """Review catch: a NULL stratum once vanished through the
+    null-hostile triangle-join predicate while its weight still
+    inflated total_w, distorting every allocation. It must participate
+    like any other stratum (the temperature_sample null convention),
+    and waterfill_sample must route its docs through the null-safe
+    alloc join."""
+    from real_time_iot_data_pipeline_project_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(None, 1, 50), (None, 2, 100), ("b", 3, 200)],
+        "s string, doc_id long, n int")
+    out = {r.s: (r.capped, r.allocation_tokens) for r in
+           sampling.mixture_waterfill(df, "s", F.lit(1), 200,
+                                      tokens_col="n").collect()}
+    assert out == {None: (0, 100), "b": (0, 100)}
+    kept = {(r.s, r.doc_id) for r in
+            sampling.waterfill_sample(df, "s", "doc_id", F.lit(1), 200,
+                                      tokens_col="n").collect()}
+    # null stratum: doc hash order decides which of 1/2 fits in 100
+    assert any(s is None for s, _ in kept)

@@ -101,6 +101,7 @@ def probe_zorder_layout(spark, sf_dir: str) -> dict:
     count grows 100× (each file is a rectangle, the band covers a
     fixed share of rectangles), while x-sorted stays at 1.0 — reading
     EVERYTHING, 100× more bytes."""
+    import hashlib
     import shutil
 
     from real_time_iot_data_pipeline_project_spark.operators import layout
@@ -112,7 +113,10 @@ def probe_zorder_layout(spark, sf_dir: str) -> dict:
                          F.lit(256)).alias("y")))
     n = ev.count()
     n_files = max(16, n // 6250)
-    zdir, xdir = "/tmp/zprobe_z", "/tmp/zprobe_x"
+    # sf+pid tagged like registry._scratch_dir — fixed paths let two
+    # concurrent probe runs measure a mix of each other's corpora
+    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}_{os.getpid()}"
+    zdir, xdir = f"/tmp/zprobe_z_{tag}", f"/tmp/zprobe_x_{tag}"
     t0 = time.monotonic()
     layout.zorder_write(ev, zdir, "x", "y", bits=8, n_files=n_files)
     z_write = time.monotonic() - t0
