@@ -386,6 +386,12 @@ def main() -> None:
         # scales with the corpus; band files-read FRACTION should stay
         # ~flat for z while x-sorted reads 1.0 of a 100x larger table)
         ("zorder_layout", probe_zorder_layout),
+        # round-11 consumers: the waterfill applied (adds one
+        # per-stratum sorted window over the corpus — expectation
+        # ~linear in rows) and the corpus diff (one full-outer
+        # shuffle-hash join of id+fp projections — ~linear)
+        ("q139_wf_sample", probe_query("q139_waterfill_sample")),
+        ("q140_corpus_diff", probe_query("q140_corpus_diff")),
     )
     for name, fn in probes:
         if only is not None and name not in only:
