@@ -184,8 +184,10 @@ HEADLINE = [
     # waterfill allocations applied (X44's consumer tier)
     "q138_ann_recall",
     "q139_waterfill_sample",
-    # round 11: release-to-release corpus diff (X46)
+    # round 11: release-to-release corpus diff (X46) and the
+    # diff-driven incremental annotation refresh (X47)
     "q140_corpus_diff",
+    "q141_incremental_annotate",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

@@ -240,6 +240,8 @@ EVIDENCE: dict[str, dict] = {
         "test_ann_index.py::test_ann_recall_curve_monotone_and_anchored"]},
     "X46": {"queries": ["q140_corpus_diff"], "tests": [
         "test_audit_aggstate.py::test_corpus_diff_statuses_and_normalization"]},
+    "X47": {"queries": ["q141_incremental_annotate"], "tests": [
+        "test_audit_aggstate.py::test_incremental_annotate_reuses_not_recomputes"]},
     "X40": {"queries": ["q128_edit_distance_verify"], "tests": [
         "test_dedup_similarity.py::test_edit_verify_exact_and_near_dups",
         "test_dedup_similarity.py::test_edit_verify_rejects_block_swapped_candidate",

@@ -6191,14 +6191,72 @@ def q140_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange — text never shuffles."""
     from .operators import audit as audit_ops
 
-    docs = _t(spark, sf_dir, "documents")
+    old, new = _release_pair(_t(spark, sf_dir, "documents"))
+    return audit_ops.corpus_diff(old, new)
+
+
+def _release_pair(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The deterministic old/new release derivation shared by q140 and
+    q141 (drop-set, add-set, ' v2' mutation set on coprime moduli)."""
     old = docs.where(F.pmod(F.col("doc_id"), F.lit(17)) != 3)
     new = (docs.where(F.pmod(F.col("doc_id"), F.lit(19)) != 5)
            .withColumn("text",
                        F.when(F.pmod(F.col("doc_id"), F.lit(13)) == 2,
                               F.concat(F.col("text"), F.lit(" v2")))
                        .otherwise(F.col("text"))))
-    return audit_ops.corpus_diff(old, new)
+    return old, new
+
+
+@query(
+    "q141_incremental_annotate",
+    # the oracle is the FULL recompute: annotate every doc of the new
+    # release directly — Spark takes the incremental reuse path, so a
+    # hash match IS the refresh ≡ recompute invariant
+    f"""
+    WITH new AS (
+      SELECT doc_id, concat(text, ' v2') AS text FROM documents
+      WHERE doc_id % 19 <> 5 AND doc_id % 13 = 2
+      UNION ALL
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 19 <> 5 AND doc_id % 13 <> 2
+    )
+    SELECT doc_id,
+           round(CAST({_quality_expr_sql()} AS DOUBLE), 6) AS q,
+           {_lang_pick_sql()} AS detected_lang,
+           CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT) AS n_tok
+    FROM new
+    """,
+)
+def q141_incremental_annotate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X47 — diff-driven incremental annotation refresh
+    (audit.incremental_annotate): the previous release arrives already
+    annotated (quality / language / token count — the q48 chain); the
+    new release re-runs the annotator ONLY on added/changed docs and
+    reuses stored values for byte-identical ones.  The oracle is the
+    FULL recompute over the new release, so the hash gate pins the
+    production invariant — incremental refresh ≡ recompute — for every
+    doc at every SF (q103's fold≡direct philosophy applied to the
+    annotation tier; the q140 release derivation guarantees all three
+    populations — reused, changed, added — are non-empty).  Scale: the
+    annotator (here cheap Column exprs; in production model scoring or
+    embedding) runs over the anti-join slice only; everything else is
+    two shuffle-hash joins on the uniform (id, raw-md5) key."""
+    from .functions import textfns as tf
+    from .operators import audit as audit_ops
+
+    def ann(d: DataFrame, keep_text: bool = False) -> DataFrame:
+        cols = [F.col("doc_id")]
+        if keep_text:
+            cols.append(F.col("text"))
+        return d.select(
+            *cols,
+            F.round(tf.quality_score("text"), 6).alias("q"),
+            tf.detect_language("text").alias("detected_lang"),
+            tf.token_count("text").cast("long").alias("n_tok"))
+
+    old, new = _release_pair(_t(spark, sf_dir, "documents"))
+    return audit_ops.incremental_annotate(
+        ann(old, keep_text=True), new.select("doc_id", "text"), ann)
 
 
 def _ann_recall_sql(n_centroids: int = 16, k: int = 10,
@@ -6366,6 +6424,9 @@ POST_WINDOW: list[str] = [
     # round 11: release-to-release corpus diff (X46) — scheduled for
     # rotation #8 (round 12)
     "q140_corpus_diff",
+    # round 11: diff-driven incremental annotation refresh (X47) —
+    # scheduled for rotation #8 (round 12)
+    "q141_incremental_annotate",
 ]
 
 

@@ -160,3 +160,26 @@ def test_corpus_diff_statuses_and_normalization(spark):
     got2 = {r.doc_id: r.status for r in
             audit.corpus_diff(o2, n2).collect()}
     assert got2 == {1: "changed", 3: "removed"}
+
+
+def test_incremental_annotate_reuses_not_recomputes(spark):
+    """X47 plumbing: unchanged rows must carry the OLD release's stored
+    annotation (proving reuse — the annotator is tagged so a recompute
+    would be visible), changed/added rows get fresh values, and a
+    NULL-text row conservatively re-annotates."""
+    old = spark.createDataFrame(
+        [(1, "alpha", "old"), (2, "beta", "old"), (4, None, "old")],
+        "doc_id long, text string, tag string")
+    new = spark.createDataFrame(
+        [(1, "alpha"),    # byte-identical -> reuse 'old'
+         (2, "beta!"),    # changed -> fresh
+         (3, "gamma"),    # added -> fresh
+         (4, None)],      # null text -> conservative fresh
+        "doc_id long, text string")
+
+    def ann(d):
+        return d.select("doc_id", F.lit("fresh").alias("tag"))
+
+    got = {r.doc_id: r.tag for r in
+           audit.incremental_annotate(old, new, ann).collect()}
+    assert got == {1: "old", 2: "fresh", 3: "fresh", 4: "fresh"}

@@ -69,6 +69,7 @@ PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
         "q138_ann_recall",
         "q139_waterfill_sample",
         "q140_corpus_diff",
+        "q141_incremental_annotate",
     ]),
 }
 
