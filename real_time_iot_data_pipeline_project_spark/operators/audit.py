@@ -154,9 +154,22 @@ def incremental_annotate(old: DataFrame, new: DataFrame, annotate,
     slice) on the uniform (id, fp) key; ``annotate`` runs only over
     the anti side.  Returns ``annotate``'s schema for EVERY row of
     ``new``."""
+    for side, cols in (("old", old.columns), ("new", new.columns)):
+        if "__fp" in cols:
+            raise ValueError(
+                f"incremental_annotate reserves the working column "
+                f"'__fp', which the {side} frame already carries — "
+                f"rename it first (it would be silently overwritten)")
     fp = F.md5(F.col(text_col))
     ann_cols = [c for c in old.columns if c not in (id_col, text_col)]
-    o = old.withColumn("__fp", fp).select(id_col, "__fp", *ann_cols)
+    # dropDuplicates on the reuse key: a previous release carrying the
+    # same (id, text) twice (a non-deduped union of manifests) would
+    # otherwise emit one reused row PER old duplicate, inflating the
+    # output past one-row-per-new-row (review catch). Any surviving
+    # row's annotations are the right ones: a deterministic annotator
+    # gives identical values for identical (id, text).
+    o = (old.withColumn("__fp", fp).select(id_col, "__fp", *ann_cols)
+         .dropDuplicates([id_col, "__fp"]))
     n = new.withColumn("__fp", fp)
     reused = (n.select(id_col, "__fp")
               .join(o.hint("shuffle_hash"), [id_col, "__fp"])

@@ -6161,7 +6161,7 @@ def q139_waterfill_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     new AS (
       SELECT doc_id,
-             md5({_NORM_SQL.replace("text", "concat(text, ' v2')")})
+             md5({_NORM_SQL.replace("text", "(text || ' v2')")})
                AS new_fp
       FROM documents WHERE doc_id % 19 <> 5 AND doc_id % 13 = 2
       UNION ALL
@@ -6214,7 +6214,7 @@ def _release_pair(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     # hash match IS the refresh ≡ recompute invariant
     f"""
     WITH new AS (
-      SELECT doc_id, concat(text, ' v2') AS text FROM documents
+      SELECT doc_id, (text || ' v2') AS text FROM documents
       WHERE doc_id % 19 <> 5 AND doc_id % 13 = 2
       UNION ALL
       SELECT doc_id, text FROM documents

@@ -183,3 +183,27 @@ def test_incremental_annotate_reuses_not_recomputes(spark):
     got = {r.doc_id: r.tag for r in
            audit.incremental_annotate(old, new, ann).collect()}
     assert got == {1: "old", 2: "fresh", 3: "fresh", 4: "fresh"}
+
+
+def test_incremental_annotate_guards_and_duplicate_old(spark):
+    """A duplicated (id, text) row in the previous release must not
+    inflate the output (one row per new row, exactly), and a caller
+    column colliding with the reserved working name fails loudly."""
+    import pytest
+
+    old = spark.createDataFrame(
+        [(1, "alpha", "old"), (1, "alpha", "old"), (2, "beta", "old")],
+        "doc_id long, text string, tag string")
+    new = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string")
+
+    def ann(d):
+        return d.select("doc_id", F.lit("fresh").alias("tag"))
+
+    out = audit.incremental_annotate(old, new, ann).collect()
+    assert sorted((r.doc_id, r.tag) for r in out) == [(1, "old"),
+                                                      (2, "old")]
+
+    bad = new.withColumn("__fp", F.lit("x"))
+    with pytest.raises(ValueError, match="__fp"):
+        audit.incremental_annotate(old, bad, ann)
