@@ -392,6 +392,9 @@ def main() -> None:
         # shuffle-hash join of id+fp projections — ~linear)
         ("q139_wf_sample", probe_query("q139_waterfill_sample")),
         ("q140_corpus_diff", probe_query("q140_corpus_diff")),
+        # round-11: incremental annotate — two shuffle-hash joins on
+        # (id, md5) plus the annotator over the ~8% fresh slice only
+        ("q141_inc_annotate", probe_query("q141_incremental_annotate")),
     )
     for name, fn in probes:
         if only is not None and name not in only:
