@@ -3000,6 +3000,39 @@ DEFERRED: list[str] = [
     # family is q106's aligned Pearson pass; the broadcast-margin
     # conditional aggs are q102's audit shape
     "q107_chi2_independence",
+    # --- round-12 consolidation (VERDICT r11 item 1, rotation #8): six
+    # subsumable twins deferred so the round-11 operators (z-ordered
+    # pruned read q136, mixture waterfill q137/q139, ANN recall curve
+    # q138, corpus diff q140, incremental annotation refresh q141)
+    # carry first-time official gate rows.  All six deferred twins
+    # carried green rows in CORRECTNESS_r11 (the full r11 window was
+    # 50/50 green); tests/test_export_order.py SUBSUMPTION maps each to
+    # in-window survivors; every deferred oracle still runs in the
+    # local gate.
+    # J5 nearest as-of: q92's feature matrix runs the SAME asof_join
+    # callable (keyed by user,signal); the nearest tie-break rule stays
+    # pinned by tests/test_asof.py and the local oracle gate
+    "q85_asof_nearest",
+    # W7 trailing RANGE-frame agg: q86's time-weighted average runs the
+    # same event-time RANGE window arithmetic (richer: interval-
+    # weighted); the frame-boundary rule stays in the local gate
+    "q83_rolling_time_agg",
+    # mixture weights: promoted q137's capacity-capped waterfill IS the
+    # domain-mixing solver (richer: closed-form capacity caps); q124's
+    # temperature mixture holds the rate-membership family row
+    "q66_domain_mixing",
+    # J7 unpivot/melt: the map-side Expand is the inverse shape of
+    # q92's pivot stage (same Expand operator family); the
+    # no-shuffle Expand plan stays asserted by tests/test_plans.py
+    "q108_unpivot_melt",
+    # real-codec WAV decode: same mapInPandas real-decode tier as
+    # in-window q80 (RFC-2083 PNG); WAV signal stats stay value-pinned
+    # by tests/test_multimodal.py and the local oracle gate
+    "q91_audio_decode_stats",
+    # embed→ANN handoff: composition of two in-window parts — q118
+    # builds the same hashing embedding, q121 runs the same
+    # persistent-index batch search
+    "q119_embed_ann",
 ]
 
 
@@ -6409,24 +6442,14 @@ POST_WINDOW: list[str] = [
     # DEFERRED block.  This burns the never-gated hash-checkable
     # backlog to zero: every registry query outside the approx sketch
     # tier has now carried an official green row in some round.)
-    # round 11: the z-ordered READ path (X43's consumer side, VERDICT
-    # r10 item 3) — scheduled for rotation #8 (round 12)
-    "q136_zorder_pruned_read",
-    # round 11: capacity-capped mixture waterfill (X44) — scheduled
-    # for rotation #8 (round 12)
-    "q137_mixture_waterfill",
-    # round 11: IVF recall@k evaluation curve (X45) — scheduled for
-    # rotation #8 (round 12)
-    "q138_ann_recall",
-    # round 11: the waterfill allocations APPLIED (X44's consumer
-    # tier) — scheduled for rotation #8 (round 12)
-    "q139_waterfill_sample",
-    # round 11: release-to-release corpus diff (X46) — scheduled for
-    # rotation #8 (round 12)
-    "q140_corpus_diff",
-    # round 11: diff-driven incremental annotation refresh (X47) —
-    # scheduled for rotation #8 (round 12)
-    "q141_incremental_annotate",
+    # (round 12, rotation #8: q136-q141 — the round-11 operators
+    # (z-ordered pruned read, mixture waterfill + applied sampler, ANN
+    # recall@k curve, corpus diff, incremental annotation refresh) —
+    # promoted INTO the official window; six subsumable twins deferred,
+    # see the round-12 DEFERRED block.  The never-gated hash-checkable
+    # backlog is again ZERO.  New queries must be registered HERE and
+    # scheduled in tools/coverage_ledger.py PLANNED_ROTATIONS, or they
+    # silently displace the pinned window.)
 ]
 
 

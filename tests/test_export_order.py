@@ -45,9 +45,11 @@ FLAGSHIP = [
     # (round 9: q81/q82 rotated out — as-of family row is q85 nearest +
     # q92's asof_join; interval-join family row is q109; both carried
     # official rows in CORRECTNESS_r06..r08)
+    # (round 12, rotation #8: q83/q85 rotated out — the RANGE-frame
+    # family row is q86's interval-weighted window, the as-of family
+    # row is q92's asof_join callable; both carried official rows in
+    # CORRECTNESS_r06..r11)
     "q80_image_decode_stats",
-    "q83_rolling_time_agg",
-    "q85_asof_nearest",
     # round-6 second-wave promotions: relational / warehouse-history /
     # audit tier
     # (round 9: q96/q97/q98 rotated out — the semi/anti exists family
@@ -61,9 +63,11 @@ FLAGSHIP = [
     # (round 9: q87/q89/q90 rotated out — lead() pairing is q86's core,
     # spine+asof carry-forward is q92's prefix, the RANGE frame is
     # q83's; all three carried official rows in CORRECTNESS_r07/r08)
+    # (round 12, rotation #8: q91 rotated out — the real-codec
+    # mapInPandas tier's family row is q80's RFC-2083 PNG decode; WAV
+    # values stay pinned by tests/test_multimodal.py; rows r07..r11)
     "q86_time_weighted_avg",
     "q88_ohlc_bars",
-    "q91_audio_decode_stats",
     "q92_feature_matrix",
     "q93_conversion_funnel",
     "q109_interval_join",
@@ -73,8 +77,10 @@ FLAGSHIP = [
     # state fold invariant is pinned by q112+q120, the skew diagnosis
     # feeds in-window q50; both carried official rows in
     # CORRECTNESS_r08..r10)
+    # (round 12, rotation #8: q108 rotated out — the map-side Expand
+    # family's inverse shape is q92's pivot stage; the Expand plan
+    # assert stays in tests/test_plans.py; official rows r08..r11)
     "q106_aligned_corr",
-    "q108_unpivot_melt",
     # (round 10: q111/q113/q115/q116 rotated out — each carried
     # official rows in CORRECTNESS_r08/_r09; survivors in SUBSUMPTION)
     "q110_history_star",
@@ -88,8 +94,10 @@ FLAGSHIP = [
     # (round 11, rotation #7: q70 rotated out — pure-hash membership
     # family rows move to promoted q123/q124; official rows in
     # CORRECTNESS_r09/r10)
+    # (round 12, rotation #8: q66 rotated out — promoted q137's
+    # capacity-capped waterfill IS the mixture solver, q124 holds the
+    # rate-membership row; official rows r09..r11)
     "q62_shard_stats",
-    "q66_domain_mixing",
     "q117_model_scores",
     "q118_hashing_embed",
     # round-10 promotions (rotation #6, VERDICT r9 item 1): the
@@ -98,7 +106,9 @@ FLAGSHIP = [
     # rotated out after their first-time official rows landed in
     # CORRECTNESS_r10 — each is subsumed by an in-window survivor, see
     # SUBSUMPTION; the r10 rows stay in the COVERAGE.md ledger)
-    "q119_embed_ann",
+    # (round 12, rotation #8: q119 rotated out — composition of two
+    # in-window parts: q118 builds the same hashing embedding, q121
+    # runs the same persistent-index batch search; rows r10/r11)
     "q120_stream_heavy_fold",
     "q121_index_batch_search",
     "q122_drift_report",
@@ -120,6 +130,18 @@ FLAGSHIP = [
     "q133_bpe_sequence_packing",
     "q134_zorder_curve",
     "q135_zorder_curve_3d",
+    # round-12 promotions (rotation #8, VERDICT r11 item 1): the
+    # round-11 operators — the z-ordered pruned READ gate (X43's
+    # consumer side), the capacity-capped mixture waterfill and its
+    # applied budget-exact sampler (X44), the IVF recall@k evaluation
+    # curve (X45), the release-to-release corpus diff (X46), and the
+    # diff-driven incremental annotation refresh (X47)
+    "q136_zorder_pruned_read",
+    "q137_mixture_waterfill",
+    "q138_ann_recall",
+    "q139_waterfill_sample",
+    "q140_corpus_diff",
+    "q141_incremental_annotate",
 ]
 
 # The exact round-6 official window (VERDICT r3 item 8: pin it so a
@@ -165,6 +187,12 @@ FLAGSHIP = [
 # round-9 late tier q123-q130 plus the round-10 operators q131-q135
 # promoted so they carry first-time official CORRECTNESS rows.  This
 # burns the never-gated hash-checkable backlog to zero.
+# Round-12 change (rotation #8, VERDICT r11 item 1): q66/q83/q85/q91/
+# q108/q119 deferred (each subsumed by an in-window survivor, see
+# SUBSUMPTION; all six carried official rows through CORRECTNESS_r11 —
+# the full r11 window was 50/50 green), the round-11 operators
+# q136-q141 promoted so they carry first-time official CORRECTNESS
+# rows.  The never-gated hash-checkable backlog is again zero.
 EXPECTED_WINDOW = [
     "q23_ewma", "q27_iot_pipeline",
     "q32_minhash_lsh_pairs", "q38_ivf_topk",
@@ -174,23 +202,21 @@ EXPECTED_WINDOW = [
     "q54_tfidf_top_terms",
     "q48_training_data_pipeline",
     "q62_shard_stats",
-    "q64_chunk_dedup", "q66_domain_mixing",
+    "q64_chunk_dedup",
     "q75_incremental_dedup",
     "q80_image_decode_stats",
-    "q83_rolling_time_agg", "q85_asof_nearest",
     "q86_time_weighted_avg", "q88_ohlc_bars",
-    "q91_audio_decode_stats", "q92_feature_matrix",
+    "q92_feature_matrix",
     "q93_conversion_funnel",
     "q94_shipping_priority",
     "q102_dq_audit",
     "q106_aligned_corr",
-    "q108_unpivot_melt",
     "q109_interval_join",
     "q110_history_star",
     "q112_scd2_incremental",
     "q114_heavy_hitters",
     "q117_model_scores", "q118_hashing_embed",
-    "q119_embed_ann", "q120_stream_heavy_fold",
+    "q120_stream_heavy_fold",
     "q122_drift_report", "q121_index_batch_search",
     "q123_leakage_safe_splits", "q124_temperature_mix",
     "q126_semantic_dedup_2l", "q125_semantic_dedup",
@@ -199,6 +225,9 @@ EXPECTED_WINDOW = [
     "q133_bpe_sequence_packing", "q134_zorder_curve",
     "q135_zorder_curve_3d", "q132_stream_semantic_dedup",
     "q128_edit_distance_verify",
+    "q136_zorder_pruned_read", "q137_mixture_waterfill",
+    "q139_waterfill_sample", "q140_corpus_diff",
+    "q141_incremental_annotate", "q138_ann_recall",
 ]
 
 # Round-4/6 deferrals: each subsumed query's operator stays asserted by
@@ -232,9 +261,11 @@ SUBSUMPTION = {
     # verification-tier quadratic Jaccard; q32 MinHash-LSH estimates the
     # same pair set and is the production shape for the operator
     "q34_ngram_jaccard_pairs": ["q32_minhash_lsh_pairs"],
-    # P6/W4 interval retention: trailing event-time window arithmetic is
-    # q83's RANGE frame (count-based twin q24 deferred since round 1)
-    "q41_retention_interval": ["q83_rolling_time_agg"],
+    # P6/W4 interval retention: trailing event-time window arithmetic
+    # is q86's event-time RANGE-frame core (count-based twin q24
+    # deferred since round 1; r12 re-point: former survivor q83
+    # deferred, itself subsumed by q86)
+    "q41_retention_interval": ["q86_time_weighted_avg"],
     # F8 day/night labels inside q27's clean chain; F26 NOAA astro chain
     # stays pinned by tests/test_astro.py and the local oracle gate
     # (r7 re-point: former co-survivor q13 deferred)
@@ -253,11 +284,11 @@ SUBSUMPTION = {
     # --- round-6 second wave ---
     # signature extraction is stage one of the LSH pairs pipeline
     "q31_minhash_signatures": ["q32_minhash_lsh_pairs"],
-    # binary stats surface = prefix of feature extraction; both real-
-    # decode tiers go further (r8 re-point: former survivor q36
-    # deferred)
-    "q35_binary_stats": ["q80_image_decode_stats",
-                         "q91_audio_decode_stats"],
+    # binary stats surface = prefix of feature extraction; the real-
+    # decode tier goes further (r8 re-point: former survivor q36
+    # deferred; r12 re-point: q91 deferred — the mapInPandas real-
+    # decode family row is q80's PNG decode)
+    "q35_binary_stats": ["q80_image_decode_stats"],
     # quality scoring runs verbatim as q48's scan-stage gate
     "q45_quality_score": ["q48_training_data_pipeline"],
     # lang-ID runs verbatim inside q48 (detected_lang gate)
@@ -325,15 +356,15 @@ SUBSUMPTION = {
     # simhash block-LSH: near-dup family row stays with q32's
     # MinHash-LSH
     "q33_simhash": ["q32_minhash_lsh_pairs"],
-    # multimodal feature surface: both real-decode tiers go further
-    "q36_multimodal_features": ["q80_image_decode_stats",
-                                "q91_audio_decode_stats"],
+    # multimodal feature surface: the real-decode tier goes further
+    # (r12 re-point: q91 deferred — q80 carries the codec family row)
+    "q36_multimodal_features": ["q80_image_decode_stats"],
     # embedding near-dup: ANN family row stays with q38's IVF
     "q39_embedding_near_dup": ["q38_ivf_topk"],
-    # forward as-of = direction mirror handled inside q85's nearest
-    # composition; q92 runs the same asof_join callable (r9 re-point:
-    # former survivor q81 deferred)
-    "q84_asof_forward": ["q85_asof_nearest", "q92_feature_matrix"],
+    # forward as-of = direction mirror of the asof_join callable that
+    # q92's feature matrix runs (r9 re-point: former survivor q81
+    # deferred; r12 re-point: q85 deferred — q92 carries the family)
+    "q84_asof_forward": ["q92_feature_matrix"],
     # --- round 9 (rotation #5, VERDICT r8 item 1: open slots for
     # q51/q60-q72 tier + q117/q118) ---
     # J4 broadcast star: dim-build → fact-join → rollup is q110's
@@ -355,9 +386,10 @@ SUBSUMPTION = {
     # promoted q124's temperature-rate membership carry the family
     "q77_train_val_test": ["q123_leakage_safe_splits",
                            "q124_temperature_mix"],
-    # backward as-of: q85 composes backward+forward; q92 runs the same
-    # asof_join callable keyed by (user, signal)
-    "q81_asof_join": ["q85_asof_nearest", "q92_feature_matrix"],
+    # backward as-of: q92's feature matrix runs the same asof_join
+    # callable keyed by (user, signal) (r12 re-point: former survivor
+    # q85 deferred — q92 carries the as-of family row)
+    "q81_asof_join": ["q92_feature_matrix"],
     # interval-containment join family row is q109's inequality-bounded
     # equi-join; the bucketization plan stays in tests/test_plans.py
     "q82_range_join": ["q109_interval_join"],
@@ -367,8 +399,9 @@ SUBSUMPTION = {
     # grid_spine + as-of carry-forward is the literal prefix of q92's
     # aligned feature matrix (spine → asof → pivot)
     "q89_resample_ffill": ["q92_feature_matrix"],
-    # same RANGE-frame time-window pass as q83's trailing agg
-    "q90_rolling_zscore": ["q83_rolling_time_agg"],
+    # same event-time RANGE-frame window pass as q86's interval core
+    # (r12 re-point: former survivor q83 deferred, subsumed by q86)
+    "q90_rolling_zscore": ["q86_time_weighted_avg"],
     # exists-per-key semi/anti family: q116 is the LEFT ANTI complement
     # with the same non-equi predicate riding the join; grouped rollup
     # is q94's; left_semi plan pinned by tests/test_plans.py
@@ -487,6 +520,30 @@ SUBSUMPTION = {
     # family is q106's aligned Pearson pass; broadcast-margin
     # conditional aggs are q102's audit shape
     "q107_chi2_independence": ["q106_aligned_corr", "q102_dq_audit"],
+    # --- round 12 (rotation #8, VERDICT r11 item 1: open slots for
+    # the round-11 operators q136-q141) ---
+    # nearest as-of composes the same asof_join callable q92's feature
+    # matrix runs per (user, signal); the nearest tie-break stays
+    # pinned by tests/test_asof.py + the local oracle gate
+    "q85_asof_nearest": ["q92_feature_matrix"],
+    # trailing RANGE-frame agg: q86's time-weighted average runs the
+    # same event-time RANGE window (richer: interval-weighted)
+    "q83_rolling_time_agg": ["q86_time_weighted_avg"],
+    # mixture weights: promoted q137's capacity-capped waterfill IS
+    # the mixture solver; q124 holds the rate-membership family row
+    "q66_domain_mixing": ["q137_mixture_waterfill",
+                          "q124_temperature_mix"],
+    # unpivot/melt map-side Expand: the inverse shape of q92's pivot
+    # stage; the no-shuffle Expand plan stays in tests/test_plans.py
+    "q108_unpivot_melt": ["q92_feature_matrix"],
+    # WAV real decode: same mapInPandas real-codec tier as q80's PNG
+    # decode; WAV values stay pinned by tests/test_multimodal.py
+    "q91_audio_decode_stats": ["q80_image_decode_stats"],
+    # embed→ANN handoff = composition of two in-window parts (q118
+    # builds the same hashing embedding, q121 runs the same
+    # persistent-index batch search)
+    "q119_embed_ann": ["q118_hashing_embed",
+                       "q121_index_batch_search"],
 }
 
 

@@ -60,17 +60,14 @@ PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
     # left the pre-r11 never-gated hash-checkable backlog EMPTY.  New
     # queries must still be registered into POST_WINDOW and scheduled
     # here, or they silently displace the pinned window.)
-    # rotation #8 — the round-11 additions: the z-ordered pruned-read
-    # row (X43's consumer side, VERDICT r10 item 3), the capacity-
-    # capped mixture waterfill (X44), and the IVF recall@k curve (X45)
-    12: (8, [
-        "q136_zorder_pruned_read",
-        "q137_mixture_waterfill",
-        "q138_ann_recall",
-        "q139_waterfill_sample",
-        "q140_corpus_diff",
-        "q141_incremental_annotate",
-    ]),
+    # (rotation #8 — the round-11 additions q136-q141 (z-ordered
+    # pruned read, mixture waterfill + applied sampler, ANN recall@k
+    # curve, corpus diff, incremental annotation refresh) — EXECUTED
+    # in round 12; entry removed per the staleness contract in
+    # tests/test_coverage_ledger.py.  The never-gated hash-checkable
+    # backlog is again EMPTY.  New queries must still be registered
+    # into POST_WINDOW and scheduled here, or they silently displace
+    # the pinned window.)
 }
 
 
