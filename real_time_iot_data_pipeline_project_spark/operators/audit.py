@@ -104,12 +104,22 @@ def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
     # inverted the diff (a doc removed in new read as 'added' — review
     # catch). eqNullSafe makes two NULL-text releases of a doc
     # 'unchanged' rather than 'changed'.
-    o = old.select(F.col(id_col),
-                   fingerprint(text_col).alias("old_fp"),
-                   F.lit(True).alias("__in_old"))
-    n = new.select(F.col(id_col),
-                   fingerprint(text_col).alias("new_fp"),
-                   F.lit(True).alias("__in_new"))
+    # dropDuplicates on (id, fp), mirroring incremental_annotate's
+    # old-side guard: a release carrying the same (id, content) twice
+    # (a non-deduped union of manifests) would otherwise fan out one
+    # diff row per old×new duplicate pair. Duplicate ids with
+    # CONFLICTING fingerprints have no single right answer and still
+    # fan out — release ids are expected unique (every release writer
+    # in pipelines.py dedups); this guard only absorbs benign
+    # re-listings of identical content.
+    o = (old.select(F.col(id_col),
+                    fingerprint(text_col).alias("old_fp"),
+                    F.lit(True).alias("__in_old"))
+         .dropDuplicates([id_col, "old_fp"]))
+    n = (new.select(F.col(id_col),
+                    fingerprint(text_col).alias("new_fp"),
+                    F.lit(True).alias("__in_new"))
+         .dropDuplicates([id_col, "new_fp"]))
     status = (
         F.when(F.col("__in_old").isNull(), F.lit("added"))
         .when(F.col("__in_new").isNull(), F.lit("removed"))

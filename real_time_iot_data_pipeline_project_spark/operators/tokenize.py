@@ -120,8 +120,12 @@ def _rank_lookup_hash(key_expr: str,
     """O(1) rank lookup for one pair-key expression via the bucketed
     hash literal (0 = not a learned pair, matching array_position)."""
     buckets, m = rank_buckets_sql(pairs)
-    idx = (f"CAST(pmod(conv(substring(md5({key_expr}), 1, 15), 16, 10)"
-           f", {m}) AS INT) + 1")
+    # explicit BIGINT cast on conv()'s STRING output before pmod
+    # (matching textfns.portable_hash60): implicit coercion happens to
+    # resolve to bigint on the pinned Spark, but an ANSI/version shift
+    # to DOUBLE would silently corrupt bucket indices for 60-bit hashes
+    idx = (f"CAST(pmod(CAST(conv(substring(md5({key_expr}), 1, 15), "
+           f"16, 10) AS BIGINT), {m}) AS INT) + 1")
     # get(), not [0]: a missing key leaves an empty filtered bucket and
     # ANSI mode makes [0] on it an INVALID_ARRAY_INDEX error
     return (f"coalesce(get(filter(element_at({buckets}, {idx}), "

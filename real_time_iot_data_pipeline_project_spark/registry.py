@@ -6204,7 +6204,7 @@ def q139_waterfill_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
            CASE WHEN o.doc_id IS NULL THEN 'added'
                 WHEN n.doc_id IS NULL THEN 'removed'
-                WHEN o.old_fp <> n.new_fp THEN 'changed'
+                WHEN o.old_fp IS DISTINCT FROM n.new_fp THEN 'changed'
                 ELSE 'unchanged' END AS status,
            o.old_fp, n.new_fp
     FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id

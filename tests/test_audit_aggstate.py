@@ -162,6 +162,24 @@ def test_corpus_diff_statuses_and_normalization(spark):
     assert got2 == {1: "changed", 3: "removed"}
 
 
+def test_corpus_diff_absorbs_duplicate_listings(spark):
+    """A release carrying the same (id, content) twice — a non-deduped
+    union of manifests — must yield ONE diff row per id, not one per
+    old×new duplicate pair (the full-outer join would otherwise fan
+    out multiplicatively; ADVICE r11, mirroring incremental_annotate's
+    old-side guard)."""
+    old = spark.createDataFrame(
+        [(1, "alpha"), (1, "alpha"), (2, "beta")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "alpha"), (1, "alpha"), (1, "alpha"), (2, "beta edited")],
+        "doc_id long, text string")
+    rows = audit.corpus_diff(old, new).collect()
+    assert len(rows) == 2
+    got = {r.doc_id: r.status for r in rows}
+    assert got == {1: "unchanged", 2: "changed"}
+
+
 def test_incremental_annotate_reuses_not_recomputes(spark):
     """X47 plumbing: unchanged rows must carry the OLD release's stored
     annotation (proving reuse — the annotator is tagged so a recompute
