@@ -260,3 +260,115 @@ def test_release_cli_bpe_manifest_wiring(spark, tmp_path):
                     "--shards", "1", "--bpe-manifest"])
     m = json.load(open(f"{rel}/MANIFEST.json"))
     assert m["bpe"]["n_tokens"] >= m["n_tokens"] > 0
+
+
+def test_release_diff_json_vs_baseline(spark, tmp_path):
+    """--baseline also publishes the per-doc release diff (X46, VERDICT
+    r11 item 3): DIFF.json next to MANIFEST.json with the
+    groupBy(status) rollup of audit.corpus_diff vs the baseline
+    release.  A byte-identical re-release diffs as all-unchanged; a
+    mutated corpus shows changed docs, and the four counts reconcile
+    against both releases' doc totals."""
+    rel1 = str(tmp_path / "d1")
+    m1 = pipelines.release_corpus(spark, _docs_path(), rel1, n_shards=2)
+    # no baseline -> no DIFF.json, manifest diff is null
+    assert m1["diff"] is None
+    assert not glob.glob(f"{rel1}/DIFF.json")
+
+    rel2 = str(tmp_path / "d2")
+    m2 = pipelines.release_corpus(spark, _docs_path(), rel2,
+                                  baseline_path=rel1, n_shards=2)
+    on_disk = json.load(open(f"{rel2}/DIFF.json"))
+    assert on_disk["by_status"] == m2["diff"]
+    assert on_disk["baseline"] == rel1
+    assert m2["diff"] == {"added": 0, "removed": 0, "changed": 0,
+                          "unchanged": m1["n_docs"]}
+
+    # mutated next snapshot: ' v2' suffix on a doc_id slice -> those
+    # docs (where they survive curation on both sides) read as changed
+    mutated = str(tmp_path / "mutated_docs")
+    (spark.read.parquet(_docs_path())
+     .withColumn("text", F.when(F.pmod("doc_id", F.lit(7)) == 0,
+                                F.concat(F.col("text"), F.lit(" v2")))
+                 .otherwise(F.col("text")))
+     .write.parquet(mutated))
+    rel3 = str(tmp_path / "d3")
+    m3 = pipelines.release_corpus(spark, mutated, rel3,
+                                  baseline_path=rel1, n_shards=2,
+                                  allow_drift=True)
+    d = m3["diff"]
+    assert d["changed"] > 0
+    # reconciliation: old = unchanged+changed+removed,
+    #                 new = unchanged+changed+added
+    assert d["unchanged"] + d["changed"] + d["removed"] == m1["n_docs"]
+    assert d["unchanged"] + d["changed"] + d["added"] == m3["n_docs"]
+    assert json.load(open(f"{rel3}/DIFF.json"))["by_status"] == d
+
+
+def test_refresh_annotations_cli_equivalence_and_reuse(spark, tmp_path):
+    """Entry point F (VERDICT r11 item 4): `pipelines
+    refresh-annotations <old-release> --corpus <new> --output <out>`
+    (1) produces annotations equal to a full recompute over the new
+    corpus (q141's invariant, through the CLI path), and (2) actually
+    REUSES stored values — a sentinel planted in an unchanged doc's
+    stored annotation survives into the output, proving the annotator
+    never ran on that doc."""
+    docs = spark.read.parquet(_docs_path())
+
+    # previous release = annotated parquet (text + standard columns)
+    old_annotated = (docs.select("doc_id", "text")
+                     .join(pipelines.standard_annotator(docs), "doc_id"))
+    old_path = str(tmp_path / "old_ann")
+    old_annotated.write.parquet(old_path)
+
+    # new corpus: one slice mutated, one slice brand new id-space
+    new_corpus = (docs.withColumn(
+        "text", F.when(F.pmod("doc_id", F.lit(5)) == 0,
+                       F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")))
+        .select("doc_id", "text"))
+    new_path = str(tmp_path / "new_corpus")
+    new_corpus.write.parquet(new_path)
+
+    out = str(tmp_path / "refreshed")
+    pipelines.main(["refresh-annotations", old_path,
+                    "--corpus", new_path, "--output", out])
+    got = spark.read.parquet(out)
+    want = pipelines.standard_annotator(spark.read.parquet(new_path))
+    assert got.count() == want.count()
+    # full equivalence: refresh == recompute, row for row
+    assert (got.exceptAll(want).count() == 0
+            and want.exceptAll(got).count() == 0)
+
+    # reuse proof: plant a sentinel n_tok on one UNCHANGED doc in the
+    # stored release; the refreshed output must carry the sentinel
+    # (reused), not the recomputed value
+    probe = docs.where(F.pmod("doc_id", F.lit(5)) != 0).head()
+    sentinel_path = str(tmp_path / "old_sentinel")
+    (old_annotated.withColumn(
+        "n_tok", F.when(F.col("doc_id") == probe["doc_id"],
+                        F.lit(999_999).cast("long"))
+        .otherwise(F.col("n_tok")))
+     .write.parquet(sentinel_path))
+    out2 = str(tmp_path / "refreshed2")
+    counts = pipelines.refresh_annotations(spark, sentinel_path,
+                                           new_path, out2)
+    assert counts["n_reused"] > 0 and counts["n_fresh"] > 0
+    assert counts["n_reused"] + counts["n_fresh"] == counts["n_docs"]
+    got2 = {r["doc_id"]: r["n_tok"]
+            for r in spark.read.parquet(out2).collect()}
+    assert got2[probe["doc_id"]] == 999_999
+
+
+def test_refresh_annotations_reads_jsonl_release(spark, tmp_path):
+    """The old side can be a release directory as the `release` domain
+    wrote it (JSONL data/ shards carry doc_id, text and the standard
+    annotation columns)."""
+    rel = str(tmp_path / "relx")
+    m = pipelines.release_corpus(spark, _docs_path(), rel, n_shards=2)
+    out = str(tmp_path / "refreshed_jsonl")
+    counts = pipelines.refresh_annotations(spark, rel, _docs_path(), out)
+    # every doc the release kept is byte-identical -> reused; docs the
+    # curation dropped are absent from the old side -> re-annotated
+    assert counts["n_reused"] == m["n_docs"]
+    assert spark.read.parquet(out).count() == counts["n_docs"]
