@@ -188,6 +188,10 @@ HEADLINE = [
     # diff-driven incremental annotation refresh (X47)
     "q140_corpus_diff",
     "q141_incremental_annotate",
+    # round 12: q131's token-frequency table under the production
+    # rank_impl='hash' BPE lookup — measured side by side with q131 so
+    # the scan/hash delta is visible in every bench record
+    "q142_bpe_hash_ranks",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

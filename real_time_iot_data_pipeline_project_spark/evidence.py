@@ -203,7 +203,8 @@ EVIDENCE: dict[str, dict] = {
         "test_dedup_similarity.py::test_two_level_assign_is_bucket_consistent_on_real_data",
         "test_dedup_similarity.py::test_semantic_dedup_two_level_keeps_invariants"]},
     "X41": {"queries": ["q131_bpe_token_frequency",
-                        "q133_bpe_sequence_packing"], "tests": [
+                        "q133_bpe_sequence_packing",
+                        "q142_bpe_hash_ranks"], "tests": [
         "test_bpe.py::test_bpe_token_counts_match_array_path",
         "test_bpe.py::test_training_is_deterministic_and_pinned",
         "test_bpe.py::test_merge_table_well_formed",

@@ -493,7 +493,8 @@ def waterfill_sample(df: DataFrame, stratum: str, key: str, weight: Column,
                      budget_tokens: Column | int,
                      tokens_col: str | None = None,
                      text_col: str = "text",
-                     salt: str = "wfill") -> DataFrame:
+                     salt: str = "wfill",
+                     prethin_margin: float | None = None) -> DataFrame:
     """The waterfill APPLIED (X44's consumer tier): turn
     :func:`mixture_waterfill`'s per-stratum token allocations into an
     actual deterministic sample — within each stratum, rows are taken
@@ -519,11 +520,26 @@ def waterfill_sample(df: DataFrame, stratum: str, key: str, weight: Column,
 
     Scale note: the cumulative sum is a per-stratum sorted window —
     parallelism = strata count in that stage.  At 100 TB with few
-    strata, pre-thin with the rate-based filter (rate ≈ allocation /
-    capacity plus a safety margin) and run the exact trim on the
-    survivors; the trim rule here is unchanged by that optimization —
-    it only sees fewer rows.  Returns the KEPT rows as (stratum, key,
-    n_tok, cum_tokens, allocation_tokens)."""
+    strata, set ``prethin_margin`` (e.g. ``0.5``): rows whose hash
+    PERCENTILE exceeds ``(1 + margin) * allocation / capacity`` are
+    dropped map-side BEFORE the window, so the sorted cumsum runs on
+    ~the allocation-sized head of each stratum instead of the whole
+    corpus.  The trim rule is unchanged — it only sees fewer rows —
+    and the kept set is provably identical whenever the greedy
+    boundary lands inside the surviving head, which the operator
+    VERIFIES: any thinned stratum whose survivors were ALL kept (the
+    boundary may lie beyond the cut) raises RuntimeError rather than
+    silently undershooting — rerun with a larger margin or without
+    pre-thinning.  Hash percentile is independent of token counts, so
+    the boundary sits near percentile allocation/capacity and a 50%
+    margin is far outside same-scale fluctuation at production row
+    counts.  Pre-thin mode is EAGER twice (strata-sized collects: the
+    allocation table, and the survivors' per-stratum token sums for
+    the check) — the cost is one extra narrow-column scan, traded for
+    the sorted window running on the allocation-sized head; worth it
+    when the sort/spill dominates (production), not at local test
+    sizes.  Returns the KEPT rows as (stratum, key, n_tok,
+    cum_tokens, allocation_tokens)."""
     from pyspark.sql import Window
 
     from ..functions import textfns
@@ -537,19 +553,75 @@ def waterfill_sample(df: DataFrame, stratum: str, key: str, weight: Column,
     w = (Window.partitionBy(stratum)
          .orderBy(F.col("__h"), F.col(key))
          .rowsBetween(Window.unboundedPreceding, 0))
-    rows = (
-        df.select(F.col(stratum), F.col(key),
-                  toks.cast("long").alias("n_tok"))
-        .withColumn("__h", h)
-        .withColumn("cum_tokens", F.sum("n_tok").over(w).cast("long"))
-    )
-    # null-SAFE equi-join (the temperature_sample precedent): the
-    # waterfill computes an allocation for a NULL stratum like any
-    # other, so null-stratum rows must reach it
-    a = F.broadcast(alloc.select(F.col(stratum).alias("__astratum"),
-                                 "allocation_tokens"))
-    return (
-        rows.join(a, rows[stratum].eqNullSafe(a["__astratum"]))
-        .where(F.col("cum_tokens") <= F.col("allocation_tokens"))
-        .select(stratum, key, "n_tok", "cum_tokens", "allocation_tokens")
-    )
+    if prethin_margin is None:
+        rows = (
+            df.select(F.col(stratum), F.col(key),
+                      toks.cast("long").alias("n_tok"))
+            .withColumn("__h", h)
+            .withColumn("cum_tokens", F.sum("n_tok").over(w).cast("long"))
+        )
+        # null-SAFE equi-join (the temperature_sample precedent): the
+        # waterfill computes an allocation for a NULL stratum like any
+        # other, so null-stratum rows must reach it
+        a = F.broadcast(alloc.select(F.col(stratum).alias("__astratum"),
+                                     "allocation_tokens"))
+        return (
+            rows.join(a, rows[stratum].eqNullSafe(a["__astratum"]))
+            .where(F.col("cum_tokens") <= F.col("allocation_tokens"))
+            .select(stratum, key, "n_tok", "cum_tokens",
+                    "allocation_tokens")
+        )
+    if prethin_margin < 0:
+        raise ValueError("prethin_margin must be >= 0")
+    # pre-thin path.  The allocation table is strata-sized, so collect
+    # it ONCE and re-broadcast a literal frame: left lazy it would be
+    # a corpus-wide groupBy subplan recomputed by the survivor join,
+    # the shortfall check AND the returned plan (three extra scans,
+    # measured — the local x100 probe halved on this change).
+    spark = df.sparkSession
+    alloc_rows = alloc.collect()  # ≤ strata rows
+    rates = {
+        r[stratum]: min(1.0, (1.0 + prethin_margin)
+                        * r["allocation_tokens"]
+                        / max(r["capacity_tokens"], 1))
+        for r in alloc_rows
+    }
+    stype = alloc.schema[stratum].dataType.simpleString()
+    a = F.broadcast(spark.createDataFrame(
+        [(r[stratum], r["allocation_tokens"],
+          float(rates[r[stratum]])) for r in alloc_rows],
+        schema=f"__astratum {stype}, allocation_tokens bigint, "
+               f"__rate double"))
+    base = (df.select(F.col(stratum), F.col(key),
+                      toks.cast("long").alias("n_tok"))
+            .withColumn("__h", h))
+    survivors = (base.join(a, base[stratum].eqNullSafe(a["__astratum"]))
+                 .where(F.col("__h").cast("double")
+                        < F.col("__rate") * float(1 << 60)))
+    # shortfall check (one narrow-column aggregate pass — no text, no
+    # window): a THINNED stratum whose surviving token total fits
+    # entirely inside its allocation would keep EVERY survivor, so the
+    # greedy boundary may lie beyond the hash cutoff — refuse loudly
+    # rather than silently undershoot.  Strata thinned to ZERO
+    # survivors are caught too (missing from the rollup -> sum 0).
+    surv_tok = {r[0]: r[1] for r in
+                survivors.groupBy(stratum)
+                .agg(F.sum("n_tok")).collect()}  # ≤ strata rows
+    short = [r[stratum] for r in alloc_rows
+             if r["capacity_tokens"] > 0 and rates[r[stratum]] < 1.0
+             and (surv_tok.get(r[stratum]) or 0)
+             <= r["allocation_tokens"]]
+    if short:
+        bad = ", ".join(str(s) for s in short[:3])
+        raise RuntimeError(
+            f"waterfill_sample pre-thin shortfall in stratum/strata "
+            f"[{bad}]: every pre-thin survivor fits the allocation, so "
+            f"the greedy boundary may lie beyond the hash cutoff — "
+            f"increase prethin_margin (got {prethin_margin}) or run "
+            f"without pre-thinning")
+    return (survivors
+            .withColumn("cum_tokens",
+                        F.sum("n_tok").over(w).cast("long"))
+            .where(F.col("cum_tokens") <= F.col("allocation_tokens"))
+            .select(stratum, key, "n_tok", "cum_tokens",
+                    "allocation_tokens"))

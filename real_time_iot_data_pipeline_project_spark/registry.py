@@ -6392,6 +6392,22 @@ def q138_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                              nprobe_values=(1, 2, 4, 16))
 
 
+@query("q142_bpe_hash_ranks", _bpe_freq_sql())
+def q142_bpe_hash_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X41's PRODUCTION rank lookup through the hash gate (VERDICT r11
+    item 7): q131's corpus token-frequency table computed with
+    ``rank_impl='hash'`` — the O(1) open-hash bucket literal probed by
+    the portable md5 (the 32k-merge-vocab setting; measured 2× over
+    the scan literal at V=32768 steady-state).  The oracle is q131's
+    SQL verbatim: 'hash' and 'scan' are two lookup implementations of
+    the SAME merge table, so the row set is identical by construction
+    (differential-tested in tests/test_bpe.py) — this row pins the
+    hash path's end-to-end values against DuckDB so the production
+    setting is oracle-gated, not just implementation-compared."""
+    docs = _t(spark, sf_dir, "documents")
+    return tokenize.bpe_token_frequency(spark, docs, rank_impl="hash")
+
+
 # Operators added AFTER the 50-slot window filled with unique-operator
 # queries: fully oracle-checked by the local gate, first in line for a
 # window slot if one opens.
@@ -6446,10 +6462,13 @@ POST_WINDOW: list[str] = [
     # (z-ordered pruned read, mixture waterfill + applied sampler, ANN
     # recall@k curve, corpus diff, incremental annotation refresh) —
     # promoted INTO the official window; six subsumable twins deferred,
-    # see the round-12 DEFERRED block.  The never-gated hash-checkable
-    # backlog is again ZERO.  New queries must be registered HERE and
-    # scheduled in tools/coverage_ledger.py PLANNED_ROTATIONS, or they
-    # silently displace the pinned window.)
+    # see the round-12 DEFERRED block.  New queries must be registered
+    # HERE and scheduled in tools/coverage_ledger.py PLANNED_ROTATIONS,
+    # or they silently displace the pinned window.)
+    # round 12: q131's token-frequency table under the PRODUCTION
+    # rank_impl='hash' BPE lookup (VERDICT r11 item 7) — scheduled for
+    # rotation #9 (round 13)
+    "q142_bpe_hash_ranks",
 ]
 
 

@@ -704,6 +704,76 @@ def test_waterfill_sample_greedy_maximal_and_monotone(spark):
             for d, r in big.items()} == expect
 
 
+def test_waterfill_sample_prethin_equals_unthinned(spark):
+    """VERDICT r11 item 5: the rate-based pre-thin (drop rows above the
+    (1+margin)*allocation/capacity hash percentile BEFORE the
+    per-stratum cumsum window) must leave the kept set IDENTICAL to
+    the unthinned rule — on the synthetic frame across budgets and on
+    the q139-shaped documents invocation."""
+    from real_time_iot_data_pipeline_project_spark.functions import textfns
+    from real_time_iot_data_pipeline_project_spark.operators import sampling
+
+    # enough rows per stratum that the greedy boundary's hash
+    # percentile concentrates near allocation/capacity — at tiny row
+    # counts the conservative shortfall check fires by design
+    rows = [("s%d" % (i % 3), i, (i * 29) % 40 + 5) for i in range(600)]
+    df = spark.createDataFrame(rows, "src string, doc_id long, n int")
+    w = F.lit(1)
+    total = sum(n for _, _, n in rows)
+    for budget in (total // 10, total // 3, total // 2):
+        base = sampling.waterfill_sample(
+            df, "src", "doc_id", w, budget, tokens_col="n")
+        thin = sampling.waterfill_sample(
+            df, "src", "doc_id", w, budget, tokens_col="n",
+            prethin_margin=0.5)
+        assert sorted(map(tuple, base.collect())) \
+            == sorted(map(tuple, thin.collect())), budget
+
+    # the gated q139 shape on the real documents table
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    total = int(docs.agg(
+        F.sum(textfns.token_count("text")).cast("long")).head()[0])
+    wq = (F.when(F.col("source") == "src0", 50)
+          .when(F.col("source") == "src1", 30).otherwise(1))
+    budget = total * 2 // 5
+    base = sampling.waterfill_sample(docs, "source", "doc_id", wq, budget)
+    thin = sampling.waterfill_sample(docs, "source", "doc_id", wq, budget,
+                                     prethin_margin=0.5)
+    assert sorted(map(tuple, base.collect())) \
+        == sorted(map(tuple, thin.collect()))
+
+
+def test_waterfill_sample_prethin_shortfall_raises(spark):
+    """The pre-thin never silently undershoots: when a thinned
+    stratum's survivors are all kept (the greedy boundary may lie
+    beyond the hash cutoff — here zero-token rows ahead of one
+    max-hash heavy row), the operator raises instead of returning a
+    sample that differs from the unthinned rule."""
+    import hashlib
+
+    import pytest
+
+    from real_time_iot_data_pipeline_project_spark.operators import sampling
+
+    def h60(d):
+        return int(hashlib.md5(f"wfill|{d}".encode()).hexdigest()[:15], 16)
+
+    ids = list(range(40))
+    heavy = max(ids, key=h60)  # all token mass at the TOP of hash order
+    rows = [("s", i, 100 if i == heavy else 0) for i in ids]
+    df = spark.createDataFrame(rows, "src string, doc_id long, n int")
+    # unthinned keeps every zero-token row below the heavy row; the
+    # 10%-rate pre-thin would drop most of them
+    with pytest.raises(RuntimeError, match="pre-thin shortfall"):
+        sampling.waterfill_sample(df, "src", "doc_id", F.lit(1), 10,
+                                  tokens_col="n", prethin_margin=0.0)
+    with pytest.raises(ValueError, match="prethin_margin"):
+        sampling.waterfill_sample(df, "src", "doc_id", F.lit(1), 10,
+                                  tokens_col="n", prethin_margin=-0.1)
+
+
 def test_mixture_waterfill_preserves_null_stratum(spark):
     """Review catch: a NULL stratum once vanished through the
     null-hostile triangle-join predicate while its weight still

@@ -64,10 +64,14 @@ PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
     # pruned read, mixture waterfill + applied sampler, ANN recall@k
     # curve, corpus diff, incremental annotation refresh) — EXECUTED
     # in round 12; entry removed per the staleness contract in
-    # tests/test_coverage_ledger.py.  The never-gated hash-checkable
-    # backlog is again EMPTY.  New queries must still be registered
-    # into POST_WINDOW and scheduled here, or they silently displace
-    # the pinned window.)
+    # tests/test_coverage_ledger.py.  New queries must still be
+    # registered into POST_WINDOW and scheduled here, or they silently
+    # displace the pinned window.)
+    # rotation #9 — the round-12 addition: q131's token-frequency
+    # table under the production rank_impl='hash' BPE lookup
+    13: (9, [
+        "q142_bpe_hash_ranks",
+    ]),
 }
 
 

@@ -92,6 +92,82 @@ def probe_query(name: str):
     return p
 
 
+def probe_waterfill_prethin(spark, sf_dir: str) -> dict:
+    """q139's exact invocation with the round-12 ``prethin_margin``
+    shortcut: rows above the (1+margin)*allocation/capacity hash
+    percentile drop map-side BEFORE the per-stratum sorted window, so
+    the cumsum stage runs on ~the allocation-sized head instead of the
+    whole corpus.  Row counts must match q139_wf_sample's exactly (the
+    operator raises on any shortfall; equality is also pinned by
+    tests/test_curation_ops.py)."""
+    from real_time_iot_data_pipeline_project_spark.functions import textfns
+    from real_time_iot_data_pipeline_project_spark.operators import sampling
+
+    t0 = time.monotonic()
+    docs = registry._t(spark, sf_dir, "documents")
+    total = int(docs.agg(
+        F.sum(textfns.token_count("text")).cast("long")).head()[0])
+    w = (F.when(F.col("source") == "src0", 50)
+         .when(F.col("source") == "src1", 30).otherwise(1))
+    n = sampling.waterfill_sample(docs, "source", "doc_id", w,
+                                  total * 2 // 5,
+                                  prethin_margin=0.5).count()
+    return {"sec": round(time.monotonic() - t0, 2), "rows": n}
+
+
+def probe_waterfill_prethin_smallbudget(spark, sf_dir: str) -> dict:
+    """The pre-thin's actual production scenario: a small budget share
+    (10% of corpus tokens — sampling a slice of a 100 TB corpus),
+    where the per-stratum sorted window shrinks to ~the
+    allocation-sized head.  Reports the window-input row counts (full
+    corpus vs pre-thin survivors — the sort/spill driver at scale)
+    alongside wall time, and asserts the kept sets match row-for-row.
+    Margin 1.0: at sf0.1 the strata are a few hundred docs, so the
+    greedy boundary's hash percentile still wobbles a few points —
+    the x1 rung of this probe is exactly the small-stratum regime the
+    operator's shortfall check exists for (at 0.5 it fires there, by
+    design; tighter margins are for production-sized strata)."""
+    from real_time_iot_data_pipeline_project_spark.functions import textfns
+    from real_time_iot_data_pipeline_project_spark.operators import sampling
+    from real_time_iot_data_pipeline_project_spark.operators.sampling import (
+        portable_hash60,
+    )
+
+    docs = registry._t(spark, sf_dir, "documents")
+    total = int(docs.agg(
+        F.sum(textfns.token_count("text")).cast("long")).head()[0])
+    w = F.lit(1)
+    budget = total // 10
+    margin = 1.0
+    t0 = time.monotonic()
+    n_base = sampling.waterfill_sample(docs, "source", "doc_id", w,
+                                       budget).count()
+    base_sec = round(time.monotonic() - t0, 2)
+    t0 = time.monotonic()
+    n_thin = sampling.waterfill_sample(docs, "source", "doc_id", w,
+                                       budget,
+                                       prethin_margin=margin).count()
+    thin_sec = round(time.monotonic() - t0, 2)
+    assert n_base == n_thin, (n_base, n_thin)
+    # window-input sizes: the full corpus (unthinned) vs the rate
+    # survivors (same cutoff rule as the operator)
+    rows_full = docs.count()
+    alloc = sampling.mixture_waterfill(docs, "source", w, budget)
+    a = F.broadcast(alloc.select(F.col("source").alias("__astratum"),
+                                 "allocation_tokens", "capacity_tokens"))
+    h = portable_hash60(F.concat(F.lit("wfill|"),
+                                 F.col("doc_id").cast("string")))
+    rate = F.least(F.lit(1.0),
+                   F.lit(1.0 + margin) * F.col("allocation_tokens")
+                   / F.greatest(F.col("capacity_tokens"), F.lit(1)))
+    rows_thin = (docs.select("source", "doc_id").withColumn("__h", h)
+                 .join(a, F.col("source").eqNullSafe(F.col("__astratum")))
+                 .where(F.col("__h").cast("double")
+                        < rate * float(1 << 60))).count()
+    return {"sec": thin_sec, "base_sec": base_sec, "rows": n_thin,
+            "window_rows_thin": rows_thin, "window_rows_full": rows_full}
+
+
 def probe_zorder_layout(spark, sf_dir: str) -> dict:
     """X43 at production file sizing (round 11): n_files scales with
     the corpus (constant rows-per-file ≈ 6.2k — at 100 TB this is
@@ -391,6 +467,11 @@ def main() -> None:
         # ~linear in rows) and the corpus diff (one full-outer
         # shuffle-hash join of id+fp projections — ~linear)
         ("q139_wf_sample", probe_query("q139_waterfill_sample")),
+        # round-12: the same invocation with the rate pre-thin — the
+        # per-stratum window stage shrinks to the allocation-sized
+        # head; rows must equal q139_wf_sample's at every decade
+        ("q139_wf_prethin", probe_waterfill_prethin),
+        ("wf_prethin_2pct", probe_waterfill_prethin_smallbudget),
         ("q140_corpus_diff", probe_query("q140_corpus_diff")),
         # round-11: incremental annotate — two shuffle-hash joins on
         # (id, md5) plus the annotator over the ~8% fresh slice only
