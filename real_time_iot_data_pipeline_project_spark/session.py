@@ -5,6 +5,13 @@ relies on:
 
 - AQE on (runtime coalesce, skew-join splitting) — at 100 TB the static
   shuffle-partition count is always wrong; AQE re-plans per stage.
+- Runtime Bloom-filter injection stays at its defaults (ON, 10 GB
+  application-side scan threshold): at production sizes the
+  contamination/chunk-overlap join family's big scans get
+  might_contain pruned automatically (behavior pinned with lowered
+  thresholds in tests/test_plans.py); LEFT ANTI probes — incremental
+  dedup — are correctly never pruned (the anti side keeps exactly the
+  rows a Bloom would drop).
 - Arrow on — every Pandas-UDF boundary (EWMA, multimodal decode) moves
   data in columnar batches instead of pickled rows.
 - Session timezone pinned to UTC — the reference mixes tz-aware and naive

@@ -478,3 +478,45 @@ def test_unconverted_clicks_is_left_anti(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EqualTo(event_type,click)" in plan
     assert "EqualTo(event_type,purchase)" in plan
+
+
+def test_runtime_bloom_filter_fires_at_production_thresholds(spark, tmp_path):
+    """Spark's runtime Bloom-filter injection (on by default,
+    spark.sql.optimizer.runtime.bloomFilter.enabled) scan-prunes the
+    BIG side of the contamination/chunk-overlap join family (q52/q64/
+    q71's corpus ⋈ filtered-probe shape) — but only once the
+    application-side scan exceeds 10 GB, i.e. exactly at production
+    sizes and never in local tests.  Pin the behavior with the
+    thresholds lowered: a shuffled inner/semi join against a
+    selectively-filtered build side gets might_contain pushed into the
+    big scan's filters; a LEFT ANTI join must NOT get one (the anti
+    probe keeps exactly the rows a Bloom prune would drop — Spark
+    correctly refuses, and incremental dedup q75 therefore relies on
+    the hash shuffle, not scan pruning)."""
+    big_p = str(tmp_path / "rf_big.parquet")
+    small_p = str(tmp_path / "rf_small.parquet")
+    spark.range(50_000).selectExpr("md5(cast(id as string)) fp", "id") \
+        .write.parquet(big_p)
+    spark.range(500).selectExpr("md5(cast(id*7 as string)) fp") \
+        .write.parquet(small_p)
+    conf = spark.conf
+    old_thresh = conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    old_bcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        conf.set("spark.sql.optimizer.runtime.bloomFilter."
+                 "applicationSideScanSizeThreshold", "1024")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        big = spark.read.parquet(big_p)
+        small = spark.read.parquet(small_p).where("fp like '%a%'")
+        for jt in ("inner", "left_semi"):
+            plan = big.join(small, "fp", jt) \
+                ._jdf.queryExecution().executedPlan().toString()
+            assert "might_contain" in plan, jt
+        anti = big.join(small, "fp", "left_anti") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" not in anti
+    finally:
+        conf.set("spark.sql.optimizer.runtime.bloomFilter."
+                 "applicationSideScanSizeThreshold", old_thresh)
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
