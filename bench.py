@@ -192,6 +192,11 @@ HEADLINE = [
     # rank_impl='hash' BPE lookup — measured side by side with q131 so
     # the scan/hash delta is visible in every bench record
     "q142_bpe_hash_ranks",
+    # round 12: multi-epoch mixture plan + expansion (X48) and the
+    # per-source n-gram novelty report (X49)
+    "q143_epoch_plan",
+    "q144_epoch_expand",
+    "q145_source_novelty",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

@@ -243,6 +243,14 @@ EVIDENCE: dict[str, dict] = {
         "test_audit_aggstate.py::test_corpus_diff_statuses_and_normalization"]},
     "X47": {"queries": ["q141_incremental_annotate"], "tests": [
         "test_audit_aggstate.py::test_incremental_annotate_reuses_not_recomputes"]},
+    "X48": {"queries": ["q143_epoch_plan", "q144_epoch_expand"], "tests": [
+        "test_curation_ops.py::test_epoch_plan_three_regimes",
+        "test_curation_ops.py::test_epoch_plan_max_epochs_one_is_waterfill",
+        "test_curation_ops.py::test_epoch_expand_replication_and_partial_prefix",
+        "test_curation_ops.py::test_epoch_expand_delivers_budget"]},
+    "X49": {"queries": ["q145_source_novelty"], "tests": [
+        "test_curation_ops.py::test_source_novelty_planted",
+        "test_curation_ops.py::test_source_novelty_within_source_repeats_count_once"]},
     "X40": {"queries": ["q128_edit_distance_verify"], "tests": [
         "test_dedup_similarity.py::test_edit_verify_exact_and_near_dups",
         "test_dedup_similarity.py::test_edit_verify_rejects_block_swapped_candidate",

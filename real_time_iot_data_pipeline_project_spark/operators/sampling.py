@@ -625,3 +625,136 @@ def waterfill_sample(df: DataFrame, stratum: str, key: str, weight: Column,
             .where(F.col("cum_tokens") <= F.col("allocation_tokens"))
             .select(stratum, key, "n_tok", "cum_tokens",
                     "allocation_tokens"))
+
+
+def epoch_plan(df: DataFrame, stratum: str, weight: Column,
+               budget_tokens: Column | int, max_epochs: int = 4,
+               tokens_col: str | None = None,
+               text_col: str = "text") -> DataFrame:
+    """Multi-epoch mixture plan (X48): the waterfill generalized to
+    data recipes that REPEAT under-sized sources instead of capping
+    them.  :func:`mixture_waterfill` answers "what can one pass over
+    each stratum deliver" — but real pretraining mixes run their
+    small high-quality sources for several epochs (Wikipedia/books at
+    >1 epoch in the LLaMA / GPT-3 recipes, Touvron et al. 2023
+    arXiv:2302.13971 Table 1; Brown et al. 2020 arXiv:2005.14165
+    Table 2.2) while the bulk web crawl runs under one.  This solver
+    answers the epoch-aware question: with each stratum allowed up to
+    ``max_epochs`` full passes, how many tokens does each stratum
+    contribute to the budget?
+
+    Reduction, not a new rule: a stratum repeatable ``E`` times with
+    base capacity ``C`` is EXACTLY a waterfill stratum of capacity
+    ``E·C`` — so the plan calls :func:`mixture_waterfill` on per-row
+    token counts scaled by ``max_epochs`` (integer multiply, so the
+    scaled capacity is exactly ``E·C`` and every cross-engine
+    determinism guarantee of the solver carries over verbatim), then
+    splits each allocation into whole passes and a partial pass:
+    ``epochs_full = allocation DIV C`` and ``remainder_tokens =
+    allocation MOD C``.  ``capped = 1`` now means the stratum hit its
+    repetition CEILING (all ``max_epochs`` passes taken); the
+    redistribution fixpoint spreads the excess demand over strata
+    still below their ceiling, exactly as before.
+
+    Returns one row per stratum: ``weight``, ``capacity_tokens`` (the
+    BASE single-pass capacity), ``max_epochs``, ``capped``,
+    ``allocation_tokens`` (≤ max_epochs·capacity), ``epochs_full``,
+    ``remainder_tokens``.  All BIGINT arithmetic — the q143 oracle
+    replays the whole rule in ANSI SQL.  Scale shape identical to the
+    waterfill: one corpus-sized partial-aggregatable groupBy, then
+    strata-sized broadcast triangle joins."""
+    if max_epochs < 1:
+        raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
+    from ..functions import textfns
+
+    toks = (F.col(tokens_col) if tokens_col
+            else textfns.token_count(text_col))
+    scaled = df.withColumn(
+        "__etoks", toks.cast("long") * F.lit(max_epochs))
+    plan = mixture_waterfill(scaled, stratum, weight, budget_tokens,
+                             tokens_col="__etoks")
+    base = F.col("capacity_tokens")  # scaled E*C below, restored here
+    return (
+        plan
+        .withColumn("capacity_tokens",
+                    F.expr(f"capacity_tokens DIV {max_epochs}"))
+        .withColumn("max_epochs", F.lit(max_epochs))
+        .withColumn(
+            "epochs_full",
+            F.when(base > 0,
+                   F.expr("allocation_tokens DIV capacity_tokens"))
+            .otherwise(F.lit(0)).cast("long"))
+        .withColumn(
+            "remainder_tokens",
+            F.when(base > 0,
+                   F.expr("allocation_tokens % capacity_tokens"))
+            .otherwise(F.lit(0)).cast("long"))
+        .select(stratum, "weight", "capacity_tokens", "max_epochs",
+                "capped", "allocation_tokens", "epochs_full",
+                "remainder_tokens")
+    )
+
+
+def epoch_expand(df: DataFrame, stratum: str, key: str, weight: Column,
+                 budget_tokens: Column | int, max_epochs: int = 4,
+                 tokens_col: str | None = None, text_col: str = "text",
+                 salt: str = "epoch") -> DataFrame:
+    """:func:`epoch_plan` APPLIED (X48's consumer tier): materialize
+    the actual multi-epoch training membership as one row per
+    (document, epoch) pair.  Full passes are exact replication —
+    every doc of a stratum with ``epochs_full = e`` appears with
+    ``epoch`` 0..e−1 — and the PARTIAL pass (epoch ``epochs_full``)
+    takes the budget-exact greedy hash prefix of the remainder, the
+    :func:`waterfill_sample` rule with the salt namespaced by the
+    epoch number (``salt|epochs_full|key``) so the partial pass is an
+    INDEPENDENT deterministic permutation, not a prefix of epoch 0's
+    order — repeating then truncating with the same order would make
+    the partial epoch see exactly the docs it just saw, the worst
+    schedule for memorization (training runs reshuffle every epoch
+    for the same reason).
+
+    Determinism: membership is a pure function of (salt, stratum key
+    sets, the plan) — the q144 oracle replays full-pass expansion AND
+    the partial-pass trim in SQL.  Scale: full-pass expansion is a
+    map-side explode against the broadcast strata-sized plan (no
+    shuffle; output rows ∝ delivered tokens, which is the budget —
+    you cannot expand less than you deliver); the partial pass is the
+    per-stratum sorted window documented in waterfill_sample.
+    Returns (stratum, key, n_tok, epoch)."""
+    from pyspark.sql import Window
+
+    from ..functions import textfns
+
+    toks = (F.col(tokens_col) if tokens_col
+            else textfns.token_count(text_col))
+    plan = epoch_plan(df, stratum, weight, budget_tokens,
+                      max_epochs=max_epochs, tokens_col=tokens_col,
+                      text_col=text_col)
+    p = F.broadcast(plan.select(
+        F.col(stratum).alias("__pstratum"), "epochs_full",
+        "remainder_tokens"))
+    rows = (df.select(F.col(stratum), F.col(key),
+                      toks.cast("long").alias("n_tok"))
+            .join(p, F.col(stratum).eqNullSafe(F.col("__pstratum"))))
+    # full passes: explode 0..epochs_full-1 (guarded — Spark's
+    # sequence(0, -1) DESCENDS instead of yielding empty)
+    full = (rows.where(F.col("epochs_full") >= 1)
+            .select(stratum, key, "n_tok",
+                    F.explode(F.sequence(
+                        F.lit(0).cast("long"),
+                        F.col("epochs_full") - 1)).alias("epoch")))
+    # partial pass: greedy prefix of the remainder in per-epoch hash
+    # order (waterfill_sample's inclusive-cumsum rule)
+    h = portable_hash60(F.concat(
+        F.lit(salt + "|"), F.col("epochs_full").cast("string"),
+        F.lit("|"), F.col(key).cast("string")))
+    w = (Window.partitionBy(stratum)
+         .orderBy(F.col("__h"), F.col(key))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    part = (rows.where(F.col("remainder_tokens") > 0)
+            .withColumn("__h", h)
+            .withColumn("__cum", F.sum("n_tok").over(w).cast("long"))
+            .where(F.col("__cum") <= F.col("remainder_tokens"))
+            .select(stratum, key, "n_tok",
+                    F.col("epochs_full").alias("epoch")))
+    return full.unionByName(part)

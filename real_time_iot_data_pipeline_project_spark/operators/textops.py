@@ -155,3 +155,66 @@ def unigram_logprob_scores(df: DataFrame, text_col: str = "text",
             ).alias("bits_per_token"),
         )
     )
+
+
+def source_novelty(df: DataFrame, text_col: str = "text",
+                   source_col: str = "source", n: int = 3) -> DataFrame:
+    """Marginal n-gram novelty per source (X49): the data-valuation
+    report behind "what does adding this dataset actually contribute?"
+    — for each source, how many of its distinct word n-grams appear in
+    NO source ahead of it in the priority order.  A source whose
+    n-grams are mostly first-seen elsewhere adds volume, not content
+    (the redundancy the dedup tier removes doc-by-doc, measured here
+    corpus-by-corpus before anything is ingested); novelty is the
+    curve data-mixing decisions read (Lee et al. 2021 arXiv:2107.06499
+    §5 measures exactly this marginal-value collapse on C4's
+    duplicates).
+
+    Priority order = ascending ``source_col`` value (deterministic and
+    engine-neutral; callers wanting a custom precedence map names to
+    sortable labels first — the same convention as the dedup tier's
+    min-id survivor rule).  A source's ``novel_ngrams`` counts the
+    distinct n-grams whose MINIMUM owning source is itself.
+
+    Unit: stride-1 word n-grams over the normalized whitespace token
+    grid — the duplicate-span family's grid (dedup._window_grid) keyed
+    by source instead of doc, so "n-gram identity" here is the same
+    md5-of-joined-tokens the span scrubber keys on and the numbers
+    compose (docs shorter than ``n`` tokens contribute nothing).
+
+    Scale shape: one map-side explode to (source, hash) — text never
+    leaves the scan stage, the grid carries 32-byte hashes; then two
+    partial-aggregatable groupBys (distinct per (source, hash), min
+    source per hash) and strata-sized joins.  Returns one row per
+    source: ``total_ngrams`` (occurrences), ``distinct_ngrams``,
+    ``novel_ngrams``, ``novelty_bp`` (novel·10000 DIV distinct — basis
+    points, exact integer)."""
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    from . import dedup
+
+    grid = dedup._window_grid(
+        dedup._span_base(df, text_col, source_col), source_col, n
+    ).select(F.col(source_col), F.col("wh"))
+    occ = grid.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("total_ngrams"))
+    ds = grid.distinct()
+    dist = (ds.groupBy(source_col)
+            .agg(F.count(F.lit(1)).alias("distinct_ngrams"))
+            .withColumnRenamed(source_col, "__sd"))
+    # the minimum owning source of each distinct n-gram IS the source
+    # whose novel count it increments — no join back to the grid.
+    # min() skips NULL, so a NULL source holds the LOWEST priority:
+    # it is only ever novel on n-grams no named source carries.
+    novel = (ds.groupBy("wh").agg(F.min(source_col).alias("__sn"))
+             .groupBy("__sn")
+             .agg(F.count(F.lit(1)).alias("novel_ngrams")))
+    return (occ.join(dist, occ[source_col].eqNullSafe(dist["__sd"]))
+            .join(novel, occ[source_col].eqNullSafe(novel["__sn"]),
+                  "left")
+            .withColumn("novel_ngrams",
+                        F.coalesce("novel_ngrams", F.lit(0)))
+            .withColumn("novelty_bp",
+                        F.expr("novel_ngrams * 10000 DIV distinct_ngrams"))
+            .select(source_col, "total_ngrams", "distinct_ngrams",
+                    "novel_ngrams", "novelty_bp"))

@@ -6022,25 +6022,39 @@ def q136_zorder_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_id", "x", "y"))
 
 
-def _waterfill_ctes() -> str:
+def _waterfill_ctes(cap_factor: int = 1, w0: int = 50) -> str:
     """Shared CTE chain for the waterfill oracles (q137 + the q139
     consumer, the _bpe_cte_prefix precedent): the solver replayed in
     ANSI SQL — same 3-dp sort key, same cross-multiplied prefix-AND
     cap test, same integer floor split.  DuckDB // floors (all
     operands non-negative); intermediate HUGEINT widening only
     tightens the comparisons.  Ends with ``alloc`` = one row per
-    source with its final allocation."""
+    source with its final allocation.  ``cap_factor`` scales each
+    stratum's capacity (exactly, integer multiply) for the epoch-plan
+    oracles (q143/q144): a stratum repeatable E times IS a waterfill
+    stratum of capacity E·C, while the budget stays a fraction of the
+    BASE corpus total (the exact sum // factor restores it).  ``w0``
+    is src0's recipe weight — the epoch oracles raise it to 80 so
+    src0's fair share exceeds 4× its capacity and the repetition
+    CEILING regime is exercised at every SF (measured: at 50 the
+    sf0.001 ratio lands at 3.7 and nothing caps)."""
+    cap = ("sum(len(string_split({norm}, ' ')))".format(norm=_NORM_SQL)
+           if cap_factor == 1 else
+           "sum(len(string_split({norm}, ' '))) * {f}".format(
+               norm=_NORM_SQL, f=cap_factor))
+    base_total = ("sum(capacity_tokens)" if cap_factor == 1
+                  else f"(sum(capacity_tokens) // {cap_factor})")
     return f"""
     caps AS (
       SELECT source,
-             CAST(sum(len(string_split({_NORM_SQL}, ' '))) AS BIGINT)
+             CAST({cap} AS BIGINT)
                AS capacity_tokens,
-             CAST(CASE source WHEN 'src0' THEN 50 WHEN 'src1' THEN 30
+             CAST(CASE source WHEN 'src0' THEN {w0} WHEN 'src1' THEN 30
                   ELSE 1 END AS BIGINT) AS weight
       FROM documents GROUP BY source
     ),
     budget AS (
-      SELECT CAST((sum(capacity_tokens) * 2) // 5 AS BIGINT) AS b
+      SELECT CAST(({base_total} * 2) // 5 AS BIGINT) AS b
       FROM caps
     ),
     keyed AS (
@@ -6408,6 +6422,176 @@ def q142_bpe_hash_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenize.bpe_token_frequency(spark, docs, rank_impl="hash")
 
 
+@query(
+    "q143_epoch_plan",
+    f"""
+    WITH {_waterfill_ctes(cap_factor=4, w0=80)}
+    SELECT source, weight,
+           CAST(capacity_tokens // 4 AS BIGINT) AS capacity_tokens,
+           CAST(4 AS INT) AS max_epochs,
+           capped, allocation_tokens,
+           CAST(CASE WHEN capacity_tokens > 0
+                     THEN allocation_tokens // (capacity_tokens // 4)
+                     ELSE 0 END AS BIGINT) AS epochs_full,
+           CAST(CASE WHEN capacity_tokens > 0
+                     THEN allocation_tokens % (capacity_tokens // 4)
+                     ELSE 0 END AS BIGINT) AS remainder_tokens
+    FROM alloc
+    """,
+)
+def q143_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X48 — multi-epoch mixture plan (sampling.epoch_plan): the
+    waterfill generalized to recipes that REPEAT under-sized sources
+    (the LLaMA/GPT-3 shape: wiki/books >1 epoch, web <1) instead of
+    capping them at one pass.  q137's recipe with src0 raised to 80
+    parts (src1 30 / 1 elsewhere, 40% budget) and max_epochs = 4:
+    src0's fair share (~4.7× its capacity) hits the 4-epoch
+    repetition CEILING and caps there (measured at every SF — at
+    weight 50 the sf0.001 ratio is 3.7 and nothing caps), src1
+    (~2.3×) runs 2 full passes plus a partial
+    remainder, and the small sources stay under one pass (epochs_full
+    0, remainder = their waterfill allocation) — all three regimes
+    exercised at every SF.  The reduction is exact: a stratum
+    repeatable E times IS a waterfill stratum of capacity E·C
+    (per-row integer token scaling), then epochs_full = alloc DIV C
+    and remainder = alloc MOD C — all BIGINT, the oracle replays the
+    whole chain through the shared q137 CTEs with cap_factor 4."""
+    from .operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    total = docs.agg(
+        F.sum(textfns.token_count("text")).cast("long")).head()[0]
+    w = (F.when(F.col("source") == "src0", 80)
+         .when(F.col("source") == "src1", 30)
+         .otherwise(1))
+    return sampling.epoch_plan(
+        docs, "source", w, int(total) * 2 // 5, max_epochs=4)
+
+
+@query(
+    "q144_epoch_expand",
+    f"""
+    WITH {_waterfill_ctes(cap_factor=4, w0=80)},
+    plan AS (
+      SELECT source, allocation_tokens,
+             CAST(CASE WHEN capacity_tokens > 0
+                  THEN allocation_tokens // (capacity_tokens // 4)
+                  ELSE 0 END AS BIGINT) AS epochs_full,
+             CAST(CASE WHEN capacity_tokens > 0
+                  THEN allocation_tokens % (capacity_tokens // 4)
+                  ELSE 0 END AS BIGINT) AS remainder_tokens
+      FROM alloc
+    ),
+    toks AS (
+      SELECT source, doc_id,
+             CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT)
+               AS n_tok
+      FROM documents
+    ),
+    fullp AS (
+      SELECT t.source, t.doc_id, t.n_tok,
+             unnest(range(p.epochs_full)) AS epoch
+      FROM toks t JOIN plan p ON p.source = t.source
+      WHERE p.epochs_full >= 1
+    ),
+    partp AS (
+      SELECT source, doc_id, n_tok, epochs_full AS epoch FROM (
+        SELECT t.source, t.doc_id, t.n_tok, p.epochs_full,
+               p.remainder_tokens,
+               CAST(sum(t.n_tok) OVER (PARTITION BY t.source
+                    ORDER BY {_hash60_sql(
+                        "concat('epoch|', CAST(p.epochs_full AS VARCHAR), "
+                        "'|', CAST(t.doc_id AS VARCHAR))")}, t.doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum
+        FROM toks t JOIN plan p ON p.source = t.source
+        WHERE p.remainder_tokens > 0
+      ) WHERE cum <= remainder_tokens
+    )
+    SELECT source, doc_id, n_tok, CAST(epoch AS BIGINT) AS epoch
+    FROM fullp
+    UNION ALL
+    SELECT source, doc_id, n_tok, CAST(epoch AS BIGINT) AS epoch
+    FROM partp
+    """,
+)
+def q144_epoch_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X48's consumer tier (sampling.epoch_expand): the q143 plan
+    MATERIALIZED as one row per (doc, epoch) — full passes are exact
+    replication via a map-side explode against the broadcast plan,
+    the partial pass is waterfill_sample's budget-exact greedy hash
+    prefix with the salt namespaced by the epoch number, so the
+    partial epoch is an independent deterministic permutation rather
+    than a replay of epoch 0's order (training reshuffles every
+    epoch).  The oracle chains the shared waterfill CTEs (cap_factor
+    4) into the expansion AND the per-epoch-salted trim, pinning the
+    whole composition end-to-end (the q139-chains-q137 precedent).
+    Scale: expansion output ∝ delivered tokens (the budget — you
+    cannot expand less than you deliver); the partial-pass cumsum is
+    the per-stratum sorted window documented in waterfill_sample,
+    pre-thinnable the same way."""
+    from .operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    total = docs.agg(
+        F.sum(textfns.token_count("text")).cast("long")).head()[0]
+    w = (F.when(F.col("source") == "src0", 80)
+         .when(F.col("source") == "src1", 30)
+         .otherwise(1))
+    return sampling.epoch_expand(
+        docs, "source", "doc_id", w, int(total) * 2 // 5,
+        max_epochs=4)
+
+
+@query(
+    "q145_source_novelty",
+    f"""
+    WITH d AS (SELECT source, string_split({_NORM_SQL}, ' ') AS ts
+               FROM documents WHERE length({_NORM_SQL}) > 0),
+    grid AS (
+      SELECT source,
+             md5(array_to_string(list_slice(ts, CAST(pos + 1 AS INTEGER),
+                 CAST(pos + 3 AS INTEGER)), ' ')) AS wh
+      FROM (SELECT source, ts,
+                   unnest(range(0, greatest(
+                       CAST(len(ts) AS BIGINT) - 2, 0))) AS pos
+            FROM d)
+    ),
+    occ AS (SELECT source, COUNT(*) AS total_ngrams
+            FROM grid GROUP BY source),
+    ds AS (SELECT DISTINCT source, wh FROM grid),
+    dist AS (SELECT source, COUNT(*) AS distinct_ngrams
+             FROM ds GROUP BY source),
+    novel AS (
+      SELECT first_source AS source, COUNT(*) AS n_novel FROM (
+        SELECT wh, min(source) AS first_source FROM ds GROUP BY wh
+      ) GROUP BY first_source
+    )
+    SELECT o.source, o.total_ngrams, di.distinct_ngrams,
+           CAST(COALESCE(nv.n_novel, 0) AS BIGINT) AS novel_ngrams,
+           CAST((COALESCE(nv.n_novel, 0) * 10000) // di.distinct_ngrams
+             AS BIGINT) AS novelty_bp
+    FROM occ o JOIN dist di USING (source)
+    LEFT JOIN novel nv USING (source)
+    """,
+)
+def q145_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X49 — marginal n-gram novelty per source
+    (textops.source_novelty): the data-valuation report behind "what
+    does adding this dataset actually contribute" — per source, its
+    total / distinct stride-1 word-3-gram counts and how many of its
+    distinct 3-grams appear in NO source ahead of it in the
+    (lexicographic) priority order, as exact basis points.  The n-gram
+    unit is the duplicate-span family's md5-of-joined-tokens grid
+    keyed by source instead of doc, so novelty numbers compose with
+    the span scrubber's.  Scale: one map-side explode to (source,
+    32-byte hash) — text never shuffles — then two
+    partial-aggregatable groupBys and strata-sized joins; all-integer
+    output so the gate is exact."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.source_novelty(docs, n=3)
+
+
 # Operators added AFTER the 50-slot window filled with unique-operator
 # queries: fully oracle-checked by the local gate, first in line for a
 # window slot if one opens.
@@ -6469,6 +6653,12 @@ POST_WINDOW: list[str] = [
     # rank_impl='hash' BPE lookup (VERDICT r11 item 7) — scheduled for
     # rotation #9 (round 13)
     "q142_bpe_hash_ranks",
+    # round 12: X48 multi-epoch mixture (plan + expansion) — scheduled
+    # for rotation #9 (round 13)
+    "q143_epoch_plan",
+    "q144_epoch_expand",
+    # round 12: X49 source novelty — scheduled for rotation #9
+    "q145_source_novelty",
 ]
 
 

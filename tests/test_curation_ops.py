@@ -795,3 +795,172 @@ def test_mixture_waterfill_preserves_null_stratum(spark):
                                       tokens_col="n").collect()}
     # null stratum: doc hash order decides which of 1/2 fits in 100
     assert any(s is None for s, _ in kept)
+
+
+def test_epoch_plan_three_regimes(spark):
+    """X48 hand case: with a 2-epoch ceiling, a starved heavy stratum
+    caps at E*C (all passes taken, remainder 0), and after
+    redistribution the others land mid-pass (epochs_full 0 or 1 with a
+    remainder) — the three regimes of a multi-epoch recipe."""
+    from real_time_iot_data_pipeline_project_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [("a", 100), ("b", 1000), ("c", 1000)], "s string, n int")
+    w = (F.when(F.col("s") == "a", 50)
+         .when(F.col("s") == "b", 25).otherwise(25))
+    got = {r.s: (r.capped, r.allocation_tokens, r.epochs_full,
+                 r.remainder_tokens, r.capacity_tokens, r.max_epochs)
+           for r in sampling.epoch_plan(df, "s", w, 1200, max_epochs=2,
+                                        tokens_col="n").collect()}
+    # a's fair share 600 > 2*100 -> ceiling; residual 1000 splits 25:25
+    assert got == {"a": (1, 200, 2, 0, 100, 2),
+                   "b": (0, 500, 0, 500, 1000, 2),
+                   "c": (0, 500, 0, 500, 1000, 2)}
+
+    # larger budget: b and c cross into full-pass-plus-partial
+    got2 = {r.s: (r.capped, r.allocation_tokens, r.epochs_full,
+                  r.remainder_tokens)
+            for r in sampling.epoch_plan(df, "s", w, 2600, max_epochs=2,
+                                         tokens_col="n").collect()}
+    assert got2 == {"a": (1, 200, 2, 0),
+                    "b": (0, 1200, 1, 200),
+                    "c": (0, 1200, 1, 200)}
+
+    with pytest.raises(ValueError, match="max_epochs"):
+        sampling.epoch_plan(df, "s", w, 100, max_epochs=0,
+                            tokens_col="n")
+
+
+def test_epoch_plan_max_epochs_one_is_waterfill(spark):
+    """The reduction is exact: max_epochs=1 must reproduce
+    mixture_waterfill's plan verbatim (same capped flags and
+    allocations), with epochs_full/remainder just the DIV/MOD view of
+    the allocation."""
+    from real_time_iot_data_pipeline_project_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [("a", 100), ("b", 1000), ("c", 1000)], "s string, n int")
+    w = (F.when(F.col("s") == "a", 50)
+         .when(F.col("s") == "b", 25).otherwise(25))
+    wf = {r.s: (r.capped, r.allocation_tokens, r.capacity_tokens)
+          for r in sampling.mixture_waterfill(df, "s", w, 1200,
+                                              tokens_col="n").collect()}
+    ep = sampling.epoch_plan(df, "s", w, 1200, max_epochs=1,
+                             tokens_col="n").collect()
+    assert {r.s: (r.capped, r.allocation_tokens, r.capacity_tokens)
+            for r in ep} == wf
+    for r in ep:
+        assert r.epochs_full == r.allocation_tokens // r.capacity_tokens
+        assert r.remainder_tokens == r.allocation_tokens % r.capacity_tokens
+
+
+def test_epoch_expand_replication_and_partial_prefix(spark):
+    """X48 consumer: every doc of a stratum appears exactly once per
+    full epoch 0..epochs_full-1, and the partial epoch is the maximal
+    greedy hash prefix of the remainder under the PER-EPOCH salt
+    (epoch|epochs_full|key — an independent permutation, not epoch 0's
+    order replayed; replayed in python to pin the exact rule)."""
+    from real_time_iot_data_pipeline_project_spark.operators import sampling
+
+    rows = [("s%d" % (i % 3), i, (i * 29) % 40 + 5) for i in range(30)]
+    df = spark.createDataFrame(rows, "src string, doc_id long, n int")
+    w = F.lit(1)
+    budget = 900
+    out = sampling.epoch_expand(df, "src", "doc_id", w, budget,
+                                max_epochs=3, tokens_col="n").collect()
+    plan = {r.src: r for r in
+            sampling.epoch_plan(df, "src", w, budget, max_epochs=3,
+                                tokens_col="n").collect()}
+
+    def h60(salt, d):
+        return int(hashlib.md5(f"{salt}|{d}".encode())
+                   .hexdigest()[:15], 16)
+
+    by_src: dict[str, list] = {}
+    for src, d, n in rows:
+        by_src.setdefault(src, []).append((d, n))
+    expect = set()
+    for src, docs in by_src.items():
+        p = plan[src]
+        for d, _n in docs:
+            for e in range(p.epochs_full):
+                expect.add((src, d, e))
+        cum = 0
+        sub = f"epoch|{p.epochs_full}"
+        for _, d, n in sorted((h60(sub, d), d, n) for d, n in docs):
+            if cum + n > p.remainder_tokens:
+                break
+            cum += n
+            expect.add((src, d, p.epochs_full))
+    assert {(r.src, r.doc_id, r.epoch) for r in out} == expect
+    assert len(out) == len(expect)  # exact replication, no dup rows
+    # at least one stratum exercised each regime
+    efs = {p.epochs_full for p in plan.values()}
+    assert any(p.remainder_tokens > 0 for p in plan.values())
+    assert max(efs) >= 1
+
+
+def test_epoch_expand_delivers_budget(spark):
+    """Token accounting: the expansion's total token mass equals
+    sum(epochs_full*C + partial) per stratum, within one doc per
+    stratum of the plan's allocations, and never exceeds them."""
+    from real_time_iot_data_pipeline_project_spark.operators import sampling
+
+    rows = [("s%d" % (i % 4), i, (i * 13) % 30 + 3) for i in range(40)]
+    df = spark.createDataFrame(rows, "src string, doc_id long, n int")
+    plan = {r.src: r for r in
+            sampling.epoch_plan(df, "src", F.lit(1), 500, max_epochs=4,
+                                tokens_col="n").collect()}
+    got = sampling.epoch_expand(df, "src", "doc_id", F.lit(1), 500,
+                                max_epochs=4, tokens_col="n").collect()
+    per_src: dict[str, int] = {}
+    for r in got:
+        per_src[r.src] = per_src.get(r.src, 0) + r.n_tok
+    max_doc = {src: max(n for s, _, n in rows if s == src)
+               for src in plan}
+    for src, p in plan.items():
+        delivered = per_src.get(src, 0)
+        assert delivered <= p.allocation_tokens
+        assert p.allocation_tokens - delivered <= max_doc[src]
+
+
+def test_source_novelty_planted(spark):
+    """X49 hand case: sources in lexicographic priority order — a's
+    3-grams are all first-seen (novelty 100%); b repeats one of a's
+    3-grams verbatim and adds one new (novelty 50%); c is pure
+    repetition of a (novelty 0%); a doc shorter than n contributes
+    nothing."""
+    from real_time_iot_data_pipeline_project_spark.operators import textops
+
+    df = spark.createDataFrame(
+        [("a", 1, "alpha beta gamma delta"),     # grams: abc, bcd
+         ("b", 2, "alpha beta gamma"),           # abc (repeat of a's)
+         ("b", 3, "zeta eta theta"),             # new gram
+         ("c", 4, "Alpha  Beta   GAMMA"),        # normalizes to abc
+         ("c", 5, "too short")],                 # < 3 tokens: nothing
+        "source string, doc_id long, text string")
+    got = {r.source: (r.total_ngrams, r.distinct_ngrams,
+                      r.novel_ngrams, r.novelty_bp)
+           for r in textops.source_novelty(df, n=3).collect()}
+    assert got == {"a": (2, 2, 2, 10000),
+                   "b": (2, 2, 1, 5000),
+                   "c": (1, 1, 0, 0)}
+
+    with pytest.raises(ValueError, match="n must be positive"):
+        textops.source_novelty(df, n=0)
+
+
+def test_source_novelty_within_source_repeats_count_once(spark):
+    """distinct_ngrams dedups WITHIN a source (a doc-internal or
+    cross-doc repeat is one distinct gram), while total_ngrams counts
+    occurrences — the distinct/total gap is the source's internal
+    redundancy."""
+    from real_time_iot_data_pipeline_project_spark.operators import textops
+
+    df = spark.createDataFrame(
+        [("a", 1, "x y z x y z x y z"),   # 7 windows, 3 distinct
+         ("a", 2, "x y z")],              # 1 window, repeat
+        "source string, doc_id long, text string")
+    got = textops.source_novelty(df, n=3).collect()[0]
+    assert (got.total_ngrams, got.distinct_ngrams,
+            got.novel_ngrams) == (8, 3, 3)

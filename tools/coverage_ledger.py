@@ -67,10 +67,14 @@ PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
     # tests/test_coverage_ledger.py.  New queries must still be
     # registered into POST_WINDOW and scheduled here, or they silently
     # displace the pinned window.)
-    # rotation #9 — the round-12 addition: q131's token-frequency
-    # table under the production rank_impl='hash' BPE lookup
+    # rotation #9 — the round-12 additions: q131's token-frequency
+    # table under the production rank_impl='hash' BPE lookup, plus the
+    # round-12 operators (X48 multi-epoch mixture plan + expansion, X49 source novelty)
     13: (9, [
         "q142_bpe_hash_ranks",
+        "q143_epoch_plan",
+        "q144_epoch_expand",
+        "q145_source_novelty",
     ]),
 }
 

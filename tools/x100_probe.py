@@ -473,6 +473,19 @@ def main() -> None:
         ("q139_wf_prethin", probe_waterfill_prethin),
         ("wf_prethin_2pct", probe_waterfill_prethin_smallbudget),
         ("q140_corpus_diff", probe_query("q140_corpus_diff")),
+        # round-12: the epoch plan is the exact waterfill reduction
+        # (same one corpus groupBy + strata-sized solve — expectation
+        # ~linear scan slope, dimension stages flat); the expansion
+        # adds the map-side explode (output rows ∝ delivered tokens —
+        # the 40% budget×epochs — so count() scales with the budget by
+        # construction) plus the per-stratum partial-pass window
+        ("q143_epoch_plan", probe_query("q143_epoch_plan")),
+        ("q144_epoch_expand", probe_query("q144_epoch_expand")),
+        # round-12: source novelty — one explode to (source, 32-byte
+        # hash) then hash-keyed groupBys; expectation ~linear in
+        # corpus tokens (the grid), with the distinct/min stages
+        # partial-aggregatable
+        ("q145_source_novelty", probe_query("q145_source_novelty")),
         # round-11: incremental annotate — two shuffle-hash joins on
         # (id, md5) plus the annotator over the ~8% fresh slice only
         ("q141_inc_annotate", probe_query("q141_incremental_annotate")),
