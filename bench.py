@@ -197,6 +197,8 @@ HEADLINE = [
     "q143_epoch_plan",
     "q144_epoch_expand",
     "q145_source_novelty",
+    # round 12: embedding-space release drift (X50)
+    "q146_embedding_drift",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

@@ -251,6 +251,11 @@ EVIDENCE: dict[str, dict] = {
     "X49": {"queries": ["q145_source_novelty"], "tests": [
         "test_curation_ops.py::test_source_novelty_planted",
         "test_curation_ops.py::test_source_novelty_within_source_repeats_count_once"]},
+    "X50": {"queries": ["q146_embedding_drift"], "tests": [
+        "test_drift.py::test_embedding_drift_planted_move",
+        "test_drift.py::test_embedding_drift_psi_equals_psi_from_cells",
+        "test_release.py::test_release_embedding_drift_stable_and_semantic_shift",
+        "test_release.py::test_release_cli_embedding_drift_wiring"]},
     "X40": {"queries": ["q128_edit_distance_verify"], "tests": [
         "test_dedup_similarity.py::test_edit_verify_exact_and_near_dups",
         "test_dedup_similarity.py::test_edit_verify_rejects_block_swapped_candidate",

@@ -142,6 +142,7 @@ def release_corpus(
     span_scrub: bool = False,
     span_window: int = 8,
     bpe_manifest: bool = False,
+    embedding_drift: bool = False,
 ) -> dict:
     """Entry point E — the full training-data RELEASE job: curate
     (q48's chain) → optional duplicate-span scrub (X39) → optional
@@ -187,7 +188,13 @@ def release_corpus(
     token totals (overall + per-lang, tokenize.bpe_token_counts — the
     q133-gated count path) under ``bpe``: training budgets are in
     tokenizer tokens, and whitespace counts under-state a BPE corpus
-    by the merge ratio. Returns the manifest dict (counts, token
+    by the merge ratio. ``embedding_drift`` (with a baseline) adds the
+    SEMANTIC gate row next to the text-profile ones (X50, q146's
+    rule): both corpora embedded with the X31 hashing embedder,
+    per-centroid occupancy PSI under baseline-pinned centroids,
+    folded through the same psi_from_cells tail — so a topical pivot
+    at an unchanged length/punct profile still trips the major_shift
+    gate. Returns the manifest dict (counts, token
     budget, per-lang breakdown, mix rates, drift verdicts)."""
     # persisted: the gate's collect, the shard write and the manifest
     # aggregate all read FINAL — without the persist the whole dedup
@@ -263,7 +270,8 @@ def release_corpus(
             }
         return _release_body(spark, final, output_path, baseline_path,
                              min_quality, langs, n_shards, allow_drift,
-                             mix_info, scrub_info, bpe_manifest)
+                             mix_info, scrub_info, bpe_manifest,
+                             embedding_drift)
     finally:
         curated.unpersist()
         if scrubbed is not None:
@@ -272,7 +280,8 @@ def release_corpus(
 
 def _release_body(spark, final, output_path, baseline_path, min_quality,
                   langs, n_shards, allow_drift, mix_info=None,
-                  scrub_info=None, bpe_manifest=False) -> dict:
+                  scrub_info=None, bpe_manifest=False,
+                  embedding_drift=False) -> dict:
     import json as _json
 
     from pyspark.errors import AnalysisException
@@ -299,6 +308,34 @@ def _release_body(spark, final, output_path, baseline_path, min_quality,
         drift_rows = [{"feature": r["feature"], "psi": r["psi"],
                        "verdict": r["verdict"]}
                       for r in report.collect()]  # ≤ n_features rows
+        if embedding_drift:
+            # the SEMANTIC gate next to the text-profile one (X50,
+            # q146's rule): both corpora embedded with the X31 hashing
+            # embedder, centroids pinned on the BASELINE (the
+            # persistent-index contract — buckets mean the same region
+            # of embedding space in both releases), occupancy folded
+            # through the one psi_from_cells tail so the verdict scale
+            # matches the text rows and the same major_shift gate
+            # applies.  New topics at an unchanged length/punct
+            # profile trip THIS row and nothing else.  Cost: two
+            # embed scans + an n·16 broadcast argmax per corpus.
+            from .operators.drift import embedding_drift_psi
+            from .operators.embedding import hashing_embed_sparse, to_dense
+            from .operators.similarity import sampled_centroids
+
+            def _vecs(df):
+                return to_dense(
+                    hashing_embed_sparse(df), "doc_id"
+                ).select(F.col("doc_id").alias("vec_id"), "embedding")
+
+            base_vecs = _vecs(baseline)
+            erow = embedding_drift_psi(
+                base_vecs, _vecs(final),
+                sampled_centroids(base_vecs, n_centroids=16),
+            ).collect()[0]  # 1 row
+            drift_rows.append({"feature": erow["feature"],
+                               "psi": erow["psi"],
+                               "verdict": erow["verdict"]})
         major = [d for d in drift_rows if d["verdict"] == "major_shift"]
         if major and not allow_drift:
             raise RuntimeError(
@@ -502,6 +539,13 @@ def main(argv: list[str] | None = None) -> None:
                    help="record real BPE token totals (X41's "
                         "count-only path) in the release manifest "
                         "alongside whitespace counts (release domain)")
+    p.add_argument("--embedding-drift", action="store_true",
+                   help="add the SEMANTIC drift row (X50): both "
+                        "corpora hashing-embedded, centroid occupancy "
+                        "PSI vs the baseline under baseline-pinned "
+                        "centroids; participates in the same "
+                        "major_shift publish gate (release domain; "
+                        "needs --baseline)")
     p.add_argument("--span-window", type=int, default=8,
                    help="duplicate-span window size in tokens "
                         "(release domain; used with --span-scrub)")
@@ -681,6 +725,7 @@ def main(argv: list[str] | None = None) -> None:
             span_scrub=args.span_scrub,
             span_window=args.span_window,
             bpe_manifest=args.bpe_manifest,
+            embedding_drift=args.embedding_drift,
         )
         print(f"released {manifest['n_docs']} docs / "
               f"{manifest['n_tokens']} tokens to {args.output}")

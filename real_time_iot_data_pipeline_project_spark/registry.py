@@ -6592,6 +6592,94 @@ def q145_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.source_novelty(docs, n=3)
 
 
+def _embedding_drift_sql() -> str:
+    """q146 oracle: two deterministically-derived releases of the
+    embeddings table (old drops vec_id%17=3; new drops vec_id%19=5
+    and NEGATES vec_id%13=2's vectors — negation is exact in any
+    float width and flips the argmax to the least-similar centroid,
+    a guaranteed bucket move), assigned to centroids pinned on the
+    OLD release via the proven q38/q125 argmax formulation, folded to
+    per-centroid occupancy + exact per-mille shares."""
+    cos = _list_cos_sql("e.embedding", "c.cvec")
+
+    def assign(rel: str, alias: str) -> str:
+        return f"""
+    {alias} AS (
+      SELECT centroid_id, COUNT(*) AS n FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos} DESC,
+                                           c.centroid_id ASC) AS rn
+        FROM {rel} e, c0 c
+      ) WHERE rn = 1 GROUP BY centroid_id
+    )"""
+
+    return f"""
+    WITH oldr AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 17 <> 3
+    ),
+    newr AS (
+      SELECT vec_id,
+             CASE WHEN vec_id % 13 = 2
+                  THEN list_transform(embedding, x -> -x)
+                  ELSE embedding END AS embedding
+      FROM embeddings WHERE vec_id % 19 <> 5
+    ),
+    c0 AS (
+      SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM oldr ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ),{assign("oldr", "ao")},{assign("newr", "an")},
+    cells AS (
+      SELECT c0.centroid_id,
+             CAST(COALESCE(ao.n, 0) AS BIGINT) AS n_old,
+             CAST(COALESCE(an.n, 0) AS BIGINT) AS n_new
+      FROM c0 LEFT JOIN ao USING (centroid_id)
+              LEFT JOIN an USING (centroid_id)
+    ),
+    tot AS (SELECT sum(n_old) AS t_o, sum(n_new) AS t_n FROM cells)
+    SELECT centroid_id, n_old, n_new,
+           CAST(CASE WHEN t_o > 0 THEN (n_old * 1000) // t_o
+                     ELSE 0 END AS BIGINT) AS share_old_pm,
+           CAST(CASE WHEN t_n > 0 THEN (n_new * 1000) // t_n
+                     ELSE 0 END AS BIGINT) AS share_new_pm,
+           CAST(CASE WHEN t_n > 0 THEN (n_new * 1000) // t_n
+                     ELSE 0 END
+              - CASE WHEN t_o > 0 THEN (n_old * 1000) // t_o
+                     ELSE 0 END AS BIGINT) AS delta_pm
+    FROM cells, tot
+    """
+
+
+@query("q146_embedding_drift", _embedding_drift_sql())
+def q146_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X50 — embedding-space release drift (drift.embedding_drift):
+    per-centroid occupancy of two releases under ONE centroid set
+    pinned on the baseline (the persistent-index contract — a bucket
+    means the same region of embedding space in both snapshots), with
+    exact integer per-mille shares and deltas.  The semantic
+    counterpart of q122's text-profile PSI: new topics at an
+    unchanged length/punct profile move THIS histogram and nothing
+    else.  Release derivation mirrors q140's (deterministic drops on
+    both sides; the changed slice is a vector NEGATION — exact in any
+    float width, provably reassigning to the least-similar centroid).
+    All-BIGINT output; the PSI/verdict tail (embedding_drift_psi) is
+    pinned by test against psi_from_cells.  Scale: two broadcast
+    argmax scans into centroid-sized aggregates; totals ride a
+    broadcast 1-row frame, never a global window."""
+    from .operators import drift
+
+    emb = _t(spark, sf_dir, "embeddings")
+    old = emb.where(F.col("vec_id") % 17 != 3).select(
+        "vec_id", "embedding")
+    new = emb.where(F.col("vec_id") % 19 != 5).select(
+        "vec_id",
+        F.when(F.col("vec_id") % 13 == 2,
+               F.transform("embedding", lambda x: -x))
+        .otherwise(F.col("embedding")).alias("embedding"))
+    cents = similarity.sampled_centroids(old, n_centroids=16)
+    return drift.embedding_drift(old, new, cents)
+
+
 # Operators added AFTER the 50-slot window filled with unique-operator
 # queries: fully oracle-checked by the local gate, first in line for a
 # window slot if one opens.
@@ -6659,6 +6747,8 @@ POST_WINDOW: list[str] = [
     "q144_epoch_expand",
     # round 12: X49 source novelty — scheduled for rotation #9
     "q145_source_novelty",
+    # round 12: X50 embedding release drift — scheduled for rotation #9
+    "q146_embedding_drift",
 ]
 
 

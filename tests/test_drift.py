@@ -155,3 +155,60 @@ def test_streaming_drift_forward_gap_raises(spark, tmp_path):
     mon.process_batch(baseline, 0)
     with pytest.raises(ValueError, match="different checkpoint"):
         mon.process_batch(baseline, 5)
+
+
+def _vec_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>")
+
+
+def test_embedding_drift_planted_move(spark):
+    """X50 hand case: two well-separated centroids; the new release
+    moves one vector from bucket A to bucket B (and drops another) —
+    counts, exact per-mille shares and deltas all hand-computed; the
+    spine keeps a centroid visible even when a release empties it."""
+    from real_time_iot_data_pipeline_project_spark.operators import similarity
+
+    a, b = [1.0, 0.0], [0.0, 1.0]
+    old = _vec_df(spark, [(1, a), (2, a), (3, a), (4, b)])
+    new = _vec_df(spark, [(1, a), (2, b), (3, a)])  # 2 moved, 4 dropped
+    cents = _vec_df(spark, [(10, a), (20, b)]).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cvec"))
+    got = {r.centroid_id: (r.n_old, r.n_new, r.share_old_pm,
+                           r.share_new_pm, r.delta_pm)
+           for r in drift.embedding_drift(old, new, cents).collect()}
+    assert got == {10: (3, 2, 750, 666, -84),
+                   20: (1, 1, 250, 333, 83)}
+
+    # spine: a release that empties a bucket keeps the row (occupancy
+    # 0 IS the drift signal), and an empty release reads all-zero
+    # shares instead of dividing by zero
+    empty = _vec_df(spark, [])
+    got2 = {r.centroid_id: (r.n_new, r.share_new_pm)
+            for r in drift.embedding_drift(old, empty, cents).collect()}
+    assert got2 == {10: (0, 0), 20: (0, 0)}
+
+
+def test_embedding_drift_psi_equals_psi_from_cells(spark):
+    """The PSI tail is the ONE psi_from_cells rule applied to the X50
+    histogram — pinned by recomputing it from embedding_drift's own
+    counts; identical releases read stable at psi 0."""
+    a, b = [1.0, 0.0], [0.0, 1.0]
+    old = _vec_df(spark, [(i, a if i % 3 else b) for i in range(1, 13)])
+    new = _vec_df(spark, [(i, b if i % 4 else a) for i in range(1, 10)])
+    cents = _vec_df(spark, [(10, a), (20, b)]).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cvec"))
+    got = drift.embedding_drift_psi(old, new, cents).collect()[0]
+    cells = (drift.embedding_drift(old, new, cents)
+             .select(F.lit("embedding_centroid").alias("feature"),
+                     F.col("centroid_id").cast("string").alias("bin"),
+                     F.col("n_old").alias("n_a"),
+                     F.col("n_new").alias("n_b")))
+    want = drift.psi_from_cells(cells).collect()[0]
+    assert (got.feature, got.psi, got.verdict) == (
+        want.feature, want.psi, want.verdict)
+
+    same = drift.embedding_drift_psi(old, old, cents).collect()[0]
+    assert same.psi == 0.0 and same.verdict == "stable"

@@ -372,3 +372,61 @@ def test_refresh_annotations_reads_jsonl_release(spark, tmp_path):
     # curation dropped are absent from the old side -> re-annotated
     assert counts["n_reused"] == m["n_docs"]
     assert spark.read.parquet(out).count() == counts["n_docs"]
+
+
+def test_release_embedding_drift_stable_and_semantic_shift(spark, tmp_path):
+    """X50 in the release gate: a same-corpus re-release reads a
+    STABLE embedding_centroid row; a vocabulary pivot that leaves the
+    text profile untouched (every token replaced by a same-length
+    different token — identical n_tok and punct bins) is INVISIBLE to
+    the text rows but trips the semantic row and blocks the publish
+    unless --allow-drift."""
+    rel1 = str(tmp_path / "er1")
+    pipelines.release_corpus(spark, _docs_path(), rel1, n_shards=2)
+
+    rel2 = str(tmp_path / "er2")
+    m2 = pipelines.release_corpus(spark, _docs_path(), rel2,
+                                  baseline_path=rel1, n_shards=2,
+                                  embedding_drift=True)
+    rows = {d["feature"]: d for d in m2["drift"]}
+    assert rows["embedding_centroid"]["verdict"] == "stable"
+    assert rows["embedding_centroid"]["psi"] == 0.0
+
+    # topical pivot, curation-invisible: rot13 every CONTENT token
+    # (length >= 5 — every langid stopword is <= 4 chars) so token
+    # count, token lengths, punct geometry, stopword hits, langid and
+    # quality score are all bit-identical, but every content word's
+    # hashing-embedder bucket moves
+    pivot_src = str(tmp_path / "pivot_docs")
+    rot = lambda c: F.translate(  # noqa: E731
+        c, "abcdefghijklmnopqrstuvwxyz", "nopqrstuvwxyzabcdefghijklm")
+    (spark.read.parquet(_docs_path())
+     .withColumn("text", F.array_join(
+         F.transform(F.split(F.col("text"), " "),
+                     lambda t: F.when(F.length(t) >= 5, rot(t))
+                     .otherwise(t)), " "))
+     .write.parquet(pivot_src))
+    rel3 = str(tmp_path / "er3")
+    with pytest.raises(RuntimeError, match="embedding_centroid"):
+        pipelines.release_corpus(spark, pivot_src, rel3,
+                                 baseline_path=rel1, n_shards=2,
+                                 embedding_drift=True)
+    # the TEXT rows alone would have let it through
+    m3 = pipelines.release_corpus(spark, pivot_src, rel3,
+                                  baseline_path=rel1, n_shards=2)
+    assert all(d["verdict"] != "major_shift" for d in m3["drift"])
+
+
+def test_release_cli_embedding_drift_wiring(spark, tmp_path):
+    """--embedding-drift reaches release_corpus through the CLI and
+    the manifest records the semantic row."""
+    rel1 = str(tmp_path / "cr1")
+    pipelines.main(["release", _docs_path(), "--output", rel1,
+                    "--shards", "1"])
+    rel2 = str(tmp_path / "cr2")
+    pipelines.main(["release", _docs_path(), "--output", rel2,
+                    "--shards", "1", "--baseline", rel1,
+                    "--embedding-drift"])
+    m = json.load(open(f"{rel2}/MANIFEST.json"))
+    feats = [d["feature"] for d in m["drift"]]
+    assert "embedding_centroid" in feats

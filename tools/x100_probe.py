@@ -486,6 +486,11 @@ def main() -> None:
         # corpus tokens (the grid), with the distinct/min stages
         # partial-aggregatable
         ("q145_source_novelty", probe_query("q145_source_novelty")),
+        # round-12: embedding drift — two n·C broadcast argmax scans
+        # into centroid-sized aggregates; expectation ~linear in
+        # vectors at fixed C (the q125 flat-assignment shape, but
+        # C pinned at 16 so no quadratic regime)
+        ("q146_embedding_drift", probe_query("q146_embedding_drift")),
         # round-11: incremental annotate — two shuffle-hash joins on
         # (id, md5) plus the annotator over the ~8% fresh slice only
         ("q141_inc_annotate", probe_query("q141_incremental_annotate")),
