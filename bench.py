@@ -197,8 +197,10 @@ HEADLINE = [
     "q143_epoch_plan",
     "q144_epoch_expand",
     "q145_source_novelty",
-    # round 12: embedding-space release drift (X50)
+    # round 12: embedding-space release drift (X50) and Moore-Lewis
+    # cross-entropy selection (X51)
     "q146_embedding_drift",
+    "q147_moore_lewis",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

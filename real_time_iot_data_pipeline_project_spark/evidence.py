@@ -256,6 +256,11 @@ EVIDENCE: dict[str, dict] = {
         "test_drift.py::test_embedding_drift_psi_equals_psi_from_cells",
         "test_release.py::test_release_embedding_drift_stable_and_semantic_shift",
         "test_release.py::test_release_cli_embedding_drift_wiring"]},
+    "X51": {"queries": ["q147_moore_lewis"], "tests": [
+        "test_curation_ops.py::test_moore_lewis_hand_computed_and_direction",
+        "test_curation_ops.py::test_moore_lewis_unseen_token_finite",
+        "test_release.py::test_release_ml_selection_keeps_operator_membership",
+        "test_release.py::test_release_cli_ml_selection_wiring"]},
     "X40": {"queries": ["q128_edit_distance_verify"], "tests": [
         "test_dedup_similarity.py::test_edit_verify_exact_and_near_dups",
         "test_dedup_similarity.py::test_edit_verify_rejects_block_swapped_candidate",

@@ -218,3 +218,64 @@ def source_novelty(df: DataFrame, text_col: str = "text",
                         F.expr("novel_ngrams * 10000 DIV distinct_ngrams"))
             .select(source_col, "total_ngrams", "distinct_ngrams",
                     "novel_ngrams", "novelty_bp"))
+
+
+def moore_lewis_scores(df: DataFrame, seed: DataFrame,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       ln2: float = 0.6931471805599453) -> DataFrame:
+    """Cross-entropy difference data selection (X51): score every
+    candidate doc by how much more probable its tokens are under an
+    IN-DOMAIN seed model than under the general pool's own model —
+    Moore & Lewis 2010 ("Intelligent Selection of Language Model
+    Training Data", ACL), the standard model-based selection rule
+    behind targeted pretraining mixes and the ancestor of the
+    CCNet/GPT-3 quality-classifier filters.  Both models are add-one-
+    smoothed unigram LMs over the SHARED vocabulary (Laplace over
+    V = distinct tokens of pool ∪ seed, so an unseen-in-seed token is
+    a finite penalty, not −∞, and both models are proper
+    distributions over the same support).
+
+    ``ml_bits`` = H_seed(doc) − H_pool(doc) in bits/token
+    (mean over tokens of log2 p_pool − log2 p_seed): NEGATIVE means
+    the seed model likes the doc more than the pool model does —
+    in-domain; select ascending up to a threshold/budget (feed the
+    score straight into quality bands or the waterfill tier).
+
+    Cross-engine determinism is q72's ln-policy, verbatim: each
+    per-token term is the identical expression tree in both engines
+    ((cnt+1.0)/double(total+V), one ln each, one division by ln2) cast
+    to DECIMAL(18,12) BEFORE the sum — order-free — and the final
+    per-token mean is rounded to 6 dp.
+
+    Scale shape: token frequencies are two vocab-sized tables
+    broadcast back onto the candidate token stream (never a corpus
+    shuffle by token); the scalar constants (V, both totals) ride ONE
+    broadcast 1-row frame; the per-doc reduction is one doc-keyed
+    combinable agg.  Returns (id_col, n_tok, ml_bits)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(textfns.whitespace_tokens(text_col)).alias("tok"))
+    fg = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_g"))
+    fi = (seed.select(F.explode(
+              textfns.whitespace_tokens(text_col)).alias("tok"))
+          .groupBy("tok").agg(F.count(F.lit(1)).alias("c_i")))
+    consts = (
+        fg.select("tok").unionByName(fi.select("tok")).distinct()
+        .agg(F.count(F.lit(1)).alias("v"))
+        .crossJoin(fg.agg(F.sum("c_g").alias("tg")))
+        .crossJoin(fi.agg(F.coalesce(F.sum("c_i"), F.lit(0))
+                          .alias("ti"))))
+    p_g = ((F.col("c_g").cast("double") + F.lit(1.0))
+           / (F.col("tg") + F.col("v")).cast("double"))
+    p_i = ((F.coalesce(F.col("c_i"), F.lit(0)).cast("double")
+            + F.lit(1.0))
+           / (F.col("ti") + F.col("v")).cast("double"))
+    term = ((F.log(p_g) - F.log(p_i)) / F.lit(ln2)).cast("decimal(18,12)")
+    return (
+        toks.join(F.broadcast(fg), "tok")      # pool tokens: always hit
+        .join(F.broadcast(fi), "tok", "left")  # unseen in seed: smoothed
+        .crossJoin(F.broadcast(consts))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_tok"),
+             F.round(F.sum(term).cast("double") / F.count(F.lit(1)),
+                     6).alias("ml_bits")))

@@ -143,6 +143,8 @@ def release_corpus(
     span_window: int = 8,
     bpe_manifest: bool = False,
     embedding_drift: bool = False,
+    ml_seed_path: str | None = None,
+    ml_threshold: float = 0.0,
 ) -> dict:
     """Entry point E — the full training-data RELEASE job: curate
     (q48's chain) → optional duplicate-span scrub (X39) → optional
@@ -205,7 +207,35 @@ def release_corpus(
                             min_quality=min_quality, langs=langs).persist()
     final = curated
     scrubbed = None
+    ml_kept = None
     try:
+        ml_info = None
+        if ml_seed_path:
+            # in-domain selection (X51, q147's exact rule): keep docs
+            # the SEED unigram model prefers over the pool's own model
+            # by at least -ml_threshold bits/token (ml_bits <=
+            # threshold; 0.0 = "seed likes it at least as much").
+            # Runs FIRST among the optional stages — selection defines
+            # the corpus the scrub/mix/gate then see.  Threshold-based
+            # rather than fraction-based on purpose: a fixed cutoff is
+            # a map-side filter after two broadcast joins; a fraction
+            # would need a corpus-wide quantile.  Membership comes
+            # from the OPERATOR (the q124/q127 wiring precedent).
+            from .operators.textops import moore_lewis_scores
+
+            seed = spark.read.parquet(ml_seed_path)
+            n_in = final.count()
+            kept_ids = (moore_lewis_scores(final, seed)
+                        .where(F.col("ml_bits") <= ml_threshold)
+                        .select("doc_id"))
+            final = final.join(kept_ids, "doc_id", "left_semi").persist()
+            ml_kept = final
+            ml_info = {
+                "seed": ml_seed_path,
+                "threshold_bits": ml_threshold,
+                "n_docs_in": n_in,
+                "n_docs_kept": final.count(),
+            }
         scrub_info = None
         if span_scrub:
             from .operators import dedup as dedup_ops
@@ -271,9 +301,11 @@ def release_corpus(
         return _release_body(spark, final, output_path, baseline_path,
                              min_quality, langs, n_shards, allow_drift,
                              mix_info, scrub_info, bpe_manifest,
-                             embedding_drift)
+                             embedding_drift, ml_info)
     finally:
         curated.unpersist()
+        if ml_kept is not None:
+            ml_kept.unpersist()
         if scrubbed is not None:
             scrubbed.unpersist()
 
@@ -281,7 +313,7 @@ def release_corpus(
 def _release_body(spark, final, output_path, baseline_path, min_quality,
                   langs, n_shards, allow_drift, mix_info=None,
                   scrub_info=None, bpe_manifest=False,
-                  embedding_drift=False) -> dict:
+                  embedding_drift=False, ml_info=None) -> dict:
     import json as _json
 
     from pyspark.errors import AnalysisException
@@ -375,6 +407,7 @@ def _release_body(spark, final, output_path, baseline_path, min_quality,
         "n_shards": n_shards,
         "mix": mix_info,
         "span_scrub": scrub_info,
+        "ml_selection": ml_info,
         "drift": drift_rows,
     }
     if bpe_manifest:
@@ -539,6 +572,15 @@ def main(argv: list[str] | None = None) -> None:
                    help="record real BPE token totals (X41's "
                         "count-only path) in the release manifest "
                         "alongside whitespace counts (release domain)")
+    p.add_argument("--ml-seed", default=None,
+                   help="in-domain seed corpus parquet: keep only docs "
+                        "the seed unigram model prefers over the pool "
+                        "model by --ml-threshold bits/token (release "
+                        "domain; Moore-Lewis selection, q147's rule)")
+    p.add_argument("--ml-threshold", type=float, default=0.0,
+                   help="Moore-Lewis keep cutoff in bits/token "
+                        "(ml_bits <= threshold; 0.0 = seed likes the "
+                        "doc at least as much as the pool)")
     p.add_argument("--embedding-drift", action="store_true",
                    help="add the SEMANTIC drift row (X50): both "
                         "corpora hashing-embedded, centroid occupancy "
@@ -726,6 +768,8 @@ def main(argv: list[str] | None = None) -> None:
             span_window=args.span_window,
             bpe_manifest=args.bpe_manifest,
             embedding_drift=args.embedding_drift,
+            ml_seed_path=args.ml_seed,
+            ml_threshold=args.ml_threshold,
         )
         print(f"released {manifest['n_docs']} docs / "
               f"{manifest['n_tokens']} tokens to {args.output}")

@@ -6680,6 +6680,61 @@ def q146_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift.embedding_drift(old, new, cents)
 
 
+@query(
+    "q147_moore_lewis",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+      FROM documents
+    ),
+    itoks AS (
+      SELECT unnest(string_split({_NORM_SQL}, ' ')) AS tok
+      FROM documents WHERE source = 'src0'
+    ),
+    fg AS (SELECT tok, COUNT(*) AS c_g FROM toks GROUP BY tok),
+    fi AS (SELECT tok, COUNT(*) AS c_i FROM itoks GROUP BY tok),
+    consts AS (
+      SELECT (SELECT COUNT(*) FROM
+                (SELECT tok FROM fg UNION SELECT tok FROM fi)) AS v,
+             (SELECT SUM(c_g) FROM fg) AS tg,
+             (SELECT COALESCE(SUM(c_i), 0) FROM fi) AS ti
+    ),
+    s AS (
+      SELECT t.doc_id,
+             CAST((ln((CAST(f.c_g AS DOUBLE) + 1.0)
+                      / CAST(c.tg + c.v AS DOUBLE))
+                 - ln((CAST(COALESCE(i.c_i, 0) AS DOUBLE) + 1.0)
+                      / CAST(c.ti + c.v AS DOUBLE)))
+                  / {LN2!r} AS DECIMAL(18,12)) AS term
+      FROM toks t JOIN fg f USING (tok)
+      LEFT JOIN fi i USING (tok), consts c
+    )
+    SELECT doc_id, COUNT(*) AS n_tok,
+           round(CAST(SUM(term) AS DOUBLE) / COUNT(*), 6) AS ml_bits
+    FROM s GROUP BY doc_id
+    """,
+)
+def q147_moore_lewis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X51 — Moore-Lewis cross-entropy difference selection
+    (textops.moore_lewis_scores; Moore & Lewis 2010, ACL): every doc
+    scored by H_seed − H_pool in bits/token under two add-one-smoothed
+    unigram LMs sharing one vocabulary — seed here is the src0 slice
+    (the "in-domain" corpus), pool is the whole table.  NEGATIVE =
+    the seed model likes the doc more — in-domain; ascending order is
+    the selection order.  The model-based data-selection rule behind
+    targeted pretraining mixes, one tier up from q72's self-entropy
+    filter (which ranks docs by the pool model alone and cannot
+    express "like THIS slice").  Determinism is q72's ln policy
+    verbatim: identical per-token expression trees both engines,
+    DECIMAL(18,12)-cast pre-sum, 6-dp final rounding.  Scale: two
+    vocab-sized broadcast frequency tables + one broadcast 1-row
+    scalar frame onto the token stream; one doc-keyed combinable
+    reduction — never a corpus shuffle by token."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.moore_lewis_scores(
+        docs, docs.where(F.col("source") == "src0"), ln2=LN2)
+
+
 # Operators added AFTER the 50-slot window filled with unique-operator
 # queries: fully oracle-checked by the local gate, first in line for a
 # window slot if one opens.
@@ -6749,6 +6804,8 @@ POST_WINDOW: list[str] = [
     "q145_source_novelty",
     # round 12: X50 embedding release drift — scheduled for rotation #9
     "q146_embedding_drift",
+    # round 12: X51 Moore-Lewis cross-entropy selection — rotation #9
+    "q147_moore_lewis",
 ]
 
 

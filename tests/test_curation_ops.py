@@ -964,3 +964,46 @@ def test_source_novelty_within_source_repeats_count_once(spark):
     got = textops.source_novelty(df, n=3).collect()[0]
     assert (got.total_ngrams, got.distinct_ngrams,
             got.novel_ngrams) == (8, 3, 3)
+
+
+def test_moore_lewis_hand_computed_and_direction(spark):
+    """X51 hand case: pool {a:3, b:3, x:1} (tg=7), seed {a:2} (ti=2),
+    shared vocab V=3, add-one smoothing.  The all-'a' doc must score
+    NEGATIVE (seed likes it more than the pool does), the out-of-
+    domain doc positive, and values match the closed form to the 6-dp
+    rounding."""
+    df = spark.createDataFrame(
+        [(1, "a a", "in"), (2, "b b", "out"), (3, "a b x", "out")],
+        "doc_id long, text string, source string")
+    seed = df.where(F.col("source") == "in")  # tokens: a a
+    out = {r.doc_id: r for r in
+           textops.moore_lewis_scores(df, seed).collect()}
+
+    tg, ti, v = 7, 2, 3  # pool total, seed total, union vocab
+
+    def bits(cg, ci):
+        return (math.log((cg + 1.0) / (tg + v))
+                - math.log((ci + 1.0) / (ti + v))) / math.log(2.0)
+
+    a, b, x = bits(3, 2), bits(3, 0), bits(1, 0)
+    assert out[1].n_tok == 2
+    assert out[1].ml_bits == pytest.approx(a, abs=1e-6)
+    assert out[2].ml_bits == pytest.approx(b, abs=1e-6)
+    assert out[3].ml_bits == pytest.approx((a + b + x) / 3, abs=1e-6)
+    # direction: the in-domain doc ranks strictly first ascending
+    assert out[1].ml_bits < 0 < out[2].ml_bits
+    assert out[1].ml_bits < out[3].ml_bits < out[2].ml_bits
+
+
+def test_moore_lewis_unseen_token_finite(spark):
+    """A candidate token absent from the seed gets the Laplace floor,
+    not -inf/NaN — and an in-domain-heavy doc still wins over a doc of
+    pure unseen tokens."""
+    df = spark.createDataFrame(
+        [(1, "q w e r t y", "pool"), (2, "alpha alpha", "pool"),
+         (3, "alpha beta alpha", "seedsrc")],
+        "doc_id long, text string, source string")
+    out = {r.doc_id: r for r in textops.moore_lewis_scores(
+        df, df.where(F.col("source") == "seedsrc")).collect()}
+    assert all(math.isfinite(r.ml_bits) for r in out.values())
+    assert out[2].ml_bits < out[1].ml_bits

@@ -430,3 +430,48 @@ def test_release_cli_embedding_drift_wiring(spark, tmp_path):
     m = json.load(open(f"{rel2}/MANIFEST.json"))
     feats = [d["feature"] for d in m["drift"]]
     assert "embedding_centroid" in feats
+
+
+def test_release_ml_selection_keeps_operator_membership(spark, tmp_path):
+    """--ml-seed wiring (X51): the released doc set equals the
+    moore_lewis_scores <= threshold membership computed directly on
+    the curated frame (the operator IS the rule — q124's wiring
+    precedent), the manifest records the stage, and the kept set is a
+    strict subset when the threshold bites."""
+    from real_time_iot_data_pipeline_project_spark.operators.textops import (
+        moore_lewis_scores,
+    )
+
+    seed_path = str(tmp_path / "seed")
+    (spark.read.parquet(_docs_path())
+     .where(F.col("source") == "src0").write.parquet(seed_path))
+
+    rel = str(tmp_path / "mlrel")
+    m = pipelines.release_corpus(spark, _docs_path(), rel, n_shards=1,
+                                 ml_seed_path=seed_path,
+                                 ml_threshold=0.0)
+    assert m["ml_selection"]["n_docs_kept"] == m["n_docs"]
+    assert m["ml_selection"]["n_docs_kept"] < m["ml_selection"]["n_docs_in"]
+
+    curated = pipelines.curate_corpus(spark, _docs_path())
+    seed = spark.read.parquet(seed_path)
+    want = {r.doc_id for r in
+            moore_lewis_scores(curated, seed)
+            .where(F.col("ml_bits") <= 0.0).select("doc_id").collect()}
+    got = {r.doc_id for r in
+           spark.read.json(f"{rel}/data").select("doc_id").collect()}
+    assert got == want
+
+
+def test_release_cli_ml_selection_wiring(spark, tmp_path):
+    """--ml-seed/--ml-threshold reach release_corpus through the CLI."""
+    seed_path = str(tmp_path / "cseed")
+    (spark.read.parquet(_docs_path())
+     .where(F.col("source") == "src1").write.parquet(seed_path))
+    rel = str(tmp_path / "clirel")
+    pipelines.main(["release", _docs_path(), "--output", rel,
+                    "--shards", "1", "--ml-seed", seed_path,
+                    "--ml-threshold", "0.05"])
+    m = json.load(open(f"{rel}/MANIFEST.json"))
+    assert m["ml_selection"]["threshold_bits"] == 0.05
+    assert 0 < m["ml_selection"]["n_docs_kept"] <= m["ml_selection"]["n_docs_in"]

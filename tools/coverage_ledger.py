@@ -69,13 +69,14 @@ PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
     # displace the pinned window.)
     # rotation #9 — the round-12 additions: q131's token-frequency
     # table under the production rank_impl='hash' BPE lookup, plus the
-    # round-12 operators (X48 multi-epoch mixture plan + expansion, X49 source novelty, X50 embedding release drift)
+    # round-12 operators (X48 multi-epoch mixture plan + expansion, X49 source novelty, X50 embedding release drift, X51 Moore-Lewis selection)
     13: (9, [
         "q142_bpe_hash_ranks",
         "q143_epoch_plan",
         "q144_epoch_expand",
         "q145_source_novelty",
         "q146_embedding_drift",
+        "q147_moore_lewis",
     ]),
 }
 

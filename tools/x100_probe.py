@@ -491,6 +491,10 @@ def main() -> None:
         # vectors at fixed C (the q125 flat-assignment shape, but
         # C pinned at 16 so no quadratic regime)
         ("q146_embedding_drift", probe_query("q146_embedding_drift")),
+        # round-12: Moore-Lewis selection — two vocab-sized broadcast
+        # frequency tables onto the token stream + one doc-keyed
+        # combinable reduction; expectation ~linear in corpus tokens
+        ("q147_moore_lewis", probe_query("q147_moore_lewis")),
         # round-11: incremental annotate — two shuffle-hash joins on
         # (id, md5) plus the annotator over the ~8% fresh slice only
         ("q141_inc_annotate", probe_query("q141_incremental_annotate")),
