@@ -247,7 +247,9 @@ EVIDENCE: dict[str, dict] = {
         "test_curation_ops.py::test_epoch_plan_three_regimes",
         "test_curation_ops.py::test_epoch_plan_max_epochs_one_is_waterfill",
         "test_curation_ops.py::test_epoch_expand_replication_and_partial_prefix",
-        "test_curation_ops.py::test_epoch_expand_delivers_budget"]},
+        "test_curation_ops.py::test_epoch_expand_delivers_budget",
+        "test_release.py::test_release_recipe_weights_expansion",
+        "test_release.py::test_release_cli_recipe_wiring"]},
     "X49": {"queries": ["q145_source_novelty"], "tests": [
         "test_curation_ops.py::test_source_novelty_planted",
         "test_curation_ops.py::test_source_novelty_within_source_repeats_count_once"]},

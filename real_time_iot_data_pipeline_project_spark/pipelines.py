@@ -145,6 +145,9 @@ def release_corpus(
     embedding_drift: bool = False,
     ml_seed_path: str | None = None,
     ml_threshold: float = 0.0,
+    recipe_weights: dict[str, int] | None = None,
+    recipe_budget_frac: float = 0.5,
+    recipe_epochs: int = 1,
 ) -> dict:
     """Entry point E — the full training-data RELEASE job: curate
     (q48's chain) → optional duplicate-span scrub (X39) → optional
@@ -196,8 +199,25 @@ def release_corpus(
     per-centroid occupancy PSI under baseline-pinned centroids,
     folded through the same psi_from_cells tail — so a topical pivot
     at an unchanged length/punct profile still trips the major_shift
-    gate. Returns the manifest dict (counts, token
-    budget, per-lang breakdown, mix rates, drift verdicts)."""
+    gate.
+
+    ``recipe_weights`` (mutually exclusive with ``mix_alpha``) switches
+    the mixing stage to the weights-based waterfill (X44) with
+    multi-epoch expansion (X48, q143/q144's exact rule): the token
+    budget (``recipe_budget_frac`` of the corpus) waterfills across
+    sources at the given integer weights, under-sized sources repeat
+    up to ``recipe_epochs`` full passes, and the released rows ARE the
+    epoch-expanded (doc, epoch) training stream — each repeated doc
+    ships once per epoch (manifest ``n_docs``/``n_tokens`` count
+    (doc, epoch) rows: they are the training-budget numbers), with the
+    per-source plan (capacity / allocation / epochs_full / remainder)
+    recorded under ``recipe``.  ``ml_seed_path`` (with
+    ``ml_threshold``) keeps only docs the seed's unigram model prefers
+    over the pool's by the threshold (X51, q147's rule) — the
+    selection runs first among the optional stages and the manifest
+    records it under ``ml_selection``. Returns the manifest dict
+    (counts, token budget, per-lang breakdown, mix rates, drift
+    verdicts)."""
     # persisted: the gate's collect, the shard write and the manifest
     # aggregate all read FINAL — without the persist the whole dedup
     # shuffle + scoring would recompute (up to) three times, and the
@@ -277,6 +297,57 @@ def release_corpus(
                         F.col("cleaned_text").alias("text"),
                         F.col("n_tokens_kept").alias("n_tok")),
                 "doc_id")
+        recipe_info = None
+        if recipe_weights is not None:
+            if mix_alpha is not None:
+                raise ValueError(
+                    "recipe_weights and mix_alpha are two mixing rules "
+                    "for the same stage — pass one")
+            # weights-based mixture (X44/X48, q143/q144's exact rule):
+            # waterfill the token budget across sources at the given
+            # integer weights, repeating under-sized sources up to
+            # recipe_epochs full passes; the released rows ARE the
+            # epoch-expanded (doc, epoch) stream — a training
+            # interchange where a repeated source ships each doc once
+            # per epoch plus a budget-exact partial pass.  Membership
+            # comes from the OPERATOR (the q124 wiring precedent);
+            # the manifest's per-source table is the epoch plan.
+            from .operators import sampling
+
+            w = None
+            for src, parts in recipe_weights.items():
+                cond = F.col("source") == src
+                w = (F.when(cond, parts) if w is None
+                     else w.when(cond, parts))
+            w = F.lit(1) if w is None else w.otherwise(1)
+            total = int(final.agg(
+                F.coalesce(F.sum("n_tok"), F.lit(0))).head()[0])
+            budget = int(total * recipe_budget_frac)
+            plan_rows = sampling.epoch_plan(
+                final, "source", w, budget, max_epochs=recipe_epochs,
+                tokens_col="n_tok").collect()  # strata-sized
+            expanded = sampling.epoch_expand(
+                final, "source", "doc_id", w, budget,
+                max_epochs=recipe_epochs, tokens_col="n_tok")
+            final = final.join(
+                expanded.select("doc_id", "epoch"), "doc_id")
+            recipe_info = {
+                "weights": {str(k): int(v)
+                            for k, v in recipe_weights.items()},
+                "budget_frac": recipe_budget_frac,
+                "budget_tokens": budget,
+                "max_epochs": recipe_epochs,
+                "per_source": {
+                    str(r["source"]): {
+                        "weight": int(r["weight"]),
+                        "capacity_tokens": int(r["capacity_tokens"]),
+                        "capped": int(r["capped"]),
+                        "allocation_tokens": int(r["allocation_tokens"]),
+                        "epochs_full": int(r["epochs_full"]),
+                        "remainder_tokens": int(r["remainder_tokens"]),
+                    } for r in plan_rows
+                },
+            }
         mix_info = None
         if mix_alpha is not None:
             from .operators import sampling
@@ -301,7 +372,7 @@ def release_corpus(
         return _release_body(spark, final, output_path, baseline_path,
                              min_quality, langs, n_shards, allow_drift,
                              mix_info, scrub_info, bpe_manifest,
-                             embedding_drift, ml_info)
+                             embedding_drift, ml_info, recipe_info)
     finally:
         curated.unpersist()
         if ml_kept is not None:
@@ -313,7 +384,8 @@ def release_corpus(
 def _release_body(spark, final, output_path, baseline_path, min_quality,
                   langs, n_shards, allow_drift, mix_info=None,
                   scrub_info=None, bpe_manifest=False,
-                  embedding_drift=False, ml_info=None) -> dict:
+                  embedding_drift=False, ml_info=None,
+                  recipe_info=None) -> dict:
     import json as _json
 
     from pyspark.errors import AnalysisException
@@ -408,6 +480,7 @@ def _release_body(spark, final, output_path, baseline_path, min_quality,
         "mix": mix_info,
         "span_scrub": scrub_info,
         "ml_selection": ml_info,
+        "recipe": recipe_info,
         "drift": drift_rows,
     }
     if bpe_manifest:
@@ -419,9 +492,14 @@ def _release_body(spark, final, output_path, baseline_path, min_quality,
         # BPE corpus by the merge ratio
         from .operators import tokenize
 
+        # counts are computed per UNIQUE doc, then the join-back
+        # multiplies by occurrence: a recipe release repeats a doc
+        # once per epoch, and its budget is epochs x the doc's tokens
+        # (counting on the repeated frame would square the factor)
+        uniq = final.select("doc_id", "text").dropDuplicates(["doc_id"])
         bstats = (
             final.select("doc_id", "detected_lang")
-            .join(tokenize.bpe_token_counts(spark, final)
+            .join(tokenize.bpe_token_counts(spark, uniq)
                   .hint("shuffle_hash"), "doc_id")
             .groupBy("detected_lang")
             .agg(F.sum("n_bpe_tokens").alias("n_bpe_tokens"))
@@ -572,6 +650,19 @@ def main(argv: list[str] | None = None) -> None:
                    help="record real BPE token totals (X41's "
                         "count-only path) in the release manifest "
                         "alongside whitespace counts (release domain)")
+    p.add_argument("--recipe-weights", default=None,
+                   help="weights-based mixture for the release: "
+                        "'src0=80,src1=30' (unlisted sources weight 1); "
+                        "waterfills the token budget across sources and "
+                        "ships the epoch-expanded (doc, epoch) stream "
+                        "(release domain; X44/X48, q143/q144's rule — "
+                        "mutually exclusive with --mix-alpha)")
+    p.add_argument("--recipe-budget", type=float, default=0.5,
+                   help="corpus token fraction the recipe targets "
+                        "(used with --recipe-weights)")
+    p.add_argument("--recipe-epochs", type=int, default=1,
+                   help="max full passes an under-sized source may "
+                        "repeat (used with --recipe-weights)")
     p.add_argument("--ml-seed", default=None,
                    help="in-domain seed corpus parquet: keep only docs "
                         "the seed unigram model prefers over the pool "
@@ -770,6 +861,13 @@ def main(argv: list[str] | None = None) -> None:
             embedding_drift=args.embedding_drift,
             ml_seed_path=args.ml_seed,
             ml_threshold=args.ml_threshold,
+            recipe_weights=(
+                {k: int(v) for k, v in
+                 (kv.split("=", 1) for kv in
+                  args.recipe_weights.split(","))}
+                if args.recipe_weights else None),
+            recipe_budget_frac=args.recipe_budget,
+            recipe_epochs=args.recipe_epochs,
         )
         print(f"released {manifest['n_docs']} docs / "
               f"{manifest['n_tokens']} tokens to {args.output}")

@@ -475,3 +475,61 @@ def test_release_cli_ml_selection_wiring(spark, tmp_path):
     m = json.load(open(f"{rel}/MANIFEST.json"))
     assert m["ml_selection"]["threshold_bits"] == 0.05
     assert 0 < m["ml_selection"]["n_docs_kept"] <= m["ml_selection"]["n_docs_in"]
+
+
+def test_release_recipe_weights_expansion(spark, tmp_path):
+    """--recipe-weights (X44/X48): the released shards ARE the
+    epoch-expanded (doc, epoch) stream of the curated corpus — heavy
+    sources repeat across epochs, membership equals the operator's
+    rule exactly, the manifest records the per-source plan, and
+    combining with --mix-alpha is refused."""
+    from real_time_iot_data_pipeline_project_spark.operators import sampling
+
+    rel = str(tmp_path / "recipe_rel")
+    m = pipelines.release_corpus(
+        spark, _docs_path(), rel, n_shards=2,
+        recipe_weights={"src0": 80, "src1": 30},
+        recipe_budget_frac=0.4, recipe_epochs=3)
+    assert m["recipe"]["max_epochs"] == 3
+    # the manifest plan IS the operator's plan on the curated frame
+    curated = pipelines.curate_corpus(spark, _docs_path())
+    w = (F.when(F.col("source") == "src0", 80)
+         .when(F.col("source") == "src1", 30).otherwise(1))
+    total = int(curated.agg(F.sum("n_tok")).head()[0])
+    plan = {r.source: r for r in sampling.epoch_plan(
+        curated, "source", w, int(total * 0.4), max_epochs=3,
+        tokens_col="n_tok").collect()}
+    for src, rec in m["recipe"]["per_source"].items():
+        p = plan[src]
+        assert (rec["allocation_tokens"], rec["epochs_full"],
+                rec["remainder_tokens"]) == (
+            p.allocation_tokens, p.epochs_full, p.remainder_tokens)
+    # repetition actually happened and membership matches the operator
+    want = {(r.doc_id, r.epoch) for r in sampling.epoch_expand(
+        curated, "source", "doc_id", w, int(total * 0.4),
+        max_epochs=3, tokens_col="n_tok").collect()}
+    got = {(r.doc_id, r.epoch) for r in
+           spark.read.json(f"{rel}/data")
+           .select("doc_id", "epoch").collect()}
+    assert got == want
+    assert any(e >= 1 for _, e in got)  # a source repeated
+    assert m["n_docs"] == len(got)      # manifest counts (doc, epoch)
+
+    with pytest.raises(ValueError, match="one"):
+        pipelines.release_corpus(
+            spark, _docs_path(), str(tmp_path / "both"), n_shards=1,
+            recipe_weights={"src0": 80}, mix_alpha=0.7)
+
+
+def test_release_cli_recipe_wiring(spark, tmp_path):
+    """--recipe-weights parses 'k=v,k=v' through the CLI and the
+    manifest records the plan."""
+    rel = str(tmp_path / "cli_recipe")
+    pipelines.main(["release", _docs_path(), "--output", rel,
+                    "--shards", "1", "--recipe-weights",
+                    "src0=80,src1=30", "--recipe-budget", "0.4",
+                    "--recipe-epochs", "2"])
+    m = json.load(open(f"{rel}/MANIFEST.json"))
+    assert m["recipe"]["weights"] == {"src0": 80, "src1": 30}
+    assert m["recipe"]["max_epochs"] == 2
+    assert m["recipe"]["per_source"]["src0"]["epochs_full"] >= 1
