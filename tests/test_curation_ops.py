@@ -1007,3 +1007,24 @@ def test_moore_lewis_unseen_token_finite(spark):
         df, df.where(F.col("source") == "seedsrc")).collect()}
     assert all(math.isfinite(r.ml_bits) for r in out.values())
     assert out[2].ml_bits < out[1].ml_bits
+
+
+def test_epoch_plan_zero_capacity_stratum(spark):
+    """A stratum whose every row carries 0 tokens (capacity 0) must
+    plan 0 epochs / 0 remainder without tripping the DIV/MOD-by-zero
+    guards, and the expansion must ship nothing for it."""
+    from real_time_iot_data_pipeline_project_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [("z", 1, 0), ("z", 2, 0), ("b", 3, 100), ("b", 4, 100)],
+        "s string, doc_id long, n int")
+    got = {r.s: (r.capacity_tokens, r.allocation_tokens,
+                 r.epochs_full, r.remainder_tokens)
+           for r in sampling.epoch_plan(df, "s", F.lit(1), 300,
+                                        max_epochs=2,
+                                        tokens_col="n").collect()}
+    assert got["z"] == (0, 0, 0, 0)
+    assert got["b"][0] == 200
+    out = sampling.epoch_expand(df, "s", "doc_id", F.lit(1), 300,
+                                max_epochs=2, tokens_col="n").collect()
+    assert all(r.s == "b" for r in out)
