@@ -416,7 +416,9 @@ EVIDENCE: dict[str, dict] = {
         "test_streaming.py::test_streaming_ewma_matches_python_fold"]},
     "X5": {"queries": ["q79_winnow_overlap_bounded",
                        "q56_winnow_overlap_pairs",
-                       "q52_contamination_screen"], "tests": []},
+                       "q52_contamination_screen"], "tests": [
+        "test_release.py::test_release_screen_probes_drops_contaminated",
+        "test_release.py::test_release_cli_screen_probes_wiring"]},
     "X6": {"queries": ["q53_dedup_clusters"], "tests": []},
     "X7": {"queries": ["q61_stratified_sample", "q62_shard_stats"], "tests": [
         "test_curation_ops.py::test_hash_sample_deterministic_subset_and_nested"]},

@@ -148,6 +148,7 @@ def release_corpus(
     recipe_weights: dict[str, int] | None = None,
     recipe_budget_frac: float = 0.5,
     recipe_epochs: int = 1,
+    screen_probes_path: str | None = None,
 ) -> dict:
     """Entry point E — the full training-data RELEASE job: curate
     (q48's chain) → optional duplicate-span scrub (X39) → optional
@@ -214,10 +215,14 @@ def release_corpus(
     recorded under ``recipe``.  ``ml_seed_path`` (with
     ``ml_threshold``) keeps only docs the seed's unigram model prefers
     over the pool's by the threshold (X51, q147's rule) — the
-    selection runs first among the optional stages and the manifest
-    records it under ``ml_selection``. Returns the manifest dict
-    (counts, token budget, per-lang breakdown, mix rates, drift
-    verdicts)."""
+    selection runs early among the optional stages and the manifest
+    records it under ``ml_selection``.  ``screen_probes_path`` (an
+    eval-canary parquet with ``probe_id``/``probe_text``) drops every
+    doc carrying a verified verbatim probe hit (X5, q52's exact rule)
+    BEFORE any other stage — the GPT-3 §C / PaLM decontamination scrub
+    as a release gate, recorded under ``decontamination``. Returns the
+    manifest dict (counts, token budget, per-lang breakdown, mix
+    rates, drift verdicts)."""
     # persisted: the gate's collect, the shard write and the manifest
     # aggregate all read FINAL — without the persist the whole dedup
     # shuffle + scoring would recompute (up to) three times, and the
@@ -227,8 +232,31 @@ def release_corpus(
                             min_quality=min_quality, langs=langs).persist()
     final = curated
     scrubbed = None
-    ml_kept = None
+    persisted = []
     try:
+        decontam_info = None
+        if screen_probes_path:
+            # benchmark decontamination (X5, q52's exact rule), FIRST
+            # among the optional stages: a doc carrying any verified
+            # eval-probe hit never reaches selection/scrub/mix — the
+            # GPT-3 §C / PaLM eval-canary scrub as a release gate.
+            # Winnowing-fingerprint candidates + exact contains verify;
+            # the probe dim broadcasts, the corpus is fingerprinted
+            # once.  Membership comes from the OPERATOR.
+            from .operators.contamination import screen_probes
+
+            probes = spark.read.parquet(screen_probes_path)
+            hits = (screen_probes(final, probes)
+                    .select("doc_id").distinct())
+            n_in = final.count()
+            final = final.join(hits, "doc_id", "left_anti").persist()
+            persisted.append(final)
+            decontam_info = {
+                "probes": screen_probes_path,
+                "n_probes": probes.count(),
+                "n_docs_in": n_in,
+                "n_docs_dropped": n_in - final.count(),
+            }
         ml_info = None
         if ml_seed_path:
             # in-domain selection (X51, q147's exact rule): keep docs
@@ -249,7 +277,7 @@ def release_corpus(
                         .where(F.col("ml_bits") <= ml_threshold)
                         .select("doc_id"))
             final = final.join(kept_ids, "doc_id", "left_semi").persist()
-            ml_kept = final
+            persisted.append(final)
             ml_info = {
                 "seed": ml_seed_path,
                 "threshold_bits": ml_threshold,
@@ -372,11 +400,12 @@ def release_corpus(
         return _release_body(spark, final, output_path, baseline_path,
                              min_quality, langs, n_shards, allow_drift,
                              mix_info, scrub_info, bpe_manifest,
-                             embedding_drift, ml_info, recipe_info)
+                             embedding_drift, ml_info, recipe_info,
+                             decontam_info)
     finally:
         curated.unpersist()
-        if ml_kept is not None:
-            ml_kept.unpersist()
+        for df_ in persisted:
+            df_.unpersist()
         if scrubbed is not None:
             scrubbed.unpersist()
 
@@ -385,7 +414,7 @@ def _release_body(spark, final, output_path, baseline_path, min_quality,
                   langs, n_shards, allow_drift, mix_info=None,
                   scrub_info=None, bpe_manifest=False,
                   embedding_drift=False, ml_info=None,
-                  recipe_info=None) -> dict:
+                  recipe_info=None, decontam_info=None) -> dict:
     import json as _json
 
     from pyspark.errors import AnalysisException
@@ -481,6 +510,7 @@ def _release_body(spark, final, output_path, baseline_path, min_quality,
         "span_scrub": scrub_info,
         "ml_selection": ml_info,
         "recipe": recipe_info,
+        "decontamination": decontam_info,
         "drift": drift_rows,
     }
     if bpe_manifest:
@@ -650,6 +680,11 @@ def main(argv: list[str] | None = None) -> None:
                    help="record real BPE token totals (X41's "
                         "count-only path) in the release manifest "
                         "alongside whitespace counts (release domain)")
+    p.add_argument("--screen-probes", default=None,
+                   help="eval-canary parquet (probe_id, probe_text): "
+                        "drop every doc with a verified verbatim probe "
+                        "hit before any other stage (release domain; "
+                        "X5 decontamination, q52's rule)")
     p.add_argument("--recipe-weights", default=None,
                    help="weights-based mixture for the release: "
                         "'src0=80,src1=30' (unlisted sources weight 1); "
@@ -868,6 +903,7 @@ def main(argv: list[str] | None = None) -> None:
                 if args.recipe_weights else None),
             recipe_budget_frac=args.recipe_budget,
             recipe_epochs=args.recipe_epochs,
+            screen_probes_path=args.screen_probes,
         )
         print(f"released {manifest['n_docs']} docs / "
               f"{manifest['n_tokens']} tokens to {args.output}")

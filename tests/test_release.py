@@ -533,3 +533,48 @@ def test_release_cli_recipe_wiring(spark, tmp_path):
     assert m["recipe"]["weights"] == {"src0": 80, "src1": 30}
     assert m["recipe"]["max_epochs"] == 2
     assert m["recipe"]["per_source"]["src0"]["epochs_full"] >= 1
+
+
+def test_release_screen_probes_drops_contaminated(spark, tmp_path):
+    """--screen-probes (X21): every doc with a verified verbatim probe
+    hit is dropped before any other stage — membership equals the
+    operator's verified hit set on the curated frame, and the manifest
+    records the scrub."""
+    from real_time_iot_data_pipeline_project_spark.operators.contamination import (
+        screen_probes, synthetic_probe_dim,
+    )
+
+    curated = pipelines.curate_corpus(spark, _docs_path())
+    probes_path = str(tmp_path / "probes")
+    synthetic_probe_dim(spark, curated, n_synthetic=50) \
+        .write.parquet(probes_path)
+
+    rel = str(tmp_path / "dc_rel")
+    m = pipelines.release_corpus(spark, _docs_path(), rel, n_shards=1,
+                                 screen_probes_path=probes_path)
+    hits = {r.doc_id for r in
+            screen_probes(curated, spark.read.parquet(probes_path))
+            .select("doc_id").distinct().collect()}
+    assert hits, "planted probes must actually hit"
+    got = {r.doc_id for r in
+           spark.read.json(f"{rel}/data").select("doc_id").collect()}
+    want = {r.doc_id for r in curated.select("doc_id").collect()} - hits
+    assert got == want
+    assert m["decontamination"]["n_docs_dropped"] == len(hits)
+
+
+def test_release_cli_screen_probes_wiring(spark, tmp_path):
+    """--screen-probes reaches release_corpus through the CLI."""
+    from real_time_iot_data_pipeline_project_spark.operators.contamination import (
+        synthetic_probe_dim,
+    )
+
+    curated = pipelines.curate_corpus(spark, _docs_path())
+    probes_path = str(tmp_path / "cprobes")
+    synthetic_probe_dim(spark, curated, n_synthetic=10) \
+        .write.parquet(probes_path)
+    rel = str(tmp_path / "dc_cli")
+    pipelines.main(["release", _docs_path(), "--output", rel,
+                    "--shards", "1", "--screen-probes", probes_path])
+    m = json.load(open(f"{rel}/MANIFEST.json"))
+    assert m["decontamination"]["n_docs_dropped"] > 0
