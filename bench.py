@@ -201,6 +201,8 @@ HEADLINE = [
     # cross-entropy selection (X51)
     "q146_embedding_drift",
     "q147_moore_lewis",
+    # round 12: filtered vector search (X52)
+    "q148_filtered_ann",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

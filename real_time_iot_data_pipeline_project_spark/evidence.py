@@ -263,6 +263,9 @@ EVIDENCE: dict[str, dict] = {
         "test_curation_ops.py::test_moore_lewis_unseen_token_finite",
         "test_release.py::test_release_ml_selection_keeps_operator_membership",
         "test_release.py::test_release_cli_ml_selection_wiring"]},
+    "X52": {"queries": ["q148_filtered_ann"], "tests": [
+        "test_ann_index.py::test_filtered_search_prefilter_beats_postfilter",
+        "test_ann_index.py::test_filtered_search_pushes_predicate_and_prunes"]},
     "X40": {"queries": ["q128_edit_distance_verify"], "tests": [
         "test_dedup_similarity.py::test_edit_verify_exact_and_near_dups",
         "test_dedup_similarity.py::test_edit_verify_rejects_block_swapped_candidate",

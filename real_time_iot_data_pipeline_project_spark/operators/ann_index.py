@@ -43,10 +43,18 @@ from .similarity import _dot, _norm, _py_norm, assign_centroids, cosine
 
 def build_index(df: DataFrame, index_dir: str, n_centroids: int = 16,
                 vec_col: str = "embedding", id_col: str = "vec_id",
-                centroids: DataFrame | None = None) -> None:
+                centroids: DataFrame | None = None,
+                meta_cols: tuple[str, ...] = ()) -> None:
     """Materialize the IVF index: pick centroids (md5-ordered hash
     sample of ``df`` unless an explicit/refined set is passed), assign
-    every vector, write data partitioned by centroid_id."""
+    every vector, write data partitioned by centroid_id.
+
+    ``meta_cols`` names metadata columns of ``df`` (label, source,
+    lang, license tier, ...) stored ALONGSIDE each vector in the index
+    data — the payload :func:`search_index_batch`'s ``where``
+    predicate filters on.  Metadata lives in the same parquet rows as
+    the vectors, so a filtered search reads no side table and the
+    predicate pushes down into the pruned scan."""
     if centroids is None:
         centroids = (
             df.orderBy(F.md5(F.col(id_col).cast("string")), F.asc(id_col))
@@ -56,20 +64,26 @@ def build_index(df: DataFrame, index_dir: str, n_centroids: int = 16,
         )
     centroids.write.mode("overwrite").parquet(f"{index_dir}/centroids")
     stored = df.sparkSession.read.parquet(f"{index_dir}/centroids")
-    (assign_centroids(df, stored, vec_col, id_col)
+    (assign_centroids(df, stored, vec_col, id_col,
+                      carry_cols=tuple(meta_cols))
      .write.mode("overwrite").partitionBy("centroid_id")
      .parquet(f"{index_dir}/data"))
 
 
 def append_index(df_new: DataFrame, index_dir: str,
                  vec_col: str = "embedding",
-                 id_col: str = "vec_id") -> None:
+                 id_col: str = "vec_id",
+                 meta_cols: tuple[str, ...] = ()) -> None:
     """Assign new vectors against the STORED centroids and append their
     partitions — no rebuild, no rewrite of existing files. Cost tracks
-    the increment: one broadcast join over df_new + an append write."""
+    the increment: one broadcast join over df_new + an append write.
+    Pass the SAME ``meta_cols`` the build used — appending without the
+    build's metadata columns leaves NULL metadata on the new rows, and
+    a ``where`` filtered search would silently drop them."""
     spark = df_new.sparkSession
     centroids = spark.read.parquet(f"{index_dir}/centroids")
-    (assign_centroids(df_new, centroids, vec_col, id_col)
+    (assign_centroids(df_new, centroids, vec_col, id_col,
+                      carry_cols=tuple(meta_cols))
      .write.mode("append").partitionBy("centroid_id")
      .parquet(f"{index_dir}/data"))
 
@@ -79,7 +93,8 @@ def search_index_batch(spark: SparkSession, index_dir: str,
                        query_id_col: str = "query_id",
                        query_vec_col: str = "qvec",
                        vec_col: str = "embedding",
-                       id_col: str = "vec_id") -> DataFrame:
+                       id_col: str = "vec_id",
+                       where: F.Column | None = None) -> DataFrame:
     """Batch ANN serving: top-k for MANY query vectors in one job.
 
     ``queries`` is a (query_id_col, query_vec_col) frame. Per query,
@@ -96,7 +111,23 @@ def search_index_batch(spark: SparkSession, index_dir: str,
     Per-query results are IDENTICAL to :func:`search_index` with the
     same parameters (tested); the batch shape amortizes the corpus
     scan across the whole query set — the difference between q
-    queries costing q scans and costing one."""
+    queries costing q scans and costing one.
+
+    ``where`` (X52, filtered vector search — the metadata-constrained
+    query every production vector store serves: "nearest neighbors
+    WITH license = permissive / lang = en / label < 3"): a Column
+    predicate over the index's ``meta_cols``, applied to the index
+    data BEFORE scoring and ranking — PRE-filter semantics, so the
+    result is the exact top-k of the candidates SATISFYING the
+    predicate within the probed partitions.  Post-filtering a plain
+    top-k instead silently returns fewer than k rows and misses every
+    matching neighbor ranked below the unfiltered k — the classic
+    filtered-ANN failure mode, pinned by test.  The predicate sits on
+    scan columns of the pruned parquet read, so it pushes down
+    (PushedFilters) and composes with the partition pruning; recall
+    semantics vs nprobe are unchanged (probing still ranks centroids
+    by the query alone — at nprobe = n_centroids the filtered search
+    is provably the exact filtered top-k)."""
     centroids = spark.read.parquet(f"{index_dir}/centroids")
     qvec_d = F.transform(F.col(query_vec_col), lambda x: x.cast("double"))
     cvec_d = F.transform(F.col("cvec"), lambda x: x.cast("double"))
@@ -111,6 +142,8 @@ def search_index_batch(spark: SparkSession, index_dir: str,
         .select(query_id_col, "centroid_id")
     )
     data = spark.read.parquet(f"{index_dir}/data")
+    if where is not None:
+        data = data.where(where)
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     # per-operand norms BEFORE the (data × queries) pairing — once per
     # data row / once per query, not once per scored pair;

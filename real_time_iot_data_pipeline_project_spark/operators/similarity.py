@@ -170,7 +170,8 @@ def cosine_near_dup_lsh(df: DataFrame, planes: list[list[float]],
 
 def assign_centroids(df: DataFrame, centroids: DataFrame,
                      vec_col: str = "embedding",
-                     id_col: str = "vec_id") -> DataFrame:
+                     id_col: str = "vec_id",
+                     carry_cols: tuple[str, ...] = ()) -> DataFrame:
     """THE deterministic argmax-cosine assignment rule, written once:
     broadcast crossJoin + ``max_by(centroid_id, struct(csim,
     -centroid_id))`` (map-side combinable; -id = deterministic
@@ -188,16 +189,20 @@ def assign_centroids(df: DataFrame, centroids: DataFrame,
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     cvec_d = F.transform(F.col("cvec"), lambda x: x.cast("double"))
     lhs = df.select(F.col(id_col), F.col(vec_col),
+                    *[F.col(c) for c in carry_cols],
                     _norm(vec_d).alias("__vnorm"))
     rhs = centroids.select("centroid_id", "cvec",
                            _norm(cvec_d).alias("__cnorm"))
     return (
         lhs.crossJoin(F.broadcast(rhs))
-        .select(id_col, vec_col, "centroid_id",
+        .select(id_col, vec_col, *carry_cols, "centroid_id",
                 (_dot(vec_d, cvec_d)
                  / (F.col("__vnorm") * F.col("__cnorm"))).alias("csim"))
-        # id is unique; vec rides along as a functionally-dependent key
-        .groupBy(id_col, vec_col)
+        # id is unique; vec (and any carry_cols metadata — the
+        # filtered-search payload) rides along as a functionally-
+        # dependent key; carry_cols=() is the historical signature,
+        # bit-identical output
+        .groupBy(id_col, vec_col, *carry_cols)
         .agg(F.expr(
             "max_by(centroid_id, struct(csim, -centroid_id))"
         ).alias("centroid_id"))

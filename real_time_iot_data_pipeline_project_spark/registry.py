@@ -5122,12 +5122,15 @@ def q120_stream_heavy_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _index_batch_sql(n_centroids: int = 16, nprobe: int = 4,
-                     k: int = 10) -> str:
+                     k: int = 10, pred: str | None = None) -> str:
     """q121 oracle: the persistent-index BATCH search replayed in SQL —
     md5-sampled centroids, argmax assignment, per-QUERY centroid
     ranking (row_number ≤ nprobe), candidate scoring over the probed
     (query, centroid) pairs, per-query top-k. Identical arithmetic to
-    q38's proven formulation, generalized over a query SET."""
+    q38's proven formulation, generalized over a query SET.  ``pred``
+    (q148) restricts the CANDIDATE rows before ranking — the filtered
+    vector-search pre-filter, so the top-k is taken over matching
+    candidates only."""
     v_c = _list_cos_sql("e.embedding", "c.cvec")
     c_q = _list_cos_sql("c.cvec", "q.qv")
     v_q = _list_cos_sql("e.embedding", "q.qv")
@@ -5169,6 +5172,7 @@ def _index_batch_sql(n_centroids: int = 16, nprobe: int = 4,
       JOIN assigned a ON a.vec_id = e.vec_id
       JOIN probes p ON p.centroid_id = a.centroid_id
       JOIN q ON q.query_id = p.query_id
+      {'WHERE ' + pred if pred else ''}
     ) WHERE rn <= {k}
     """
 
@@ -6735,6 +6739,40 @@ def q147_moore_lewis(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, docs.where(F.col("source") == "src0"), ln2=LN2)
 
 
+@query("q148_filtered_ann", _index_batch_sql(pred="e.label < 3"))
+def q148_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X52 — filtered vector search (ann_index.search_index_batch
+    ``where=``): the metadata-constrained ANN query every production
+    vector store serves ("nearest neighbors WITH label < 3 / lang =
+    en / license = permissive").  The index stores metadata ALONGSIDE
+    each vector (build_index ``meta_cols`` — no side table), and the
+    predicate applies to the pruned candidate scan BEFORE scoring and
+    ranking: PRE-filter semantics, the exact top-k over matching
+    candidates in the probed partitions.  Post-filtering a plain
+    top-k instead under-fills k and misses every matching neighbor
+    ranked below the unfiltered cut — the classic filtered-ANN
+    failure mode, pinned by test alongside the nprobe=C exact-anchor
+    equivalence.  The oracle is q121's proven replica with the same
+    predicate inside the scoring subquery (SQL WHERE runs before
+    window functions, i.e. exactly the pre-filter), so the hash pins
+    build + metadata round-trip + filtered search end-to-end.  Scale:
+    the predicate lands in PushedFilters of the DPP-pruned scan —
+    filters compose with partition pruning instead of reading the
+    corpus."""
+    from .operators.ann_index import build_index, search_index_batch
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = _scratch_dir("q148_index", sf_dir)
+    build_index(emb, idx, n_centroids=16, meta_cols=("label",))
+    queries = (emb.where(F.col("vec_id").isin(0, 1, 2, 3, 4))
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qvec")))
+    out = search_index_batch(spark, idx, queries, k=10, nprobe=4,
+                             where=F.col("label") < 3)
+    return out.select("query_id", "vec_id",
+                      F.round("cosine_sim", 6).alias("cosine_sim"))
+
+
 # Operators added AFTER the 50-slot window filled with unique-operator
 # queries: fully oracle-checked by the local gate, first in line for a
 # window slot if one opens.
@@ -6806,6 +6844,8 @@ POST_WINDOW: list[str] = [
     "q146_embedding_drift",
     # round 12: X51 Moore-Lewis cross-entropy selection — rotation #9
     "q147_moore_lewis",
+    # round 12: X52 filtered vector search — rotation #9
+    "q148_filtered_ann",
 ]
 
 

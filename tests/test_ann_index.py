@@ -161,3 +161,63 @@ def test_ann_recall_curve_monotone_and_anchored(spark, tmp_path):
     for qid, curve in by_q.items():
         assert curve[1] <= curve[4] <= curve[16], (qid, curve)
         assert curve[16] == 10, (qid, curve)  # all buckets probed
+
+
+def test_filtered_search_prefilter_beats_postfilter(spark, tmp_path):
+    """X52: the filtered search is the exact top-k over MATCHING
+    candidates — post-filtering an unfiltered top-k under-fills k and
+    misses matching neighbors ranked below the unfiltered cut (the
+    classic filtered-ANN failure mode, constructed here: the vectors
+    nearest the query carry the excluded label)."""
+    import math
+
+    # 2-D toy geometry: query = (1, 0); label-9 vectors hug the query,
+    # label-1 vectors trail behind them
+    rows = ([(i, [1.0, 0.01 * i], 9) for i in range(1, 6)]       # near
+            + [(10 + i, [1.0, 0.5 + 0.05 * i], 1) for i in range(5)]
+            + [(100, [0.0, 1.0], 9), (101, [1.0, 0.0], 9)])
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    idx = str(tmp_path / "fidx")
+    ann_index.build_index(emb, idx, n_centroids=2, meta_cols=("label",))
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id long, qvec array<float>")
+
+    unfiltered = ann_index.search_index_batch(
+        spark, idx, queries, k=5, nprobe=2).collect()
+    post = [r for r in unfiltered if
+            dict((v, l) for v, _, l in rows)[r.vec_id] == 1]
+    filtered = ann_index.search_index_batch(
+        spark, idx, queries, k=5, nprobe=2,
+        where=F.col("label") == 1).collect()
+    assert len(filtered) == 5 and len(post) < 5  # post-filter loses hits
+    labels = dict((v, l) for v, _, l in rows)
+    assert all(labels[r.vec_id] == 1 for r in filtered)
+    # and it IS the brute-force filtered top-k (nprobe = n_centroids
+    # anchor): exact cosine over label-1 rows
+    def cos(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return v[0] / (n * 1.0)
+    want = sorted(((cos(v), -vid) for vid, v, l in rows if l == 1),
+                  reverse=True)[:5]
+    assert [r.vec_id for r in filtered] == [-nv for _, nv in want]
+
+
+def test_filtered_search_pushes_predicate_and_prunes(spark, tmp_path):
+    """The metadata predicate lands in the pruned scan's pushed
+    filters AND the partition pruning survives — filters compose, the
+    corpus is not re-read."""
+    emb = _emb(spark).withColumn("label", F.pmod("vec_id", F.lit(4)))
+    idx = str(tmp_path / "pidx")
+    ann_index.build_index(emb, idx, n_centroids=8, meta_cols=("label",))
+    queries = spark.createDataFrame(
+        [(0, _qvec(spark))], "query_id long, qvec array<float>")
+    out = ann_index.search_index_batch(spark, idx, queries, k=5,
+                                       nprobe=2,
+                                       where=F.col("label") < 2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "label" in plan and "PushedFilters" in plan
+    assert "dynamicpruning" in plan.lower() or "PartitionFilters" in plan
+    got = out.collect()
+    assert got and all(
+        r.vec_id % 4 < 2 for r in got)

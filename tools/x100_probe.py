@@ -495,6 +495,9 @@ def main() -> None:
         # frequency tables onto the token stream + one doc-keyed
         # combinable reduction; expectation ~linear in corpus tokens
         ("q147_moore_lewis", probe_query("q147_moore_lewis")),
+        # round-12: filtered vector search — the q121 DPP-pruned scan
+        # plus a pushed metadata predicate; expectation ~q121's shape
+        ("q148_filtered_ann", probe_query("q148_filtered_ann")),
         # round-11: incremental annotate — two shuffle-hash joins on
         # (id, md5) plus the annotator over the ~8% fresh slice only
         ("q141_inc_annotate", probe_query("q141_incremental_annotate")),
