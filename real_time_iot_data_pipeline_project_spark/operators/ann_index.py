@@ -64,6 +64,11 @@ def build_index(df: DataFrame, index_dir: str, n_centroids: int = 16,
         )
     centroids.write.mode("overwrite").parquet(f"{index_dir}/centroids")
     stored = df.sparkSession.read.parquet(f"{index_dir}/centroids")
+    # persist the metadata contract with the index: append_index reads
+    # it back so a later append cannot silently write NULL metadata
+    (df.sparkSession.createDataFrame([(list(meta_cols),)],
+                                     "meta_cols array<string>")
+     .write.mode("overwrite").parquet(f"{index_dir}/meta"))
     (assign_centroids(df, stored, vec_col, id_col,
                       carry_cols=tuple(meta_cols))
      .write.mode("overwrite").partitionBy("centroid_id")
@@ -73,14 +78,34 @@ def build_index(df: DataFrame, index_dir: str, n_centroids: int = 16,
 def append_index(df_new: DataFrame, index_dir: str,
                  vec_col: str = "embedding",
                  id_col: str = "vec_id",
-                 meta_cols: tuple[str, ...] = ()) -> None:
+                 meta_cols: tuple[str, ...] | None = None) -> None:
     """Assign new vectors against the STORED centroids and append their
     partitions — no rebuild, no rewrite of existing files. Cost tracks
     the increment: one broadcast join over df_new + an append write.
-    Pass the SAME ``meta_cols`` the build used — appending without the
-    build's metadata columns leaves NULL metadata on the new rows, and
-    a ``where`` filtered search would silently drop them."""
+
+    The metadata contract is ENFORCED from the index's own manifest
+    (written by build_index): with the default ``meta_cols=None`` the
+    stored column list applies automatically, and an explicit tuple
+    that disagrees with the stored one raises — appending rows with
+    missing metadata would land as NULLs that every ``where`` filtered
+    search silently drops (review catch).  Pre-manifest indexes
+    (no ``meta`` dir) fall back to no metadata."""
+    from pyspark.errors import AnalysisException
+
     spark = df_new.sparkSession
+    try:
+        stored_meta = tuple(
+            spark.read.parquet(f"{index_dir}/meta")
+            .head()["meta_cols"])
+    except AnalysisException:
+        stored_meta = ()
+    if meta_cols is None:
+        meta_cols = stored_meta
+    elif tuple(meta_cols) != stored_meta:
+        raise ValueError(
+            f"append meta_cols {tuple(meta_cols)} != the index's "
+            f"stored contract {stored_meta} — appended rows would "
+            f"carry NULL metadata and vanish from filtered searches")
     centroids = spark.read.parquet(f"{index_dir}/centroids")
     (assign_centroids(df_new, centroids, vec_col, id_col,
                       carry_cols=tuple(meta_cols))

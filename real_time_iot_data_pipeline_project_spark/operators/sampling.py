@@ -580,10 +580,19 @@ def waterfill_sample(df: DataFrame, stratum: str, key: str, weight: Column,
     # measured — the local x100 probe halved on this change).
     spark = df.sparkSession
     alloc_rows = alloc.collect()  # ≤ strata rows
+    # allocation-0 strata are NOT thinned (rate 1.0): their rate would
+    # floor to 0, dropping every row — but the exact rule still keeps
+    # a leading run of zero-token docs (cum 0 <= 0), so thinning would
+    # silently diverge, and the shortfall guard would reject 0 <= 0
+    # unconditionally (no margin could ever fix it — review catch).
+    # They cost nothing downstream: the window input for an alloc-0
+    # stratum is its own rows, and the trim discards all but the
+    # zero-token head.
     rates = {
-        r[stratum]: min(1.0, (1.0 + prethin_margin)
-                        * r["allocation_tokens"]
-                        / max(r["capacity_tokens"], 1))
+        r[stratum]: (1.0 if r["allocation_tokens"] == 0 else
+                     min(1.0, (1.0 + prethin_margin)
+                         * r["allocation_tokens"]
+                         / max(r["capacity_tokens"], 1)))
         for r in alloc_rows
     }
     stype = alloc.schema[stratum].dataType.simpleString()
@@ -698,7 +707,8 @@ def epoch_plan(df: DataFrame, stratum: str, weight: Column,
 def epoch_expand(df: DataFrame, stratum: str, key: str, weight: Column,
                  budget_tokens: Column | int, max_epochs: int = 4,
                  tokens_col: str | None = None, text_col: str = "text",
-                 salt: str = "epoch") -> DataFrame:
+                 salt: str = "epoch",
+                 plan: DataFrame | None = None) -> DataFrame:
     """:func:`epoch_plan` APPLIED (X48's consumer tier): materialize
     the actual multi-epoch training membership as one row per
     (document, epoch) pair.  Full passes are exact replication —
@@ -720,6 +730,10 @@ def epoch_expand(df: DataFrame, stratum: str, key: str, weight: Column,
     shuffle; output rows ∝ delivered tokens, which is the budget —
     you cannot expand less than you deliver); the partial pass is the
     per-stratum sorted window documented in waterfill_sample.
+    ``plan`` accepts a precomputed :func:`epoch_plan` frame (e.g. a
+    collected strata-sized literal) so a caller that also reports the
+    plan solves it ONCE instead of re-running the corpus groupBy
+    inside the expansion.
     Returns (stratum, key, n_tok, epoch)."""
     from pyspark.sql import Window
 
@@ -727,9 +741,10 @@ def epoch_expand(df: DataFrame, stratum: str, key: str, weight: Column,
 
     toks = (F.col(tokens_col) if tokens_col
             else textfns.token_count(text_col))
-    plan = epoch_plan(df, stratum, weight, budget_tokens,
-                      max_epochs=max_epochs, tokens_col=tokens_col,
-                      text_col=text_col)
+    if plan is None:
+        plan = epoch_plan(df, stratum, weight, budget_tokens,
+                          max_epochs=max_epochs, tokens_col=tokens_col,
+                          text_col=text_col)
     p = F.broadcast(plan.select(
         F.col(stratum).alias("__pstratum"), "epochs_full",
         "remainder_tokens"))

@@ -101,16 +101,13 @@ def curate_corpus(
     language annotation → filter → parquet partitioned by detected
     language. One dedup shuffle + scan-stage scoring; the funnel report
     is one extra rollup over the same scored frame."""
-    from .functions import textfns
     from .operators import dedup
 
     docs = spark.read.parquet(input_path)
     kept = dedup.exact_dedup(docs)
-    scored = (
-        kept.withColumn("q", textfns.quality_score("text"))
-        .withColumn("detected_lang", textfns.detect_language("text"))
-        .withColumn("n_tok", textfns.token_count("text"))
-    )
+    scored = kept
+    for name, expr in annotation_columns().items():
+        scored = scored.withColumn(name, expr)
     final = scored.filter(
         (F.col("q") >= min_quality) & F.col("detected_lang").isin(*langs)
     )
@@ -228,6 +225,10 @@ def release_corpus(
     # shuffle + scoring would recompute (up to) three times, and the
     # gated profile and written corpus would come from different
     # executions of the dedup
+    if recipe_weights is not None and mix_alpha is not None:
+        raise ValueError(
+            "recipe_weights and mix_alpha are two mixing rules for the "
+            "same stage — pass one")
     curated = curate_corpus(spark, input_path, output_path=None,
                             min_quality=min_quality, langs=langs).persist()
     final = curated
@@ -263,8 +264,8 @@ def release_corpus(
             # the SEED unigram model prefers over the pool's own model
             # by at least -ml_threshold bits/token (ml_bits <=
             # threshold; 0.0 = "seed likes it at least as much").
-            # Runs FIRST among the optional stages — selection defines
-            # the corpus the scrub/mix/gate then see.  Threshold-based
+            # Runs after decontamination, before scrub/mix — selection
+            # defines the corpus those stages see.  Threshold-based
             # rather than fraction-based on purpose: a fixed cutoff is
             # a map-side filter after two broadcast joins; a fraction
             # would need a corpus-wide quantile.  Membership comes
@@ -327,10 +328,6 @@ def release_corpus(
                 "doc_id")
         recipe_info = None
         if recipe_weights is not None:
-            if mix_alpha is not None:
-                raise ValueError(
-                    "recipe_weights and mix_alpha are two mixing rules "
-                    "for the same stage — pass one")
             # weights-based mixture (X44/X48, q143/q144's exact rule):
             # waterfill the token budget across sources at the given
             # integer weights, repeating under-sized sources up to
@@ -351,14 +348,23 @@ def release_corpus(
             total = int(final.agg(
                 F.coalesce(F.sum("n_tok"), F.lit(0))).head()[0])
             budget = int(total * recipe_budget_frac)
-            plan_rows = sampling.epoch_plan(
+            # solve ONCE: the collected strata-sized plan feeds both
+            # the manifest AND the expansion as a literal frame, and
+            # the expanded release persists — otherwise the corpus
+            # groupBy + solver + window would re-run for every
+            # downstream action (shards, manifest stats, drift gate,
+            # diff, bpe rollup — review catch)
+            plan_df = sampling.epoch_plan(
                 final, "source", w, budget, max_epochs=recipe_epochs,
-                tokens_col="n_tok").collect()  # strata-sized
+                tokens_col="n_tok")
+            plan_rows = plan_df.collect()  # strata-sized
             expanded = sampling.epoch_expand(
                 final, "source", "doc_id", w, budget,
-                max_epochs=recipe_epochs, tokens_col="n_tok")
+                max_epochs=recipe_epochs, tokens_col="n_tok",
+                plan=spark.createDataFrame(plan_rows, plan_df.schema))
             final = final.join(
-                expanded.select("doc_id", "epoch"), "doc_id")
+                expanded.select("doc_id", "epoch"), "doc_id").persist()
+            persisted.append(final)
             recipe_info = {
                 "weights": {str(k): int(v)
                             for k, v in recipe_weights.items()},
@@ -555,18 +561,29 @@ def _release_body(spark, final, output_path, baseline_path, min_quality,
 ANNOTATION_COLS = ("q", "detected_lang", "n_tok")
 
 
+def annotation_columns() -> dict[str, "F.Column"]:
+    """THE standard per-doc annotation expressions, written once —
+    consumed by both `curate_corpus` (full release) and
+    `standard_annotator` (the refresh path), so the refresh ≡
+    full-recompute invariant q141 gates cannot drift between two
+    copies of the rule (review catch)."""
+    from .functions import textfns
+
+    return {
+        "q": textfns.quality_score("text"),
+        "detected_lang": textfns.detect_language("text"),
+        "n_tok": textfns.token_count("text").cast("long"),
+    }
+
+
 def standard_annotator(d: DataFrame) -> DataFrame:
     """The release's standard per-doc annotation set (the q48 chain's
     quality / language / token-count columns) as a reusable callable —
-    the annotator `refresh_annotations` re-runs on the fresh slice and
-    the one `curate_corpus` computes for a full release."""
-    from .functions import textfns
-
+    the annotator `refresh_annotations` re-runs on the fresh slice,
+    built from the SAME expressions `curate_corpus` applies."""
+    cols = annotation_columns()
     return d.select(
-        "doc_id",
-        textfns.quality_score("text").alias("q"),
-        textfns.detect_language("text").alias("detected_lang"),
-        textfns.token_count("text").cast("long").alias("n_tok"))
+        "doc_id", *[expr.alias(name) for name, expr in cols.items()])
 
 
 def refresh_annotations(
@@ -591,18 +608,36 @@ def refresh_annotations(
 
     from .operators import audit as audit_ops
 
+    # pinned schema (the _release_body baseline-read rule): the needed
+    # columns are statically known, so the JSONL read must not run a
+    # whole-release inference scan first — at scale the inference pass
+    # alone would read the world (review catch).  A release missing an
+    # annotation field surfaces as all-NULL columns; probe one row so
+    # the error stays loud instead of silently re-annotating 100%.
+    jsonl_schema = ("doc_id long, text string, q double, "
+                    "detected_lang string, n_tok long")
     try:
-        old = sio.read_jsonl(spark, f"{old_path}/data")
+        old = sio.read_jsonl(spark, f"{old_path}/data",
+                             schema=jsonl_schema)
         old.head(1)
+        if old.head(1) and not old.where(
+                F.col("q").isNotNull()
+                | F.col("detected_lang").isNotNull()
+                | F.col("n_tok").isNotNull()).head(1):
+            raise ValueError(
+                f"previous release at {old_path} carries none of the "
+                f"standard annotation columns {list(ANNOTATION_COLS)} "
+                f"— refresh-annotations would re-annotate everything")
     except AnalysisException:
         old = spark.read.parquet(old_path)
-    missing = [c for c in ("doc_id", "text", *ANNOTATION_COLS)
-               if c not in old.columns]
-    if missing:
-        raise ValueError(
-            f"previous release at {old_path} lacks column(s) {missing}; "
-            f"refresh-annotations needs doc_id, text and the standard "
-            f"annotation columns {list(ANNOTATION_COLS)}")
+        missing = [c for c in ("doc_id", "text", *ANNOTATION_COLS)
+                   if c not in old.columns]
+        if missing:
+            raise ValueError(
+                f"previous release at {old_path} lacks column(s) "
+                f"{missing}; refresh-annotations needs doc_id, text "
+                f"and the standard annotation columns "
+                f"{list(ANNOTATION_COLS)}")
     new = spark.read.parquet(corpus_path).select("doc_id", "text")
     old_sel = old.select("doc_id", "text", *ANNOTATION_COLS)
     # n_tok may come back from JSONL inference or an older release as a

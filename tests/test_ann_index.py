@@ -221,3 +221,23 @@ def test_filtered_search_pushes_predicate_and_prunes(spark, tmp_path):
     got = out.collect()
     assert got and all(
         r.vec_id % 4 < 2 for r in got)
+
+
+def test_append_meta_contract_enforced(spark, tmp_path):
+    """Review catch: the index persists its meta_cols contract —
+    append picks it up automatically (no NULL-metadata rows for the
+    caller to forget), and an explicitly conflicting tuple raises
+    instead of silently writing rows every filtered search drops."""
+    import pytest
+
+    emb = _emb(spark).withColumn("label", F.pmod("vec_id", F.lit(4)))
+    idx = str(tmp_path / "midx")
+    ann_index.build_index(emb.where(F.col("vec_id") < 150), idx,
+                          n_centroids=4, meta_cols=("label",))
+    # default: stored contract applies — appended rows carry label
+    ann_index.append_index(emb.where(F.col("vec_id") >= 150), idx)
+    data = spark.read.parquet(f"{idx}/data")
+    assert data.where(F.col("label").isNull()).count() == 0
+    assert data.count() == emb.count()
+    with pytest.raises(ValueError, match="stored contract"):
+        ann_index.append_index(emb, idx, meta_cols=("other",))

@@ -1028,3 +1028,26 @@ def test_epoch_plan_zero_capacity_stratum(spark):
     out = sampling.epoch_expand(df, "s", "doc_id", F.lit(1), 300,
                                 max_epochs=2, tokens_col="n").collect()
     assert all(r.s == "b" for r in out)
+
+
+def test_waterfill_prethin_alloc_zero_stratum_not_thinned(spark):
+    """Review catch: a stratum floored/weighted to allocation 0 once
+    made the pre-thin guard raise unconditionally (rate 0 -> zero
+    survivors -> 0 <= 0 shortfall, unfixable by any margin).  Such
+    strata are now exempt from thinning and the kept set equals the
+    unthinned rule exactly."""
+    from real_time_iot_data_pipeline_project_spark.operators import sampling
+
+    rows = ([("a", i, (i * 29) % 40 + 5) for i in range(30)]
+            + [("zero", 100 + i, 10) for i in range(5)])
+    df = spark.createDataFrame(rows, "src string, doc_id long, n int")
+    w = F.when(F.col("src") == "zero", 0).otherwise(1)
+    base = {(r.src, r.doc_id) for r in
+            sampling.waterfill_sample(df, "src", "doc_id", w, 200,
+                                      tokens_col="n").collect()}
+    thin = {(r.src, r.doc_id) for r in
+            sampling.waterfill_sample(df, "src", "doc_id", w, 200,
+                                      tokens_col="n",
+                                      prethin_margin=1.0).collect()}
+    assert thin == base and base
+    assert all(s != "zero" for s, _ in base)
