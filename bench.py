@@ -201,8 +201,10 @@ HEADLINE = [
     # cross-entropy selection (X51)
     "q146_embedding_drift",
     "q147_moore_lewis",
-    # round 12: filtered vector search (X52)
+    # round 12: filtered vector search (X52) and the Naive Bayes
+    # classifier (X53)
     "q148_filtered_ann",
+    "q149_naive_bayes_langid",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

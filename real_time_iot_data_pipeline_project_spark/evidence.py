@@ -263,6 +263,9 @@ EVIDENCE: dict[str, dict] = {
         "test_curation_ops.py::test_moore_lewis_unseen_token_finite",
         "test_release.py::test_release_ml_selection_keeps_operator_membership",
         "test_release.py::test_release_cli_ml_selection_wiring"]},
+    "X53": {"queries": ["q149_naive_bayes_langid"], "tests": [
+        "test_curation_ops.py::test_naive_bayes_hand_computed_and_separable",
+        "test_curation_ops.py::test_naive_bayes_priors_break_vocab_ties"]},
     "X52": {"queries": ["q148_filtered_ann"], "tests": [
         "test_ann_index.py::test_filtered_search_prefilter_beats_postfilter",
         "test_ann_index.py::test_filtered_search_pushes_predicate_and_prunes"]},

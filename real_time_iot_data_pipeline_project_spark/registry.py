@@ -6773,6 +6773,87 @@ def q148_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("cosine_sim", 6).alias("cosine_sim"))
 
 
+@query(
+    "q149_naive_bayes_langid",
+    f"""
+    WITH train AS (
+      SELECT lang AS label, {_NORM_SQL} AS norm FROM documents
+      WHERE doc_id % 2 = 0
+    ),
+    test AS (
+      SELECT doc_id, {_NORM_SQL} AS norm FROM documents
+      WHERE doc_id % 2 = 1
+    ),
+    counts AS (
+      SELECT label, tok, COUNT(*) AS c FROM (
+        SELECT label, unnest(string_split(norm, ' ')) AS tok FROM train
+      ) GROUP BY label, tok
+    ),
+    totals AS (SELECT label, SUM(c) AS t FROM counts GROUP BY label),
+    dc AS (SELECT label, COUNT(*) AS n_docs FROM train GROUP BY label),
+    consts AS (
+      SELECT (SELECT COUNT(DISTINCT tok) FROM counts) AS v,
+             (SELECT SUM(n_docs) FROM dc) AS n,
+             (SELECT COUNT(*) FROM dc) AS l
+    ),
+    labels AS (
+      SELECT t.label, t.t, c.v,
+             CAST(ln((CAST(d.n_docs AS DOUBLE) + 1.0)
+                     / CAST(c.n + c.l AS DOUBLE))
+               AS DECIMAL(18,12)) AS prior
+      FROM totals t JOIN dc d USING (label), consts c
+    ),
+    toks AS (
+      SELECT doc_id, unnest(string_split(norm, ' ')) AS tok FROM test
+    ),
+    scored AS (
+      SELECT tk.doc_id, lb.label,
+             lb.prior + SUM(CAST(ln(
+               (CAST(COALESCE(cn.c, 0) AS DOUBLE) + 1.0)
+               / CAST(lb.t + lb.v AS DOUBLE)) AS DECIMAL(18,12)))
+               AS score
+      FROM toks tk CROSS JOIN labels lb
+      LEFT JOIN counts cn ON cn.tok = tk.tok AND cn.label = lb.label
+      GROUP BY tk.doc_id, lb.label, lb.prior
+    )
+    SELECT doc_id, label, round(CAST(score AS DOUBLE), 6) AS score
+    FROM (
+      SELECT doc_id, label, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, label DESC) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def q149_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X53 — multinomial Naive Bayes classification
+    (classify.nb_train/nb_classify): the counting classifier covering
+    the fastText-tier jobs (language ID beyond the stopword heuristic,
+    domain tagging, seed-vs-rest quality filters).  Here: train on the
+    even-doc_id half's ``lang`` labels, classify the odd half — a real
+    supervised train/predict split inside one gated row.  (The
+    synthetic corpus draws text independently of its lang column, so
+    THIS row's job is pinning the train/smooth/prior/argmax ARITHMETIC
+    cross-engine — the correctness contract; separability is pinned by
+    the planted-vocabulary test, where NB recovers every label.)
+    Training is
+    one grouped count (the model IS the vocab×L table); inference
+    explodes the test half once, fans across the broadcast 5-row label
+    dim, left-joins the broadcast model and reduces doc-keyed.  All
+    log terms are the q72/q147 decimal-cast ln policy generalized to n
+    classes, so the per-(doc, label) posterior is order-free and the
+    (score DESC, label DESC) argmax is total — the oracle replays
+    train + smoothing + priors + argmax end-to-end."""
+    from .operators import classify
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    test = docs.where(F.col("doc_id") % 2 == 1)
+    counts = classify.nb_train(train, label_col="lang")
+    dc = classify.nb_doc_counts(train, label_col="lang")
+    return classify.nb_classify(test, counts, dc)
+
+
 # Operators added AFTER the 50-slot window filled with unique-operator
 # queries: fully oracle-checked by the local gate, first in line for a
 # window slot if one opens.
@@ -6846,6 +6927,8 @@ POST_WINDOW: list[str] = [
     "q147_moore_lewis",
     # round 12: X52 filtered vector search — rotation #9
     "q148_filtered_ann",
+    # round 12: X53 Naive Bayes classifier — rotation #9
+    "q149_naive_bayes_langid",
 ]
 
 

@@ -1051,3 +1051,62 @@ def test_waterfill_prethin_alloc_zero_stratum_not_thinned(spark):
                                       prethin_margin=1.0).collect()}
     assert thin == base and base
     assert all(s != "zero" for s, _ in base)
+
+
+def test_naive_bayes_hand_computed_and_separable(spark):
+    """X53: on a planted separable vocabulary NB recovers every label
+    (including docs mixing in shared noise tokens), the posterior
+    matches the closed form to the 6-dp rounding, and an unseen token
+    stays finite via the Laplace floor."""
+    from real_time_iot_data_pipeline_project_spark.operators import classify
+
+    train = spark.createDataFrame(
+        [(1, "apfel apfel strasse", "de"), (2, "strasse apfel", "de"),
+         (3, "pomme rue rue", "fr"), (4, "pomme pomme", "fr")],
+        "doc_id long, text string, lang string")
+    test = spark.createDataFrame(
+        [(10, "apfel strasse zzz"),   # de vocab + unseen token
+         (11, "rue pomme"),           # fr vocab
+         (12, "zzz qqq")],            # all unseen -> prior/total fight
+        "doc_id long, text string")
+    counts = classify.nb_train(train, label_col="lang")
+    dc = classify.nb_doc_counts(train, label_col="lang")
+    got = {r.doc_id: r for r in
+           classify.nb_classify(test, counts, dc).collect()}
+    assert got[10].label == "de" and got[11].label == "fr"
+
+    import math
+
+    # closed form for doc 10 under label de: T_de=5, T_fr=5, V=4,
+    # priors ln(3/6) both (2+1 docs / 4+2)
+    def score(tokens, t, cnt):
+        prior = math.log(3.0 / 6.0)
+        return prior + sum(
+            math.log((cnt.get(tok, 0) + 1.0) / (t + 4.0))
+            for tok in tokens)
+    de = score(["apfel", "strasse", "zzz"], 5,
+               {"apfel": 3, "strasse": 2})
+    fr = score(["apfel", "strasse", "zzz"], 5,
+               {"pomme": 3, "rue": 2})
+    assert got[10].score == pytest.approx(de, abs=1e-6)
+    assert de > fr
+    # all-unseen doc: finite score, deterministic (DESC-label) tie
+    assert math.isfinite(got[12].score)
+    assert got[12].label in ("de", "fr")
+
+
+def test_naive_bayes_priors_break_vocab_ties(spark):
+    """With identical class vocabularies the prior decides: the label
+    with more training docs wins every prediction."""
+    from real_time_iot_data_pipeline_project_spark.operators import classify
+
+    train = spark.createDataFrame(
+        [(i, "x y", "big") for i in range(8)]
+        + [(100, "x y", "small")],
+        "doc_id long, text string, lang string")
+    test = spark.createDataFrame([(200, "x y x")],
+                                 "doc_id long, text string")
+    counts = classify.nb_train(train, label_col="lang")
+    dc = classify.nb_doc_counts(train, label_col="lang")
+    got = classify.nb_classify(test, counts, dc).collect()[0]
+    assert got.label == "big"

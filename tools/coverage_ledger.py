@@ -69,7 +69,7 @@ PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
     # displace the pinned window.)
     # rotation #9 — the round-12 additions: q131's token-frequency
     # table under the production rank_impl='hash' BPE lookup, plus the
-    # round-12 operators (X48 multi-epoch mixture plan + expansion, X49 source novelty, X50 embedding release drift, X51 Moore-Lewis selection, X52 filtered vector search)
+    # round-12 operators (X48 multi-epoch mixture plan + expansion, X49 source novelty, X50 embedding release drift, X51 Moore-Lewis selection, X52 filtered vector search, X53 Naive Bayes classifier)
     13: (9, [
         "q142_bpe_hash_ranks",
         "q143_epoch_plan",
@@ -78,6 +78,7 @@ PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
         "q146_embedding_drift",
         "q147_moore_lewis",
         "q148_filtered_ann",
+        "q149_naive_bayes_langid",
     ]),
 }
 

@@ -498,6 +498,9 @@ def main() -> None:
         # round-12: filtered vector search — the q121 DPP-pruned scan
         # plus a pushed metadata predicate; expectation ~q121's shape
         ("q148_filtered_ann", probe_query("q148_filtered_ann")),
+        # round-12: Naive Bayes — train groupBy + broadcast-model
+        # classify; expectation ~linear in corpus tokens
+        ("q149_naive_bayes", probe_query("q149_naive_bayes_langid")),
         # round-11: incremental annotate — two shuffle-hash joins on
         # (id, md5) plus the annotator over the ~8% fresh slice only
         ("q141_inc_annotate", probe_query("q141_incremental_annotate")),
