@@ -205,6 +205,8 @@ HEADLINE = [
     # classifier (X53)
     "q148_filtered_ann",
     "q149_naive_bayes_langid",
+    # round 12: the streaming NB training fold (X54)
+    "q150_stream_nb_train",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

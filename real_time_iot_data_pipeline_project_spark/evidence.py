@@ -263,6 +263,9 @@ EVIDENCE: dict[str, dict] = {
         "test_curation_ops.py::test_moore_lewis_unseen_token_finite",
         "test_release.py::test_release_ml_selection_keeps_operator_membership",
         "test_release.py::test_release_cli_ml_selection_wiring"]},
+    "X54": {"queries": ["q150_stream_nb_train"], "tests": [
+        "test_streaming.py::test_streaming_nb_fold_equals_batch",
+        "test_streaming.py::test_streaming_nb_sink_engine_equals_direct"]},
     "X53": {"queries": ["q149_naive_bayes_langid"], "tests": [
         "test_curation_ops.py::test_naive_bayes_hand_computed_and_separable",
         "test_curation_ops.py::test_naive_bayes_priors_break_vocab_ties"]},

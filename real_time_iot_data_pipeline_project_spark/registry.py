@@ -6773,9 +6773,7 @@ def q148_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("cosine_sim", 6).alias("cosine_sim"))
 
 
-@query(
-    "q149_naive_bayes_langid",
-    f"""
+_NB_LANGID_SQL = f"""
     WITH train AS (
       SELECT lang AS label, {_NORM_SQL} AS norm FROM documents
       WHERE doc_id % 2 = 0
@@ -6823,8 +6821,10 @@ def q148_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY score DESC, label DESC) AS rn
       FROM scored
     ) WHERE rn = 1
-    """,
-)
+    """
+
+
+@query("q149_naive_bayes_langid", _NB_LANGID_SQL)
 def q149_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X53 — multinomial Naive Bayes classification
     (classify.nb_train/nb_classify): the counting classifier covering
@@ -6852,6 +6852,33 @@ def q149_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = classify.nb_train(train, label_col="lang")
     dc = classify.nb_doc_counts(train, label_col="lang")
     return classify.nb_classify(test, counts, dc)
+
+
+@query("q150_stream_nb_train", _NB_LANGID_SQL)
+def q150_stream_nb_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X54 — X53's training fold as a STREAM, hash-gated end-to-end:
+    the train half folded through streaming/classify_stream
+    .process_nb_batch in three deterministic micro-batches (doc_id mod
+    3 — the foreachBatch body driven directly with its batch_id
+    contract; stream-engine == direct-invocation is pinned by the
+    availableNow test in tests/test_streaming.py), then the odd half
+    classified under the store-folded model.  The oracle is literally
+    q149's SQL: a green hash PROVES fold == batch — an NB model is two
+    integer count tables, integer counts are exactly mergeable, so any
+    batching folds to the batch model bit-for-bit (the q132
+    precedent).  /tmp store is per-process, removed at exit."""
+    from .streaming import classify_stream
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    test = docs.where(F.col("doc_id") % 2 == 1)
+    root = _scratch_dir("q150_nb", sf_dir)
+    for b in range(3):
+        classify_stream.process_nb_batch(
+            train.filter(F.pmod(F.col("doc_id"), F.lit(3)) == b), b,
+            f"{root}/store", label_col="lang")
+    return classify_stream.classify_from_store(
+        spark, f"{root}/store", test)
 
 
 # Operators added AFTER the 50-slot window filled with unique-operator
@@ -6929,6 +6956,8 @@ POST_WINDOW: list[str] = [
     "q148_filtered_ann",
     # round 12: X53 Naive Bayes classifier — rotation #9
     "q149_naive_bayes_langid",
+    # round 12: X54 streaming NB training fold — rotation #9
+    "q150_stream_nb_train",
 ]
 
 

@@ -1979,3 +1979,91 @@ def test_corpus_sink_bpe_counts_fold_equals_batch(spark, tmp_path):
              for r in tokenize.bpe_token_counts(spark, union).collect()}
     assert streamed == {d: batch[d] for d in streamed}
     assert all(v > 0 for v in streamed.values())
+
+
+# --------------------------------------------------- streaming NB fold
+
+def _nb_docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string")
+
+
+def test_streaming_nb_fold_equals_batch(spark, tmp_path):
+    """X54: the store-folded model over any batching equals batch
+    nb_train on the concatenated corpus — classification downstream is
+    identical (the q150 gate's claim, pinned here directly), replay of
+    a completed batch is idempotent, and empty batches are no-ops."""
+    from real_time_iot_data_pipeline_project_spark.operators import classify
+    from real_time_iot_data_pipeline_project_spark.streaming import (
+        classify_stream,
+    )
+
+    rows = [(i, f"tok{i % 7} tok{i % 3} common", ["de", "fr"][i % 2])
+            for i in range(30)]
+    store = str(tmp_path / "nb_store")
+    for b in range(3):
+        classify_stream.process_nb_batch(
+            _nb_docs(spark, [r for r in rows if r[0] % 3 == b]), b,
+            store, label_col="lang")
+    # replay of batch 1 (checkpoint recovery) + an empty batch
+    classify_stream.process_nb_batch(
+        _nb_docs(spark, [r for r in rows if r[0] % 3 == 1]), 1,
+        store, label_col="lang")
+    classify_stream.process_nb_batch(_nb_docs(spark, []), 3, store,
+                                     label_col="lang")
+
+    counts, dc = classify_stream.nb_store_model(spark, store)
+    full = _nb_docs(spark, rows)
+    want_counts = {(r.label, r.tok): r.c for r in
+                   classify.nb_train(full, "lang").collect()}
+    got_counts = {(r.label, r.tok): r.c for r in counts.collect()}
+    assert got_counts == want_counts
+    assert {r.label: r.n_docs for r in dc.collect()} == \
+        {r.label: r.n_docs for r in
+         classify.nb_doc_counts(full, "lang").collect()}
+
+    test = _nb_docs(spark, [(100, "tok1 common zzz", "x")])
+    got = classify_stream.classify_from_store(spark, store,
+                                              test).collect()
+    want = classify.nb_classify(
+        test, classify.nb_train(full, "lang"),
+        classify.nb_doc_counts(full, "lang")).collect()
+    assert [(r.doc_id, r.label, r.score) for r in got] == \
+        [(r.doc_id, r.label, r.score) for r in want]
+
+
+def test_streaming_nb_sink_engine_equals_direct(spark, tmp_path):
+    """availableNow stream-engine run == direct foreachBatch-body
+    invocation (the equivalence q150's direct-drive gate builds on)."""
+    from real_time_iot_data_pipeline_project_spark.streaming import (
+        classify_stream,
+    )
+
+    rows = [(i, f"w{i % 5} w{i % 2}", ["en", "es", "de"][i % 3])
+            for i in range(24)]
+    src = tmp_path / "nb_in"
+    src.mkdir()
+    for b in range(3):
+        _nb_docs(spark, [r for r in rows if r[0] % 3 == b]) \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(str(src / f"b{b}.parquet"))
+
+    stream_store = str(tmp_path / "s1")
+    docs = (spark.readStream
+            .schema("doc_id long, text string, lang string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*/"))
+    q = classify_stream.start_nb_train_sink(
+        docs, str(tmp_path / "ckpt"), stream_store, label_col="lang")
+    q.awaitTermination(120)
+
+    direct_store = str(tmp_path / "s2")
+    for b in range(3):
+        classify_stream.process_nb_batch(
+            _nb_docs(spark, [r for r in rows if r[0] % 3 == b]), b,
+            direct_store, label_col="lang")
+
+    sc, sd = classify_stream.nb_store_model(spark, stream_store)
+    dc_, dd = classify_stream.nb_store_model(spark, direct_store)
+    key = lambda d: sorted(map(tuple, d.collect()))  # noqa: E731
+    assert key(sc) == key(dc_) and key(sd) == key(dd)

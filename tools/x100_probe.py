@@ -501,6 +501,9 @@ def main() -> None:
         # round-12: Naive Bayes — train groupBy + broadcast-model
         # classify; expectation ~linear in corpus tokens
         ("q149_naive_bayes", probe_query("q149_naive_bayes_langid")),
+        # round-12: the streaming NB fold (3 direct batches + the
+        # classify-at-read sum) — per-batch cost tracks the batch
+        ("q150_nb_stream", probe_query("q150_stream_nb_train")),
         # round-11: incremental annotate — two shuffle-hash joins on
         # (id, md5) plus the annotator over the ~8% fresh slice only
         ("q141_inc_annotate", probe_query("q141_incremental_annotate")),
