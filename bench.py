@@ -205,8 +205,10 @@ HEADLINE = [
     # classifier (X53)
     "q148_filtered_ann",
     "q149_naive_bayes_langid",
-    # round 12: the streaming NB training fold (X54)
+    # round 12: the streaming NB training fold (X54) and the
+    # decontamination-by-excision tier (X5 scrub)
     "q150_stream_nb_train",
+    "q151_decontam_scrub",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

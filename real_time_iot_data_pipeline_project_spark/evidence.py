@@ -425,9 +425,12 @@ EVIDENCE: dict[str, dict] = {
         "test_streaming.py::test_streaming_ewma_matches_python_fold"]},
     "X5": {"queries": ["q79_winnow_overlap_bounded",
                        "q56_winnow_overlap_pairs",
-                       "q52_contamination_screen"], "tests": [
+                       "q52_contamination_screen",
+                       "q151_decontam_scrub"], "tests": [
         "test_release.py::test_release_screen_probes_drops_contaminated",
-        "test_release.py::test_release_cli_screen_probes_wiring"]},
+        "test_release.py::test_release_cli_screen_probes_wiring",
+        "test_release.py::test_release_screen_probes_scrub_mode",
+        "test_curation_ops.py::test_scrub_probe_spans_excises_every_occurrence"]},
     "X6": {"queries": ["q53_dedup_clusters"], "tests": []},
     "X7": {"queries": ["q61_stratified_sample", "q62_shard_stats"], "tests": [
         "test_curation_ops.py::test_hash_sample_deterministic_subset_and_nested"]},

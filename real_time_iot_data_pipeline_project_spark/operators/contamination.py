@@ -109,3 +109,45 @@ def synthetic_probe_dim(spark: SparkSession, docs: DataFrame,
         F.md5(F.col("id").cast("string")).alias("probe_text"),
     )
     return planted.unionByName(synth)
+
+
+def scrub_probe_spans(docs: DataFrame, probes: DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      probe_text_col: str = "probe_text",
+                      probe_id_col: str = "probe_id",
+                      window_tokens: int = 8) -> DataFrame:
+    """Decontamination by EXCISION (X5's scrub tier): remove every
+    ``window_tokens``-token sliding window of the corpus that appears
+    verbatim inside any probe, and keep the REST of each document —
+    the Lee et al. 2021 (arXiv:2107.06499) treatment of contaminated
+    spans, where drop-the-doc (``screen_probes`` + anti-join, the
+    GPT-3 §C policy) throws away an entire document for one quoted
+    benchmark sentence.
+
+    Mechanics are X39's excision machinery against the probes' window
+    store: probe window hashes (dedup.span_window_hashes over the
+    probe text) flag matching doc-grid windows, overlapping flags
+    merge into maximal spans, docs reassemble from surviving tokens
+    with original case (``cleaned_text``) — so an occurrence of a
+    probe spanning ≥ window_tokens aligned tokens is excised in FULL
+    at EVERY occurrence (all its internal windows are flagged).  The
+    unit is the normalized token grid (the span family's contract):
+    probes shorter than ``window_tokens`` tokens contribute no
+    windows and scrub nothing — screen them with the char-level
+    ``screen_probes`` instead.  Returns q127's with_text schema
+    (id, n_tokens, n_tokens_kept, cleaned_fp, cleaned_text).
+
+    Scale shape: the probe store reduces to DISTINCT 32-byte hashes
+    (broadcastable dim); the corpus side is one map-side window grid
+    + a hash join + the doc-keyed excision window — text never
+    shuffles, probes are tokenized once."""
+    probe_hashes = dedup.span_window_hashes(
+        probes, probe_text_col, probe_id_col, window_tokens)
+    base = dedup._span_base(docs, text_col, id_col)
+    grid = dedup._window_grid(base, id_col, window_tokens)
+    flagged = (grid.join(F.broadcast(probe_hashes.select("wh")
+                                     .withColumnRenamed("wh", "__pwh")),
+                         F.col("wh") == F.col("__pwh"), "left_semi")
+               .select(id_col, "pos"))
+    return dedup._excise_spans(base, flagged, id_col, window_tokens,
+                               with_text=True)

@@ -146,6 +146,7 @@ def release_corpus(
     recipe_budget_frac: float = 0.5,
     recipe_epochs: int = 1,
     screen_probes_path: str | None = None,
+    screen_probes_mode: str = "drop",
 ) -> dict:
     """Entry point E — the full training-data RELEASE job: curate
     (q48's chain) → optional duplicate-span scrub (X39) → optional
@@ -216,8 +217,10 @@ def release_corpus(
     records it under ``ml_selection``.  ``screen_probes_path`` (an
     eval-canary parquet with ``probe_id``/``probe_text``) drops every
     doc carrying a verified verbatim probe hit (X5, q52's exact rule)
-    BEFORE any other stage — the GPT-3 §C / PaLM decontamination scrub
-    as a release gate, recorded under ``decontamination``. Returns the
+    BEFORE any other stage — the GPT-3 §C / PaLM decontamination
+    policy — or, with ``screen_probes_mode="scrub"``, EXCISES the
+    probe spans (q151's rule) and keeps the rest of each doc,
+    recorded under ``decontamination``. Returns the
     manifest dict (counts, token budget, per-lang breakdown, mix
     rates, drift verdicts)."""
     # persisted: the gate's collect, the shard write and the manifest
@@ -237,23 +240,42 @@ def release_corpus(
     try:
         decontam_info = None
         if screen_probes_path:
-            # benchmark decontamination (X5, q52's exact rule), FIRST
-            # among the optional stages: a doc carrying any verified
-            # eval-probe hit never reaches selection/scrub/mix — the
-            # GPT-3 §C / PaLM eval-canary scrub as a release gate.
-            # Winnowing-fingerprint candidates + exact contains verify;
-            # the probe dim broadcasts, the corpus is fingerprinted
-            # once.  Membership comes from the OPERATOR.
-            from .operators.contamination import screen_probes
-
+            # benchmark decontamination (X5), FIRST among the optional
+            # stages.  Two policies: mode="drop" (q52's exact rule —
+            # any verified char-level probe hit removes the whole doc,
+            # the GPT-3 §C / PaLM policy) or mode="scrub" (q151's rule
+            # — every 8-token window appearing inside a probe is
+            # EXCISED and the rest of the doc survives, the Lee et al.
+            # span treatment; released text/n_tok become the scrubbed
+            # values, fully-emptied docs drop).  Membership/rewrite
+            # comes from the OPERATOR in both modes.
             probes = spark.read.parquet(screen_probes_path)
-            hits = (screen_probes(final, probes)
-                    .select("doc_id").distinct())
             n_in = final.count()
-            final = final.join(hits, "doc_id", "left_anti").persist()
+            if screen_probes_mode == "drop":
+                from .operators.contamination import screen_probes
+
+                hits = (screen_probes(final, probes)
+                        .select("doc_id").distinct())
+                final = final.join(hits, "doc_id", "left_anti").persist()
+            elif screen_probes_mode == "scrub":
+                from .operators.contamination import scrub_probe_spans
+
+                scrubbed_docs = scrub_probe_spans(final, probes)
+                final = (final.drop("text", "n_tok").join(
+                    scrubbed_docs.filter(F.col("n_tokens_kept") > 0)
+                    .select("doc_id",
+                            F.col("cleaned_text").alias("text"),
+                            F.col("n_tokens_kept").cast("long")
+                            .alias("n_tok")),
+                    "doc_id").persist())
+            else:
+                raise ValueError(
+                    f"screen_probes_mode must be 'drop' or 'scrub', "
+                    f"got {screen_probes_mode!r}")
             persisted.append(final)
             decontam_info = {
                 "probes": screen_probes_path,
+                "mode": screen_probes_mode,
                 "n_probes": probes.count(),
                 "n_docs_in": n_in,
                 "n_docs_dropped": n_in - final.count(),
@@ -717,9 +739,14 @@ def main(argv: list[str] | None = None) -> None:
                         "alongside whitespace counts (release domain)")
     p.add_argument("--screen-probes", default=None,
                    help="eval-canary parquet (probe_id, probe_text): "
-                        "drop every doc with a verified verbatim probe "
-                        "hit before any other stage (release domain; "
-                        "X5 decontamination, q52's rule)")
+                        "decontaminate before any other stage (release "
+                        "domain; X5)")
+    p.add_argument("--screen-probes-mode", default="drop",
+                   choices=["drop", "scrub"],
+                   help="drop = remove any doc with a verified probe "
+                        "hit (q52's rule); scrub = excise the probe "
+                        "spans and keep the rest of the doc (q151's "
+                        "rule)")
     p.add_argument("--recipe-weights", default=None,
                    help="weights-based mixture for the release: "
                         "'src0=80,src1=30' (unlisted sources weight 1); "
@@ -939,6 +966,7 @@ def main(argv: list[str] | None = None) -> None:
             recipe_budget_frac=args.recipe_budget,
             recipe_epochs=args.recipe_epochs,
             screen_probes_path=args.screen_probes,
+            screen_probes_mode=args.screen_probes_mode,
         )
         print(f"released {manifest['n_docs']} docs / "
               f"{manifest['n_tokens']} tokens to {args.output}")

@@ -6881,6 +6881,87 @@ def q150_stream_nb_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, f"{root}/store", test)
 
 
+@query(
+    "q151_decontam_scrub",
+    f"""
+    WITH d AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ts
+               FROM documents WHERE length({_NORM_SQL}) > 0),
+    p AS (
+      SELECT doc_id AS probe_id, list_slice(ts, 1, 12) AS pts
+      FROM d WHERE doc_id % 10 = 0 AND len(ts) >= 12
+    ),
+    ph AS (
+      SELECT DISTINCT md5(array_to_string(list_slice(pts, CAST(pos + 1 AS INTEGER), CAST(pos + 8 AS INTEGER)), ' ')) AS wh FROM (
+        SELECT pts, unnest(range(0, greatest(
+            CAST(len(pts) AS BIGINT) - 7, 0))) AS pos
+        FROM p
+      )
+    ),
+    fl AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, md5(array_to_string(list_slice(ts, CAST(pos + 1 AS INTEGER), CAST(pos + 8 AS INTEGER)), ' ')) AS wh, pos FROM (
+          SELECT doc_id, ts, unnest(range(0, greatest(
+              CAST(len(ts) AS BIGINT) - 7, 0))) AS pos
+          FROM d
+        )
+      ) g WHERE wh IN (SELECT wh FROM ph)
+    ),
+    tok AS (
+      SELECT doc_id, ts, unnest(range(0, CAST(len(ts) AS BIGINT))) AS t
+      FROM d
+    ),
+    tk AS (
+      SELECT tok.doc_id, tok.t, tok.ts[CAST(tok.t + 1 AS INTEGER)] AS tok,
+             (fl.pos IS NOT NULL) AS is_flag
+      FROM tok LEFT JOIN fl ON fl.doc_id = tok.doc_id AND fl.pos = tok.t
+    ),
+    cov AS (
+      SELECT doc_id, t, tok,
+             max(CASE WHEN is_flag THEN t + 7 ELSE -1 END)
+               OVER (PARTITION BY doc_id ORDER BY t
+                     ROWS UNBOUNDED PRECEDING) AS runmax
+      FROM tk
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN runmax < t THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_tokens_kept,
+           md5(coalesce(string_agg(CASE WHEN runmax < t THEN tok END, ' '
+                                   ORDER BY t), '')) AS cleaned_fp
+    FROM cov GROUP BY doc_id
+    """,
+)
+def q151_decontam_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5's EXCISION tier (contamination.scrub_probe_spans): remove
+    every 8-token window that appears verbatim inside any probe, keep
+    the rest of each doc — the Lee et al. span treatment where the
+    drop policy (q52 + anti-join, GPT-3 §C) forfeits a whole document
+    for one quoted benchmark sentence.  Probes here are the first 12
+    normalized tokens of every doc_id%10 doc (token-aligned by
+    construction, so each probe contributes 5 windows and every
+    occurrence — including the source doc's own prefix — is excised
+    in full).  The machinery is X39's: probe window hashes flag the
+    doc grid, overlapping flags merge via the running-max coverage,
+    docs reassemble ordered — the oracle replays grid/flag/coverage/
+    reassembly end-to-end (the q127 SQL with the first-occurrence
+    rank swapped for the probe-store membership test).  Scale: the
+    probe store reduces to distinct 32-byte hashes (broadcast dim);
+    one map-side grid + hash join + doc-keyed excision window — text
+    never shuffles."""
+    from .operators import contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = textfns.whitespace_tokens("text")
+    probes = (docs.where((F.col("doc_id") % 10 == 0)
+                         & (F.size(toks) >= 12))
+              .select(F.col("doc_id").alias("probe_id"),
+                      F.array_join(F.slice(toks, 1, 12), " ")
+                      .alias("probe_text")))
+    out = contamination.scrub_probe_spans(docs, probes,
+                                          window_tokens=8)
+    return out.select("doc_id", "n_tokens", "n_tokens_kept",
+                      "cleaned_fp")
+
+
 # Operators added AFTER the 50-slot window filled with unique-operator
 # queries: fully oracle-checked by the local gate, first in line for a
 # window slot if one opens.
@@ -6958,6 +7039,8 @@ POST_WINDOW: list[str] = [
     "q149_naive_bayes_langid",
     # round 12: X54 streaming NB training fold — rotation #9
     "q150_stream_nb_train",
+    # round 12: X5's decontamination-by-excision tier — rotation #9
+    "q151_decontam_scrub",
 ]
 
 

@@ -1110,3 +1110,30 @@ def test_naive_bayes_priors_break_vocab_ties(spark):
     dc = classify.nb_doc_counts(train, label_col="lang")
     got = classify.nb_classify(test, counts, dc).collect()[0]
     assert got.label == "big"
+
+
+def test_scrub_probe_spans_excises_every_occurrence(spark):
+    """X5 scrub tier: a probe's span is excised at EVERY occurrence
+    (the drop policy would forfeit whole docs), surrounding text and
+    case survive, sub-window probes scrub nothing, and a fully-
+    contaminated doc empties."""
+    from real_time_iot_data_pipeline_project_spark.operators import (
+        contamination,
+    )
+
+    probe = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [(1, f"Keep THIS text {probe} and keep THAT too"),
+         (2, f"{probe} twice here {probe} indeed"),
+         (3, "nothing contaminated here at all"),
+         (4, probe)],
+        "doc_id long, text string")
+    probes = spark.createDataFrame(
+        [(100, probe), (101, "too short")],
+        "probe_id long, probe_text string")
+    got = {r.doc_id: r for r in contamination.scrub_probe_spans(
+        docs, probes, window_tokens=8).collect()}
+    assert got[1].cleaned_text == "Keep THIS text and keep THAT too"
+    assert got[2].cleaned_text == "twice here indeed"
+    assert got[3].n_tokens_kept == got[3].n_tokens  # untouched
+    assert got[4].n_tokens_kept == 0               # fully excised

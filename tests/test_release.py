@@ -578,3 +578,44 @@ def test_release_cli_screen_probes_wiring(spark, tmp_path):
                     "--shards", "1", "--screen-probes", probes_path])
     m = json.load(open(f"{rel}/MANIFEST.json"))
     assert m["decontamination"]["n_docs_dropped"] > 0
+
+
+def test_release_screen_probes_scrub_mode(spark, tmp_path):
+    """--screen-probes-mode scrub: released text is the probe-span-
+    EXCISED text (q151's rule) — the doc survives minus the
+    contaminated span, where drop mode would remove it entirely; the
+    manifest records the mode."""
+    from real_time_iot_data_pipeline_project_spark.operators import (
+        contamination,
+    )
+
+    curated = pipelines.curate_corpus(spark, _docs_path())
+    # token-aligned probes: the first 12 normalized tokens of a few
+    # curated docs (guaranteed occurrences)
+    probes = (curated.where(F.col("doc_id") % 10 == 0)
+              .select(F.col("doc_id").alias("probe_id"),
+                      F.array_join(F.slice(F.split(F.lower(
+                          F.trim(F.regexp_replace("text", "\\s+", " "))),
+                          " "), 1, 12), " ").alias("probe_text")))
+    probes_path = str(tmp_path / "sprobes")
+    probes.write.parquet(probes_path)
+
+    rel = str(tmp_path / "scrub_rel")
+    m = pipelines.release_corpus(spark, _docs_path(), rel, n_shards=1,
+                                 screen_probes_path=probes_path,
+                                 screen_probes_mode="scrub")
+    assert m["decontamination"]["mode"] == "scrub"
+    # released text equals the operator's cleaned_text for kept docs
+    want = {r.doc_id: r.cleaned_text for r in
+            contamination.scrub_probe_spans(
+                curated, spark.read.parquet(probes_path)).collect()
+            if r.n_tokens_kept > 0}
+    got = {r.doc_id: r.text for r in
+           spark.read.json(f"{rel}/data")
+           .select("doc_id", "text").collect()}
+    assert got == want
+    with pytest.raises(ValueError, match="drop' or 'scrub"):
+        pipelines.release_corpus(spark, _docs_path(),
+                                 str(tmp_path / "bad"), n_shards=1,
+                                 screen_probes_path=probes_path,
+                                 screen_probes_mode="nope")

@@ -69,7 +69,7 @@ PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
     # displace the pinned window.)
     # rotation #9 — the round-12 additions: q131's token-frequency
     # table under the production rank_impl='hash' BPE lookup, plus the
-    # round-12 operators (X48 multi-epoch mixture plan + expansion, X49 source novelty, X50 embedding release drift, X51 Moore-Lewis selection, X52 filtered vector search, X53 Naive Bayes classifier, X54 streaming NB fold)
+    # round-12 operators (X48 multi-epoch mixture plan + expansion, X49 source novelty, X50 embedding release drift, X51 Moore-Lewis selection, X52 filtered vector search, X53 Naive Bayes classifier, X54 streaming NB fold, the X5 decontamination-scrub tier)
     13: (9, [
         "q142_bpe_hash_ranks",
         "q143_epoch_plan",
@@ -80,6 +80,7 @@ PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
         "q148_filtered_ann",
         "q149_naive_bayes_langid",
         "q150_stream_nb_train",
+        "q151_decontam_scrub",
     ]),
 }
 

@@ -504,6 +504,9 @@ def main() -> None:
         # round-12: the streaming NB fold (3 direct batches + the
         # classify-at-read sum) — per-batch cost tracks the batch
         ("q150_nb_stream", probe_query("q150_stream_nb_train")),
+        # round-12: decontamination by excision — X39's grid/excise
+        # shape against a broadcast probe-hash dim; ~linear in tokens
+        ("q151_decontam", probe_query("q151_decontam_scrub")),
         # round-11: incremental annotate — two shuffle-hash joins on
         # (id, md5) plus the annotator over the ~8% fresh slice only
         ("q141_inc_annotate", probe_query("q141_incremental_annotate")),
