@@ -83,9 +83,11 @@ FLAGSHIP = [
     "q106_aligned_corr",
     # (round 10: q111/q113/q115/q116 rotated out — each carried
     # official rows in CORRECTNESS_r08/_r09; survivors in SUBSUMPTION)
+    # (round 13, rotation #9: q114 rotated out — promoted q120
+    # hash-gates the streaming fold of the same Misra-Gries summary,
+    # whose gated claim IS fold == batch; official rows r08..r12)
     "q110_history_star",
     "q112_scd2_incremental",
-    "q114_heavy_hitters",
     # round-9 promotions (rotation #5, VERDICT r8 item 1): the
     # LLM-curation mid tail + the round-8 operators pulled forward
     # (round 10: q51/q60/q61/q63/q65/q68/q71/q72 rotated out — each
@@ -97,8 +99,10 @@ FLAGSHIP = [
     # (round 12, rotation #8: q66 rotated out — promoted q137's
     # capacity-capped waterfill IS the mixture solver, q124 holds the
     # rate-membership row; official rows r09..r11)
+    # (round 13, rotation #9: q117 rotated out — promoted q149's NB
+    # classification is the same broadcast-model scoring join at
+    # classifier tier; official rows r09..r12)
     "q62_shard_stats",
-    "q117_model_scores",
     "q118_hashing_embed",
     # round-10 promotions (rotation #6, VERDICT r9 item 1): the
     # round-6 analytics tail + the round-9 operator tier
@@ -109,39 +113,66 @@ FLAGSHIP = [
     # (round 12, rotation #8: q119 rotated out — composition of two
     # in-window parts: q118 builds the same hashing embedding, q121
     # runs the same persistent-index batch search; rows r10/r11)
+    # (round 13, rotation #9: q121/q122 rotated out — promoted q148
+    # runs the same search_index_batch callable with the filtered
+    # production predicate, and q138's recall curve calls the
+    # unfiltered path once per nprobe; promoted q146 folds the same
+    # psi_from_cells tail at the richer embedding-space tier; official
+    # rows r10..r12)
     "q120_stream_heavy_fold",
-    "q121_index_batch_search",
-    "q122_drift_report",
     # round-11 promotions (rotation #7, VERDICT r10 item 1): the
     # round-9 late tier (leakage-safe splits, temperature mixture,
     # SemDeDup batch + two-level, duplicate-span removal + incremental
     # + streaming fold, edit-distance verify) and the round-10
     # operators (real BPE, streaming SemDeDup, BPE packing, Z-order)
+    # (round 13, rotation #9: q125/q127/q128/q131/q135 rotated out —
+    # q126's two-level path + q132's streaming fold carry the SemDeDup
+    # family, q129/q130 replay the span-excision batch rule exactly,
+    # the near-dup verification DP runs only on q32's LSH-bounded
+    # pairs, promoted q142 gates the same BPE frequency table under
+    # the production hash-rank path, and q134+q136 carry the Z-order
+    # curve + pruned-read economics; official rows r11/r12)
     "q123_leakage_safe_splits",
     "q124_temperature_mix",
-    "q125_semantic_dedup",
     "q126_semantic_dedup_2l",
-    "q127_dup_span_removal",
-    "q128_edit_distance_verify",
     "q129_dup_span_incremental",
     "q130_stream_span_scrub",
-    "q131_bpe_token_frequency",
     "q132_stream_semantic_dedup",
     "q133_bpe_sequence_packing",
     "q134_zorder_curve",
-    "q135_zorder_curve_3d",
     # round-12 promotions (rotation #8, VERDICT r11 item 1): the
     # round-11 operators — the z-ordered pruned READ gate (X43's
     # consumer side), the capacity-capped mixture waterfill and its
     # applied budget-exact sampler (X44), the IVF recall@k evaluation
     # curve (X45), the release-to-release corpus diff (X46), and the
     # diff-driven incremental annotation refresh (X47)
+    # (round 13, rotation #9: q137 rotated out — promoted q143's epoch
+    # plan IS the same solver generalized, reducing exactly to the
+    # waterfill at capacity E·C; q139 gates the applied budget-exact
+    # sampler; official row r12)
     "q136_zorder_pruned_read",
-    "q137_mixture_waterfill",
     "q138_ann_recall",
     "q139_waterfill_sample",
     "q140_corpus_diff",
     "q141_incremental_annotate",
+    # round-13 promotions (rotation #9, VERDICT r12 item 1): the
+    # round-12 operators — the production hash-rank BPE lookup (X41's
+    # 32k-vocab path), the multi-epoch mixture plan + expansion (X48),
+    # source novelty (X49), embedding-space release drift (X50),
+    # Moore-Lewis cross-entropy selection (X51), filtered vector
+    # search (X52), the Naive Bayes train/classify pair and its
+    # streaming fold (X53/X54), and decontamination-by-excision (X5's
+    # scrub tier)
+    "q142_bpe_hash_ranks",
+    "q143_epoch_plan",
+    "q144_epoch_expand",
+    "q145_source_novelty",
+    "q146_embedding_drift",
+    "q147_moore_lewis",
+    "q148_filtered_ann",
+    "q149_naive_bayes_langid",
+    "q150_stream_nb_train",
+    "q151_decontam_scrub",
 ]
 
 # The exact round-6 official window (VERDICT r3 item 8: pin it so a
@@ -193,6 +224,13 @@ FLAGSHIP = [
 # the full r11 window was 50/50 green), the round-11 operators
 # q136-q141 promoted so they carry first-time official CORRECTNESS
 # rows.  The never-gated hash-checkable backlog is again zero.
+# Round-13 change (rotation #9, VERDICT r12 item 1): q114/q117/q121/
+# q122/q125/q127/q128/q131/q135/q137 deferred (each subsumed by an
+# in-window survivor, see SUBSUMPTION; all ten carried official rows
+# through CORRECTNESS_r12 — the full r12 window was 50/50 green), the
+# round-12 operators q142-q151 promoted so they carry first-time
+# official CORRECTNESS rows.  The never-gated hash-checkable backlog
+# is again zero.
 EXPECTED_WINDOW = [
     "q23_ewma", "q27_iot_pipeline",
     "q32_minhash_lsh_pairs", "q38_ivf_topk",
@@ -214,20 +252,21 @@ EXPECTED_WINDOW = [
     "q109_interval_join",
     "q110_history_star",
     "q112_scd2_incremental",
-    "q114_heavy_hitters",
-    "q117_model_scores", "q118_hashing_embed",
+    "q118_hashing_embed",
     "q120_stream_heavy_fold",
-    "q122_drift_report", "q121_index_batch_search",
     "q123_leakage_safe_splits", "q124_temperature_mix",
-    "q126_semantic_dedup_2l", "q125_semantic_dedup",
-    "q127_dup_span_removal", "q130_stream_span_scrub",
-    "q129_dup_span_incremental", "q131_bpe_token_frequency",
+    "q126_semantic_dedup_2l", "q130_stream_span_scrub",
+    "q129_dup_span_incremental",
     "q133_bpe_sequence_packing", "q134_zorder_curve",
-    "q135_zorder_curve_3d", "q132_stream_semantic_dedup",
-    "q128_edit_distance_verify",
-    "q136_zorder_pruned_read", "q137_mixture_waterfill",
+    "q132_stream_semantic_dedup",
+    "q136_zorder_pruned_read",
     "q139_waterfill_sample", "q140_corpus_diff",
     "q141_incremental_annotate", "q138_ann_recall",
+    "q142_bpe_hash_ranks", "q143_epoch_plan",
+    "q144_epoch_expand", "q145_source_novelty",
+    "q146_embedding_drift", "q147_moore_lewis",
+    "q148_filtered_ann", "q149_naive_bayes_langid",
+    "q150_stream_nb_train", "q151_decontam_scrub",
 ]
 
 # Round-4/6 deferrals: each subsumed query's operator stays asserted by
@@ -454,11 +493,10 @@ SUBSUMPTION = {
     # incremental oracle replays the same SCD2 intervals
     "q113_dim_snapshot_at": ["q110_history_star",
                              "q112_scd2_incremental"],
-    # grouped Misra-Gries: q114 holds the batch heavy-hitter family
-    # row; promoted q120 hash-gates the streaming fold of the same
-    # bounded-state summary
-    "q115_grouped_heavy_hitters": ["q114_heavy_hitters",
-                                   "q120_stream_heavy_fold"],
+    # grouped Misra-Gries (r13 re-point: former survivor q114
+    # deferred, itself subsumed by the fold): q120 hash-gates the
+    # streaming fold of the same bounded-state summary
+    "q115_grouped_heavy_hitters": ["q120_stream_heavy_fold"],
     # LEFT ANTI exists-complement: non-equi predicate riding an
     # equi-join is q109's core; grouped rollup is q94's; anti/semi
     # plan shape stays in tests/test_plans.py
@@ -529,9 +567,12 @@ SUBSUMPTION = {
     # trailing RANGE-frame agg: q86's time-weighted average runs the
     # same event-time RANGE window (richer: interval-weighted)
     "q83_rolling_time_agg": ["q86_time_weighted_avg"],
-    # mixture weights: promoted q137's capacity-capped waterfill IS
-    # the mixture solver; q124 holds the rate-membership family row
-    "q66_domain_mixing": ["q137_mixture_waterfill",
+    # mixture weights (r13 re-point: former survivor q137 deferred,
+    # itself subsumed by the epoch generalization): promoted q143's
+    # epoch plan IS the capacity-capped mixture solver (reduces
+    # exactly to the waterfill at capacity E·C); q124 holds the
+    # rate-membership family row
+    "q66_domain_mixing": ["q143_epoch_plan",
                           "q124_temperature_mix"],
     # unpivot/melt map-side Expand: the inverse shape of q92's pivot
     # stage; the no-shuffle Expand plan stays in tests/test_plans.py
@@ -540,10 +581,59 @@ SUBSUMPTION = {
     # decode; WAV values stay pinned by tests/test_multimodal.py
     "q91_audio_decode_stats": ["q80_image_decode_stats"],
     # embed→ANN handoff = composition of two in-window parts (q118
-    # builds the same hashing embedding, q121 runs the same
-    # persistent-index batch search)
+    # builds the same hashing embedding; r13 re-point: former survivor
+    # q121 deferred — promoted q148 runs the same search_index_batch
+    # callable with the filtered predicate)
     "q119_embed_ann": ["q118_hashing_embed",
-                       "q121_index_batch_search"],
+                       "q148_filtered_ann"],
+    # --- round 13 (rotation #9, VERDICT r12 item 1: open slots for
+    # the round-12 operators q142-q151) ---
+    # batch Misra-Gries summary: q120's streaming fold hash-gates
+    # fold == batch of the same bounded-state summary — the batch rule
+    # is pinned THROUGH the fold's own gated claim
+    "q114_heavy_hitters": ["q120_stream_heavy_fold"],
+    # model-inference boundary: promoted q149's NB classification is
+    # the same broadcast-model scoring join at classifier tier
+    # (richer: decimal-exact log-sum argmax over L labels)
+    "q117_model_scores": ["q149_naive_bayes_langid"],
+    # persistent-index batch search: promoted q148 runs the SAME
+    # search_index_batch callable (richer: metadata predicate
+    # composing PushedFilters with DPP); q138's recall curve calls
+    # the unfiltered path once per nprobe value
+    "q121_index_batch_search": ["q148_filtered_ann",
+                                "q138_ann_recall"],
+    # text-profile PSI drift: promoted q146 folds the SAME
+    # psi_from_cells tail at the richer embedding-space tier; the
+    # text rows stay exercised by the release drift-gate e2e tests
+    "q122_drift_report": ["q146_embedding_drift"],
+    # single-level SemDeDup: q126's two-level path is the O(n·√C)
+    # production shape of the same bucketed-cosine rule; q132
+    # hash-gates the streaming fold of the same operator
+    "q125_semantic_dedup": ["q126_semantic_dedup_2l",
+                            "q132_stream_semantic_dedup"],
+    # batch duplicate-span removal: q129 (incremental vs a span
+    # store) and q130 (streaming fold) replay the batch excision rule
+    # exactly — fold == batch is their gated claim
+    "q127_dup_span_removal": ["q129_dup_span_incremental",
+                              "q130_stream_span_scrub"],
+    # edit-distance LSH verify: the verification tier of the near-dup
+    # family — the DP runs only on q32's LSH-bounded candidate pairs
+    # (the q34/q37/q56 verification-tier precedent)
+    "q128_edit_distance_verify": ["q32_minhash_lsh_pairs"],
+    # BPE token frequency, merge-loop rank path: promoted q142 gates
+    # the SAME frequency table under the production rank_impl='hash'
+    # O(1) lookup; the loop tier stays pinned by tests/test_bpe.py
+    "q131_bpe_token_frequency": ["q142_bpe_hash_ranks"],
+    # 3-dim Z-order interleave: dimension-count variant of q134's
+    # 2-dim curve (same bit-interleave arithmetic); the layout's
+    # consumer economics stay gated by q136's pruned read
+    "q135_zorder_curve_3d": ["q134_zorder_curve",
+                             "q136_zorder_pruned_read"],
+    # mixture waterfill solver: promoted q143's epoch plan reduces
+    # EXACTLY to the waterfill at capacity E·C (its docstring
+    # contract); q139 gates the applied budget-exact sampler
+    "q137_mixture_waterfill": ["q143_epoch_plan",
+                               "q139_waterfill_sample"],
 }
 
 

@@ -67,21 +67,15 @@ PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
     # tests/test_coverage_ledger.py.  New queries must still be
     # registered into POST_WINDOW and scheduled here, or they silently
     # displace the pinned window.)
-    # rotation #9 — the round-12 additions: q131's token-frequency
-    # table under the production rank_impl='hash' BPE lookup, plus the
-    # round-12 operators (X48 multi-epoch mixture plan + expansion, X49 source novelty, X50 embedding release drift, X51 Moore-Lewis selection, X52 filtered vector search, X53 Naive Bayes classifier, X54 streaming NB fold, the X5 decontamination-scrub tier)
-    13: (9, [
-        "q142_bpe_hash_ranks",
-        "q143_epoch_plan",
-        "q144_epoch_expand",
-        "q145_source_novelty",
-        "q146_embedding_drift",
-        "q147_moore_lewis",
-        "q148_filtered_ann",
-        "q149_naive_bayes_langid",
-        "q150_stream_nb_train",
-        "q151_decontam_scrub",
-    ]),
+    # (rotation #9 — the round-12 additions q142-q151 (the production
+    # hash-rank BPE lookup, multi-epoch mixture plan + expansion,
+    # source novelty, embedding release drift, Moore-Lewis selection,
+    # filtered vector search, Naive Bayes train/classify + streaming
+    # fold, decontamination-by-excision) — EXECUTED in round 13; entry
+    # removed per the staleness contract in
+    # tests/test_coverage_ledger.py.  New queries must still be
+    # registered into POST_WINDOW and scheduled here, or they silently
+    # displace the pinned window.)
 }
 
 
