@@ -708,7 +708,8 @@ def epoch_expand(df: DataFrame, stratum: str, key: str, weight: Column,
                  budget_tokens: Column | int, max_epochs: int = 4,
                  tokens_col: str | None = None, text_col: str = "text",
                  salt: str = "epoch",
-                 plan: DataFrame | None = None) -> DataFrame:
+                 plan: DataFrame | None = None,
+                 prethin_margin: float | None = None) -> DataFrame:
     """:func:`epoch_plan` APPLIED (X48's consumer tier): materialize
     the actual multi-epoch training membership as one row per
     (document, epoch) pair.  Full passes are exact replication —
@@ -734,20 +735,62 @@ def epoch_expand(df: DataFrame, stratum: str, key: str, weight: Column,
     collected strata-sized literal) so a caller that also reports the
     plan solves it ONCE instead of re-running the corpus groupBy
     inside the expansion.
+
+    ``prethin_margin`` is :func:`waterfill_sample`'s pre-thin fast
+    path applied to the PARTIAL pass (the expansion's one per-stratum
+    sorted cumsum window — at 100 TB with few strata it serializes a
+    stratum per task on corpus-sized input): rows whose hash
+    percentile exceeds ``(1 + margin) * remainder / capacity`` are
+    dropped map-side before the window, the trim rule itself is
+    unchanged, and the kept set is provably identical whenever the
+    greedy boundary lands inside the surviving head — VERIFIED per
+    stratum: a thinned stratum whose survivors were all kept raises
+    RuntimeError (increase the margin or run unthinned) rather than
+    silently undershooting the remainder.  Full-pass expansion is
+    untouched (it has no window).  Pre-thin mode is EAGER twice
+    (strata-sized plan collect + the survivors' per-stratum token
+    sums) — worth it when the window sort dominates (production), not
+    at local test sizes.
     Returns (stratum, key, n_tok, epoch)."""
     from pyspark.sql import Window
 
     from ..functions import textfns
 
+    if prethin_margin is not None and prethin_margin < 0:
+        raise ValueError("prethin_margin must be >= 0")
     toks = (F.col(tokens_col) if tokens_col
             else textfns.token_count(text_col))
     if plan is None:
         plan = epoch_plan(df, stratum, weight, budget_tokens,
                           max_epochs=max_epochs, tokens_col=tokens_col,
                           text_col=text_col)
-    p = F.broadcast(plan.select(
-        F.col(stratum).alias("__pstratum"), "epochs_full",
-        "remainder_tokens"))
+    rates: dict | None = None
+    plan_rows = None
+    if prethin_margin is None:
+        p = F.broadcast(plan.select(
+            F.col(stratum).alias("__pstratum"), "epochs_full",
+            "remainder_tokens"))
+    else:
+        # the plan is strata-sized: collect ONCE and re-broadcast a
+        # literal frame carrying the per-stratum thin rate (the
+        # waterfill_sample pre-thin rule — left lazy, the plan's
+        # corpus groupBy subplan would recompute under the survivor
+        # join, the shortfall check AND the returned plan).  Only
+        # remainder>0 strata have a partial pass, so no allocation-0
+        # special case arises here (those rows are filtered out by
+        # the exact rule before the rate is consulted).
+        plan_rows = plan.collect()  # ≤ strata rows
+        rates = {
+            r[stratum]: min(1.0, (1.0 + prethin_margin)
+                            * r["remainder_tokens"]
+                            / max(r["capacity_tokens"], 1))
+            for r in plan_rows}
+        stype = plan.schema[stratum].dataType.simpleString()
+        p = F.broadcast(df.sparkSession.createDataFrame(
+            [(r[stratum], r["epochs_full"], r["remainder_tokens"],
+              float(rates[r[stratum]])) for r in plan_rows],
+            schema=f"__pstratum {stype}, epochs_full bigint, "
+                   f"remainder_tokens bigint, __rate double"))
     rows = (df.select(F.col(stratum), F.col(key),
                       toks.cast("long").alias("n_tok"))
             .join(p, F.col(stratum).eqNullSafe(F.col("__pstratum"))))
@@ -766,8 +809,36 @@ def epoch_expand(df: DataFrame, stratum: str, key: str, weight: Column,
     w = (Window.partitionBy(stratum)
          .orderBy(F.col("__h"), F.col(key))
          .rowsBetween(Window.unboundedPreceding, 0))
-    part = (rows.where(F.col("remainder_tokens") > 0)
-            .withColumn("__h", h)
+    part_src = (rows.where(F.col("remainder_tokens") > 0)
+                .withColumn("__h", h))
+    if rates is not None:
+        part_src = part_src.where(
+            F.col("__h").cast("double")
+            < F.col("__rate") * float(1 << 60))
+        # shortfall check (one narrow-column aggregate — no text, no
+        # window): a thinned stratum whose surviving token total fits
+        # entirely inside its remainder would keep EVERY survivor, so
+        # the greedy boundary may lie beyond the hash cutoff — refuse
+        # loudly rather than silently undershoot.  Strata thinned to
+        # ZERO survivors are caught too (missing from the rollup ->
+        # sum 0 <= remainder).
+        surv_tok = {r[0]: r[1] for r in
+                    part_src.groupBy(stratum)
+                    .agg(F.sum("n_tok")).collect()}  # ≤ strata rows
+        short = [r[stratum] for r in plan_rows
+                 if r["remainder_tokens"] > 0
+                 and rates[r[stratum]] < 1.0
+                 and (surv_tok.get(r[stratum]) or 0)
+                 <= r["remainder_tokens"]]
+        if short:
+            bad = ", ".join(str(s) for s in short[:3])
+            raise RuntimeError(
+                f"epoch_expand pre-thin shortfall in stratum/strata "
+                f"[{bad}]: every pre-thin survivor fits the partial "
+                f"pass's remainder, so the greedy boundary may lie "
+                f"beyond the hash cutoff — increase prethin_margin "
+                f"(got {prethin_margin}) or run without pre-thinning")
+    part = (part_src
             .withColumn("__cum", F.sum("n_tok").over(w).cast("long"))
             .where(F.col("__cum") <= F.col("remainder_tokens"))
             .select(stratum, key, "n_tok",

@@ -168,6 +168,59 @@ def probe_waterfill_prethin_smallbudget(spark, sf_dir: str) -> dict:
             "window_rows_thin": rows_thin, "window_rows_full": rows_full}
 
 
+def probe_epoch_prethin(spark, sf_dir: str) -> dict:
+    """Round 13 (VERDICT r12 item 2): the partial-pass pre-thin
+    threaded through epoch_expand, at its production scenario — a
+    small budget share so the per-stratum sorted cumsum window (the
+    expansion's one corpus-sized serialized stage) shrinks to ~the
+    remainder-sized head.  Reports the PARTIAL-PASS window-input row
+    counts (remainder>0 strata rows, full vs pre-thin survivors)
+    alongside wall time, and asserts the expanded (doc, epoch) sets
+    match row-for-row (also pinned by tests/test_curation_ops.py)."""
+    from real_time_iot_data_pipeline_project_spark.functions import textfns
+    from real_time_iot_data_pipeline_project_spark.operators import sampling
+    from real_time_iot_data_pipeline_project_spark.operators.sampling import (
+        portable_hash60,
+    )
+
+    docs = registry._t(spark, sf_dir, "documents")
+    total = int(docs.agg(
+        F.sum(textfns.token_count("text")).cast("long")).head()[0])
+    w = F.lit(1)
+    budget = total // 10
+    margin = 1.0
+    t0 = time.monotonic()
+    n_base = sampling.epoch_expand(docs, "source", "doc_id", w, budget,
+                                   max_epochs=4).count()
+    base_sec = round(time.monotonic() - t0, 2)
+    t0 = time.monotonic()
+    n_thin = sampling.epoch_expand(docs, "source", "doc_id", w, budget,
+                                   max_epochs=4,
+                                   prethin_margin=margin).count()
+    thin_sec = round(time.monotonic() - t0, 2)
+    assert n_base == n_thin, (n_base, n_thin)
+    # partial-pass window-input sizes: all rows of remainder>0 strata
+    # (unthinned) vs the rate survivors (the operator's cutoff rule)
+    plan = sampling.epoch_plan(docs, "source", w, budget, max_epochs=4)
+    p = F.broadcast(plan.select(F.col("source").alias("__ps"),
+                                "epochs_full", "remainder_tokens",
+                                "capacity_tokens"))
+    joined = (docs.select("source", "doc_id")
+              .join(p, F.col("source").eqNullSafe(F.col("__ps")))
+              .where(F.col("remainder_tokens") > 0))
+    rows_full = joined.count()
+    h = portable_hash60(F.concat(
+        F.lit("epoch|"), F.col("epochs_full").cast("string"),
+        F.lit("|"), F.col("doc_id").cast("string")))
+    rate = F.least(F.lit(1.0),
+                   F.lit(1.0 + margin) * F.col("remainder_tokens")
+                   / F.greatest(F.col("capacity_tokens"), F.lit(1)))
+    rows_thin = joined.withColumn("__h", h).where(
+        F.col("__h").cast("double") < rate * float(1 << 60)).count()
+    return {"sec": thin_sec, "base_sec": base_sec, "rows": n_thin,
+            "window_rows_thin": rows_thin, "window_rows_full": rows_full}
+
+
 def probe_zorder_layout(spark, sf_dir: str) -> dict:
     """X43 at production file sizing (round 11): n_files scales with
     the corpus (constant rows-per-file ≈ 6.2k — at 100 TB this is
@@ -481,6 +534,11 @@ def main() -> None:
         # construction) plus the per-stratum partial-pass window
         ("q143_epoch_plan", probe_query("q143_epoch_plan")),
         ("q144_epoch_expand", probe_query("q144_epoch_expand")),
+        # round-13: the partial-pass pre-thin threaded through the
+        # expansion (VERDICT r12 item 2) at a 10% budget — the
+        # window-input shrink is the lever, rows must equal the
+        # unthinned expansion's at every decade
+        ("epoch_prethin_10pct", probe_epoch_prethin),
         # round-12: source novelty — one explode to (source, 32-byte
         # hash) then hash-keyed groupBys; expectation ~linear in
         # corpus tokens (the grid), with the distinct/min stages
