@@ -57,7 +57,9 @@ def nb_doc_counts(df: DataFrame, label_col: str = "label") -> DataFrame:
 
 def nb_classify(docs: DataFrame, counts: DataFrame,
                 doc_counts: DataFrame, text_col: str = "text",
-                id_col: str = "doc_id") -> DataFrame:
+                id_col: str = "doc_id",
+                broadcast_model: bool = True,
+                with_margin: bool = False) -> DataFrame:
     """Argmax-posterior classification of ``docs`` under a trained
     model (``counts`` from :func:`nb_train`, ``doc_counts`` from
     :func:`nb_doc_counts`).
@@ -70,7 +72,22 @@ def nb_classify(docs: DataFrame, counts: DataFrame,
     Returns (id_col, label, score) — the winning label per doc with
     its rounded log-posterior; ties break toward the
     lexicographically LARGEST label (max_by struct order, mirrored in
-    the oracle)."""
+    the oracle).  ``with_margin`` adds ``margin`` = best minus
+    second-best log-posterior (the X25 lang_confidence shape at
+    classifier tier; decimal-exact, rounded to 6 dp, NULL for a
+    single-label model) so curation can route low-confidence docs to
+    review instead of hard-assigning.
+
+    SIZE CONTRACT — ``broadcast_model``: the model table is vocab×L
+    rows.  The default broadcast join is right for the lang-ID /
+    quality-filter jobs this operator exists for (L ~ 10^1-10^2 over
+    a Zipf-bounded shared vocabulary: tens of MB).  For large label
+    spaces (a 10^4-label topic tagger), L·vocab exceeds the broadcast
+    comfort zone — pass ``broadcast_model=False`` to join the model
+    by shuffle-hash on ``(tok, label)`` instead.  Predictions are
+    IDENTICAL either way (the per-(doc,label) sum is decimal, hence
+    order- and partitioning-free; pinned by test) — the flag only
+    picks the physical join."""
     totals = (counts.groupBy("label").agg(F.sum("c").alias("t")))
     consts = F.broadcast(
         counts.select("tok").distinct()
@@ -92,16 +109,31 @@ def nb_classify(docs: DataFrame, counts: DataFrame,
         (F.coalesce(F.col("c"), F.lit(0)).cast("double") + F.lit(1.0))
         / (F.col("t") + F.col("v")).cast("double")
     ).cast("decimal(18,12)")
+    model = (F.broadcast(counts) if broadcast_model
+             else counts.hint("shuffle_hash"))
     scored = (
         toks.crossJoin(labels.select("label", "t", "v", "prior"))  # ×L
-        .join(F.broadcast(counts), ["tok", "label"], "left")
+        .join(model, ["tok", "label"], "left")
         .groupBy(id_col, "label", "prior")
         .agg(F.sum(term).alias("__tok_sum"))
         .select(id_col, "label",
                 (F.col("prior") + F.col("__tok_sum")).alias("__score"))
     )
-    return (scored.groupBy(id_col)
-            .agg(F.expr("max_by(label, struct(__score, label))")
-                 .alias("label"),
-                 F.round(F.max(F.struct("__score", "label"))["__score"]
-                         .cast("double"), 6).alias("score")))
+    aggs = [F.expr("max_by(label, struct(__score, label))")
+            .alias("label"),
+            F.round(F.max(F.struct("__score", "label"))["__score"]
+                    .cast("double"), 6).alias("score")]
+    if with_margin:
+        # decimal-exact best-minus-second-best under the SAME total
+        # order as the argmax (so margin 0 means a genuine tie that
+        # broke lexicographically).  collect_list is L-sized per doc —
+        # bounded by the label space, the same L the ×L fan already
+        # carries; NULL margin for a single-label model.
+        top2 = F.slice(
+            F.sort_array(F.collect_list(F.struct("__score", "label")),
+                         False), 1, 2)
+        aggs.append(
+            F.when(F.size(top2) >= 2,
+                   F.round((top2[0]["__score"] - top2[1]["__score"])
+                           .cast("double"), 6)).alias("margin"))
+    return scored.groupBy(id_col).agg(*aggs)

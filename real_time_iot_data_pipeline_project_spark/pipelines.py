@@ -147,6 +147,8 @@ def release_corpus(
     recipe_epochs: int = 1,
     screen_probes_path: str | None = None,
     screen_probes_mode: str = "drop",
+    nb_model_path: str | None = None,
+    nb_keep_labels: tuple[str, ...] | None = None,
 ) -> dict:
     """Entry point E — the full training-data RELEASE job: curate
     (q48's chain) → optional duplicate-span scrub (X39) → optional
@@ -210,7 +212,13 @@ def release_corpus(
     ships once per epoch (manifest ``n_docs``/``n_tokens`` count
     (doc, epoch) rows: they are the training-budget numbers), with the
     per-source plan (capacity / allocation / epochs_full / remainder)
-    recorded under ``recipe``.  ``ml_seed_path`` (with
+    recorded under ``recipe``.  ``nb_model_path`` (with
+    ``nb_keep_labels``) keeps only docs a trained Naive Bayes count
+    store (streaming/classify_stream.py's layout) assigns one of the
+    allowed labels (X53's curation job — the GPT-3 §A
+    quality-classifier / lang-id stage, q149's argmax rule) — runs
+    after decontamination, before Moore-Lewis, recorded under
+    ``nb_filter``.  ``ml_seed_path`` (with
     ``ml_threshold``) keeps only docs the seed's unigram model prefers
     over the pool's by the threshold (X51, q147's rule) — the
     selection runs early among the optional stages and the manifest
@@ -279,6 +287,37 @@ def release_corpus(
                 "n_probes": probes.count(),
                 "n_docs_in": n_in,
                 "n_docs_dropped": n_in - final.count(),
+            }
+        nb_info = None
+        if nb_model_path:
+            # classifier-based curation (X53's stated job — the GPT-3
+            # §A quality-classifier / lang-id stage): keep only docs
+            # the trained NB model (a streaming/batch count store,
+            # streaming/classify_stream.py's layout) assigns one of
+            # ``nb_keep_labels``.  Runs after decontamination, before
+            # Moore-Lewis — the classifier defines the corpus the
+            # selection stages see.  Membership comes from the
+            # OPERATOR (classify_from_store's argmax rule — the
+            # --ml-seed wiring precedent), recorded under
+            # ``nb_filter``.
+            if not nb_keep_labels:
+                raise ValueError(
+                    "nb_model_path without nb_keep_labels keeps "
+                    "nothing deterministically — pass the label "
+                    "allowlist the classifier stage filters on")
+            from .streaming.classify_stream import classify_from_store
+
+            n_in = final.count()
+            kept_ids = (classify_from_store(spark, nb_model_path, final)
+                        .where(F.col("label").isin(*nb_keep_labels))
+                        .select("doc_id"))
+            final = final.join(kept_ids, "doc_id", "left_semi").persist()
+            persisted.append(final)
+            nb_info = {
+                "model": nb_model_path,
+                "keep_labels": list(nb_keep_labels),
+                "n_docs_in": n_in,
+                "n_docs_kept": final.count(),
             }
         ml_info = None
         if ml_seed_path:
@@ -429,7 +468,7 @@ def release_corpus(
                              min_quality, langs, n_shards, allow_drift,
                              mix_info, scrub_info, bpe_manifest,
                              embedding_drift, ml_info, recipe_info,
-                             decontam_info)
+                             decontam_info, nb_info)
     finally:
         curated.unpersist()
         for df_ in persisted:
@@ -442,7 +481,8 @@ def _release_body(spark, final, output_path, baseline_path, min_quality,
                   langs, n_shards, allow_drift, mix_info=None,
                   scrub_info=None, bpe_manifest=False,
                   embedding_drift=False, ml_info=None,
-                  recipe_info=None, decontam_info=None) -> dict:
+                  recipe_info=None, decontam_info=None,
+                  nb_info=None) -> dict:
     import json as _json
 
     from pyspark.errors import AnalysisException
@@ -537,6 +577,7 @@ def _release_body(spark, final, output_path, baseline_path, min_quality,
         "mix": mix_info,
         "span_scrub": scrub_info,
         "ml_selection": ml_info,
+        "nb_filter": nb_info,
         "recipe": recipe_info,
         "decontamination": decontam_info,
         "drift": drift_rows,
@@ -760,6 +801,16 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--recipe-epochs", type=int, default=1,
                    help="max full passes an under-sized source may "
                         "repeat (used with --recipe-weights)")
+    p.add_argument("--nb-model", default=None,
+                   help="trained Naive Bayes count store "
+                        "(streaming/classify_stream.py layout): keep "
+                        "only docs the classifier assigns one of "
+                        "--nb-keep-labels (release domain; X53's "
+                        "curation stage, q149's argmax rule — runs "
+                        "after decontamination, before --ml-seed)")
+    p.add_argument("--nb-keep-labels", default=None,
+                   help="comma-separated label allowlist for the "
+                        "--nb-model stage (required with it)")
     p.add_argument("--ml-seed", default=None,
                    help="in-domain seed corpus parquet: keep only docs "
                         "the seed unigram model prefers over the pool "
@@ -967,6 +1018,9 @@ def main(argv: list[str] | None = None) -> None:
             recipe_epochs=args.recipe_epochs,
             screen_probes_path=args.screen_probes,
             screen_probes_mode=args.screen_probes_mode,
+            nb_model_path=args.nb_model,
+            nb_keep_labels=(tuple(args.nb_keep_labels.split(","))
+                            if args.nb_keep_labels else None),
         )
         print(f"released {manifest['n_docs']} docs / "
               f"{manifest['n_tokens']} tokens to {args.output}")

@@ -1192,6 +1192,77 @@ def test_naive_bayes_priors_break_vocab_ties(spark):
     assert got.label == "big"
 
 
+def test_nb_classify_margin_matches_closed_form(spark):
+    """VERDICT r12 item 8: with_margin adds best-minus-second-best
+    log-posterior under the SAME (score, label) total order as the
+    argmax — checked against the closed form; a single-label model
+    yields NULL margin; the default output schema is unchanged."""
+    import math
+
+    from real_time_iot_data_pipeline_project_spark.operators import classify
+
+    train = spark.createDataFrame(
+        [(1, "apfel apfel strasse", "de"), (2, "strasse apfel", "de"),
+         (3, "pomme rue rue", "fr"), (4, "pomme pomme", "fr")],
+        "doc_id long, text string, lang string")
+    test = spark.createDataFrame(
+        [(10, "apfel strasse zzz"), (11, "rue pomme")],
+        "doc_id long, text string")
+    counts = classify.nb_train(train, label_col="lang")
+    dc = classify.nb_doc_counts(train, label_col="lang")
+    base = classify.nb_classify(test, counts, dc)
+    assert base.columns == ["doc_id", "label", "score"]
+    got = {r.doc_id: r for r in
+           classify.nb_classify(test, counts, dc,
+                                with_margin=True).collect()}
+
+    def score(tokens, t, cnt):
+        return math.log(3.0 / 6.0) + sum(
+            math.log((cnt.get(tok, 0) + 1.0) / (t + 4.0))
+            for tok in tokens)
+
+    de = {"apfel": 3, "strasse": 2}
+    fr = {"pomme": 3, "rue": 2}
+    for doc, toks in ((10, ["apfel", "strasse", "zzz"]),
+                      (11, ["rue", "pomme"])):
+        s_de, s_fr = score(toks, 5, de), score(toks, 5, fr)
+        assert got[doc].margin == pytest.approx(
+            abs(s_de - s_fr), abs=1e-6)
+        assert got[doc].margin > 0
+
+    # single-label model: no runner-up, margin NULL
+    one = train.where(F.col("lang") == "de")
+    got1 = classify.nb_classify(
+        test, classify.nb_train(one, label_col="lang"),
+        classify.nb_doc_counts(one, label_col="lang"),
+        with_margin=True).collect()
+    assert all(r.margin is None and r.label == "de" for r in got1)
+
+
+def test_nb_classify_shuffle_join_identical(spark):
+    """VERDICT r12 item 6: broadcast_model=False (the large-L fallback
+    — shuffle-hash model join instead of a vocab×L broadcast) must
+    produce IDENTICAL predictions, scores and margins: the
+    per-(doc,label) sum is decimal, hence partitioning-free by
+    construction."""
+    from real_time_iot_data_pipeline_project_spark.operators import classify
+
+    train = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 3} shared", f"l{i % 5}")
+         for i in range(60)],
+        "doc_id long, text string, lang string")
+    test = spark.createDataFrame(
+        [(100 + i, f"tok{i % 7} shared zzz{i % 2}") for i in range(20)],
+        "doc_id long, text string")
+    counts = classify.nb_train(train, label_col="lang")
+    dc = classify.nb_doc_counts(train, label_col="lang")
+    bcast = classify.nb_classify(test, counts, dc, with_margin=True)
+    shuf = classify.nb_classify(test, counts, dc, with_margin=True,
+                                broadcast_model=False)
+    assert sorted(map(tuple, bcast.collect())) \
+        == sorted(map(tuple, shuf.collect()))
+
+
 def test_scrub_probe_spans_excises_every_occurrence(spark):
     """X5 scrub tier: a probe's span is excised at EVERY occurrence
     (the drop policy would forfeit whole docs), surrounding text and

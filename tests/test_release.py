@@ -477,6 +477,77 @@ def test_release_cli_ml_selection_wiring(spark, tmp_path):
     assert 0 < m["ml_selection"]["n_docs_kept"] <= m["ml_selection"]["n_docs_in"]
 
 
+def _train_nb_store(spark, store: str) -> None:
+    """A deterministic 2-label NB count store: label the smoke docs by
+    doc_id parity, fold them in two batches through the streaming
+    writer (the store layout the release stage reads)."""
+    from real_time_iot_data_pipeline_project_spark.streaming import (
+        classify_stream,
+    )
+
+    docs = (spark.read.parquet(_docs_path())
+            .select("doc_id", "text",
+                    F.when(F.col("doc_id") % 2 == 0, "keepme")
+                    .otherwise("dropme").alias("label")))
+    classify_stream.process_nb_batch(
+        docs.where(F.col("doc_id") % 3 == 0), 0, store)
+    classify_stream.process_nb_batch(
+        docs.where(F.col("doc_id") % 3 != 0), 1, store)
+
+
+def test_release_nb_filter_keeps_operator_membership(spark, tmp_path):
+    """--nb-model wiring (VERDICT r12 item 3): the released doc set
+    equals classify_from_store's argmax membership on the curated
+    frame restricted to the keep labels (the operator IS the rule —
+    the --ml-seed wiring precedent), the manifest records the stage,
+    and a missing label allowlist raises instead of keeping nothing."""
+    import pytest
+
+    from real_time_iot_data_pipeline_project_spark.streaming.classify_stream import (  # noqa: E501
+        classify_from_store,
+    )
+
+    store = str(tmp_path / "nbstore")
+    _train_nb_store(spark, store)
+
+    rel = str(tmp_path / "nbrel")
+    m = pipelines.release_corpus(spark, _docs_path(), rel, n_shards=1,
+                                 nb_model_path=store,
+                                 nb_keep_labels=("keepme",))
+    curated = pipelines.curate_corpus(spark, _docs_path())
+    want = {r.doc_id for r in
+            classify_from_store(spark, store, curated)
+            .where(F.col("label") == "keepme")
+            .select("doc_id").collect()}
+    got = {r.doc_id for r in
+           spark.read.json(f"{rel}/data").select("doc_id").collect()}
+    assert got == want
+    assert m["nb_filter"]["keep_labels"] == ["keepme"]
+    assert m["nb_filter"]["n_docs_kept"] == m["n_docs"] == len(want)
+    # the stage bites: the parity-planted model must not be a no-op
+    assert 0 < m["nb_filter"]["n_docs_kept"] < m["nb_filter"]["n_docs_in"]
+
+    with pytest.raises(ValueError, match="nb_keep_labels"):
+        pipelines.release_corpus(spark, _docs_path(),
+                                 str(tmp_path / "nbrel2"), n_shards=1,
+                                 nb_model_path=store)
+
+
+def test_release_cli_nb_filter_wiring(spark, tmp_path):
+    """--nb-model/--nb-keep-labels reach release_corpus via the CLI."""
+    store = str(tmp_path / "clistore")
+    _train_nb_store(spark, store)
+    rel = str(tmp_path / "clinbrel")
+    pipelines.main(["release", _docs_path(), "--output", rel,
+                    "--shards", "1", "--nb-model", store,
+                    "--nb-keep-labels", "keepme,dropme"])
+    m = json.load(open(f"{rel}/MANIFEST.json"))
+    assert m["nb_filter"]["model"] == store
+    assert m["nb_filter"]["keep_labels"] == ["keepme", "dropme"]
+    # both labels allowed -> the stage passes everything through
+    assert m["nb_filter"]["n_docs_kept"] == m["nb_filter"]["n_docs_in"]
+
+
 def test_release_recipe_weights_expansion(spark, tmp_path):
     """--recipe-weights (X44/X48): the released shards ARE the
     epoch-expanded (doc, epoch) stream of the curated corpus — heavy
