@@ -209,6 +209,7 @@ HEADLINE = [
     # decontamination-by-excision tier (X5 scrub)
     "q150_stream_nb_train",
     "q151_decontam_scrub",
+    "q152_filtered_ann_recall",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

@@ -237,7 +237,8 @@ def ann_recall_report(spark: SparkSession, df: DataFrame, index_dir: str,
                       query_id_col: str = "query_id",
                       query_vec_col: str = "qvec",
                       vec_col: str = "embedding",
-                      id_col: str = "vec_id") -> DataFrame:
+                      id_col: str = "vec_id",
+                      where: F.Column | None = None) -> DataFrame:
     """Recall@k evaluation of the persistent IVF index (X45): the
     nprobe sizing curve an operator reads before picking the
     latency/recall trade-off — per (nprobe, query), how many of the
@@ -259,12 +260,25 @@ def ann_recall_report(spark: SparkSession, df: DataFrame, index_dir: str,
     is the standard recall protocol).  Everything downstream is
     k·|queries|·|nprobes| rows.  Returns (nprobe, query_id, n_hits,
     k, recall_pct) with all-integer recall so the q138 oracle gate is
-    exact."""
+    exact.
+
+    ``where`` (X55, the filtered-recall curve — VERDICT r12 item 4):
+    a metadata predicate changes recall SEMANTICS, not just the
+    result set — candidates thin per probed partition, so the same
+    nprobe recalls less than the unfiltered curve suggests, and an
+    operator sizing nprobe for filtered queries (X52) has no curve to
+    read from the unfiltered report.  With ``where`` set, the exact
+    reference becomes the brute-force top-k over the FILTERED corpus
+    (``df`` must carry the predicate's metadata columns — the same
+    frame the index was built from) and every probed run is the X52
+    filtered search with the same predicate, so the report is the
+    apples-to-apples filtered sizing curve."""
     qvec_d = F.transform(F.col(query_vec_col), lambda x: x.cast("double"))
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     queries_n = queries.withColumn("__qnorm", _norm(qvec_d))
     exact = (
-        df.withColumn("__dnorm", _norm(vec_d))
+        (df.where(where) if where is not None else df)
+        .withColumn("__dnorm", _norm(vec_d))
         .crossJoin(F.broadcast(queries_n))
         .select(query_id_col, id_col,
                 (_dot(vec_d, qvec_d)
@@ -283,7 +297,8 @@ def ann_recall_report(spark: SparkSession, df: DataFrame, index_dir: str,
                                nprobe=int(np_),
                                query_id_col=query_id_col,
                                query_vec_col=query_vec_col,
-                               vec_col=vec_col, id_col=id_col)
+                               vec_col=vec_col, id_col=id_col,
+                               where=where)
             .select(F.lit(int(np_)).alias("nprobe"),
                     query_id_col, id_col))
         runs = got if runs is None else runs.unionByName(got)

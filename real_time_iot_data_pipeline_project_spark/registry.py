@@ -6370,11 +6370,16 @@ def q141_incremental_annotate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_recall_sql(n_centroids: int = 16, k: int = 10,
-                    nprobes: tuple[int, ...] = (1, 2, 4, 16)) -> str:
+                    nprobes: tuple[int, ...] = (1, 2, 4, 16),
+                    pred: str | None = None) -> str:
     """q138 oracle: the recall@k curve replayed in SQL — q121's proven
     index-search formulation generalized over an nprobe spine, joined
     against the brute-force exact top-k (q37's formulation), with a
-    (nprobe × query) spine keeping zero-recall rows."""
+    (nprobe × query) spine keeping zero-recall rows.  ``pred`` (q152,
+    the FILTERED recall curve) restricts the candidates of BOTH the
+    probed runs and the exact reference before their windows — the
+    X52 pre-filter on each side, so recall measures the filtered
+    search against the filtered ground truth."""
     v_c = _list_cos_sql("e.embedding", "c.cvec")
     c_q = _list_cos_sql("c.cvec", "q.qv")
     v_q = _list_cos_sql("e.embedding", "q.qv")
@@ -6417,6 +6422,7 @@ def _ann_recall_sql(n_centroids: int = 16, k: int = 10,
         JOIN assigned a ON a.centroid_id = p.centroid_id
         JOIN embeddings e ON e.vec_id = a.vec_id
         JOIN q ON q.query_id = p.query_id
+        {'WHERE ' + pred if pred else ''}
       ) WHERE rn <= {k}
     ),
     exact AS (
@@ -6426,6 +6432,7 @@ def _ann_recall_sql(n_centroids: int = 16, k: int = 10,
                                   ORDER BY {v_q} DESC,
                                            e.vec_id ASC) AS rn
         FROM embeddings e, q
+        {'WHERE ' + pred if pred else ''}
       ) WHERE rn <= {k}
     ),
     hits AS (
@@ -7021,6 +7028,39 @@ def q151_decontam_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "cleaned_fp")
 
 
+@query("q152_filtered_ann_recall",
+       _ann_recall_sql(pred="e.label < 3"))
+def q152_filtered_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X55 — FILTERED recall@k curve (ann_recall_report ``where=``,
+    VERDICT r12 item 4): a metadata predicate changes recall
+    semantics, not just the result set — candidates thin per probed
+    partition, so the same nprobe recalls less than q138's unfiltered
+    curve suggests, and an operator sizing nprobe for X52's filtered
+    searches had no curve to read.  Here the exact reference is the
+    brute-force top-10 over the FILTERED corpus (label < 3 — q148's
+    predicate) and each probed run is the X52 filtered search with
+    the same predicate, composing two already-gated operators into
+    the apples-to-apples filtered sizing report.  nprobe = 16 = C
+    still probes every partition and provably anchors recall 100.
+    All-integer recall; the oracle is q138's SQL with the predicate
+    inside both windows' subqueries (SQL WHERE runs before window
+    functions — the pre-filter on each side).  Scale: the four probed
+    runs ride DPP-pruned, predicate-pushed index scans; the exact
+    pass is one filtered corpus scan against the broadcast bounded
+    query sample."""
+    from .operators.ann_index import ann_recall_report, build_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = _scratch_dir("q152_index", sf_dir)
+    build_index(emb, idx, n_centroids=16, meta_cols=("label",))
+    queries = (emb.where(F.col("vec_id").isin(0, 1, 2, 3, 4))
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qvec")))
+    return ann_recall_report(spark, emb, idx, queries, k=10,
+                             nprobe_values=(1, 2, 4, 16),
+                             where=F.col("label") < 3)
+
+
 # Operators added AFTER the 50-slot window filled with unique-operator
 # queries: fully oracle-checked by the local gate, first in line for a
 # window slot if one opens.
@@ -7083,8 +7123,11 @@ POST_WINDOW: list[str] = [
     # source novelty, embedding release drift, Moore-Lewis selection,
     # filtered vector search, Naive Bayes train/classify, the
     # decontamination-scrub tier) — promoted INTO the official window;
-    # ten subsumable twins deferred, see the round-13 DEFERRED block.
-    # The never-gated hash-checkable backlog is again zero.)
+    # ten subsumable twins deferred, see the round-13 DEFERRED block.)
+    # round 13: X55 filtered recall@k curve (VERDICT r12 item 4 — the
+    # nprobe sizing curve for X52's filtered searches) — scheduled for
+    # rotation #10 (round 14)
+    "q152_filtered_ann_recall",
 ]
 
 

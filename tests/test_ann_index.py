@@ -163,6 +163,59 @@ def test_ann_recall_curve_monotone_and_anchored(spark, tmp_path):
         assert curve[16] == 10, (qid, curve)  # all buckets probed
 
 
+def test_filtered_recall_curve_filtered_ground_truth(spark, tmp_path):
+    """X55 (VERDICT r12 item 4): with a ``where`` predicate the recall
+    report measures the FILTERED search against the FILTERED
+    brute-force ground truth — per query the curve is monotone in
+    nprobe, nprobe = n_centroids anchors recall 100 (the filtered
+    exact-anchor equivalence), and the n_hits are exactly the overlap
+    with the python-replayed filtered top-k at each nprobe."""
+    import math
+
+    emb = _emb(spark).withColumn("label", F.pmod("vec_id", F.lit(4)))
+    idx = str(tmp_path / "fridx")
+    ann_index.build_index(emb, idx, n_centroids=8, meta_cols=("label",))
+    queries = (emb.where(F.col("vec_id").isin(0, 1, 2))
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qvec")))
+    pred = F.col("label") < 2
+    out = ann_index.ann_recall_report(
+        spark, emb, idx, queries, k=10, nprobe_values=(1, 4, 8),
+        where=pred).collect()
+    assert len(out) == 9
+    by_q: dict[int, dict[int, int]] = {}
+    for r in out:
+        assert 0 <= r.n_hits <= r.k
+        by_q.setdefault(r.query_id, {})[r.nprobe] = r.n_hits
+    for qid, curve in by_q.items():
+        assert curve[1] <= curve[4] <= curve[8], (qid, curve)
+        assert curve[8] == 10, (qid, curve)  # filtered exact anchor
+
+    # python replay: filtered brute-force top-10 vs the filtered
+    # search at nprobe=1 must give exactly the reported n_hits
+    rows = emb.collect()
+    qs = {r.vec_id: [float(x) for x in r.embedding]
+          for r in rows if r.vec_id in (0, 1, 2)}
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (math.sqrt(sum(x * x for x in a))
+                      * math.sqrt(sum(x * x for x in b)))
+
+    kept = [(r.vec_id, [float(x) for x in r.embedding])
+            for r in rows if r.vec_id % 4 < 2]
+    got1 = {r.query_id: r for r in
+            ann_index.search_index_batch(
+                spark, idx, queries, k=10, nprobe=1,
+                where=pred).groupBy("query_id")
+            .agg(F.collect_set("vec_id").alias("ids")).collect()}
+    for qid, qv in qs.items():
+        exact = {v for _, v in sorted(
+            ((-cos(vec, qv), v) for v, vec in kept))[:10]}
+        hits = len(exact & set(got1[qid].ids))
+        assert by_q[qid][1] == hits, (qid, by_q[qid][1], hits)
+
+
 def test_filtered_search_prefilter_beats_postfilter(spark, tmp_path):
     """X52: the filtered search is the exact top-k over MATCHING
     candidates — post-filtering an unfiltered top-k under-fills k and

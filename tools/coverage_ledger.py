@@ -76,6 +76,11 @@ PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
     # tests/test_coverage_ledger.py.  New queries must still be
     # registered into POST_WINDOW and scheduled here, or they silently
     # displace the pinned window.)
+    # rotation #10 — the round-13 addition: X55 filtered recall@k
+    # curve (the nprobe sizing report for X52's filtered searches)
+    14: (10, [
+        "q152_filtered_ann_recall",
+    ]),
 }
 
 
