@@ -240,6 +240,13 @@ def release_corpus(
         raise ValueError(
             "recipe_weights and mix_alpha are two mixing rules for the "
             "same stage — pass one")
+    if embedding_drift and not baseline_path:
+        # ADVICE r12: silently skipping the REQUESTED semantic gate is
+        # a publish without the protection the caller asked for
+        raise ValueError(
+            "embedding_drift needs a baseline to compare against — "
+            "pass baseline_path/--baseline, or drop the flag for a "
+            "first release")
     curated = curate_corpus(spark, input_path, output_path=None,
                             min_quality=min_quality, langs=langs).persist()
     final = curated
@@ -266,8 +273,27 @@ def release_corpus(
                         .select("doc_id").distinct())
                 final = final.join(hits, "doc_id", "left_anti").persist()
             elif screen_probes_mode == "scrub":
+                from .functions import textfns
                 from .operators.contamination import scrub_probe_spans
 
+                # short-probe guard (ADVICE r12): a probe shorter than
+                # the 8-token window contributes no windows to the
+                # scrub grid, so switching drop→scrub would SILENTLY
+                # lose decontamination coverage for short eval
+                # canaries — refuse loudly, mirroring screen_probes'
+                # short-probe guard in drop mode (sub-window probes
+                # are structurally un-scrubbable; lengthen them or
+                # use mode="drop", whose guarantee is char-level)
+                n_short = probes.filter(
+                    textfns.token_count("probe_text") < 8
+                ).limit(1).count()
+                if n_short:
+                    raise ValueError(
+                        "screen_probes_mode='scrub' with probes "
+                        "shorter than the 8-token excision window — "
+                        "they would contribute no windows and be "
+                        "silently ignored; lengthen them or use "
+                        "mode='drop' (char-level guarantee)")
                 scrubbed_docs = scrub_probe_spans(final, probes)
                 final = (final.drop("text", "n_tok").join(
                     scrubbed_docs.filter(F.col("n_tokens_kept") > 0)
@@ -498,6 +524,18 @@ def _release_body(spark, final, output_path, baseline_path, min_quality,
         # schema — no inference scan); fall back to a plain parquet
         # corpus. Try/except instead of os.path checks so the paths
         # work on any Hadoop filesystem, not just local.
+        # RECIPE baselines (ADVICE r12): a --recipe-weights release
+        # ships one row per (doc, epoch), so a baseline may carry
+        # duplicate doc_ids with IDENTICAL text.  Every join-based
+        # consumer absorbs that shape by construction — corpus_diff
+        # and incremental_annotate dedup on (id, fingerprint) before
+        # joining (and corpus_diff REFUSES conflicting-content
+        # duplicates), so DIFF.json counts per-DOC statuses, never
+        # epochs×epochs fan-out (pinned by test).  The PSI gates are
+        # deliberately NOT deduped: they compare the SHIPPED training
+        # stream's profile (epoch multiplicity included) against the
+        # shipped stream being published — a mix change is exactly
+        # what the gate exists to surface.
         try:
             baseline = sio.read_jsonl(spark, f"{baseline_path}/data",
                                       schema=final.schema)

@@ -180,6 +180,30 @@ def test_corpus_diff_absorbs_duplicate_listings(spark):
     assert got == {1: "unchanged", 2: "changed"}
 
 
+def test_corpus_diff_refuses_conflicting_duplicate_ids(spark):
+    """VERDICT r12 item 5: duplicate ids with CONFLICTING fingerprints
+    have no single diff answer (no order column exists, so latest-wins
+    is undefined) — the operator raises loudly on either side instead
+    of silently fanning out one row per old×new duplicate pair."""
+    import pytest
+
+    clean = spark.createDataFrame([(1, "alpha"), (2, "beta")],
+                                  "doc_id long, text string")
+    conflicted = spark.createDataFrame(
+        [(1, "alpha"), (1, "NOT alpha"), (2, "beta")],
+        "doc_id long, text string")
+    with pytest.raises(ValueError, match="CONFLICTING"):
+        audit.corpus_diff(conflicted, clean)
+    with pytest.raises(ValueError, match="CONFLICTING"):
+        audit.corpus_diff(clean, conflicted)
+    # identical-content duplicates still absorb silently (above), and
+    # NULL-text duplicates are identical content too (null-safe fp)
+    nulldup = spark.createDataFrame([(1, None), (1, None)],
+                                    "doc_id long, text string")
+    got = audit.corpus_diff(nulldup, clean).collect()
+    assert {r.doc_id for r in got} == {1, 2}
+
+
 def test_incremental_annotate_reuses_not_recomputes(spark):
     """X47 plumbing: unchanged rows must carry the OLD release's stored
     annotation (proving reuse — the annotator is tagged so a recompute

@@ -690,3 +690,64 @@ def test_release_screen_probes_scrub_mode(spark, tmp_path):
                                  str(tmp_path / "bad"), n_shards=1,
                                  screen_probes_path=probes_path,
                                  screen_probes_mode="nope")
+
+
+def test_release_scrub_mode_refuses_short_probes(spark, tmp_path):
+    """ADVICE r12: a probe shorter than the 8-token excision window
+    contributes no windows — scrub mode must refuse it loudly (a
+    drop→scrub switch would otherwise silently lose decontamination
+    coverage for short eval canaries), while drop mode still handles
+    the same probe via its char-level guarantee."""
+    probes = spark.createDataFrame(
+        [(1, "only four tokens here")],
+        "probe_id long, probe_text string")
+    probes_path = str(tmp_path / "shortprobes")
+    probes.write.parquet(probes_path)
+    with pytest.raises(ValueError, match="8-token"):
+        pipelines.release_corpus(spark, _docs_path(),
+                                 str(tmp_path / "shortrel"), n_shards=1,
+                                 screen_probes_path=probes_path,
+                                 screen_probes_mode="scrub")
+    # the same probes pass drop mode's (char-level) guard
+    m = pipelines.release_corpus(spark, _docs_path(),
+                                 str(tmp_path / "droprel"), n_shards=1,
+                                 screen_probes_path=probes_path,
+                                 screen_probes_mode="drop")
+    assert m["decontamination"]["mode"] == "drop"
+
+
+def test_release_embedding_drift_requires_baseline(spark, tmp_path):
+    """ADVICE r12: embedding_drift without a baseline was a silent
+    no-op — the requested semantic publish gate simply not applied;
+    it must raise instead."""
+    with pytest.raises(ValueError, match="baseline"):
+        pipelines.release_corpus(spark, _docs_path(),
+                                 str(tmp_path / "edrel"), n_shards=1,
+                                 embedding_drift=True)
+
+
+def test_release_recipe_baseline_diff_counts_per_doc(spark, tmp_path):
+    """ADVICE r12: a --recipe-weights release ships one row per
+    (doc, epoch); used later as --baseline, the DIFF.json counts must
+    stay per-DOC (corpus_diff dedups identical-content duplicates
+    before its join), never epochs×epochs fan-out."""
+    rel1 = str(tmp_path / "recipe_base")
+    m1 = pipelines.release_corpus(spark, _docs_path(), rel1, n_shards=1,
+                                  recipe_weights={"src0": 80, "src1": 30},
+                                  recipe_budget_frac=0.4,
+                                  recipe_epochs=2)
+    # the recipe must actually ship duplicates for this test to bite
+    back = spark.read.json(f"{rel1}/data")
+    n_rows = back.count()
+    n_docs = back.select("doc_id").distinct().count()
+    assert n_rows == m1["n_docs"] and n_rows > n_docs
+
+    rel2 = str(tmp_path / "plain_on_recipe")
+    m2 = pipelines.release_corpus(spark, _docs_path(), rel2, n_shards=1,
+                                  baseline_path=rel1, allow_drift=True)
+    d = m2["diff"]
+    # every status is per-doc: the union of statuses covers exactly
+    # the distinct docs of both releases, with no multiplicity
+    n_new = m2["n_docs"]
+    assert d["unchanged"] + d["changed"] + d["removed"] == n_docs
+    assert d["unchanged"] + d["changed"] + d["added"] == n_new
