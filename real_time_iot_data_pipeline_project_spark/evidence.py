@@ -240,7 +240,10 @@ EVIDENCE: dict[str, dict] = {
     "X45": {"queries": ["q138_ann_recall"], "tests": [
         "test_ann_index.py::test_ann_recall_curve_monotone_and_anchored"]},
     "X46": {"queries": ["q140_corpus_diff"], "tests": [
-        "test_audit_aggstate.py::test_corpus_diff_statuses_and_normalization"]},
+        "test_audit_aggstate.py::test_corpus_diff_statuses_and_normalization",
+        "test_audit_aggstate.py::test_corpus_diff_absorbs_duplicate_listings",
+        "test_audit_aggstate.py::test_corpus_diff_refuses_conflicting_duplicate_ids",
+        "test_release.py::test_release_recipe_baseline_diff_counts_per_doc"]},
     "X47": {"queries": ["q141_incremental_annotate"], "tests": [
         "test_audit_aggstate.py::test_incremental_annotate_reuses_not_recomputes"]},
     "X48": {"queries": ["q143_epoch_plan", "q144_epoch_expand"], "tests": [
@@ -248,6 +251,8 @@ EVIDENCE: dict[str, dict] = {
         "test_curation_ops.py::test_epoch_plan_max_epochs_one_is_waterfill",
         "test_curation_ops.py::test_epoch_expand_replication_and_partial_prefix",
         "test_curation_ops.py::test_epoch_expand_delivers_budget",
+        "test_curation_ops.py::test_epoch_expand_prethin_equals_unthinned",
+        "test_curation_ops.py::test_epoch_expand_prethin_shortfall_raises",
         "test_release.py::test_release_recipe_weights_expansion",
         "test_release.py::test_release_cli_recipe_wiring"]},
     "X49": {"queries": ["q145_source_novelty"], "tests": [
@@ -268,7 +273,11 @@ EVIDENCE: dict[str, dict] = {
         "test_streaming.py::test_streaming_nb_sink_engine_equals_direct"]},
     "X53": {"queries": ["q149_naive_bayes_langid"], "tests": [
         "test_curation_ops.py::test_naive_bayes_hand_computed_and_separable",
-        "test_curation_ops.py::test_naive_bayes_priors_break_vocab_ties"]},
+        "test_curation_ops.py::test_naive_bayes_priors_break_vocab_ties",
+        "test_curation_ops.py::test_nb_classify_margin_matches_closed_form",
+        "test_curation_ops.py::test_nb_classify_shuffle_join_identical",
+        "test_release.py::test_release_nb_filter_keeps_operator_membership",
+        "test_release.py::test_release_cli_nb_filter_wiring"]},
     "X52": {"queries": ["q148_filtered_ann"], "tests": [
         "test_ann_index.py::test_filtered_search_prefilter_beats_postfilter",
         "test_ann_index.py::test_filtered_search_pushes_predicate_and_prunes"]},
@@ -432,6 +441,7 @@ EVIDENCE: dict[str, dict] = {
         "test_release.py::test_release_screen_probes_drops_contaminated",
         "test_release.py::test_release_cli_screen_probes_wiring",
         "test_release.py::test_release_screen_probes_scrub_mode",
+        "test_release.py::test_release_scrub_mode_refuses_short_probes",
         "test_curation_ops.py::test_scrub_probe_spans_excises_every_occurrence"]},
     "X6": {"queries": ["q53_dedup_clusters"], "tests": []},
     "X7": {"queries": ["q61_stratified_sample", "q62_shard_stats"], "tests": [
