@@ -210,6 +210,7 @@ HEADLINE = [
     "q150_stream_nb_train",
     "q151_decontam_scrub",
     "q152_filtered_ann_recall",
+    "q153_dsir_scores",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

@@ -279,3 +279,84 @@ def moore_lewis_scores(df: DataFrame, seed: DataFrame,
         .agg(F.count(F.lit(1)).alias("n_tok"),
              F.round(F.sum(term).cast("double") / F.count(F.lit(1)),
                      6).alias("ml_bits")))
+
+
+def _hashed_ngram_features(df: DataFrame, text_col: str,
+                           keep_cols: list[str],
+                           n_buckets: int) -> DataFrame:
+    """The DSIR feature stream: one row per hashed word unigram AND
+    bigram occurrence of the normalized token grid, bucketed by the
+    portable 60-bit hash mod ``n_buckets`` (Xie et al. 2023 §3 use
+    hashed {uni,bi}-gram counts as the feature space — the hashing
+    trick keeps the model tables bucket-sized regardless of
+    vocabulary).  Map-side only: explode + hash, no shuffle."""
+    toks = textfns.whitespace_tokens(text_col)
+    base = df.select(*keep_cols, toks.alias("__toks"))
+    feats = F.concat(
+        F.col("__toks"),
+        F.expr("zip_with(slice(__toks, 1, size(__toks) - 1), "
+               "slice(__toks, 2, size(__toks) - 1), "
+               "(a, b) -> concat(a, ' ', b))"))
+    return (base.select(*keep_cols, F.explode(feats).alias("__f"))
+            .select(*keep_cols,
+                    F.pmod(textfns.portable_hash60("__f"),
+                           F.lit(n_buckets)).alias("bucket")))
+
+
+def dsir_scores(df: DataFrame, seed: DataFrame,
+                text_col: str = "text", id_col: str = "doc_id",
+                n_buckets: int = 10_000) -> DataFrame:
+    """Data Selection via Importance Resampling scores (X56): per
+    candidate doc, the log importance weight ln p_seed(doc) −
+    ln p_pool(doc) under two bag-of-hashed-ngram multinomials — Xie
+    et al. 2023 ("Data Selection for Language Models via Importance
+    Resampling", NeurIPS, arXiv:2302.03169), the importance-weighting
+    generalization of Moore-Lewis: where :func:`moore_lewis_scores`
+    ranks by per-TOKEN cross-entropy difference under unigram LMs,
+    DSIR weights by the full likelihood ratio under hashed
+    unigram+bigram features, so doc length and phrase structure
+    participate (the paper's KL-reduction results are measured on
+    exactly this feature space at 10k buckets — the default here).
+
+    Both multinomials are add-one smoothed over the SAME ``n_buckets``
+    support (the q147 convention — a bucket unseen in the seed is a
+    finite penalty, never −∞, and both models are proper over one
+    support).  ``dsir_logw`` = Σ_occurrences ln(p_seed[b]/p_pool[b]):
+    POSITIVE means the seed model prefers the doc — select descending
+    by threshold or top-k, or feed it as the weight of an importance
+    resampler.  Determinism is q72/q147's ln policy verbatim: each
+    per-occurrence term is the identical expression tree in both
+    engines ((c+1.0)/double(total+B), one ln each), DECIMAL(18,12)-
+    cast pre-sum (order-free), final 6-dp round.
+
+    Scale shape: the two model tables are bucket-sized (≤ n_buckets
+    rows — the hashing trick's whole point) and BROADCAST onto the
+    candidate feature stream; the scalar totals ride one broadcast
+    1-row frame; the per-doc reduction is one doc-keyed combinable
+    agg.  Never a corpus shuffle keyed by token or bucket.  Returns
+    (id_col, n_feat, dsir_logw)."""
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    feats = _hashed_ngram_features(df, text_col, [id_col], n_buckets)
+    fg = (_hashed_ngram_features(df, text_col, [], n_buckets)
+          .groupBy("bucket").agg(F.count(F.lit(1)).alias("c_g")))
+    fi = (_hashed_ngram_features(seed, text_col, [], n_buckets)
+          .groupBy("bucket").agg(F.count(F.lit(1)).alias("c_i")))
+    consts = (
+        fg.agg(F.coalesce(F.sum("c_g"), F.lit(0)).alias("tg"))
+        .crossJoin(fi.agg(F.coalesce(F.sum("c_i"), F.lit(0))
+                          .alias("ti"))))
+    p_i = ((F.coalesce(F.col("c_i"), F.lit(0)).cast("double")
+            + F.lit(1.0))
+           / (F.col("ti") + F.lit(n_buckets)).cast("double"))
+    p_g = ((F.coalesce(F.col("c_g"), F.lit(0)).cast("double")
+            + F.lit(1.0))
+           / (F.col("tg") + F.lit(n_buckets)).cast("double"))
+    term = (F.log(p_i) - F.log(p_g)).cast("decimal(18,12)")
+    return (
+        feats.join(F.broadcast(fg), "bucket", "left")
+        .join(F.broadcast(fi), "bucket", "left")
+        .crossJoin(F.broadcast(consts))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_feat"),
+             F.round(F.sum(term).cast("double"), 6).alias("dsir_logw")))

@@ -7028,6 +7028,78 @@ def q151_decontam_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "cleaned_fp")
 
 
+def _dsir_sql(n_buckets: int = 10_000) -> str:
+    """q153 oracle: the DSIR log importance weight replayed in DuckDB
+    — hashed unigram+bigram feature streams for pool (all documents)
+    and seed (the src0 slice, q147's convention), add-one smoothed
+    bucket multinomials, per-occurrence ln-ratio decimal-summed per
+    doc.  Identical expression trees to the operator (q72's policy)."""
+    b = int(n_buckets)
+
+    def _feats(src: str, with_id: bool) -> str:
+        idc = "doc_id, " if with_id else ""
+        return f"""(
+      SELECT {idc}{_hash60_sql('f')} % {b} AS bucket FROM (
+        SELECT {idc}unnest(ts) AS f FROM {src}
+        UNION ALL
+        SELECT {idc}ts[pos + 1] || ' ' || ts[pos + 2] AS f
+        FROM (SELECT {idc}ts,
+                     unnest(range(0, greatest(
+                         CAST(len(ts) AS BIGINT) - 1, 0))) AS pos
+              FROM {src})
+      )
+    )"""
+
+    return f"""
+    WITH d AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ts
+               FROM documents),
+    sd AS (SELECT string_split({_NORM_SQL}, ' ') AS ts
+           FROM documents WHERE source = 'src0'),
+    feats AS (SELECT * FROM {_feats('d', True)}),
+    sfeats AS (SELECT * FROM {_feats('sd', False)}),
+    fg AS (SELECT bucket, COUNT(*) AS c_g FROM feats GROUP BY bucket),
+    fi AS (SELECT bucket, COUNT(*) AS c_i FROM sfeats GROUP BY bucket),
+    consts AS (
+      SELECT (SELECT COUNT(*) FROM feats) AS tg,
+             (SELECT COUNT(*) FROM sfeats) AS ti
+    )
+    SELECT f.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_feat,
+           round(CAST(SUM(CAST(
+             ln((CAST(COALESCE(i.c_i, 0) AS DOUBLE) + 1.0)
+                / CAST(c.ti + {b} AS DOUBLE))
+             - ln((CAST(COALESCE(g.c_g, 0) AS DOUBLE) + 1.0)
+                  / CAST(c.tg + {b} AS DOUBLE))
+             AS DECIMAL(18,12))) AS DOUBLE), 6) AS dsir_logw
+    FROM feats f
+    LEFT JOIN fg g ON g.bucket = f.bucket
+    LEFT JOIN fi i ON i.bucket = f.bucket
+    CROSS JOIN consts c
+    GROUP BY f.doc_id
+    """
+
+
+@query("q153_dsir_scores", _dsir_sql())
+def q153_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X56 — DSIR importance weights (textops.dsir_scores): Data
+    Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169) — every candidate doc scored by the log
+    likelihood ratio ln p_seed/p_pool under two add-one-smoothed
+    bag-of-hashed-{uni,bi}gram multinomials at the paper's 10k-bucket
+    feature space; seed = the src0 slice, pool = the whole table
+    (q147's convention, one tier above it: the full likelihood ratio
+    with phrase structure, not per-token cross entropy).  POSITIVE =
+    seed-like; select descending or feed an importance resampler.
+    Determinism is q72/q147's ln policy (identical per-occurrence
+    expression trees, DECIMAL(18,12) pre-sum cast, 6-dp round).
+    Scale: two bucket-sized broadcast model tables + one broadcast
+    1-row totals frame onto the map-side hashed feature stream; one
+    doc-keyed combinable reduction — never a corpus shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    seed = docs.where(F.col("source") == "src0")
+    return textops.dsir_scores(docs, seed, n_buckets=10_000)
+
+
 @query("q152_filtered_ann_recall",
        _ann_recall_sql(pred="e.label < 3"))
 def q152_filtered_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7128,6 +7200,10 @@ POST_WINDOW: list[str] = [
     # nprobe sizing curve for X52's filtered searches) — scheduled for
     # rotation #10 (round 14)
     "q152_filtered_ann_recall",
+    # round 13: X56 DSIR importance weights (Xie et al. 2023 — the
+    # importance-resampling generalization of q147's Moore-Lewis
+    # selection) — scheduled for rotation #10 (round 14)
+    "q153_dsir_scores",
 ]
 
 

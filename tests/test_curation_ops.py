@@ -1192,6 +1192,64 @@ def test_naive_bayes_priors_break_vocab_ties(spark):
     assert got.label == "big"
 
 
+def test_dsir_scores_match_python_replay(spark):
+    """X56 hand case: dsir_logw equals a full python replication of
+    the hashed-ngram importance weight — md5 bucketing (with a SMALL
+    bucket space so collisions are exercised), add-one smoothed
+    bucket multinomials, per-occurrence ln-ratio with the decimal
+    pre-sum quantization — and n_feat counts unigrams + bigrams."""
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from real_time_iot_data_pipeline_project_spark.operators import textops
+
+    rows = [(1, "apple pie recipe with apple"),
+            (2, "stock market crash deepens"),
+            (3, "apple pie"),
+            (4, "market pie outlook")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    seed = df.where(F.col("doc_id").isin(1, 3))
+    B = 17  # tiny on purpose: forces real bucket collisions
+    got = {r.doc_id: r for r in
+           textops.dsir_scores(df, seed, n_buckets=B).collect()}
+
+    def feats(text):
+        t = text.lower().split()
+        return t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+
+    def bucket(f):
+        return int(hashlib.md5(f.encode()).hexdigest()[:15], 16) % B
+
+    pool_counts: dict[int, int] = {}
+    seed_counts: dict[int, int] = {}
+    for i, tx in rows:
+        for f in feats(tx):
+            pool_counts[bucket(f)] = pool_counts.get(bucket(f), 0) + 1
+            if i in (1, 3):
+                seed_counts[bucket(f)] = seed_counts.get(bucket(f), 0) + 1
+    tg = sum(pool_counts.values())
+    ti = sum(seed_counts.values())
+    for i, tx in rows:
+        fs = feats(tx)
+        assert got[i].n_feat == len(fs)
+        total = Decimal(0)
+        for f in fs:
+            b = bucket(f)
+            term = (math.log((seed_counts.get(b, 0) + 1.0) / (ti + B))
+                    - math.log((pool_counts.get(b, 0) + 1.0) / (tg + B)))
+            total += Decimal(repr(term)).quantize(
+                Decimal("1.000000000000"), rounding=ROUND_HALF_UP)
+        assert got[i].dsir_logw == pytest.approx(
+            round(float(total), 6), abs=2e-6), i
+    # direction: the pure-seed doc is positive, the out-domain doc
+    # negative — the selection signal DSIR exists for
+    assert got[3].dsir_logw > 0 > got[2].dsir_logw
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        textops.dsir_scores(df, seed, n_buckets=0)
+
+
 def test_nb_classify_margin_matches_closed_form(spark):
     """VERDICT r12 item 8: with_margin adds best-minus-second-best
     log-posterior under the SAME (score, label) total order as the

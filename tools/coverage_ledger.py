@@ -76,10 +76,12 @@ PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
     # tests/test_coverage_ledger.py.  New queries must still be
     # registered into POST_WINDOW and scheduled here, or they silently
     # displace the pinned window.)
-    # rotation #10 — the round-13 addition: X55 filtered recall@k
-    # curve (the nprobe sizing report for X52's filtered searches)
+    # rotation #10 — the round-13 additions: X55 filtered recall@k
+    # curve (the nprobe sizing report for X52's filtered searches) and
+    # X56 DSIR importance weights (Xie et al. 2023)
     14: (10, [
         "q152_filtered_ann_recall",
+        "q153_dsir_scores",
     ]),
 }
 
