@@ -211,6 +211,7 @@ HEADLINE = [
     "q151_decontam_scrub",
     "q152_filtered_ann_recall",
     "q153_dsir_scores",
+    "q154_pq_adc_topk",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

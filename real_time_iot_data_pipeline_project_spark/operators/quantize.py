@@ -85,3 +85,135 @@ def quantize_error(
             ).alias("mse"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# Product quantization (round 13, X57): the vector-store memory tier.
+# Jégou, Douze & Schmid 2011 ("Product Quantization for Nearest
+# Neighbor Search", TPAMI): split each D-dim vector into m subvectors,
+# code each subvector by its nearest entry in a per-subspace codebook
+# of k centroids, and answer queries with ASYMMETRIC distance (ADC) —
+# the query stays full precision, the corpus is m small ints per
+# vector.  At (D=64, m=4) a float32 corpus compresses 64x (256 bytes
+# -> 4 codes); at 100 TB of embeddings that is the difference between
+# a vector store that fits executor memory and one that doesn't.
+#
+# Cross-engine determinism: every distance is the dot-product identity
+# l2²(a, b) = dot(a,a) − 2·dot(a,b) + dot(b,b) over the SAME left-fold
+# dot primitive the whole ANN tier hash-gates (similarity._dot versus
+# DuckDB list_dot_product — q38/q121/q148's proven pairing), so both
+# engines derive identical doubles; argmins break ties (dist ASC,
+# code_id ASC) via min(struct); the one per-(query, vec) reduction of
+# m lookup terms is DECIMAL-cast pre-sum (order-free, rule 1).
+# Codebooks are the md5-ordered hash sample of k corpus vectors (the
+# IVF centroid convention — kmeans_refine composes upstream the same
+# way build_index accepts refined centroids).
+
+
+def _dot_d(a, b):
+    from .similarity import _dot
+
+    return _dot(a, b)
+
+
+def _l2sq(a, b):
+    """l2² via the proven dot primitive (identical expression tree to
+    the DuckDB list_dot_product identity, NOT a zip_with fold that has
+    no cross-engine twin)."""
+    return _dot_d(a, a) - F.lit(2.0) * _dot_d(a, b) + _dot_d(b, b)
+
+
+def _subspaces(vec_col: str, m: int, d: int):
+    """Array of the m subvector slices, double-cast — posexplode gives
+    (sub_id 0..m-1, subvector)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return F.array(*[F.slice(v, j * d + 1, d) for j in range(m)])
+
+
+def pq_codebooks(df: DataFrame, m: int = 4, k: int = 8,
+                 vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> DataFrame:
+    """Per-subspace codebooks from the md5-ordered k-vector hash
+    sample: (sub_id 0..m-1, code_id 1..k, cvec array<double> of D/m).
+    m·k rows — broadcast everywhere downstream."""
+    from pyspark.sql import Window
+
+    dim_row = df.select(F.size(vec_col).alias("dim")).head()
+    if dim_row is None:
+        raise ValueError("pq_codebooks: empty corpus")
+    dim = int(dim_row["dim"])
+    if m <= 0 or dim % m != 0:
+        raise ValueError(
+            f"m must be a positive divisor of the embedding width "
+            f"(got m={m}, dim={dim})")
+    d = dim // m
+    sample = (df.orderBy(F.md5(F.col(id_col).cast("string")),
+                         F.asc(id_col))
+              .limit(k)
+              .withColumn("code_id", F.row_number().over(
+                  Window.orderBy(F.md5(F.col(id_col).cast("string")),
+                                 F.asc(id_col)))))
+    return (sample.select("code_id",
+                          F.posexplode(_subspaces(vec_col, m, d))
+                          .alias("sub_id", "cvec")))
+
+
+def pq_encode(df: DataFrame, codebooks: DataFrame,
+              vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """PQ codes, tall form: (id, sub_id, code) — each subvector coded
+    by its nearest codebook entry (l2² ASC, code_id ASC tie-break).
+    One map-side posexplode to n·m subvectors, a broadcast join
+    against the m·k codebook, one (id, sub_id)-keyed min(struct) —
+    no corpus-sized wide shuffle, and the output is m small ints per
+    vector (the compression that pays for everything)."""
+    m = int(codebooks.agg(F.countDistinct("sub_id")).head()[0])
+    d_row = codebooks.select(F.size("cvec").alias("d")).head()
+    d = int(d_row["d"])
+    flat = df.select(
+        F.col(id_col),
+        F.posexplode(_subspaces(vec_col, m, d)).alias("sub_id", "svec"))
+    dist = _l2sq(F.col("svec"), F.col("cvec"))
+    return (flat.join(F.broadcast(codebooks), "sub_id")
+            .groupBy(id_col, "sub_id")
+            .agg(F.min(F.struct(dist.alias("d"),
+                                F.col("code_id").alias("c")))
+                 .alias("__w"))
+            .select(id_col, "sub_id", F.col("__w.c").alias("code")))
+
+
+def pq_adc_topk(queries: DataFrame, codebooks: DataFrame,
+                codes: DataFrame, k: int = 10,
+                query_id_col: str = "query_id",
+                query_vec_col: str = "qvec",
+                id_col: str = "vec_id") -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: per query, the m×k
+    lookup table of subquery-to-codeword l2² terms is computed ONCE
+    (queries × the broadcast codebook — bounded), broadcast onto the
+    tall codes, and each (query, vec) sums its m looked-up terms
+    (DECIMAL pre-sum cast — order-free).  The corpus-sized input is
+    the CODES table (m ints per vector), never the float vectors —
+    ADC's whole point.  Returns (query_id, vec_id, adc_dist) with
+    adc_dist rounded to 6 dp, (adc ASC, id ASC) top-k per query."""
+    from pyspark.sql import Window
+
+    m = int(codebooks.agg(F.countDistinct("sub_id")).head()[0])
+    d = int(codebooks.select(F.size("cvec").alias("d")).head()["d"])
+    qsub = queries.select(
+        F.col(query_id_col),
+        F.posexplode(_subspaces(query_vec_col, m, d))
+        .alias("sub_id", "qsvec"))
+    lut = (qsub.join(F.broadcast(codebooks), "sub_id")
+           .select(query_id_col, "sub_id",
+                   F.col("code_id").alias("code"),
+                   _l2sq(F.col("qsvec"), F.col("cvec"))
+                   .cast("decimal(28,12)").alias("__term")))
+    scored = (codes.join(F.broadcast(lut), ["sub_id", "code"])
+              .groupBy(query_id_col, id_col)
+              .agg(F.round(F.sum("__term").cast("double"), 6)
+                   .alias("adc_dist")))
+    return (scored.withColumn("__rn", F.row_number().over(
+        Window.partitionBy(query_id_col)
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))))
+        .where(F.col("__rn") <= k)
+        .select(query_id_col, id_col, "adc_dist"))

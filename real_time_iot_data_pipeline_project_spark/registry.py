@@ -7079,6 +7079,98 @@ def _dsir_sql(n_buckets: int = 10_000) -> str:
     """
 
 
+def _pq_sql(m: int = 4, kc: int = 8, k: int = 10, dim: int = 64) -> str:
+    """q154 oracle: product quantization replayed in DuckDB — the
+    md5-sampled k-vector codebooks per subspace, nearest-code encode
+    (l2² ASC, code_id ASC), and the ADC top-k with the decimal
+    pre-sum policy.  Every distance is the dot identity
+    l2²(a,b) = dot(a,a) − 2·dot(a,b) + dot(b,b) over list_dot_product
+    — the q38/q121 proven pairing of similarity._dot."""
+    d = dim // m
+
+    def l2(a: str, b: str) -> str:
+        return (f"(list_dot_product({a}, {a})"
+                f" - 2.0 * list_dot_product({a}, {b})"
+                f" + list_dot_product({b}, {b}))")
+
+    def sl(v: str) -> str:
+        return (f"list_slice({v}, CAST(sub_id * {d} + 1 AS INTEGER), "
+                f"CAST(sub_id * {d} + {d} AS INTEGER))")
+
+    return f"""
+    WITH subs AS (SELECT unnest(range(0, {m})) AS sub_id),
+    cb0 AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS v,
+             row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS code_id
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {kc}
+    ),
+    cb AS (SELECT code_id, sub_id, {sl('v')} AS cvec FROM cb0, subs),
+    ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+    sub AS (SELECT vec_id, sub_id, {sl('v')} AS svec FROM ev, subs),
+    codes AS (
+      SELECT vec_id, sub_id, code_id AS code FROM (
+        SELECT s.vec_id, s.sub_id, c.code_id,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub_id
+                                  ORDER BY {l2('s.svec', 'c.cvec')} ASC,
+                                           c.code_id ASC) AS rn
+        FROM sub s JOIN cb c ON c.sub_id = s.sub_id
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+    qsub AS (SELECT query_id, sub_id, {sl('v')} AS qsvec FROM q, subs),
+    lut AS (
+      SELECT query_id, qs.sub_id, code_id AS code,
+             CAST({l2('qs.qsvec', 'c.cvec')} AS DECIMAL(28,12)) AS term
+      FROM qsub qs JOIN cb c ON c.sub_id = qs.sub_id
+    ),
+    adc AS (
+      SELECT query_id, vec_id,
+             round(CAST(SUM(term) AS DOUBLE), 6) AS adc_dist
+      FROM codes dd JOIN lut l
+        ON l.sub_id = dd.sub_id AND l.code = dd.code
+      GROUP BY query_id, vec_id
+    )
+    SELECT query_id, vec_id, adc_dist FROM (
+      SELECT query_id, vec_id, adc_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist ASC, vec_id ASC) AS rn
+      FROM adc
+    ) WHERE rn <= {k}
+    """
+
+
+@query("q154_pq_adc_topk", _pq_sql())
+def q154_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X57 — product quantization with asymmetric-distance search
+    (quantize.pq_codebooks/pq_encode/pq_adc_topk): the vector-store
+    MEMORY tier (Jégou et al. 2011 TPAMI) — each 64-dim vector coded
+    as m=4 small ints against md5-sampled per-subspace codebooks
+    (k=8), queries answered full-precision against the codes via the
+    m×k lookup table (ADC).  At (D=64, m=4) the corpus compresses
+    64×; at 100 TB of embeddings that is the difference between a
+    store that fits executor memory and one that doesn't.  The gate
+    pins sample→encode→LUT→sum→top-k end-to-end: every distance is
+    the dot identity over the ANN tier's proven _dot/list_dot_product
+    pairing, the per-(query, vec) m-term reduction is DECIMAL-cast
+    pre-sum, ties break (dist ASC, code_id/vec_id ASC).  Scale: the
+    codebook is m·k rows broadcast; encode is a map-side explode +
+    broadcast argmin; search reads CODES (ints), never the float
+    corpus."""
+    from .operators import quantize
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = quantize.pq_codebooks(emb, m=4, k=8)
+    codes = quantize.pq_encode(emb, cb)
+    queries = (emb.where(F.col("vec_id").isin(0, 1, 2, 3, 4))
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qvec")))
+    return quantize.pq_adc_topk(queries, cb, codes, k=10)
+
+
 @query("q153_dsir_scores", _dsir_sql())
 def q153_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X56 — DSIR importance weights (textops.dsir_scores): Data
@@ -7204,6 +7296,10 @@ POST_WINDOW: list[str] = [
     # importance-resampling generalization of q147's Moore-Lewis
     # selection) — scheduled for rotation #10 (round 14)
     "q153_dsir_scores",
+    # round 13: X57 product quantization + ADC search (Jégou et al.
+    # 2011 — the vector-store memory tier) — scheduled for rotation
+    # #10 (round 14)
+    "q154_pq_adc_topk",
 ]
 
 

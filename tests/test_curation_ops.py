@@ -231,6 +231,84 @@ def test_quantize_error_bounded_by_step(spark):
     assert 0 < out[3].mse <= step * step  # floor error < one grid step
 
 
+def test_pq_encode_and_adc_match_python_replay(spark):
+    """X57 hand case: codes and ADC distances equal a full python
+    replication — md5-ordered codebook sample, per-subspace argmin
+    with the (dist ASC, code ASC) tie-break, LUT sum with the decimal
+    pre-sum quantization — and ADC(q, codes(v)) equals the exact l2²
+    between q and v's RECONSTRUCTION from its codewords."""
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    rows = [(i, [math.sin(i * 7 + j) for j in range(8)])
+            for i in range(20)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>")
+    m, d, kc = 4, 2, 3
+    cb = quantize.pq_codebooks(df, m=m, k=kc)
+    codes = {(r.vec_id, r.sub_id): r.code
+             for r in quantize.pq_encode(df, cb).collect()}
+    queries = (df.where(F.col("vec_id").isin(0, 1))
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qvec")))
+    got = {(r.query_id, r.vec_id): r.adc_dist
+           for r in quantize.pq_adc_topk(queries, cb, codes=quantize
+                                         .pq_encode(df, cb), k=20)
+           .collect()}
+
+    # python replay — NOTE float32 storage: replicate by round-trip
+    import struct as _s
+
+    def f32(x):
+        return _s.unpack("f", _s.pack("f", x))[0]
+
+    vecs = {i: [f32(x) for x in v] for i, v in rows}
+    order = sorted(vecs, key=lambda i: (
+        hashlib.md5(str(i).encode()).hexdigest(), i))
+    sample = order[:kc]
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def l2(a, b):
+        return dot(a, a) - 2.0 * dot(a, b) + dot(b, b)
+
+    cbooks = {(j, c + 1): vecs[sid][j * d:(j + 1) * d]
+              for c, sid in enumerate(sample) for j in range(m)}
+    for i, v in vecs.items():
+        for j in range(m):
+            sv = v[j * d:(j + 1) * d]
+            best = min((l2(sv, cbooks[(j, c)]), c)
+                       for c in range(1, kc + 1))
+            assert codes[(i, j)] == best[1], (i, j)
+    for qid in (0, 1):
+        qv = vecs[qid]
+        for i in vecs:
+            total = Decimal(0)
+            recon = []
+            for j in range(m):
+                term = l2(qv[j * d:(j + 1) * d],
+                          cbooks[(j, codes[(i, j)])])
+                total += Decimal(repr(term)).quantize(
+                    Decimal("1.000000000000"),
+                    rounding=ROUND_HALF_UP)
+                recon += cbooks[(j, codes[(i, j)])]
+            assert got[(qid, i)] == pytest.approx(
+                round(float(total), 6), abs=2e-6)
+            # ADC == exact distance to the reconstruction (per-subspace
+            # l2² terms are additive over the concatenation)
+            assert got[(qid, i)] == pytest.approx(
+                l2(qv, recon), abs=1e-5)
+
+    with pytest.raises(ValueError, match="divisor"):
+        quantize.pq_codebooks(df, m=3, k=kc)
+
+
 # ------------------------------------------------------------ corpus stats
 
 def test_corpus_token_stats_uniform_entropy(spark):

@@ -82,6 +82,7 @@ PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
     14: (10, [
         "q152_filtered_ann_recall",
         "q153_dsir_scores",
+        "q154_pq_adc_topk",
     ]),
 }
 
