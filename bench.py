@@ -212,6 +212,7 @@ HEADLINE = [
     "q152_filtered_ann_recall",
     "q153_dsir_scores",
     "q154_pq_adc_topk",
+    "q155_ivfpq_topk",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

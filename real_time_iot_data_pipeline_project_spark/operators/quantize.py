@@ -217,3 +217,70 @@ def pq_adc_topk(queries: DataFrame, codebooks: DataFrame,
         .orderBy(F.asc("adc_dist"), F.asc(id_col))))
         .where(F.col("__rn") <= k)
         .select(query_id_col, id_col, "adc_dist"))
+
+
+def ivfpq_topk(df: DataFrame, queries: DataFrame,
+               n_centroids: int = 16, nprobe: int = 4,
+               m: int = 4, kc: int = 8, k: int = 10,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               query_id_col: str = "query_id",
+               query_vec_col: str = "qvec") -> DataFrame:
+    """IVF-PQ batch search (X58): the FAISS `IVFPQ` production pattern
+    composed from the two gated halves — coarse probe pruning (X45's
+    per-query nprobe centroid ranking over the shared md5-sampled
+    centroid set and argmax assignment) restricts the candidates to
+    ~nprobe/n_centroids of the corpus, and ASYMMETRIC distance (X57's
+    m×k lookup table over PQ codes) scores them without touching a
+    float vector.  The corpus-sized inputs are the assignment (one
+    int per vector) and the codes (m ints per vector); at 100 TB this
+    is how a vector store both FITS (PQ's 64× compression) and
+    answers in bounded work (IVF's pruning).
+
+    Same determinism contracts as the parents: cosine probe ranking
+    with (qsim DESC, centroid ASC) row_number, l2² ADC terms via the
+    dot identity, DECIMAL pre-sum, (adc ASC, id ASC) top-k.  Returns
+    (query_id, vec_id, adc_dist)."""
+    from pyspark.sql import Window
+
+    from .similarity import assign_centroids, cosine, sampled_centroids
+
+    cents = sampled_centroids(df, n_centroids, vec_col, id_col)
+    assigned = (assign_centroids(df, cents, vec_col, id_col)
+                .select(id_col, "centroid_id"))
+    cb = pq_codebooks(df, m=m, k=kc, vec_col=vec_col, id_col=id_col)
+    codes = pq_encode(df, cb, vec_col=vec_col, id_col=id_col)
+    d = int(cb.select(F.size("cvec").alias("d")).head()["d"])
+    qvec_d = F.transform(F.col(query_vec_col), lambda x: x.cast("double"))
+    cvec_d = F.transform(F.col("cvec"), lambda x: x.cast("double"))
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .select(query_id_col, "centroid_id",
+                cosine(qvec_d, cvec_d).alias("qsim"))
+        .withColumn("__rn", F.row_number().over(
+            Window.partitionBy(query_id_col)
+            .orderBy(F.desc("qsim"), F.asc("centroid_id"))))
+        .where(F.col("__rn") <= nprobe)
+        .select(query_id_col, "centroid_id"))
+    qsub = queries.select(
+        F.col(query_id_col),
+        F.posexplode(_subspaces(query_vec_col, m, d))
+        .alias("sub_id", "qsvec"))
+    lut = (qsub.join(F.broadcast(cb), "sub_id")
+           .select(query_id_col, "sub_id",
+                   F.col("code_id").alias("code"),
+                   _l2sq(F.col("qsvec"), F.col("cvec"))
+                   .cast("decimal(28,12)").alias("__term")))
+    # candidates: codes of vectors whose bucket a query probes — the
+    # assignment join is int-keyed and the probe/LUT sides broadcast
+    cand = (codes.join(assigned.hint("shuffle_hash"), id_col)
+            .join(F.broadcast(probes), "centroid_id"))
+    scored = (cand.join(F.broadcast(lut),
+                        [query_id_col, "sub_id", "code"])
+              .groupBy(query_id_col, id_col)
+              .agg(F.round(F.sum("__term").cast("double"), 6)
+                   .alias("adc_dist")))
+    return (scored.withColumn("__rn", F.row_number().over(
+        Window.partitionBy(query_id_col)
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))))
+        .where(F.col("__rn") <= k)
+        .select(query_id_col, id_col, "adc_dist"))

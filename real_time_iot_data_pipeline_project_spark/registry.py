@@ -7143,6 +7143,120 @@ def _pq_sql(m: int = 4, kc: int = 8, k: int = 10, dim: int = 64) -> str:
     """
 
 
+def _ivfpq_sql(n_centroids: int = 16, nprobe: int = 4, m: int = 4,
+               kc: int = 8, k: int = 10, dim: int = 64) -> str:
+    """q155 oracle: IVF-PQ replayed in DuckDB by composing the two
+    proven halves — q121's centroid sample / argmax assignment /
+    per-query probe ranking, and q154's codebooks / encode / ADC LUT —
+    with the ADC restricted to vectors whose bucket the query probes."""
+    d = dim // m
+    v_c = _list_cos_sql("e.embedding", "c.cvec")
+    c_q = _list_cos_sql("c.cvec", "q.qv")
+
+    def l2(a: str, b: str) -> str:
+        return (f"(list_dot_product({a}, {a})"
+                f" - 2.0 * list_dot_product({a}, {b})"
+                f" + list_dot_product({b}, {b}))")
+
+    def sl(v: str) -> str:
+        return (f"list_slice({v}, CAST(sub_id * {d} + 1 AS INTEGER), "
+                f"CAST(sub_id * {d} + {d} AS INTEGER))")
+
+    return f"""
+    WITH subs AS (SELECT unnest(range(0, {m})) AS sub_id),
+    c AS (
+      SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_centroids}
+    ),
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {v_c} DESC,
+                                           c.centroid_id ASC) AS rn
+        FROM embeddings e, c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+    probes AS (
+      SELECT query_id, centroid_id FROM (
+        SELECT q.query_id, c.centroid_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {c_q} DESC,
+                                           c.centroid_id ASC) AS rn
+        FROM q, c
+      ) WHERE rn <= {nprobe}
+    ),
+    cb0 AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS v,
+             row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS code_id
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {kc}
+    ),
+    cb AS (SELECT code_id, sub_id, {sl('v')} AS cvec FROM cb0, subs),
+    ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+    sub AS (SELECT vec_id, sub_id, {sl('v')} AS svec FROM ev, subs),
+    codes AS (
+      SELECT vec_id, sub_id, code_id AS code FROM (
+        SELECT s.vec_id, s.sub_id, cc.code_id,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub_id
+                                  ORDER BY {l2('s.svec', 'cc.cvec')} ASC,
+                                           cc.code_id ASC) AS rn
+        FROM sub s JOIN cb cc ON cc.sub_id = s.sub_id
+      ) WHERE rn = 1
+    ),
+    qsub AS (SELECT query_id, sub_id, {sl('qv')} AS qsvec FROM q, subs),
+    lut AS (
+      SELECT query_id, qs.sub_id, code_id AS code,
+             CAST({l2('qs.qsvec', 'cc.cvec')} AS DECIMAL(28,12)) AS term
+      FROM qsub qs JOIN cb cc ON cc.sub_id = qs.sub_id
+    ),
+    adc AS (
+      SELECT p.query_id, dd.vec_id,
+             round(CAST(SUM(l.term) AS DOUBLE), 6) AS adc_dist
+      FROM codes dd
+      JOIN assigned a ON a.vec_id = dd.vec_id
+      JOIN probes p ON p.centroid_id = a.centroid_id
+      JOIN lut l ON l.query_id = p.query_id
+               AND l.sub_id = dd.sub_id AND l.code = dd.code
+      GROUP BY p.query_id, dd.vec_id
+    )
+    SELECT query_id, vec_id, adc_dist FROM (
+      SELECT query_id, vec_id, adc_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist ASC, vec_id ASC) AS rn
+      FROM adc
+    ) WHERE rn <= {k}
+    """
+
+
+@query("q155_ivfpq_topk", _ivfpq_sql())
+def q155_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X58 — IVF-PQ batch search (quantize.ivfpq_topk): the FAISS
+    `IVFPQ` production pattern — coarse nprobe pruning over the
+    shared md5-sampled centroids restricts candidates to
+    ~nprobe/n_centroids of the corpus, asymmetric distance over the
+    m=4 PQ codes scores them without touching a float vector.  The
+    composition of the two gated halves (q121's probe/assignment,
+    q154's codebooks/ADC) as ONE hash-pinned row — how a 100 TB
+    vector store both fits (PQ 64×) and answers in bounded work
+    (IVF pruning).  Scale: the corpus-sized joins are int-keyed
+    (codes ⋈ assignment shuffle-hash on id); probes, codebooks and
+    the per-query LUT all broadcast."""
+    from .operators import quantize
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (emb.where(F.col("vec_id").isin(0, 1, 2, 3, 4))
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qvec")))
+    return quantize.ivfpq_topk(emb, queries, n_centroids=16, nprobe=4,
+                               m=4, kc=8, k=10)
+
+
 @query("q154_pq_adc_topk", _pq_sql())
 def q154_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X57 — product quantization with asymmetric-distance search
@@ -7300,6 +7414,10 @@ POST_WINDOW: list[str] = [
     # 2011 — the vector-store memory tier) — scheduled for rotation
     # #10 (round 14)
     "q154_pq_adc_topk",
+    # round 13: X58 IVF-PQ batch search (the FAISS IVFPQ production
+    # composition of q121's probe pruning and q154's ADC) — scheduled
+    # for rotation #10 (round 14)
+    "q155_ivfpq_topk",
 ]
 
 

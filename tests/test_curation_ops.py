@@ -309,6 +309,51 @@ def test_pq_encode_and_adc_match_python_replay(spark):
         quantize.pq_codebooks(df, m=3, k=kc)
 
 
+def test_ivfpq_anchor_and_pruning(spark):
+    """X58: at nprobe = n_centroids IVF-PQ probes every bucket and
+    equals plain ADC over the full codes (the exact-anchor
+    equivalence, q138's convention); at nprobe < C every returned
+    neighbor's bucket is one the query probed — the pruning is real
+    and honored."""
+    import math
+
+    from real_time_iot_data_pipeline_project_spark.operators.similarity import (
+        assign_centroids, cosine, sampled_centroids,
+    )
+
+    rows = [(i, [float(math.cos(i * 3 + j)) for j in range(8)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = (df.where(F.col("vec_id").isin(0, 1))
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qvec")))
+    full = quantize.ivfpq_topk(df, queries, n_centroids=4, nprobe=4,
+                               m=4, kc=3, k=5)
+    cb = quantize.pq_codebooks(df, m=4, k=3)
+    plain = quantize.pq_adc_topk(queries, cb,
+                                 quantize.pq_encode(df, cb), k=5)
+    assert sorted(map(tuple, full.collect())) \
+        == sorted(map(tuple, plain.collect()))
+
+    pruned = quantize.ivfpq_topk(df, queries, n_centroids=4, nprobe=1,
+                                 m=4, kc=3, k=5).collect()
+    cents = sampled_centroids(df, 4)
+    assigned = {r.vec_id: r.centroid_id for r in
+                assign_centroids(df, cents).collect()}
+    qvec_d = F.transform(F.col("qvec"), lambda x: x.cast("double"))
+    cvec_d = F.transform(F.col("cvec"), lambda x: x.cast("double"))
+    best = {r.query_id: r.centroid_id for r in
+            queries.crossJoin(F.broadcast(cents))
+            .select("query_id", "centroid_id",
+                    cosine(qvec_d, cvec_d).alias("s"))
+            .groupBy("query_id")
+            .agg(F.expr("max_by(centroid_id, struct(s, -centroid_id))")
+                 .alias("centroid_id")).collect()}
+    assert pruned
+    for r in pruned:
+        assert assigned[r.vec_id] == best[r.query_id]
+
+
 # ------------------------------------------------------------ corpus stats
 
 def test_corpus_token_stats_uniform_entropy(spark):

@@ -83,6 +83,7 @@ PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
         "q152_filtered_ann_recall",
         "q153_dsir_scores",
         "q154_pq_adc_topk",
+        "q155_ivfpq_topk",
     ]),
 }
 
