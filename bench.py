@@ -213,6 +213,7 @@ HEADLINE = [
     "q153_dsir_scores",
     "q154_pq_adc_topk",
     "q155_ivfpq_topk",
+    "q156_stream_dsir_pool",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

@@ -289,6 +289,9 @@ EVIDENCE: dict[str, dict] = {
         "test_curation_ops.py::test_pq_encode_and_adc_match_python_replay"]},
     "X58": {"queries": ["q155_ivfpq_topk"], "tests": [
         "test_curation_ops.py::test_ivfpq_anchor_and_pruning"]},
+    "X59": {"queries": ["q156_stream_dsir_pool"], "tests": [
+        "test_streaming.py::test_streaming_dsir_fold_equals_batch",
+        "test_streaming.py::test_streaming_dsir_sink_engine_equals_direct"]},
     "X40": {"queries": ["q128_edit_distance_verify"], "tests": [
         "test_dedup_similarity.py::test_edit_verify_exact_and_near_dups",
         "test_dedup_similarity.py::test_edit_verify_rejects_block_swapped_candidate",

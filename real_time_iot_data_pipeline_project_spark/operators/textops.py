@@ -305,7 +305,8 @@ def _hashed_ngram_features(df: DataFrame, text_col: str,
 
 def dsir_scores(df: DataFrame, seed: DataFrame,
                 text_col: str = "text", id_col: str = "doc_id",
-                n_buckets: int = 10_000) -> DataFrame:
+                n_buckets: int = 10_000,
+                pool_counts: DataFrame | None = None) -> DataFrame:
     """Data Selection via Importance Resampling scores (X56): per
     candidate doc, the log importance weight ln p_seed(doc) −
     ln p_pool(doc) under two bag-of-hashed-ngram multinomials — Xie
@@ -334,11 +335,19 @@ def dsir_scores(df: DataFrame, seed: DataFrame,
     candidate feature stream; the scalar totals ride one broadcast
     1-row frame; the per-doc reduction is one doc-keyed combinable
     agg.  Never a corpus shuffle keyed by token or bucket.  Returns
-    (id_col, n_feat, dsir_logw)."""
+    (id_col, n_feat, dsir_logw).
+
+    ``pool_counts`` accepts a precomputed (bucket, c_g) pool model —
+    the streaming fold's read (X59, dsir_stream.dsir_pool_counts):
+    bucket counts are exactly mergeable integers, so a model folded
+    from any batching of the pool equals the one computed here from
+    the concatenated frame bit-for-bit (q156's gate proves it
+    cross-engine — its oracle is q153's SQL verbatim)."""
     if n_buckets <= 0:
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")
     feats = _hashed_ngram_features(df, text_col, [id_col], n_buckets)
-    fg = (_hashed_ngram_features(df, text_col, [], n_buckets)
+    fg = (pool_counts if pool_counts is not None
+          else _hashed_ngram_features(df, text_col, [], n_buckets)
           .groupBy("bucket").agg(F.count(F.lit(1)).alias("c_g")))
     fi = (_hashed_ngram_features(seed, text_col, [], n_buckets)
           .groupBy("bucket").agg(F.count(F.lit(1)).alias("c_i")))

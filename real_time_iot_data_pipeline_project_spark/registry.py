@@ -7285,6 +7285,33 @@ def q154_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize.pq_adc_topk(queries, cb, codes, k=10)
 
 
+@query("q156_stream_dsir_pool", _dsir_sql())
+def q156_stream_dsir_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X59 — X56's pool model folded from a STREAM, hash-gated
+    end-to-end: the documents pool folded through
+    streaming/dsir_stream.process_dsir_batch in three deterministic
+    micro-batches (doc_id mod 3 — the foreachBatch body driven
+    directly with its batch_id contract; stream-engine ==
+    direct-invocation pinned by the availableNow test), then every
+    doc scored under the store-folded pool model with the src0 seed.
+    The oracle is literally q153's SQL: a green hash PROVES
+    fold == batch — the DSIR pool model is ONE integer bucket-count
+    table, integer counts are exactly mergeable, so any batching
+    folds to the batch model bit-for-bit (the q150/q132 precedent).
+    /tmp store is per-process, removed at exit."""
+    from .streaming import dsir_stream
+
+    docs = _t(spark, sf_dir, "documents")
+    root = _scratch_dir("q156_dsir", sf_dir)
+    for b in range(3):
+        dsir_stream.process_dsir_batch(
+            docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == b), b,
+            f"{root}/store")
+    seed = docs.where(F.col("source") == "src0")
+    return dsir_stream.dsir_scores_from_store(
+        spark, f"{root}/store", docs, seed)
+
+
 @query("q153_dsir_scores", _dsir_sql())
 def q153_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X56 — DSIR importance weights (textops.dsir_scores): Data
@@ -7418,6 +7445,10 @@ POST_WINDOW: list[str] = [
     # composition of q121's probe pruning and q154's ADC) — scheduled
     # for rotation #10 (round 14)
     "q155_ivfpq_topk",
+    # round 13: X59 streaming DSIR pool fold (fold == batch proven by
+    # the q153-verbatim oracle, the q150 precedent) — scheduled for
+    # rotation #10 (round 14)
+    "q156_stream_dsir_pool",
 ]
 
 

@@ -2067,3 +2067,84 @@ def test_streaming_nb_sink_engine_equals_direct(spark, tmp_path):
     dc_, dd = classify_stream.nb_store_model(spark, direct_store)
     key = lambda d: sorted(map(tuple, d.collect()))  # noqa: E731
     assert key(sc) == key(dc_) and key(sd) == key(dd)
+
+
+# --------------------------------------------------- streaming DSIR fold
+
+def _dsir_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_streaming_dsir_fold_equals_batch(spark, tmp_path):
+    """X59: the store-folded pool model over any batching equals the
+    batch model on the concatenated pool — downstream DSIR scores are
+    identical (the q156 gate's claim, pinned here directly), replay of
+    a completed batch is idempotent, and empty batches are no-ops."""
+    from real_time_iot_data_pipeline_project_spark.operators import textops
+    from real_time_iot_data_pipeline_project_spark.streaming import (
+        dsir_stream,
+    )
+
+    rows = [(i, f"w{i % 7} w{i % 3} common phrase") for i in range(30)]
+    store = str(tmp_path / "dsir_store")
+    B = 200
+    for b in range(3):
+        dsir_stream.process_dsir_batch(
+            _dsir_docs(spark, [r for r in rows if r[0] % 3 == b]), b,
+            store, n_buckets=B)
+    # replay of batch 1 (checkpoint recovery) + an empty batch
+    dsir_stream.process_dsir_batch(
+        _dsir_docs(spark, [r for r in rows if r[0] % 3 == 1]), 1,
+        store, n_buckets=B)
+    dsir_stream.process_dsir_batch(_dsir_docs(spark, []), 3, store,
+                                   n_buckets=B)
+
+    full = _dsir_docs(spark, rows)
+    want_pool = {r.bucket: r.c_g for r in
+                 textops._hashed_ngram_features(full, "text", [], B)
+                 .groupBy("bucket").agg(F.count(F.lit(1)).alias("c_g"))
+                 .collect()}
+    got_pool = {r.bucket: r.c_g for r in
+                dsir_stream.dsir_pool_counts(spark, store).collect()}
+    assert got_pool == want_pool
+
+    seed = full.where(F.col("doc_id") % 5 == 0)
+    got = dsir_stream.dsir_scores_from_store(
+        spark, store, full, seed, n_buckets=B).collect()
+    want = textops.dsir_scores(full, seed, n_buckets=B).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_streaming_dsir_sink_engine_equals_direct(spark, tmp_path):
+    """availableNow stream-engine run == direct foreachBatch-body
+    invocation (the equivalence q156's direct-drive gate builds on)."""
+    from real_time_iot_data_pipeline_project_spark.streaming import (
+        dsir_stream,
+    )
+
+    rows = [(i, f"w{i % 5} w{i % 2} shared") for i in range(24)]
+    src = tmp_path / "dsir_in"
+    src.mkdir()
+    for b in range(3):
+        _dsir_docs(spark, [r for r in rows if r[0] % 3 == b]) \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(str(src / f"b{b}.parquet"))
+
+    stream_store = str(tmp_path / "ds1")
+    docs = (spark.readStream
+            .schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*/"))
+    q = dsir_stream.start_dsir_pool_sink(
+        docs, str(tmp_path / "dsir_ckpt"), stream_store, n_buckets=100)
+    q.awaitTermination(120)
+
+    direct_store = str(tmp_path / "ds2")
+    for b in range(3):
+        dsir_stream.process_dsir_batch(
+            _dsir_docs(spark, [r for r in rows if r[0] % 3 == b]), b,
+            direct_store, n_buckets=100)
+
+    key = lambda d: sorted(map(tuple, d.collect()))  # noqa: E731
+    assert key(dsir_stream.dsir_pool_counts(spark, stream_store)) \
+        == key(dsir_stream.dsir_pool_counts(spark, direct_store))

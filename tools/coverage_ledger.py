@@ -84,6 +84,7 @@ PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
         "q153_dsir_scores",
         "q154_pq_adc_topk",
         "q155_ivfpq_topk",
+        "q156_stream_dsir_pool",
     ]),
 }
 

@@ -568,6 +568,19 @@ def main() -> None:
         # round-11: incremental annotate — two shuffle-hash joins on
         # (id, md5) plus the annotator over the ~8% fresh slice only
         ("q141_inc_annotate", probe_query("q141_incremental_annotate")),
+        # round-13: filtered recall curve (the q138 shape with the
+        # predicate pushed into both the probed and exact sides)
+        ("q152_filtered_recall", probe_query("q152_filtered_ann_recall")),
+        # round-13: DSIR — two bucket-sized broadcast model tables onto
+        # the map-side hashed {uni,bi}gram stream; expectation ~linear
+        # in corpus tokens (the q147 shape, one more gram order)
+        ("q153_dsir", probe_query("q153_dsir_scores")),
+        # round-13: PQ encode+ADC — encode is a map-side explode x the
+        # broadcast m*k codebook (~linear in vectors); ADC reads codes
+        ("q154_pq_adc", probe_query("q154_pq_adc_topk")),
+        # round-13: IVF-PQ — adds the int-keyed codes x assignment join
+        # and probe restriction; expectation ~q154's slope
+        ("q155_ivfpq", probe_query("q155_ivfpq_topk")),
     )
     for name, fn in probes:
         if only is not None and name not in only:
