@@ -751,3 +751,75 @@ def test_release_recipe_baseline_diff_counts_per_doc(spark, tmp_path):
     n_new = m2["n_docs"]
     assert d["unchanged"] + d["changed"] + d["removed"] == n_docs
     assert d["unchanged"] + d["changed"] + d["added"] == n_new
+
+
+def test_release_all_stages_compose(spark, tmp_path):
+    """Round 13: the WHOLE optional stage chain in one release —
+    decontamination (scrub mode) → NB classifier filter → Moore-Lewis
+    selection → span scrub → multi-epoch recipe → text+embedding drift
+    gates vs a baseline — proving the stages compose without
+    interference: every stage's manifest section is recorded, counts
+    reconcile monotonically through the funnel, and the (doc, epoch)
+    output is draw n from the surviving membership only."""
+    from real_time_iot_data_pipeline_project_spark.operators import (
+        contamination,
+    )
+
+    curated = pipelines.curate_corpus(spark, _docs_path())
+    # probes: 12-token prefixes of a slice of curated docs (the q151
+    # shape — token-aligned, so scrub mode excises rather than drops)
+    probes = (curated.where(F.col("doc_id") % 20 == 0)
+              .select(F.col("doc_id").alias("probe_id"),
+                      F.array_join(F.slice(F.split(F.lower(
+                          F.trim(F.regexp_replace("text", "\\s+", " "))),
+                          " "), 1, 12), " ").alias("probe_text")))
+    probes_path = str(tmp_path / "all_probes")
+    probes.write.parquet(probes_path)
+    store = str(tmp_path / "all_nbstore")
+    _train_nb_store(spark, store)
+    seed_path = str(tmp_path / "all_seed")
+    (spark.read.parquet(_docs_path())
+     .where(F.col("source") == "src0").write.parquet(seed_path))
+
+    base = str(tmp_path / "all_base")
+    pipelines.release_corpus(spark, _docs_path(), base, n_shards=1)
+
+    rel = str(tmp_path / "all_rel")
+    m = pipelines.release_corpus(
+        spark, _docs_path(), rel, n_shards=2,
+        baseline_path=base, allow_drift=True, embedding_drift=True,
+        screen_probes_path=probes_path, screen_probes_mode="scrub",
+        nb_model_path=store, nb_keep_labels=("keepme", "dropme"),
+        ml_seed_path=seed_path, ml_threshold=0.5,
+        span_scrub=True,
+        recipe_weights={"src0": 80, "src1": 30},
+        recipe_budget_frac=0.4, recipe_epochs=2,
+        bpe_manifest=True)
+    # every stage recorded
+    assert m["decontamination"]["mode"] == "scrub"
+    assert m["nb_filter"]["keep_labels"] == ["keepme", "dropme"]
+    assert m["ml_selection"]["threshold_bits"] == 0.5
+    assert m["span_scrub"]["window_tokens"] == 8
+    assert m["recipe"]["max_epochs"] == 2
+    assert m["bpe"]["n_tokens"] > 0
+    assert m["diff"] is not None
+    feats = {d["feature"] for d in m["drift"]}
+    assert "embedding_centroid" in feats and len(feats) > 1
+    # funnel reconciles monotonically: each stage's input is the
+    # previous stage's survivors
+    assert (m["decontamination"]["n_docs_in"]
+            - m["decontamination"]["n_docs_dropped"]
+            == m["nb_filter"]["n_docs_in"])
+    assert m["nb_filter"]["n_docs_kept"] == m["ml_selection"]["n_docs_in"]
+    assert m["ml_selection"]["n_docs_kept"] == m["span_scrub"]["n_docs_in"]
+    # the released rows are (doc, epoch) draws from the surviving set
+    back = spark.read.json(f"{rel}/data")
+    assert back.count() == m["n_docs"] > 0
+    n_docs_released = back.select("doc_id").distinct().count()
+    assert n_docs_released <= (m["span_scrub"]["n_docs_in"]
+                               - m["span_scrub"]["n_docs_dropped"])
+    # scrub modes really ran: no released text carries a probe span
+    hits = contamination.screen_probes(
+        back.select("doc_id", "text").dropDuplicates(["doc_id"]),
+        spark.read.parquet(probes_path))
+    assert hits.count() == 0
