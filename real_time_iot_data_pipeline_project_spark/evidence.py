@@ -284,7 +284,9 @@ EVIDENCE: dict[str, dict] = {
     "X55": {"queries": ["q152_filtered_ann_recall"], "tests": [
         "test_ann_index.py::test_filtered_recall_curve_filtered_ground_truth"]},
     "X56": {"queries": ["q153_dsir_scores"], "tests": [
-        "test_curation_ops.py::test_dsir_scores_match_python_replay"]},
+        "test_curation_ops.py::test_dsir_scores_match_python_replay",
+        "test_release.py::test_release_dsir_selection_keeps_operator_membership",
+        "test_release.py::test_release_cli_dsir_wiring"]},
     "X57": {"queries": ["q154_pq_adc_topk"], "tests": [
         "test_curation_ops.py::test_pq_encode_and_adc_match_python_replay"]},
     "X58": {"queries": ["q155_ivfpq_topk"], "tests": [

@@ -149,6 +149,8 @@ def release_corpus(
     screen_probes_mode: str = "drop",
     nb_model_path: str | None = None,
     nb_keep_labels: tuple[str, ...] | None = None,
+    dsir_seed_path: str | None = None,
+    dsir_threshold: float = 0.0,
 ) -> dict:
     """Entry point E — the full training-data RELEASE job: curate
     (q48's chain) → optional duplicate-span scrub (X39) → optional
@@ -222,7 +224,11 @@ def release_corpus(
     ``ml_threshold``) keeps only docs the seed's unigram model prefers
     over the pool's by the threshold (X51, q147's rule) — the
     selection runs early among the optional stages and the manifest
-    records it under ``ml_selection``.  ``screen_probes_path`` (an
+    records it under ``ml_selection``.  ``dsir_seed_path`` (with
+    ``dsir_threshold``) composes AFTER it: keep only docs whose
+    hashed-ngram log importance weight ln p_seed/p_pool is at least
+    the threshold (X56, q153's rule) — recorded under
+    ``dsir_selection``.  ``screen_probes_path`` (an
     eval-canary parquet with ``probe_id``/``probe_text``) drops every
     doc carrying a verified verbatim probe hit (X5, q52's exact rule)
     BEFORE any other stage — the GPT-3 §C / PaLM decontamination
@@ -372,6 +378,34 @@ def release_corpus(
                 "n_docs_in": n_in,
                 "n_docs_kept": final.count(),
             }
+        dsir_info = None
+        if dsir_seed_path:
+            # DSIR selection (X56, q153's exact rule): keep docs whose
+            # hashed-ngram log importance weight ln p_seed/p_pool is at
+            # least the threshold (POSITIVE = the seed model prefers
+            # the doc; 0.0 = "seed likes it at least as much").  Runs
+            # after Moore-Lewis — the two selection rules COMPOSE
+            # (unigram cross-entropy then the bigram-aware likelihood
+            # ratio), each recording its own stage.  Threshold-based
+            # for the same reason as --ml-seed: a fixed cutoff is a
+            # map-side filter after bucket-sized broadcast joins.
+            # Membership comes from the OPERATOR (the q147 wiring
+            # precedent).
+            from .operators.textops import dsir_scores
+
+            dseed = spark.read.parquet(dsir_seed_path)
+            n_in = final.count()
+            kept_ids = (dsir_scores(final, dseed)
+                        .where(F.col("dsir_logw") >= dsir_threshold)
+                        .select("doc_id"))
+            final = final.join(kept_ids, "doc_id", "left_semi").persist()
+            persisted.append(final)
+            dsir_info = {
+                "seed": dsir_seed_path,
+                "threshold_logw": dsir_threshold,
+                "n_docs_in": n_in,
+                "n_docs_kept": final.count(),
+            }
         scrub_info = None
         if span_scrub:
             from .operators import dedup as dedup_ops
@@ -494,7 +528,7 @@ def release_corpus(
                              min_quality, langs, n_shards, allow_drift,
                              mix_info, scrub_info, bpe_manifest,
                              embedding_drift, ml_info, recipe_info,
-                             decontam_info, nb_info)
+                             decontam_info, nb_info, dsir_info)
     finally:
         curated.unpersist()
         for df_ in persisted:
@@ -508,7 +542,7 @@ def _release_body(spark, final, output_path, baseline_path, min_quality,
                   scrub_info=None, bpe_manifest=False,
                   embedding_drift=False, ml_info=None,
                   recipe_info=None, decontam_info=None,
-                  nb_info=None) -> dict:
+                  nb_info=None, dsir_info=None) -> dict:
     import json as _json
 
     from pyspark.errors import AnalysisException
@@ -616,6 +650,7 @@ def _release_body(spark, final, output_path, baseline_path, min_quality,
         "span_scrub": scrub_info,
         "ml_selection": ml_info,
         "nb_filter": nb_info,
+        "dsir_selection": dsir_info,
         "recipe": recipe_info,
         "decontamination": decontam_info,
         "drift": drift_rows,
@@ -849,6 +884,17 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--nb-keep-labels", default=None,
                    help="comma-separated label allowlist for the "
                         "--nb-model stage (required with it)")
+    p.add_argument("--dsir-seed", default=None,
+                   help="in-domain seed corpus parquet for DSIR "
+                        "selection: keep only docs whose hashed-ngram "
+                        "log importance weight ln p_seed/p_pool >= "
+                        "--dsir-threshold (release domain; X56, "
+                        "q153's rule — composes with --ml-seed, runs "
+                        "after it)")
+    p.add_argument("--dsir-threshold", type=float, default=0.0,
+                   help="DSIR keep cutoff in log-weight units "
+                        "(dsir_logw >= threshold; 0.0 = the seed "
+                        "model likes the doc at least as much)")
     p.add_argument("--ml-seed", default=None,
                    help="in-domain seed corpus parquet: keep only docs "
                         "the seed unigram model prefers over the pool "
@@ -1059,6 +1105,8 @@ def main(argv: list[str] | None = None) -> None:
             nb_model_path=args.nb_model,
             nb_keep_labels=(tuple(args.nb_keep_labels.split(","))
                             if args.nb_keep_labels else None),
+            dsir_seed_path=args.dsir_seed,
+            dsir_threshold=args.dsir_threshold,
         )
         print(f"released {manifest['n_docs']} docs / "
               f"{manifest['n_tokens']} tokens to {args.output}")

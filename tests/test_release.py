@@ -823,3 +823,60 @@ def test_release_all_stages_compose(spark, tmp_path):
         back.select("doc_id", "text").dropDuplicates(["doc_id"]),
         spark.read.parquet(probes_path))
     assert hits.count() == 0
+
+
+def test_release_dsir_selection_keeps_operator_membership(spark, tmp_path):
+    """--dsir-seed wiring (round 13): the released doc set equals the
+    dsir_scores >= threshold membership computed directly on the
+    curated frame (the operator IS the rule — the --ml-seed wiring
+    precedent), the manifest records the stage, and the kept set is a
+    strict subset when the threshold bites."""
+    from real_time_iot_data_pipeline_project_spark.operators.textops import (
+        dsir_scores,
+    )
+
+    seed_path = str(tmp_path / "dseed")
+    (spark.read.parquet(_docs_path())
+     .where(F.col("source") == "src0").write.parquet(seed_path))
+
+    # pick a threshold that BITES: the median operator score on the
+    # curated frame (most pool docs score negative vs a sub-slice
+    # seed — the expected logw under the pool is −n·KL(pool‖seed) —
+    # so a fixed 0.0 would keep nothing on this synthetic corpus)
+    curated = pipelines.curate_corpus(spark, _docs_path())
+    seed = spark.read.parquet(seed_path)
+    scores = sorted(r.dsir_logw for r in
+                    dsir_scores(curated, seed).collect())
+    thr = scores[len(scores) // 2]
+
+    rel = str(tmp_path / "dsirrel")
+    m = pipelines.release_corpus(spark, _docs_path(), rel, n_shards=1,
+                                 dsir_seed_path=seed_path,
+                                 dsir_threshold=thr)
+    assert m["dsir_selection"]["n_docs_kept"] == m["n_docs"]
+    assert 0 < m["dsir_selection"]["n_docs_kept"] \
+        < m["dsir_selection"]["n_docs_in"]
+
+    want = {r.doc_id for r in
+            dsir_scores(curated, seed)
+            .where(F.col("dsir_logw") >= thr).select("doc_id").collect()}
+    got = {r.doc_id for r in
+           spark.read.json(f"{rel}/data").select("doc_id").collect()}
+    assert got == want
+
+
+def test_release_cli_dsir_wiring(spark, tmp_path):
+    """--dsir-seed/--dsir-threshold reach release_corpus via the CLI."""
+    seed_path = str(tmp_path / "cdseed")
+    (spark.read.parquet(_docs_path())
+     .where(F.col("source") == "src1").write.parquet(seed_path))
+    rel = str(tmp_path / "clidsir")
+    # -1e6 keeps everything: this test pins the argparse wiring, the
+    # membership rule itself is pinned by the operator-equality test
+    pipelines.main(["release", _docs_path(), "--output", rel,
+                    "--shards", "1", "--dsir-seed", seed_path,
+                    "--dsir-threshold", "-1000000"])
+    m = json.load(open(f"{rel}/MANIFEST.json"))
+    assert m["dsir_selection"]["threshold_logw"] == -1000000
+    assert (m["dsir_selection"]["n_docs_kept"]
+            == m["dsir_selection"]["n_docs_in"] > 0)
