@@ -214,6 +214,7 @@ HEADLINE = [
     "q154_pq_adc_topk",
     "q155_ivfpq_topk",
     "q156_stream_dsir_pool",
+    "q157_pq_recall",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

@@ -284,3 +284,71 @@ def ivfpq_topk(df: DataFrame, queries: DataFrame,
         .orderBy(F.asc("adc_dist"), F.asc(id_col))))
         .where(F.col("__rn") <= k)
         .select(query_id_col, id_col, "adc_dist"))
+
+
+def pq_recall_report(df: DataFrame, queries: DataFrame, k: int = 10,
+                     kc_values: tuple[int, ...] = (2, 4, 8), m: int = 4,
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     query_id_col: str = "query_id",
+                     query_vec_col: str = "qvec") -> DataFrame:
+    """Recall@k of the PQ/ADC tier vs the exact full-precision l2
+    top-k (X60): the codebook-size sizing curve an operator reads
+    before picking (m, k_codes) — PQ is LOSSY by construction
+    (quantization error grows as codebooks shrink), so the memory win
+    has a recall price this report measures, per query, at each
+    ``kc_values`` codebook size.
+
+    The md5-ordered codebook sample has the PREFIX property: the
+    kc=4 codebook is literally the first 4 rows of the kc=8 one — so
+    the whole curve shares ONE codebook table filtered per spine
+    value, and both engines derive every rung from the same sampled
+    vectors (the q138/q152 curve convention, with k_codes as the
+    axis instead of nprobe).  The exact reference is the brute-force
+    full-precision l2² top-k via the same dot identity; hits are an
+    inner join on (query, vec); a (kc × query) spine keeps
+    zero-recall rows visible.  All-integer recall.  Scale: one
+    full-precision corpus scan for the exact pass (against the
+    broadcast bounded query sample) + |kc_values| ADC runs that read
+    only codes."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    cb_full = pq_codebooks(df, m=m, k=max(kc_values),
+                           vec_col=vec_col, id_col=id_col)
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    qvec_d = F.transform(F.col(query_vec_col), lambda x: x.cast("double"))
+    exact = (
+        df.crossJoin(F.broadcast(queries))
+        .select(query_id_col, id_col,
+                _l2sq(vec_d, qvec_d).alias("__d"))
+        .withColumn("__rn", F.row_number().over(
+            Window.partitionBy(query_id_col)
+            .orderBy(F.asc("__d"), F.asc(id_col))))
+        .where(F.col("__rn") <= k)
+        .select(query_id_col, id_col))
+    runs = None
+    for kc in kc_values:
+        cb = cb_full.where(F.col("code_id") <= int(kc))
+        got = (pq_adc_topk(queries, cb,
+                           pq_encode(df, cb, vec_col=vec_col,
+                                     id_col=id_col),
+                           k=k, query_id_col=query_id_col,
+                           query_vec_col=query_vec_col, id_col=id_col)
+               .select(F.lit(int(kc)).alias("k_codes"),
+                       query_id_col, id_col))
+        runs = got if runs is None else runs.unionByName(got)
+    hits = (runs.join(F.broadcast(exact), [query_id_col, id_col])
+            .groupBy("k_codes", query_id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
+    kc_frame = spark.createDataFrame(
+        [(int(v),) for v in kc_values], "k_codes int")
+    spine = queries.select(query_id_col).crossJoin(F.broadcast(kc_frame))
+    return (spine.join(F.broadcast(hits), ["k_codes", query_id_col],
+                       "left")
+            .withColumn("n_hits",
+                        F.coalesce("n_hits", F.lit(0).cast("long")))
+            .withColumn("k", F.lit(int(k)))
+            .withColumn("recall_pct",
+                        F.expr(f"(n_hits * 100) DIV {int(k)}"))
+            .select("k_codes", query_id_col, "n_hits", "k",
+                    "recall_pct"))

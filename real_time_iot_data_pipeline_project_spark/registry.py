@@ -7234,6 +7234,124 @@ def _ivfpq_sql(n_centroids: int = 16, nprobe: int = 4, m: int = 4,
     """
 
 
+def _pq_recall_sql(m: int = 4, kc_max: int = 8, k: int = 10,
+                   kcs: tuple[int, ...] = (2, 4, 8),
+                   dim: int = 64) -> str:
+    """q157 oracle: the PQ recall curve replayed in DuckDB — one
+    md5-sampled codebook table (the prefix property: every rung
+    filters code_id <= k_codes), per-rung nearest-code encode + ADC
+    top-k, joined against the brute-force full-precision l2 top-k."""
+    d = dim // m
+    kc_list = ", ".join(str(int(v)) for v in kcs)
+
+    def l2(a: str, b: str) -> str:
+        return (f"(list_dot_product({a}, {a})"
+                f" - 2.0 * list_dot_product({a}, {b})"
+                f" + list_dot_product({b}, {b}))")
+
+    def sl(v: str) -> str:
+        return (f"list_slice({v}, CAST(sub_id * {d} + 1 AS INTEGER), "
+                f"CAST(sub_id * {d} + {d} AS INTEGER))")
+
+    return f"""
+    WITH subs AS (SELECT unnest(range(0, {m})) AS sub_id),
+    kcs AS (SELECT unnest([{kc_list}]) AS k_codes),
+    cb0 AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS v,
+             row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS code_id
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {kc_max}
+    ),
+    cb AS (SELECT code_id, sub_id, {sl('v')} AS cvec FROM cb0, subs),
+    ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+    sub AS (SELECT vec_id, sub_id, {sl('v')} AS svec FROM ev, subs),
+    codes AS (
+      SELECT k_codes, vec_id, sub_id, code_id AS code FROM (
+        SELECT kk.k_codes, s.vec_id, s.sub_id, cc.code_id,
+               row_number() OVER (
+                 PARTITION BY kk.k_codes, s.vec_id, s.sub_id
+                 ORDER BY {l2('s.svec', 'cc.cvec')} ASC,
+                          cc.code_id ASC) AS rn
+        FROM sub s
+        JOIN cb cc ON cc.sub_id = s.sub_id
+        CROSS JOIN kcs kk
+        WHERE cc.code_id <= kk.k_codes
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+    qsub AS (SELECT query_id, sub_id, {sl('qv')} AS qsvec FROM q, subs),
+    lut AS (
+      SELECT query_id, qs.sub_id, code_id AS code,
+             CAST({l2('qs.qsvec', 'cc.cvec')} AS DECIMAL(28,12)) AS term
+      FROM qsub qs JOIN cb cc ON cc.sub_id = qs.sub_id
+    ),
+    ranked AS (
+      SELECT k_codes, query_id, vec_id FROM (
+        SELECT a.k_codes, a.query_id, a.vec_id,
+               row_number() OVER (PARTITION BY a.k_codes, a.query_id
+                                  ORDER BY a.adc ASC,
+                                           a.vec_id ASC) AS rn
+        FROM (
+          SELECT dd.k_codes, l.query_id, dd.vec_id,
+                 round(CAST(SUM(l.term) AS DOUBLE), 6) AS adc
+          FROM codes dd JOIN lut l
+            ON l.sub_id = dd.sub_id AND l.code = dd.code
+          GROUP BY dd.k_codes, l.query_id, dd.vec_id
+        ) a
+      ) WHERE rn <= {k}
+    ),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {l2('e.v', 'q.qv')} ASC,
+                                           e.vec_id ASC) AS rn
+        FROM ev e, q
+      ) WHERE rn <= {k}
+    ),
+    hits AS (
+      SELECT r.k_codes, r.query_id, count(*) AS n_hits
+      FROM ranked r JOIN exact x
+        ON x.query_id = r.query_id AND x.vec_id = r.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT kk.k_codes, q.query_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           {k} AS k,
+           CAST((COALESCE(h.n_hits, 0) * 100) // {k} AS BIGINT)
+             AS recall_pct
+    FROM kcs kk CROSS JOIN q
+    LEFT JOIN hits h
+      ON h.k_codes = kk.k_codes AND h.query_id = q.query_id
+    """
+
+
+@query("q157_pq_recall", _pq_recall_sql())
+def q157_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X60 — PQ recall@k curve (quantize.pq_recall_report): the
+    codebook-size sizing report for the lossy ADC tier — per
+    (k_codes ∈ {2, 4, 8}, query), how many of the brute-force
+    full-precision l2 top-10 the ADC search keeps.  PQ's 64× memory
+    win has a recall price that grows as codebooks shrink; this is
+    the measurement an operator reads before picking (m, k_codes),
+    the q138/q152 curve convention with codebook size as the axis.
+    The md5-ordered sample's PREFIX property means every rung derives
+    from one codebook table (code_id ≤ k_codes), cross-engine by
+    construction.  All-integer recall.  Scale: one full-precision
+    scan for the exact pass + |kc| code-only ADC runs."""
+    from .operators import quantize
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (emb.where(F.col("vec_id").isin(0, 1, 2, 3, 4))
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qvec")))
+    return quantize.pq_recall_report(emb, queries, k=10,
+                                     kc_values=(2, 4, 8), m=4)
+
+
 @query("q155_ivfpq_topk", _ivfpq_sql())
 def q155_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X58 — IVF-PQ batch search (quantize.ivfpq_topk): the FAISS
@@ -7449,6 +7567,9 @@ POST_WINDOW: list[str] = [
     # the q153-verbatim oracle, the q150 precedent) — scheduled for
     # rotation #10 (round 14)
     "q156_stream_dsir_pool",
+    # round 13: X60 PQ recall@k curve (the codebook-size sizing report
+    # for the lossy ADC tier) — scheduled for rotation #10 (round 14)
+    "q157_pq_recall",
 ]
 
 

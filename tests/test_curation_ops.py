@@ -309,6 +309,57 @@ def test_pq_encode_and_adc_match_python_replay(spark):
         quantize.pq_codebooks(df, m=3, k=kc)
 
 
+def test_pq_recall_report_counts_and_spine(spark):
+    """X60: the report's n_hits equal the overlap between the (already
+    replay-pinned) ADC top-k at each codebook size and the python
+    brute-force full-precision l2 top-k; the (k_codes × query) spine
+    keeps every rung visible with integer recall."""
+    import math
+
+    rows = [(i, [math.sin(i * 5 + j) for j in range(8)])
+            for i in range(25)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>")
+    queries = (df.where(F.col("vec_id").isin(0, 1))
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qvec")))
+    got = {(r.k_codes, r.query_id): r for r in
+           quantize.pq_recall_report(df, queries, k=5,
+                                     kc_values=(2, 4), m=4).collect()}
+    assert len(got) == 4  # 2 kcs x 2 queries, spine-complete
+
+    import struct as _s
+
+    def f32(x):
+        return _s.unpack("f", _s.pack("f", x))[0]
+
+    vecs = {i: [f32(x) for x in v] for i, v in rows}
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def l2(a, b):
+        return dot(a, a) - 2.0 * dot(a, b) + dot(b, b)
+
+    for qid in (0, 1):
+        exact = {v for _, v in sorted(
+            ((l2(vec, vecs[qid]), v) for v, vec in vecs.items()))[:5]}
+        for kc in (2, 4):
+            cb = quantize.pq_codebooks(df, m=4, k=kc)
+            adc = {r.vec_id for r in
+                   quantize.pq_adc_topk(
+                       queries.where(F.col("query_id") == qid), cb,
+                       quantize.pq_encode(df, cb), k=5).collect()}
+            r = got[(kc, qid)]
+            assert r.n_hits == len(exact & adc), (kc, qid)
+            assert r.recall_pct == r.n_hits * 100 // 5
+            assert 0 <= r.n_hits <= 5
+
+
 def test_ivfpq_anchor_and_pruning(spark):
     """X58: at nprobe = n_centroids IVF-PQ probes every bucket and
     equals plain ADC over the full codes (the exact-anchor

@@ -85,6 +85,7 @@ PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
         "q154_pq_adc_topk",
         "q155_ivfpq_topk",
         "q156_stream_dsir_pool",
+        "q157_pq_recall",
     ]),
 }
 
