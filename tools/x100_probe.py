@@ -581,6 +581,12 @@ def main() -> None:
         # round-13: IVF-PQ — adds the int-keyed codes x assignment join
         # and probe restriction; expectation ~q154's slope
         ("q155_ivfpq", probe_query("q155_ivfpq_topk")),
+        # round-13: streaming DSIR fold (3 direct batches + the
+        # score-at-read sum) — per-batch cost tracks the batch
+        ("q156_dsir_stream", probe_query("q156_stream_dsir_pool")),
+        # round-13: PQ recall curve — one full-precision exact scan +
+        # 3 code-only ADC runs; expectation ~linear in vectors
+        ("q157_pq_recall", probe_query("q157_pq_recall")),
     )
     for name, fn in probes:
         if only is not None and name not in only:
