@@ -215,6 +215,7 @@ HEADLINE = [
     "q155_ivfpq_topk",
     "q156_stream_dsir_pool",
     "q157_pq_recall",
+    "q158_ivfpq_residual",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

@@ -291,6 +291,8 @@ EVIDENCE: dict[str, dict] = {
         "test_curation_ops.py::test_pq_encode_and_adc_match_python_replay"]},
     "X58": {"queries": ["q155_ivfpq_topk"], "tests": [
         "test_curation_ops.py::test_ivfpq_anchor_and_pruning"]},
+    "X61": {"queries": ["q158_ivfpq_residual"], "tests": [
+        "test_curation_ops.py::test_ivfpq_residual_adc_is_distance_to_reconstruction"]},
     "X60": {"queries": ["q157_pq_recall"], "tests": [
         "test_curation_ops.py::test_pq_recall_report_counts_and_spine"]},
     "X59": {"queries": ["q156_stream_dsir_pool"], "tests": [

@@ -352,3 +352,86 @@ def pq_recall_report(df: DataFrame, queries: DataFrame, k: int = 10,
                         F.expr(f"(n_hits * 100) DIV {int(k)}"))
             .select("k_codes", query_id_col, "n_hits", "k",
                     "recall_pct"))
+
+
+def ivfpq_residual_topk(df: DataFrame, queries: DataFrame,
+                        n_centroids: int = 16, nprobe: int = 4,
+                        m: int = 4, kc: int = 8, k: int = 10,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id",
+                        query_id_col: str = "query_id",
+                        query_vec_col: str = "qvec") -> DataFrame:
+    """RESIDUAL IVF-PQ (X61): the quality-correct FAISS `IVFPQ`
+    formulation — PQ codebooks are trained on and codes encode the
+    RESIDUAL v − c(v) of each vector against its assigned coarse
+    centroid, not the raw vector (Jégou et al. 2011 §IV-B: residuals
+    concentrate around the origin, so the same k codes quantize them
+    far more finely than the spread-out raw vectors; X58's raw
+    variant trades that recall for one simpler LUT).  ADC becomes
+    per-(query, PROBED centroid): the query's residual against each
+    probed centroid gets its own m×k lookup table — still bounded
+    (q·nprobe·m·k rows), still broadcast.
+
+    Determinism: residuals are exact IEEE element subtractions on
+    identical operands, everything downstream is X57's contracts
+    (dot-identity l2², (dist ASC, code ASC) argmin, DECIMAL pre-sum,
+    (adc ASC, id ASC) top-k).  Scale: same shape as X58 — the
+    corpus-sized joins stay int-keyed (codes ⋈ assignment), one extra
+    broadcast join (centroids onto the corpus) to form residuals at
+    encode time; search still reads codes, never float vectors.
+    Returns (query_id, vec_id, adc_dist)."""
+    from pyspark.sql import Window
+
+    from .similarity import assign_centroids, cosine, sampled_centroids
+
+    cents = sampled_centroids(df, n_centroids, vec_col, id_col)
+    # keep the vector through the assignment (assign_centroids returns
+    # it), join the centroid vector back broadcast, form the residual
+    assigned_v = assign_centroids(df, cents, vec_col, id_col)
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cvec_d = F.transform(F.col("cvec"), lambda x: x.cast("double"))
+    rdf = (assigned_v
+           .join(F.broadcast(cents), "centroid_id")
+           .select(F.col(id_col), F.col("centroid_id"),
+                   F.zip_with(vec_d, cvec_d, lambda x, y: x - y)
+                   .alias("rvec")))
+    cb = pq_codebooks(rdf, m=m, k=kc, vec_col="rvec", id_col=id_col)
+    codes = pq_encode(rdf, cb, vec_col="rvec", id_col=id_col)
+    d = int(cb.select(F.size("cvec").alias("d")).head()["d"])
+    qvec_d = F.transform(F.col(query_vec_col), lambda x: x.cast("double"))
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .select(query_id_col, "centroid_id",
+                cosine(qvec_d, cvec_d).alias("qsim"))
+        .withColumn("__rn", F.row_number().over(
+            Window.partitionBy(query_id_col)
+            .orderBy(F.desc("qsim"), F.asc("centroid_id"))))
+        .where(F.col("__rn") <= nprobe)
+        .select(query_id_col, "centroid_id"))
+    # per-(query, probed centroid) residual LUT — q·nprobe·m·k rows
+    qres = (probes.join(queries, query_id_col)
+            .join(F.broadcast(cents), "centroid_id")
+            .select(query_id_col, "centroid_id",
+                    F.zip_with(qvec_d, cvec_d, lambda x, y: x - y)
+                    .alias("qrvec")))
+    qsub = qres.select(
+        query_id_col, "centroid_id",
+        F.posexplode(_subspaces("qrvec", m, d)).alias("sub_id", "qsvec"))
+    lut = (qsub.join(F.broadcast(cb), "sub_id")
+           .select(query_id_col, "centroid_id", "sub_id",
+                   F.col("code_id").alias("code"),
+                   _l2sq(F.col("qsvec"), F.col("cvec"))
+                   .cast("decimal(28,12)").alias("__term")))
+    cand = (codes.join(rdf.select(id_col, "centroid_id")
+                       .hint("shuffle_hash"), id_col)
+            .join(F.broadcast(probes), "centroid_id"))
+    scored = (cand.join(F.broadcast(lut),
+                        [query_id_col, "centroid_id", "sub_id", "code"])
+              .groupBy(query_id_col, id_col)
+              .agg(F.round(F.sum("__term").cast("double"), 6)
+                   .alias("adc_dist")))
+    return (scored.withColumn("__rn", F.row_number().over(
+        Window.partitionBy(query_id_col)
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))))
+        .where(F.col("__rn") <= k)
+        .select(query_id_col, id_col, "adc_dist"))

@@ -7329,6 +7329,140 @@ def _pq_recall_sql(m: int = 4, kc_max: int = 8, k: int = 10,
     """
 
 
+def _ivfpq_residual_sql(n_centroids: int = 16, nprobe: int = 4,
+                        m: int = 4, kc: int = 8, k: int = 10,
+                        dim: int = 64) -> str:
+    """q158 oracle: RESIDUAL IVF-PQ replayed in DuckDB — q155's
+    composition with the PQ trained on residuals v − c(v) (element
+    subtraction is exact IEEE on identical operands, so
+    list_transform-by-index equals Spark's zip_with value-for-value)
+    and the ADC LUT keyed per (query, probed centroid)."""
+    d = dim // m
+    v_c = _list_cos_sql("e.embedding", "c.cvec")
+    c_q = _list_cos_sql("c.cvec", "q.qv")
+
+    def l2(a: str, b: str) -> str:
+        return (f"(list_dot_product({a}, {a})"
+                f" - 2.0 * list_dot_product({a}, {b})"
+                f" + list_dot_product({b}, {b}))")
+
+    def sl(v: str) -> str:
+        return (f"list_slice({v}, CAST(sub_id * {d} + 1 AS INTEGER), "
+                f"CAST(sub_id * {d} + {d} AS INTEGER))")
+
+    def sub(a: str, b: str) -> str:
+        return (f"list_transform(range(1, {dim} + 1), "
+                f"i -> {a}[i] - {b}[i])")
+
+    return f"""
+    WITH subs AS (SELECT unnest(range(0, {m})) AS sub_id),
+    c AS (
+      SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_centroids}
+    ),
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {v_c} DESC,
+                                           c.centroid_id ASC) AS rn
+        FROM embeddings e, c
+      ) WHERE rn = 1
+    ),
+    ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+    rv AS (
+      SELECT a.vec_id, a.centroid_id, {sub('e.v', 'c.cvec')} AS r
+      FROM assigned a
+      JOIN ev e ON e.vec_id = a.vec_id
+      JOIN c ON c.centroid_id = a.centroid_id
+    ),
+    cb0 AS (
+      SELECT r AS v,
+             row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS code_id
+      FROM rv
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {kc}
+    ),
+    cb AS (SELECT code_id, sub_id, {sl('v')} AS cvec FROM cb0, subs),
+    rsub AS (SELECT vec_id, sub_id, {sl('r')} AS svec FROM rv, subs),
+    codes AS (
+      SELECT vec_id, sub_id, code_id AS code FROM (
+        SELECT s.vec_id, s.sub_id, cc.code_id,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub_id
+                                  ORDER BY {l2('s.svec', 'cc.cvec')} ASC,
+                                           cc.code_id ASC) AS rn
+        FROM rsub s JOIN cb cc ON cc.sub_id = s.sub_id
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+    probes AS (
+      SELECT query_id, centroid_id FROM (
+        SELECT q.query_id, c.centroid_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {c_q} DESC,
+                                           c.centroid_id ASC) AS rn
+        FROM q, c
+      ) WHERE rn <= {nprobe}
+    ),
+    qres AS (
+      SELECT p.query_id, p.centroid_id, {sub('q.qv', 'c.cvec')} AS qr
+      FROM probes p
+      JOIN q ON q.query_id = p.query_id
+      JOIN c ON c.centroid_id = p.centroid_id
+    ),
+    qsub AS (SELECT query_id, centroid_id, sub_id, {sl('qr')} AS qsvec
+             FROM qres, subs),
+    lut AS (
+      SELECT query_id, centroid_id, qs.sub_id, code_id AS code,
+             CAST({l2('qs.qsvec', 'cc.cvec')} AS DECIMAL(28,12)) AS term
+      FROM qsub qs JOIN cb cc ON cc.sub_id = qs.sub_id
+    ),
+    adc AS (
+      SELECT l.query_id, dd.vec_id,
+             round(CAST(SUM(l.term) AS DOUBLE), 6) AS adc_dist
+      FROM codes dd
+      JOIN rv a ON a.vec_id = dd.vec_id
+      JOIN lut l ON l.centroid_id = a.centroid_id
+              AND l.sub_id = dd.sub_id AND l.code = dd.code
+      GROUP BY l.query_id, dd.vec_id
+    )
+    SELECT query_id, vec_id, adc_dist FROM (
+      SELECT query_id, vec_id, adc_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist ASC, vec_id ASC) AS rn
+      FROM adc
+    ) WHERE rn <= {k}
+    """
+
+
+@query("q158_ivfpq_residual", _ivfpq_residual_sql())
+def q158_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X61 — residual IVF-PQ (quantize.ivfpq_residual_topk): the
+    quality-correct FAISS formulation — PQ codebooks trained on and
+    codes encoding the residual v − c(v) against each vector's
+    assigned coarse centroid (Jégou et al. 2011 §IV-B: residuals
+    concentrate near the origin, so the same 8 codes quantize them
+    far more finely than q155's spread-out raw vectors), with the ADC
+    lookup table keyed per (query, probed centroid) — still bounded
+    at q·nprobe·m·k rows, still broadcast.  The gate pins assignment
+    → residual → codebook sample → encode → per-centroid LUT → sum →
+    top-k end-to-end; element subtraction is exact IEEE on identical
+    operands so Spark's zip_with and DuckDB's list_transform-by-index
+    agree value-for-value.  Scale: X58's shape plus one broadcast
+    centroid join at encode time; search still reads int codes."""
+    from .operators import quantize
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (emb.where(F.col("vec_id").isin(0, 1, 2, 3, 4))
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qvec")))
+    return quantize.ivfpq_residual_topk(emb, queries, n_centroids=16,
+                                        nprobe=4, m=4, kc=8, k=10)
+
+
 @query("q157_pq_recall", _pq_recall_sql())
 def q157_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X60 — PQ recall@k curve (quantize.pq_recall_report): the
@@ -7570,6 +7704,10 @@ POST_WINDOW: list[str] = [
     # round 13: X60 PQ recall@k curve (the codebook-size sizing report
     # for the lossy ADC tier) — scheduled for rotation #10 (round 14)
     "q157_pq_recall",
+    # round 13: X61 residual IVF-PQ (the quality-correct FAISS
+    # formulation: PQ over v − c(v) with per-(query, centroid) ADC
+    # LUTs) — scheduled for rotation #10 (round 14)
+    "q158_ivfpq_residual",
 ]
 
 

@@ -405,6 +405,71 @@ def test_ivfpq_anchor_and_pruning(spark):
         assert assigned[r.vec_id] == best[r.query_id]
 
 
+def test_ivfpq_residual_adc_is_distance_to_reconstruction(spark):
+    """X61: residual ADC(q, v) equals the exact l2² between q and v's
+    RECONSTRUCTION c(v) + codewords(residual) — per-subspace l2² terms
+    are additive over the concatenation, and the LUT row used is the
+    query's residual against v's OWN centroid (probe-restriction
+    machinery is q155's, pinned by its pruning test)."""
+    import math
+
+    from real_time_iot_data_pipeline_project_spark.operators.similarity import (
+        assign_centroids, sampled_centroids,
+    )
+
+    rows = [(i, [float(math.sin(i * 3 + j) + (i % 4))
+                 for j in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = (df.where(F.col("vec_id").isin(0, 1))
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qvec")))
+    got = quantize.ivfpq_residual_topk(df, queries, n_centroids=4,
+                                       nprobe=4, m=4, kc=3, k=5).collect()
+    assert got
+
+    import struct as _s
+
+    def f32(x):
+        return _s.unpack("f", _s.pack("f", x))[0]
+
+    vecs = {i: [f32(x) for x in v] for i, v in rows}
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def l2(a, b):
+        return dot(a, a) - 2.0 * dot(a, b) + dot(b, b)
+
+    cents = sampled_centroids(df, 4)
+    cvecs = {r.centroid_id: [f32(x) for x in r.cvec]
+             for r in cents.collect()}
+    assigned = {r.vec_id: r.centroid_id
+                for r in assign_centroids(df, cents).collect()}
+    res = {i: [x - y for x, y in zip(vecs[i], cvecs[assigned[i]])]
+           for i in vecs}
+    rdf = spark.createDataFrame(
+        [(i, r) for i, r in res.items()],
+        "vec_id long, rvec array<double>")
+    cb = quantize.pq_codebooks(rdf, m=4, k=3, vec_col="rvec")
+    codes = {(r.vec_id, r.sub_id): r.code
+             for r in quantize.pq_encode(rdf, cb, vec_col="rvec")
+             .collect()}
+    cbooks = {(r.sub_id, r.code_id): [float(x) for x in r.cvec]
+              for r in cb.collect()}
+    for r in got:
+        recon = list(cvecs[assigned[r.vec_id]])
+        for j in range(4):
+            cw = cbooks[(j, codes[(r.vec_id, j)])]
+            for t in range(2):
+                recon[j * 2 + t] += cw[t]
+        qv = vecs[r.query_id]
+        assert r.adc_dist == pytest.approx(l2(qv, recon), abs=1e-5), \
+            (r.query_id, r.vec_id)
+
+
 # ------------------------------------------------------------ corpus stats
 
 def test_corpus_token_stats_uniform_entropy(spark):

@@ -86,6 +86,7 @@ PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
         "q155_ivfpq_topk",
         "q156_stream_dsir_pool",
         "q157_pq_recall",
+        "q158_ivfpq_residual",
     ]),
 }
 
