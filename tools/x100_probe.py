@@ -587,6 +587,9 @@ def main() -> None:
         # round-13: PQ recall curve — one full-precision exact scan +
         # 3 code-only ADC runs; expectation ~linear in vectors
         ("q157_pq_recall", probe_query("q157_pq_recall")),
+        # round-13: residual IVF-PQ — X58's shape plus one broadcast
+        # centroid join at encode time; expectation ~q155's slope
+        ("q158_ivfpq_residual", probe_query("q158_ivfpq_residual")),
     )
     for name, fn in probes:
         if only is not None and name not in only:
