@@ -3092,6 +3092,49 @@ DEFERRED: list[str] = [
     # capacity E·C — its own docstring contract); q139 gates the
     # applied budget-exact sampler of the same allocation rule
     "q137_mixture_waterfill",
+    # --- round-14 consolidation (VERDICT r13 item 1, rotation #10):
+    # seven subsumable twins deferred so the round-13 operators (the
+    # filtered recall curve q152, DSIR importance weights q153 + the
+    # streaming pool fold q156, the PQ/ADC tier q154, IVF-PQ raw q155
+    # and residual q158, the PQ recall curve q157) carry first-time
+    # official gate rows.  All seven deferred twins carried green rows
+    # through CORRECTNESS_r13 (the full r13 window was 50/50 green);
+    # tests/test_export_order.py SUBSUMPTION maps each to in-window
+    # survivors; every deferred oracle still runs in the local gate.
+    # inline IVF two-stage search: promoted q155 composes the SAME
+    # md5-sampled centroid ranking + argmax assignment + nprobe
+    # pruning (at the richer PQ-coded tier); promoted q148 gates the
+    # persistent-index filtered search of the same family
+    "q38_ivf_topk",
+    # unfiltered recall@k curve: promoted q152 runs the SAME
+    # ann_recall_report callable with the richer filtered reference
+    # (where=None is its degenerate case); promoted q157 gates the
+    # same spine/hits/recall assembly on the codebook axis
+    "q138_ann_recall",
+    # Moore-Lewis cross-entropy selection: promoted q153's DSIR log
+    # likelihood ratio is the importance-weighting GENERALIZATION of
+    # the same seed-vs-pool contrast (Xie et al. 2023 frame
+    # Moore-Lewis as DSIR's per-token special case); the release
+    # --ml-seed stage stays e2e-pinned to the operator's rule
+    "q147_moore_lewis",
+    # streaming SemDeDup fold: its gated claim is fold == batch
+    # (official r11..r13); the batch bucketed-cosine rule stays
+    # in-window via q126's two-level path, and the streaming
+    # exactly-once fold family row is q120 + promoted q156
+    "q132_stream_semantic_dedup",
+    # streaming span-scrub fold: same fold == batch claim (official
+    # r11..r13); q129's incremental tier replays the batch excision
+    # rule exactly, and the fold family row is q120 + promoted q156
+    "q130_stream_span_scrub",
+    # multi-epoch plan expansion: composition of two in-window gated
+    # rules — q143's plan rows ARE the expansion's per-(source, epoch)
+    # quotas and the membership is q139's integer-ticket hash lottery
+    "q144_epoch_expand",
+    # streaming NB corpus fold: fold == batch of integer bucket counts
+    # (official r13); q149 pins the batch model + argmax rule, and
+    # promoted q156 gates the identical mergeable-integer-count fold
+    # contract on the DSIR pool model
+    "q150_stream_nb_train",
 ]
 
 
@@ -7681,33 +7724,13 @@ POST_WINDOW: list[str] = [
     # filtered vector search, Naive Bayes train/classify, the
     # decontamination-scrub tier) — promoted INTO the official window;
     # ten subsumable twins deferred, see the round-13 DEFERRED block.)
-    # round 13: X55 filtered recall@k curve (VERDICT r12 item 4 — the
-    # nprobe sizing curve for X52's filtered searches) — scheduled for
-    # rotation #10 (round 14)
-    "q152_filtered_ann_recall",
-    # round 13: X56 DSIR importance weights (Xie et al. 2023 — the
-    # importance-resampling generalization of q147's Moore-Lewis
-    # selection) — scheduled for rotation #10 (round 14)
-    "q153_dsir_scores",
-    # round 13: X57 product quantization + ADC search (Jégou et al.
-    # 2011 — the vector-store memory tier) — scheduled for rotation
-    # #10 (round 14)
-    "q154_pq_adc_topk",
-    # round 13: X58 IVF-PQ batch search (the FAISS IVFPQ production
-    # composition of q121's probe pruning and q154's ADC) — scheduled
-    # for rotation #10 (round 14)
-    "q155_ivfpq_topk",
-    # round 13: X59 streaming DSIR pool fold (fold == batch proven by
-    # the q153-verbatim oracle, the q150 precedent) — scheduled for
-    # rotation #10 (round 14)
-    "q156_stream_dsir_pool",
-    # round 13: X60 PQ recall@k curve (the codebook-size sizing report
-    # for the lossy ADC tier) — scheduled for rotation #10 (round 14)
-    "q157_pq_recall",
-    # round 13: X61 residual IVF-PQ (the quality-correct FAISS
-    # formulation: PQ over v − c(v) with per-(query, centroid) ADC
-    # LUTs) — scheduled for rotation #10 (round 14)
-    "q158_ivfpq_residual",
+    # (round 14, rotation #10: q152-q158 — the round-13 operators (the
+    # filtered recall@k curve, DSIR importance weights + streaming pool
+    # fold, PQ/ADC search, IVF-PQ raw + residual, the PQ recall curve)
+    # — promoted INTO the official window; seven subsumable twins
+    # deferred, see the round-14 DEFERRED block.  New queries must be
+    # registered HERE and scheduled in tools/coverage_ledger.py
+    # PLANNED_ROTATIONS, or they silently displace the pinned window.)
 ]
 
 

@@ -132,12 +132,15 @@ FLAGSHIP = [
     # pairs, promoted q142 gates the same BPE frequency table under
     # the production hash-rank path, and q134+q136 carry the Z-order
     # curve + pruned-read economics; official rows r11/r12)
+    # (round 14, rotation #10: q130/q132 rotated out — both folds'
+    # gated claim is fold == batch (official r11..r13); q129 replays
+    # the batch excision rule, q126's two-level path carries the
+    # SemDeDup family, and the streaming exactly-once fold family rows
+    # are q120 + promoted q156)
     "q123_leakage_safe_splits",
     "q124_temperature_mix",
     "q126_semantic_dedup_2l",
     "q129_dup_span_incremental",
-    "q130_stream_span_scrub",
-    "q132_stream_semantic_dedup",
     "q133_bpe_sequence_packing",
     "q134_zorder_curve",
     # round-12 promotions (rotation #8, VERDICT r11 item 1): the
@@ -150,8 +153,11 @@ FLAGSHIP = [
     # plan IS the same solver generalized, reducing exactly to the
     # waterfill at capacity E·C; q139 gates the applied budget-exact
     # sampler; official row r12)
+    # (round 14, rotation #10: q138 rotated out — promoted q152 runs
+    # the SAME ann_recall_report callable with the richer filtered
+    # reference, and promoted q157 gates the same spine/hits/recall
+    # assembly on the codebook axis; official rows r12/r13)
     "q136_zorder_pruned_read",
-    "q138_ann_recall",
     "q139_waterfill_sample",
     "q140_corpus_diff",
     "q141_incremental_annotate",
@@ -163,16 +169,31 @@ FLAGSHIP = [
     # search (X52), the Naive Bayes train/classify pair and its
     # streaming fold (X53/X54), and decontamination-by-excision (X5's
     # scrub tier)
+    # (round 14, rotation #10: q144/q147/q150 rotated out — q143's
+    # plan rows ARE the expansion's quotas with q139's hash-lottery
+    # membership, promoted q153's DSIR ratio generalizes the
+    # Moore-Lewis contrast, and the NB fold's fold==batch claim landed
+    # officially in r13 with q149 pinning the batch rule; official
+    # rows r13)
     "q142_bpe_hash_ranks",
     "q143_epoch_plan",
-    "q144_epoch_expand",
     "q145_source_novelty",
     "q146_embedding_drift",
-    "q147_moore_lewis",
     "q148_filtered_ann",
     "q149_naive_bayes_langid",
-    "q150_stream_nb_train",
     "q151_decontam_scrub",
+    # round-14 promotions (rotation #10, VERDICT r13 item 1): the
+    # round-13 operators — the filtered recall@k curve (X55), DSIR
+    # importance weights + the streaming pool fold (X56/X59), product
+    # quantization + ADC search (X57), IVF-PQ raw + residual
+    # (X58/X61), and the PQ recall@k curve (X60)
+    "q152_filtered_ann_recall",
+    "q153_dsir_scores",
+    "q154_pq_adc_topk",
+    "q155_ivfpq_topk",
+    "q156_stream_dsir_pool",
+    "q157_pq_recall",
+    "q158_ivfpq_residual",
 ]
 
 # The exact round-6 official window (VERDICT r3 item 8: pin it so a
@@ -231,9 +252,17 @@ FLAGSHIP = [
 # round-12 operators q142-q151 promoted so they carry first-time
 # official CORRECTNESS rows.  The never-gated hash-checkable backlog
 # is again zero.
+# Round-14 change (rotation #10, VERDICT r13 item 1): q38/q130/q132/
+# q138/q144/q147/q150 deferred (each subsumed by an in-window
+# survivor, see SUBSUMPTION; all seven carried official rows through
+# CORRECTNESS_r13 — the full r13 window was 50/50 green), the
+# round-13 operators q152-q158 promoted so they carry first-time
+# official CORRECTNESS rows.  The never-gated hash-checkable backlog
+# is again zero — every registry query outside the approx sketch tier
+# has now carried an official green row in some round.
 EXPECTED_WINDOW = [
     "q23_ewma", "q27_iot_pipeline",
-    "q32_minhash_lsh_pairs", "q38_ivf_topk",
+    "q32_minhash_lsh_pairs",
     "q57_cube_rollup",
     "q79_winnow_overlap_bounded", "q47_session_windows",
     "q50_salted_join", "q53_dedup_clusters",
@@ -255,18 +284,21 @@ EXPECTED_WINDOW = [
     "q118_hashing_embed",
     "q120_stream_heavy_fold",
     "q123_leakage_safe_splits", "q124_temperature_mix",
-    "q126_semantic_dedup_2l", "q130_stream_span_scrub",
+    "q126_semantic_dedup_2l",
     "q129_dup_span_incremental",
     "q133_bpe_sequence_packing", "q134_zorder_curve",
-    "q132_stream_semantic_dedup",
     "q136_zorder_pruned_read",
     "q139_waterfill_sample", "q140_corpus_diff",
-    "q141_incremental_annotate", "q138_ann_recall",
+    "q141_incremental_annotate",
     "q142_bpe_hash_ranks", "q143_epoch_plan",
-    "q144_epoch_expand", "q145_source_novelty",
-    "q146_embedding_drift", "q147_moore_lewis",
+    "q145_source_novelty",
+    "q146_embedding_drift",
     "q148_filtered_ann", "q149_naive_bayes_langid",
-    "q150_stream_nb_train", "q151_decontam_scrub",
+    "q151_decontam_scrub",
+    "q158_ivfpq_residual", "q157_pq_recall",
+    "q155_ivfpq_topk", "q154_pq_adc_topk",
+    "q156_stream_dsir_pool", "q153_dsir_scores",
+    "q152_filtered_ann_recall",
 ]
 
 # Round-4/6 deferrals: each subsumed query's operator stays asserted by
@@ -332,10 +364,11 @@ SUBSUMPTION = {
     "q45_quality_score": ["q48_training_data_pipeline"],
     # lang-ID runs verbatim inside q48 (detected_lang gate)
     "q29_lang_id": ["q48_training_data_pipeline"],
-    # brute-force cosine top-k is the verification tier of the IVF
-    # production shape (identical cosine arithmetic; IVF adds broadcast
-    # centroids + nprobe pruning)
-    "q37_cosine_topk": ["q38_ivf_topk"],
+    # brute-force cosine top-k is the verification tier of the ANN
+    # family (r14 re-point: former survivor q38 deferred) — q152's
+    # exact reference pass runs the identical brute-force cosine
+    # top-k arithmetic, and q148 gates the probed production search
+    "q37_cosine_topk": ["q152_filtered_ann_recall", "q148_filtered_ann"],
     # --- round 7 (VERDICT r6 item 1: open slots for q86-q93 + q109) ---
     # W1 latest-per-key: max_by(struct) winner-per-key is q88's OHLC
     # open/close core
@@ -398,8 +431,9 @@ SUBSUMPTION = {
     # multimodal feature surface: the real-decode tier goes further
     # (r12 re-point: q91 deferred — q80 carries the codec family row)
     "q36_multimodal_features": ["q80_image_decode_stats"],
-    # embedding near-dup: ANN family row stays with q38's IVF
-    "q39_embedding_near_dup": ["q38_ivf_topk"],
+    # embedding near-dup: ANN family row stays with the persistent
+    # filtered search (r14 re-point: former survivor q38 deferred)
+    "q39_embedding_near_dup": ["q148_filtered_ann"],
     # forward as-of = direction mirror of the asof_join callable that
     # q92's feature matrix runs (r9 re-point: former survivor q81
     # deferred; r12 re-point: q85 deferred — q92 carries the family)
@@ -477,9 +511,11 @@ SUBSUMPTION = {
     # corpus-level stat rollup: q62's per-shard stats is the same
     # multi-metric agg over the same columns, one groupBy deeper
     "q65_corpus_stats": ["q62_shard_stats"],
-    # int8 quantization: broadcast-grid twin of the ANN family row;
-    # round-trip + grid math pinned by tests/test_quantize.py
-    "q68_embedding_quantization": ["q38_ivf_topk"],
+    # int8 scalar quantization: the embedding-compression family row is
+    # promoted q154's product quantization (richer: per-subspace
+    # codebooks + ADC vs one affine grid; r14 re-point: former survivor
+    # q38 deferred); round-trip + grid math pinned by tests/test_quantize.py
+    "q68_embedding_quantization": ["q154_pq_adc_topk"],
     # source-leakage matrix: the verbatim 8-token chunk-hash overlap
     # core is q64's chunk-dedup grid (same md5 key); contamination
     # guarantee pinned by tests/test_contamination.py
@@ -598,24 +634,25 @@ SUBSUMPTION = {
     "q117_model_scores": ["q149_naive_bayes_langid"],
     # persistent-index batch search: promoted q148 runs the SAME
     # search_index_batch callable (richer: metadata predicate
-    # composing PushedFilters with DPP); q138's recall curve calls
-    # the unfiltered path once per nprobe value
+    # composing PushedFilters with DPP); q152's recall curve calls
+    # the same callable once per nprobe value (r14 re-point: former
+    # co-survivor q138 deferred)
     "q121_index_batch_search": ["q148_filtered_ann",
-                                "q138_ann_recall"],
+                                "q152_filtered_ann_recall"],
     # text-profile PSI drift: promoted q146 folds the SAME
     # psi_from_cells tail at the richer embedding-space tier; the
     # text rows stay exercised by the release drift-gate e2e tests
     "q122_drift_report": ["q146_embedding_drift"],
     # single-level SemDeDup: q126's two-level path is the O(n·√C)
-    # production shape of the same bucketed-cosine rule; q132
-    # hash-gates the streaming fold of the same operator
-    "q125_semantic_dedup": ["q126_semantic_dedup_2l",
-                            "q132_stream_semantic_dedup"],
+    # production shape of the same bucketed-cosine rule (r14 re-point:
+    # former co-survivor q132, the streaming fold, deferred after its
+    # fold==batch rows landed r11..r13)
+    "q125_semantic_dedup": ["q126_semantic_dedup_2l"],
     # batch duplicate-span removal: q129 (incremental vs a span
-    # store) and q130 (streaming fold) replay the batch excision rule
-    # exactly — fold == batch is their gated claim
-    "q127_dup_span_removal": ["q129_dup_span_incremental",
-                              "q130_stream_span_scrub"],
+    # store) replays the batch excision rule exactly (r14 re-point:
+    # former co-survivor q130, the streaming fold, deferred after its
+    # fold==batch rows landed r11..r13)
+    "q127_dup_span_removal": ["q129_dup_span_incremental"],
     # edit-distance LSH verify: the verification tier of the near-dup
     # family — the DP runs only on q32's LSH-bounded candidate pairs
     # (the q34/q37/q56 verification-tier precedent)
@@ -634,6 +671,44 @@ SUBSUMPTION = {
     # contract); q139 gates the applied budget-exact sampler
     "q137_mixture_waterfill": ["q143_epoch_plan",
                                "q139_waterfill_sample"],
+    # --- round 14 (rotation #10, VERDICT r13 item 1: open slots for
+    # the round-13 operators q152-q158) ---
+    # inline IVF two-stage search: promoted q155 composes the SAME
+    # md5-sampled centroid ranking + argmax assignment + nprobe
+    # pruning at the richer PQ-coded tier; q148 gates the persistent
+    # filtered search of the same family
+    "q38_ivf_topk": ["q155_ivfpq_topk", "q148_filtered_ann"],
+    # unfiltered recall@k curve: promoted q152 runs the SAME
+    # ann_recall_report callable (where=None is its degenerate case);
+    # promoted q157 gates the same spine/hits/recall assembly on the
+    # codebook axis
+    "q138_ann_recall": ["q152_filtered_ann_recall", "q157_pq_recall"],
+    # Moore-Lewis selection: promoted q153's DSIR log likelihood
+    # ratio is the importance-weighting generalization of the same
+    # seed-vs-pool contrast (Xie et al. 2023 §2: Moore-Lewis is the
+    # per-token special case); the release --ml-seed stage stays
+    # e2e-pinned to the operator's rule
+    "q147_moore_lewis": ["q153_dsir_scores"],
+    # streaming SemDeDup fold: its gated claim is fold == batch
+    # (official r11..r13); q126 keeps the batch bucketed-cosine rule
+    # in-window, q120 + promoted q156 carry the exactly-once fold
+    # family rows
+    "q132_stream_semantic_dedup": ["q126_semantic_dedup_2l",
+                                   "q120_stream_heavy_fold"],
+    # streaming span-scrub fold: same fold == batch claim (official
+    # r11..r13); q129's incremental tier replays the batch excision
+    # rule exactly
+    "q130_stream_span_scrub": ["q129_dup_span_incremental",
+                               "q120_stream_heavy_fold"],
+    # multi-epoch plan expansion: composition of two in-window gated
+    # rules — q143's plan rows ARE the per-(source, epoch) quotas and
+    # the membership is q139's integer-ticket hash lottery
+    "q144_epoch_expand": ["q143_epoch_plan", "q139_waterfill_sample"],
+    # streaming NB corpus fold: fold == batch of integer bucket counts
+    # (official r13); q149 pins the batch model + argmax rule, q156
+    # gates the identical mergeable-count fold contract
+    "q150_stream_nb_train": ["q149_naive_bayes_langid",
+                             "q156_stream_dsir_pool"],
 }
 
 

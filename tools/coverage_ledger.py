@@ -76,18 +76,13 @@ PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
     # tests/test_coverage_ledger.py.  New queries must still be
     # registered into POST_WINDOW and scheduled here, or they silently
     # displace the pinned window.)
-    # rotation #10 — the round-13 additions: X55 filtered recall@k
-    # curve (the nprobe sizing report for X52's filtered searches) and
-    # X56 DSIR importance weights (Xie et al. 2023)
-    14: (10, [
-        "q152_filtered_ann_recall",
-        "q153_dsir_scores",
-        "q154_pq_adc_topk",
-        "q155_ivfpq_topk",
-        "q156_stream_dsir_pool",
-        "q157_pq_recall",
-        "q158_ivfpq_residual",
-    ]),
+    # (rotation #10 — the round-13 additions q152-q158 (filtered
+    # recall@k curve, DSIR importance weights + streaming pool fold,
+    # PQ/ADC search, IVF-PQ raw + residual, PQ recall@k curve) —
+    # EXECUTED in round 14; entry removed per the staleness contract
+    # in tests/test_coverage_ledger.py.  New queries must still be
+    # registered into POST_WINDOW and scheduled here, or they
+    # silently displace the pinned window.)
 }
 
 
