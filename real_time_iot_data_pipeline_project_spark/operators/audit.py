@@ -83,7 +83,7 @@ def fk_orphans(child: DataFrame, parent: DataFrame,
 
 
 def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
-                text_col: str = "text") -> DataFrame:
+                text_col: str = "text", validate: bool = True) -> DataFrame:
     """Release-to-release corpus diff (round 11): per doc id, whether
     the doc was ``added`` (in new only), ``removed`` (in old only),
     ``changed`` (both, different content fingerprint) or ``unchanged``
@@ -127,22 +127,27 @@ def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
     # union of both sides' (id + 32-byte fp) projections — narrow
     # columns, combinable counts, no text shuffled; the returned plan
     # is untouched (q140's gated hashes and shape are unchanged).
-    bad = (o.select(F.col(id_col).alias("__id"),
-                    F.lit("old").alias("__side"))
-           .unionByName(n.select(F.col(id_col).alias("__id"),
-                                 F.lit("new").alias("__side")))
-           .groupBy("__side", "__id")
-           .agg(F.count(F.lit(1)).alias("__c"))
-           .where(F.col("__c") > 1)
-           .limit(3).collect())
-    if bad:
-        shown = ", ".join(f"{r['__side']}:{r['__id']}" for r in bad)
-        raise ValueError(
-            f"corpus_diff: duplicate {id_col} with CONFLICTING "
-            f"content fingerprints on [{shown}] — two different texts "
-            f"under one id have no single diff answer; dedup the "
-            f"release by {id_col} first (every release writer in "
-            f"pipelines.py does)")
+    # ``validate=False`` skips the eager job for hot callers whose
+    # releases are already writer-deduped (every release writer in
+    # pipelines.py is) — the loud-refusal default stays, but the two
+    # extra narrow-column scans per diff are opt-out (ADVICE r13).
+    if validate:
+        bad = (o.select(F.col(id_col).alias("__id"),
+                        F.lit("old").alias("__side"))
+               .unionByName(n.select(F.col(id_col).alias("__id"),
+                                     F.lit("new").alias("__side")))
+               .groupBy("__side", "__id")
+               .agg(F.count(F.lit(1)).alias("__c"))
+               .where(F.col("__c") > 1)
+               .limit(3).collect())
+        if bad:
+            shown = ", ".join(f"{r['__side']}:{r['__id']}" for r in bad)
+            raise ValueError(
+                f"corpus_diff: duplicate {id_col} with CONFLICTING "
+                f"content fingerprints on [{shown}] — two different "
+                f"texts under one id have no single diff answer; dedup "
+                f"the release by {id_col} first (every release writer "
+                f"in pipelines.py does)")
     status = (
         F.when(F.col("__in_old").isNull(), F.lit("added"))
         .when(F.col("__in_new").isNull(), F.lit("removed"))

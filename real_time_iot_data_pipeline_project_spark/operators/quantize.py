@@ -182,11 +182,23 @@ def pq_encode(df: DataFrame, codebooks: DataFrame,
             .select(id_col, "sub_id", F.col("__w.c").alias("code")))
 
 
+def _lut_side(lut: DataFrame, broadcast_lut: bool) -> DataFrame:
+    """The ADC lookup-table join side: BROADCAST by default (the LUT
+    is |queries|·m·k rows — bounded for the batch-serving shape every
+    gated row uses), or shuffle-hash for an UNBOUNDED query table
+    (``broadcast_lut=False``, the nb_classify broadcast_model
+    precedent — ADVICE r13: a large query frame silently became an
+    oversized broadcast; now the caller picks the shuffle fallback
+    explicitly and results are identical, pinned by test)."""
+    return F.broadcast(lut) if broadcast_lut else lut.hint("shuffle_hash")
+
+
 def pq_adc_topk(queries: DataFrame, codebooks: DataFrame,
                 codes: DataFrame, k: int = 10,
                 query_id_col: str = "query_id",
                 query_vec_col: str = "qvec",
-                id_col: str = "vec_id") -> DataFrame:
+                id_col: str = "vec_id",
+                broadcast_lut: bool = True) -> DataFrame:
     """Asymmetric-distance top-k over PQ codes: per query, the m×k
     lookup table of subquery-to-codeword l2² terms is computed ONCE
     (queries × the broadcast codebook — bounded), broadcast onto the
@@ -194,7 +206,11 @@ def pq_adc_topk(queries: DataFrame, codebooks: DataFrame,
     (DECIMAL pre-sum cast — order-free).  The corpus-sized input is
     the CODES table (m ints per vector), never the float vectors —
     ADC's whole point.  Returns (query_id, vec_id, adc_dist) with
-    adc_dist rounded to 6 dp, (adc ASC, id ASC) top-k per query."""
+    adc_dist rounded to 6 dp, (adc ASC, id ASC) top-k per query.
+
+    ``broadcast_lut=False`` swaps the LUT broadcast for a shuffle-hash
+    join — the escape hatch for an unbounded query table whose
+    |queries|·m·k-row LUT would otherwise be an oversized broadcast."""
     from pyspark.sql import Window
 
     m = int(codebooks.agg(F.countDistinct("sub_id")).head()[0])
@@ -208,7 +224,7 @@ def pq_adc_topk(queries: DataFrame, codebooks: DataFrame,
                    F.col("code_id").alias("code"),
                    _l2sq(F.col("qsvec"), F.col("cvec"))
                    .cast("decimal(28,12)").alias("__term")))
-    scored = (codes.join(F.broadcast(lut), ["sub_id", "code"])
+    scored = (codes.join(_lut_side(lut, broadcast_lut), ["sub_id", "code"])
               .groupBy(query_id_col, id_col)
               .agg(F.round(F.sum("__term").cast("double"), 6)
                    .alias("adc_dist")))
@@ -224,7 +240,8 @@ def ivfpq_topk(df: DataFrame, queries: DataFrame,
                m: int = 4, kc: int = 8, k: int = 10,
                vec_col: str = "embedding", id_col: str = "vec_id",
                query_id_col: str = "query_id",
-               query_vec_col: str = "qvec") -> DataFrame:
+               query_vec_col: str = "qvec",
+               broadcast_lut: bool = True) -> DataFrame:
     """IVF-PQ batch search (X58): the FAISS `IVFPQ` production pattern
     composed from the two gated halves — coarse probe pruning (X45's
     per-query nprobe centroid ranking over the shared md5-sampled
@@ -274,7 +291,7 @@ def ivfpq_topk(df: DataFrame, queries: DataFrame,
     # assignment join is int-keyed and the probe/LUT sides broadcast
     cand = (codes.join(assigned.hint("shuffle_hash"), id_col)
             .join(F.broadcast(probes), "centroid_id"))
-    scored = (cand.join(F.broadcast(lut),
+    scored = (cand.join(_lut_side(lut, broadcast_lut),
                         [query_id_col, "sub_id", "code"])
               .groupBy(query_id_col, id_col)
               .agg(F.round(F.sum("__term").cast("double"), 6)
@@ -360,7 +377,8 @@ def ivfpq_residual_topk(df: DataFrame, queries: DataFrame,
                         vec_col: str = "embedding",
                         id_col: str = "vec_id",
                         query_id_col: str = "query_id",
-                        query_vec_col: str = "qvec") -> DataFrame:
+                        query_vec_col: str = "qvec",
+                        broadcast_lut: bool = True) -> DataFrame:
     """RESIDUAL IVF-PQ (X61): the quality-correct FAISS `IVFPQ`
     formulation — PQ codebooks are trained on and codes encode the
     RESIDUAL v − c(v) of each vector against its assigned coarse
@@ -425,7 +443,7 @@ def ivfpq_residual_topk(df: DataFrame, queries: DataFrame,
     cand = (codes.join(rdf.select(id_col, "centroid_id")
                        .hint("shuffle_hash"), id_col)
             .join(F.broadcast(probes), "centroid_id"))
-    scored = (cand.join(F.broadcast(lut),
+    scored = (cand.join(_lut_side(lut, broadcast_lut),
                         [query_id_col, "centroid_id", "sub_id", "code"])
               .groupBy(query_id_col, id_col)
               .agg(F.round(F.sum("__term").cast("double"), 6)

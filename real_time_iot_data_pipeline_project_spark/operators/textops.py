@@ -289,7 +289,16 @@ def _hashed_ngram_features(df: DataFrame, text_col: str,
     portable 60-bit hash mod ``n_buckets`` (Xie et al. 2023 §3 use
     hashed {uni,bi}-gram counts as the feature space — the hashing
     trick keeps the model tables bucket-sized regardless of
-    vocabulary).  Map-side only: explode + hash, no shuffle."""
+    vocabulary).  Map-side only: explode + hash, no shuffle.
+
+    Empty features are dropped: the normalized token grid never
+    contains '' EXCEPT for a blank/whitespace-only doc, whose split
+    yields [''] — without the filter that doc contributed one
+    collision bucket to the models and scored a nonzero n_feat while
+    a NULL-text doc vanished entirely (ADVICE r13).  With it, blank
+    and NULL docs are treated identically: zero features, absent from
+    the models AND from dsir_scores output (so the release stage's
+    left_semi drops both regardless of threshold)."""
     toks = textfns.whitespace_tokens(text_col)
     base = df.select(*keep_cols, toks.alias("__toks"))
     feats = F.concat(
@@ -298,6 +307,7 @@ def _hashed_ngram_features(df: DataFrame, text_col: str,
                "slice(__toks, 2, size(__toks) - 1), "
                "(a, b) -> concat(a, ' ', b))"))
     return (base.select(*keep_cols, F.explode(feats).alias("__f"))
+            .where(F.col("__f") != "")
             .select(*keep_cols,
                     F.pmod(textfns.portable_hash60("__f"),
                            F.lit(n_buckets)).alias("bucket")))

@@ -795,6 +795,19 @@ def refresh_annotations(
             "n_fresh": int(n_docs - n_reused)}
 
 
+def _parse_label_list(raw: str) -> tuple[str, ...]:
+    """Comma-separated label list: strip whitespace, drop empty
+    tokens, refuse an all-empty result.  '--nb-keep-labels "a, b"'
+    previously yielded (' b',) which matches no classifier label and
+    silently filtered those docs out — the exact 'keeps nothing'
+    failure the nb_keep_labels guard exists to prevent (ADVICE r13)."""
+    labels = tuple(s.strip() for s in raw.split(",") if s.strip())
+    if not labels:
+        raise ValueError(
+            f"--nb-keep-labels {raw!r} parses to an empty label list")
+    return labels
+
+
 def main(argv: list[str] | None = None) -> None:
     """CLI mirroring Wind_Processing.py:113-128."""
     from .session import get_spark
@@ -1103,7 +1116,7 @@ def main(argv: list[str] | None = None) -> None:
             screen_probes_path=args.screen_probes,
             screen_probes_mode=args.screen_probes_mode,
             nb_model_path=args.nb_model,
-            nb_keep_labels=(tuple(args.nb_keep_labels.split(","))
+            nb_keep_labels=(_parse_label_list(args.nb_keep_labels)
                             if args.nb_keep_labels else None),
             dsir_seed_path=args.dsir_seed,
             dsir_threshold=args.dsir_threshold,

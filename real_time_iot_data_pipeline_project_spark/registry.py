@@ -7080,6 +7080,9 @@ def _dsir_sql(n_buckets: int = 10_000) -> str:
     b = int(n_buckets)
 
     def _feats(src: str, with_id: bool) -> str:
+        # WHERE f <> '' mirrors the operator's empty-feature filter
+        # (a blank doc's split is [''] — dropped on both engines, so
+        # blank and NULL docs are identically absent; ADVICE r13)
         idc = "doc_id, " if with_id else ""
         return f"""(
       SELECT {idc}{_hash60_sql('f')} % {b} AS bucket FROM (
@@ -7090,7 +7093,7 @@ def _dsir_sql(n_buckets: int = 10_000) -> str:
                      unnest(range(0, greatest(
                          CAST(len(ts) AS BIGINT) - 1, 0))) AS pos
               FROM {src})
-      )
+      ) WHERE f <> ''
     )"""
 
     return f"""

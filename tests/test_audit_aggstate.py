@@ -204,6 +204,27 @@ def test_corpus_diff_refuses_conflicting_duplicate_ids(spark):
     assert {r.doc_id for r in got} == {1, 2}
 
 
+def test_corpus_diff_validate_false_skips_eager_guard(spark):
+    """ADVICE r13: the conflicting-id guard is an EAGER job (two
+    narrow-column scans per diff) — hot callers whose releases are
+    already writer-deduped can opt out with validate=False.  The
+    returned diff is identical on clean input, and the guard's raise
+    is genuinely skipped (no eager exception on conflicted input —
+    the caller owns the precondition)."""
+    old = spark.createDataFrame([(1, "alpha"), (2, "beta")],
+                                "doc_id long, text string")
+    new = spark.createDataFrame([(1, "alpha"), (3, "gamma")],
+                                "doc_id long, text string")
+    a = sorted(audit.corpus_diff(old, new).collect())
+    b = sorted(audit.corpus_diff(old, new, validate=False).collect())
+    assert a == b
+    conflicted = spark.createDataFrame(
+        [(1, "alpha"), (1, "NOT alpha")], "doc_id long, text string")
+    # plan construction must not raise without validation
+    plan = audit.corpus_diff(conflicted, new, validate=False)
+    assert plan is not None
+
+
 def test_incremental_annotate_reuses_not_recomputes(spark):
     """X47 plumbing: unchanged rows must carry the OLD release's stored
     annotation (proving reuse — the annotator is tagged so a recompute

@@ -309,6 +309,38 @@ def test_pq_encode_and_adc_match_python_replay(spark):
         quantize.pq_codebooks(df, m=3, k=kc)
 
 
+def test_adc_shuffle_lut_fallback_identical(spark):
+    """ADVICE r13: broadcast_lut=False swaps the |queries|·m·k LUT
+    broadcast for a shuffle-hash join (the nb_classify
+    broadcast_model precedent) — the escape hatch for an unbounded
+    query table.  Results are identical across pq_adc_topk, ivfpq_topk
+    and ivfpq_residual_topk."""
+    import math
+
+    df = spark.createDataFrame(
+        [(i, [float(math.sin(i * 7 + j)) for j in range(8)])
+         for i in range(30)],
+        "vec_id long, embedding array<float>")
+    queries = (df.where(F.col("vec_id").isin(0, 1, 2))
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qvec")))
+    cb = quantize.pq_codebooks(df, m=4, k=3)
+    codes = quantize.pq_encode(df, cb)
+    a = sorted(quantize.pq_adc_topk(queries, cb, codes, k=5).collect())
+    b = sorted(quantize.pq_adc_topk(queries, cb, codes, k=5,
+                                    broadcast_lut=False).collect())
+    assert a == b
+    kw = dict(n_centroids=4, nprobe=2, m=4, kc=3, k=5)
+    assert (sorted(quantize.ivfpq_topk(df, queries, **kw).collect())
+            == sorted(quantize.ivfpq_topk(df, queries,
+                                          broadcast_lut=False,
+                                          **kw).collect()))
+    assert (sorted(quantize.ivfpq_residual_topk(
+                df, queries, **kw).collect())
+            == sorted(quantize.ivfpq_residual_topk(
+                df, queries, broadcast_lut=False, **kw).collect()))
+
+
 def test_pq_recall_report_counts_and_spine(spark):
     """X60: the report's n_hits equal the overlap between the (already
     replay-pinned) ADC top-k at each codebook size and the python
@@ -1487,6 +1519,37 @@ def test_dsir_scores_match_python_replay(spark):
 
     with pytest.raises(ValueError, match="n_buckets"):
         textops.dsir_scores(df, seed, n_buckets=0)
+
+
+def test_dsir_blank_and_null_docs_identically_absent(spark):
+    """ADVICE r13: a blank/whitespace-only doc's normalized split is
+    [''] — before the empty-feature filter it contributed one
+    collision bucket to the pool/seed models and scored a nonzero
+    n_feat, while a NULL-text doc vanished entirely.  Now both are
+    identically absent: zero features, no model contribution, no
+    score row — so the release stage's left_semi drops both
+    consistently regardless of threshold."""
+    from real_time_iot_data_pipeline_project_spark.operators import textops
+
+    clean_rows = [(1, "apple pie recipe"), (2, "stock market crash"),
+                  (3, "apple pie")]
+    dirty_rows = clean_rows + [(90, ""), (91, "   "), (92, None)]
+    clean = spark.createDataFrame(clean_rows, "doc_id long, text string")
+    dirty = spark.createDataFrame(dirty_rows, "doc_id long, text string")
+    seed_c = clean.where(F.col("doc_id").isin(1, 3))
+    seed_d = dirty.where(F.col("doc_id").isin(1, 3, 90, 92))
+
+    got_c = {r.doc_id: (r.n_feat, r.dsir_logw)
+             for r in textops.dsir_scores(clean, seed_c,
+                                          n_buckets=17).collect()}
+    got_d = {r.doc_id: (r.n_feat, r.dsir_logw)
+             for r in textops.dsir_scores(dirty, seed_d,
+                                          n_buckets=17).collect()}
+    # blank and NULL docs produce NO score rows...
+    assert set(got_d) == {1, 2, 3}
+    # ...and contribute NOTHING to either model: every surviving
+    # doc's weight is bit-identical to the clean-corpus run
+    assert got_d == got_c
 
 
 def test_nb_classify_margin_matches_closed_form(spark):

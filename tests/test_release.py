@@ -880,3 +880,15 @@ def test_release_cli_dsir_wiring(spark, tmp_path):
     assert m["dsir_selection"]["threshold_logw"] == -1000000
     assert (m["dsir_selection"]["n_docs_kept"]
             == m["dsir_selection"]["n_docs_in"] > 0)
+
+
+def test_parse_label_list_strips_and_refuses_empty():
+    """ADVICE r13: '--nb-keep-labels "keepme, dropme"' previously
+    yielded (' dropme',) which matches no classifier label — labels
+    are stripped, empty tokens dropped, and an all-empty parse
+    raises instead of silently filtering every doc out."""
+    assert pipelines._parse_label_list("keepme, dropme") == (
+        "keepme", "dropme")
+    assert pipelines._parse_label_list(" a ,, b ,") == ("a", "b")
+    with pytest.raises(ValueError, match="empty label list"):
+        pipelines._parse_label_list(" , ,")
