@@ -28,6 +28,11 @@ Layout::
 
     index_dir/centroids/   (centroid_id, cvec)          — tiny
     index_dir/data/        (id, embedding) partitioned by centroid_id
+    index_dir/pq/          optional PQ tier (round 14, X62):
+      manifest/            one row (pq_m, pq_kc, residual)
+      codebooks/           (sub_id, code_id, cvec) — m·kc rows, tiny
+      codes/               (id, pq_codes array<int>, meta...)
+                           partitioned by centroid_id
 
 Centroid refinement (kmeans_refine) composes: refine BEFORE build on a
 sample, then build with the refined centroids via ``centroids=``.
@@ -44,7 +49,10 @@ from .similarity import _dot, _norm, _py_norm, assign_centroids, cosine
 def build_index(df: DataFrame, index_dir: str, n_centroids: int = 16,
                 vec_col: str = "embedding", id_col: str = "vec_id",
                 centroids: DataFrame | None = None,
-                meta_cols: tuple[str, ...] = ()) -> None:
+                meta_cols: tuple[str, ...] = (),
+                pq_m: int | None = None, pq_kc: int = 8,
+                pq_residual: bool = False,
+                pq_codebooks: DataFrame | None = None) -> None:
     """Materialize the IVF index: pick centroids (md5-ordered hash
     sample of ``df`` unless an explicit/refined set is passed), assign
     every vector, write data partitioned by centroid_id.
@@ -54,7 +62,20 @@ def build_index(df: DataFrame, index_dir: str, n_centroids: int = 16,
     data — the payload :func:`search_index_batch`'s ``where``
     predicate filters on.  Metadata lives in the same parquet rows as
     the vectors, so a filtered search reads no side table and the
-    predicate pushes down into the pruned scan."""
+    predicate pushes down into the pruned scan.
+
+    ``pq_m`` (round 14, X62 — VERDICT r13 item 2): additionally
+    materialize the PQ tier — per-subspace codebooks (the X57
+    md5-sample rule over the stored data, or an explicit/refined set
+    via ``pq_codebooks``) and the m-int PQ code of every vector,
+    codes partitioned by centroid_id next to the float data.  With
+    ``pq_residual=True`` codebooks train on and codes encode the
+    residual v − c(v) against the vector's ASSIGNED stored centroid
+    (X61's quality-correct formulation).  This is what makes X57/X58
+    a STORE rather than a per-query computation: at 100 TB the PQ win
+    IS the materialized code table — :func:`search_index_pq` reads
+    m ints per vector under the same DPP pruning and metadata
+    pushdown as the float path, and never re-encodes the corpus."""
     if centroids is None:
         centroids = (
             df.orderBy(F.md5(F.col(id_col).cast("string")), F.asc(id_col))
@@ -73,6 +94,73 @@ def build_index(df: DataFrame, index_dir: str, n_centroids: int = 16,
                       carry_cols=tuple(meta_cols))
      .write.mode("overwrite").partitionBy("centroid_id")
      .parquet(f"{index_dir}/data"))
+    if pq_m is not None:
+        _write_pq_tier(df.sparkSession, index_dir, pq_m, pq_kc,
+                       pq_residual, vec_col, id_col, tuple(meta_cols),
+                       codebooks=pq_codebooks)
+
+
+def _pq_frame(data: DataFrame, centroids: DataFrame, residual: bool,
+              vec_col: str, id_col: str) -> tuple[DataFrame, str]:
+    """The frame PQ codebooks/codes derive from: the stored (already
+    assigned) index data itself, or its residuals v − c(v) against the
+    STORED centroids — identical construction to ivfpq_residual_topk's
+    rdf, so the persisted tier equals the inline operator by
+    construction (pinned by test)."""
+    if not residual:
+        return data, vec_col
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cvec_d = F.transform(F.col("cvec"), lambda x: x.cast("double"))
+    rdf = (data.join(F.broadcast(centroids), "centroid_id")
+           .select(data["*"],
+                   F.zip_with(vec_d, cvec_d, lambda x, y: x - y)
+                   .alias("__rvec")))
+    return rdf, "__rvec"
+
+
+def _write_pq_tier(spark: SparkSession, index_dir: str, m: int, kc: int,
+                   residual: bool, vec_col: str, id_col: str,
+                   meta_cols: tuple[str, ...],
+                   codebooks: DataFrame | None = None) -> None:
+    from . import quantize
+
+    data = spark.read.parquet(f"{index_dir}/data")
+    centroids = spark.read.parquet(f"{index_dir}/centroids")
+    frame, pq_vec = _pq_frame(data, centroids, residual, vec_col, id_col)
+    if codebooks is None:
+        codebooks = quantize.pq_codebooks(frame, m=m, k=kc,
+                                          vec_col=pq_vec, id_col=id_col)
+    codebooks.write.mode("overwrite").parquet(f"{index_dir}/pq/codebooks")
+    (spark.createDataFrame([(int(m), int(kc), bool(residual))],
+                           "pq_m int, pq_kc int, residual boolean")
+     .write.mode("overwrite").parquet(f"{index_dir}/pq/manifest"))
+    stored_cb = spark.read.parquet(f"{index_dir}/pq/codebooks")
+    _append_pq_codes(spark, index_dir, frame, stored_cb, pq_vec, id_col,
+                     meta_cols, overwrite=True)
+
+
+def _append_pq_codes(spark: SparkSession, index_dir: str, frame: DataFrame,
+                     codebooks: DataFrame, pq_vec: str, id_col: str,
+                     meta_cols: tuple[str, ...],
+                     overwrite: bool = False) -> None:
+    """Encode ``frame`` (which carries centroid_id + metadata) against
+    the PINNED codebooks and write wide codes — one row per vector,
+    m small ints — partitioned by centroid_id."""
+    from . import quantize
+
+    tall = quantize.pq_encode(frame, codebooks, vec_col=pq_vec,
+                              id_col=id_col)
+    wide = (tall.groupBy(id_col)
+            .agg(F.transform(
+                F.sort_array(F.collect_list(F.struct("sub_id", "code"))),
+                lambda s: s["code"]).alias("pq_codes")))
+    rows = (frame.select(id_col, "centroid_id", *meta_cols)
+            # id is the join key on both sides of an id-unique frame —
+            # broadcast-ineligible at corpus size, shuffle-hash by
+            # design (the graph.py join-back rule)
+            .join(wide.hint("shuffle_hash"), id_col))
+    (rows.write.mode("overwrite" if overwrite else "append")
+     .partitionBy("centroid_id").parquet(f"{index_dir}/pq/codes"))
 
 
 def append_index(df_new: DataFrame, index_dir: str,
@@ -89,7 +177,15 @@ def append_index(df_new: DataFrame, index_dir: str,
     that disagrees with the stored one raises — appending rows with
     missing metadata would land as NULLs that every ``where`` filtered
     search silently drops (review catch).  Pre-manifest indexes
-    (no ``meta`` dir) fall back to no metadata."""
+    (no ``meta`` dir) fall back to no metadata.
+
+    If the index carries a PQ tier (round 14, X62), the increment is
+    additionally encoded against the PINNED stored codebooks (the X32
+    append contract applied to PQ: the structure's parameters never
+    drift under appends — a rebuild would resample codebooks from
+    base+increment and change every stored code) and its code
+    partitions append next to the float ones.  Cost still tracks the
+    increment: one broadcast codebook argmin over df_new."""
     from pyspark.errors import AnalysisException
 
     spark = df_new.sparkSession
@@ -107,10 +203,125 @@ def append_index(df_new: DataFrame, index_dir: str,
             f"stored contract {stored_meta} — appended rows would "
             f"carry NULL metadata and vanish from filtered searches")
     centroids = spark.read.parquet(f"{index_dir}/centroids")
-    (assign_centroids(df_new, centroids, vec_col, id_col,
-                      carry_cols=tuple(meta_cols))
-     .write.mode("append").partitionBy("centroid_id")
+    assigned = assign_centroids(df_new, centroids, vec_col, id_col,
+                                carry_cols=tuple(meta_cols))
+    (assigned.write.mode("append").partitionBy("centroid_id")
      .parquet(f"{index_dir}/data"))
+    pq = _read_pq_manifest(spark, index_dir)
+    if pq is not None:
+        stored_cb = spark.read.parquet(f"{index_dir}/pq/codebooks")
+        frame, pq_vec = _pq_frame(assigned, centroids,
+                                  bool(pq["residual"]), vec_col, id_col)
+        _append_pq_codes(spark, index_dir, frame, stored_cb, pq_vec,
+                         id_col, tuple(meta_cols))
+
+
+def _read_pq_manifest(spark: SparkSession, index_dir: str):
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(f"{index_dir}/pq/manifest").head()
+    except AnalysisException:
+        return None
+
+
+def search_index_pq(spark: SparkSession, index_dir: str,
+                    queries: DataFrame, k: int = 10, nprobe: int = 4,
+                    query_id_col: str = "query_id",
+                    query_vec_col: str = "qvec",
+                    id_col: str = "vec_id",
+                    where: F.Column | None = None,
+                    broadcast_lut: bool = True) -> DataFrame:
+    """Batch ANN serving over the PERSISTED PQ tier (round 14, X62):
+    per query, rank the stored centroids and probe the best ``nprobe``
+    (the float path's rule verbatim), then score ONLY the probed
+    partitions of the CODES table — m small ints per vector — with
+    X57's asymmetric distance against the stored codebooks.  Raw and
+    residual tiers are served from the same entry point (the stored
+    manifest says which; residual keys the LUT per (query, probed
+    centroid), X61's rule).
+
+    Identical results to the inline operators (``ivfpq_topk`` /
+    ``ivfpq_residual_topk``) on the same parameters — pinned by test —
+    but the inline form re-samples codebooks and re-encodes the WHOLE
+    corpus per call, while this path reads codes that were written
+    once: at 100 TB, ~64× fewer bytes scanned than the float path and
+    zero encode work per query batch.  Two structural wins over the
+    inline plan: centroid_id is the codes table's partition column, so
+    the probes join is DYNAMIC PARTITION PRUNING (the scan touches
+    ~nprobe/n_centroids of the files — no assignment join at all), and
+    ``where`` metadata predicates (X52) sit on scan columns of the
+    code rows, pushing down (PushedFilters) exactly as on the float
+    path.  Returns (query_id, vec_id, adc_dist), (adc ASC, id ASC)
+    top-k per query; ``broadcast_lut=False`` is the unbounded-query
+    escape hatch."""
+    from .quantize import _l2sq, _lut_side, _subspaces
+
+    pq = _read_pq_manifest(spark, index_dir)
+    if pq is None:
+        raise ValueError(
+            f"{index_dir} has no PQ tier — build_index(..., pq_m=) "
+            f"materializes it")
+    m = int(pq["pq_m"])
+    centroids = spark.read.parquet(f"{index_dir}/centroids")
+    cb = spark.read.parquet(f"{index_dir}/pq/codebooks")
+    d = int(cb.select(F.size("cvec").alias("d")).head()["d"])
+    qvec_d = F.transform(F.col(query_vec_col), lambda x: x.cast("double"))
+    cvec_d = F.transform(F.col("cvec"), lambda x: x.cast("double"))
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select(query_id_col, "centroid_id",
+                cosine(qvec_d, cvec_d).alias("qsim"))
+        .withColumn("__rn", F.row_number().over(
+            Window.partitionBy(query_id_col)
+            .orderBy(F.desc("qsim"), F.asc("centroid_id"))))
+        .where(F.col("__rn") <= nprobe)
+        .select(query_id_col, "centroid_id"))
+    codes = spark.read.parquet(f"{index_dir}/pq/codes")
+    if where is not None:
+        codes = codes.where(where)
+    # the probes join keys the partition column — DPP prunes the scan
+    # to the probed partitions (plan-asserted by test); posexplode of
+    # the m-int array recovers X57's tall (sub_id, code) form map-side
+    tall = (codes.join(F.broadcast(probes), "centroid_id")
+            .select(query_id_col, "centroid_id", F.col(id_col),
+                    F.posexplode("pq_codes").alias("sub_id", "code")))
+    if bool(pq["residual"]):
+        qres = (probes.join(queries, query_id_col)
+                .join(F.broadcast(centroids), "centroid_id")
+                .select(query_id_col, "centroid_id",
+                        F.zip_with(qvec_d, cvec_d, lambda x, y: x - y)
+                        .alias("__qrvec")))
+        qsub = qres.select(
+            query_id_col, "centroid_id",
+            F.posexplode(_subspaces("__qrvec", m, d))
+            .alias("sub_id", "qsvec"))
+        lut = (qsub.join(F.broadcast(cb), "sub_id")
+               .select(query_id_col, "centroid_id", "sub_id",
+                       F.col("code_id").alias("code"),
+                       _l2sq(F.col("qsvec"), F.col("cvec"))
+                       .cast("decimal(28,12)").alias("__term")))
+        keys = [query_id_col, "centroid_id", "sub_id", "code"]
+    else:
+        qsub = queries.select(
+            F.col(query_id_col),
+            F.posexplode(_subspaces(query_vec_col, m, d))
+            .alias("sub_id", "qsvec"))
+        lut = (qsub.join(F.broadcast(cb), "sub_id")
+               .select(query_id_col, "sub_id",
+                       F.col("code_id").alias("code"),
+                       _l2sq(F.col("qsvec"), F.col("cvec"))
+                       .cast("decimal(28,12)").alias("__term")))
+        keys = [query_id_col, "sub_id", "code"]
+    scored = (tall.join(_lut_side(lut, broadcast_lut), keys)
+              .groupBy(query_id_col, id_col)
+              .agg(F.round(F.sum("__term").cast("double"), 6)
+                   .alias("adc_dist")))
+    return (scored.withColumn("__rn", F.row_number().over(
+        Window.partitionBy(query_id_col)
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))))
+        .where(F.col("__rn") <= k)
+        .select(query_id_col, id_col, "adc_dist"))
 
 
 def search_index_batch(spark: SparkSession, index_dir: str,

@@ -819,7 +819,9 @@ def main(argv: list[str] | None = None) -> None:
                             "compact-semantic-store",
                             "dq-audit", "cdc-apply",
                             "scd2-apply", "plan-audit",
-                            "refresh-annotations"])
+                            "refresh-annotations",
+                            "index-build", "index-append",
+                            "index-search"])
     p.add_argument("input_path",
                    help="input directory to consume — EXCEPT for the "
                         "plan-audit domain, where it is a registry "
@@ -944,8 +946,85 @@ def main(argv: list[str] | None = None) -> None:
                    help="unique tiebreak column (scd2-apply)")
     p.add_argument("--buckets", type=int, default=16,
                    help="snapshot/dimension bucket count (fixed at creation)")
+    p.add_argument("--index", default=None,
+                   help="index directory (index-append/index-search "
+                        "domains; index-build writes to --output)")
+    p.add_argument("--n-centroids", type=int, default=16,
+                   help="IVF coarse centroid count (index-build)")
+    p.add_argument("--pq", default=None,
+                   help="materialize the PQ tier at build: 'M,K' = "
+                        "subspace count, codebook size (index-build; "
+                        "X62 — codes written once, appends encode "
+                        "against the pinned codebooks)")
+    p.add_argument("--pq-residual", action="store_true",
+                   help="PQ over residuals v - c(v) (index-build; "
+                        "X61's quality-correct formulation)")
+    p.add_argument("--meta-cols", default=None,
+                   help="comma-separated metadata columns stored "
+                        "alongside vectors for filtered search "
+                        "(index-build)")
+    p.add_argument("--k", type=int, default=10,
+                   help="neighbors per query (index-search)")
+    p.add_argument("--nprobe", type=int, default=4,
+                   help="probed coarse buckets per query (index-search)")
+    p.add_argument("--use-pq", action="store_true",
+                   help="serve from the persisted PQ code tier instead "
+                        "of the float vectors (index-search)")
     args = p.parse_args(argv)
     spark = get_spark(app_name=f"{args.domain}-processing")
+    if args.domain == "index-build":
+        # the ANN store as a CLI (VERDICT r13 item 6): build the IVF
+        # index — optionally with the X62 persisted PQ tier — from a
+        # (vec_id, embedding[, meta...]) parquet
+        from .operators.ann_index import build_index
+
+        if not args.output:
+            raise ValueError("index-build requires --output <index_dir>")
+        pq_m = pq_kc = None
+        if args.pq:
+            parts = [s.strip() for s in args.pq.split(",") if s.strip()]
+            if len(parts) != 2:
+                raise ValueError(f"--pq expects 'M,K', got {args.pq!r}")
+            pq_m, pq_kc = int(parts[0]), int(parts[1])
+        meta = (tuple(_parse_label_list(args.meta_cols))
+                if args.meta_cols else ())
+        build_index(spark.read.parquet(args.input_path), args.output,
+                    n_centroids=args.n_centroids, meta_cols=meta,
+                    pq_m=pq_m, pq_kc=(pq_kc if pq_kc else 8),
+                    pq_residual=args.pq_residual)
+        n = spark.read.parquet(f"{args.output}/data").count()
+        tier = (f", pq m={pq_m} kc={pq_kc}"
+                f"{' residual' if args.pq_residual else ''}"
+                if pq_m else "")
+        print(f"indexed {n} vectors into {args.output} "
+              f"({args.n_centroids} centroids{tier})")
+        return
+    if args.domain == "index-append":
+        from .operators.ann_index import append_index
+
+        if not args.index:
+            raise ValueError("index-append requires --index <index_dir>")
+        inc = spark.read.parquet(args.input_path)
+        append_index(inc, args.index)
+        print(f"appended {inc.count()} vectors to {args.index}")
+        return
+    if args.domain == "index-search":
+        # input_path is a (query_id, qvec) parquet; --use-pq serves
+        # from the persisted code tier (X62), else the float path
+        from .operators.ann_index import search_index_batch, search_index_pq
+
+        if not args.index:
+            raise ValueError("index-search requires --index <index_dir>")
+        queries = spark.read.parquet(args.input_path)
+        fn = search_index_pq if args.use_pq else search_index_batch
+        out = fn(spark, args.index, queries, k=args.k, nprobe=args.nprobe)
+        if args.output:
+            out.write.mode("overwrite").parquet(args.output)
+            print(f"wrote {spark.read.parquet(args.output).count()} "
+                  f"result rows to {args.output}")
+        else:
+            out.show(50, truncate=False)
+        return
     if args.domain == "plan-audit":
         # the engine's own physical-plan anti-pattern report, as a CLI
         # (plans/inspect.py): input_path is a registry query name (see

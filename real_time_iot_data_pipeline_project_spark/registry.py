@@ -7664,6 +7664,36 @@ def q152_filtered_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                              where=F.col("label") < 3)
 
 
+@query("q159_pq_index_search", _ivfpq_sql())
+def q159_pq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X62 — the PERSISTED PQ tier (ann_index build_index(pq_m=) /
+    search_index_pq, VERDICT r13 item 2): q155's IVF-PQ search served
+    from a store instead of recomputed per call — build_index
+    materializes per-subspace codebooks and the m-int PQ code of
+    every vector (codes partitioned by centroid_id next to the float
+    data), and the search reads CODES ONLY under the same dynamic
+    partition pruning and metadata pushdown as the float path.  The
+    oracle is LITERALLY q155's SQL: a green hash proves the parquet
+    round-trip of codebooks + codes changes nothing (the q156
+    fold==batch precedent applied to storage).  What the store buys
+    at 100 TB: the inline form re-samples codebooks and re-encodes
+    the whole corpus per query batch — here encode ran ONCE at build,
+    appends encode only the increment against the PINNED codebooks
+    (the X32 contract), and a probe scans ~nprobe/C of a table 64×
+    smaller than the vectors, with no assignment join at all
+    (centroid_id is the partition column).  /tmp store is
+    per-process, removed at exit."""
+    from .operators.ann_index import build_index, search_index_pq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = _scratch_dir("q159_pqidx", sf_dir)
+    build_index(emb, idx, n_centroids=16, pq_m=4, pq_kc=8)
+    queries = (emb.where(F.col("vec_id").isin(0, 1, 2, 3, 4))
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qvec")))
+    return search_index_pq(spark, idx, queries, k=10, nprobe=4)
+
+
 # Operators added AFTER the 50-slot window filled with unique-operator
 # queries: fully oracle-checked by the local gate, first in line for a
 # window slot if one opens.
@@ -7734,6 +7764,11 @@ POST_WINDOW: list[str] = [
     # deferred, see the round-14 DEFERRED block.  New queries must be
     # registered HERE and scheduled in tools/coverage_ledger.py
     # PLANNED_ROTATIONS, or they silently displace the pinned window.)
+    # round 14: X62 persisted PQ tier of the IVF index store (VERDICT
+    # r13 item 2 — codes written once, appends encode against pinned
+    # codebooks, search reads ints only) — scheduled for rotation #11
+    # (round 15)
+    "q159_pq_index_search",
 ]
 
 

@@ -294,3 +294,155 @@ def test_append_meta_contract_enforced(spark, tmp_path):
     assert data.count() == emb.count()
     with pytest.raises(ValueError, match="stored contract"):
         ann_index.append_index(emb, idx, meta_cols=("other",))
+
+
+# --- the persisted PQ tier (round 14, X62 — VERDICT r13 item 2) ---
+
+
+def _queries(emb, ids=(0, 1, 2, 3, 4)):
+    return (emb.where(F.col("vec_id").isin(*ids))
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("qvec")))
+
+
+def test_pq_index_search_equals_inline_ivfpq(spark, tmp_path):
+    """The persisted PQ search must equal the inline operator exactly —
+    raw mode vs ivfpq_topk, residual mode vs ivfpq_residual_topk, same
+    parameters: the parquet round-trip of codebooks and codes changes
+    nothing, and the store saves the per-call corpus re-encode the
+    inline form pays."""
+    from real_time_iot_data_pipeline_project_spark.operators import quantize
+
+    emb = _emb(spark)
+    q = _queries(emb)
+    for residual, inline in ((False, quantize.ivfpq_topk),
+                             (True, quantize.ivfpq_residual_topk)):
+        idx = str(tmp_path / f"pq{int(residual)}")
+        ann_index.build_index(emb, idx, n_centroids=16, pq_m=4,
+                              pq_kc=8, pq_residual=residual)
+        got = sorted(ann_index.search_index_pq(
+            spark, idx, q, k=10, nprobe=4).collect())
+        want = sorted(inline(emb, q, n_centroids=16, nprobe=4,
+                             m=4, kc=8, k=10).collect())
+        assert got == want, f"residual={residual}"
+        # the unbounded-query escape hatch returns identical rows
+        assert sorted(ann_index.search_index_pq(
+            spark, idx, q, k=10, nprobe=4,
+            broadcast_lut=False).collect()) == want
+
+
+def test_pq_append_encodes_against_pinned_codebooks(spark, tmp_path):
+    """X32's append contract applied to PQ: appends encode the
+    increment against the PINNED stored codebooks (a rebuild would
+    resample them from base+increment and change every stored code) —
+    build(base)+append(incr) searches equal build(base+incr) with the
+    base's centroids AND codebooks passed explicitly."""
+    emb = _emb(spark)
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    incr = emb.where(F.col("vec_id") % 5 == 0)
+    q = _queries(emb)
+    for residual in (False, True):
+        grown = str(tmp_path / f"grown{int(residual)}")
+        ann_index.build_index(base, grown, n_centroids=8, pq_m=4,
+                              pq_kc=4, pq_residual=residual)
+        pinned_c = spark.read.parquet(f"{grown}/centroids")
+        pinned_cb = spark.read.parquet(f"{grown}/pq/codebooks")
+        ann_index.append_index(incr, grown)
+        rebuilt = str(tmp_path / f"rebuilt{int(residual)}")
+        ann_index.build_index(emb, rebuilt, centroids=pinned_c,
+                              pq_m=4, pq_kc=4, pq_residual=residual,
+                              pq_codebooks=pinned_cb)
+        got = sorted(ann_index.search_index_pq(
+            spark, grown, q, k=8, nprobe=3).collect())
+        want = sorted(ann_index.search_index_pq(
+            spark, rebuilt, q, k=8, nprobe=3).collect())
+        assert got == want, f"residual={residual}"
+        # appended vectors are actually searchable from the code path
+        all_ids = {r.vec_id
+                   for r in ann_index.search_index_pq(
+                       spark, grown, q, k=1000,
+                       nprobe=8).select("vec_id").collect()}
+        assert any(i % 5 == 0 for i in all_ids)
+
+
+def test_pq_search_prunes_partitions_and_pushes_metadata(spark, tmp_path):
+    """The codes scan must be DYNAMICALLY partition-pruned by the
+    probes join (centroid_id is the partition column — no assignment
+    join at all), and an X52 metadata predicate must push down into
+    the pruned scan (PushedFilters) with exact PRE-filter semantics:
+    the filtered top-k equals the unfiltered ADC ranking restricted
+    to the allowed vectors."""
+    from real_time_iot_data_pipeline_project_spark.plans.inspect import (
+        plan_string,
+    )
+
+    emb = _emb(spark)
+    q = _queries(emb, ids=(0, 3))
+    idx = str(tmp_path / "meta")
+    ann_index.build_index(emb, idx, n_centroids=8, meta_cols=("label",),
+                          pq_m=4, pq_kc=4)
+    out = ann_index.search_index_pq(spark, idx, q, k=6, nprobe=3,
+                                    where=F.col("label") < 3)
+    plan = plan_string(out)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert "label" in plan.split("PushedFilters", 1)[1][:200], plan[:3000]
+    allowed = {r.vec_id for r in
+               emb.where(F.col("label") < 3).select("vec_id").collect()}
+    full = ann_index.search_index_pq(spark, idx, q, k=10**6, nprobe=3)
+    want = {}
+    for r in sorted(full.collect(),
+                    key=lambda r: (r.query_id, r.adc_dist, r.vec_id)):
+        if r.vec_id in allowed and len(want.setdefault(
+                r.query_id, [])) < 6:
+            want[r.query_id].append((r.vec_id, r.adc_dist))
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, []).append((r.vec_id, r.adc_dist))
+    assert {k: sorted(v) for k, v in got.items()} == {
+        k: sorted(v) for k, v in want.items()}
+
+
+def test_pq_search_without_tier_raises(spark, tmp_path):
+    import pytest
+
+    emb = _emb(spark)
+    idx = str(tmp_path / "nopq")
+    ann_index.build_index(emb, idx, n_centroids=4)
+    with pytest.raises(ValueError, match="no PQ tier"):
+        ann_index.search_index_pq(spark, idx, _queries(emb), k=3)
+
+
+def test_index_cli_build_append_search_pq(spark, tmp_path, capsys):
+    """VERDICT r13 item 6: the index store as a CLI — index-build
+    (--pq M,K materializes the X62 code tier), index-append (encodes
+    against the pinned codebooks), index-search --use-pq (serves from
+    codes).  The CLI path must equal the library calls exactly."""
+    from real_time_iot_data_pipeline_project_spark import pipelines
+
+    emb = _emb(spark)
+    base_p = str(tmp_path / "base.parquet")
+    incr_p = str(tmp_path / "incr.parquet")
+    emb.where(F.col("vec_id") % 5 != 0).write.parquet(base_p)
+    emb.where(F.col("vec_id") % 5 == 0).write.parquet(incr_p)
+    q_p = str(tmp_path / "queries.parquet")
+    _queries(emb, ids=(0, 3)).write.parquet(q_p)
+    idx = str(tmp_path / "cliidx")
+    out = str(tmp_path / "results")
+
+    pipelines.main(["index-build", base_p, "--output", idx,
+                    "--n-centroids", "8", "--pq", "4, 4"])
+    assert "pq m=4 kc=4" in capsys.readouterr().out
+    pipelines.main(["index-append", incr_p, "--index", idx])
+    pipelines.main(["index-search", q_p, "--index", idx, "--k", "6",
+                    "--nprobe", "3", "--use-pq", "--output", out])
+    got = sorted(spark.read.parquet(out).collect())
+    want = sorted(ann_index.search_index_pq(
+        spark, idx, _queries(emb, ids=(0, 3)), k=6, nprobe=3).collect())
+    assert got == want
+    # the float path serves from the same store
+    pipelines.main(["index-search", q_p, "--index", idx, "--k", "6",
+                    "--nprobe", "3", "--output", out])
+    got_f = sorted(spark.read.parquet(out).collect())
+    want_f = sorted(ann_index.search_index_batch(
+        spark, idx, _queries(emb, ids=(0, 3)), k=6, nprobe=3).collect())
+    assert got_f == want_f

@@ -83,6 +83,11 @@ PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
     # in tests/test_coverage_ledger.py.  New queries must still be
     # registered into POST_WINDOW and scheduled here, or they
     # silently displace the pinned window.)
+    # rotation #11 — the round-14 additions: X62 persisted PQ tier of
+    # the IVF index store (VERDICT r13 item 2)
+    15: (11, [
+        "q159_pq_index_search",
+    ]),
 }
 
 
