@@ -513,22 +513,11 @@ def ann_recall_report(spark: SparkSession, df: DataFrame, index_dir: str,
             .select(F.lit(int(np_)).alias("nprobe"),
                     query_id_col, id_col))
         runs = got if runs is None else runs.unionByName(got)
-    # both sides are k-bounded (k·|queries|·|nprobes| rows at most) —
-    # broadcast, or the statless planner sort-merge-joins two tiny
-    # frames (audit catch)
-    hits = (
-        runs.join(F.broadcast(exact), [query_id_col, id_col])
-        .groupBy("nprobe", query_id_col)
-        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
-    )
-    np_frame = spark.createDataFrame(
-        [(int(n),) for n in nprobe_values], "nprobe int")
-    spine = queries.select(query_id_col).crossJoin(F.broadcast(np_frame))
-    return (
-        spine.join(F.broadcast(hits), ["nprobe", query_id_col], "left")
-        .withColumn("n_hits",
-                    F.coalesce("n_hits", F.lit(0).cast("long")))
-        .withColumn("k", F.lit(int(k)))
-        .withColumn("recall_pct", F.expr(f"(n_hits * 100) DIV {int(k)}"))
-        .select("nprobe", query_id_col, "n_hits", "k", "recall_pct")
-    )
+    # the shared spine tail (quantize.recall_spine): hits, the
+    # (nprobe × query) spine, all-integer recall — both join sides are
+    # k-bounded (k·|queries|·|nprobes| rows at most), broadcast
+    from .quantize import recall_spine
+
+    return recall_spine(spark, runs, exact, queries, "nprobe",
+                        [int(n) for n in nprobe_values], k,
+                        query_id_col=query_id_col, id_col=id_col)

@@ -7375,6 +7375,124 @@ def _pq_recall_sql(m: int = 4, kc_max: int = 8, k: int = 10,
     """
 
 
+def _pq_refined_recall_sql(m: int = 4, kc: int = 8, k: int = 10,
+                           dim: int = 64) -> str:
+    """q160 oracle: the refined-vs-raw PQ recall report replayed in
+    DuckDB — the md5-sampled raw codebooks, ONE Lloyd step over the
+    product space (per-(sub, code) argmin assignment + exact
+    DECIMAL(28,14) per-dim means, q38's kmeans convention verbatim),
+    both encodes, both ADC top-k runs, hits vs the brute-force l2
+    top-k, (variant × query) spine."""
+    d = dim // m
+
+    def l2(a: str, b: str) -> str:
+        return (f"(list_dot_product({a}, {a})"
+                f" - 2.0 * list_dot_product({a}, {b})"
+                f" + list_dot_product({b}, {b}))")
+
+    def sl(v: str) -> str:
+        return (f"list_slice({v}, CAST(sub_id * {d} + 1 AS INTEGER), "
+                f"CAST(sub_id * {d} + {d} AS INTEGER))")
+
+    def encode(cb: str) -> str:
+        return f"""(
+      SELECT vec_id, sub_id, code_id AS code FROM (
+        SELECT s.vec_id, s.sub_id, cc.code_id,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub_id
+                                  ORDER BY {l2('s.svec', 'cc.cvec')} ASC,
+                                           cc.code_id ASC) AS rn
+        FROM sub s JOIN {cb} cc ON cc.sub_id = s.sub_id
+      ) WHERE rn = 1
+    )"""
+
+    def ranked(codes: str, lut: str, variant: str) -> str:
+        return f"""(
+      SELECT variant, query_id, vec_id FROM (
+        SELECT '{variant}' AS variant, a.query_id, a.vec_id,
+               row_number() OVER (PARTITION BY a.query_id
+                                  ORDER BY a.adc ASC,
+                                           a.vec_id ASC) AS rn
+        FROM (
+          SELECT l.query_id, dd.vec_id,
+                 round(CAST(SUM(l.term) AS DOUBLE), 6) AS adc
+          FROM {codes} dd JOIN {lut} l
+            ON l.sub_id = dd.sub_id AND l.code = dd.code
+          GROUP BY l.query_id, dd.vec_id
+        ) a
+      ) WHERE rn <= {k}
+    )"""
+
+    return f"""
+    WITH subs AS (SELECT unnest(range(0, {m})) AS sub_id),
+    cb0 AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS v,
+             row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS code_id
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {kc}
+    ),
+    cba AS (SELECT code_id, sub_id, {sl('v')} AS cvec FROM cb0, subs),
+    ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+    sub AS (SELECT vec_id, sub_id, {sl('v')} AS svec FROM ev, subs),
+    codesa AS (SELECT * FROM {encode('cba')}),
+    mr AS (
+      SELECT s.sub_id, a.code AS code_id, g.pos,
+             CAST(SUM(CAST(s.svec[g.pos + 1] AS DECIMAL(28,14)))
+                  AS DOUBLE) / COUNT(*) AS mv
+      FROM sub s
+      JOIN codesa a ON a.vec_id = s.vec_id AND a.sub_id = s.sub_id
+      CROSS JOIN (SELECT unnest(range(0, {d})) AS pos) g
+      GROUP BY 1, 2, 3
+    ),
+    cbb AS (SELECT sub_id, code_id, list(mv ORDER BY pos) AS cvec
+            FROM mr GROUP BY sub_id, code_id),
+    codesb AS (SELECT * FROM {encode('cbb')}),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+    qsub AS (SELECT query_id, sub_id, {sl('qv')} AS qsvec FROM q, subs),
+    luta AS (
+      SELECT query_id, qs.sub_id, code_id AS code,
+             CAST({l2('qs.qsvec', 'cc.cvec')} AS DECIMAL(28,12)) AS term
+      FROM qsub qs JOIN cba cc ON cc.sub_id = qs.sub_id
+    ),
+    lutb AS (
+      SELECT query_id, qs.sub_id, code_id AS code,
+             CAST({l2('qs.qsvec', 'cc.cvec')} AS DECIMAL(28,12)) AS term
+      FROM qsub qs JOIN cbb cc ON cc.sub_id = qs.sub_id
+    ),
+    runs AS (
+      SELECT * FROM {ranked('codesa', 'luta', 'raw')}
+      UNION ALL
+      SELECT * FROM {ranked('codesb', 'lutb', 'refined')}
+    ),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {l2('e.v', 'q.qv')} ASC,
+                                           e.vec_id ASC) AS rn
+        FROM ev e, q
+      ) WHERE rn <= {k}
+    ),
+    hits AS (
+      SELECT r.variant, r.query_id, count(*) AS n_hits
+      FROM runs r JOIN exact x
+        ON x.query_id = r.query_id AND x.vec_id = r.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT vv.variant, q.query_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           {k} AS k,
+           CAST((COALESCE(h.n_hits, 0) * 100) // {k} AS BIGINT)
+             AS recall_pct
+    FROM (SELECT unnest(['raw', 'refined']) AS variant) vv
+    CROSS JOIN q
+    LEFT JOIN hits h
+      ON h.variant = vv.variant AND h.query_id = q.query_id
+    """
+
+
 def _ivfpq_residual_sql(n_centroids: int = 16, nprobe: int = 4,
                         m: int = 4, kc: int = 8, k: int = 10,
                         dim: int = 64) -> str:
@@ -7694,6 +7812,32 @@ def q159_pq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_index_pq(spark, idx, queries, k=10, nprobe=4)
 
 
+@query("q160_pq_refined_recall", _pq_refined_recall_sql())
+def q160_pq_refined_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X63 — refined-vs-raw PQ recall (quantize.pq_refine +
+    pq_refined_recall_report, VERDICT r13 item 3): the production-
+    quality codebook path gated end-to-end — md5 sample → ONE Lloyd
+    step over the product space (per-(sub, code) argmin assignment
+    with pq_encode's exact expression, DECIMAL(28,14) per-dim means —
+    q38's kmeans convention applied per subspace) → encode → ADC →
+    recall vs the brute-force l2 top-10, for BOTH variants at equal
+    (m=4, kc=8) on the shared spine convention.  Each Lloyd step is
+    non-increasing in total quantization distortion (pinned by test);
+    this report is the measurement an operator reads before paying
+    for refinement ahead of a persistent build
+    (build_index(pq_codebooks=refined)).  Scale: one full-precision
+    exact pass + one refine iteration (broadcast join + d× posexplode
+    of the training frame) + two code-only ADC runs."""
+    from .operators import quantize
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (emb.where(F.col("vec_id").isin(0, 1, 2, 3, 4))
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qvec")))
+    return quantize.pq_refined_recall_report(emb, queries, k=10, m=4,
+                                             kc=8, iters=1)
+
+
 # Operators added AFTER the 50-slot window filled with unique-operator
 # queries: fully oracle-checked by the local gate, first in line for a
 # window slot if one opens.
@@ -7769,6 +7913,10 @@ POST_WINDOW: list[str] = [
     # codebooks, search reads ints only) — scheduled for rotation #11
     # (round 15)
     "q159_pq_index_search",
+    # round 14: X63 refined-vs-raw PQ recall (VERDICT r13 item 3 —
+    # the Lloyd step over the product space, gated end-to-end) —
+    # scheduled for rotation #11 (round 15)
+    "q160_pq_refined_recall",
 ]
 
 

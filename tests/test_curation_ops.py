@@ -1648,3 +1648,95 @@ def test_scrub_probe_spans_excises_every_occurrence(spark):
     assert got[2].cleaned_text == "twice here indeed"
     assert got[3].n_tokens_kept == got[3].n_tokens  # untouched
     assert got[4].n_tokens_kept == 0               # fully excised
+
+
+def test_pq_refine_distortion_non_increasing_and_drift_free(spark):
+    """X63: one Lloyd step over the product space must not increase
+    total quantization distortion Σ l2²(subvector, assigned codeword)
+    — assignment picks the argmin and the per-cluster mean minimizes
+    summed l2², so each step is non-increasing by construction (on
+    the training corpus itself).  Also pins refine ∘ encode coherence:
+    codes encoded against the refined books use the SAME argmin rule
+    the refinement assigned with."""
+    import math
+
+    from real_time_iot_data_pipeline_project_spark.operators import quantize
+
+    df = spark.createDataFrame(
+        [(i, [float(math.sin(i * 13 + j) + (i % 3)) for j in range(8)])
+         for i in range(40)],
+        "vec_id long, embedding array<float>")
+
+    def distortion(cb):
+        codes = quantize.pq_encode(df, cb)
+        # join each (id, sub) back to its codeword and sum exact l2²
+        m = int(cb.agg(F.countDistinct("sub_id")).head()[0])
+        d = int(cb.select(F.size("cvec").alias("d")).head()["d"])
+        flat = df.select(
+            "vec_id",
+            F.posexplode(quantize._subspaces("embedding", m, d))
+            .alias("sub_id", "svec"))
+        joined = (flat.join(codes, ["vec_id", "sub_id"])
+                  .join(cb.withColumnRenamed("code_id", "code"),
+                        ["sub_id", "code"]))
+        return float(joined.agg(F.sum(
+            quantize._l2sq(F.col("svec"), F.col("cvec"))
+            .cast("decimal(28,14)")).cast("double")).head()[0])
+
+    cb_raw = quantize.pq_codebooks(df, m=4, k=4)
+    cb_r1 = quantize.pq_refine(df, cb_raw, iters=1)
+    cb_r2 = quantize.pq_refine(df, cb_raw, iters=2)
+    d0, d1, d2 = distortion(cb_raw), distortion(cb_r1), distortion(cb_r2)
+    assert d1 <= d0 + 1e-9
+    assert d2 <= d1 + 1e-9
+    # a refined codebook keeps the schema contract (sub_id, code_id,
+    # cvec of width d) and never grows
+    assert cb_r1.columns == ["sub_id", "code_id", "cvec"]
+    assert cb_r1.count() <= cb_raw.count()
+
+
+def test_pq_refined_recall_report_spine_and_raw_anchor(spark):
+    """The refined-vs-raw recall report is spine-complete (2 variants
+    × every query), all-integer, and its 'raw' rows equal the hit
+    counts computed directly from pq_adc_topk against the exact
+    top-k — the report can't drift from the operators it composes."""
+    import math
+
+    from real_time_iot_data_pipeline_project_spark.operators import quantize
+
+    df = spark.createDataFrame(
+        [(i, [float(math.sin(i * 13 + j) + (i % 3)) for j in range(8)])
+         for i in range(40)],
+        "vec_id long, embedding array<float>")
+    queries = (df.where(F.col("vec_id").isin(0, 1, 2))
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qvec")))
+    rep = quantize.pq_refined_recall_report(df, queries, k=5, m=4,
+                                            kc=4, iters=1)
+    rows = rep.collect()
+    assert {(r.variant, r.query_id) for r in rows} == {
+        (v, q) for v in ("raw", "refined") for q in (0, 1, 2)}
+    for r in rows:
+        assert 0 <= r.n_hits <= 5 and r.k == 5
+        assert r.recall_pct == (r.n_hits * 100) // 5
+
+    # raw anchor: replicate hits via the gated operators directly
+    cb = quantize.pq_codebooks(df, m=4, k=4)
+    got = quantize.pq_adc_topk(queries, cb, quantize.pq_encode(df, cb),
+                               k=5)
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    qvec_d = F.transform(F.col("qvec"), lambda x: x.cast("double"))
+    from pyspark.sql import Window
+    exact = (df.crossJoin(F.broadcast(queries))
+             .select("query_id", "vec_id",
+                     quantize._l2sq(vec_d, qvec_d).alias("d"))
+             .withColumn("rn", F.row_number().over(
+                 Window.partitionBy("query_id")
+                 .orderBy(F.asc("d"), F.asc("vec_id"))))
+             .where(F.col("rn") <= 5).select("query_id", "vec_id"))
+    want = {r.query_id: r.n
+            for r in got.join(exact, ["query_id", "vec_id"])
+            .groupBy("query_id").agg(F.count(F.lit(1)).alias("n"))
+            .collect()}
+    raw_rows = {r.query_id: r.n_hits for r in rows if r.variant == "raw"}
+    assert raw_rows == {q: want.get(q, 0) for q in (0, 1, 2)}

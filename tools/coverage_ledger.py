@@ -87,6 +87,7 @@ PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
     # the IVF index store (VERDICT r13 item 2)
     15: (11, [
         "q159_pq_index_search",
+        "q160_pq_refined_recall",
     ]),
 }
 
