@@ -281,6 +281,53 @@ def moore_lewis_scores(df: DataFrame, seed: DataFrame,
                      6).alias("ml_bits")))
 
 
+def dsir_resample(df: DataFrame, seed: DataFrame, n: int,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n_buckets: int = 10_000, salt: str = "dsir",
+                  max_weight: int = 64,
+                  scores: DataFrame | None = None) -> DataFrame:
+    """DSIR's actual selection step (round 14, X64 — VERDICT r13
+    item 4): importance RESAMPLING ∝ weight, not thresholding — Xie
+    et al. 2023 §3 sample the kept set with probability proportional
+    to the importance weight, which keeps the selected corpus
+    DIVERSE (a threshold keeps only the most seed-like mass; the
+    resample keeps a weight-tilted cross-section of the pool).
+
+    Composed from two gated rules: :func:`dsir_scores`' log weight
+    feeds C3's integer-ticket lottery
+    (sampling.weighted_sample_tickets, q104/q139's sampler) through
+    THE pinned logw → integer-weight mapping::
+
+        tickets = clamp(1, max_weight, 33 + floor(dsir_logw))
+
+    — 1-nat log-buckets of the true importance weight exp(logw),
+    centered so logw = 0 (seed-indifferent) holds 33 of 64 rungs.
+    The sampler's own docstring convention ("pre-bucket real-valued
+    weights onto a small integer scale — log buckets preserve
+    ratios") applied to a weight that IS already a log; floor of the
+    gated 6-dp logw is the identical double in both engines, so
+    membership is hash-exact cross-engine (no Efraimidis-Spirakis
+    transcendental keys — rule 2/4).  Returns the n winners as
+    (id, dsir_logw, weight, ticket).
+
+    Scale: dsir_scores' broadcast-model shapes + the sampler's
+    bounded map-side ticket explode (≤ max_weight per doc), one
+    combinable per-key max, TakeOrderedAndProject."""
+    from .sampling import weighted_sample_tickets
+
+    if scores is None:
+        scores = dsir_scores(df, seed, text_col=text_col, id_col=id_col,
+                             n_buckets=n_buckets)
+    weighted = scores.select(
+        id_col, "dsir_logw",
+        (F.lit(33) + F.floor(F.col("dsir_logw"))).alias("__wt"))
+    won = weighted_sample_tickets(weighted, key=id_col,
+                                  weight_col="__wt", k=n, salt=salt,
+                                  max_weight=max_weight)
+    return (won.join(scores.select(id_col, "dsir_logw"), id_col)
+            .select(id_col, "dsir_logw", "weight", "ticket"))
+
+
 def _hashed_ngram_features(df: DataFrame, text_col: str,
                            keep_cols: list[str],
                            n_buckets: int) -> DataFrame:

@@ -151,6 +151,7 @@ def release_corpus(
     nb_keep_labels: tuple[str, ...] | None = None,
     dsir_seed_path: str | None = None,
     dsir_threshold: float = 0.0,
+    dsir_resample_n: int | None = None,
 ) -> dict:
     """Entry point E — the full training-data RELEASE job: curate
     (q48's chain) → optional duplicate-span scrub (X39) → optional
@@ -379,6 +380,13 @@ def release_corpus(
                 "n_docs_kept": final.count(),
             }
         dsir_info = None
+        if dsir_resample_n is not None and not dsir_seed_path:
+            # a requested selection stage with no seed to select
+            # against must refuse, not silently skip (the
+            # embedding-drift-without-baseline precedent)
+            raise ValueError(
+                "dsir_resample_n requires dsir_seed_path — importance "
+                "resampling has no weights without a seed corpus")
         if dsir_seed_path:
             # DSIR selection (X56, q153's exact rule): keep docs whose
             # hashed-ngram log importance weight ln p_seed/p_pool is at
@@ -390,19 +398,32 @@ def release_corpus(
             # for the same reason as --ml-seed: a fixed cutoff is a
             # map-side filter after bucket-sized broadcast joins.
             # Membership comes from the OPERATOR (the q147 wiring
-            # precedent).
-            from .operators.textops import dsir_scores
+            # precedent).  With ``dsir_resample_n`` the membership is
+            # instead the paper's importance RESAMPLE (X64, q161's
+            # exact rule): the n lottery winners ∝ ticket-mapped
+            # weight — diversity-preserving where the threshold keeps
+            # only the most seed-like mass.
+            from .operators.textops import dsir_resample, dsir_scores
 
             dseed = spark.read.parquet(dsir_seed_path)
             n_in = final.count()
-            kept_ids = (dsir_scores(final, dseed)
-                        .where(F.col("dsir_logw") >= dsir_threshold)
-                        .select("doc_id"))
+            if dsir_resample_n is not None:
+                kept_ids = (dsir_resample(final, dseed,
+                                          n=dsir_resample_n)
+                            .select("doc_id"))
+            else:
+                kept_ids = (dsir_scores(final, dseed)
+                            .where(F.col("dsir_logw") >= dsir_threshold)
+                            .select("doc_id"))
             final = final.join(kept_ids, "doc_id", "left_semi").persist()
             persisted.append(final)
             dsir_info = {
                 "seed": dsir_seed_path,
-                "threshold_logw": dsir_threshold,
+                "mode": ("resample" if dsir_resample_n is not None
+                         else "threshold"),
+                "threshold_logw": (None if dsir_resample_n is not None
+                                   else dsir_threshold),
+                "resample_n": dsir_resample_n,
                 "n_docs_in": n_in,
                 "n_docs_kept": final.count(),
             }
@@ -910,6 +931,11 @@ def main(argv: list[str] | None = None) -> None:
                    help="DSIR keep cutoff in log-weight units "
                         "(dsir_logw >= threshold; 0.0 = the seed "
                         "model likes the doc at least as much)")
+    p.add_argument("--dsir-resample", type=int, default=None,
+                   help="keep N docs by importance RESAMPLING instead "
+                        "of the threshold (release domain; X64, "
+                        "q161's ticket-lottery rule ∝ the DSIR "
+                        "weight — requires --dsir-seed)")
     p.add_argument("--ml-seed", default=None,
                    help="in-domain seed corpus parquet: keep only docs "
                         "the seed unigram model prefers over the pool "
@@ -1199,6 +1225,7 @@ def main(argv: list[str] | None = None) -> None:
                             if args.nb_keep_labels else None),
             dsir_seed_path=args.dsir_seed,
             dsir_threshold=args.dsir_threshold,
+            dsir_resample_n=args.dsir_resample,
         )
         print(f"released {manifest['n_docs']} docs / "
               f"{manifest['n_tokens']} tokens to {args.output}")

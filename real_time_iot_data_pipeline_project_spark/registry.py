@@ -7812,6 +7812,57 @@ def q159_pq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_index_pq(spark, idx, queries, k=10, nprobe=4)
 
 
+def _dsir_resample_sql(n: int = 200, max_weight: int = 64) -> str:
+    """q161 oracle: q153's DSIR score SQL wrapped as a CTE, the pinned
+    logw → ticket mapping (clamp(1, 64, 33 + floor(dsir_logw))), and
+    q104's integer-ticket lottery replay (salt 'dsir')."""
+    hv = _hash60_sql("concat('dsir|', CAST(doc_id AS VARCHAR), '|', "
+                     "CAST(j AS VARCHAR))")
+    return f"""
+    WITH scores AS ({_dsir_sql()}),
+    w AS (
+      SELECT doc_id, dsir_logw,
+             greatest(1, least({max_weight},
+                 CAST(33 + floor(dsir_logw) AS INT))) AS wt
+      FROM scores
+    ),
+    t AS (
+      SELECT doc_id, dsir_logw, wt, j
+      FROM w, UNNEST(range(1, wt + 1)) AS u(j)
+    ),
+    h AS (SELECT doc_id, dsir_logw, wt, {hv} AS hv FROM t),
+    best AS (
+      SELECT doc_id, dsir_logw, wt AS weight, max(hv) AS ticket
+      FROM h GROUP BY doc_id, dsir_logw, wt
+    )
+    SELECT doc_id, dsir_logw, weight, ticket FROM best
+    ORDER BY ticket DESC, doc_id ASC LIMIT {n}
+    """
+
+
+@query("q161_dsir_resample", _dsir_resample_sql())
+def q161_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X64 — DSIR importance RESAMPLING (textops.dsir_resample,
+    VERDICT r13 item 4): the paper's actual selection step — sample
+    ∝ importance weight rather than threshold (a cutoff keeps only
+    the most seed-like mass; the resample keeps a weight-tilted
+    cross-section of the pool, Xie et al. 2023 §3).  Composition of
+    two gated rules: q153's log weight feeds q104's integer-ticket
+    lottery through THE pinned mapping
+    tickets = clamp(1, 64, 33 + floor(dsir_logw)) — 1-nat log
+    buckets of the true importance weight, the sampler's documented
+    small-integer-scale convention applied to a value that is
+    already a log.  floor of the gated 6-dp logw is the identical
+    double in both engines, so the top-200 membership is hash-exact
+    (no transcendental sampling keys — rule 2/4).  Scale: q153's
+    broadcast-model shapes + a ≤64× map-side ticket explode, one
+    combinable per-key max, TakeOrderedAndProject."""
+    docs = _t(spark, sf_dir, "documents")
+    seed = docs.where(F.col("source") == "src0")
+    return textops.dsir_resample(docs, seed, n=200, n_buckets=10_000,
+                                 salt="dsir")
+
+
 @query("q160_pq_refined_recall", _pq_refined_recall_sql())
 def q160_pq_refined_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X63 — refined-vs-raw PQ recall (quantize.pq_refine +
@@ -7917,6 +7968,10 @@ POST_WINDOW: list[str] = [
     # the Lloyd step over the product space, gated end-to-end) —
     # scheduled for rotation #11 (round 15)
     "q160_pq_refined_recall",
+    # round 14: X64 DSIR importance resampling (VERDICT r13 item 4 —
+    # q153's log weight through the pinned 1-nat ticket mapping into
+    # q104's integer lottery) — scheduled for rotation #11 (round 15)
+    "q161_dsir_resample",
 ]
 
 

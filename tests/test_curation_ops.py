@@ -1740,3 +1740,39 @@ def test_pq_refined_recall_report_spine_and_raw_anchor(spark):
             .collect()}
     raw_rows = {r.query_id: r.n_hits for r in rows if r.variant == "raw"}
     assert raw_rows == {q: want.get(q, 0) for q in (0, 1, 2)}
+
+
+def test_dsir_resample_matches_python_lottery_replay(spark):
+    """X64 hand case: the resample's winners equal a full python
+    replication of logw → clamp(1, 64, 33 + floor(logw)) tickets →
+    md5 lottery → top-n by (ticket DESC, id ASC); weights follow the
+    pinned mapping exactly and higher-weight docs hold more rungs."""
+    import hashlib
+
+    from real_time_iot_data_pipeline_project_spark.operators import textops
+
+    rows = [(1, "apple pie recipe with apple"),
+            (2, "stock market crash deepens"),
+            (3, "apple pie"),
+            (4, "market pie outlook"),
+            (5, "apple pie recipe")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    seed = df.where(F.col("doc_id").isin(1, 3))
+    scores = {r.doc_id: r.dsir_logw for r in
+              textops.dsir_scores(df, seed, n_buckets=17).collect()}
+    got = textops.dsir_resample(df, seed, n=3, n_buckets=17).collect()
+
+    import math
+    def wt(logw):
+        return max(1, min(64, 33 + math.floor(logw)))
+
+    def ticket(i, w):
+        return max(int(hashlib.md5(
+            f"dsir|{i}|{j}".encode()).hexdigest()[:15], 16)
+            for j in range(1, w + 1))
+
+    lottery = sorted(((ticket(i, wt(lw)), i) for i, lw in scores.items()),
+                     key=lambda t: (-t[0], t[1]))[:3]
+    want = [(i, scores[i], wt(scores[i]), t) for t, i in lottery]
+    assert sorted((r.doc_id, r.dsir_logw, r.weight, r.ticket)
+                  for r in got) == sorted(want)

@@ -892,3 +892,55 @@ def test_parse_label_list_strips_and_refuses_empty():
     assert pipelines._parse_label_list(" a ,, b ,") == ("a", "b")
     with pytest.raises(ValueError, match="empty label list"):
         pipelines._parse_label_list(" , ,")
+
+
+def test_release_dsir_resample_keeps_lottery_membership(spark, tmp_path):
+    """--dsir-resample N (round 14, X64): the released doc set equals
+    dsir_resample's n lottery winners computed directly on the curated
+    frame (the operator IS the rule), the manifest records mode
+    'resample', and requesting a resample without a seed refuses."""
+    import pytest as _pytest
+
+    from real_time_iot_data_pipeline_project_spark.operators.textops import (
+        dsir_resample,
+    )
+
+    seed_path = str(tmp_path / "rseed")
+    (spark.read.parquet(_docs_path())
+     .where(F.col("source") == "src0").write.parquet(seed_path))
+    curated = pipelines.curate_corpus(spark, _docs_path())
+    seed = spark.read.parquet(seed_path)
+    n = max(1, curated.count() // 3)
+
+    rel = str(tmp_path / "resamplerel")
+    m = pipelines.release_corpus(spark, _docs_path(), rel, n_shards=1,
+                                 dsir_seed_path=seed_path,
+                                 dsir_resample_n=n)
+    assert m["dsir_selection"]["mode"] == "resample"
+    assert m["dsir_selection"]["resample_n"] == n
+    assert m["dsir_selection"]["n_docs_kept"] == n == m["n_docs"]
+
+    want = {r.doc_id for r in
+            dsir_resample(curated, seed, n=n).select("doc_id").collect()}
+    got = {r.doc_id for r in
+           spark.read.json(f"{rel}/data").select("doc_id").collect()}
+    assert got == want
+
+    with _pytest.raises(ValueError, match="requires dsir_seed_path"):
+        pipelines.release_corpus(spark, _docs_path(),
+                                 str(tmp_path / "norel"), n_shards=1,
+                                 dsir_resample_n=5)
+
+
+def test_release_cli_dsir_resample_wiring(spark, tmp_path):
+    """--dsir-resample reaches release_corpus via the CLI."""
+    seed_path = str(tmp_path / "crseed")
+    (spark.read.parquet(_docs_path())
+     .where(F.col("source") == "src0").write.parquet(seed_path))
+    rel = str(tmp_path / "cliresample")
+    pipelines.main(["release", _docs_path(), "--output", rel,
+                    "--shards", "1", "--dsir-seed", seed_path,
+                    "--dsir-resample", "7"])
+    m = json.load(open(f"{rel}/MANIFEST.json"))
+    assert m["dsir_selection"]["mode"] == "resample"
+    assert m["dsir_selection"]["n_docs_kept"] == 7 == m["n_docs"]

@@ -88,6 +88,7 @@ PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
     15: (11, [
         "q159_pq_index_search",
         "q160_pq_refined_recall",
+        "q161_dsir_resample",
     ]),
 }
 
