@@ -298,6 +298,18 @@ EVIDENCE: dict[str, dict] = {
     "X59": {"queries": ["q156_stream_dsir_pool"], "tests": [
         "test_streaming.py::test_streaming_dsir_fold_equals_batch",
         "test_streaming.py::test_streaming_dsir_sink_engine_equals_direct"]},
+    "X62": {"queries": ["q159_pq_index_search"], "tests": [
+        "test_ann_index.py::test_pq_index_search_equals_inline_ivfpq",
+        "test_ann_index.py::test_pq_append_encodes_against_pinned_codebooks",
+        "test_ann_index.py::test_pq_search_prunes_partitions_and_pushes_metadata",
+        "test_ann_index.py::test_index_cli_build_append_search_pq"]},
+    "X63": {"queries": ["q160_pq_refined_recall"], "tests": [
+        "test_curation_ops.py::test_pq_refine_distortion_non_increasing_and_drift_free",
+        "test_curation_ops.py::test_pq_refined_recall_report_spine_and_raw_anchor"]},
+    "X64": {"queries": ["q161_dsir_resample"], "tests": [
+        "test_curation_ops.py::test_dsir_resample_matches_python_lottery_replay",
+        "test_release.py::test_release_dsir_resample_keeps_lottery_membership",
+        "test_release.py::test_release_cli_dsir_resample_wiring"]},
     "X40": {"queries": ["q128_edit_distance_verify"], "tests": [
         "test_dedup_similarity.py::test_edit_verify_exact_and_near_dups",
         "test_dedup_similarity.py::test_edit_verify_rejects_block_swapped_candidate",
