@@ -92,6 +92,37 @@ def probe_query(name: str):
     return p
 
 
+_PQ_INDEX_CACHE: dict[str, str] = {}
+
+
+def probe_pq_search_only(spark, sf_dir: str) -> dict:
+    """The persisted-PQ payoff, isolated (round 14, X62): build the
+    index ONCE per corpus (cached across the decade sweep), then time
+    ONLY search_index_pq — the serving path reads m ints per vector
+    under DPP pruning with no assignment join, so its wall should stay
+    ~flat while the inline q155 probe (rebuild per call) tracks the
+    corpus."""
+    import tempfile
+
+    from real_time_iot_data_pipeline_project_spark.operators import (
+        ann_index,
+    )
+
+    emb = registry._t(spark, sf_dir, "embeddings")
+    idx = _PQ_INDEX_CACHE.get(sf_dir)
+    if idx is None:
+        idx = tempfile.mkdtemp(prefix="x100_pqidx_")
+        ann_index.build_index(emb, idx, n_centroids=16, pq_m=4, pq_kc=8)
+        _PQ_INDEX_CACHE[sf_dir] = idx
+    queries = (emb.where(F.col("vec_id").isin(0, 1, 2, 3, 4))
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qvec")))
+    t0 = time.monotonic()
+    n = ann_index.search_index_pq(spark, idx, queries, k=10,
+                                  nprobe=4).count()
+    return {"sec": round(time.monotonic() - t0, 2), "rows": n}
+
+
 def probe_waterfill_prethin(spark, sf_dir: str) -> dict:
     """q139's exact invocation with the round-12 ``prethin_margin``
     shortcut: rows above the (1+margin)*allocation/capacity hash
@@ -590,6 +621,19 @@ def main() -> None:
         # round-13: residual IVF-PQ — X58's shape plus one broadcast
         # centroid join at encode time; expectation ~q155's slope
         ("q158_ivfpq_residual", probe_query("q158_ivfpq_residual")),
+        # round-14: the PERSISTED PQ tier — build (one encode write) +
+        # search (DPP-pruned code read, no assignment join); search
+        # alone should be ~flat vs q155's rebuild-per-call slope
+        ("q159_pq_index", probe_query("q159_pq_index_search")),
+        ("pq_index_search_only", probe_pq_search_only),
+        # round-14: refined PQ recall — one Lloyd iteration (broadcast
+        # argmin + d-wide posexplode shuffle of the corpus) + two
+        # code-only ADC runs; expectation ~linear in vectors
+        ("q160_pq_refined", probe_query("q160_pq_refined_recall")),
+        # round-14: DSIR resample — q153's shape + a <=64x map-side
+        # ticket explode over the SCORES (doc-sized, narrow) and one
+        # combinable per-key max; expectation ~q153's slope
+        ("q161_dsir_resample", probe_query("q161_dsir_resample")),
     )
     for name, fn in probes:
         if only is not None and name not in only:
