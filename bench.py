@@ -219,6 +219,8 @@ HEADLINE = [
     "q159_pq_index_search",
     "q160_pq_refined_recall",
     "q161_dsir_resample",
+    "q162_pq_filtered_search",
+    "q163_stream_index_append",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

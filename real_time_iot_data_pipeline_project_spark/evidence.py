@@ -298,11 +298,16 @@ EVIDENCE: dict[str, dict] = {
     "X59": {"queries": ["q156_stream_dsir_pool"], "tests": [
         "test_streaming.py::test_streaming_dsir_fold_equals_batch",
         "test_streaming.py::test_streaming_dsir_sink_engine_equals_direct"]},
-    "X62": {"queries": ["q159_pq_index_search"], "tests": [
+    "X62": {"queries": ["q159_pq_index_search",
+                        "q162_pq_filtered_search"], "tests": [
         "test_ann_index.py::test_pq_index_search_equals_inline_ivfpq",
         "test_ann_index.py::test_pq_append_encodes_against_pinned_codebooks",
         "test_ann_index.py::test_pq_search_prunes_partitions_and_pushes_metadata",
+        "test_ann_index.py::test_pq_build_with_refine_iters_pins_refined_codebooks",
         "test_ann_index.py::test_index_cli_build_append_search_pq"]},
+    "X65": {"queries": ["q163_stream_index_append"], "tests": [
+        "test_streaming.py::test_streaming_index_append_fold_and_replay",
+        "test_streaming.py::test_streaming_index_sink_engine_equals_direct"]},
     "X63": {"queries": ["q160_pq_refined_recall"], "tests": [
         "test_curation_ops.py::test_pq_refine_distortion_non_increasing_and_drift_free",
         "test_curation_ops.py::test_pq_refined_recall_report_spine_and_raw_anchor"]},

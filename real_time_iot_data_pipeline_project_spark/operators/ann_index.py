@@ -52,7 +52,8 @@ def build_index(df: DataFrame, index_dir: str, n_centroids: int = 16,
                 meta_cols: tuple[str, ...] = (),
                 pq_m: int | None = None, pq_kc: int = 8,
                 pq_residual: bool = False,
-                pq_codebooks: DataFrame | None = None) -> None:
+                pq_codebooks: DataFrame | None = None,
+                pq_refine_iters: int = 0) -> None:
     """Materialize the IVF index: pick centroids (md5-ordered hash
     sample of ``df`` unless an explicit/refined set is passed), assign
     every vector, write data partitioned by centroid_id.
@@ -75,7 +76,12 @@ def build_index(df: DataFrame, index_dir: str, n_centroids: int = 16,
     a STORE rather than a per-query computation: at 100 TB the PQ win
     IS the materialized code table — :func:`search_index_pq` reads
     m ints per vector under the same DPP pruning and metadata
-    pushdown as the float path, and never re-encodes the corpus."""
+    pushdown as the float path, and never re-encodes the corpus.
+    ``pq_refine_iters`` runs that many X63 Lloyd iterations on the
+    sampled codebooks before pinning them (the production-quality
+    build — refine once at build time, every later encode and append
+    uses the refined books); mutually exclusive with an explicit
+    ``pq_codebooks``."""
     if centroids is None:
         centroids = (
             df.orderBy(F.md5(F.col(id_col).cast("string")), F.asc(id_col))
@@ -90,14 +96,28 @@ def build_index(df: DataFrame, index_dir: str, n_centroids: int = 16,
     (df.sparkSession.createDataFrame([(list(meta_cols),)],
                                      "meta_cols array<string>")
      .write.mode("overwrite").parquet(f"{index_dir}/meta"))
+    # ingest_id is the store's exactly-once key (round 14): the build
+    # holds 0, every append its own id, and writes are DYNAMIC
+    # partition overwrites — a retried/replayed append rewrites its own
+    # (ingest_id, centroid_id) partitions instead of duplicating rows
+    # (the q130/q150/q156 batch_id-keyed overwrite contract applied to
+    # the index itself). centroid_id stays a partition column, so the
+    # probed pruning is unchanged (plan-asserted).
     (assign_centroids(df, stored, vec_col, id_col,
                       carry_cols=tuple(meta_cols))
-     .write.mode("overwrite").partitionBy("centroid_id")
+     .withColumn("ingest_id", F.lit(0))
+     .write.mode("overwrite").partitionBy("ingest_id", "centroid_id")
      .parquet(f"{index_dir}/data"))
+    if pq_refine_iters and pq_codebooks is not None:
+        raise ValueError(
+            "pq_refine_iters refines the sampled codebooks — passing an "
+            "explicit pq_codebooks too is ambiguous (refine it yourself "
+            "with quantize.pq_refine and pass the result)")
     if pq_m is not None:
         _write_pq_tier(df.sparkSession, index_dir, pq_m, pq_kc,
                        pq_residual, vec_col, id_col, tuple(meta_cols),
-                       codebooks=pq_codebooks)
+                       codebooks=pq_codebooks,
+                       refine_iters=pq_refine_iters)
 
 
 def _pq_frame(data: DataFrame, centroids: DataFrame, residual: bool,
@@ -121,7 +141,8 @@ def _pq_frame(data: DataFrame, centroids: DataFrame, residual: bool,
 def _write_pq_tier(spark: SparkSession, index_dir: str, m: int, kc: int,
                    residual: bool, vec_col: str, id_col: str,
                    meta_cols: tuple[str, ...],
-                   codebooks: DataFrame | None = None) -> None:
+                   codebooks: DataFrame | None = None,
+                   refine_iters: int = 0) -> None:
     from . import quantize
 
     data = spark.read.parquet(f"{index_dir}/data")
@@ -130,6 +151,10 @@ def _write_pq_tier(spark: SparkSession, index_dir: str, m: int, kc: int,
     if codebooks is None:
         codebooks = quantize.pq_codebooks(frame, m=m, k=kc,
                                           vec_col=pq_vec, id_col=id_col)
+        if refine_iters:
+            codebooks = quantize.pq_refine(frame, codebooks,
+                                           iters=refine_iters,
+                                           vec_col=pq_vec, id_col=id_col)
     codebooks.write.mode("overwrite").parquet(f"{index_dir}/pq/codebooks")
     (spark.createDataFrame([(int(m), int(kc), bool(residual))],
                            "pq_m int, pq_kc int, residual boolean")
@@ -142,10 +167,12 @@ def _write_pq_tier(spark: SparkSession, index_dir: str, m: int, kc: int,
 def _append_pq_codes(spark: SparkSession, index_dir: str, frame: DataFrame,
                      codebooks: DataFrame, pq_vec: str, id_col: str,
                      meta_cols: tuple[str, ...],
-                     overwrite: bool = False) -> None:
+                     overwrite: bool = False,
+                     ingest_id: int = 0) -> None:
     """Encode ``frame`` (which carries centroid_id + metadata) against
     the PINNED codebooks and write wide codes — one row per vector,
-    m small ints — partitioned by centroid_id."""
+    m small ints — partitioned by (ingest_id, centroid_id), the same
+    exactly-once overwrite contract as the float data."""
     from . import quantize
 
     tall = quantize.pq_encode(frame, codebooks, vec_col=pq_vec,
@@ -158,15 +185,20 @@ def _append_pq_codes(spark: SparkSession, index_dir: str, frame: DataFrame,
             # id is the join key on both sides of an id-unique frame —
             # broadcast-ineligible at corpus size, shuffle-hash by
             # design (the graph.py join-back rule)
-            .join(wide.hint("shuffle_hash"), id_col))
-    (rows.write.mode("overwrite" if overwrite else "append")
-     .partitionBy("centroid_id").parquet(f"{index_dir}/pq/codes"))
+            .join(wide.hint("shuffle_hash"), id_col)
+            .withColumn("ingest_id", F.lit(int(ingest_id))))
+    (rows.write.mode("overwrite")
+     .option("partitionOverwriteMode",
+             "dynamic" if not overwrite else "static")
+     .partitionBy("ingest_id", "centroid_id")
+     .parquet(f"{index_dir}/pq/codes"))
 
 
 def append_index(df_new: DataFrame, index_dir: str,
                  vec_col: str = "embedding",
                  id_col: str = "vec_id",
-                 meta_cols: tuple[str, ...] | None = None) -> None:
+                 meta_cols: tuple[str, ...] | None = None,
+                 ingest_id: int | None = None) -> None:
     """Assign new vectors against the STORED centroids and append their
     partitions — no rebuild, no rewrite of existing files. Cost tracks
     the increment: one broadcast join over df_new + an append write.
@@ -185,7 +217,16 @@ def append_index(df_new: DataFrame, index_dir: str,
     drift under appends — a rebuild would resample codebooks from
     base+increment and change every stored code) and its code
     partitions append next to the float ones.  Cost still tracks the
-    increment: one broadcast codebook argmin over df_new."""
+    increment: one broadcast codebook argmin over df_new.
+
+    ``ingest_id`` keys the append for EXACTLY-ONCE semantics (round
+    14): the write is a dynamic partition overwrite of that id's own
+    (ingest_id, centroid_id) partitions, so retrying a failed append —
+    or a streaming checkpoint replaying a micro-batch
+    (streaming/ann_stream.py pins ingest_id = batch_id + 1) — rewrites
+    instead of duplicating.  Default None allocates the next unused id
+    (max stored + 1), which is still retry-safe within one logical
+    append."""
     from pyspark.errors import AnalysisException
 
     spark = df_new.sparkSession
@@ -202,10 +243,23 @@ def append_index(df_new: DataFrame, index_dir: str,
             f"append meta_cols {tuple(meta_cols)} != the index's "
             f"stored contract {stored_meta} — appended rows would "
             f"carry NULL metadata and vanish from filtered searches")
+    if ingest_id is None:
+        # next unused id — a partition-column distinct (directory
+        # names, not data) over the store
+        ingest_id = int(
+            spark.read.parquet(f"{index_dir}/data")
+            .agg(F.max("ingest_id")).head()[0]) + 1
+    elif ingest_id <= 0:
+        raise ValueError(
+            f"ingest_id must be positive (0 is the build), "
+            f"got {ingest_id}")
     centroids = spark.read.parquet(f"{index_dir}/centroids")
     assigned = assign_centroids(df_new, centroids, vec_col, id_col,
                                 carry_cols=tuple(meta_cols))
-    (assigned.write.mode("append").partitionBy("centroid_id")
+    (assigned.withColumn("ingest_id", F.lit(int(ingest_id)))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("ingest_id", "centroid_id")
      .parquet(f"{index_dir}/data"))
     pq = _read_pq_manifest(spark, index_dir)
     if pq is not None:
@@ -213,7 +267,8 @@ def append_index(df_new: DataFrame, index_dir: str,
         frame, pq_vec = _pq_frame(assigned, centroids,
                                   bool(pq["residual"]), vec_col, id_col)
         _append_pq_codes(spark, index_dir, frame, stored_cb, pq_vec,
-                         id_col, tuple(meta_cols))
+                         id_col, tuple(meta_cols),
+                         ingest_id=int(ingest_id))
 
 
 def _read_pq_manifest(spark: SparkSession, index_dir: str):

@@ -985,6 +985,10 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--pq-residual", action="store_true",
                    help="PQ over residuals v - c(v) (index-build; "
                         "X61's quality-correct formulation)")
+    p.add_argument("--pq-refine-iters", type=int, default=0,
+                   help="Lloyd iterations on the sampled PQ codebooks "
+                        "before pinning them (index-build; X63's "
+                        "production-quality path)")
     p.add_argument("--meta-cols", default=None,
                    help="comma-separated metadata columns stored "
                         "alongside vectors for filtered search "
@@ -1017,7 +1021,8 @@ def main(argv: list[str] | None = None) -> None:
         build_index(spark.read.parquet(args.input_path), args.output,
                     n_centroids=args.n_centroids, meta_cols=meta,
                     pq_m=pq_m, pq_kc=(pq_kc if pq_kc else 8),
-                    pq_residual=args.pq_residual)
+                    pq_residual=args.pq_residual,
+                    pq_refine_iters=args.pq_refine_iters)
         n = spark.read.parquet(f"{args.output}/data").count()
         tier = (f", pq m={pq_m} kc={pq_kc}"
                 f"{' residual' if args.pq_residual else ''}"

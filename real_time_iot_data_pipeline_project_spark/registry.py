@@ -7190,14 +7190,29 @@ def _pq_sql(m: int = 4, kc: int = 8, k: int = 10, dim: int = 64) -> str:
 
 
 def _ivfpq_sql(n_centroids: int = 16, nprobe: int = 4, m: int = 4,
-               kc: int = 8, k: int = 10, dim: int = 64) -> str:
+               kc: int = 8, k: int = 10, dim: int = 64,
+               pred: str | None = None,
+               sample_pred: str | None = None) -> str:
     """q155 oracle: IVF-PQ replayed in DuckDB by composing the two
     proven halves — q121's centroid sample / argmax assignment /
     per-query probe ranking, and q154's codebooks / encode / ADC LUT —
-    with the ADC restricted to vectors whose bucket the query probes."""
+    with the ADC restricted to vectors whose bucket the query probes.
+
+    ``pred`` (q162): a metadata predicate over alias ``e`` applied to
+    the CANDIDATES before scoring — X52's pre-filter semantics on the
+    persisted code tier (centroids, codebooks and assignment still
+    derive from the FULL corpus: the index is built unfiltered, the
+    filter rides the search).
+
+    ``sample_pred`` (q163): restricts the CENTROID and CODEBOOK
+    samples to a slice of the corpus (assignment, encode and search
+    still run over everything) — the pinned-parameter contract of a
+    grown store: an index built from the base slice and appended to
+    afterwards answers with the BASE's centroids and codebooks."""
     d = dim // m
     v_c = _list_cos_sql("e.embedding", "c.cvec")
     c_q = _list_cos_sql("c.cvec", "q.qv")
+    sw = f"WHERE {sample_pred}" if sample_pred else ""
 
     def l2(a: str, b: str) -> str:
         return (f"(list_dot_product({a}, {a})"
@@ -7212,7 +7227,7 @@ def _ivfpq_sql(n_centroids: int = 16, nprobe: int = 4, m: int = 4,
     WITH subs AS (SELECT unnest(range(0, {m})) AS sub_id),
     c AS (
       SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
-      FROM embeddings
+      FROM embeddings {sw}
       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_centroids}
     ),
     assigned AS (
@@ -7239,7 +7254,7 @@ def _ivfpq_sql(n_centroids: int = 16, nprobe: int = 4, m: int = 4,
       SELECT CAST(embedding AS DOUBLE[]) AS v,
              row_number() OVER (
                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS code_id
-      FROM embeddings
+      FROM embeddings {sw}
       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {kc}
     ),
     cb AS (SELECT code_id, sub_id, {sl('v')} AS cvec FROM cb0, subs),
@@ -7261,10 +7276,13 @@ def _ivfpq_sql(n_centroids: int = 16, nprobe: int = 4, m: int = 4,
              CAST({l2('qs.qsvec', 'cc.cvec')} AS DECIMAL(28,12)) AS term
       FROM qsub qs JOIN cb cc ON cc.sub_id = qs.sub_id
     ),
+    allowed AS (SELECT vec_id FROM embeddings e
+                {f"WHERE {pred}" if pred else ""}),
     adc AS (
       SELECT p.query_id, dd.vec_id,
              round(CAST(SUM(l.term) AS DOUBLE), 6) AS adc_dist
       FROM codes dd
+      JOIN allowed al ON al.vec_id = dd.vec_id
       JOIN assigned a ON a.vec_id = dd.vec_id
       JOIN probes p ON p.centroid_id = a.centroid_id
       JOIN lut l ON l.query_id = p.query_id
@@ -7863,6 +7881,67 @@ def q161_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  salt="dsir")
 
 
+@query("q163_stream_index_append",
+       _ivfpq_sql(sample_pred="vec_id % 5 != 0"))
+def q163_stream_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X65 — STREAMING index ingestion, hash-gated end-to-end
+    (streaming/ann_stream.process_index_batch): a PQ index built from
+    the BASE slice (vec_id % 5 != 0) grows by two deterministic
+    micro-batches of the remaining vectors (pmod split — the
+    foreachBatch body driven directly with its batch_id contract, the
+    q156 pattern; ingest_id = batch_id + 1 keys each write as a
+    dynamic partition overwrite, so checkpoint replays rewrite
+    instead of duplicating).  The search then answers over the FULL
+    corpus.  The oracle is q155's SQL with centroids AND codebooks
+    sampled from the base slice only — a green hash proves the
+    grown store's pinned-parameter contract cross-engine: appends
+    encode against the BASE's centroids and codebooks (X32/X62), so
+    fold == batch-build-with-pinned-parameters.  /tmp store is
+    per-process, removed at exit."""
+    from .operators.ann_index import build_index, search_index_pq
+    from .streaming import ann_stream
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = _scratch_dir("q163_pqidx", sf_dir)
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    build_index(base, idx, n_centroids=16, pq_m=4, pq_kc=8)
+    incr = emb.where(F.col("vec_id") % 5 == 0)
+    for b in range(2):
+        ann_stream.process_index_batch(
+            incr.filter(F.pmod(F.col("vec_id"), F.lit(2)) == b), b, idx)
+    queries = (emb.where(F.col("vec_id").isin(0, 1, 2, 3, 4))
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qvec")))
+    return search_index_pq(spark, idx, queries, k=10, nprobe=4)
+
+
+@query("q162_pq_filtered_search", _ivfpq_sql(pred="e.label < 3"))
+def q162_pq_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X52 ∘ X62 — FILTERED search on the persisted PQ tier
+    (search_index_pq ``where=``): the metadata-constrained query
+    every production vector store serves ("nearest WITH label < 3"),
+    answered from CODES ONLY — the predicate sits on scan columns of
+    the code rows (metadata rides the code table, written at build),
+    so it pushes down (PushedFilters) and composes with the dynamic
+    partition pruning; PRE-filter semantics, exactly q148's rule at
+    the compressed tier.  The oracle is q155's SQL with the
+    candidate-filter CTE — the index is built from the FULL corpus
+    (centroids, codebooks, assignment unfiltered), the filter rides
+    the search.  Scale: the probed scan reads m ints per allowed
+    vector; no float vectors, no assignment join, no re-encode."""
+    from .operators.ann_index import build_index, search_index_pq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = _scratch_dir("q162_pqidx", sf_dir)
+    build_index(emb, idx, n_centroids=16, meta_cols=("label",),
+                pq_m=4, pq_kc=8)
+    queries = (emb.where(F.col("vec_id").isin(0, 1, 2, 3, 4))
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qvec")))
+    return search_index_pq(spark, idx, queries, k=10, nprobe=4,
+                           where=F.col("label") < 3)
+
+
 @query("q160_pq_refined_recall", _pq_refined_recall_sql())
 def q160_pq_refined_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X63 — refined-vs-raw PQ recall (quantize.pq_refine +
@@ -7972,6 +8051,15 @@ POST_WINDOW: list[str] = [
     # q153's log weight through the pinned 1-nat ticket mapping into
     # q104's integer lottery) — scheduled for rotation #11 (round 15)
     "q161_dsir_resample",
+    # round 14: X52 ∘ X62 — filtered search on the persisted PQ code
+    # tier (metadata pushdown composed with DPP on the codes scan) —
+    # scheduled for rotation #11 (round 15)
+    "q162_pq_filtered_search",
+    # round 14: X65 streaming index ingestion (ingest_id-keyed
+    # exactly-once appends against pinned centroids + codebooks;
+    # fold == batch-build-with-pinned-parameters) — scheduled for
+    # rotation #11 (round 15)
+    "q163_stream_index_append",
 ]
 
 

@@ -80,9 +80,10 @@ def test_search_scan_is_partition_pruned(spark, tmp_path):
     plan = plan_string(df)
     seg = plan[plan.index("PartitionFilters"):][:300]
     assert "centroid_id" in seg, seg
-    # and the index itself holds all 8 partitions on disk
+    # and the index itself holds all 8 partitions on disk, under the
+    # build's exactly-once ingest key (round 14)
     import glob
-    parts = glob.glob(f"{idx}/data/centroid_id=*")
+    parts = glob.glob(f"{idx}/data/ingest_id=0/centroid_id=*")
     assert len(parts) == 8, parts
 
 
@@ -446,3 +447,33 @@ def test_index_cli_build_append_search_pq(spark, tmp_path, capsys):
     want_f = sorted(ann_index.search_index_batch(
         spark, idx, _queries(emb, ids=(0, 3)), k=6, nprobe=3).collect())
     assert got_f == want_f
+
+
+def test_pq_build_with_refine_iters_pins_refined_codebooks(spark, tmp_path):
+    """build_index(pq_refine_iters=1) must pin the X63-refined
+    codebooks: search equals a build given quantize.pq_refine's output
+    explicitly, appends encode against the REFINED books, and
+    combining refine_iters with explicit codebooks refuses."""
+    import pytest
+
+    from real_time_iot_data_pipeline_project_spark.operators import quantize
+
+    emb = _emb(spark)
+    q = _queries(emb)
+    auto = str(tmp_path / "auto")
+    ann_index.build_index(emb, auto, n_centroids=8, pq_m=4, pq_kc=4,
+                          pq_refine_iters=1)
+    manual = str(tmp_path / "manual")
+    cb = quantize.pq_refine(emb, quantize.pq_codebooks(emb, m=4, k=4),
+                            iters=1)
+    ann_index.build_index(emb, manual, n_centroids=8, pq_m=4, pq_kc=4,
+                          pq_codebooks=cb)
+    got = sorted(ann_index.search_index_pq(spark, auto, q, k=8,
+                                           nprobe=3).collect())
+    want = sorted(ann_index.search_index_pq(spark, manual, q, k=8,
+                                            nprobe=3).collect())
+    assert got == want
+    with pytest.raises(ValueError, match="ambiguous"):
+        ann_index.build_index(emb, str(tmp_path / "bad"), pq_m=4,
+                              pq_kc=4, pq_codebooks=cb,
+                              pq_refine_iters=1)

@@ -89,6 +89,8 @@ PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
         "q159_pq_index_search",
         "q160_pq_refined_recall",
         "q161_dsir_resample",
+        "q162_pq_filtered_search",
+        "q163_stream_index_append",
     ]),
 }
 

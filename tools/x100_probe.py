@@ -634,6 +634,13 @@ def main() -> None:
         # ticket explode over the SCORES (doc-sized, narrow) and one
         # combinable per-key max; expectation ~q153's slope
         ("q161_dsir_resample", probe_query("q161_dsir_resample")),
+        # round-14: filtered search on the persisted code tier —
+        # q159's shape with the predicate pushed into the pruned scan
+        ("q162_pq_filtered", probe_query("q162_pq_filtered_search")),
+        # round-14: streaming index ingestion — base build + two
+        # increment folds + one codes-only search; per-batch cost
+        # tracks the increment (broadcast argmax/argmin + one write)
+        ("q163_stream_index", probe_query("q163_stream_index_append")),
     )
     for name, fn in probes:
         if only is not None and name not in only:
