@@ -221,6 +221,7 @@ HEADLINE = [
     "q161_dsir_resample",
     "q162_pq_filtered_search",
     "q163_stream_index_append",
+    "q164_index_delete_search",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

@@ -308,6 +308,8 @@ EVIDENCE: dict[str, dict] = {
     "X65": {"queries": ["q163_stream_index_append"], "tests": [
         "test_streaming.py::test_streaming_index_append_fold_and_replay",
         "test_streaming.py::test_streaming_index_sink_engine_equals_direct"]},
+    "X66": {"queries": ["q164_index_delete_search"], "tests": [
+        "test_ann_index.py::test_index_delete_tombstones_and_compaction"]},
     "X63": {"queries": ["q160_pq_refined_recall"], "tests": [
         "test_curation_ops.py::test_pq_refine_distortion_non_increasing_and_drift_free",
         "test_curation_ops.py::test_pq_refined_recall_report_spine_and_raw_anchor"]},

@@ -280,6 +280,115 @@ def _read_pq_manifest(spark: SparkSession, index_dir: str):
         return None
 
 
+# --- deletes (round 14, X66): the store's removal story -------------
+#
+# A production vector store must FORGET — takedowns, PII removal,
+# retention — without rewriting a 100 TB structure per request.  The
+# grow-only layout gets a tombstone tier: deletes write id lists under
+# delete_id-keyed overwrite directories (the same exactly-once
+# contract as ingest_id appends — a retried delete rewrites its own
+# partition), every search anti-joins the tombstone set before
+# scoring (both the float and the code path — results equal a store
+# that never held those vectors, q164's gate), and a periodic
+# out-of-place compaction (the compact_corpus convention: write NEW,
+# caller validates and swaps) physically drops tombstoned rows and
+# resets the tombstone tier.
+
+_TOMB_SCHEMA = "__tomb_id bigint"
+
+
+def delete_from_index(ids_df: DataFrame, index_dir: str,
+                      id_col: str = "vec_id",
+                      delete_id: int | None = None) -> None:
+    """Tombstone the given ids (one column, ``id_col``).  Cost is the
+    id list, never the corpus; idempotent under retries when
+    ``delete_id`` is pinned (dynamic overwrite of its own partition);
+    deleting ids the store never held is a no-op by construction
+    (anti-join semantics)."""
+    from pyspark.errors import AnalysisException
+
+    spark = ids_df.sparkSession
+    if delete_id is None:
+        try:
+            delete_id = int(
+                spark.read.schema(f"{_TOMB_SCHEMA}, delete_id int")
+                .parquet(f"{index_dir}/tombstones")
+                .agg(F.coalesce(F.max("delete_id"), F.lit(-1)))
+                .head()[0]) + 1
+        except AnalysisException:
+            delete_id = 0
+    (ids_df.select(F.col(id_col).cast("bigint").alias("__tomb_id"))
+     .distinct()
+     .withColumn("delete_id", F.lit(int(delete_id)))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("delete_id")
+     .parquet(f"{index_dir}/tombstones"))
+
+
+def _without_tombstones(spark: SparkSession, index_dir: str,
+                        df: DataFrame, id_col: str) -> DataFrame:
+    """Anti-join the tombstone set onto an index read — the removal
+    filter every search path applies before scoring.  The tombstone
+    frame is id-sized (small against the corpus); Catalyst broadcasts
+    it under its size rule, degrading to shuffle for a huge delete
+    backlog instead of a broadcast OOM."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        tombs = (spark.read.schema(_TOMB_SCHEMA)
+                 .parquet(f"{index_dir}/tombstones")
+                 .select("__tomb_id").distinct())
+    except AnalysisException:
+        return df
+    return df.join(tombs, df[id_col] == tombs["__tomb_id"], "left_anti")
+
+
+def compact_index(spark: SparkSession, index_dir: str,
+                  output_dir: str, id_col: str = "vec_id") -> dict:
+    """Physically drop tombstoned rows: write a NEW index at
+    ``output_dir`` (centroids, metadata contract, PQ manifest and
+    codebooks copied VERBATIM — parameters stay pinned, so searches
+    are unchanged; data and codes rewritten without the tombstoned
+    ids at a fresh ingest generation 0; no tombstone tier).
+    Out-of-place by the compact_corpus convention — the caller
+    validates then swaps pointers; an in-place rewrite of a live
+    store would race its readers and destroy data on failure.
+    Returns before/after row counts."""
+    import os as _os
+
+    if _os.path.abspath(output_dir) == _os.path.abspath(index_dir):
+        raise ValueError(
+            "output_dir must differ from index_dir: compaction is "
+            "out-of-place (validate, then swap pointers)")
+    (spark.read.parquet(f"{index_dir}/centroids")
+     .write.mode("overwrite").parquet(f"{output_dir}/centroids"))
+    (spark.read.parquet(f"{index_dir}/meta")
+     .write.mode("overwrite").parquet(f"{output_dir}/meta"))
+    data = spark.read.parquet(f"{index_dir}/data")
+    n_before = data.count()
+    kept = (_without_tombstones(spark, index_dir, data, id_col)
+            .withColumn("ingest_id", F.lit(0)))
+    (kept.write.mode("overwrite")
+     .partitionBy("ingest_id", "centroid_id")
+     .parquet(f"{output_dir}/data"))
+    n_after = spark.read.parquet(f"{output_dir}/data").count()
+    pq = _read_pq_manifest(spark, index_dir)
+    if pq is not None:
+        (spark.read.parquet(f"{index_dir}/pq/manifest")
+         .write.mode("overwrite").parquet(f"{output_dir}/pq/manifest"))
+        (spark.read.parquet(f"{index_dir}/pq/codebooks")
+         .write.mode("overwrite").parquet(f"{output_dir}/pq/codebooks"))
+        codes = spark.read.parquet(f"{index_dir}/pq/codes")
+        (_without_tombstones(spark, index_dir, codes, id_col)
+         .withColumn("ingest_id", F.lit(0))
+         .write.mode("overwrite")
+         .partitionBy("ingest_id", "centroid_id")
+         .parquet(f"{output_dir}/pq/codes"))
+    return {"n_before": int(n_before), "n_after": int(n_after),
+            "n_dropped": int(n_before - n_after)}
+
+
 def search_index_pq(spark: SparkSession, index_dir: str,
                     queries: DataFrame, k: int = 10, nprobe: int = 4,
                     query_id_col: str = "query_id",
@@ -335,6 +444,7 @@ def search_index_pq(spark: SparkSession, index_dir: str,
     codes = spark.read.parquet(f"{index_dir}/pq/codes")
     if where is not None:
         codes = codes.where(where)
+    codes = _without_tombstones(spark, index_dir, codes, id_col)
     # the probes join keys the partition column — DPP prunes the scan
     # to the probed partitions (plan-asserted by test); posexplode of
     # the m-int array recovers X57's tall (sub_id, code) form map-side
@@ -435,6 +545,7 @@ def search_index_batch(spark: SparkSession, index_dir: str,
     data = spark.read.parquet(f"{index_dir}/data")
     if where is not None:
         data = data.where(where)
+    data = _without_tombstones(spark, index_dir, data, id_col)
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     # per-operand norms BEFORE the (data × queries) pairing — once per
     # data row / once per query, not once per scored pair;
@@ -484,7 +595,9 @@ def search_index(spark: SparkSession, index_dir: str,
                                cosine(cvec_d, qcol).alias("qsim"))
               .orderBy(F.desc("qsim"), F.asc("centroid_id"))
               .limit(nprobe).collect())]
-    data = spark.read.parquet(f"{index_dir}/data")
+    data = _without_tombstones(
+        spark, index_dir, spark.read.parquet(f"{index_dir}/data"),
+        id_col)
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     qn = F.lit(_py_norm(q))  # literal query norm — value-identical
     return (

@@ -842,7 +842,8 @@ def main(argv: list[str] | None = None) -> None:
                             "scd2-apply", "plan-audit",
                             "refresh-annotations",
                             "index-build", "index-append",
-                            "index-search"])
+                            "index-search", "index-delete",
+                            "index-compact"])
     p.add_argument("input_path",
                    help="input directory to consume — EXCEPT for the "
                         "plan-audit domain, where it is a registry "
@@ -1038,6 +1039,31 @@ def main(argv: list[str] | None = None) -> None:
         inc = spark.read.parquet(args.input_path)
         append_index(inc, args.index)
         print(f"appended {inc.count()} vectors to {args.index}")
+        return
+    if args.domain == "index-delete":
+        # input_path is an id parquet (vec_id column); tombstones only
+        # — searches exclude the ids immediately, compaction later
+        # drops the rows physically (X66)
+        from .operators.ann_index import delete_from_index
+
+        if not args.index:
+            raise ValueError("index-delete requires --index <index_dir>")
+        ids = spark.read.parquet(args.input_path)
+        delete_from_index(ids, args.index)
+        print(f"tombstoned {ids.select('vec_id').distinct().count()} "
+              f"ids in {args.index}")
+        return
+    if args.domain == "index-compact":
+        # input_path is the index; --output the compacted copy
+        # (out-of-place — validate, then swap pointers)
+        from .operators.ann_index import compact_index
+
+        if not args.output:
+            raise ValueError("index-compact requires --output <new_dir>")
+        stats = compact_index(spark, args.input_path, args.output)
+        print(f"compacted {args.input_path} -> {args.output}: "
+              f"{stats['n_before']} -> {stats['n_after']} rows "
+              f"({stats['n_dropped']} dropped)")
         return
     if args.domain == "index-search":
         # input_path is a (query_id, qvec) parquet; --use-pq serves

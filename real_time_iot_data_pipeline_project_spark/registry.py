@@ -7881,6 +7881,48 @@ def q161_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  salt="dsir")
 
 
+@query("q164_index_delete_search",
+       _ivfpq_sql(pred="e.vec_id % 7 != 0"))
+def q164_index_delete_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X66 — the vector store's DELETE story (ann_index
+    delete_from_index / tombstone anti-join / compact_index): a
+    production store must FORGET — takedowns, PII removal, retention —
+    without rewriting a 100 TB structure per request.  Deletes write
+    id tombstones under delete_id-keyed overwrite directories (the
+    ingest_id exactly-once contract), every search anti-joins them
+    before scoring, and a periodic out-of-place compaction drops the
+    rows physically.  Here: a PQ index over the full corpus,
+    vec_id % 7 == 0 tombstoned in two delete batches, searched from
+    codes — the oracle is q155's SQL with the candidate filter
+    vec_id % 7 != 0, so a green hash proves search-after-delete ==
+    search over a store that never held those vectors (centroids and
+    codebooks stay the FULL corpus's — parameters are pinned,
+    tombstones remove candidates, not structure).  Scale: the
+    tombstone frame is id-sized; the anti-join rides the pruned code
+    scan.  /tmp store is per-process, removed at exit."""
+    from .operators.ann_index import (
+        build_index,
+        delete_from_index,
+        search_index_pq,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = _scratch_dir("q164_pqidx", sf_dir)
+    build_index(emb, idx, n_centroids=16, pq_m=4, pq_kc=8)
+    doomed = emb.where(F.col("vec_id") % 7 == 0).select("vec_id")
+    # two delete batches (and one replayed) — the exactly-once rule
+    delete_from_index(doomed.where(F.col("vec_id") % 2 == 0), idx,
+                      delete_id=0)
+    delete_from_index(doomed.where(F.col("vec_id") % 2 != 0), idx,
+                      delete_id=1)
+    delete_from_index(doomed.where(F.col("vec_id") % 2 == 0), idx,
+                      delete_id=0)
+    queries = (emb.where(F.col("vec_id").isin(0, 1, 2, 3, 4))
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qvec")))
+    return search_index_pq(spark, idx, queries, k=10, nprobe=4)
+
+
 @query("q163_stream_index_append",
        _ivfpq_sql(sample_pred="vec_id % 5 != 0"))
 def q163_stream_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8060,6 +8102,10 @@ POST_WINDOW: list[str] = [
     # fold == batch-build-with-pinned-parameters) — scheduled for
     # rotation #11 (round 15)
     "q163_stream_index_append",
+    # round 14: X66 index deletes (tombstone anti-join; search-after-
+    # delete == never-held, physically dropped by out-of-place
+    # compaction) — scheduled for rotation #11 (round 15)
+    "q164_index_delete_search",
 ]
 
 

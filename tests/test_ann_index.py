@@ -477,3 +477,67 @@ def test_pq_build_with_refine_iters_pins_refined_codebooks(spark, tmp_path):
         ann_index.build_index(emb, str(tmp_path / "bad"), pq_m=4,
                               pq_kc=4, pq_codebooks=cb,
                               pq_refine_iters=1)
+
+
+def test_index_delete_tombstones_and_compaction(spark, tmp_path, capsys):
+    """X66: tombstoned ids vanish from BOTH search paths immediately
+    (search-after-delete == search over a store that never held them);
+    a replayed delete batch is idempotent; compaction physically drops
+    the rows (counts) while leaving every surviving search identical;
+    compacting in place refuses; the CLI wires both."""
+    from real_time_iot_data_pipeline_project_spark import pipelines
+
+    emb = _emb(spark)
+    live = emb.where(F.col("vec_id") % 7 != 0)
+    q = _queries(emb, ids=(0, 3))
+    grown = str(tmp_path / "idx")
+    ann_index.build_index(emb, grown, n_centroids=8, pq_m=4, pq_kc=4)
+    doomed = emb.where(F.col("vec_id") % 7 == 0).select("vec_id")
+    ann_index.delete_from_index(doomed, grown, delete_id=0)
+    ann_index.delete_from_index(doomed, grown, delete_id=0)  # replay
+
+    never = str(tmp_path / "never")
+    ann_index.build_index(
+        live, never,
+        centroids=spark.read.parquet(f"{grown}/centroids"),
+        pq_m=4, pq_kc=4,
+        pq_codebooks=spark.read.parquet(f"{grown}/pq/codebooks"))
+    for fn in (ann_index.search_index_pq, ann_index.search_index_batch):
+        got = sorted(fn(spark, grown, q, k=8, nprobe=3).collect())
+        want = sorted(fn(spark, never, q, k=8, nprobe=3).collect())
+        assert got == want, fn.__name__
+    # single-query float path too
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    assert sorted(map(tuple, ann_index.search_index(
+        spark, grown, qv, k=8, nprobe=3).collect())) == \
+        sorted(map(tuple, ann_index.search_index(
+            spark, never, qv, k=8, nprobe=3).collect()))
+
+    n_live, n_all = live.count(), emb.count()
+    stats = ann_index.compact_index(spark, grown,
+                                    str(tmp_path / "compacted"))
+    assert stats == {"n_before": n_all, "n_after": n_live,
+                     "n_dropped": n_all - n_live}
+    compacted = str(tmp_path / "compacted")
+    assert spark.read.parquet(f"{compacted}/pq/codes").count() == n_live
+    got = sorted(ann_index.search_index_pq(spark, compacted, q, k=8,
+                                           nprobe=3).collect())
+    want = sorted(ann_index.search_index_pq(spark, grown, q, k=8,
+                                            nprobe=3).collect())
+    assert got == want
+
+    import pytest
+    with pytest.raises(ValueError, match="out-of-place"):
+        ann_index.compact_index(spark, grown, grown)
+
+    # CLI wiring
+    ids_p = str(tmp_path / "ids.parquet")
+    doomed.write.parquet(ids_p)
+    cli_idx = str(tmp_path / "cli")
+    ann_index.build_index(emb, cli_idx, n_centroids=8, pq_m=4, pq_kc=4)
+    pipelines.main(["index-delete", ids_p, "--index", cli_idx])
+    assert "tombstoned" in capsys.readouterr().out
+    pipelines.main(["index-compact", cli_idx, "--output",
+                    str(tmp_path / "cli_out")])
+    assert f"{n_all - n_live} dropped" in capsys.readouterr().out

@@ -91,6 +91,7 @@ PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
         "q161_dsir_resample",
         "q162_pq_filtered_search",
         "q163_stream_index_append",
+        "q164_index_delete_search",
     ]),
 }
 

@@ -641,6 +641,9 @@ def main() -> None:
         # increment folds + one codes-only search; per-batch cost
         # tracks the increment (broadcast argmax/argmin + one write)
         ("q163_stream_index", probe_query("q163_stream_index_append")),
+        # round-14: tombstoned search — q159's shape + one id-sized
+        # anti-join riding the pruned code scan
+        ("q164_index_delete", probe_query("q164_index_delete_search")),
     )
     for name, fn in probes:
         if only is not None and name not in only:
