@@ -222,6 +222,7 @@ HEADLINE = [
     "q162_pq_filtered_search",
     "q163_stream_index_append",
     "q164_index_delete_search",
+    "q165_pq_rerank_search",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

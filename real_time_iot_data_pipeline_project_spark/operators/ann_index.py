@@ -395,7 +395,9 @@ def search_index_pq(spark: SparkSession, index_dir: str,
                     query_vec_col: str = "qvec",
                     id_col: str = "vec_id",
                     where: F.Column | None = None,
-                    broadcast_lut: bool = True) -> DataFrame:
+                    broadcast_lut: bool = True,
+                    rerank: int | None = None,
+                    vec_col: str = "embedding") -> DataFrame:
     """Batch ANN serving over the PERSISTED PQ tier (round 14, X62):
     per query, rank the stored centroids and probe the best ``nprobe``
     (the float path's rule verbatim), then score ONLY the probed
@@ -418,7 +420,17 @@ def search_index_pq(spark: SparkSession, index_dir: str,
     code rows, pushing down (PushedFilters) exactly as on the float
     path.  Returns (query_id, vec_id, adc_dist), (adc ASC, id ASC)
     top-k per query; ``broadcast_lut=False`` is the unbounded-query
-    escape hatch."""
+    escape hatch.
+
+    ``rerank`` (round 14, X67 — the FAISS ``IndexRefineFlat``
+    pattern): take the top-``rerank`` candidates per query by ADC
+    from the codes, then re-rank JUST those with exact full-precision
+    l2² against the stored float vectors and return the top-k by
+    (exact_l2 ASC, id ASC).  ADC is lossy (the recall price q157
+    measures); reranking buys back precision for the cost of reading
+    rerank·|queries| float vectors — bounded, never a corpus scan
+    (the candidate frame broadcasts onto a DPP-pruned data read).
+    Output column becomes ``exact_l2`` instead of ``adc_dist``."""
     from .quantize import _l2sq, _lut_side, _subspaces
 
     pq = _read_pq_manifest(spark, index_dir)
@@ -482,11 +494,37 @@ def search_index_pq(spark: SparkSession, index_dir: str,
               .groupBy(query_id_col, id_col)
               .agg(F.round(F.sum("__term").cast("double"), 6)
                    .alias("adc_dist")))
-    return (scored.withColumn("__rn", F.row_number().over(
+    if rerank is None:
+        return (scored.withColumn("__rn", F.row_number().over(
+            Window.partitionBy(query_id_col)
+            .orderBy(F.asc("adc_dist"), F.asc(id_col))))
+            .where(F.col("__rn") <= k)
+            .select(query_id_col, id_col, "adc_dist"))
+    if rerank < k:
+        raise ValueError(
+            f"rerank ({rerank}) must be >= k ({k}) — reranking fewer "
+            f"candidates than the requested top-k can't fill it")
+    cand = (scored.withColumn("__rn", F.row_number().over(
         Window.partitionBy(query_id_col)
         .orderBy(F.asc("adc_dist"), F.asc(id_col))))
+        .where(F.col("__rn") <= int(rerank))
+        .select(query_id_col, id_col))
+    # exact refine (X67): the candidate frame is rerank·|queries| rows
+    # — broadcast onto the float data (tombstones/where are already
+    # baked into the candidates; the codes and data tiers hold the
+    # same id set by construction)
+    data = spark.read.parquet(f"{index_dir}/data")
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    refined = (data.join(F.broadcast(cand), id_col)
+               .join(queries, query_id_col)
+               .select(query_id_col, id_col,
+                       F.round(_l2sq(vec_d, qvec_d), 6)
+                       .alias("exact_l2")))
+    return (refined.withColumn("__rn", F.row_number().over(
+        Window.partitionBy(query_id_col)
+        .orderBy(F.asc("exact_l2"), F.asc(id_col))))
         .where(F.col("__rn") <= k)
-        .select(query_id_col, id_col, "adc_dist"))
+        .select(query_id_col, id_col, "exact_l2"))
 
 
 def search_index_batch(spark: SparkSession, index_dir: str,

@@ -7189,10 +7189,46 @@ def _pq_sql(m: int = 4, kc: int = 8, k: int = 10, dim: int = 64) -> str:
     """
 
 
+def _rerank_tail_sql(k: int, rerank: int | None) -> str:
+    """The final ranking stage of the IVF-PQ oracle: plain ADC top-k,
+    or (q165, X67) ADC top-``rerank`` refined by exact full-precision
+    l2² against the stored vectors — the FAISS IndexRefineFlat
+    pattern, same dot-identity arithmetic as the exact recall passes."""
+    if rerank is None:
+        return f"""SELECT query_id, vec_id, adc_dist FROM (
+      SELECT query_id, vec_id, adc_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist ASC, vec_id ASC) AS rn
+      FROM adc
+    ) WHERE rn <= {k}"""
+    l2 = ("(list_dot_product(e.v, e.v)"
+          " - 2.0 * list_dot_product(e.v, q.qv)"
+          " + list_dot_product(q.qv, q.qv))")
+    return f""", cand AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_dist ASC, vec_id ASC) AS rn
+        FROM adc
+      ) WHERE rn <= {rerank}
+    )
+    SELECT query_id, vec_id, exact_l2 FROM (
+      SELECT cd.query_id, cd.vec_id,
+             round({l2}, 6) AS exact_l2,
+             row_number() OVER (PARTITION BY cd.query_id
+                                ORDER BY round({l2}, 6) ASC,
+                                         cd.vec_id ASC) AS rn
+      FROM cand cd
+      JOIN ev e ON e.vec_id = cd.vec_id
+      JOIN q ON q.query_id = cd.query_id
+    ) WHERE rn <= {k}"""
+
+
 def _ivfpq_sql(n_centroids: int = 16, nprobe: int = 4, m: int = 4,
                kc: int = 8, k: int = 10, dim: int = 64,
                pred: str | None = None,
-               sample_pred: str | None = None) -> str:
+               sample_pred: str | None = None,
+               rerank: int | None = None) -> str:
     """q155 oracle: IVF-PQ replayed in DuckDB by composing the two
     proven halves — q121's centroid sample / argmax assignment /
     per-query probe ranking, and q154's codebooks / encode / ADC LUT —
@@ -7289,12 +7325,7 @@ def _ivfpq_sql(n_centroids: int = 16, nprobe: int = 4, m: int = 4,
                AND l.sub_id = dd.sub_id AND l.code = dd.code
       GROUP BY p.query_id, dd.vec_id
     )
-    SELECT query_id, vec_id, adc_dist FROM (
-      SELECT query_id, vec_id, adc_dist,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY adc_dist ASC, vec_id ASC) AS rn
-      FROM adc
-    ) WHERE rn <= {k}
+    {_rerank_tail_sql(k, rerank)}
     """
 
 
@@ -7881,6 +7912,32 @@ def q161_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  salt="dsir")
 
 
+@query("q165_pq_rerank_search", _ivfpq_sql(rerank=32))
+def q165_pq_rerank_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X67 — exact re-ranking over ADC candidates (search_index_pq
+    ``rerank=``): the FAISS `IndexRefineFlat` production pattern —
+    ADC over the persisted codes nominates the top-32 candidates per
+    query (cheap, lossy), then ONLY those 32·|queries| rows read
+    their full-precision vectors and re-rank by exact l2² (the same
+    dot-identity arithmetic every exact recall pass uses).  PQ's 64×
+    memory win keeps its recall price only until the refine stage
+    buys precision back for a bounded float read — never a corpus
+    scan (the candidate frame broadcasts onto the data read).  The
+    oracle composes q155's ADC CTEs with the exact-refine tail;
+    output is (query_id, vec_id, exact_l2), (exact ASC, id ASC)
+    top-10.  /tmp store is per-process, removed at exit."""
+    from .operators.ann_index import build_index, search_index_pq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = _scratch_dir("q165_pqidx", sf_dir)
+    build_index(emb, idx, n_centroids=16, pq_m=4, pq_kc=8)
+    queries = (emb.where(F.col("vec_id").isin(0, 1, 2, 3, 4))
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qvec")))
+    return search_index_pq(spark, idx, queries, k=10, nprobe=4,
+                           rerank=32)
+
+
 @query("q164_index_delete_search",
        _ivfpq_sql(pred="e.vec_id % 7 != 0"))
 def q164_index_delete_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8106,6 +8163,10 @@ POST_WINDOW: list[str] = [
     # delete == never-held, physically dropped by out-of-place
     # compaction) — scheduled for rotation #11 (round 15)
     "q164_index_delete_search",
+    # round 14: X67 exact re-ranking over ADC candidates (the FAISS
+    # IndexRefineFlat pattern: bounded float refine of the lossy code
+    # nomination) — scheduled for rotation #11 (round 15)
+    "q165_pq_rerank_search",
 ]
 
 

@@ -541,3 +541,52 @@ def test_index_delete_tombstones_and_compaction(spark, tmp_path, capsys):
     pipelines.main(["index-compact", cli_idx, "--output",
                     str(tmp_path / "cli_out")])
     assert f"{n_all - n_live} dropped" in capsys.readouterr().out
+
+
+def test_pq_rerank_exact_refine(spark, tmp_path):
+    """X67: rerank=R returns the exact-l2 top-k of the ADC top-R
+    candidate set — with R >= all probed candidates it equals the
+    brute-force exact l2 ranking of every coded candidate the probes
+    reach (computed directly here); rerank < k refuses; tombstoned
+    ids stay excluded through the refine stage."""
+    import pytest
+
+    from real_time_iot_data_pipeline_project_spark.operators.quantize import (
+        _l2sq,
+    )
+
+    emb = _emb(spark)
+    q = _queries(emb, ids=(0, 3))
+    idx = str(tmp_path / "idx")
+    ann_index.build_index(emb, idx, n_centroids=8, pq_m=4, pq_kc=4)
+
+    # R = corpus size: the candidate set is ALL vectors in probed
+    # buckets, so the refine equals exact l2 over that same set
+    big = emb.count()
+    got = ann_index.search_index_pq(spark, idx, q, k=6, nprobe=3,
+                                    rerank=big)
+    cand = (ann_index.search_index_pq(spark, idx, q, k=big, nprobe=3)
+            .select("query_id", "vec_id"))
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    qvec_d = F.transform(F.col("qvec"), lambda x: x.cast("double"))
+    from pyspark.sql import Window
+    want = (emb.join(cand, "vec_id")
+            .join(q, "query_id")
+            .select("query_id", "vec_id",
+                    F.round(_l2sq(vec_d, qvec_d), 6).alias("exact_l2"))
+            .withColumn("rn", F.row_number().over(
+                Window.partitionBy("query_id")
+                .orderBy(F.asc("exact_l2"), F.asc("vec_id"))))
+            .where(F.col("rn") <= 6)
+            .select("query_id", "vec_id", "exact_l2"))
+    assert sorted(got.collect()) == sorted(want.collect())
+
+    with pytest.raises(ValueError, match="must be >= k"):
+        ann_index.search_index_pq(spark, idx, q, k=6, rerank=3)
+
+    doomed = emb.where(F.col("vec_id") % 3 == 0).select("vec_id")
+    ann_index.delete_from_index(doomed, idx)
+    after = ann_index.search_index_pq(spark, idx, q, k=6, nprobe=8,
+                                      rerank=50)
+    ids = {r.vec_id for r in after.collect()}
+    assert all(i % 3 != 0 for i in ids), ids

@@ -92,6 +92,7 @@ PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
         "q162_pq_filtered_search",
         "q163_stream_index_append",
         "q164_index_delete_search",
+        "q165_pq_rerank_search",
     ]),
 }
 

@@ -644,6 +644,9 @@ def main() -> None:
         # round-14: tombstoned search — q159's shape + one id-sized
         # anti-join riding the pruned code scan
         ("q164_index_delete", probe_query("q164_index_delete_search")),
+        # round-14: exact refine over ADC candidates — q159's shape +
+        # one bounded (R*|q| rows) broadcast join onto the float data
+        ("q165_pq_rerank", probe_query("q165_pq_rerank_search")),
     )
     for name, fn in probes:
         if only is not None and name not in only:
