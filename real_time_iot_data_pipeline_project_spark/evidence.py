@@ -311,7 +311,8 @@ EVIDENCE: dict[str, dict] = {
     "X66": {"queries": ["q164_index_delete_search"], "tests": [
         "test_ann_index.py::test_index_delete_tombstones_and_compaction"]},
     "X67": {"queries": ["q165_pq_rerank_search"], "tests": [
-        "test_ann_index.py::test_pq_rerank_exact_refine"]},
+        "test_ann_index.py::test_pq_rerank_exact_refine",
+        "test_ann_index.py::test_index_search_cli_rerank_wiring"]},
     "X63": {"queries": ["q160_pq_refined_recall"], "tests": [
         "test_curation_ops.py::test_pq_refine_distortion_non_increasing_and_drift_free",
         "test_curation_ops.py::test_pq_refined_recall_report_spine_and_raw_anchor"]},

@@ -1001,6 +1001,10 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--use-pq", action="store_true",
                    help="serve from the persisted PQ code tier instead "
                         "of the float vectors (index-search)")
+    p.add_argument("--rerank", type=int, default=None,
+                   help="refine the top-R ADC candidates per query by "
+                        "exact full-precision l2 (index-search with "
+                        "--use-pq; X67 — output column exact_l2)")
     args = p.parse_args(argv)
     spark = get_spark(app_name=f"{args.domain}-processing")
     if args.domain == "index-build":
@@ -1073,8 +1077,16 @@ def main(argv: list[str] | None = None) -> None:
         if not args.index:
             raise ValueError("index-search requires --index <index_dir>")
         queries = spark.read.parquet(args.input_path)
-        fn = search_index_pq if args.use_pq else search_index_batch
-        out = fn(spark, args.index, queries, k=args.k, nprobe=args.nprobe)
+        if args.rerank is not None and not args.use_pq:
+            raise ValueError(
+                "--rerank refines ADC candidates — it requires --use-pq")
+        if args.use_pq:
+            out = search_index_pq(spark, args.index, queries, k=args.k,
+                                  nprobe=args.nprobe,
+                                  rerank=args.rerank)
+        else:
+            out = search_index_batch(spark, args.index, queries,
+                                     k=args.k, nprobe=args.nprobe)
         if args.output:
             out.write.mode("overwrite").parquet(args.output)
             print(f"wrote {spark.read.parquet(args.output).count()} "

@@ -590,3 +590,29 @@ def test_pq_rerank_exact_refine(spark, tmp_path):
                                       rerank=50)
     ids = {r.vec_id for r in after.collect()}
     assert all(i % 3 != 0 for i in ids), ids
+
+
+def test_index_search_cli_rerank_wiring(spark, tmp_path):
+    """--rerank reaches search_index_pq via the CLI (and refuses
+    without --use-pq)."""
+    import pytest
+
+    from real_time_iot_data_pipeline_project_spark import pipelines
+
+    emb = _emb(spark)
+    idx = str(tmp_path / "idx")
+    ann_index.build_index(emb, idx, n_centroids=8, pq_m=4, pq_kc=4)
+    q_p = str(tmp_path / "q.parquet")
+    _queries(emb, ids=(0,)).write.parquet(q_p)
+    out = str(tmp_path / "out")
+    pipelines.main(["index-search", q_p, "--index", idx, "--k", "5",
+                    "--nprobe", "3", "--use-pq", "--rerank", "20",
+                    "--output", out])
+    got = sorted(spark.read.parquet(out).collect())
+    want = sorted(ann_index.search_index_pq(
+        spark, idx, _queries(emb, ids=(0,)), k=5, nprobe=3,
+        rerank=20).collect())
+    assert got == want and "exact_l2" in spark.read.parquet(out).columns
+    with pytest.raises(ValueError, match="requires --use-pq"):
+        pipelines.main(["index-search", q_p, "--index", idx,
+                        "--rerank", "20", "--output", out])
