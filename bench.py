@@ -223,6 +223,7 @@ HEADLINE = [
     "q163_stream_index_append",
     "q164_index_delete_search",
     "q165_pq_rerank_search",
+    "q166_index_stats",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

@@ -313,6 +313,8 @@ EVIDENCE: dict[str, dict] = {
     "X67": {"queries": ["q165_pq_rerank_search"], "tests": [
         "test_ann_index.py::test_pq_rerank_exact_refine",
         "test_ann_index.py::test_index_search_cli_rerank_wiring"]},
+    "X68": {"queries": ["q166_index_stats"], "tests": [
+        "test_ann_index.py::test_index_report_counts_share_and_skew"]},
     "X63": {"queries": ["q160_pq_refined_recall"], "tests": [
         "test_curation_ops.py::test_pq_refine_distortion_non_increasing_and_drift_free",
         "test_curation_ops.py::test_pq_refined_recall_report_spine_and_raw_anchor"]},

@@ -344,6 +344,48 @@ def _without_tombstones(spark: SparkSession, index_dir: str,
     return df.join(tombs, df[id_col] == tombs["__tomb_id"], "left_anti")
 
 
+def index_report(spark: SparkSession, index_dir: str,
+                 id_col: str = "vec_id") -> DataFrame:
+    """Store health report (round 14, X68): one row per occupied
+    centroid — live vector count, tombstoned count, corpus share and
+    skew factor (n·C/total, q105's skew-diagnosis arithmetic).  The
+    two operational signals a 100 TB store is run by: a hot centroid
+    (skew_factor ≫ 1) makes every probe of that bucket a straggler —
+    the cue to re-train centroids (kmeans_refine) or split; a fat
+    tombstone backlog is the cue to compact (X66).  One narrow-column
+    scan of (id, centroid_id) + an id-sized tombstone join; counts are
+    exact integers, ratios are q105's round-6 policy, so the report is
+    hash-gateable cross-engine (q166)."""
+    from pyspark.errors import AnalysisException
+
+    data = (spark.read.parquet(f"{index_dir}/data")
+            .select(F.col(id_col), "centroid_id"))
+    try:
+        tombs = (spark.read.schema(_TOMB_SCHEMA)
+                 .parquet(f"{index_dir}/tombstones")
+                 .select("__tomb_id").distinct())
+    except AnalysisException:
+        tombs = spark.createDataFrame([], _TOMB_SCHEMA)
+    flagged = (data.join(tombs, data[id_col] == tombs["__tomb_id"],
+                         "left")
+               .select("centroid_id",
+                       F.col("__tomb_id").isNotNull().alias("__dead")))
+    per = (flagged.groupBy("centroid_id")
+           .agg(F.sum(F.when(~F.col("__dead"), 1).otherwise(0))
+                .cast("long").alias("n_vectors"),
+                F.sum(F.when(F.col("__dead"), 1).otherwise(0))
+                .cast("long").alias("n_tombstoned")))
+    tot = per.agg(F.sum("n_vectors").cast("long").alias("__total"),
+                  F.count(F.lit(1)).cast("long").alias("__n_cent"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("centroid_id", "n_vectors", "n_tombstoned",
+                    F.round(F.col("n_vectors").cast("double")
+                            / F.col("__total"), 6).alias("share"),
+                    F.round(F.col("n_vectors").cast("double")
+                            * F.col("__n_cent") / F.col("__total"), 6)
+                    .alias("skew_factor")))
+
+
 def compact_index(spark: SparkSession, index_dir: str,
                   output_dir: str, id_col: str = "vec_id") -> dict:
     """Physically drop tombstoned rows: write a NEW index at

@@ -7912,6 +7912,75 @@ def q161_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  salt="dsir")
 
 
+def _index_report_sql(n_centroids: int = 16) -> str:
+    """q166 oracle: the store health report replayed in DuckDB — the
+    q155 centroid sample + argmax assignment, the q164 tombstone set
+    (vec_id % 7 = 0) as a dead flag, per-centroid live/tombstoned
+    counts, and q105's share/skew arithmetic on the live totals."""
+    v_c = _list_cos_sql("e.embedding", "c.cvec")
+    return f"""
+    WITH c AS (
+      SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_centroids}
+    ),
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {v_c} DESC,
+                                           c.centroid_id ASC) AS rn
+        FROM embeddings e, c
+      ) WHERE rn = 1
+    ),
+    per AS (
+      SELECT centroid_id,
+             CAST(SUM(CASE WHEN vec_id % 7 = 0 THEN 0 ELSE 1 END)
+                  AS BIGINT) AS n_vectors,
+             CAST(SUM(CASE WHEN vec_id % 7 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_tombstoned
+      FROM assigned GROUP BY centroid_id
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_vectors) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_cent
+      FROM per
+    )
+    SELECT p.centroid_id, p.n_vectors, p.n_tombstoned,
+           round(CAST(p.n_vectors AS DOUBLE) / t.total, 6) AS share,
+           round(CAST(p.n_vectors AS DOUBLE) * t.n_cent / t.total, 6)
+             AS skew_factor
+    FROM per p CROSS JOIN tot t
+    """
+
+
+@query("q166_index_stats", _index_report_sql())
+def q166_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X68 — store health report (ann_index.index_report): per
+    occupied centroid, live vector count, tombstone backlog, corpus
+    share and skew factor (q105's diagnosis arithmetic applied to the
+    vector store) — the two signals a 100 TB index is operated by: a
+    hot centroid (skew ≫ 1) makes every probe of that bucket a
+    straggler (re-train or split), a fat tombstone backlog is the cue
+    to compact (X66).  Here: a PQ index over the full corpus with
+    vec_id % 7 == 0 tombstoned (q164's delete), reported.  One
+    narrow (id, centroid_id) scan + an id-sized tombstone join;
+    integer counts, round-6 ratios.  /tmp store is per-process,
+    removed at exit."""
+    from .operators.ann_index import (
+        build_index,
+        delete_from_index,
+        index_report,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = _scratch_dir("q166_pqidx", sf_dir)
+    build_index(emb, idx, n_centroids=16, pq_m=4, pq_kc=8)
+    delete_from_index(emb.where(F.col("vec_id") % 7 == 0)
+                      .select("vec_id"), idx, delete_id=0)
+    return index_report(spark, idx)
+
+
 @query("q165_pq_rerank_search", _ivfpq_sql(rerank=32))
 def q165_pq_rerank_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X67 — exact re-ranking over ADC candidates (search_index_pq
@@ -8167,6 +8236,10 @@ POST_WINDOW: list[str] = [
     # IndexRefineFlat pattern: bounded float refine of the lossy code
     # nomination) — scheduled for rotation #11 (round 15)
     "q165_pq_rerank_search",
+    # round 14: X68 store health report (per-centroid occupancy/skew +
+    # tombstone backlog — q105's diagnosis applied to the vector
+    # store) — scheduled for rotation #11 (round 15)
+    "q166_index_stats",
 ]
 
 

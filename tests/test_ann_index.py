@@ -616,3 +616,65 @@ def test_index_search_cli_rerank_wiring(spark, tmp_path):
     with pytest.raises(ValueError, match="requires --use-pq"):
         pipelines.main(["index-search", q_p, "--index", idx,
                         "--rerank", "20", "--output", out])
+
+
+def test_pq_rerank_residual_tier(spark, tmp_path):
+    """X67 composes with the residual tier (X61): candidates nominated
+    by residual ADC, refined by the same exact float l2 — with R =
+    corpus size the output equals exact l2 over all probed residual
+    candidates."""
+    from real_time_iot_data_pipeline_project_spark.operators.quantize import (
+        _l2sq,
+    )
+
+    emb = _emb(spark)
+    q = _queries(emb, ids=(0, 3))
+    idx = str(tmp_path / "ridx")
+    ann_index.build_index(emb, idx, n_centroids=8, pq_m=4, pq_kc=4,
+                          pq_residual=True)
+    big = emb.count()
+    got = ann_index.search_index_pq(spark, idx, q, k=6, nprobe=3,
+                                    rerank=big)
+    cand = (ann_index.search_index_pq(spark, idx, q, k=big, nprobe=3)
+            .select("query_id", "vec_id"))
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    qvec_d = F.transform(F.col("qvec"), lambda x: x.cast("double"))
+    from pyspark.sql import Window
+    want = (emb.join(cand, "vec_id").join(q, "query_id")
+            .select("query_id", "vec_id",
+                    F.round(_l2sq(vec_d, qvec_d), 6).alias("exact_l2"))
+            .withColumn("rn", F.row_number().over(
+                Window.partitionBy("query_id")
+                .orderBy(F.asc("exact_l2"), F.asc("vec_id"))))
+            .where(F.col("rn") <= 6)
+            .select("query_id", "vec_id", "exact_l2"))
+    assert sorted(got.collect()) == sorted(want.collect())
+
+
+def test_index_report_counts_share_and_skew(spark, tmp_path):
+    """X68: the report's live/tombstoned counts equal the store's
+    assignment exactly (per centroid), shares sum to ~1 over live
+    rows, skew_factor is n·C/total, and a tombstone-free store reports
+    zeros without needing a tombstones dir."""
+    emb = _emb(spark)
+    idx = str(tmp_path / "idx")
+    ann_index.build_index(emb, idx, n_centroids=8)
+    rep0 = {r.centroid_id: r for r in
+            ann_index.index_report(spark, idx).collect()}
+    assigned = {r.centroid_id: r.n for r in
+                spark.read.parquet(f"{idx}/data")
+                .groupBy("centroid_id")
+                .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert {c: r.n_vectors for c, r in rep0.items()} == assigned
+    assert all(r.n_tombstoned == 0 for r in rep0.values())
+    total = sum(assigned.values())
+    n_cent = len(assigned)
+    for c, r in rep0.items():
+        assert r.share == round(assigned[c] / total, 6)
+        assert r.skew_factor == round(assigned[c] * n_cent / total, 6)
+
+    doomed = emb.where(F.col("vec_id") % 4 == 0).select("vec_id")
+    ann_index.delete_from_index(doomed, idx)
+    rep1 = ann_index.index_report(spark, idx).collect()
+    assert sum(r.n_tombstoned for r in rep1) == doomed.count()
+    assert sum(r.n_vectors for r in rep1) == total - doomed.count()

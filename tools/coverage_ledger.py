@@ -93,6 +93,7 @@ PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
         "q163_stream_index_append",
         "q164_index_delete_search",
         "q165_pq_rerank_search",
+        "q166_index_stats",
     ]),
 }
 

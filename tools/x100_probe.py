@@ -647,6 +647,9 @@ def main() -> None:
         # round-14: exact refine over ADC candidates — q159's shape +
         # one bounded (R*|q| rows) broadcast join onto the float data
         ("q165_pq_rerank", probe_query("q165_pq_rerank_search")),
+        # round-14: store health report — one narrow-column scan +
+        # centroid-sized aggregates; expectation ~linear scan slope
+        ("q166_index_stats", probe_query("q166_index_stats")),
     )
     for name, fn in probes:
         if only is not None and name not in only:
