@@ -224,6 +224,7 @@ HEADLINE = [
     "q164_index_delete_search",
     "q165_pq_rerank_search",
     "q166_index_stats",
+    "q167_cluster_balanced_sample",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

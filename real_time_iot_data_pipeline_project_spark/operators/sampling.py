@@ -844,3 +844,41 @@ def epoch_expand(df: DataFrame, stratum: str, key: str, weight: Column,
             .select(stratum, key, "n_tok",
                     F.col("epochs_full").alias("epoch")))
     return full.unionByName(part)
+
+
+def cluster_balanced_sample(df: DataFrame, key: str = "vec_id",
+                            vec_col: str = "embedding",
+                            n_centroids: int = 16, alpha: float = 0.7,
+                            budget_frac: float = 0.5,
+                            salt: str = "cmix",
+                            centroids: DataFrame | None = None) -> DataFrame:
+    """Cluster-balanced corpus sampling (round 14, X69): the
+    temperature mixture applied to EMBEDDING-SPACE clusters instead of
+    source labels — modern curation balances pretraining data by
+    semantic cluster (web corpora are dominated by a few giant content
+    modes; per-cluster n^α flattening upweights the rare modes the
+    same way X37 upweights rare languages), and source labels can't
+    see that structure.
+
+    Composition of three gated rules, nothing new to trust: the
+    md5-sampled centroids (kmeans_refine composes via ``centroids=``),
+    THE argmax assignment (similarity.assign_centroids — q38/q121's
+    rule), and X37's integer-percent temperature rates + hash-bucket
+    membership keyed by the cluster id as the stratum.  Returns
+    (key, centroid_id, rate_pct) filtered to the sample — membership
+    is a pure function of (salt, key, cluster sizes), reproducible on
+    any engine (q167's gate).
+
+    Scale: one broadcast centroid argmax over the corpus (the
+    assignment — no shuffle), centroid-sized rate aggregates, one
+    broadcast rate join + scan-stage hash filter."""
+    from .similarity import assign_centroids, sampled_centroids
+
+    if centroids is None:
+        centroids = sampled_centroids(df, n_centroids, vec_col, key)
+    assigned = (assign_centroids(df, centroids, vec_col, key)
+                .select(key, "centroid_id"))
+    return (temperature_sample(assigned, key=key, stratum="centroid_id",
+                               alpha=alpha, budget_frac=budget_frac,
+                               salt=salt)
+            .select(key, "centroid_id", "rate_pct"))

@@ -7912,6 +7912,68 @@ def q161_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  salt="dsir")
 
 
+def _cluster_sample_sql(n_centroids: int = 16, alpha: float = 0.7,
+                        budget: float = 0.5) -> str:
+    """q167 oracle: the q155 centroid sample + argmax assignment
+    composed with q124's temperature-rate SQL, stratum = centroid_id,
+    membership = the integer hash-bucket compare (salt 'cmix')."""
+    v_c = _list_cos_sql("e.embedding", "c.cvec")
+    return f"""
+    WITH c AS (
+      SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_centroids}
+    ),
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {v_c} DESC,
+                                           c.centroid_id ASC) AS rn
+        FROM embeddings e, c
+      ) WHERE rn = 1
+    ),
+    cn AS (SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n
+           FROM assigned GROUP BY centroid_id),
+    w AS (SELECT centroid_id, n,
+                 CAST(round(pow(CAST(n AS DOUBLE), {alpha}), 6)
+                      AS DECIMAL(24,6)) AS w
+          FROM cn),
+    t AS (SELECT CAST(SUM(w) AS DOUBLE) AS wsum,
+                 CAST(SUM(n) AS BIGINT) AS n_total FROM w),
+    r AS (SELECT centroid_id, n,
+                 LEAST(100, CAST(round((((100.0 * {budget}) * n_total)
+                        * (CAST(w AS DOUBLE) / wsum)) / n) AS INTEGER))
+                   AS rate_pct
+          FROM w, t)
+    SELECT a.vec_id, a.centroid_id, r.rate_pct
+    FROM assigned a JOIN r ON r.centroid_id = a.centroid_id
+    WHERE {_bucket_sql('cmix', key='a.vec_id')} < r.rate_pct
+    """
+
+
+@query("q167_cluster_balanced_sample", _cluster_sample_sql())
+def q167_cluster_balanced_sample(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """X69 — cluster-balanced sampling
+    (sampling.cluster_balanced_sample): X37's temperature mixture
+    applied to EMBEDDING-SPACE clusters instead of source labels —
+    web-scale corpora are dominated by a few giant content modes that
+    source labels can't see; per-cluster n^0.7 flattening at a 50%
+    budget upweights the rare modes the way the source mix upweights
+    rare languages.  Pure composition of gated rules: md5-sampled
+    centroids, q38's argmax assignment, q124's integer-percent rates
+    and hash-bucket membership keyed by centroid_id.  Scale: one
+    broadcast argmax over the corpus, centroid-sized aggregates, a
+    broadcast rate join + scan-stage filter — no corpus shuffle."""
+    from .operators import sampling
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return sampling.cluster_balanced_sample(emb, key="vec_id",
+                                            n_centroids=16, alpha=0.7,
+                                            budget_frac=0.5)
+
+
 def _index_report_sql(n_centroids: int = 16) -> str:
     """q166 oracle: the store health report replayed in DuckDB — the
     q155 centroid sample + argmax assignment, the q164 tombstone set
@@ -8240,6 +8302,10 @@ POST_WINDOW: list[str] = [
     # tombstone backlog — q105's diagnosis applied to the vector
     # store) — scheduled for rotation #11 (round 15)
     "q166_index_stats",
+    # round 14: X69 cluster-balanced sampling (X37's temperature mix
+    # over embedding-space clusters — assignment ∘ rates ∘ hash
+    # membership) — scheduled for rotation #11 (round 15)
+    "q167_cluster_balanced_sample",
 ]
 
 

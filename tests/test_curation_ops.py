@@ -1776,3 +1776,62 @@ def test_dsir_resample_matches_python_lottery_replay(spark):
     want = [(i, scores[i], wt(scores[i]), t) for t, i in lottery]
     assert sorted((r.doc_id, r.dsir_logw, r.weight, r.ticket)
                   for r in got) == sorted(want)
+
+
+def test_cluster_balanced_sample_rates_and_membership(spark):
+    """X69: on planted clusters (two tight modes of very different
+    sizes around distinct anchors) the sample's rates equal the python
+    replay of q124's n^alpha formula on the CLUSTER sizes, membership
+    is exactly the hash-bucket rule keyed by vec_id, and the rare
+    cluster's keep-rate exceeds the dominant cluster's (the flattening
+    X69 exists for).  alpha=1 at budget 1.0 keeps everything."""
+    from real_time_iot_data_pipeline_project_spark.operators import (
+        sampling,
+        similarity,
+    )
+
+    def vec(anchor, i, dim=8):
+        # tight noise around two orthogonal-ish anchors
+        base = [0.0] * dim
+        base[anchor] = 10.0
+        base[(anchor + 3) % dim] = 5.0
+        return [float(x + math.sin(i * 7 + j) * 0.05)
+                for j, x in enumerate(base)]
+
+    rows = ([(i, vec(0, i)) for i in range(80)]          # dominant mode
+            + [(100 + i, vec(4, i)) for i in range(10)])  # rare mode
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = sampling.cluster_balanced_sample(df, n_centroids=2, alpha=0.7,
+                                           budget_frac=0.5)
+    got = out.collect()
+    assert set(out.columns) == {"vec_id", "centroid_id", "rate_pct"}
+
+    # replay: cluster sizes from the gated assignment rule
+    cents = similarity.sampled_centroids(df, 2)
+    assigned = {r.vec_id: r.centroid_id for r in
+                similarity.assign_centroids(df, cents).select(
+                    "vec_id", "centroid_id").collect()}
+    sizes: dict[int, int] = {}
+    for c in assigned.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    n_total = sum(sizes.values())
+    wsum = sum(round(n ** 0.7, 6) for n in sizes.values())
+    rates = {c: min(100, round(100.0 * 0.5 * n_total
+                               * (round(n ** 0.7, 6) / wsum) / n))
+             for c, n in sizes.items()}
+    # the rare cluster keeps a HIGHER per-row rate
+    small = min(sizes, key=sizes.get)
+    big = max(sizes, key=sizes.get)
+    assert rates[small] > rates[big]
+
+    def bucket(i):
+        return int(hashlib.md5(f"cmix|{i}".encode())
+                   .hexdigest()[:15], 16) % 100
+
+    want = {(i, assigned[i], rates[assigned[i]])
+            for i in assigned if bucket(i) < rates[assigned[i]]}
+    assert {(r.vec_id, r.centroid_id, r.rate_pct) for r in got} == want
+
+    full = sampling.cluster_balanced_sample(df, n_centroids=2,
+                                            alpha=1.0, budget_frac=1.0)
+    assert full.count() == len(rows)

@@ -94,6 +94,7 @@ PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
         "q164_index_delete_search",
         "q165_pq_rerank_search",
         "q166_index_stats",
+        "q167_cluster_balanced_sample",
     ]),
 }
 

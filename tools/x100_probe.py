@@ -650,6 +650,9 @@ def main() -> None:
         # round-14: store health report — one narrow-column scan +
         # centroid-sized aggregates; expectation ~linear scan slope
         ("q166_index_stats", probe_query("q166_index_stats")),
+        # round-14: cluster-balanced sample — one broadcast argmax
+        # scan + centroid-sized rates; expectation ~linear scan slope
+        ("q167_cluster_sample", probe_query("q167_cluster_balanced_sample")),
     )
     for name, fn in probes:
         if only is not None and name not in only:
