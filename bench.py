@@ -225,6 +225,7 @@ HEADLINE = [
     "q165_pq_rerank_search",
     "q166_index_stats",
     "q167_cluster_balanced_sample",
+    "q168_tokenizer_fertility",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

@@ -317,6 +317,8 @@ EVIDENCE: dict[str, dict] = {
         "test_ann_index.py::test_index_report_counts_share_and_skew"]},
     "X69": {"queries": ["q167_cluster_balanced_sample"], "tests": [
         "test_curation_ops.py::test_cluster_balanced_sample_rates_and_membership"]},
+    "X70": {"queries": ["q168_tokenizer_fertility"], "tests": [
+        "test_curation_ops.py::test_tokenizer_fertility_hand_computed"]},
     "X63": {"queries": ["q160_pq_refined_recall"], "tests": [
         "test_curation_ops.py::test_pq_refine_distortion_non_increasing_and_drift_free",
         "test_curation_ops.py::test_pq_refined_recall_report_spine_and_raw_anchor"]},

@@ -426,3 +426,37 @@ def dsir_scores(df: DataFrame, seed: DataFrame,
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_feat"),
              F.round(F.sum(term).cast("double"), 6).alias("dsir_logw")))
+
+
+def tokenizer_fertility_report(df: DataFrame, text_col: str = "text",
+                               lang_col: str = "lang") -> DataFrame:
+    """Per-language tokenizer FERTILITY report (round 14, X70):
+    subword tokens per whitespace word and characters per subword —
+    the standard tokenizer-evaluation table (fertility ≈ 1 means the
+    vocabulary covers the language's words whole; fertility ≫ 1 means
+    the tokenizer shreds it, inflating sequence lengths and training
+    cost for that language).  At 100 TB you read THIS table before
+    committing to a vocabulary: a language at fertility 3 costs 3× the
+    compute per word of one at 1.2, and the per-language budget math
+    (X37/X44's mixes are in tokens) silently shifts.
+
+    Counts are the gated textfns expressions (whitespace token_count
+    over the normalized grid, the BPE-ish regex subword counter,
+    char_count) summed as exact integers; the two ratios are one
+    round-6 division of exact integers — deterministic cross-engine
+    (q168's gate).  Scale: one scan, one lang-keyed combinable
+    aggregate — dimension-sized output."""
+    words = textfns.token_count(text_col).cast("long")
+    subwords = textfns.bpe_token_count(text_col).cast("long")
+    chars = textfns.char_count(text_col).cast("long")
+    return (df.groupBy(lang_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum(words).alias("n_words"),
+                 F.sum(subwords).alias("n_subwords"),
+                 F.sum(chars).alias("n_chars"))
+            .select(lang_col, "n_docs", "n_words", "n_subwords",
+                    F.round(F.col("n_subwords").cast("double")
+                            / F.col("n_words"), 6).alias("fertility"),
+                    F.round(F.col("n_chars").cast("double")
+                            / F.col("n_subwords"), 6)
+                    .alias("chars_per_subword")))

@@ -7912,6 +7912,43 @@ def q161_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  salt="dsir")
 
 
+@query(
+    "q168_tokenizer_fertility",
+    f"""
+    WITH per AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split({_NORM_SQL}, ' '))) AS BIGINT)
+               AS n_words,
+             CAST(SUM(len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT)
+               AS n_subwords,
+             CAST(SUM(length(text)) AS BIGINT) AS n_chars
+      FROM documents GROUP BY lang
+    )
+    SELECT lang, n_docs, n_words, n_subwords,
+           round(CAST(n_subwords AS DOUBLE) / n_words, 6) AS fertility,
+           round(CAST(n_chars AS DOUBLE) / n_subwords, 6)
+             AS chars_per_subword
+    FROM per
+    """,
+)
+def q168_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X70 — per-language tokenizer fertility report
+    (textops.tokenizer_fertility_report): subword tokens per
+    whitespace word and characters per subword, per language — the
+    standard tokenizer-evaluation table read BEFORE committing a
+    vocabulary to a 100 TB tokenization run (a language at fertility
+    3 costs ~3× the compute per word of one at 1.2, and every
+    token-denominated budget — X37/X44's mixes, X48's epoch plans —
+    silently shifts with it).  Counts are the gated q28 textfns
+    expressions summed as exact integers; the two ratios are one
+    round-6 division of exact integers.  Scale: one scan, one
+    lang-keyed combinable aggregate, dimension-sized output."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.tokenizer_fertility_report(docs)
+
+
 def _cluster_sample_sql(n_centroids: int = 16, alpha: float = 0.7,
                         budget: float = 0.5) -> str:
     """q167 oracle: the q155 centroid sample + argmax assignment
@@ -8306,6 +8343,10 @@ POST_WINDOW: list[str] = [
     # over embedding-space clusters — assignment ∘ rates ∘ hash
     # membership) — scheduled for rotation #11 (round 15)
     "q167_cluster_balanced_sample",
+    # round 14: X70 per-language tokenizer fertility report (the
+    # vocabulary-sizing table every token-denominated budget depends
+    # on) — scheduled for rotation #11 (round 15)
+    "q168_tokenizer_fertility",
 ]
 
 

@@ -1835,3 +1835,36 @@ def test_cluster_balanced_sample_rates_and_membership(spark):
     full = sampling.cluster_balanced_sample(df, n_centroids=2,
                                             alpha=1.0, budget_frac=1.0)
     assert full.count() == len(rows)
+
+
+def test_tokenizer_fertility_hand_computed(spark):
+    """X70 hand case: fertility and chars_per_subword equal the exact
+    integer-sum ratios per language, NULL-text docs count toward
+    n_docs but not the token sums, and a fertility-heavy language
+    (punctuation-dense text shreds under the BPE-ish rule) reads
+    higher than plain prose."""
+    from real_time_iot_data_pipeline_project_spark.operators import textops
+
+    rows = [
+        (1, "the quick brown fox", "en"),
+        (2, "jumps over dogs", "en"),
+        (3, "a,b,c!d?e;f", "xx"),      # punctuation-dense: shreds
+        (4, None, "en"),               # NULL text: n_docs only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r.lang: r for r in
+           textops.tokenizer_fertility_report(df).collect()}
+
+    # en: 4+3 words; subwords = regex runs: 'the quick brown fox'->4,
+    # 'jumps over dogs'->3; chars 19+15
+    en = got["en"]
+    assert (en.n_docs, en.n_words, en.n_subwords, en.n_chars
+            if hasattr(en, "n_chars") else None) in [
+        (3, 7, 7, None)]
+    assert en.fertility == round(7 / 7, 6)
+    assert en.chars_per_subword == round((19 + 15) / 7, 6)
+    # xx: 1 whitespace word; subwords = 6 letters + 5 punct = 11
+    xx = got["xx"]
+    assert (xx.n_docs, xx.n_words, xx.n_subwords) == (1, 1, 11)
+    assert xx.fertility == 11.0
+    assert xx.fertility > en.fertility

@@ -95,6 +95,7 @@ PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
         "q165_pq_rerank_search",
         "q166_index_stats",
         "q167_cluster_balanced_sample",
+        "q168_tokenizer_fertility",
     ]),
 }
 

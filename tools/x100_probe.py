@@ -653,6 +653,9 @@ def main() -> None:
         # round-14: cluster-balanced sample — one broadcast argmax
         # scan + centroid-sized rates; expectation ~linear scan slope
         ("q167_cluster_sample", probe_query("q167_cluster_balanced_sample")),
+        # round-14: fertility report — one scan into a lang-keyed
+        # combinable aggregate; expectation ~linear scan slope
+        ("q168_fertility", probe_query("q168_tokenizer_fertility")),
     )
     for name, fn in probes:
         if only is not None and name not in only:
