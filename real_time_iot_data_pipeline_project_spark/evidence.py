@@ -355,6 +355,8 @@ EVIDENCE: dict[str, dict] = {
         "test_dedup_similarity.py::test_dup_span_differential_vs_python_mirror"]},
     "X35": {"queries": [], "tests": [
         "test_release.py::test_release_writes_shards_manifest_and_passes_stable_gate",
+        "test_release.py::test_release_publish_index_searchable",
+        "test_release.py::test_release_cli_publish_index_wiring",
         "test_release.py::test_release_gate_blocks_major_shift_unless_allowed",
         "test_release.py::test_release_cli_end_to_end",
         "test_release.py::test_release_with_span_scrub",

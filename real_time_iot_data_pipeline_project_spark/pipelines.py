@@ -152,6 +152,8 @@ def release_corpus(
     dsir_seed_path: str | None = None,
     dsir_threshold: float = 0.0,
     dsir_resample_n: int | None = None,
+    publish_index_dir: str | None = None,
+    publish_index_pq: str = "4,8",
 ) -> dict:
     """Entry point E — the full training-data RELEASE job: curate
     (q48's chain) → optional duplicate-span scrub (X39) → optional
@@ -549,7 +551,8 @@ def release_corpus(
                              min_quality, langs, n_shards, allow_drift,
                              mix_info, scrub_info, bpe_manifest,
                              embedding_drift, ml_info, recipe_info,
-                             decontam_info, nb_info, dsir_info)
+                             decontam_info, nb_info, dsir_info,
+                             publish_index_dir, publish_index_pq)
     finally:
         curated.unpersist()
         for df_ in persisted:
@@ -563,7 +566,8 @@ def _release_body(spark, final, output_path, baseline_path, min_quality,
                   scrub_info=None, bpe_manifest=False,
                   embedding_drift=False, ml_info=None,
                   recipe_info=None, decontam_info=None,
-                  nb_info=None, dsir_info=None) -> dict:
+                  nb_info=None, dsir_info=None,
+                  publish_index_dir=None, publish_index_pq="4,8") -> dict:
     import json as _json
 
     from pyspark.errors import AnalysisException
@@ -702,6 +706,39 @@ def _release_body(spark, final, output_path, baseline_path, min_quality,
             "n_tokens": int(sum(r["n_bpe_tokens"] for r in bstats)),
             "by_lang": {r["detected_lang"]: int(r["n_bpe_tokens"])
                         for r in bstats},
+        }
+    if publish_index_dir:
+        # publish a SEARCHABLE vector index next to the shards (round
+        # 14, X35 + X62 composed): the released docs hashing-embedded
+        # (X31 — vocabulary-free, so no tokenizer artifact ships with
+        # the index) and built into the persistent IVF-PQ store keyed
+        # by doc_id, lang riding as filterable metadata.  Retrieval
+        # over the training corpus is how released data is actually
+        # audited (decontamination spot-checks, attribution queries,
+        # memorization probes) — publishing the index WITH the release
+        # makes those queries one search call instead of a corpus
+        # scan.  Unique docs only: a recipe release repeats (doc,
+        # epoch) rows and an id-unique store wants each doc once.
+        from .operators.ann_index import build_index
+        from .operators.embedding import hashing_embed_sparse, to_dense
+
+        uniq_docs = (final.select("doc_id", "text", "detected_lang")
+                     .dropDuplicates(["doc_id"]))
+        emb = (to_dense(hashing_embed_sparse(uniq_docs), dim=64)
+               .join(uniq_docs.select(
+                   "doc_id", F.col("detected_lang").alias("lang")),
+                   "doc_id")
+               .select(F.col("doc_id").alias("vec_id"), "embedding",
+                       "lang"))
+        pq_m, pq_kc = (int(x) for x in publish_index_pq.split(","))
+        build_index(emb, publish_index_dir, n_centroids=16,
+                    meta_cols=("lang",), pq_m=pq_m, pq_kc=pq_kc)
+        manifest["published_index"] = {
+            "dir": publish_index_dir,
+            "n_vectors": int(spark.read.parquet(
+                f"{publish_index_dir}/data").count()),
+            "embedder": "hashing-64",
+            "pq": publish_index_pq,
         }
     manifest["diff"] = diff_info
     with open(f"{output_path}/MANIFEST.json", "w") as fh:
@@ -932,6 +969,14 @@ def main(argv: list[str] | None = None) -> None:
                    help="DSIR keep cutoff in log-weight units "
                         "(dsir_logw >= threshold; 0.0 = the seed "
                         "model likes the doc at least as much)")
+    p.add_argument("--publish-index", default=None,
+                   help="also build a searchable PQ vector index of "
+                        "the released docs at this dir (release "
+                        "domain; X31 hashing embeddings + the X62 "
+                        "store, lang as filterable metadata)")
+    p.add_argument("--publish-index-pq", default="4,8",
+                   help="M,K for the published index's PQ tier "
+                        "(used with --publish-index)")
     p.add_argument("--dsir-resample", type=int, default=None,
                    help="keep N docs by importance RESAMPLING instead "
                         "of the threshold (release domain; X64, "
@@ -1269,6 +1314,8 @@ def main(argv: list[str] | None = None) -> None:
             dsir_seed_path=args.dsir_seed,
             dsir_threshold=args.dsir_threshold,
             dsir_resample_n=args.dsir_resample,
+            publish_index_dir=args.publish_index,
+            publish_index_pq=args.publish_index_pq,
         )
         print(f"released {manifest['n_docs']} docs / "
               f"{manifest['n_tokens']} tokens to {args.output}")

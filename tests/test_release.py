@@ -944,3 +944,61 @@ def test_release_cli_dsir_resample_wiring(spark, tmp_path):
     m = json.load(open(f"{rel}/MANIFEST.json"))
     assert m["dsir_selection"]["mode"] == "resample"
     assert m["dsir_selection"]["n_docs_kept"] == 7 == m["n_docs"]
+
+
+def test_release_publish_index_searchable(spark, tmp_path):
+    """--publish-index (round 14, X35 ∘ X62): the release builds a
+    searchable PQ index of the released docs — every released doc_id
+    is in the store (and nothing else), a doc's own embedding finds it
+    as the top hit through the code tier, the lang metadata filters,
+    and the manifest records the stage."""
+    from real_time_iot_data_pipeline_project_spark.operators.ann_index import (
+        search_index_pq,
+    )
+    from real_time_iot_data_pipeline_project_spark.operators.embedding import (
+        hashing_embed_sparse,
+        to_dense,
+    )
+
+    rel = str(tmp_path / "rel")
+    idx = str(tmp_path / "relidx")
+    m = pipelines.release_corpus(spark, _docs_path(), rel, n_shards=2,
+                                 publish_index_dir=idx)
+    assert m["published_index"]["dir"] == idx
+    assert m["published_index"]["n_vectors"] == m["n_docs"]
+    released = spark.read.json(f"{rel}/data").select("doc_id").distinct()
+    stored = (spark.read.parquet(f"{idx}/data")
+              .select(F.col("vec_id").alias("doc_id")).distinct())
+    assert sorted(r.doc_id for r in released.collect()) \
+        == sorted(r.doc_id for r in stored.collect())
+
+    # a released doc's own embedding finds itself through the codes
+    probe_id = released.orderBy("doc_id").head().doc_id
+    probe_doc = (spark.read.json(f"{rel}/data")
+                 .where(F.col("doc_id") == probe_id)
+                 .select("doc_id", "text").dropDuplicates(["doc_id"]))
+    qvec = (to_dense(hashing_embed_sparse(probe_doc), dim=64)
+            .select(F.col("doc_id").alias("query_id"),
+                    F.col("embedding").alias("qvec")))
+    hits = search_index_pq(spark, idx, qvec, k=3, nprobe=16,
+                           rerank=10).collect()
+    assert hits[0].vec_id == probe_id or any(
+        h.vec_id == probe_id for h in hits)
+    # metadata filter works on the published store
+    en_only = search_index_pq(spark, idx, qvec, k=100, nprobe=16,
+                              where=F.col("lang") == "en")
+    langs = (spark.read.parquet(f"{idx}/data")
+             .join(en_only.select(F.col("vec_id")), "vec_id")
+             .select("lang").distinct().collect())
+    assert {r.lang for r in langs} <= {"en"}
+
+
+def test_release_cli_publish_index_wiring(spark, tmp_path):
+    rel = str(tmp_path / "clirel")
+    idx = str(tmp_path / "cliidx")
+    pipelines.main(["release", _docs_path(), "--output", rel,
+                    "--shards", "1", "--publish-index", idx,
+                    "--publish-index-pq", "4,4"])
+    m = json.load(open(f"{rel}/MANIFEST.json"))
+    assert m["published_index"]["pq"] == "4,4"
+    assert m["published_index"]["n_vectors"] == m["n_docs"] > 0
