@@ -226,6 +226,7 @@ HEADLINE = [
     "q166_index_stats",
     "q167_cluster_balanced_sample",
     "q168_tokenizer_fertility",
+    "q169_semantic_decontam",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

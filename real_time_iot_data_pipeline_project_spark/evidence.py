@@ -319,6 +319,8 @@ EVIDENCE: dict[str, dict] = {
         "test_curation_ops.py::test_cluster_balanced_sample_rates_and_membership"]},
     "X70": {"queries": ["q168_tokenizer_fertility"], "tests": [
         "test_curation_ops.py::test_tokenizer_fertility_hand_computed"]},
+    "X71": {"queries": ["q169_semantic_decontam"], "tests": [
+        "test_curation_ops.py::test_semantic_decontam_catches_paraphrase_exact_screen_misses"]},
     "X63": {"queries": ["q160_pq_refined_recall"], "tests": [
         "test_curation_ops.py::test_pq_refine_distortion_non_increasing_and_drift_free",
         "test_curation_ops.py::test_pq_refined_recall_report_spine_and_raw_anchor"]},

@@ -151,3 +151,55 @@ def scrub_probe_spans(docs: DataFrame, probes: DataFrame,
                .select(id_col, "pos"))
     return dedup._excise_spans(base, flagged, id_col, window_tokens,
                                with_text=True)
+
+
+def semantic_decontam_hits(docs, probes, threshold: float = 0.8,
+                           text_col: str = "text",
+                           id_col: str = "doc_id",
+                           probe_id_col: str = "probe_id",
+                           dim: int = 64):
+    """Embedding-space contamination screen (round 14, X71): flag
+    corpus docs whose hashing-trick embedding is within ``threshold``
+    cosine of an eval probe's — the SEMANTIC tier of the
+    decontamination family.  Exact n-gram screening (X5's chunk-hash
+    overlap / q151's span excision) catches verbatim leakage;
+    PARAPHRASED eval items — reworded questions, translated passages,
+    boilerplate-stripped copies — share no 8-token chunk and sail
+    through, but land near the original in embedding space.  Modern
+    decontamination runs both tiers; this is the second.
+
+    Composition of gated rules only: X31's vocabulary-free hashing
+    embeddings on BOTH sides (no model artifact to ship or pin; the
+    q118 determinism argument — integer sums, exact sqrt, one
+    division — makes every vector bit-identical cross-engine) and the
+    q37/q39 cosine arithmetic, thresholded on the raw double
+    (identical expression trees both engines), reported at 6 dp.
+    Returns (doc_id, probe_id, cosine_sim) — one row per flagged
+    (doc, probe) pair; feed ``.select(id).distinct()`` to a left_anti
+    join to drop, or audit the report directly.
+
+    Scale shape: eval probe sets are BOUNDED (10²–10⁴ rows), so the
+    probe embeddings broadcast and the screen is ONE scan-stage
+    n·|probes| cosine pass over the corpus embeddings — no shuffle,
+    no index required.  At probe counts where that pass is too wide,
+    nominate candidates with the X62 store (search_index_pq per
+    probe) and use this operator as the exact verification tier on
+    the nominated pairs (the q32→q128 candidate/verify precedent)."""
+    from pyspark.sql import functions as F
+
+    from .embedding import hashing_embed_sparse, to_dense
+    from .similarity import cosine
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    demb = to_dense(hashing_embed_sparse(docs, text_col, id_col, dim),
+                    id_col, dim)
+    pemb = (to_dense(hashing_embed_sparse(probes, text_col,
+                                          probe_id_col, dim),
+                     probe_id_col, dim)
+            .withColumnRenamed("embedding", "__pvec"))
+    cos = cosine(F.col("embedding"), F.col("__pvec"))
+    return (demb.crossJoin(F.broadcast(pemb))
+            .where(cos >= F.lit(float(threshold)))
+            .select(id_col, probe_id_col,
+                    F.round(cos, 6).alias("cosine_sim")))

@@ -7912,6 +7912,83 @@ def q161_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  salt="dsir")
 
 
+def _semantic_decontam_sql(mod: int = 211, threshold: float = 0.8) -> str:
+    """q169 oracle: q119's hashing-embed CTEs for the corpus, the
+    probe slice (doc_id % mod = 0) re-read from the same dense table,
+    and the q37 cosine arithmetic thresholded on the raw double."""
+    cos = _list_cos_sql("d.embedding", "p.embedding", cast=False)
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+      FROM documents
+    ),
+    tt AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+    h AS (
+      SELECT doc_id, {_hash60_sql('t')} AS h60 FROM tt
+    ),
+    s AS (
+      SELECT doc_id, h60 % 64 AS bucket,
+             CASE WHEN (h60 // 64) % 2 = 0 THEN 1 ELSE -1 END AS sign
+      FROM h
+    ),
+    w AS (
+      SELECT doc_id, bucket, SUM(sign) AS wsum
+      FROM s GROUP BY doc_id, bucket
+      HAVING SUM(sign) <> 0
+    ),
+    n AS (
+      SELECT doc_id, sqrt(SUM(CAST(wsum AS DOUBLE) * wsum)) AS nrm
+      FROM w GROUP BY doc_id
+    ),
+    sp AS (
+      SELECT w.doc_id, w.bucket, w.wsum / n.nrm AS weight
+      FROM w JOIN n ON w.doc_id = n.doc_id
+    ),
+    g AS (
+      SELECT i.doc_id, gs.pos
+      FROM (SELECT DISTINCT doc_id FROM sp) i
+      CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS pos) gs
+    ),
+    dense AS (
+      SELECT g.doc_id,
+             list(COALESCE(sp.weight, 0.0) ORDER BY g.pos) AS embedding
+      FROM g LEFT JOIN sp ON sp.doc_id = g.doc_id AND sp.bucket = g.pos
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id, p.doc_id AS probe_id,
+           round({cos}, 6) AS cosine_sim
+    FROM dense d
+    CROSS JOIN (SELECT * FROM dense WHERE doc_id % {mod} = 0) p
+    WHERE {cos} >= {threshold}
+    """
+
+
+@query("q169_semantic_decontam", _semantic_decontam_sql())
+def q169_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X71 — embedding-space contamination screen
+    (contamination.semantic_decontam_hits): the SEMANTIC tier of the
+    decontamination family — exact n-gram screening (X5/q151) catches
+    verbatim leakage; paraphrased eval items share no 8-token chunk
+    and sail through, but land near the original in embedding space.
+    Probes = the doc_id % 211 slice standing in for an eval set; any
+    corpus doc within cosine 0.8 of a probe's hashing embedding is
+    flagged (probes flag themselves at 1.0 — the planted anchor).
+    Composition of gated rules only: q118's bit-identical embeddings
+    on both sides + q37's cosine, thresholded on the raw double,
+    reported at 6 dp.  Scale: probe sets are bounded — broadcast —
+    so the screen is ONE scan-stage n·|probes| cosine pass; at wider
+    probe counts, nominate with the X62 store and use this as the
+    exact verification tier."""
+    from .operators import contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    probes = (docs.where(F.col("doc_id") % 211 == 0)
+              .select(F.col("doc_id").alias("probe_id"),
+                      F.col("text")))
+    return contamination.semantic_decontam_hits(docs, probes,
+                                                threshold=0.8)
+
+
 @query(
     "q168_tokenizer_fertility",
     f"""
@@ -8347,6 +8424,10 @@ POST_WINDOW: list[str] = [
     # vocabulary-sizing table every token-denominated budget depends
     # on) — scheduled for rotation #11 (round 15)
     "q168_tokenizer_fertility",
+    # round 14: X71 semantic decontamination (the embedding-space
+    # probe screen — the paraphrase tier exact n-gram screening
+    # can't see) — scheduled for rotation #11 (round 15)
+    "q169_semantic_decontam",
 ]
 
 

@@ -1868,3 +1868,43 @@ def test_tokenizer_fertility_hand_computed(spark):
     assert (xx.n_docs, xx.n_words, xx.n_subwords) == (1, 1, 11)
     assert xx.fertility == 11.0
     assert xx.fertility > en.fertility
+
+
+def test_semantic_decontam_catches_paraphrase_exact_screen_misses(spark):
+    """X71 planted case: a REORDERED copy of an eval probe shares no
+    8-token chunk with it (the exact X5 screen sees nothing) but has
+    the identical bag-of-words hashing embedding — cosine 1.0 — and is
+    flagged; an unrelated doc is not; probes flag themselves at 1.0;
+    the threshold validates."""
+    from real_time_iot_data_pipeline_project_spark.operators import (
+        contamination,
+    )
+
+    probe_text = ("the quick brown fox jumps over the lazy dog "
+                  "while seven wizards watch quietly tonight")
+    reordered = ("tonight quietly watch wizards seven while dog "
+                 "lazy the over jumps fox brown quick the")
+    docs = spark.createDataFrame(
+        [(1, probe_text), (2, reordered),
+         (3, "completely different subject matter entirely unrelated "
+             "financial markets collapse again")],
+        "doc_id long, text string")
+    probes = spark.createDataFrame([(100, probe_text)],
+                                   "probe_id long, text string")
+
+    hits = contamination.semantic_decontam_hits(docs, probes,
+                                                threshold=0.95)
+    got = {(r.doc_id, r.probe_id): r.cosine_sim for r in hits.collect()}
+    assert got[(1, 100)] == 1.0   # verbatim
+    assert got[(2, 100)] == 1.0   # paraphrase (reorder): bag-identical
+    assert (3, 100) not in got    # unrelated
+
+    # the exact containment screen misses the reorder (its whole gap)
+    exact = contamination.screen_probes(
+        docs.where(F.col("doc_id") == 2),
+        probes.select("probe_id", F.col("text").alias("probe_text")))
+    assert exact.count() == 0
+
+    import pytest
+    with pytest.raises(ValueError, match="threshold"):
+        contamination.semantic_decontam_hits(docs, probes, threshold=0.0)

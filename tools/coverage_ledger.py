@@ -96,6 +96,7 @@ PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
         "q166_index_stats",
         "q167_cluster_balanced_sample",
         "q168_tokenizer_fertility",
+        "q169_semantic_decontam",
     ]),
 }
 

@@ -123,6 +123,28 @@ def probe_pq_search_only(spark, sf_dir: str) -> dict:
     return {"sec": round(time.monotonic() - t0, 2), "rows": n}
 
 
+def probe_semantic_fixed_probes(spark, sf_dir: str) -> dict:
+    """X71 at the production shape: |probes| pinned to the sf0.1
+    slice (~0.5% of 6k docs) at every decade while the CORPUS scales —
+    the q169 registry probe lets probes grow with the replica (the
+    1/211 slice), which makes pairs ~n²/211 by harness construction;
+    an eval set is fixed in reality."""
+    from pyspark.sql import functions as F
+
+    from real_time_iot_data_pipeline_project_spark.operators import (
+        contamination,
+    )
+
+    docs = registry._t(spark, sf_dir, "documents")
+    probes = (registry._t(spark, SF01, "documents")
+              .where(F.col("doc_id") % 211 == 0)
+              .select(F.col("doc_id").alias("probe_id"), "text"))
+    t0 = time.monotonic()
+    n = contamination.semantic_decontam_hits(docs, probes,
+                                             threshold=0.8).count()
+    return {"sec": round(time.monotonic() - t0, 2), "rows": n}
+
+
 def probe_waterfill_prethin(spark, sf_dir: str) -> dict:
     """q139's exact invocation with the round-12 ``prethin_margin``
     shortcut: rows above the (1+margin)*allocation/capacity hash
@@ -656,6 +678,16 @@ def main() -> None:
         # round-14: fertility report — one scan into a lang-keyed
         # combinable aggregate; expectation ~linear scan slope
         ("q168_fertility", probe_query("q168_tokenizer_fertility")),
+        # round-14: semantic decontam — embed scan + one n*|probes|
+        # scan-stage cosine pass vs the broadcast probe embeddings;
+        # probes thin as 1/211 of docs, so the pair count grows ~n^2/211
+        # on the wrap-free replica — watch the slope, the production
+        # shape holds |probes| FIXED
+        ("q169_semantic_decontam", probe_query("q169_semantic_decontam")),
+        # ... and the PRODUCTION shape: the probe set held FIXED (an
+        # eval set does not grow with the corpus) while docs scale —
+        # expectation ~linear in docs at constant |probes|
+        ("semantic_decontam_fixed", probe_semantic_fixed_probes),
     )
     for name, fn in probes:
         if only is not None and name not in only:
