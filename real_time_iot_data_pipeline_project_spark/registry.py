@@ -3135,6 +3135,66 @@ DEFERRED: list[str] = [
     # promoted q156 gates the identical mergeable-integer-count fold
     # contract on the DSIR pool model
     "q150_stream_nb_train",
+    # --- round-15 consolidation (VERDICT r14 item 1, rotation #11):
+    # eleven subsumable twins deferred so the round-14 operators (the
+    # persisted PQ store search q159 + filtered q162, refined recall
+    # q160, DSIR resampling q161, streaming index ingestion q163,
+    # deletes q164, exact re-ranking q165, the store health report
+    # q166, cluster-balanced sampling q167, tokenizer fertility q168,
+    # semantic decontamination q169) carry first-time official gate
+    # rows.  All eleven deferred twins carried green rows through
+    # CORRECTNESS_r14 (the full r14 window was 50/50 green);
+    # tests/test_export_order.py SUBSUMPTION maps each to in-window
+    # survivors; every deferred oracle still runs in the local gate.
+    # hashing embedder: promoted q169 builds the SAME X31 embedding on
+    # BOTH of its sides (its oracle literally contains q118's CTEs);
+    # the bit-identical determinism claim stays gated through it
+    "q118_hashing_embed",
+    # temperature mixture: promoted q167 runs the SAME X37 integer-
+    # percent rates + hash-bucket membership with centroid_id as the
+    # stratum (its oracle contains q124's rate SQL verbatim)
+    "q124_temperature_mix",
+    # 2-dim Z-order interleave: q136's pruned READ writes the layout
+    # with the same zorder_key expression and gates its consumer-side
+    # economics — the curve arithmetic rides inside the gated write
+    "q134_zorder_curve",
+    # decontamination by excision: the window-grid excision machinery
+    # is q129's gated rule verbatim against the probes' window store;
+    # the decontamination family row moves to promoted q169's semantic
+    # tier (the probe-store construction stays pinned by
+    # tests/test_contamination.py and the release e2e)
+    "q151_decontam_scrub",
+    # filtered recall@k curve: promoted q160 gates the same
+    # spine/hits/recall assembly (on the codebook axis) and promoted
+    # q162 gates the filtered production search at the persisted tier
+    # (PushedFilters composed with DPP — the richer X52 consumer)
+    "q152_filtered_ann_recall",
+    # DSIR importance weights: promoted q161's resample IS q153's
+    # score rule composed with the ticket lottery (its oracle wraps
+    # q153's SQL as a CTE — the richer selection-step consumer)
+    "q153_dsir_scores",
+    # PQ/ADC search: promoted q159 serves the SAME codebook/encode/
+    # LUT/ADC arithmetic from the persisted code tier (persisted ==
+    # inline pinned by test; q159's oracle is the same ADC SQL family)
+    "q154_pq_adc_topk",
+    # inline IVF-PQ raw: promoted q159's oracle IS q155's SQL — the
+    # persisted store is the production serving shape of the same
+    # two-stage probe + ADC rule (the q56/q79 production-twin rule)
+    "q155_ivfpq_topk",
+    # streaming DSIR pool fold: its gated claim is fold == batch
+    # (official r14); promoted q161 keeps the batch DSIR rule
+    # in-window and promoted q163 gates the identical exactly-once
+    # batch_id-keyed streaming fold contract on the index store
+    "q156_stream_dsir_pool",
+    # PQ recall@k curve: promoted q160 runs the SAME pq recall spine
+    # (raw anchor + refined variant at equal (m, kc) — the raw rung
+    # rides inside the gated report)
+    "q157_pq_recall",
+    # inline IVF-PQ residual: the persisted store serves raw AND
+    # residual from the same entry point (manifest-dispatched;
+    # persisted == inline residual pinned by test) — promoted q159
+    # carries the IVF-PQ family's official serving row
+    "q158_ivfpq_residual",
 ]
 
 
@@ -8382,52 +8442,15 @@ POST_WINDOW: list[str] = [
     # deferred, see the round-14 DEFERRED block.  New queries must be
     # registered HERE and scheduled in tools/coverage_ledger.py
     # PLANNED_ROTATIONS, or they silently displace the pinned window.)
-    # round 14: X62 persisted PQ tier of the IVF index store (VERDICT
-    # r13 item 2 — codes written once, appends encode against pinned
-    # codebooks, search reads ints only) — scheduled for rotation #11
-    # (round 15)
-    "q159_pq_index_search",
-    # round 14: X63 refined-vs-raw PQ recall (VERDICT r13 item 3 —
-    # the Lloyd step over the product space, gated end-to-end) —
-    # scheduled for rotation #11 (round 15)
-    "q160_pq_refined_recall",
-    # round 14: X64 DSIR importance resampling (VERDICT r13 item 4 —
-    # q153's log weight through the pinned 1-nat ticket mapping into
-    # q104's integer lottery) — scheduled for rotation #11 (round 15)
-    "q161_dsir_resample",
-    # round 14: X52 ∘ X62 — filtered search on the persisted PQ code
-    # tier (metadata pushdown composed with DPP on the codes scan) —
-    # scheduled for rotation #11 (round 15)
-    "q162_pq_filtered_search",
-    # round 14: X65 streaming index ingestion (ingest_id-keyed
-    # exactly-once appends against pinned centroids + codebooks;
-    # fold == batch-build-with-pinned-parameters) — scheduled for
-    # rotation #11 (round 15)
-    "q163_stream_index_append",
-    # round 14: X66 index deletes (tombstone anti-join; search-after-
-    # delete == never-held, physically dropped by out-of-place
-    # compaction) — scheduled for rotation #11 (round 15)
-    "q164_index_delete_search",
-    # round 14: X67 exact re-ranking over ADC candidates (the FAISS
-    # IndexRefineFlat pattern: bounded float refine of the lossy code
-    # nomination) — scheduled for rotation #11 (round 15)
-    "q165_pq_rerank_search",
-    # round 14: X68 store health report (per-centroid occupancy/skew +
-    # tombstone backlog — q105's diagnosis applied to the vector
-    # store) — scheduled for rotation #11 (round 15)
-    "q166_index_stats",
-    # round 14: X69 cluster-balanced sampling (X37's temperature mix
-    # over embedding-space clusters — assignment ∘ rates ∘ hash
-    # membership) — scheduled for rotation #11 (round 15)
-    "q167_cluster_balanced_sample",
-    # round 14: X70 per-language tokenizer fertility report (the
-    # vocabulary-sizing table every token-denominated budget depends
-    # on) — scheduled for rotation #11 (round 15)
-    "q168_tokenizer_fertility",
-    # round 14: X71 semantic decontamination (the embedding-space
-    # probe screen — the paraphrase tier exact n-gram screening
-    # can't see) — scheduled for rotation #11 (round 15)
-    "q169_semantic_decontam",
+    # (round 15, rotation #11: q159-q169 — the round-14 operators (the
+    # persisted PQ store search + filtered search, refined recall,
+    # DSIR resampling, streaming index ingestion, deletes, exact
+    # re-ranking, the store health report, cluster-balanced sampling,
+    # tokenizer fertility, semantic decontamination) — promoted INTO
+    # the official window; eleven subsumable twins deferred, see the
+    # round-15 DEFERRED block.  New queries must be registered HERE
+    # and scheduled in tools/coverage_ledger.py PLANNED_ROTATIONS, or
+    # they silently displace the pinned window.)
 ]
 
 

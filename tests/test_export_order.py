@@ -102,8 +102,10 @@ FLAGSHIP = [
     # (round 13, rotation #9: q117 rotated out — promoted q149's NB
     # classification is the same broadcast-model scoring join at
     # classifier tier; official rows r09..r12)
+    # (round 15, rotation #11: q118 rotated out — promoted q169 builds
+    # the same X31 hashing embedding on both of its sides (its oracle
+    # contains q118's CTEs verbatim); official rows r09..r14)
     "q62_shard_stats",
-    "q118_hashing_embed",
     # round-10 promotions (rotation #6, VERDICT r9 item 1): the
     # round-6 analytics tail + the round-9 operator tier
     # (round 11, rotation #7: q73/q74/q78/q95/q99/q100/q104/q107
@@ -137,12 +139,15 @@ FLAGSHIP = [
     # the batch excision rule, q126's two-level path carries the
     # SemDeDup family, and the streaming exactly-once fold family rows
     # are q120 + promoted q156)
+    # (round 15, rotation #11: q124/q134 rotated out — promoted q167
+    # runs the same temperature rates + hash membership with
+    # centroid_id as the stratum, and q136's gated pruned read writes
+    # the layout with the same zorder_key expression; official rows
+    # r11..r14)
     "q123_leakage_safe_splits",
-    "q124_temperature_mix",
     "q126_semantic_dedup_2l",
     "q129_dup_span_incremental",
     "q133_bpe_sequence_packing",
-    "q134_zorder_curve",
     # round-12 promotions (rotation #8, VERDICT r11 item 1): the
     # round-11 operators — the z-ordered pruned READ gate (X43's
     # consumer side), the capacity-capped mixture waterfill and its
@@ -181,19 +186,32 @@ FLAGSHIP = [
     "q146_embedding_drift",
     "q148_filtered_ann",
     "q149_naive_bayes_langid",
-    "q151_decontam_scrub",
-    # round-14 promotions (rotation #10, VERDICT r13 item 1): the
-    # round-13 operators — the filtered recall@k curve (X55), DSIR
-    # importance weights + the streaming pool fold (X56/X59), product
-    # quantization + ADC search (X57), IVF-PQ raw + residual
-    # (X58/X61), and the PQ recall@k curve (X60)
-    "q152_filtered_ann_recall",
-    "q153_dsir_scores",
-    "q154_pq_adc_topk",
-    "q155_ivfpq_topk",
-    "q156_stream_dsir_pool",
-    "q157_pq_recall",
-    "q158_ivfpq_residual",
+    # (round 15, rotation #11: q151 rotated out — the window-grid
+    # excision machinery is q129's gated rule verbatim against the
+    # probes' window store; the decontamination family row moves to
+    # promoted q169's semantic tier; official rows r13/r14)
+    # (round 15, rotation #11: q152-q158 rotated out after their
+    # first-time official rows landed in CORRECTNESS_r14 — each is
+    # subsumed by a promoted round-14 survivor, see SUBSUMPTION; the
+    # r14 rows stay in the COVERAGE.md ledger)
+    # round-15 promotions (rotation #11, VERDICT r14 item 1): the
+    # round-14 operators — the persisted PQ store's serving + filtered
+    # search (X62), refined PQ codebooks (X63), DSIR importance
+    # resampling (X64), streaming index ingestion (X65), tombstone
+    # deletes (X66), exact re-ranking (X67), the store health report
+    # (X68), cluster-balanced sampling (X69), tokenizer fertility
+    # (X70), and the semantic decontamination screen (X71)
+    "q159_pq_index_search",
+    "q160_pq_refined_recall",
+    "q161_dsir_resample",
+    "q162_pq_filtered_search",
+    "q163_stream_index_append",
+    "q164_index_delete_search",
+    "q165_pq_rerank_search",
+    "q166_index_stats",
+    "q167_cluster_balanced_sample",
+    "q168_tokenizer_fertility",
+    "q169_semantic_decontam",
 ]
 
 # The exact round-6 official window (VERDICT r3 item 8: pin it so a
@@ -260,6 +278,15 @@ FLAGSHIP = [
 # official CORRECTNESS rows.  The never-gated hash-checkable backlog
 # is again zero — every registry query outside the approx sketch tier
 # has now carried an official green row in some round.
+# Round-15 change (rotation #11, VERDICT r14 item 1): q118/q124/q134/
+# q151/q152/q153/q154/q155/q156/q157/q158 deferred (each subsumed by
+# an in-window survivor, see SUBSUMPTION; all eleven carried official
+# rows through CORRECTNESS_r14 — the full r14 window was 50/50
+# green), the round-14 operators q159-q169 promoted so they carry
+# first-time official CORRECTNESS rows.  The never-gated
+# hash-checkable backlog is again zero — every registry query outside
+# the approx sketch tier has now carried an official green row in
+# some round.
 EXPECTED_WINDOW = [
     "q23_ewma", "q27_iot_pipeline",
     "q32_minhash_lsh_pairs",
@@ -281,12 +308,11 @@ EXPECTED_WINDOW = [
     "q109_interval_join",
     "q110_history_star",
     "q112_scd2_incremental",
-    "q118_hashing_embed",
     "q120_stream_heavy_fold",
-    "q123_leakage_safe_splits", "q124_temperature_mix",
+    "q123_leakage_safe_splits",
     "q126_semantic_dedup_2l",
     "q129_dup_span_incremental",
-    "q133_bpe_sequence_packing", "q134_zorder_curve",
+    "q133_bpe_sequence_packing",
     "q136_zorder_pruned_read",
     "q139_waterfill_sample", "q140_corpus_diff",
     "q141_incremental_annotate",
@@ -294,11 +320,15 @@ EXPECTED_WINDOW = [
     "q145_source_novelty",
     "q146_embedding_drift",
     "q148_filtered_ann", "q149_naive_bayes_langid",
-    "q151_decontam_scrub",
-    "q158_ivfpq_residual", "q157_pq_recall",
-    "q155_ivfpq_topk", "q154_pq_adc_topk",
-    "q156_stream_dsir_pool", "q153_dsir_scores",
-    "q152_filtered_ann_recall",
+    "q159_pq_index_search",
+    "q161_dsir_resample",
+    "q169_semantic_decontam", "q168_tokenizer_fertility",
+    "q167_cluster_balanced_sample",
+    "q166_index_stats",
+    "q165_pq_rerank_search", "q164_index_delete_search",
+    "q163_stream_index_append",
+    "q162_pq_filtered_search",
+    "q160_pq_refined_recall",
 ]
 
 # Round-4/6 deferrals: each subsumed query's operator stays asserted by
@@ -365,10 +395,11 @@ SUBSUMPTION = {
     # lang-ID runs verbatim inside q48 (detected_lang gate)
     "q29_lang_id": ["q48_training_data_pipeline"],
     # brute-force cosine top-k is the verification tier of the ANN
-    # family (r14 re-point: former survivor q38 deferred) — q152's
-    # exact reference pass runs the identical brute-force cosine
-    # top-k arithmetic, and q148 gates the probed production search
-    "q37_cosine_topk": ["q152_filtered_ann_recall", "q148_filtered_ann"],
+    # family (r15 re-point: former co-survivor q152 deferred) — q148
+    # gates the probed production search of the same cosine ranking
+    # rule; the brute-force verification arithmetic stays pinned by
+    # the local oracle gate and the recall reports' exact pass
+    "q37_cosine_topk": ["q148_filtered_ann"],
     # --- round 7 (VERDICT r6 item 1: open slots for q86-q93 + q109) ---
     # W1 latest-per-key: max_by(struct) winner-per-key is q88's OHLC
     # open/close core
@@ -454,11 +485,11 @@ SUBSUMPTION = {
     # funnel stage counts = conditional aggregates over q48's verbatim
     # gate chain; the conditional-agg audit shape is q102's
     "q69_curation_funnel": ["q48_training_data_pipeline", "q102_dq_audit"],
-    # pure-hash split membership (r11 re-point: former survivors
-    # q70/q104 deferred): promoted q123's cluster-keyed hash lottery +
-    # promoted q124's temperature-rate membership carry the family
+    # pure-hash split membership (r15 re-point: former co-survivor
+    # q124 deferred): promoted q123's cluster-keyed hash lottery +
+    # promoted q167's cluster-keyed temperature-rate membership
     "q77_train_val_test": ["q123_leakage_safe_splits",
-                           "q124_temperature_mix"],
+                           "q167_cluster_balanced_sample"],
     # backward as-of: q92's feature matrix runs the same asof_join
     # callable keyed by (user, signal) (r12 re-point: former survivor
     # q85 deferred — q92 carries the as-of family row)
@@ -500,22 +531,23 @@ SUBSUMPTION = {
     # tests/test_textfns.py
     "q60_repetition_signals": ["q54_tfidf_top_terms",
                                "q48_training_data_pipeline"],
-    # pure-hash stratified membership (r11 re-point: former survivors
-    # q70/q104 deferred): promoted q123/q124 carry the hash-lottery
-    # family; assign_split stays pinned by tests/test_sampling.py
+    # pure-hash stratified membership (r15 re-point: former co-
+    # survivor q124 deferred): promoted q123/q167 carry the
+    # hash-lottery family; assign_split pinned by tests/test_sampling
     "q61_stratified_sample": ["q123_leakage_safe_splits",
-                              "q124_temperature_mix"],
+                              "q167_cluster_balanced_sample"],
     # scan-stage regexp redaction chain runs with q48's gate shape; the
     # PII patterns stay value-pinned by tests/test_textfns.py
     "q63_pii_redaction": ["q48_training_data_pipeline"],
     # corpus-level stat rollup: q62's per-shard stats is the same
     # multi-metric agg over the same columns, one groupBy deeper
     "q65_corpus_stats": ["q62_shard_stats"],
-    # int8 scalar quantization: the embedding-compression family row is
-    # promoted q154's product quantization (richer: per-subspace
-    # codebooks + ADC vs one affine grid; r14 re-point: former survivor
-    # q38 deferred); round-trip + grid math pinned by tests/test_quantize.py
-    "q68_embedding_quantization": ["q154_pq_adc_topk"],
+    # int8 scalar quantization: the embedding-compression family row
+    # is the persisted PQ store (richer: per-subspace codebooks + ADC
+    # served from codes written once; r15 re-point: former survivor
+    # q154 deferred into q159's serving path); round-trip + grid math
+    # pinned by tests/test_quantize.py
+    "q68_embedding_quantization": ["q159_pq_index_search"],
     # source-leakage matrix: the verbatim 8-token chunk-hash overlap
     # core is q64's chunk-dedup grid (same md5 key); contamination
     # guarantee pinned by tests/test_contamination.py
@@ -545,9 +577,10 @@ SUBSUMPTION = {
     # token counts — the richer production twin
     "q67_sequence_packing": ["q133_bpe_sequence_packing"],
     # pure-hash pmod membership: promoted q123's cluster-keyed hash
-    # lottery + promoted q124's temperature-rate membership
+    # lottery + promoted q167's cluster-keyed temperature membership
+    # (r15 re-point: former co-survivor q124 deferred)
     "q70_epoch_shuffle": ["q123_leakage_safe_splits",
-                          "q124_temperature_mix"],
+                          "q167_cluster_balanced_sample"],
     # stride-window transform+explode: scan-stage sequence slicing is
     # q54's token-explode prefix; the sample-construction (packing
     # module) family row is promoted q133
@@ -583,10 +616,11 @@ SUBSUMPTION = {
     # bounded mergeable state
     "q103_incremental_rollup": ["q112_scd2_incremental",
                                 "q120_stream_heavy_fold"],
-    # integer-lottery weighted sample: promoted q124's temperature
-    # mixture IS weighted sampling by per-domain rate (richer: it
-    # also computes the rates)
-    "q104_weighted_sample": ["q124_temperature_mix"],
+    # integer-lottery weighted sample: promoted q167's cluster-
+    # balanced mix IS weighted sampling by per-stratum rate (richer:
+    # it also computes the rates AND the strata; r15 re-point: former
+    # survivor q124 deferred — q167's oracle contains its rate SQL)
+    "q104_weighted_sample": ["q167_cluster_balanced_sample"],
     # skew diagnosis feeds q50's salted join (the in-window skew
     # family row); groupBy-count + TakeOrderedAndProject is q94's
     "q105_skew_report": ["q50_salted_join", "q94_shipping_priority"],
@@ -604,23 +638,24 @@ SUBSUMPTION = {
     # same event-time RANGE window (richer: interval-weighted)
     "q83_rolling_time_agg": ["q86_time_weighted_avg"],
     # mixture weights (r13 re-point: former survivor q137 deferred,
-    # itself subsumed by the epoch generalization): promoted q143's
-    # epoch plan IS the capacity-capped mixture solver (reduces
-    # exactly to the waterfill at capacity E·C); q124 holds the
-    # rate-membership family row
+    # itself subsumed by the epoch generalization; r15 re-point:
+    # former co-survivor q124 deferred): promoted q143's epoch plan IS
+    # the capacity-capped mixture solver (reduces exactly to the
+    # waterfill at capacity E·C); q167 holds the rate-membership
+    # family row at the cluster stratum
     "q66_domain_mixing": ["q143_epoch_plan",
-                          "q124_temperature_mix"],
+                          "q167_cluster_balanced_sample"],
     # unpivot/melt map-side Expand: the inverse shape of q92's pivot
     # stage; the no-shuffle Expand plan stays in tests/test_plans.py
     "q108_unpivot_melt": ["q92_feature_matrix"],
     # WAV real decode: same mapInPandas real-codec tier as q80's PNG
     # decode; WAV values stay pinned by tests/test_multimodal.py
     "q91_audio_decode_stats": ["q80_image_decode_stats"],
-    # embed→ANN handoff = composition of two in-window parts (q118
-    # builds the same hashing embedding; r13 re-point: former survivor
-    # q121 deferred — promoted q148 runs the same search_index_batch
-    # callable with the filtered predicate)
-    "q119_embed_ann": ["q118_hashing_embed",
+    # embed→ANN handoff = composition of two in-window parts (r15
+    # re-point: former co-survivor q118 deferred — promoted q169
+    # builds the same hashing embedding on both of its sides; promoted
+    # q148 runs the same search_index_batch callable)
+    "q119_embed_ann": ["q169_semantic_decontam",
                        "q148_filtered_ann"],
     # --- round 13 (rotation #9, VERDICT r12 item 1: open slots for
     # the round-12 operators q142-q151) ---
@@ -634,11 +669,11 @@ SUBSUMPTION = {
     "q117_model_scores": ["q149_naive_bayes_langid"],
     # persistent-index batch search: promoted q148 runs the SAME
     # search_index_batch callable (richer: metadata predicate
-    # composing PushedFilters with DPP); q152's recall curve calls
-    # the same callable once per nprobe value (r14 re-point: former
-    # co-survivor q138 deferred)
+    # composing PushedFilters with DPP); promoted q162 gates the same
+    # filtered probed search at the persisted code tier (r15 re-point:
+    # former co-survivor q152 deferred)
     "q121_index_batch_search": ["q148_filtered_ann",
-                                "q152_filtered_ann_recall"],
+                                "q162_pq_filtered_search"],
     # text-profile PSI drift: promoted q146 folds the SAME
     # psi_from_cells tail at the richer embedding-space tier; the
     # text rows stay exercised by the release drift-gate e2e tests
@@ -661,11 +696,10 @@ SUBSUMPTION = {
     # the SAME frequency table under the production rank_impl='hash'
     # O(1) lookup; the loop tier stays pinned by tests/test_bpe.py
     "q131_bpe_token_frequency": ["q142_bpe_hash_ranks"],
-    # 3-dim Z-order interleave: dimension-count variant of q134's
-    # 2-dim curve (same bit-interleave arithmetic); the layout's
-    # consumer economics stay gated by q136's pruned read
-    "q135_zorder_curve_3d": ["q134_zorder_curve",
-                             "q136_zorder_pruned_read"],
+    # 3-dim Z-order interleave: dimension-count variant of the 2-dim
+    # curve q136's gated pruned-read write runs (same bit-interleave
+    # arithmetic; r15 re-point: former co-survivor q134 deferred)
+    "q135_zorder_curve_3d": ["q136_zorder_pruned_read"],
     # mixture waterfill solver: promoted q143's epoch plan reduces
     # EXACTLY to the waterfill at capacity E·C (its docstring
     # contract); q139 gates the applied budget-exact sampler
@@ -673,22 +707,24 @@ SUBSUMPTION = {
                                "q139_waterfill_sample"],
     # --- round 14 (rotation #10, VERDICT r13 item 1: open slots for
     # the round-13 operators q152-q158) ---
-    # inline IVF two-stage search: promoted q155 composes the SAME
+    # inline IVF two-stage search: promoted q159 composes the SAME
     # md5-sampled centroid ranking + argmax assignment + nprobe
-    # pruning at the richer PQ-coded tier; q148 gates the persistent
-    # filtered search of the same family
-    "q38_ivf_topk": ["q155_ivfpq_topk", "q148_filtered_ann"],
-    # unfiltered recall@k curve: promoted q152 runs the SAME
-    # ann_recall_report callable (where=None is its degenerate case);
-    # promoted q157 gates the same spine/hits/recall assembly on the
-    # codebook axis
-    "q138_ann_recall": ["q152_filtered_ann_recall", "q157_pq_recall"],
-    # Moore-Lewis selection: promoted q153's DSIR log likelihood
-    # ratio is the importance-weighting generalization of the same
-    # seed-vs-pool contrast (Xie et al. 2023 §2: Moore-Lewis is the
-    # per-token special case); the release --ml-seed stage stays
+    # pruning at the richer persisted PQ tier (r15 re-point: former
+    # survivor q155 deferred — q159's oracle IS its SQL); q148 gates
+    # the persistent filtered search of the same family
+    "q38_ivf_topk": ["q159_pq_index_search", "q148_filtered_ann"],
+    # unfiltered recall@k curve: promoted q160 gates the same
+    # spine/hits/recall assembly (raw anchor + refined variant on the
+    # codebook axis; r15 re-point: former survivors q152/q157
+    # deferred, themselves subsumed by q160/q162)
+    "q138_ann_recall": ["q160_pq_refined_recall"],
+    # Moore-Lewis selection: promoted q161's DSIR resample composes
+    # the importance-weighting generalization of the same seed-vs-pool
+    # contrast (Xie et al. 2023 §2: Moore-Lewis is the per-token
+    # special case; r15 re-point: former survivor q153 deferred —
+    # q161's oracle wraps its SQL); the release --ml-seed stage stays
     # e2e-pinned to the operator's rule
-    "q147_moore_lewis": ["q153_dsir_scores"],
+    "q147_moore_lewis": ["q161_dsir_resample"],
     # streaming SemDeDup fold: its gated claim is fold == batch
     # (official r11..r13); q126 keeps the batch bucketed-cosine rule
     # in-window, q120 + promoted q156 carry the exactly-once fold
@@ -705,10 +741,61 @@ SUBSUMPTION = {
     # the membership is q139's integer-ticket hash lottery
     "q144_epoch_expand": ["q143_epoch_plan", "q139_waterfill_sample"],
     # streaming NB corpus fold: fold == batch of integer bucket counts
-    # (official r13); q149 pins the batch model + argmax rule, q156
-    # gates the identical mergeable-count fold contract
+    # (official r13); q149 pins the batch model + argmax rule, q163
+    # gates the exactly-once batch_id-keyed streaming fold contract
+    # (r15 re-point: former co-survivor q156 deferred)
     "q150_stream_nb_train": ["q149_naive_bayes_langid",
-                             "q156_stream_dsir_pool"],
+                             "q163_stream_index_append"],
+    # --- round 15 (rotation #11, VERDICT r14 item 1: open slots for
+    # the round-14 operators q159-q169) ---
+    # hashing embedder: promoted q169 builds the SAME X31 embedding on
+    # BOTH of its sides — its oracle contains q118's CTEs verbatim,
+    # so the bit-identical determinism claim stays hash-gated
+    "q118_hashing_embed": ["q169_semantic_decontam"],
+    # temperature mixture: promoted q167 runs the SAME X37 integer-
+    # percent rates + hash-bucket membership with centroid_id as the
+    # stratum (its oracle contains q124's rate SQL verbatim)
+    "q124_temperature_mix": ["q167_cluster_balanced_sample"],
+    # 2-dim Z-order interleave: q136's gated pruned read WRITES the
+    # layout with the same zorder_key expression — the curve
+    # arithmetic rides inside the gated consumer
+    "q134_zorder_curve": ["q136_zorder_pruned_read"],
+    # decontamination by excision: the window-grid excision machinery
+    # is q129's gated rule verbatim against the probes' window store;
+    # the decontamination family row moves to promoted q169's
+    # semantic tier (probe-store construction stays pinned by
+    # tests/test_contamination.py and the release e2e)
+    "q151_decontam_scrub": ["q129_dup_span_incremental",
+                            "q169_semantic_decontam"],
+    # filtered recall@k curve: promoted q160 gates the same
+    # spine/hits/recall assembly and promoted q162 gates the filtered
+    # production search at the persisted tier
+    "q152_filtered_ann_recall": ["q160_pq_refined_recall",
+                                 "q162_pq_filtered_search"],
+    # DSIR importance weights: promoted q161's resample IS q153's
+    # score rule composed with the ticket lottery (its oracle wraps
+    # q153's SQL as a CTE)
+    "q153_dsir_scores": ["q161_dsir_resample"],
+    # PQ/ADC search: promoted q159 serves the SAME codebook/encode/
+    # LUT/ADC arithmetic from the persisted code tier (persisted ==
+    # inline pinned by test)
+    "q154_pq_adc_topk": ["q159_pq_index_search"],
+    # inline IVF-PQ raw: promoted q159's oracle IS q155's SQL — the
+    # persisted store is the production serving shape
+    "q155_ivfpq_topk": ["q159_pq_index_search"],
+    # streaming DSIR pool fold: fold == batch landed officially (r14);
+    # promoted q161 keeps the batch DSIR rule in-window, promoted
+    # q163 gates the identical exactly-once streaming fold contract
+    "q156_stream_dsir_pool": ["q161_dsir_resample",
+                              "q163_stream_index_append"],
+    # PQ recall@k curve: promoted q160 runs the SAME pq recall spine
+    # with the raw rung riding inside the gated report
+    "q157_pq_recall": ["q160_pq_refined_recall"],
+    # inline IVF-PQ residual: the persisted store serves raw AND
+    # residual from the same entry point (manifest-dispatched;
+    # persisted == inline residual pinned by test) — q159 carries the
+    # IVF-PQ family's official serving row
+    "q158_ivfpq_residual": ["q159_pq_index_search"],
 }
 
 

@@ -83,21 +83,16 @@ PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
     # in tests/test_coverage_ledger.py.  New queries must still be
     # registered into POST_WINDOW and scheduled here, or they
     # silently displace the pinned window.)
-    # rotation #11 — the round-14 additions: X62 persisted PQ tier of
-    # the IVF index store (VERDICT r13 item 2)
-    15: (11, [
-        "q159_pq_index_search",
-        "q160_pq_refined_recall",
-        "q161_dsir_resample",
-        "q162_pq_filtered_search",
-        "q163_stream_index_append",
-        "q164_index_delete_search",
-        "q165_pq_rerank_search",
-        "q166_index_stats",
-        "q167_cluster_balanced_sample",
-        "q168_tokenizer_fertility",
-        "q169_semantic_decontam",
-    ]),
+    # (rotation #11 — the round-14 additions q159-q169 (the persisted
+    # PQ store's serving + filtered search, refined recall, DSIR
+    # resampling, streaming index ingestion, deletes, exact
+    # re-ranking, the store health report, cluster-balanced sampling,
+    # tokenizer fertility, semantic decontamination) — EXECUTED in
+    # round 15; entry removed per the staleness contract in
+    # tests/test_coverage_ledger.py.  That burn leaves the never-gated
+    # hash-checkable backlog EMPTY again.  New queries must still be
+    # registered into POST_WINDOW and scheduled here, or they
+    # silently displace the pinned window.)
 }
 
 
