@@ -27,12 +27,17 @@ GROWS. This module persists the IVF structure so that:
 Layout::
 
     index_dir/centroids/   (centroid_id, cvec)          — tiny
-    index_dir/data/        (id, embedding) partitioned by centroid_id
+    index_dir/data/        (id, embedding, meta...)
+                           partitioned by (ingest_id, centroid_id) —
+                           ingest_id 0 is the build, each append its
+                           own id (the exactly-once overwrite key)
+    index_dir/tombstones/  (__tomb_id) partitioned by delete_id —
+                           the removal tier (round 14, X66)
     index_dir/pq/          optional PQ tier (round 14, X62):
       manifest/            one row (pq_m, pq_kc, residual)
       codebooks/           (sub_id, code_id, cvec) — m·kc rows, tiny
       codes/               (id, pq_codes array<int>, meta...)
-                           partitioned by centroid_id
+                           partitioned by (ingest_id, centroid_id)
 
 Centroid refinement (kmeans_refine) composes: refine BEFORE build on a
 sample, then build with the refined centroids via ``centroids=``.
@@ -224,9 +229,19 @@ def append_index(df_new: DataFrame, index_dir: str,
     (ingest_id, centroid_id) partitions, so retrying a failed append —
     or a streaming checkpoint replaying a micro-batch
     (streaming/ann_stream.py pins ingest_id = batch_id + 1) — rewrites
-    instead of duplicating.  Default None allocates the next unused id
-    (max stored + 1), which is still retry-safe within one logical
-    append."""
+    instead of duplicating.  Retry safety therefore requires a PINNED
+    id: the default ``None`` allocates the next unused id (max stored
+    + 1), which is NOT safe to retry after a partial failure on a PQ
+    index — the float data and the codes are two jobs, and a crash
+    between them would leave a torn generation that a max+1 retry
+    re-ingests under a NEW id, duplicating float rows while codes
+    exist once (ADVICE r14).  Auto-allocation now DETECTS that state
+    (the two tiers' max ingest_id disagree) and raises with the
+    repair: retry the same batch with the torn id pinned explicitly —
+    the dynamic overwrite then rewrites both tiers' partitions of
+    that generation idempotently (same batch → same centroid set by
+    the deterministic assignment).  The CLI exposes ``--ingest-id``
+    for exactly this."""
     from pyspark.errors import AnalysisException
 
     spark = df_new.sparkSession
@@ -244,11 +259,27 @@ def append_index(df_new: DataFrame, index_dir: str,
             f"stored contract {stored_meta} — appended rows would "
             f"carry NULL metadata and vanish from filtered searches")
     if ingest_id is None:
-        # next unused id — a partition-column distinct (directory
-        # names, not data) over the store
-        ingest_id = int(
+        # next unused id — a partition-column max (directory names,
+        # not data) over the store; on a PQ index the two tiers must
+        # AGREE first, else a prior append tore between its two jobs
+        # and max+1 would duplicate its rows under a fresh id
+        data_max = int(
             spark.read.parquet(f"{index_dir}/data")
-            .agg(F.max("ingest_id")).head()[0]) + 1
+            .agg(F.max("ingest_id")).head()[0])
+        if _read_pq_manifest(spark, index_dir) is not None:
+            codes_max = int(
+                spark.read.parquet(f"{index_dir}/pq/codes")
+                .agg(F.max("ingest_id")).head()[0])
+            if codes_max != data_max:
+                raise RuntimeError(
+                    f"torn append detected: float tier at ingest_id "
+                    f"{data_max} but PQ codes at {codes_max} — a "
+                    f"prior append failed between its two writes. "
+                    f"Retry that batch with "
+                    f"ingest_id={max(data_max, codes_max)} to repair "
+                    f"idempotently (auto-allocation would duplicate "
+                    f"its rows under a new id)")
+        ingest_id = data_max + 1
     elif ingest_id <= 0:
         raise ValueError(
             f"ingest_id must be positive (0 is the build), "
@@ -304,7 +335,10 @@ def delete_from_index(ids_df: DataFrame, index_dir: str,
     id list, never the corpus; idempotent under retries when
     ``delete_id`` is pinned (dynamic overwrite of its own partition);
     deleting ids the store never held is a no-op by construction
-    (anti-join semantics)."""
+    (anti-join semantics).  Ids must be numeric (the store's bigint
+    tombstone type): a non-castable id would become a NULL tombstone
+    that matches nothing in the anti-join — a silent delete no-op
+    (ADVICE r14) — so the cast is VALIDATED and raises instead."""
     from pyspark.errors import AnalysisException
 
     spark = ids_df.sparkSession
@@ -317,6 +351,18 @@ def delete_from_index(ids_df: DataFrame, index_dir: str,
                 .head()[0]) + 1
         except AnalysisException:
             delete_id = 0
+    # id-sized validation pass: any id the bigint cast can't represent
+    # would tombstone nothing (NULL under try_cast semantics) or crash
+    # the write mid-job (ANSI cast) — refuse up front with the reason
+    bad = (ids_df.where(F.col(id_col).isNotNull()
+                        & F.col(id_col).try_cast("bigint").isNull())
+           .limit(1).collect())
+    if bad:
+        raise ValueError(
+            f"delete_from_index: id {bad[0][id_col]!r} does not cast "
+            f"to bigint — its tombstone would be NULL and match "
+            f"nothing (a silent no-op); the store is keyed by "
+            f"numeric ids")
     (ids_df.select(F.col(id_col).cast("bigint").alias("__tomb_id"))
      .distinct()
      .withColumn("delete_id", F.lit(int(delete_id)))
@@ -346,18 +392,27 @@ def _without_tombstones(spark: SparkSession, index_dir: str,
 
 def index_report(spark: SparkSession, index_dir: str,
                  id_col: str = "vec_id") -> DataFrame:
-    """Store health report (round 14, X68): one row per occupied
-    centroid — live vector count, tombstoned count, corpus share and
-    skew factor (n·C/total, q105's skew-diagnosis arithmetic).  The
-    two operational signals a 100 TB store is run by: a hot centroid
-    (skew_factor ≫ 1) makes every probe of that bucket a straggler —
-    the cue to re-train centroids (kmeans_refine) or split; a fat
+    """Store health report (round 14, X68; completed round 15 per
+    VERDICT r14 item 4): one row per STORED centroid — live vector
+    count, tombstoned count, corpus share and skew factor (n·C/total,
+    q105's skew-diagnosis arithmetic), plus the PQ tier's parameters
+    (pq_m, pq_kc, pq_residual as 0/1 ints; NULL when the store has no
+    PQ tier).  The operational signals a 100 TB store is run by: a
+    hot centroid (skew_factor ≫ 1) makes every probe of that bucket a
+    straggler — the cue to re-train centroids (kmeans_refine) or
+    split; an EMPTY centroid (n_vectors = 0 — visible because the
+    spine is the stored centroids frame, not the occupied data side)
+    is a dead bucket, itself a mis-trained-centroid signal; a fat
     tombstone backlog is the cue to compact (X66).  One narrow-column
-    scan of (id, centroid_id) + an id-sized tombstone join; counts are
-    exact integers, ratios are q105's round-6 policy, so the report is
+    scan of (id, centroid_id) + an id-sized tombstone join onto the
+    centroid-sized spine; counts are exact integers, ratios are
+    q105's round-6 policy (NULL when every stored vector is
+    tombstoned — no live total to share against), so the report is
     hash-gateable cross-engine (q166)."""
     from pyspark.errors import AnalysisException
 
+    cents = (spark.read.parquet(f"{index_dir}/centroids")
+             .select("centroid_id"))
     data = (spark.read.parquet(f"{index_dir}/data")
             .select(F.col(id_col), "centroid_id"))
     try:
@@ -375,15 +430,33 @@ def index_report(spark: SparkSession, index_dir: str,
                 .cast("long").alias("n_vectors"),
                 F.sum(F.when(F.col("__dead"), 1).otherwise(0))
                 .cast("long").alias("n_tombstoned")))
+    # the stored centroids are the spine: an empty centroid appears
+    # with zero counts instead of vanishing (VERDICT r14 item 4)
+    per = (cents.join(per, "centroid_id", "left")
+           .select("centroid_id",
+                   F.coalesce("n_vectors", F.lit(0)).cast("long")
+                   .alias("n_vectors"),
+                   F.coalesce("n_tombstoned", F.lit(0)).cast("long")
+                   .alias("n_tombstoned")))
     tot = per.agg(F.sum("n_vectors").cast("long").alias("__total"),
                   F.count(F.lit(1)).cast("long").alias("__n_cent"))
+    pq = _read_pq_manifest(spark, index_dir)
+    pq_m = F.lit(int(pq["pq_m"]) if pq is not None else None).cast("int")
+    pq_kc = F.lit(int(pq["pq_kc"]) if pq is not None else None).cast("int")
+    pq_res = F.lit(int(bool(pq["residual"])) if pq is not None
+                   else None).cast("int")
+    live = F.col("n_vectors").cast("double")
+    total_ok = F.col("__total") > 0  # all-tombstoned store: no ratios
     return (per.crossJoin(F.broadcast(tot))
             .select("centroid_id", "n_vectors", "n_tombstoned",
-                    F.round(F.col("n_vectors").cast("double")
-                            / F.col("__total"), 6).alias("share"),
-                    F.round(F.col("n_vectors").cast("double")
-                            * F.col("__n_cent") / F.col("__total"), 6)
-                    .alias("skew_factor")))
+                    F.when(total_ok, F.round(live / F.col("__total"), 6))
+                    .alias("share"),
+                    F.when(total_ok,
+                           F.round(live * F.col("__n_cent")
+                                   / F.col("__total"), 6))
+                    .alias("skew_factor"),
+                    pq_m.alias("pq_m"), pq_kc.alias("pq_kc"),
+                    pq_res.alias("pq_residual")))
 
 
 def compact_index(spark: SparkSession, index_dir: str,
@@ -399,14 +472,23 @@ def compact_index(spark: SparkSession, index_dir: str,
     Returns before/after row counts."""
     import os as _os
 
+    from pyspark.errors import AnalysisException
+
     if _os.path.abspath(output_dir) == _os.path.abspath(index_dir):
         raise ValueError(
             "output_dir must differ from index_dir: compaction is "
             "out-of-place (validate, then swap pointers)")
     (spark.read.parquet(f"{index_dir}/centroids")
      .write.mode("overwrite").parquet(f"{output_dir}/centroids"))
-    (spark.read.parquet(f"{index_dir}/meta")
-     .write.mode("overwrite").parquet(f"{output_dir}/meta"))
+    # pre-manifest indexes (built before round 14, no meta dir) get
+    # the empty contract written into the compacted copy — the same
+    # AnalysisException fallback append_index applies, so the two
+    # maintenance paths agree (VERDICT r14 item 5)
+    try:
+        meta = spark.read.parquet(f"{index_dir}/meta")
+    except AnalysisException:
+        meta = spark.createDataFrame([([],)], "meta_cols array<string>")
+    meta.write.mode("overwrite").parquet(f"{output_dir}/meta")
     data = spark.read.parquet(f"{index_dir}/data")
     n_before = data.count()
     kept = (_without_tombstones(spark, index_dir, data, id_col)

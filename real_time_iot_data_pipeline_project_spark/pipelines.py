@@ -853,16 +853,17 @@ def refresh_annotations(
             "n_fresh": int(n_docs - n_reused)}
 
 
-def _parse_label_list(raw: str) -> tuple[str, ...]:
-    """Comma-separated label list: strip whitespace, drop empty
-    tokens, refuse an all-empty result.  '--nb-keep-labels "a, b"'
-    previously yielded (' b',) which matches no classifier label and
-    silently filtered those docs out — the exact 'keeps nothing'
-    failure the nb_keep_labels guard exists to prevent (ADVICE r13)."""
+def _parse_label_list(raw: str, flag: str = "--nb-keep-labels") -> tuple[str, ...]:
+    """Comma-separated list: strip whitespace, drop empty tokens,
+    refuse an all-empty result.  '--nb-keep-labels "a, b"' previously
+    yielded (' b',) which matches no classifier label and silently
+    filtered those docs out — the exact 'keeps nothing' failure the
+    nb_keep_labels guard exists to prevent (ADVICE r13).  ``flag``
+    names the CLI option in the error so a bad --meta-cols value
+    doesn't blame the wrong flag (ADVICE r14)."""
     labels = tuple(s.strip() for s in raw.split(",") if s.strip())
     if not labels:
-        raise ValueError(
-            f"--nb-keep-labels {raw!r} parses to an empty label list")
+        raise ValueError(f"{flag} {raw!r} parses to an empty list")
     return labels
 
 
@@ -1021,6 +1022,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--index", default=None,
                    help="index directory (index-append/index-search "
                         "domains; index-build writes to --output)")
+    p.add_argument("--ingest-id", type=int, default=None,
+                   help="pin the append's exactly-once generation id "
+                        "(index-append; required to RETRY a torn "
+                        "append — auto-allocation detects the torn "
+                        "state and names the id to pass here)")
     p.add_argument("--n-centroids", type=int, default=16,
                    help="IVF coarse centroid count (index-build)")
     p.add_argument("--pq", default=None,
@@ -1066,7 +1072,8 @@ def main(argv: list[str] | None = None) -> None:
             if len(parts) != 2:
                 raise ValueError(f"--pq expects 'M,K', got {args.pq!r}")
             pq_m, pq_kc = int(parts[0]), int(parts[1])
-        meta = (tuple(_parse_label_list(args.meta_cols))
+        meta = (tuple(_parse_label_list(args.meta_cols,
+                                        flag="--meta-cols"))
                 if args.meta_cols else ())
         build_index(spark.read.parquet(args.input_path), args.output,
                     n_centroids=args.n_centroids, meta_cols=meta,
@@ -1086,7 +1093,7 @@ def main(argv: list[str] | None = None) -> None:
         if not args.index:
             raise ValueError("index-append requires --index <index_dir>")
         inc = spark.read.parquet(args.input_path)
-        append_index(inc, args.index)
+        append_index(inc, args.index, ingest_id=args.ingest_id)
         print(f"appended {inc.count()} vectors to {args.index}")
         return
     if args.domain == "index-delete":

@@ -8148,11 +8148,16 @@ def q167_cluster_balanced_sample(spark: SparkSession,
                                             budget_frac=0.5)
 
 
-def _index_report_sql(n_centroids: int = 16) -> str:
+def _index_report_sql(n_centroids: int = 16, pq_m: int = 4,
+                      pq_kc: int = 8, pq_residual: int = 0) -> str:
     """q166 oracle: the store health report replayed in DuckDB — the
     q155 centroid sample + argmax assignment, the q164 tombstone set
     (vec_id % 7 = 0) as a dead flag, per-centroid live/tombstoned
-    counts, and q105's share/skew arithmetic on the live totals."""
+    counts, q105's share/skew arithmetic on the live totals, and the
+    PQ tier's manifest parameters as constant columns (round 15,
+    VERDICT r14 item 4 — here the index is built WITH a (4, 8)
+    non-residual PQ tier, and every sampled centroid contains at
+    least itself, so the empty-centroid spine adds no rows)."""
     v_c = _list_cos_sql("e.embedding", "c.cvec")
     return f"""
     WITH c AS (
@@ -8185,7 +8190,10 @@ def _index_report_sql(n_centroids: int = 16) -> str:
     SELECT p.centroid_id, p.n_vectors, p.n_tombstoned,
            round(CAST(p.n_vectors AS DOUBLE) / t.total, 6) AS share,
            round(CAST(p.n_vectors AS DOUBLE) * t.n_cent / t.total, 6)
-             AS skew_factor
+             AS skew_factor,
+           CAST({pq_m} AS INTEGER) AS pq_m,
+           CAST({pq_kc} AS INTEGER) AS pq_kc,
+           CAST({pq_residual} AS INTEGER) AS pq_residual
     FROM per p CROSS JOIN tot t
     """
 

@@ -678,3 +678,126 @@ def test_index_report_counts_share_and_skew(spark, tmp_path):
     rep1 = ann_index.index_report(spark, idx).collect()
     assert sum(r.n_tombstoned for r in rep1) == doomed.count()
     assert sum(r.n_vectors for r in rep1) == total - doomed.count()
+
+
+def test_index_report_empty_centroid_pq_params_and_zero_guard(
+        spark, tmp_path):
+    """Round 15 (VERDICT r14 item 4 + ADVICE r14): the report's spine
+    is the STORED centroids frame, so a centroid with zero members
+    appears zero-filled instead of vanishing (a dead bucket is itself
+    a mis-trained-centroid signal); the PQ manifest's parameters ride
+    as constant columns (NULL on a float-only store); and a store
+    whose every vector is tombstoned reports NULL share/skew instead
+    of dividing by zero."""
+    import pytest
+
+    emb = _emb(spark)
+    # explicit centroids with a planted DUPLICATE: centroid 9000
+    # carries the same cvec as centroid 5, and the assignment
+    # tie-break (csim DESC, centroid_id ASC) sends every tied vector
+    # to the LOWER id — so 9000 is provably empty
+    base = emb.where(F.col("vec_id").isin(3, 5)).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cvec"))
+    dup = emb.where(F.col("vec_id") == 5).select(
+        F.lit(9000).alias("centroid_id"),
+        F.col("embedding").alias("cvec"))
+    idx = str(tmp_path / "idx")
+    ann_index.build_index(emb, idx, centroids=base.unionByName(dup),
+                          pq_m=4, pq_kc=4)
+    rep = {r.centroid_id: r for r in
+           ann_index.index_report(spark, idx).collect()}
+    assert set(rep) == {3, 5, 9000}
+    assert rep[9000].n_vectors == 0 and rep[9000].n_tombstoned == 0
+    assert rep[9000].share == 0.0 and rep[9000].skew_factor == 0.0
+    assert all((r.pq_m, r.pq_kc, r.pq_residual) == (4, 4, 0)
+               for r in rep.values())
+    # float-only store: NULL pq params
+    flat = str(tmp_path / "flat")
+    ann_index.build_index(emb, flat, n_centroids=4)
+    rep_flat = ann_index.index_report(spark, flat).collect()
+    assert all(r.pq_m is None and r.pq_kc is None
+               and r.pq_residual is None for r in rep_flat)
+    # all-tombstoned store: counts stay exact, ratios go NULL
+    ann_index.delete_from_index(emb.select("vec_id"), flat, delete_id=0)
+    rep_dead = ann_index.index_report(spark, flat).collect()
+    assert sum(r.n_tombstoned for r in rep_dead) == emb.count()
+    assert all(r.n_vectors == 0 and r.share is None
+               and r.skew_factor is None for r in rep_dead)
+    # non-numeric delete ids are refused, not silently no-op'd
+    bad = spark.createDataFrame([("doc-7",), ("8",)], "vec_id string")
+    with pytest.raises(ValueError, match="does not cast to bigint"):
+        ann_index.delete_from_index(bad, flat)
+    # numeric strings cast cleanly and are accepted
+    ann_index.delete_from_index(bad.where(F.col("vec_id") == "8"), flat)
+
+
+def test_compact_index_tolerates_pre_manifest_store(spark, tmp_path):
+    """Round 15 (VERDICT r14 item 5): compaction of an index built
+    before the meta manifest existed (no meta dir) must not crash —
+    it writes the same empty contract append_index assumes, so the
+    two maintenance paths agree; appends to the compacted copy work."""
+    import shutil
+
+    emb = _emb(spark)
+    idx = str(tmp_path / "idx")
+    ann_index.build_index(emb.where(F.col("vec_id") % 5 != 0), idx,
+                          n_centroids=4)
+    shutil.rmtree(f"{idx}/meta")  # simulate a pre-round-14 index
+    out = str(tmp_path / "compacted")
+    stats = ann_index.compact_index(spark, idx, out)
+    assert stats["n_dropped"] == 0
+    assert tuple(spark.read.parquet(f"{out}/meta")
+                 .head()["meta_cols"]) == ()
+    ann_index.append_index(emb.where(F.col("vec_id") % 5 == 0), out)
+    assert spark.read.parquet(f"{out}/data").count() == emb.count()
+
+
+def test_append_auto_ingest_detects_torn_state(spark, tmp_path):
+    """ADVICE r14 (medium): a PQ append is two jobs (float data, then
+    codes).  If a prior append committed the data write but died
+    before the codes write, auto-allocated ingest_id (max+1) would
+    re-ingest the retried batch under a NEW id — duplicating float
+    rows while codes exist once, so the two search paths silently
+    disagree.  Auto-allocation must DETECT the torn generation and
+    raise with the idempotent repair (retry the same batch with the
+    torn id pinned), after which auto allocation works again and the
+    store equals a never-torn one."""
+    import shutil
+
+    import pytest
+
+    emb = _emb(spark)
+    idx = str(tmp_path / "idx")
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    inc1 = emb.where((F.col("vec_id") % 5 == 0)
+                     & (F.col("vec_id") % 2 == 0))
+    inc2 = emb.where((F.col("vec_id") % 5 == 0)
+                     & (F.col("vec_id") % 2 != 0))
+    ann_index.build_index(base, idx, n_centroids=8, pq_m=4, pq_kc=4)
+    ann_index.append_index(inc1, idx)  # lands as ingest 1, both tiers
+    # simulate the crash-after-data-write: drop ingest 1's code
+    # partitions only
+    shutil.rmtree(f"{idx}/pq/codes/ingest_id=1")
+    with pytest.raises(RuntimeError, match="torn append"):
+        ann_index.append_index(inc2, idx)
+    # repair: retry the SAME batch with the torn id pinned — the
+    # dynamic overwrite rewrites exactly that generation's partitions
+    ann_index.append_index(inc1, idx, ingest_id=1)
+    ann_index.append_index(inc2, idx)  # auto allocation healthy again
+    # the repaired store answers identically to a never-torn build
+    clean = str(tmp_path / "clean")
+    ann_index.build_index(
+        emb, clean,
+        centroids=spark.read.parquet(f"{idx}/centroids"),
+        pq_m=4, pq_kc=4,
+        pq_codebooks=spark.read.parquet(f"{idx}/pq/codebooks"))
+    q = _queries(emb, ids=(0, 3))
+    got = sorted(ann_index.search_index_pq(spark, idx, q, k=8,
+                                           nprobe=3).collect())
+    want = sorted(ann_index.search_index_pq(spark, clean, q, k=8,
+                                            nprobe=3).collect())
+    assert got == want
+    assert (spark.read.parquet(f"{idx}/data").count()
+            == spark.read.parquet(f"{idx}/pq/codes").count()
+            == emb.count())

@@ -95,6 +95,21 @@ def probe_query(name: str):
 _PQ_INDEX_CACHE: dict[str, str] = {}
 
 
+def _cleanup_pq_cache() -> None:
+    """Decade sweeps would otherwise leave corpus-sized PQ index
+    copies in /tmp (ADVICE r14) — every cached dir is removed at
+    interpreter exit, like the other probes' scratch dirs."""
+    import shutil
+
+    for d in _PQ_INDEX_CACHE.values():
+        shutil.rmtree(d, ignore_errors=True)
+
+
+import atexit  # noqa: E402
+
+atexit.register(_cleanup_pq_cache)
+
+
 def probe_pq_search_only(spark, sf_dir: str) -> dict:
     """The persisted-PQ payoff, isolated (round 14, X62): build the
     index ONCE per corpus (cached across the decade sweep), then time
