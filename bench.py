@@ -227,6 +227,10 @@ HEADLINE = [
     "q167_cluster_balanced_sample",
     "q168_tokenizer_fertility",
     "q169_semantic_decontam",
+    # round 15: the ANN-nominated semantic screen (X72 — build once +
+    # nominate from codes + verify nominated pairs), measured next to
+    # q169's linear pass so the tier trade is visible per record
+    "q170_semantic_decontam_ann",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

@@ -320,7 +320,12 @@ EVIDENCE: dict[str, dict] = {
     "X70": {"queries": ["q168_tokenizer_fertility"], "tests": [
         "test_curation_ops.py::test_tokenizer_fertility_hand_computed"]},
     "X71": {"queries": ["q169_semantic_decontam"], "tests": [
-        "test_curation_ops.py::test_semantic_decontam_catches_paraphrase_exact_screen_misses"]},
+        "test_curation_ops.py::test_semantic_decontam_catches_paraphrase_exact_screen_misses",
+        "test_release.py::test_release_semantic_screen_drops_paraphrase",
+        "test_release.py::test_release_cli_semantic_screen_wiring"]},
+    "X72": {"queries": ["q170_semantic_decontam_ann"], "tests": [
+        "test_curation_ops.py::test_semantic_decontam_ann_planted_subset_and_values",
+        "test_curation_ops.py::test_semantic_decontam_ann_recall_report"]},
     "X63": {"queries": ["q160_pq_refined_recall"], "tests": [
         "test_curation_ops.py::test_pq_refine_distortion_non_increasing_and_drift_free",
         "test_curation_ops.py::test_pq_refined_recall_report_spine_and_raw_anchor"]},

@@ -147,6 +147,7 @@ def release_corpus(
     recipe_epochs: int = 1,
     screen_probes_path: str | None = None,
     screen_probes_mode: str = "drop",
+    screen_probes_semantic: float | None = None,
     nb_model_path: str | None = None,
     nb_keep_labels: tuple[str, ...] | None = None,
     dsir_seed_path: str | None = None,
@@ -237,7 +238,12 @@ def release_corpus(
     BEFORE any other stage — the GPT-3 §C / PaLM decontamination
     policy — or, with ``screen_probes_mode="scrub"``, EXCISES the
     probe spans (q151's rule) and keeps the rest of each doc,
-    recorded under ``decontamination``. Returns the
+    recorded under ``decontamination``.  ``screen_probes_semantic``
+    (a cosine threshold, round 15) runs the SECOND decontamination
+    tier right after the verbatim one: any doc within that cosine of
+    a probe's hashing embedding is also dropped (X71's rule — the
+    paraphrase leakage the verbatim tier structurally misses),
+    recorded under ``decontamination["semantic"]``. Returns the
     manifest dict (counts, token budget, per-lang breakdown, mix
     rates, drift verdicts)."""
     # persisted: the gate's collect, the shard write and the manifest
@@ -256,6 +262,12 @@ def release_corpus(
             "embedding_drift needs a baseline to compare against — "
             "pass baseline_path/--baseline, or drop the flag for a "
             "first release")
+    if screen_probes_semantic is not None and not screen_probes_path:
+        # same rule: a requested decontamination tier must never be
+        # silently skipped for want of its input
+        raise ValueError(
+            "screen_probes_semantic needs the eval-canary list — pass "
+            "screen_probes_path/--screen-probes alongside it")
     curated = curate_corpus(spark, input_path, output_path=None,
                             min_quality=min_quality, langs=langs).persist()
     final = curated
@@ -323,6 +335,39 @@ def release_corpus(
                 "n_docs_in": n_in,
                 "n_docs_dropped": n_in - final.count(),
             }
+            if screen_probes_semantic is not None:
+                # the SECOND decontamination tier (round 15, X71/X72 —
+                # VERDICT r14 item 2): paraphrased eval items share no
+                # verbatim chunk with their probe and survive the
+                # drop/scrub tier above, but land near it in embedding
+                # space — any doc within the cosine threshold of a
+                # probe's hashing embedding is dropped.  Probe sets
+                # are bounded, so the release runs the EXACT linear
+                # screen (semantic_decontam_hits — one broadcast-probe
+                # scan); the ANN-nominated variant (X72) is the
+                # operator for probe sets too wide for it.
+                from .operators.contamination import (
+                    semantic_decontam_hits,
+                )
+
+                if not 0.0 < screen_probes_semantic <= 1.0:
+                    raise ValueError(
+                        f"screen_probes_semantic must be a cosine in "
+                        f"(0, 1], got {screen_probes_semantic}")
+                sem_hits = semantic_decontam_hits(
+                    final,
+                    probes.select("probe_id",
+                                  F.col("probe_text").alias("text")),
+                    threshold=float(screen_probes_semantic))
+                n_pre_sem = final.count()
+                final = final.join(
+                    sem_hits.select("doc_id").distinct(), "doc_id",
+                    "left_anti").persist()
+                persisted.append(final)
+                decontam_info["semantic"] = {
+                    "threshold": float(screen_probes_semantic),
+                    "n_docs_dropped": n_pre_sem - final.count(),
+                }
         nb_info = None
         if nb_model_path:
             # classifier-based curation (X53's stated job — the GPT-3
@@ -936,6 +981,13 @@ def main(argv: list[str] | None = None) -> None:
                         "hit (q52's rule); scrub = excise the probe "
                         "spans and keep the rest of the doc (q151's "
                         "rule)")
+    p.add_argument("--screen-probes-semantic", type=float, default=None,
+                   help="ALSO drop docs within this cosine of any "
+                        "probe's hashing embedding (release domain; "
+                        "X71's semantic tier, q169's rule — catches "
+                        "paraphrased eval leakage the verbatim "
+                        "drop/scrub tier structurally misses; runs "
+                        "after it, needs --screen-probes)")
     p.add_argument("--recipe-weights", default=None,
                    help="weights-based mixture for the release: "
                         "'src0=80,src1=30' (unlisted sources weight 1); "
@@ -1315,6 +1367,7 @@ def main(argv: list[str] | None = None) -> None:
             recipe_epochs=args.recipe_epochs,
             screen_probes_path=args.screen_probes,
             screen_probes_mode=args.screen_probes_mode,
+            screen_probes_semantic=args.screen_probes_semantic,
             nb_model_path=args.nb_model,
             nb_keep_labels=(_parse_label_list(args.nb_keep_labels)
                             if args.nb_keep_labels else None),

@@ -7972,13 +7972,13 @@ def q161_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  salt="dsir")
 
 
-def _semantic_decontam_sql(mod: int = 211, threshold: float = 0.8) -> str:
-    """q169 oracle: q119's hashing-embed CTEs for the corpus, the
-    probe slice (doc_id % mod = 0) re-read from the same dense table,
-    and the q37 cosine arithmetic thresholded on the raw double."""
-    cos = _list_cos_sql("d.embedding", "p.embedding", cast=False)
-    return f"""
-    WITH tok AS (
+def _hashing_dense_ctes() -> str:
+    """The X31 hashing-embedding replay (q118's rule) as a reusable
+    CTE chain ending in ``dense`` = (doc_id, embedding DOUBLE[64]) —
+    shared verbatim by the q169 (brute-force screen) and q170
+    (ANN-nominated screen) oracles so the two tiers can never drift
+    on the embedding arithmetic."""
+    return f"""tok AS (
       SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
       FROM documents
     ),
@@ -8014,7 +8014,16 @@ def _semantic_decontam_sql(mod: int = 211, threshold: float = 0.8) -> str:
              list(COALESCE(sp.weight, 0.0) ORDER BY g.pos) AS embedding
       FROM g LEFT JOIN sp ON sp.doc_id = g.doc_id AND sp.bucket = g.pos
       GROUP BY g.doc_id
-    )
+    )"""
+
+
+def _semantic_decontam_sql(mod: int = 211, threshold: float = 0.8) -> str:
+    """q169 oracle: q119's hashing-embed CTEs for the corpus, the
+    probe slice (doc_id % mod = 0) re-read from the same dense table,
+    and the q37 cosine arithmetic thresholded on the raw double."""
+    cos = _list_cos_sql("d.embedding", "p.embedding", cast=False)
+    return f"""
+    WITH {_hashing_dense_ctes()}
     SELECT d.doc_id, p.doc_id AS probe_id,
            round({cos}, 6) AS cosine_sim
     FROM dense d
@@ -8380,6 +8389,146 @@ def q160_pq_refined_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                                              kc=8, iters=1)
 
 
+def _semantic_decontam_ann_sql(mod: int = 211, threshold: float = 0.8,
+                               n_centroids: int = 16, nprobe: int = 4,
+                               m: int = 4, kc: int = 8, k: int = 16,
+                               dim: int = 64) -> str:
+    """q170 oracle: the ANN-nominated semantic screen replayed in
+    DuckDB — the shared q169 hashing-dense CTEs feed q155's IVF-PQ
+    machinery (centroid sample / argmax assignment / codebooks /
+    encode / per-probe LUT / ADC restricted to probed buckets) with
+    the probe slice as the query set, the top-k ADC candidates per
+    probe nominated, and ONLY those pairs verified by the exact q169
+    cosine threshold."""
+    d = dim // m
+    v_c = _list_cos_sql("e.embedding", "c.cvec", cast=False)
+    c_q = _list_cos_sql("c.cvec", "q.qv", cast=False)
+    cos = _list_cos_sql("dd.embedding", "p.qv", cast=False)
+
+    def l2(a: str, b: str) -> str:
+        return (f"(list_dot_product({a}, {a})"
+                f" - 2.0 * list_dot_product({a}, {b})"
+                f" + list_dot_product({b}, {b}))")
+
+    def sl(v: str) -> str:
+        return (f"list_slice({v}, CAST(sub_id * {d} + 1 AS INTEGER), "
+                f"CAST(sub_id * {d} + {d} AS INTEGER))")
+
+    return f"""
+    WITH {_hashing_dense_ctes()},
+    subs AS (SELECT unnest(range(0, {m})) AS sub_id),
+    c AS (
+      SELECT doc_id AS centroid_id, embedding AS cvec
+      FROM dense
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT {n_centroids}
+    ),
+    assigned AS (
+      SELECT doc_id, centroid_id FROM (
+        SELECT e.doc_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.doc_id
+                                  ORDER BY {v_c} DESC,
+                                           c.centroid_id ASC) AS rn
+        FROM dense e, c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT doc_id AS probe_id, embedding AS qv
+          FROM dense WHERE doc_id % {mod} = 0),
+    probes AS (
+      SELECT probe_id, centroid_id FROM (
+        SELECT q.probe_id, c.centroid_id,
+               row_number() OVER (PARTITION BY q.probe_id
+                                  ORDER BY {c_q} DESC,
+                                           c.centroid_id ASC) AS rn
+        FROM q, c
+      ) WHERE rn <= {nprobe}
+    ),
+    cb0 AS (
+      SELECT embedding AS v,
+             row_number() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS code_id
+      FROM dense
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT {kc}
+    ),
+    cb AS (SELECT code_id, sub_id, {sl('v')} AS cvec FROM cb0, subs),
+    sub AS (SELECT doc_id, sub_id, {sl('embedding')} AS svec
+            FROM dense, subs),
+    codes AS (
+      SELECT doc_id, sub_id, code_id AS code FROM (
+        SELECT s.doc_id, s.sub_id, cc.code_id,
+               row_number() OVER (PARTITION BY s.doc_id, s.sub_id
+                                  ORDER BY {l2('s.svec', 'cc.cvec')} ASC,
+                                           cc.code_id ASC) AS rn
+        FROM sub s JOIN cb cc ON cc.sub_id = s.sub_id
+      ) WHERE rn = 1
+    ),
+    qsub AS (SELECT probe_id, sub_id, {sl('qv')} AS qsvec FROM q, subs),
+    lut AS (
+      SELECT probe_id, qs.sub_id, code_id AS code,
+             CAST({l2('qs.qsvec', 'cc.cvec')} AS DECIMAL(28,12)) AS term
+      FROM qsub qs JOIN cb cc ON cc.sub_id = qs.sub_id
+    ),
+    adc AS (
+      SELECT p.probe_id, dd.doc_id,
+             round(CAST(SUM(l.term) AS DOUBLE), 6) AS adc_dist
+      FROM codes dd
+      JOIN assigned a ON a.doc_id = dd.doc_id
+      JOIN probes p ON p.centroid_id = a.centroid_id
+      JOIN lut l ON l.probe_id = p.probe_id
+               AND l.sub_id = dd.sub_id AND l.code = dd.code
+      GROUP BY p.probe_id, dd.doc_id
+    ),
+    cand AS (
+      SELECT probe_id, doc_id FROM (
+        SELECT probe_id, doc_id,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY adc_dist ASC,
+                                           doc_id ASC) AS rn
+        FROM adc
+      ) WHERE rn <= {k}
+    )
+    SELECT dd.doc_id, cand.probe_id, round({cos}, 6) AS cosine_sim
+    FROM cand
+    JOIN dense dd ON dd.doc_id = cand.doc_id
+    JOIN q p ON p.probe_id = cand.probe_id
+    WHERE {cos} >= {threshold}
+    """
+
+
+@query("q170_semantic_decontam_ann", _semantic_decontam_ann_sql())
+def q170_semantic_decontam_ann(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """X72 — ANN-NOMINATED semantic decontamination
+    (contamination.build_semantic_index + semantic_decontam_ann,
+    VERDICT r14 item 2): the candidate/verify composition the X71
+    docstring prescribes for probe sets too wide for the linear
+    n·|probes| pass — the corpus' X31 hashing embeddings built ONCE
+    into the X62 store, each probe nominating its top-16 ADC
+    candidates from codes only (m ints per vector under DPP pruning,
+    zero re-encode), and the exact X71 cosine rule verifying exactly
+    those nominated pairs against the stored float vectors (the
+    q32→q128 candidate/verify precedent on the semantic tier).  The
+    hit set is provably ⊆ q169's exact screen (identical threshold on
+    identical embeddings — pinned by test); what nomination misses is
+    the ADC recall price, measured by semantic_decontam_ann_recall
+    before picking (nprobe, k).  Scale: the only corpus-sized stages
+    are the one-time embed+build (amortized across probe lists) and
+    one bounded-candidate float read — the per-screen cost tracks
+    |probes|, not docs × probes.  /tmp store is per-process, removed
+    at exit."""
+    from .operators import contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    probes = (docs.where(F.col("doc_id") % 211 == 0)
+              .select(F.col("doc_id").alias("probe_id"),
+                      F.col("text")))
+    idx = _scratch_dir("q170_semidx", sf_dir)
+    contamination.build_semantic_index(docs, idx, dim=64,
+                                       n_centroids=16, pq_m=4, pq_kc=8)
+    return contamination.semantic_decontam_ann(spark, probes, idx,
+                                               threshold=0.8, k=16,
+                                               nprobe=4)
+
+
 # Operators added AFTER the 50-slot window filled with unique-operator
 # queries: fully oracle-checked by the local gate, first in line for a
 # window slot if one opens.
@@ -8459,6 +8608,11 @@ POST_WINDOW: list[str] = [
     # round-15 DEFERRED block.  New queries must be registered HERE
     # and scheduled in tools/coverage_ledger.py PLANNED_ROTATIONS, or
     # they silently displace the pinned window.)
+    # round 15: X72 ANN-nominated semantic decontamination (VERDICT
+    # r14 item 2 — search_index_pq nomination over the X62 store +
+    # exact X71 cosine verification of only the nominated pairs) —
+    # scheduled for rotation #12 (round 16)
+    "q170_semantic_decontam_ann",
 ]
 
 

@@ -1002,3 +1002,78 @@ def test_release_cli_publish_index_wiring(spark, tmp_path):
     m = json.load(open(f"{rel}/MANIFEST.json"))
     assert m["published_index"]["pq"] == "4,4"
     assert m["published_index"]["n_vectors"] == m["n_docs"] > 0
+
+
+def test_release_semantic_screen_drops_paraphrase(spark, tmp_path):
+    """--screen-probes-semantic (round 15, X71's tier as a release
+    stage): a REORDERED copy of an eval probe survives the verbatim
+    drop tier (no shared chunk) but is dropped by the semantic tier
+    (bag-identical hashing embedding, cosine 1.0); the verbatim copy
+    falls to tier one; the manifest records both; without the flag
+    the paraphrase ships — the exact leak the second tier exists to
+    stop; the flag without a probe list refuses."""
+    probe_text = ("the quick brown fox jumps over the lazy dog "
+                  "while seven wizards watch quietly tonight")
+    reordered = ("tonight quietly watch wizards seven while dog "
+                 "lazy the over jumps fox brown quick the")
+    base = spark.read.parquet(_docs_path())
+    planted = spark.createDataFrame(
+        [(9001, probe_text, "en", "src0", len(probe_text)),
+         (9002, reordered, "en", "src0", len(reordered))],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    corpus = str(tmp_path / "corpus")
+    base.unionByName(planted).write.parquet(corpus)
+    probes_path = str(tmp_path / "probes")
+    spark.createDataFrame([(500, probe_text)],
+                          "probe_id long, probe_text string") \
+        .write.parquet(probes_path)
+
+    rel = str(tmp_path / "sem_rel")
+    m = pipelines.release_corpus(spark, corpus, rel, n_shards=1,
+                                 screen_probes_path=probes_path,
+                                 screen_probes_semantic=0.95)
+    ids = {r.doc_id for r in
+           spark.read.json(f"{rel}/data").select("doc_id").collect()}
+    assert 9001 not in ids          # verbatim: tier one
+    assert 9002 not in ids          # paraphrase: semantic tier
+    assert m["decontamination"]["semantic"]["threshold"] == 0.95
+    assert m["decontamination"]["semantic"]["n_docs_dropped"] >= 1
+
+    # control: without the semantic tier the paraphrase SHIPS
+    rel0 = str(tmp_path / "sem_off")
+    pipelines.release_corpus(spark, corpus, rel0, n_shards=1,
+                             screen_probes_path=probes_path)
+    ids0 = {r.doc_id for r in
+            spark.read.json(f"{rel0}/data").select("doc_id").collect()}
+    assert 9001 not in ids0 and 9002 in ids0
+
+    with pytest.raises(ValueError, match="screen_probes_semantic"):
+        pipelines.release_corpus(spark, corpus,
+                                 str(tmp_path / "bad"), n_shards=1,
+                                 screen_probes_semantic=0.95)
+    with pytest.raises(ValueError, match="cosine"):
+        pipelines.release_corpus(spark, corpus,
+                                 str(tmp_path / "bad2"), n_shards=1,
+                                 screen_probes_path=probes_path,
+                                 screen_probes_semantic=1.5)
+
+
+def test_release_cli_semantic_screen_wiring(spark, tmp_path):
+    """--screen-probes-semantic reaches release_corpus through the
+    CLI and lands in the manifest."""
+    from real_time_iot_data_pipeline_project_spark.operators.contamination import (
+        synthetic_probe_dim,
+    )
+
+    curated = pipelines.curate_corpus(spark, _docs_path())
+    probes_path = str(tmp_path / "cprobes")
+    synthetic_probe_dim(spark, curated, n_synthetic=10) \
+        .write.parquet(probes_path)
+    rel = str(tmp_path / "sem_cli")
+    pipelines.main(["release", _docs_path(), "--output", rel,
+                    "--shards", "1", "--screen-probes", probes_path,
+                    "--screen-probes-semantic", "0.9"])
+    m = json.load(open(f"{rel}/MANIFEST.json"))
+    assert m["decontamination"]["semantic"]["threshold"] == 0.9
+    assert m["decontamination"]["semantic"]["n_docs_dropped"] >= 0

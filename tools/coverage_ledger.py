@@ -93,6 +93,10 @@ PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
     # hash-checkable backlog EMPTY again.  New queries must still be
     # registered into POST_WINDOW and scheduled here, or they
     # silently displace the pinned window.)
+    # rotation #12 — the round-15 additions
+    16: (12, [
+        "q170_semantic_decontam_ann",
+    ]),
 }
 
 

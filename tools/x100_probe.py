@@ -101,8 +101,9 @@ def _cleanup_pq_cache() -> None:
     interpreter exit, like the other probes' scratch dirs."""
     import shutil
 
-    for d in _PQ_INDEX_CACHE.values():
-        shutil.rmtree(d, ignore_errors=True)
+    for cache in (_PQ_INDEX_CACHE, _SEM_INDEX_CACHE):
+        for d in cache.values():
+            shutil.rmtree(d, ignore_errors=True)
 
 
 import atexit  # noqa: E402
@@ -157,6 +158,40 @@ def probe_semantic_fixed_probes(spark, sf_dir: str) -> dict:
     t0 = time.monotonic()
     n = contamination.semantic_decontam_hits(docs, probes,
                                              threshold=0.8).count()
+    return {"sec": round(time.monotonic() - t0, 2), "rows": n}
+
+
+_SEM_INDEX_CACHE: dict[str, str] = {}
+
+
+def probe_semantic_ann_screen_only(spark, sf_dir: str) -> dict:
+    """X72 at the production shape (round 15): the semantic index is
+    built ONCE per corpus (cached across the decade sweep — the
+    amortized build is the store's whole point) and the probe set is
+    PINNED to the sf0.1 slice at every decade; only the screen itself
+    (nomination from codes + exact verify of nominated pairs) is
+    timed.  Expectation: the nominated-pair count is k·|probes| at
+    every decade, so the screen's wall should be dominated by the
+    pruned code read — far flatter than the corpus."""
+    import tempfile
+
+    from real_time_iot_data_pipeline_project_spark.operators import (
+        contamination,
+    )
+
+    docs = registry._t(spark, sf_dir, "documents")
+    probes = (registry._t(spark, SF01, "documents")
+              .where(F.col("doc_id") % 211 == 0)
+              .select(F.col("doc_id").alias("probe_id"), "text"))
+    idx = _SEM_INDEX_CACHE.get(sf_dir)
+    if idx is None:
+        idx = tempfile.mkdtemp(prefix="x100_semidx_")
+        contamination.build_semantic_index(docs, idx, n_centroids=16,
+                                           pq_m=4, pq_kc=8)
+        _SEM_INDEX_CACHE[sf_dir] = idx
+    t0 = time.monotonic()
+    n = contamination.semantic_decontam_ann(
+        spark, probes, idx, threshold=0.8, k=16, nprobe=4).count()
     return {"sec": round(time.monotonic() - t0, 2), "rows": n}
 
 
@@ -703,6 +738,15 @@ def main() -> None:
         # eval set does not grow with the corpus) while docs scale —
         # expectation ~linear in docs at constant |probes|
         ("semantic_decontam_fixed", probe_semantic_fixed_probes),
+        # round-15: the ANN-nominated screen (X72) — registry shape
+        # (build + nominate + verify; probes grow as 1/211 of docs by
+        # harness construction, like q169's registry probe)
+        ("q170_semantic_ann", probe_query("q170_semantic_decontam_ann")),
+        # ... and the PRODUCTION shape: store built once per corpus
+        # (cached), probe set FIXED at the sf0.1 slice — the screen
+        # alone should track |probes| (the pruned code read + one
+        # bounded-candidate float read), ~flat in the corpus
+        ("semantic_ann_screen_only", probe_semantic_ann_screen_only),
     )
     for name, fn in probes:
         if only is not None and name not in only:
