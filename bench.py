@@ -231,6 +231,10 @@ HEADLINE = [
     # nominate from codes + verify nominated pairs), measured next to
     # q169's linear pass so the tier trade is visible per record
     "q170_semantic_decontam_ann",
+    # round 15: the store lifecycle gate (X73 — build → stream-append
+    # → delete → compact → serve; deliberately the most build-heavy
+    # row in the bench, it carries every one-time cost at once)
+    "q171_index_lifecycle",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

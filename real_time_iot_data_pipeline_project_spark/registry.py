@@ -8529,6 +8529,55 @@ def q170_semantic_decontam_ann(spark: SparkSession,
                                                nprobe=4)
 
 
+@query("q171_index_lifecycle",
+       _ivfpq_sql(sample_pred="vec_id % 5 != 0",
+                  pred="e.vec_id % 7 != 0"))
+def q171_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X73 — the store's FULL LIFECYCLE as one gated row (VERDICT r14
+    item 7): build(pq) over the base slice → TWO streaming ingest
+    folds of the remainder (ann_stream's batch_id contract, X65) →
+    tombstone a delete set (X66) → out-of-place COMPACTION → serve
+    from the compacted store (X62).  This is the sequence a real
+    operator runs over a store's life; gating it end-to-end catches
+    contract drift BETWEEN the tiers that the per-tier gates
+    (q159/q163/q164) can't see — e.g. a compaction that re-derives
+    parameters instead of copying them, or an append generation the
+    compactor drops.  The oracle composes the two proven axes: q163's
+    pinned-parameter rule (centroids + codebooks sampled from the
+    BASE slice only) and q164's never-held rule (candidates exclude
+    the deleted ids) — a green hash proves the compacted store
+    answers exactly like a never-torn, never-held one under the
+    grown store's pinned parameters.  The compacted == tombstoned
+    search equality is additionally pinned by test.  Scale: each
+    stage carries its own gated shape; compaction is one
+    partition-parallel rewrite of live rows.  /tmp stores are
+    per-process, removed at exit."""
+    from .operators.ann_index import (
+        build_index,
+        compact_index,
+        delete_from_index,
+        search_index_pq,
+    )
+    from .streaming import ann_stream
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = _scratch_dir("q171_life", sf_dir)
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    build_index(base, idx, n_centroids=16, pq_m=4, pq_kc=8)
+    incr = emb.where(F.col("vec_id") % 5 == 0)
+    for b in range(2):
+        ann_stream.process_index_batch(
+            incr.filter(F.pmod(F.col("vec_id"), F.lit(2)) == b), b, idx)
+    delete_from_index(emb.where(F.col("vec_id") % 7 == 0)
+                      .select("vec_id"), idx, delete_id=0)
+    compacted = _scratch_dir("q171_compacted", sf_dir)
+    compact_index(spark, idx, compacted)
+    queries = (emb.where(F.col("vec_id").isin(0, 1, 2, 3, 4))
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qvec")))
+    return search_index_pq(spark, compacted, queries, k=10, nprobe=4)
+
+
 # Operators added AFTER the 50-slot window filled with unique-operator
 # queries: fully oracle-checked by the local gate, first in line for a
 # window slot if one opens.
@@ -8613,6 +8662,11 @@ POST_WINDOW: list[str] = [
     # exact X71 cosine verification of only the nominated pairs) —
     # scheduled for rotation #12 (round 16)
     "q170_semantic_decontam_ann",
+    # round 15: X73 store lifecycle gate (VERDICT r14 item 7 — build →
+    # stream-append → delete → compact → serve, one hash-gated row
+    # composing q163's pinned-parameter and q164's never-held rules) —
+    # scheduled for rotation #12 (round 16)
+    "q171_index_lifecycle",
 ]
 
 

@@ -801,3 +801,45 @@ def test_append_auto_ingest_detects_torn_state(spark, tmp_path):
     assert (spark.read.parquet(f"{idx}/data").count()
             == spark.read.parquet(f"{idx}/pq/codes").count()
             == emb.count())
+
+
+def test_index_lifecycle_compacted_equals_tombstoned(spark, tmp_path):
+    """X73 (round 15, VERDICT r14 item 7): the full production
+    sequence — build(pq) → streaming appends → delete → compact —
+    as one flow.  The compacted store must answer EXACTLY like the
+    tombstoned one on both serving paths (compaction changes storage,
+    never results), hold exactly the live rows in both tiers at a
+    fresh generation 0, and carry no tombstone tier."""
+    import os
+
+    from real_time_iot_data_pipeline_project_spark.streaming import (
+        ann_stream,
+    )
+
+    emb = _emb(spark)
+    idx = str(tmp_path / "life")
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    ann_index.build_index(base, idx, n_centroids=8, pq_m=4, pq_kc=4)
+    incr = emb.where(F.col("vec_id") % 5 == 0)
+    for b in range(2):
+        ann_stream.process_index_batch(
+            incr.filter(F.pmod(F.col("vec_id"), F.lit(2)) == b), b, idx)
+    ann_index.delete_from_index(
+        emb.where(F.col("vec_id") % 7 == 0).select("vec_id"), idx,
+        delete_id=0)
+    compacted = str(tmp_path / "life_compacted")
+    stats = ann_index.compact_index(spark, idx, compacted)
+    n_live = emb.where(F.col("vec_id") % 7 != 0).count()
+    assert stats["n_after"] == n_live
+    q = _queries(emb, ids=(0, 3))
+    for fn in (ann_index.search_index_pq, ann_index.search_index_batch):
+        got = sorted(fn(spark, compacted, q, k=8, nprobe=3).collect())
+        want = sorted(fn(spark, idx, q, k=8, nprobe=3).collect())
+        assert got == want, fn.__name__
+    # both tiers rewritten to exactly the live rows at generation 0
+    data = spark.read.parquet(f"{compacted}/data")
+    codes = spark.read.parquet(f"{compacted}/pq/codes")
+    assert data.count() == codes.count() == n_live
+    assert ({r[0] for r in data.select("ingest_id").distinct().collect()}
+            == {0})
+    assert not os.path.exists(f"{compacted}/tombstones")

@@ -96,6 +96,7 @@ PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
     # rotation #12 — the round-15 additions
     16: (12, [
         "q170_semantic_decontam_ann",
+        "q171_index_lifecycle",
     ]),
 }
 

@@ -747,6 +747,11 @@ def main() -> None:
         # alone should track |probes| (the pruned code read + one
         # bounded-candidate float read), ~flat in the corpus
         ("semantic_ann_screen_only", probe_semantic_ann_screen_only),
+        # round-15: the store lifecycle gate — build + 2 stream folds
+        # + delete + compact + serve; compaction is the corpus-sized
+        # stage (one partition-parallel rewrite of live rows), so the
+        # expectation is ~linear overall with a flat search tail
+        ("q171_lifecycle", probe_query("q171_index_lifecycle")),
     )
     for name, fn in probes:
         if only is not None and name not in only:
