@@ -235,6 +235,9 @@ HEADLINE = [
     # → delete → compact → serve; deliberately the most build-heavy
     # row in the bench, it carries every one-time cost at once)
     "q171_index_lifecycle",
+    # round 15: the cluster-mix audit report (X74 — q167's stages +
+    # one centroid-keyed count)
+    "q172_cluster_sample_report",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

@@ -328,6 +328,8 @@ EVIDENCE: dict[str, dict] = {
         "test_curation_ops.py::test_semantic_decontam_ann_recall_report"]},
     "X73": {"queries": ["q171_index_lifecycle"], "tests": [
         "test_ann_index.py::test_index_lifecycle_compacted_equals_tombstoned"]},
+    "X74": {"queries": ["q172_cluster_sample_report"], "tests": [
+        "test_curation_ops.py::test_cluster_balanced_report_matches_operator_membership"]},
     "X63": {"queries": ["q160_pq_refined_recall"], "tests": [
         "test_curation_ops.py::test_pq_refine_distortion_non_increasing_and_drift_free",
         "test_curation_ops.py::test_pq_refined_recall_report_spine_and_raw_anchor"]},

@@ -882,3 +882,51 @@ def cluster_balanced_sample(df: DataFrame, key: str = "vec_id",
                                alpha=alpha, budget_frac=budget_frac,
                                salt=salt)
             .select(key, "centroid_id", "rate_pct"))
+
+
+def cluster_balanced_report(df: DataFrame, key: str = "vec_id",
+                            vec_col: str = "embedding",
+                            n_centroids: int = 16, alpha: float = 0.7,
+                            budget_frac: float = 0.5,
+                            salt: str = "cmix",
+                            centroids: DataFrame | None = None
+                            ) -> DataFrame:
+    """Per-cluster audit of the cluster-balanced sample (round 15,
+    X74 — VERDICT r14 item 8: the X37 report convention applied to
+    X69): for each centroid, the BEFORE size, the integer keep rate,
+    the exact AFTER count of members whose hash lottery clears it,
+    and the realized percentage — so the cluster mix is auditable by
+    the same before/after funnel tooling as the source-level mix
+    (which rare modes got upweighted, what the budget actually
+    bought).
+
+    Membership is definitionally the operator's: the report runs the
+    SAME assign_centroids ∘ temperature_sample composition
+    :func:`cluster_balanced_sample` is built from (one shared
+    assignment frame), then adds one centroid-sized count — the two
+    can never drift.  realized_pct differs from rate_pct by lottery
+    granularity (each member is an independent integer-bucket draw);
+    a persistent gap IS the audit signal.  Scale: the sample's own
+    stages + one combinable centroid-keyed count."""
+    from .similarity import assign_centroids, sampled_centroids
+
+    if centroids is None:
+        centroids = sampled_centroids(df, n_centroids, vec_col, key)
+    assigned = (assign_centroids(df, centroids, vec_col, key)
+                .select(key, "centroid_id"))
+    rates = temperature_mix_rates(assigned, "centroid_id", alpha,
+                                  budget_frac)
+    kept = (temperature_sample(assigned, key=key, stratum="centroid_id",
+                               alpha=alpha, budget_frac=budget_frac,
+                               salt=salt)
+            .groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_sampled")))
+    return (rates.join(kept, "centroid_id", "left")
+            .select("centroid_id",
+                    F.col("n").cast("long").alias("n_docs"),
+                    "rate_pct",
+                    F.coalesce("n_sampled", F.lit(0)).cast("long")
+                    .alias("n_sampled"))
+            .withColumn("realized_pct",
+                        F.round(F.col("n_sampled") * 100.0
+                                / F.col("n_docs"), 6)))

@@ -8095,14 +8095,13 @@ def q168_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.tokenizer_fertility_report(docs)
 
 
-def _cluster_sample_sql(n_centroids: int = 16, alpha: float = 0.7,
-                        budget: float = 0.5) -> str:
-    """q167 oracle: the q155 centroid sample + argmax assignment
-    composed with q124's temperature-rate SQL, stratum = centroid_id,
-    membership = the integer hash-bucket compare (salt 'cmix')."""
+def _cluster_sample_ctes(n_centroids: int = 16, alpha: float = 0.7,
+                         budget: float = 0.5) -> str:
+    """The shared q167/q172 CTE chain: q155's centroid sample + argmax
+    assignment composed with q124's temperature-rate SQL (stratum =
+    centroid_id), ending in ``assigned`` and the rate table ``r``."""
     v_c = _list_cos_sql("e.embedding", "c.cvec")
-    return f"""
-    WITH c AS (
+    return f"""c AS (
       SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
       FROM embeddings
       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_centroids}
@@ -8128,10 +8127,40 @@ def _cluster_sample_sql(n_centroids: int = 16, alpha: float = 0.7,
                  LEAST(100, CAST(round((((100.0 * {budget}) * n_total)
                         * (CAST(w AS DOUBLE) / wsum)) / n) AS INTEGER))
                    AS rate_pct
-          FROM w, t)
+          FROM w, t)"""
+
+
+def _cluster_sample_sql(n_centroids: int = 16, alpha: float = 0.7,
+                        budget: float = 0.5) -> str:
+    """q167 oracle: the q155 centroid sample + argmax assignment
+    composed with q124's temperature-rate SQL, stratum = centroid_id,
+    membership = the integer hash-bucket compare (salt 'cmix')."""
+    return f"""
+    WITH {_cluster_sample_ctes(n_centroids, alpha, budget)}
     SELECT a.vec_id, a.centroid_id, r.rate_pct
     FROM assigned a JOIN r ON r.centroid_id = a.centroid_id
     WHERE {_bucket_sql('cmix', key='a.vec_id')} < r.rate_pct
+    """
+
+
+def _cluster_report_sql(n_centroids: int = 16, alpha: float = 0.7,
+                        budget: float = 0.5) -> str:
+    """q172 oracle: the shared q167 CTEs with the membership GROUPED —
+    per centroid, before count, integer rate, exact after count, and
+    the realized percentage (one round-6 division)."""
+    return f"""
+    WITH {_cluster_sample_ctes(n_centroids, alpha, budget)},
+    kept AS (
+      SELECT a.centroid_id, CAST(COUNT(*) AS BIGINT) AS n_sampled
+      FROM assigned a JOIN r ON r.centroid_id = a.centroid_id
+      WHERE {_bucket_sql('cmix', key='a.vec_id')} < r.rate_pct
+      GROUP BY a.centroid_id
+    )
+    SELECT r.centroid_id, r.n AS n_docs, r.rate_pct,
+           CAST(COALESCE(k.n_sampled, 0) AS BIGINT) AS n_sampled,
+           round((CAST(COALESCE(k.n_sampled, 0) AS DOUBLE) * 100.0)
+                 / r.n, 6) AS realized_pct
+    FROM r LEFT JOIN kept k ON k.centroid_id = r.centroid_id
     """
 
 
@@ -8578,6 +8607,30 @@ def q171_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_index_pq(spark, compacted, queries, k=10, nprobe=4)
 
 
+@query("q172_cluster_sample_report", _cluster_report_sql())
+def q172_cluster_sample_report(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """X74 — cluster-balanced sampling AUDIT report
+    (sampling.cluster_balanced_report, VERDICT r14 item 8): per
+    embedding-space cluster, the before size, the integer keep rate,
+    the exact after count, and the realized percentage — X37's
+    before/after funnel convention applied to X69's cluster mix, so
+    the semantic rebalance is auditable by the same tooling as the
+    source-level mix (which rare modes got upweighted, what the 50%
+    budget actually bought).  Membership is definitionally q167's
+    (the report runs the same assign ∘ temperature_sample
+    composition, then one centroid-sized count); integer counts +
+    one round-6 division keep the row hash-exact cross-engine.
+    Scale: the sample's own stages + one combinable centroid-keyed
+    count — no new corpus stage."""
+    from .operators import sampling
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return sampling.cluster_balanced_report(emb, key="vec_id",
+                                            n_centroids=16, alpha=0.7,
+                                            budget_frac=0.5)
+
+
 # Operators added AFTER the 50-slot window filled with unique-operator
 # queries: fully oracle-checked by the local gate, first in line for a
 # window slot if one opens.
@@ -8667,6 +8720,10 @@ POST_WINDOW: list[str] = [
     # composing q163's pinned-parameter and q164's never-held rules) —
     # scheduled for rotation #12 (round 16)
     "q171_index_lifecycle",
+    # round 15: X74 cluster-balanced sampling audit report (VERDICT
+    # r14 item 8 — X37's before/after funnel convention on X69's
+    # cluster mix) — scheduled for rotation #12 (round 16)
+    "q172_cluster_sample_report",
 ]
 
 

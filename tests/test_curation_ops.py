@@ -1988,3 +1988,37 @@ def test_semantic_decontam_ann_recall_report(spark, tmp_path):
                                      / max(r.n_exact, 1), 6)
     for np_ in (1, 16):
         assert rep[(np_, 64)].n_hits >= rep[(np_, 4)].n_hits
+
+
+def test_cluster_balanced_report_matches_operator_membership(spark):
+    """X74 (round 15): the report's per-centroid counts equal the
+    OPERATOR's sample grouped by centroid exactly (shared
+    composition — no drift possible), before counts cover the corpus,
+    rates match the operator's, and realized_pct is the one round-6
+    division of exact integers."""
+    from real_time_iot_data_pipeline_project_spark.operators import (
+        sampling,
+    )
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    rep = {r.centroid_id: r for r in
+           sampling.cluster_balanced_report(
+               emb, key="vec_id", n_centroids=8, alpha=0.7,
+               budget_frac=0.5).collect()}
+    sample = sampling.cluster_balanced_sample(
+        emb, key="vec_id", n_centroids=8, alpha=0.7, budget_frac=0.5)
+    got_counts = {r.centroid_id: r.n for r in
+                  sample.groupBy("centroid_id")
+                  .agg(F.count(F.lit(1)).alias("n")).collect()}
+    got_rates = {r.centroid_id: r.rate_pct for r in
+                 sample.select("centroid_id", "rate_pct")
+                 .distinct().collect()}
+    assert sum(r.n_docs for r in rep.values()) == emb.count()
+    for c, r in rep.items():
+        assert r.n_sampled == got_counts.get(c, 0)
+        assert 0 <= r.n_sampled <= r.n_docs
+        if c in got_rates:
+            assert r.rate_pct == got_rates[c]
+        assert r.realized_pct == round(r.n_sampled * 100.0
+                                       / r.n_docs, 6)

@@ -97,6 +97,7 @@ PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
     16: (12, [
         "q170_semantic_decontam_ann",
         "q171_index_lifecycle",
+        "q172_cluster_sample_report",
     ]),
 }
 

@@ -752,6 +752,10 @@ def main() -> None:
         # stage (one partition-parallel rewrite of live rows), so the
         # expectation is ~linear overall with a flat search tail
         ("q171_lifecycle", probe_query("q171_index_lifecycle")),
+        # round-15: the cluster-mix audit — q167's broadcast argmax
+        # scan + one centroid-keyed combinable count; ~linear scan
+        # slope, centroid-sized output
+        ("q172_cluster_report", probe_query("q172_cluster_sample_report")),
     )
     for name, fn in probes:
         if only is not None and name not in only:
