@@ -155,6 +155,7 @@ def release_corpus(
     dsir_resample_n: int | None = None,
     publish_index_dir: str | None = None,
     publish_index_pq: str = "4,8",
+    publish_index_centroids: int | None = None,
 ) -> dict:
     """Entry point E — the full training-data RELEASE job: curate
     (q48's chain) → optional duplicate-span scrub (X39) → optional
@@ -597,7 +598,8 @@ def release_corpus(
                              mix_info, scrub_info, bpe_manifest,
                              embedding_drift, ml_info, recipe_info,
                              decontam_info, nb_info, dsir_info,
-                             publish_index_dir, publish_index_pq)
+                             publish_index_dir, publish_index_pq,
+                             publish_index_centroids)
     finally:
         curated.unpersist()
         for df_ in persisted:
@@ -612,7 +614,8 @@ def _release_body(spark, final, output_path, baseline_path, min_quality,
                   embedding_drift=False, ml_info=None,
                   recipe_info=None, decontam_info=None,
                   nb_info=None, dsir_info=None,
-                  publish_index_dir=None, publish_index_pq="4,8") -> dict:
+                  publish_index_dir=None, publish_index_pq="4,8",
+                  publish_index_centroids=None) -> dict:
     import json as _json
 
     from pyspark.errors import AnalysisException
@@ -776,7 +779,24 @@ def _release_body(spark, final, output_path, baseline_path, min_quality,
                .select(F.col("doc_id").alias("vec_id"), "embedding",
                        "lang"))
         pq_m, pq_kc = (int(x) for x in publish_index_pq.split(","))
-        build_index(emb, publish_index_dir, n_centroids=16,
+        # centroid count must GROW with the release (VERDICT r14 item
+        # 1: at a fixed C=16, a 100x release reads ~n/16 of the code
+        # rows per probe and DPP pruning buys almost nothing) — the
+        # default derives C ~ sqrt(n) from the embedded-doc count (the
+        # standard IVF sizing: probe cost and bucket size balance at
+        # the root), floored at 16; --publish-index-centroids pins it
+        # explicitly, and the manifest records whichever applied
+        if publish_index_centroids is None:
+            import math as _math
+
+            publish_index_centroids = max(
+                16, int(round(_math.sqrt(emb.count()))))
+        elif publish_index_centroids < 1:
+            raise ValueError(
+                f"publish_index_centroids must be >= 1, got "
+                f"{publish_index_centroids}")
+        build_index(emb, publish_index_dir,
+                    n_centroids=int(publish_index_centroids),
                     meta_cols=("lang",), pq_m=pq_m, pq_kc=pq_kc)
         manifest["published_index"] = {
             "dir": publish_index_dir,
@@ -784,6 +804,7 @@ def _release_body(spark, final, output_path, baseline_path, min_quality,
                 f"{publish_index_dir}/data").count()),
             "embedder": "hashing-64",
             "pq": publish_index_pq,
+            "n_centroids": int(publish_index_centroids),
         }
     manifest["diff"] = diff_info
     with open(f"{output_path}/MANIFEST.json", "w") as fh:
@@ -1030,6 +1051,12 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--publish-index-pq", default="4,8",
                    help="M,K for the published index's PQ tier "
                         "(used with --publish-index)")
+    p.add_argument("--publish-index-centroids", type=int, default=None,
+                   help="IVF centroid count for the published index "
+                        "(used with --publish-index; default derives "
+                        "~sqrt(n) from the released doc count, floored "
+                        "at 16 — centroid count must grow with the "
+                        "release or probe pruning stops paying)")
     p.add_argument("--dsir-resample", type=int, default=None,
                    help="keep N docs by importance RESAMPLING instead "
                         "of the threshold (release domain; X64, "
@@ -1376,6 +1403,7 @@ def main(argv: list[str] | None = None) -> None:
             dsir_resample_n=args.dsir_resample,
             publish_index_dir=args.publish_index,
             publish_index_pq=args.publish_index_pq,
+            publish_index_centroids=args.publish_index_centroids,
         )
         print(f"released {manifest['n_docs']} docs / "
               f"{manifest['n_tokens']} tokens to {args.output}")
