@@ -947,7 +947,7 @@ def main(argv: list[str] | None = None) -> None:
                             "refresh-annotations",
                             "index-build", "index-append",
                             "index-search", "index-delete",
-                            "index-compact"])
+                            "index-compact", "index-report"])
     p.add_argument("input_path",
                    help="input directory to consume — EXCEPT for the "
                         "plan-audit domain, where it is a registry "
@@ -1187,6 +1187,21 @@ def main(argv: list[str] | None = None) -> None:
         delete_from_index(ids, args.index)
         print(f"tombstoned {ids.select('vec_id').distinct().count()} "
               f"ids in {args.index}")
+        return
+    if args.domain == "index-report":
+        # input_path is the index; prints the X68 health table (live /
+        # tombstoned / share / skew per stored centroid + PQ params) —
+        # the re-train and compact cues, as a CLI (--output writes it
+        # as parquet for dashboards)
+        from .operators.ann_index import index_report
+
+        rep = index_report(spark, args.input_path)
+        if args.output:
+            rep.write.mode("overwrite").parquet(args.output)
+            print(f"wrote {spark.read.parquet(args.output).count()} "
+                  f"centroid rows to {args.output}")
+        else:
+            rep.orderBy(F.desc("skew_factor")).show(100, truncate=False)
         return
     if args.domain == "index-compact":
         # input_path is the index; --output the compacted copy

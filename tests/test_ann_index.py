@@ -843,3 +843,22 @@ def test_index_lifecycle_compacted_equals_tombstoned(spark, tmp_path):
     assert ({r[0] for r in data.select("ingest_id").distinct().collect()}
             == {0})
     assert not os.path.exists(f"{compacted}/tombstones")
+
+
+def test_index_report_cli_wiring(spark, tmp_path, capsys):
+    """Round 15: the health report is CLI-reachable like every other
+    store maintenance op — index-report prints the table and --output
+    writes it as parquet with the full centroid spine."""
+    from real_time_iot_data_pipeline_project_spark import pipelines
+
+    emb = _emb(spark)
+    idx = str(tmp_path / "idx")
+    ann_index.build_index(emb, idx, n_centroids=4, pq_m=4, pq_kc=4)
+    pipelines.main(["index-report", idx])
+    out = capsys.readouterr().out
+    assert "skew_factor" in out and "pq_m" in out
+    rep_dir = str(tmp_path / "rep")
+    pipelines.main(["index-report", idx, "--output", rep_dir])
+    rep = spark.read.parquet(rep_dir)
+    assert rep.count() == 4
+    assert {r.pq_m for r in rep.collect()} == {4}
