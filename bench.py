@@ -238,6 +238,13 @@ HEADLINE = [
     # round 15: the cluster-mix audit report (X74 — q167's stages +
     # one centroid-keyed count)
     "q172_cluster_sample_report",
+    # round 15: the Stupid-Backoff bigram LM filter (X75 — reference-
+    # bounded LM broadcast onto one corpus pair-explode)
+    "q173_ngram_lm_perplexity",
+    # round 15: the SQ8 tier — asymmetric search over int8 codes
+    # (X76) and the sq8-vs-pq memory-tier recall table (X77)
+    "q174_sq_topk",
+    "q175_compression_recall",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

@@ -330,6 +330,13 @@ EVIDENCE: dict[str, dict] = {
         "test_ann_index.py::test_index_lifecycle_compacted_equals_tombstoned"]},
     "X74": {"queries": ["q172_cluster_sample_report"], "tests": [
         "test_curation_ops.py::test_cluster_balanced_report_matches_operator_membership"]},
+    "X76": {"queries": ["q174_sq_topk"], "tests": [
+        "test_curation_ops.py::test_sq_topk_hand_computed_and_near_exact"]},
+    "X77": {"queries": ["q175_compression_recall"], "tests": [
+        "test_curation_ops.py::test_compression_recall_sq8_holds_where_pq_pays"]},
+    "X75": {"queries": ["q173_ngram_lm_perplexity"], "tests": [
+        "test_curation_ops.py::test_ngram_lm_hand_computed",
+        "test_curation_ops.py::test_ngram_lm_conditional_beats_unigram_and_roundtrip"]},
     "X63": {"queries": ["q160_pq_refined_recall"], "tests": [
         "test_curation_ops.py::test_pq_refine_distortion_non_increasing_and_drift_free",
         "test_curation_ops.py::test_pq_refined_recall_report_spine_and_raw_anchor"]},

@@ -576,3 +576,132 @@ def pq_refined_recall_report(df: DataFrame, queries: DataFrame,
     return recall_spine(spark, runs, exact, queries, "variant",
                         ["raw", "refined"], k,
                         query_id_col=query_id_col, id_col=id_col)
+
+
+# ---------------------------------------------------------------------
+# Scalar-quantized search (round 15, X76): the FAISS
+# ``IndexScalarQuantizer`` (SQ8) serving pattern over the gated
+# affine grid above — the corpus is stored as d int8 codes per vector
+# (4x smaller than float32, a different memory point than PQ's m
+# bytes), queries stay full precision, and distance is exact l2²
+# against the DEQUANTIZED reconstruction (asymmetric, like ADC — the
+# query side pays no quantization error).  Where PQ (X57) buys 64x at
+# a recall price, SQ8 buys 4x at near-zero recall loss (~1e-5 MSE on
+# unit-norm vectors, q66's gated number) — the tier an operator picks
+# when memory is tight but recall must hold; the report below
+# measures exactly that trade on the corpus itself.
+
+
+def _sq_dim_arrays(df: DataFrame, vec_col: str):
+    """Collect the per-dimension (mn, scale) grid to BOUNDED literal
+    arrays (d rows — the embedding width, never the corpus; the
+    centroid-collect convention), so encode/decode run scan-side with
+    zero joins."""
+    rows = dim_ranges(df, vec_col).orderBy("pos").collect()
+    mns = F.array(*[F.lit(float(r.mn)) for r in rows])
+    scales = F.array(*[F.lit(float(r.mx - r.mn)) for r in rows])
+    return mns, scales
+
+
+def sq_encode(df: DataFrame, vec_col: str = "embedding",
+              id_col: str = "vec_id",
+              dims: tuple | None = None) -> DataFrame:
+    """Encode every vector to its int8 codes on the global affine
+    grid — ``floor((v - mn) * 255 / scale)`` clamped to [0, 255],
+    zero-range dims to 0 (identical arithmetic to the gated
+    quantize_error, so codes agree with q66's checksums).  One pure
+    scan-stage ``transform`` over the array — no explode, no shuffle;
+    the (mn, scale) grid rides along as d-sized literals."""
+    mns, scales = dims if dims is not None else _sq_dim_arrays(df, vec_col)
+    codes = F.transform(
+        F.col(vec_col),
+        lambda x, i: F.when(F.element_at(scales, i + 1) == 0,
+                            F.lit(0.0))
+        .otherwise(F.least(
+            F.lit(float(LEVELS)),
+            F.greatest(F.lit(0.0), F.floor(
+                (x.cast("double") - F.element_at(mns, i + 1))
+                * F.lit(float(LEVELS)) / F.element_at(scales, i + 1))
+                .cast("double"))))
+        .cast("int"))
+    return df.select(id_col, codes.alias("sq_codes"))
+
+
+def sq_topk(df: DataFrame, queries: DataFrame, k: int = 10,
+            vec_col: str = "embedding", id_col: str = "vec_id",
+            query_id_col: str = "query_id",
+            query_vec_col: str = "qvec") -> DataFrame:
+    """SQ8 asymmetric top-k: the full-precision query against each
+    vector's DEQUANTIZED reconstruction (``mn + code * scale / 255``
+    per dim — quantize_error's exact deq), distance via the proven
+    dot identity, (dist ASC, id ASC) top-k per query.  The corpus
+    side reads codes + two d-sized literal arrays — one scan, one
+    broadcast of the bounded query sample, one per-query top-k; at
+    serving scale the float tier never loads.  Returns
+    (query_id, vec_id, sq_dist) rounded to 6."""
+    from pyspark.sql import Window
+
+    mns, scales = _sq_dim_arrays(df, vec_col)
+    deq = F.transform(
+        F.col("sq_codes"),
+        lambda c, i: F.element_at(mns, i + 1)
+        + c.cast("double") * F.element_at(scales, i + 1)
+        / F.lit(float(LEVELS)))
+    qvec_d = F.transform(F.col(query_vec_col), lambda x: x.cast("double"))
+    scored = (sq_encode(df, vec_col=vec_col, id_col=id_col,
+                        dims=(mns, scales))
+              .withColumn("__deq", deq)
+              .crossJoin(F.broadcast(queries))
+              .select(query_id_col, id_col,
+                      F.round(_l2sq(qvec_d, F.col("__deq")), 6)
+                      .alias("sq_dist")))
+    return (scored.withColumn("__rn", F.row_number().over(
+        Window.partitionBy(query_id_col)
+        .orderBy(F.asc("sq_dist"), F.asc(id_col))))
+        .where(F.col("__rn") <= k)
+        .select(query_id_col, id_col, "sq_dist"))
+
+
+def compression_recall_report(df: DataFrame, queries: DataFrame,
+                              k: int = 10, m: int = 4, kc: int = 8,
+                              vec_col: str = "embedding",
+                              id_col: str = "vec_id",
+                              query_id_col: str = "query_id",
+                              query_vec_col: str = "qvec") -> DataFrame:
+    """Recall@k per COMPRESSION TIER against the exact full-precision
+    top-k — the one table an operator reads before picking the
+    store's memory tier: ``sq8`` stores d bytes/vector (4x smaller)
+    and should hold recall ~100; ``pq`` stores m bytes (16x smaller
+    at d=64, m=4) and pays the ADC recall price X60 measures.  Both
+    tiers answer the SAME queries over the SAME corpus; hits join
+    against the same exact set; the (tier × query) spine keeps
+    zero-recall rows visible (recall_spine — the gated curve tail).
+    Scale: one full-precision exact pass + one codes-only ADC run +
+    one SQ scan — all against the broadcast bounded query sample."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    qvec_d = F.transform(F.col(query_vec_col), lambda x: x.cast("double"))
+    exact = (
+        df.crossJoin(F.broadcast(queries))
+        .select(query_id_col, id_col, _l2sq(vec_d, qvec_d).alias("__d"))
+        .withColumn("__rn", F.row_number().over(
+            Window.partitionBy(query_id_col)
+            .orderBy(F.asc("__d"), F.asc(id_col))))
+        .where(F.col("__rn") <= k)
+        .select(query_id_col, id_col))
+    cb = pq_codebooks(df, m=m, k=kc, vec_col=vec_col, id_col=id_col)
+    pq_run = (pq_adc_topk(queries, cb,
+                          pq_encode(df, cb, vec_col=vec_col,
+                                    id_col=id_col),
+                          k=k, query_id_col=query_id_col,
+                          query_vec_col=query_vec_col, id_col=id_col)
+              .select(F.lit("pq").alias("tier"), query_id_col, id_col))
+    sq_run = (sq_topk(df, queries, k=k, vec_col=vec_col, id_col=id_col,
+                      query_id_col=query_id_col,
+                      query_vec_col=query_vec_col)
+              .select(F.lit("sq8").alias("tier"), query_id_col, id_col))
+    return recall_spine(spark, pq_run.unionByName(sq_run), exact,
+                        queries, "tier", ["pq", "sq8"], k,
+                        query_id_col=query_id_col, id_col=id_col)

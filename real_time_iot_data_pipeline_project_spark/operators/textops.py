@@ -460,3 +460,116 @@ def tokenizer_fertility_report(df: DataFrame, text_col: str = "text",
                     F.round(F.col("n_chars").cast("double")
                             / F.col("n_subwords"), 6)
                     .alias("chars_per_subword")))
+
+
+def ngram_lm_train(ref: DataFrame, text_col: str = "text") -> DataFrame:
+    """Train a bigram language model with STUPID BACKOFF smoothing
+    (Brants et al. 2007, "Large Language Models in Machine
+    Translation" — the smoothing scheme designed explicitly for
+    distributed count-based training: no discounting pass, no
+    normalization pass, just counts) on a REFERENCE corpus — the
+    CCNet recipe (Wenzek et al. 2020): the LM is trained on a small
+    curated slice (their Wikipedia) and then scores the whole crawl,
+    so the model tables are bounded by the REFERENCE size, never the
+    corpus.  This upgrades `unigram_logprob_scores` (q72's
+    order-free stand-in) to a real conditional model: word-soup with
+    plausible unigrams but impossible transitions now scores high.
+
+    Returns ONE persistable frame of rows ``(prev, cur, c)`` —
+    ``prev IS NULL`` marks the unigram tier (``cur`` count), non-null
+    the bigram tier — so a trained LM round-trips through parquet and
+    is scored against many corpora (the X62 train-once/serve-many
+    convention).  Totals (N, V) are derived from the unigram tier at
+    score time; nothing else is needed.
+
+    Scale: two token-keyed combinable aggregates over the reference
+    (unigram + bigram counts); the bigram grid is built JVM-side with
+    ``transform`` over the token array — no posexplode of pairs, no
+    shuffle wider than the count tables themselves.
+    """
+    toks = textfns.whitespace_tokens(text_col)
+    uni = (ref.select(F.explode(toks).alias("cur"))
+           .groupBy("cur").agg(F.count(F.lit(1)).alias("c"))
+           .select(F.lit(None).cast("string").alias("prev"), "cur", "c"))
+    pairs = F.filter(
+        F.transform(
+            toks,
+            lambda x, i: F.struct(
+                F.when(i > 0, F.element_at(toks, i)).alias("prev"),
+                x.alias("cur")),
+        ),
+        lambda s: s["prev"].isNotNull(),
+    )
+    bi = (ref.select(F.explode(pairs).alias("p"))
+          .select(F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+          .groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c")))
+    return uni.unionByName(bi)
+
+
+def ngram_lm_scores(df: DataFrame, lm: DataFrame,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    alpha: float = 0.4, broadcast_lm: bool = True,
+                    ln2: float = 0.6931471805599453) -> DataFrame:
+    """Score every document's cross-entropy in bits/token under a
+    Stupid-Backoff bigram LM from `ngram_lm_train` — the CCNet
+    perplexity filter's actual shape (train on curated reference,
+    cut the crawl's high-perplexity tail).  Scoring rule, fully
+    deterministic cross-engine:
+
+    - token 1 (no context) and any backed-off token score under the
+      Laplace unigram ``S1(w) = (c(w)+1)/(N+V)`` (defined for OOV);
+    - token i>1 scores ``c(prev,cur)/c(prev)`` when the bigram was
+      seen in the reference, else ``alpha * S1(cur)`` (Stupid
+      Backoff's relative frequency + fixed backoff penalty — scores,
+      not normalized probabilities, exactly as published).
+
+    Per-token bits are DECIMAL(18,12)-cast before the per-doc SUM
+    (order-free reduction, registry determinism rule 1); the output
+    is ``(id, n_tok, bits_per_token)`` rounded to 6.
+
+    Scale: the LM tables are reference-corpus-bounded — broadcast by
+    default (the CCNet case: a Wikipedia-sized LM vs a 100 TB crawl);
+    ``broadcast_lm=False`` degrades to a shuffle join for an LM too
+    big for executor memory.  The corpus side is one JVM-side pair
+    explode + three LM joins + one doc-keyed combinable aggregate;
+    the corpus text is never shuffled.
+    """
+    side = F.broadcast if broadcast_lm else (lambda d: d)
+    uni = lm.where(F.col("prev").isNull()).select("cur", "c")
+    bi = lm.where(F.col("prev").isNotNull())
+    tot = uni.agg(F.sum("c").cast("double").alias("n"),
+                  F.count(F.lit(1)).cast("double").alias("v"))
+
+    toks = textfns.whitespace_tokens(text_col)
+    grid = (df.select(
+        F.col(id_col),
+        F.explode(F.transform(
+            toks,
+            lambda x, i: F.struct(
+                F.when(i > 0, F.element_at(toks, i)).alias("prev"),
+                x.alias("cur")),
+        )).alias("p"))
+        .select(id_col, F.col("p.prev").alias("prev"),
+                F.col("p.cur").alias("cur")))
+
+    j = (grid
+         .join(side(bi.select("prev", "cur",
+                              F.col("c").alias("c_bi"))),
+               ["prev", "cur"], "left")
+         .join(side(uni.select(F.col("cur").alias("prev"),
+                               F.col("c").alias("c_prev"))),
+               "prev", "left")
+         .join(side(uni.select("cur", F.col("c").alias("c_cur"))),
+               "cur", "left")
+         .crossJoin(F.broadcast(tot)))
+    s1 = ((F.coalesce(F.col("c_cur"), F.lit(0)).cast("double") + 1.0)
+          / (F.col("n") + F.col("v")))
+    s = (F.when(F.col("prev").isNotNull() & F.col("c_bi").isNotNull(),
+                F.col("c_bi").cast("double") / F.col("c_prev"))
+         .when(F.col("prev").isNotNull(), F.lit(alpha) * s1)
+         .otherwise(s1))
+    term = (-F.log(s) / F.lit(ln2)).cast("decimal(18,12)")
+    return (j.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tok"),
+                 F.round(F.sum(term).cast("double")
+                         / F.count(F.lit(1)), 6).alias("bits_per_token")))

@@ -8631,6 +8631,283 @@ def q172_cluster_sample_report(spark: SparkSession,
                                             budget_frac=0.5)
 
 
+@query(
+    "q173_ngram_lm_perplexity",
+    f"""
+    WITH ref AS (
+      SELECT string_split({_NORM_SQL}, ' ') AS ts
+      FROM documents WHERE source = 'src0'
+    ),
+    uni AS (
+      SELECT tok AS cur, COUNT(*) AS c
+      FROM (SELECT unnest(ts) AS tok FROM ref) GROUP BY tok
+    ),
+    tot AS (
+      SELECT CAST(SUM(c) AS DOUBLE) AS n,
+             CAST(COUNT(*) AS DOUBLE) AS v FROM uni
+    ),
+    bi AS (
+      SELECT prev, cur, COUNT(*) AS c FROM (
+        SELECT list_extract(ts, CAST(i - 1 AS INTEGER)) AS prev,
+               list_extract(ts, CAST(i AS INTEGER)) AS cur
+        FROM ref, unnest(range(2, len(ts) + 1)) AS t(i)
+      ) GROUP BY prev, cur
+    ),
+    d AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ts FROM documents
+    ),
+    grid AS (
+      SELECT doc_id,
+             CASE WHEN i > 1
+                  THEN list_extract(ts, CAST(i - 1 AS INTEGER)) END AS prev,
+             list_extract(ts, CAST(i AS INTEGER)) AS cur
+      FROM d, unnest(range(1, len(ts) + 1)) AS t(i)
+    ),
+    sc AS (
+      SELECT g.doc_id,
+             CASE WHEN g.prev IS NOT NULL AND b.c IS NOT NULL
+                    THEN CAST(b.c AS DOUBLE) / up.c
+                  WHEN g.prev IS NOT NULL
+                    THEN 0.4 * ((CAST(COALESCE(uc.c, 0) AS DOUBLE) + 1.0)
+                                / (tot.n + tot.v))
+                  ELSE (CAST(COALESCE(uc.c, 0) AS DOUBLE) + 1.0)
+                       / (tot.n + tot.v)
+             END AS s
+      FROM grid g
+      LEFT JOIN bi b ON b.prev = g.prev AND b.cur = g.cur
+      LEFT JOIN uni up ON up.cur = g.prev
+      LEFT JOIN uni uc ON uc.cur = g.cur
+      CROSS JOIN tot
+    )
+    SELECT doc_id, COUNT(*) AS n_tok,
+           round(CAST(SUM(CAST(-ln(s) / {LN2!r} AS DECIMAL(18,12)))
+                      AS DOUBLE) / COUNT(*), 6) AS bits_per_token
+    FROM sc GROUP BY doc_id
+    """,
+)
+def q173_ngram_lm_perplexity(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """X75 — conditional bigram LM perplexity filter with STUPID
+    BACKOFF smoothing (textops.ngram_lm_train + ngram_lm_scores;
+    Brants et al. 2007's count-only distributed smoothing, the CCNet
+    recipe of Wenzek et al. 2020): the LM trains on the curated
+    reference slice (here ``source = 'src0'`` — CCNet's Wikipedia
+    role) and scores EVERY document's bits/token under the
+    conditional model — word-soup with plausible unigrams but
+    impossible transitions now scores high where q72's unigram
+    stand-in cannot see it.  Seen bigrams score c(prev,cur)/c(prev);
+    unseen back off to alpha * Laplace-unigram; token 1 scores
+    unigram-only.  Per-token bits DECIMAL(18,12)-cast before the
+    per-doc sum (order-free, rule 1).  Scale: the LM tables are
+    REFERENCE-bounded (broadcast; ``broadcast_lm=False`` degrades to
+    a shuffle join for an outsized LM) and the corpus side is one
+    JVM-side pair explode + three broadcast joins + one doc-keyed
+    combinable aggregate — the corpus text is never shuffled."""
+    from .operators import textops
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = textops.ngram_lm_train(docs.where(F.col("source") == "src0"))
+    return textops.ngram_lm_scores(docs, lm, ln2=LN2)
+
+
+def _sq_cte(dims_src: str = "embeddings") -> str:
+    """Shared SQ8 CTE block (X76): per-dimension affine grid trained
+    over the corpus, codes via the gated quantize arithmetic, deq
+    reconstruction — ends with ``deq(vec_id, dv)``."""
+    return f"""
+    ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM {dims_src}),
+    flat AS (
+      SELECT list_extract(v, CAST(i AS INTEGER)) AS x, i AS pos
+      FROM ev, unnest(range(1, len(v) + 1)) AS t(i)
+    ),
+    dims AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM flat
+             GROUP BY pos),
+    arrs AS (SELECT list(mn ORDER BY pos) AS mns,
+                    list(mx - mn ORDER BY pos) AS scales FROM dims),
+    deq AS (
+      SELECT vec_id,
+             list_transform(v, (x, i) ->
+               mns[i]
+               + (CASE WHEN scales[i] = 0 THEN 0.0
+                       ELSE least(255.0, greatest(0.0,
+                            floor((x - mns[i]) * 255.0 / scales[i])))
+                  END) * scales[i] / 255.0) AS dv
+      FROM ev, arrs
+    )"""
+
+
+def _l2_sql(a: str, b: str) -> str:
+    return (f"(list_dot_product({a}, {a})"
+            f" - 2.0 * list_dot_product({a}, {b})"
+            f" + list_dot_product({b}, {b}))")
+
+
+def _sq_sql(k: int = 10) -> str:
+    """q174 oracle: SQ8 asymmetric top-k replayed in DuckDB — the
+    affine grid, codes and reconstruction as indexed list lambdas,
+    distance via the proven list_dot_product identity."""
+    return f"""
+    WITH {_sq_cte()},
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+    sc AS (
+      SELECT q.query_id, d.vec_id,
+             round({_l2_sql('q.qv', 'd.dv')}, 6) AS sq_dist
+      FROM deq d, q
+    )
+    SELECT query_id, vec_id, sq_dist FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sq_dist ASC, vec_id ASC)
+                AS rn FROM sc
+    ) WHERE rn <= {k}
+    """
+
+
+def _compression_recall_sql(m: int = 4, kc: int = 8, k: int = 10,
+                            dim: int = 64) -> str:
+    """q175 oracle: the memory-tier recall table — the q157 PQ/ADC
+    CTEs at one codebook rung and the q174 SQ8 CTEs answer the same
+    queries; hits join the shared brute-force exact set; a
+    (tier x query) spine keeps zero-recall rows visible."""
+    d = dim // m
+
+    def sl(v: str) -> str:
+        return (f"list_slice({v}, CAST(sub_id * {d} + 1 AS INTEGER), "
+                f"CAST(sub_id * {d} + {d} AS INTEGER))")
+
+    return f"""
+    WITH {_sq_cte()},
+    subs AS (SELECT unnest(range(0, {m})) AS sub_id),
+    cb0 AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS v,
+             row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS code_id
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {kc}
+    ),
+    cb AS (SELECT code_id, sub_id, {sl('v')} AS cvec FROM cb0, subs),
+    sub AS (SELECT vec_id, sub_id, {sl('v')} AS svec FROM ev, subs),
+    codes AS (
+      SELECT vec_id, sub_id, code_id AS code FROM (
+        SELECT s.vec_id, s.sub_id, cc.code_id,
+               row_number() OVER (
+                 PARTITION BY s.vec_id, s.sub_id
+                 ORDER BY {_l2_sql('s.svec', 'cc.cvec')} ASC,
+                          cc.code_id ASC) AS rn
+        FROM sub s JOIN cb cc ON cc.sub_id = s.sub_id
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+    qsub AS (SELECT query_id, sub_id, {sl('qv')} AS qsvec FROM q, subs),
+    lut AS (
+      SELECT query_id, qs.sub_id, code_id AS code,
+             CAST({_l2_sql('qs.qsvec', 'cc.cvec')} AS DECIMAL(28,12))
+               AS term
+      FROM qsub qs JOIN cb cc ON cc.sub_id = qs.sub_id
+    ),
+    pq_run AS (
+      SELECT query_id, vec_id FROM (
+        SELECT a.query_id, a.vec_id,
+               row_number() OVER (PARTITION BY a.query_id
+                                  ORDER BY a.adc ASC,
+                                           a.vec_id ASC) AS rn
+        FROM (
+          SELECT l.query_id, dd.vec_id,
+                 round(CAST(SUM(l.term) AS DOUBLE), 6) AS adc
+          FROM codes dd JOIN lut l
+            ON l.sub_id = dd.sub_id AND l.code = dd.code
+          GROUP BY l.query_id, dd.vec_id
+        ) a
+      ) WHERE rn <= {k}
+    ),
+    sq_run AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, dq.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY
+                                    round({_l2_sql('q.qv', 'dq.dv')}, 6)
+                                      ASC,
+                                    dq.vec_id ASC) AS rn
+        FROM deq dq, q
+      ) WHERE rn <= {k}
+    ),
+    runs AS (
+      SELECT 'pq' AS tier, query_id, vec_id FROM pq_run
+      UNION ALL
+      SELECT 'sq8' AS tier, query_id, vec_id FROM sq_run
+    ),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_l2_sql('e.v', 'q.qv')} ASC,
+                                           e.vec_id ASC) AS rn
+        FROM ev e, q
+      ) WHERE rn <= {k}
+    ),
+    hits AS (
+      SELECT r.tier, r.query_id, count(*) AS n_hits
+      FROM runs r JOIN exact x
+        ON x.query_id = r.query_id AND x.vec_id = r.vec_id
+      GROUP BY 1, 2
+    ),
+    tiers AS (SELECT unnest(['pq', 'sq8']) AS tier)
+    SELECT t.tier, q.query_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           {k} AS k,
+           CAST((COALESCE(h.n_hits, 0) * 100) // {k} AS BIGINT)
+             AS recall_pct
+    FROM tiers t CROSS JOIN q
+    LEFT JOIN hits h ON h.tier = t.tier AND h.query_id = q.query_id
+    """
+
+
+@query("q174_sq_topk", _sq_sql())
+def q174_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X76 — SQ8 asymmetric search (quantize.sq_topk): the FAISS
+    IndexScalarQuantizer serving pattern over the gated global affine
+    grid (q66's arithmetic): the corpus stored as d int8 codes per
+    vector (4x smaller than float32 — a different memory point than
+    PQ's m bytes), queries full precision, distance = exact l2
+    against the DEQUANTIZED reconstruction via the proven dot
+    identity, (dist ASC, id ASC) top-k.  Scale: the grid is two
+    d-sized literal arrays (bounded collect, the centroid
+    convention); encode + deq are pure scan-stage transforms — no
+    explode, no join, no corpus shuffle; the query sample broadcasts."""
+    from .operators import quantize
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (emb.where(F.col("vec_id").isin(0, 1, 2, 3, 4))
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qvec")))
+    return quantize.sq_topk(emb, queries, k=10)
+
+
+@query("q175_compression_recall", _compression_recall_sql())
+def q175_compression_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X77 — the memory-tier recall table
+    (quantize.compression_recall_report): recall@10 of the store's
+    two compression tiers against the same brute-force exact top-k —
+    ``sq8`` (d bytes/vector, 4x compression, recall should hold
+    ~100) vs ``pq`` (m bytes/vector, 16x at d=64 m=4, the ADC recall
+    price X60 measures) — THE table an operator reads before picking
+    the tier a 100 TB store serves from; the hash gate pins both
+    tiers' full pipelines (grid/codebooks, encode, asymmetric
+    distance, ranking) in one row.  Composes the gated q157 PQ rung,
+    the gated q174 SQ path and the recall_spine tail.  Scale: one
+    exact full-precision pass + one codes-only ADC run + one SQ scan,
+    all against the broadcast bounded query sample."""
+    from .operators import quantize
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (emb.where(F.col("vec_id").isin(0, 1, 2, 3, 4))
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qvec")))
+    return quantize.compression_recall_report(emb, queries, k=10)
+
+
 # Operators added AFTER the 50-slot window filled with unique-operator
 # queries: fully oracle-checked by the local gate, first in line for a
 # window slot if one opens.
@@ -8724,6 +9001,17 @@ POST_WINDOW: list[str] = [
     # r14 item 8 — X37's before/after funnel convention on X69's
     # cluster mix) — scheduled for rotation #12 (round 16)
     "q172_cluster_sample_report",
+    # round 15: X75 Stupid-Backoff bigram LM perplexity filter (the
+    # CCNet shape: train on the curated reference slice, score the
+    # crawl) — scheduled for rotation #12 (round 16)
+    "q173_ngram_lm_perplexity",
+    # round 15: X76 SQ8 asymmetric search (the FAISS
+    # IndexScalarQuantizer pattern over the gated affine grid) —
+    # scheduled for rotation #12 (round 16)
+    "q174_sq_topk",
+    # round 15: X77 memory-tier recall table (sq8 vs pq vs exact, one
+    # gated row) — scheduled for rotation #12 (round 16)
+    "q175_compression_recall",
 ]
 
 

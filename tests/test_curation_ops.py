@@ -2022,3 +2022,105 @@ def test_cluster_balanced_report_matches_operator_membership(spark):
             assert r.rate_pct == got_rates[c]
         assert r.realized_pct == round(r.n_sampled * 100.0
                                        / r.n_docs, 6)
+
+
+# ------------------------------------------------- X75 bigram LM filter
+
+def test_ngram_lm_hand_computed(spark):
+    """X75 hand case (Stupid Backoff, Brants et al. 2007): reference
+    'a b a b c' gives unigrams a:2 b:2 c:1 (N=5, V=3) and bigrams
+    (a,b):2 (b,a):1 (b,c):1.  A doc walking seen bigrams scores their
+    relative frequencies; an unseen transition backs off to
+    0.4 * Laplace-unigram; token 1 is unigram-only."""
+    ref = spark.createDataFrame([(0, "a b a b c")], "doc_id long, text string")
+    lm = textops.ngram_lm_train(ref)
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "c a")], "doc_id long, text string")
+    got = {r.doc_id: r for r in textops.ngram_lm_scores(docs, lm).collect()}
+
+    s1 = lambda c: (c + 1) / (5 + 3)                      # noqa: E731
+    bits = lambda s: -math.log(s) / math.log(2)           # noqa: E731
+    # doc 1: a (uni 3/8), a->b (2/2), b->c (1/2)
+    exp1 = (bits(s1(2)) + bits(2 / 2) + bits(1 / 2)) / 3
+    # doc 2: c (uni 2/8), c->a UNSEEN -> 0.4 * s1(a)
+    exp2 = (bits(s1(1)) + bits(0.4 * s1(2))) / 2
+    assert got[1].n_tok == 3 and got[2].n_tok == 2
+    assert got[1].bits_per_token == pytest.approx(exp1, abs=2e-6)
+    assert got[2].bits_per_token == pytest.approx(exp2, abs=2e-6)
+
+
+def test_ngram_lm_conditional_beats_unigram_and_roundtrip(spark, tmp_path):
+    """The whole point of the conditional tier: two docs with the SAME
+    token multiset (identical under any unigram score) separate when
+    one walks the reference's transitions and the other scrambles
+    them.  Also: the trained LM round-trips through parquet (the
+    train-once/serve-many contract) and broadcast_lm=False returns
+    the identical frame via a shuffle join."""
+    ref = spark.createDataFrame(
+        [(0, "a b a b a b a b")], "doc_id long, text string")
+    lm = textops.ngram_lm_train(ref)
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b b a a")], "doc_id long, text string")
+    got = {r.doc_id: r.bits_per_token
+           for r in textops.ngram_lm_scores(docs, lm).collect()}
+    assert got[2] > got[1]
+
+    p = str(tmp_path / "lm")
+    lm.write.parquet(p)
+    lm2 = spark.read.parquet(p)
+    direct = sorted(map(tuple, textops.ngram_lm_scores(docs, lm).collect()))
+    assert sorted(map(tuple,
+                      textops.ngram_lm_scores(docs, lm2).collect())) == direct
+    assert sorted(map(tuple,
+                      textops.ngram_lm_scores(docs, lm2,
+                                              broadcast_lm=False)
+                      .collect())) == direct
+
+
+# ---------------------------------------------------- X76/X77 SQ8 tier
+
+def test_sq_topk_hand_computed_and_near_exact(spark):
+    """X76: on a planted grid the SQ8 reconstruction is exact at the
+    grid corners (codes 0 and 255 reconstruct min and max... the
+    affine floor maps max to code 255 exactly), so top-k equals the
+    exact top-k; a mid-grid vector reconstructs within one grid step
+    and the returned distance matches the closed-form python replay."""
+    import math as _m
+
+    rows = [(i, [float(i), float(10 - i)]) for i in range(11)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame([(0, [0.0, 10.0])],
+                                    "query_id long, qvec array<float>")
+    got = quantize.sq_topk(emb, queries, k=3).collect()
+    assert [r.vec_id for r in got] == [0, 1, 2]
+    # python replay: mn=0, scale=10 per dim; code=floor(v*25.5),
+    # deq=code*10/255
+    def deq(v):
+        return [_m.floor((x - 0.0) * 255.0 / 10.0) * 10.0 / 255.0
+                for x in v]
+    exp = [round(sum((a - b) ** 2 for a, b in zip([0.0, 10.0], deq(v))), 6)
+           for v in ([0.0, 10.0], [1.0, 9.0], [2.0, 8.0])]
+    assert [r.sq_dist for r in got] == pytest.approx(exp, abs=2e-6)
+
+
+def test_compression_recall_sq8_holds_where_pq_pays(spark):
+    """X77's whole story on a planted corpus: SQ8 (fine grid) keeps
+    recall at 100 while PQ at a tiny codebook cannot exceed its
+    quantization ceiling; the spine keeps both tiers' rows visible
+    for every query."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(0, 1) for _ in range(8)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        [(i, rows[i][1]) for i in range(3)],
+        "query_id long, qvec array<float>")
+    rep = quantize.compression_recall_report(emb, queries, k=5,
+                                             m=4, kc=2).collect()
+    assert {(r.tier, r.query_id) for r in rep} == {
+        (t, q) for t in ("pq", "sq8") for q in range(3)}
+    sq = {r.query_id: r.recall_pct for r in rep if r.tier == "sq8"}
+    pq = {r.query_id: r.recall_pct for r in rep if r.tier == "pq"}
+    assert all(v == 100 for v in sq.values())
+    assert sum(pq.values()) <= sum(sq.values())

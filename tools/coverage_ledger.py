@@ -98,6 +98,9 @@ PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
         "q170_semantic_decontam_ann",
         "q171_index_lifecycle",
         "q172_cluster_sample_report",
+        "q173_ngram_lm_perplexity",
+        "q174_sq_topk",
+        "q175_compression_recall",
     ]),
 }
 

@@ -756,6 +756,19 @@ def main() -> None:
         # scan + one centroid-keyed combinable count; ~linear scan
         # slope, centroid-sized output
         ("q172_cluster_report", probe_query("q172_cluster_sample_report")),
+        # round-15: the Stupid-Backoff bigram LM filter — LM tables
+        # are reference-bounded (src0 slice, ~1/3 of docs on the
+        # replica) and broadcast; the score side is one JVM-side pair
+        # explode + three broadcast joins + a doc-keyed combinable
+        # agg; expectation ~linear scan slope, corpus never shuffled
+        ("q173_ngram_lm", probe_query("q173_ngram_lm_perplexity")),
+        # round-15: SQ8 asymmetric search — one d-sized grid agg +
+        # one scan-stage encode/deq/distance pass against the
+        # broadcast query sample; expectation ~linear scan slope
+        ("q174_sq_topk", probe_query("q174_sq_topk")),
+        # round-15: the memory-tier recall table — one exact pass +
+        # one ADC run + one SQ scan; expectation ~linear
+        ("q175_compression_recall", probe_query("q175_compression_recall")),
     )
     for name, fn in probes:
         if only is not None and name not in only:
