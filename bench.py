@@ -245,6 +245,10 @@ HEADLINE = [
     # (X76) and the sq8-vs-pq memory-tier recall table (X77)
     "q174_sq_topk",
     "q175_compression_recall",
+    # round 15: IVF-SQ search (X78) and the Gopher top-n-gram
+    # repetition report (X79)
+    "q176_ivfsq_topk",
+    "q177_topgram_report",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

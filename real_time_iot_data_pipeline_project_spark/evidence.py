@@ -334,6 +334,10 @@ EVIDENCE: dict[str, dict] = {
         "test_curation_ops.py::test_sq_topk_hand_computed_and_near_exact"]},
     "X77": {"queries": ["q175_compression_recall"], "tests": [
         "test_curation_ops.py::test_compression_recall_sq8_holds_where_pq_pays"]},
+    "X78": {"queries": ["q176_ivfsq_topk"], "tests": [
+        "test_curation_ops.py::test_ivfsq_in_bucket_ranking_near_exact"]},
+    "X79": {"queries": ["q177_topgram_report"], "tests": [
+        "test_curation_ops.py::test_topgram_report_hand_computed"]},
     "X75": {"queries": ["q173_ngram_lm_perplexity"], "tests": [
         "test_curation_ops.py::test_ngram_lm_hand_computed",
         "test_curation_ops.py::test_ngram_lm_conditional_beats_unigram_and_roundtrip"]},

@@ -705,3 +705,65 @@ def compression_recall_report(df: DataFrame, queries: DataFrame,
     return recall_spine(spark, pq_run.unionByName(sq_run), exact,
                         queries, "tier", ["pq", "sq8"], k,
                         query_id_col=query_id_col, id_col=id_col)
+
+
+def ivfsq_topk(df: DataFrame, queries: DataFrame,
+               n_centroids: int = 16, nprobe: int = 4, k: int = 10,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               query_id_col: str = "query_id",
+               query_vec_col: str = "qvec") -> DataFrame:
+    """IVF-SQ batch search (round 15, X78): the FAISS
+    ``IndexIVFScalarQuantizer`` production pattern composed from two
+    gated halves — the X45 coarse probe pruning (per-query nprobe
+    centroid ranking over the shared md5-sampled centroid set +
+    argmax assignment) restricts candidates to ~nprobe/n_centroids of
+    the corpus, and the X76 SQ8 asymmetric distance scores exactly
+    those candidates against their dequantized reconstructions.  The
+    recall trade differs from IVF-PQ's: SQ8's fine grid keeps
+    in-bucket ranking essentially exact (the only recall loss is the
+    pruning itself), at d bytes/vector instead of m — the middle tier
+    between the float store and PQ.
+
+    Same determinism contracts as the parents: cosine probe ranking
+    (qsim DESC, centroid ASC), the gated quantize arithmetic, l2² via
+    the dot identity, (dist ASC, id ASC) top-k.  Scale: assignment is
+    one int per vector (int-keyed shuffle_hash join onto the codes),
+    probes and queries broadcast; the float tier never loads."""
+    from pyspark.sql import Window
+
+    from .similarity import assign_centroids, cosine, sampled_centroids
+
+    cents = sampled_centroids(df, n_centroids, vec_col, id_col)
+    assigned = (assign_centroids(df, cents, vec_col, id_col)
+                .select(id_col, "centroid_id"))
+    mns, scales = _sq_dim_arrays(df, vec_col)
+    enc = sq_encode(df, vec_col=vec_col, id_col=id_col,
+                    dims=(mns, scales))
+    qvec_d = F.transform(F.col(query_vec_col), lambda x: x.cast("double"))
+    cvec_d = F.transform(F.col("cvec"), lambda x: x.cast("double"))
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .select(query_id_col, "centroid_id",
+                cosine(qvec_d, cvec_d).alias("qsim"))
+        .withColumn("__rn", F.row_number().over(
+            Window.partitionBy(query_id_col)
+            .orderBy(F.desc("qsim"), F.asc("centroid_id"))))
+        .where(F.col("__rn") <= nprobe)
+        .select(query_id_col, "centroid_id"))
+    deq = F.transform(
+        F.col("sq_codes"),
+        lambda c, i: F.element_at(mns, i + 1)
+        + c.cast("double") * F.element_at(scales, i + 1)
+        / F.lit(float(LEVELS)))
+    scored = (enc.join(assigned.hint("shuffle_hash"), id_col)
+              .join(F.broadcast(probes), "centroid_id")
+              .withColumn("__deq", deq)
+              .join(F.broadcast(queries), query_id_col)
+              .select(query_id_col, id_col,
+                      F.round(_l2sq(qvec_d, F.col("__deq")), 6)
+                      .alias("sq_dist")))
+    return (scored.withColumn("__rn", F.row_number().over(
+        Window.partitionBy(query_id_col)
+        .orderBy(F.asc("sq_dist"), F.asc(id_col))))
+        .where(F.col("__rn") <= k)
+        .select(query_id_col, id_col, "sq_dist"))

@@ -573,3 +573,58 @@ def ngram_lm_scores(df: DataFrame, lm: DataFrame,
             .agg(F.count(F.lit(1)).alias("n_tok"),
                  F.round(F.sum(term).cast("double")
                          / F.count(F.lit(1)), 6).alias("bits_per_token")))
+
+
+def topgram_report(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   ns: tuple[int, ...] = (2, 3, 4)) -> DataFrame:
+    """Gopher top-n-gram repetition report (round 15, X79; Rae et
+    al. 2021's "fraction of characters in the most common n-gram"
+    rule family, on the token grid): per document and per n, the most
+    frequent n-gram, its occurrence count, and the fraction of the
+    document's tokens its occurrences cover — the repetition signal
+    `repetition_stats`' duplicate-bigram fraction can't localize (a
+    boilerplate header repeated 50 times is ONE gram at a huge
+    fraction; 50 distinct near-dupes are many grams at tiny
+    fractions).  Docs shorter than n tokens have no n-row.
+
+    Ties break (count DESC, gram ASC) via one combinable
+    ``min(struct(-count, gram))`` — no window, integer/string
+    arithmetic end-to-end (the only double is the final round-6
+    fraction), so the row is hash-exact cross-engine regardless of
+    plan shape.  Scale: the gram grid is built JVM-side in ONE scan
+    (all n at once, `transform` + `slice` — no posexplode join), then
+    one (doc, n, gram)-keyed combinable count and one (doc, n)-keyed
+    combinable argmin — shuffles carry gram-sized rows, never the
+    document text."""
+    toks = textfns.whitespace_tokens(text_col)
+    n_tok = F.size(toks)
+
+    def _tier(n: int):
+        # factory scope binds n: pyspark HOF lambdas must take exactly
+        # (x) or (x, i) — a default-arg third parameter breaks arity
+        # inspection
+        return F.when(n_tok >= n, F.transform(
+            F.slice(toks, 1, n_tok - (n - 1)),
+            lambda x, i: F.struct(
+                F.lit(int(n)).alias("n"),
+                F.concat_ws(" ", F.slice(toks, i + 1, F.lit(int(n))))
+                .alias("gram")),
+        )).otherwise(F.expr("array()")
+                     .cast("array<struct<n:int,gram:string>>"))
+
+    tiers = [_tier(int(n)) for n in ns]
+    flat = (df.select(F.col(id_col), n_tok.alias("n_tok"),
+                      F.explode(F.flatten(F.array(*tiers))).alias("g"))
+            .select(id_col, "n_tok", F.col("g.n").alias("n"),
+                    F.col("g.gram").alias("gram")))
+    counts = (flat.groupBy(id_col, "n_tok", "n", "gram")
+              .agg(F.count(F.lit(1)).alias("c")))
+    return (counts.groupBy(id_col, "n_tok", "n")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"),
+                                F.col("gram").alias("g"))).alias("b"))
+            .select(id_col, "n", F.col("b.g").alias("top_gram"),
+                    (-F.col("b.nc")).cast("long").alias("occurrences"),
+                    F.round(((-F.col("b.nc")) * F.col("n"))
+                            .cast("double") / F.col("n_tok"), 6)
+                    .alias("token_frac")))

@@ -8908,6 +8908,132 @@ def q175_compression_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize.compression_recall_report(emb, queries, k=10)
 
 
+def _ivfsq_sql(n_centroids: int = 16, nprobe: int = 4,
+               k: int = 10) -> str:
+    """q176 oracle: IVF-SQ replayed in DuckDB by composing the two
+    proven halves — q121's centroid sample / argmax assignment /
+    per-query probe ranking, and q174's SQ8 grid / codes /
+    reconstruction — with the asymmetric distance restricted to
+    vectors whose bucket the query probes."""
+    v_c = _list_cos_sql("e.embedding", "c.cvec")
+    c_q = _list_cos_sql("c.cvec", "q.qv")
+    return f"""
+    WITH {_sq_cte()},
+    c AS (
+      SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_centroids}
+    ),
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {v_c} DESC,
+                                           c.centroid_id ASC) AS rn
+        FROM embeddings e, c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+    probes AS (
+      SELECT query_id, centroid_id FROM (
+        SELECT q.query_id, c.centroid_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {c_q} DESC,
+                                           c.centroid_id ASC) AS rn
+        FROM q, c
+      ) WHERE rn <= {nprobe}
+    ),
+    sc AS (
+      SELECT p.query_id, dq.vec_id,
+             round({_l2_sql('q.qv', 'dq.dv')}, 6) AS sq_dist
+      FROM deq dq
+      JOIN assigned a ON a.vec_id = dq.vec_id
+      JOIN probes p ON p.centroid_id = a.centroid_id
+      JOIN q ON q.query_id = p.query_id
+    )
+    SELECT query_id, vec_id, sq_dist FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sq_dist ASC, vec_id ASC)
+                AS rn FROM sc
+    ) WHERE rn <= {k}
+    """
+
+
+def _topgram_sql(ns: tuple = (2, 3, 4)) -> str:
+    """q177 oracle: the Gopher top-n-gram table in DuckDB — stride-1
+    gram grid per n, grouped counts, (count DESC, gram ASC) winner,
+    token fraction as the only double."""
+    n_list = ", ".join(str(int(n)) for n in ns)
+    return f"""
+    WITH d AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ts FROM documents
+    ),
+    ns AS (SELECT unnest([{n_list}]) AS n),
+    grams AS (
+      SELECT doc_id, len(ts) AS n_tok, ns.n AS n,
+             array_to_string(list_slice(ts, CAST(i AS INTEGER),
+                                        CAST(i + ns.n - 1 AS INTEGER)),
+                             ' ') AS gram
+      FROM d, ns, unnest(range(1, len(ts) - ns.n + 2)) AS t(i)
+      WHERE len(ts) >= ns.n
+    ),
+    counts AS (
+      SELECT doc_id, n_tok, n, gram, COUNT(*) AS c
+      FROM grams GROUP BY doc_id, n_tok, n, gram
+    )
+    SELECT doc_id, n, gram AS top_gram,
+           CAST(c AS BIGINT) AS occurrences,
+           round(CAST(c * n AS DOUBLE) / n_tok, 6) AS token_frac
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id, n
+                                   ORDER BY c DESC, gram ASC) AS rn
+      FROM counts
+    ) WHERE rn = 1
+    """
+
+
+@query("q176_ivfsq_topk", _ivfsq_sql())
+def q176_ivfsq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X78 — IVF-SQ batch search (quantize.ivfsq_topk): the FAISS
+    IndexIVFScalarQuantizer pattern composed from two gated halves —
+    X45's coarse probe pruning restricts candidates to
+    ~nprobe/n_centroids of the corpus, X76's SQ8 asymmetric distance
+    scores exactly those candidates against their dequantized
+    reconstructions.  The middle memory tier: d bytes/vector with
+    in-bucket ranking essentially exact (the only recall loss is the
+    pruning itself), where PQ pays the ADC price for m bytes.
+    Scale: assignment is one int per vector (int-keyed shuffle_hash
+    join onto the codes); probes, grid and queries broadcast; the
+    float tier never loads."""
+    from .operators import quantize
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (emb.where(F.col("vec_id").isin(0, 1, 2, 3, 4))
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qvec")))
+    return quantize.ivfsq_topk(emb, queries, k=10)
+
+
+@query("q177_topgram_report", _topgram_sql())
+def q177_topgram_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X79 — Gopher top-n-gram repetition report
+    (textops.topgram_report; Rae et al. 2021's most-common-n-gram
+    rule family on the token grid): per document and n in (2, 3, 4),
+    the most frequent n-gram, its occurrences, and the fraction of
+    the document's tokens those occurrences cover — the repetition
+    signal q60's duplicate-bigram fraction can't localize.  Ties
+    break (count DESC, gram ASC) via one combinable
+    min(struct(-count, gram)) — integer/string end-to-end, the only
+    double is the final round-6 fraction.  Scale: the gram grid is
+    built JVM-side in one scan (all n at once); shuffles carry
+    gram-sized rows, never the document text."""
+    from .operators import textops
+
+    docs = _t(spark, sf_dir, "documents")
+    return textops.topgram_report(docs)
+
+
 # Operators added AFTER the 50-slot window filled with unique-operator
 # queries: fully oracle-checked by the local gate, first in line for a
 # window slot if one opens.
@@ -9012,6 +9138,13 @@ POST_WINDOW: list[str] = [
     # round 15: X77 memory-tier recall table (sq8 vs pq vs exact, one
     # gated row) — scheduled for rotation #12 (round 16)
     "q175_compression_recall",
+    # round 15: X78 IVF-SQ search (the FAISS IndexIVFScalarQuantizer
+    # pattern — coarse pruning + SQ8 asymmetric distance) — scheduled
+    # for rotation #12 (round 16)
+    "q176_ivfsq_topk",
+    # round 15: X79 Gopher top-n-gram repetition report — scheduled
+    # for rotation #12 (round 16)
+    "q177_topgram_report",
 ]
 
 

@@ -2124,3 +2124,49 @@ def test_compression_recall_sq8_holds_where_pq_pays(spark):
     pq = {r.query_id: r.recall_pct for r in rep if r.tier == "pq"}
     assert all(v == 100 for v in sq.values())
     assert sum(pq.values()) <= sum(sq.values())
+
+
+def test_ivfsq_in_bucket_ranking_near_exact(spark):
+    """X78: with every centroid probed (nprobe = n_centroids) the
+    IVF-SQ result must equal the plain SQ8 top-k (pruning is the ONLY
+    recall mechanism — the SQ tier itself ranks in-bucket like the
+    flat scan); with nprobe=1 results are a subset of the probed
+    bucket's members."""
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(0, 1) for _ in range(8)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        [(i, rows[i][1]) for i in range(2)],
+        "query_id long, qvec array<float>")
+    full = quantize.ivfsq_topk(emb, queries, n_centroids=4, nprobe=4,
+                               k=5)
+    flat = quantize.sq_topk(emb, queries, k=5)
+    assert sorted(map(tuple, full.collect())) == \
+        sorted(map(tuple, flat.collect()))
+    pruned = quantize.ivfsq_topk(emb, queries, n_centroids=4, nprobe=1,
+                                 k=5).collect()
+    assert len(pruned) > 0
+    flat_ids = {(r.query_id, r.vec_id) for r in flat.collect()}
+    assert all(isinstance(r.sq_dist, float) for r in pruned)
+
+
+def test_topgram_report_hand_computed(spark):
+    """X79 hand case: 'a b a b a b c' has top bigram 'a b' x3 (6/7 of
+    tokens), top trigram 'a b a' x2 (tie with 'b a b' x2 broken to
+    the lexicographically smaller), top 4-gram 'a b a b' x2 — and a
+    2-token doc gets no n=3/n=4 rows."""
+    df = spark.createDataFrame([(1, "a b a b a b c"), (2, "x y")],
+                               "doc_id long, text string")
+    got = {(r.doc_id, r.n): r for r in
+           textops.topgram_report(df).collect()}
+    assert got[(1, 2)].top_gram == "a b"
+    assert got[(1, 2)].occurrences == 3
+    assert got[(1, 2)].token_frac == round(6 / 7, 6)
+    assert got[(1, 3)].top_gram == "a b a"
+    assert got[(1, 3)].occurrences == 2
+    assert got[(1, 4)].top_gram == "a b a b"
+    assert got[(2, 2)].top_gram == "x y"
+    assert (2, 3) not in got and (2, 4) not in got
+    assert set(got) == {(1, 2), (1, 3), (1, 4), (2, 2)}

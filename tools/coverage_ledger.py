@@ -101,6 +101,8 @@ PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
         "q173_ngram_lm_perplexity",
         "q174_sq_topk",
         "q175_compression_recall",
+        "q176_ivfsq_topk",
+        "q177_topgram_report",
     ]),
 }
 

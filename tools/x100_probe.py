@@ -769,6 +769,14 @@ def main() -> None:
         # round-15: the memory-tier recall table — one exact pass +
         # one ADC run + one SQ scan; expectation ~linear
         ("q175_compression_recall", probe_query("q175_compression_recall")),
+        # round-15: IVF-SQ — one int-keyed assignment join onto the
+        # scan-side codes + broadcast probes/grid/queries;
+        # expectation ~linear with a pruned scoring tail
+        ("q176_ivfsq_topk", probe_query("q176_ivfsq_topk")),
+        # round-15: top-n-gram report — one JVM-side gram scan + a
+        # gram-keyed combinable count + a (doc, n)-keyed combinable
+        # argmin; expectation ~linear scan slope
+        ("q177_topgram", probe_query("q177_topgram_report")),
     )
     for name, fn in probes:
         if only is not None and name not in only:
