@@ -142,6 +142,8 @@ def release_corpus(
     embedding_drift: bool = False,
     ml_seed_path: str | None = None,
     ml_threshold: float = 0.0,
+    lm_ref_path: str | None = None,
+    lm_max_bits: float | None = None,
     recipe_weights: dict[str, int] | None = None,
     recipe_budget_frac: float = 0.5,
     recipe_epochs: int = 1,
@@ -225,7 +227,13 @@ def release_corpus(
     allowed labels (X53's curation job — the GPT-3 §A
     quality-classifier / lang-id stage, q149's argmax rule) — runs
     after decontamination, before Moore-Lewis, recorded under
-    ``nb_filter``.  ``ml_seed_path`` (with
+    ``nb_filter``.  ``lm_ref_path`` (with ``lm_max_bits``) applies
+    the CCNet perplexity cut BEFORE the in-domain selections: a
+    Stupid-Backoff bigram LM trains on the reference corpus and docs
+    scoring above ``lm_max_bits`` bits/token under it (the
+    high-perplexity tail — gibberish, boilerplate soup,
+    wrong-language) are dropped (X75, q173's rule), recorded under
+    ``lm_filter``.  ``ml_seed_path`` (with
     ``ml_threshold``) keeps only docs the seed's unigram model prefers
     over the pool's by the threshold (X51, q147's rule) — the
     selection runs early among the optional stages and the manifest
@@ -397,6 +405,46 @@ def release_corpus(
             nb_info = {
                 "model": nb_model_path,
                 "keep_labels": list(nb_keep_labels),
+                "n_docs_in": n_in,
+                "n_docs_kept": final.count(),
+            }
+        lm_info = None
+        if lm_max_bits is not None and not lm_ref_path:
+            # a requested quality cut with no reference to train on
+            # must refuse, not silently skip (the dsir_resample_n
+            # precedent)
+            raise ValueError(
+                "lm_max_bits requires lm_ref_path — the perplexity "
+                "filter has no model without a reference corpus")
+        if lm_ref_path:
+            # LM perplexity cut (X75, q173's exact rule — the CCNet
+            # recipe): train the Stupid-Backoff bigram LM on the
+            # curated REFERENCE corpus, keep docs scoring at most
+            # lm_max_bits bits/token under it (the high-perplexity
+            # tail is gibberish/boilerplate/wrong-language).  Runs
+            # before Moore-Lewis: the generic quality cut first, then
+            # in-domain selection — the stages compose, each
+            # recording its own funnel row.  Threshold-based for the
+            # same reason as --ml-seed (a fixed cutoff is a map-side
+            # filter after reference-bounded broadcast joins).
+            # Membership comes from the OPERATOR (the q147 wiring
+            # precedent).
+            if lm_max_bits is None:
+                raise ValueError(
+                    "lm_ref_path without lm_max_bits keeps everything "
+                    "— pass the bits/token cutoff the filter applies")
+            from .operators.textops import ngram_lm_scores, ngram_lm_train
+
+            ref = spark.read.parquet(lm_ref_path)
+            n_in = final.count()
+            kept_ids = (ngram_lm_scores(final, ngram_lm_train(ref))
+                        .where(F.col("bits_per_token") <= lm_max_bits)
+                        .select("doc_id"))
+            final = final.join(kept_ids, "doc_id", "left_semi").persist()
+            persisted.append(final)
+            lm_info = {
+                "ref": lm_ref_path,
+                "max_bits_per_token": lm_max_bits,
                 "n_docs_in": n_in,
                 "n_docs_kept": final.count(),
             }
@@ -599,7 +647,7 @@ def release_corpus(
                              embedding_drift, ml_info, recipe_info,
                              decontam_info, nb_info, dsir_info,
                              publish_index_dir, publish_index_pq,
-                             publish_index_centroids)
+                             publish_index_centroids, lm_info)
     finally:
         curated.unpersist()
         for df_ in persisted:
@@ -615,7 +663,7 @@ def _release_body(spark, final, output_path, baseline_path, min_quality,
                   recipe_info=None, decontam_info=None,
                   nb_info=None, dsir_info=None,
                   publish_index_dir=None, publish_index_pq="4,8",
-                  publish_index_centroids=None) -> dict:
+                  publish_index_centroids=None, lm_info=None) -> dict:
     import json as _json
 
     from pyspark.errors import AnalysisException
@@ -722,6 +770,7 @@ def _release_body(spark, final, output_path, baseline_path, min_quality,
         "mix": mix_info,
         "span_scrub": scrub_info,
         "ml_selection": ml_info,
+        "lm_filter": lm_info,
         "nb_filter": nb_info,
         "dsir_selection": dsir_info,
         "recipe": recipe_info,
@@ -1062,6 +1111,15 @@ def main(argv: list[str] | None = None) -> None:
                         "of the threshold (release domain; X64, "
                         "q161's ticket-lottery rule ∝ the DSIR "
                         "weight — requires --dsir-seed)")
+    p.add_argument("--lm-ref", default=None,
+                   help="release: parquet reference corpus to train "
+                        "the Stupid-Backoff bigram LM on (the CCNet "
+                        "recipe); with --lm-max-bits keeps only docs "
+                        "scoring at most that many bits/token")
+    p.add_argument("--lm-max-bits", type=float, default=None,
+                   help="release: bits/token cutoff for --lm-ref "
+                        "(docs above it are the high-perplexity tail "
+                        "the filter drops)")
     p.add_argument("--ml-seed", default=None,
                    help="in-domain seed corpus parquet: keep only docs "
                         "the seed unigram model prefers over the pool "
@@ -1400,6 +1458,8 @@ def main(argv: list[str] | None = None) -> None:
             embedding_drift=args.embedding_drift,
             ml_seed_path=args.ml_seed,
             ml_threshold=args.ml_threshold,
+            lm_ref_path=args.lm_ref,
+            lm_max_bits=args.lm_max_bits,
             recipe_weights=(
                 {k: int(v) for k, v in
                  (kv.split("=", 1) for kv in

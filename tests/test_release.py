@@ -1128,3 +1128,62 @@ def test_release_publish_index_centroid_sizing(spark, tmp_path):
                     "--publish-index-centroids", "12"])
     m3 = json.load(open(f"{rel3}/MANIFEST.json"))
     assert m3["published_index"]["n_centroids"] == 12
+
+
+def test_release_lm_filter_keeps_operator_membership(spark, tmp_path):
+    """--lm-ref wiring (X75): the released doc set equals the
+    ngram_lm_scores <= max-bits membership computed directly on the
+    curated frame (the operator IS the rule — the --ml-seed wiring
+    precedent), the manifest records the stage, and a biting cutoff
+    keeps a strict subset while an infinite one keeps everything."""
+    from real_time_iot_data_pipeline_project_spark.operators.textops import (
+        ngram_lm_scores, ngram_lm_train,
+    )
+
+    ref_path = str(tmp_path / "lmref")
+    (spark.read.parquet(_docs_path())
+     .where(F.col("source") == "src0").write.parquet(ref_path))
+
+    curated = pipelines.curate_corpus(spark, _docs_path())
+    lm = ngram_lm_train(spark.read.parquet(ref_path))
+    scores = ngram_lm_scores(curated, lm)
+    cut = float(scores.agg(F.expr(
+        "percentile_approx(bits_per_token, 0.5)")).head()[0])
+
+    rel = str(tmp_path / "lmrel")
+    m = pipelines.release_corpus(spark, _docs_path(), rel, n_shards=1,
+                                 lm_ref_path=ref_path,
+                                 lm_max_bits=cut)
+    assert m["lm_filter"]["max_bits_per_token"] == cut
+    assert (0 < m["lm_filter"]["n_docs_kept"]
+            < m["lm_filter"]["n_docs_in"])
+    want = {r.doc_id for r in
+            scores.where(F.col("bits_per_token") <= cut)
+            .select("doc_id").collect()}
+    got = {r.doc_id for r in
+           spark.read.json(f"{rel}/data").select("doc_id").collect()}
+    assert got == want
+
+
+def test_release_lm_filter_refusals_and_cli(spark, tmp_path):
+    """Half-specified LM stages refuse loudly (the dsir_resample_n
+    precedent) and the CLI flags reach release_corpus."""
+    ref_path = str(tmp_path / "lmref2")
+    (spark.read.parquet(_docs_path())
+     .where(F.col("source") == "src1").write.parquet(ref_path))
+    with pytest.raises(ValueError, match="lm_max_bits requires"):
+        pipelines.release_corpus(spark, _docs_path(),
+                                 str(tmp_path / "x"), n_shards=1,
+                                 lm_max_bits=5.0)
+    with pytest.raises(ValueError, match="without lm_max_bits"):
+        pipelines.release_corpus(spark, _docs_path(),
+                                 str(tmp_path / "y"), n_shards=1,
+                                 lm_ref_path=ref_path)
+    rel = str(tmp_path / "clilm")
+    pipelines.main(["release", _docs_path(), "--output", rel,
+                    "--shards", "1", "--lm-ref", ref_path,
+                    "--lm-max-bits", "99.0"])
+    m = json.load(open(f"{rel}/MANIFEST.json"))
+    assert m["lm_filter"]["max_bits_per_token"] == 99.0
+    assert (m["lm_filter"]["n_docs_kept"]
+            == m["lm_filter"]["n_docs_in"] == m["n_docs"])
