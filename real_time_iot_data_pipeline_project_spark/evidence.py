@@ -340,7 +340,9 @@ EVIDENCE: dict[str, dict] = {
         "test_curation_ops.py::test_topgram_report_hand_computed"]},
     "X75": {"queries": ["q173_ngram_lm_perplexity"], "tests": [
         "test_curation_ops.py::test_ngram_lm_hand_computed",
-        "test_curation_ops.py::test_ngram_lm_conditional_beats_unigram_and_roundtrip"]},
+        "test_curation_ops.py::test_ngram_lm_conditional_beats_unigram_and_roundtrip",
+        "test_release.py::test_release_lm_filter_keeps_operator_membership",
+        "test_release.py::test_release_lm_filter_refusals_and_cli"]},
     "X63": {"queries": ["q160_pq_refined_recall"], "tests": [
         "test_curation_ops.py::test_pq_refine_distortion_non_increasing_and_drift_free",
         "test_curation_ops.py::test_pq_refined_recall_report_spine_and_raw_anchor"]},
