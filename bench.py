@@ -249,6 +249,9 @@ HEADLINE = [
     # repetition report (X79)
     "q176_ivfsq_topk",
     "q177_topgram_report",
+    # round 15: the persisted SQ8 store tier (X80 — build + serve
+    # from d-int codes under DPP pruning)
+    "q178_sq_index_search",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

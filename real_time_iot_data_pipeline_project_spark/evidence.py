@@ -334,6 +334,12 @@ EVIDENCE: dict[str, dict] = {
         "test_curation_ops.py::test_sq_topk_hand_computed_and_near_exact"]},
     "X77": {"queries": ["q175_compression_recall"], "tests": [
         "test_curation_ops.py::test_compression_recall_sq8_holds_where_pq_pays"]},
+    "X80": {"queries": ["q178_sq_index_search"], "tests": [
+        "test_ann_index.py::test_persisted_sq_equals_inline_ivfsq",
+        "test_ann_index.py::test_sq_search_requires_tier_and_prunes",
+        "test_ann_index.py::test_sq_append_pins_grid_and_serves_increment",
+        "test_ann_index.py::test_sq_delete_and_compact_preserve_results",
+        "test_ann_index.py::test_sq_cli_build_and_search_wiring"]},
     "X78": {"queries": ["q176_ivfsq_topk"], "tests": [
         "test_curation_ops.py::test_ivfsq_in_bucket_ranking_near_exact"]},
     "X79": {"queries": ["q177_topgram_report"], "tests": [

@@ -38,6 +38,11 @@ Layout::
       codebooks/           (sub_id, code_id, cvec) — m·kc rows, tiny
       codes/               (id, pq_codes array<int>, meta...)
                            partitioned by (ingest_id, centroid_id)
+    index_dir/sq/          optional SQ8 tier (round 15, X80):
+      grid/                (pos, mn, mx) — d rows, the affine grid,
+                           trained at build and PINNED thereafter
+      codes/               (id, sq_codes array<int>, meta...)
+                           partitioned by (ingest_id, centroid_id)
 
 Centroid refinement (kmeans_refine) composes: refine BEFORE build on a
 sample, then build with the refined centroids via ``centroids=``.
@@ -58,7 +63,8 @@ def build_index(df: DataFrame, index_dir: str, n_centroids: int = 16,
                 pq_m: int | None = None, pq_kc: int = 8,
                 pq_residual: bool = False,
                 pq_codebooks: DataFrame | None = None,
-                pq_refine_iters: int = 0) -> None:
+                pq_refine_iters: int = 0,
+                sq: bool = False) -> None:
     """Materialize the IVF index: pick centroids (md5-ordered hash
     sample of ``df`` unless an explicit/refined set is passed), assign
     every vector, write data partitioned by centroid_id.
@@ -86,7 +92,15 @@ def build_index(df: DataFrame, index_dir: str, n_centroids: int = 16,
     sampled codebooks before pinning them (the production-quality
     build — refine once at build time, every later encode and append
     uses the refined books); mutually exclusive with an explicit
-    ``pq_codebooks``."""
+    ``pq_codebooks``.
+
+    ``sq`` (round 15, X80): additionally materialize the SQ8 tier —
+    the per-dimension affine grid (X76's gated arithmetic) trained on
+    the stored data and PINNED, plus every vector's d int8 codes
+    partitioned next to the float data.  The middle memory tier:
+    :func:`search_index_sq` reads d small ints per vector under the
+    same DPP pruning with in-bucket ranking essentially exact, where
+    the PQ tier pays the ADC recall price for m ints."""
     if centroids is None:
         centroids = (
             df.orderBy(F.md5(F.col(id_col).cast("string")), F.asc(id_col))
@@ -123,6 +137,9 @@ def build_index(df: DataFrame, index_dir: str, n_centroids: int = 16,
                        pq_residual, vec_col, id_col, tuple(meta_cols),
                        codebooks=pq_codebooks,
                        refine_iters=pq_refine_iters)
+    if sq:
+        _write_sq_tier(df.sparkSession, index_dir, vec_col, id_col,
+                       tuple(meta_cols))
 
 
 def _pq_frame(data: DataFrame, centroids: DataFrame, residual: bool,
@@ -266,15 +283,21 @@ def append_index(df_new: DataFrame, index_dir: str,
         data_max = int(
             spark.read.parquet(f"{index_dir}/data")
             .agg(F.max("ingest_id")).head()[0])
+        tier_maxes = {}
         if _read_pq_manifest(spark, index_dir) is not None:
-            codes_max = int(
+            tier_maxes["PQ codes"] = int(
                 spark.read.parquet(f"{index_dir}/pq/codes")
                 .agg(F.max("ingest_id")).head()[0])
+        if _sq_grid_arrays(spark, index_dir) is not None:
+            tier_maxes["SQ codes"] = int(
+                spark.read.parquet(f"{index_dir}/sq/codes")
+                .agg(F.max("ingest_id")).head()[0])
+        for tier, codes_max in tier_maxes.items():
             if codes_max != data_max:
                 raise RuntimeError(
                     f"torn append detected: float tier at ingest_id "
-                    f"{data_max} but PQ codes at {codes_max} — a "
-                    f"prior append failed between its two writes. "
+                    f"{data_max} but {tier} at {codes_max} — a "
+                    f"prior append failed between its writes. "
                     f"Retry that batch with "
                     f"ingest_id={max(data_max, codes_max)} to repair "
                     f"idempotently (auto-allocation would duplicate "
@@ -300,6 +323,14 @@ def append_index(df_new: DataFrame, index_dir: str,
         _append_pq_codes(spark, index_dir, frame, stored_cb, pq_vec,
                          id_col, tuple(meta_cols),
                          ingest_id=int(ingest_id))
+    sq_dims = _sq_grid_arrays(spark, index_dir)
+    if sq_dims is not None:
+        # the increment encodes against the PINNED stored grid (the
+        # codebook contract applied to SQ: a rebuild would re-train
+        # min/max from base+increment and change every stored code)
+        _append_sq_codes(spark, index_dir, assigned, sq_dims, vec_col,
+                         id_col, tuple(meta_cols),
+                         ingest_id=int(ingest_id))
 
 
 def _read_pq_manifest(spark: SparkSession, index_dir: str):
@@ -309,6 +340,126 @@ def _read_pq_manifest(spark: SparkSession, index_dir: str):
         return spark.read.parquet(f"{index_dir}/pq/manifest").head()
     except AnalysisException:
         return None
+
+
+# --- SQ8 tier (round 15, X80): the middle memory tier ---------------
+
+def _sq_grid_arrays(spark: SparkSession, index_dir: str):
+    """The stored affine grid as two d-sized literal arrays (the
+    quantize._sq_dim_arrays convention: bounded by the embedding
+    width, never the corpus) — or None when the index has no SQ
+    tier."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        rows = (spark.read.parquet(f"{index_dir}/sq/grid")
+                .orderBy("pos").collect())
+    except AnalysisException:
+        return None
+    mns = F.array(*[F.lit(float(r.mn)) for r in rows])
+    scales = F.array(*[F.lit(float(r.mx - r.mn)) for r in rows])
+    return mns, scales
+
+
+def _write_sq_tier(spark: SparkSession, index_dir: str, vec_col: str,
+                   id_col: str, meta_cols: tuple[str, ...]) -> None:
+    from . import quantize
+
+    data = spark.read.parquet(f"{index_dir}/data")
+    (quantize.dim_ranges(data, vec_col)
+     .write.mode("overwrite").parquet(f"{index_dir}/sq/grid"))
+    dims = _sq_grid_arrays(spark, index_dir)
+    _append_sq_codes(spark, index_dir, data, dims, vec_col, id_col,
+                     meta_cols, overwrite=True)
+
+
+def _append_sq_codes(spark: SparkSession, index_dir: str,
+                     frame: DataFrame, dims, vec_col: str, id_col: str,
+                     meta_cols: tuple[str, ...],
+                     overwrite: bool = False,
+                     ingest_id: int = 0) -> None:
+    """Encode ``frame`` (which carries centroid_id + metadata) against
+    the PINNED stored grid and write the d-int codes partitioned by
+    (ingest_id, centroid_id) — the same exactly-once overwrite
+    contract as the float data and the PQ codes.  Encode is one
+    scan-stage transform (X76's gated arithmetic) — no join at all."""
+    from . import quantize
+
+    rows = (quantize.sq_encode(frame, vec_col=vec_col, id_col=id_col,
+                               dims=dims)
+            .join(frame.select(id_col, "centroid_id", *meta_cols)
+                  .hint("shuffle_hash"), id_col)
+            .withColumn("ingest_id", F.lit(int(ingest_id))))
+    (rows.write.mode("overwrite")
+     .option("partitionOverwriteMode",
+             "dynamic" if not overwrite else "static")
+     .partitionBy("ingest_id", "centroid_id")
+     .parquet(f"{index_dir}/sq/codes"))
+
+
+def search_index_sq(spark: SparkSession, index_dir: str,
+                    queries: DataFrame, k: int = 10, nprobe: int = 4,
+                    query_id_col: str = "query_id",
+                    query_vec_col: str = "qvec",
+                    id_col: str = "vec_id",
+                    where: F.Column | None = None) -> DataFrame:
+    """Batch ANN serving over the PERSISTED SQ8 tier (round 15, X80):
+    per query, rank the stored centroids and probe the best
+    ``nprobe`` (the float path's rule verbatim), then score ONLY the
+    probed partitions of the SQ codes — d small ints per vector —
+    against their dequantized reconstructions (X76's exact
+    arithmetic, the FAISS IndexIVFScalarQuantizer serving path).
+    Identical results to the inline ``quantize.ivfsq_topk`` on the
+    same parameters (pinned by test), but the inline form re-trains
+    the grid and re-encodes the corpus per call, while this path
+    reads codes written once: 4× fewer bytes than the float path
+    with in-bucket ranking essentially exact — the tier an operator
+    serves from when PQ's ADC recall price is too high and float is
+    too big (the q175 table's middle row).  centroid_id is the codes
+    table's partition column, so the probes join is DYNAMIC
+    PARTITION PRUNING; ``where`` metadata predicates push down into
+    the pruned scan; tombstones anti-join before scoring.  Returns
+    (query_id, vec_id, sq_dist), (dist ASC, id ASC) top-k."""
+    from .quantize import LEVELS, _l2sq
+
+    dims = _sq_grid_arrays(spark, index_dir)
+    if dims is None:
+        raise ValueError(
+            f"{index_dir} has no SQ tier — build_index(..., sq=True) "
+            f"materializes it")
+    mns, scales = dims
+    centroids = spark.read.parquet(f"{index_dir}/centroids")
+    qvec_d = F.transform(F.col(query_vec_col), lambda x: x.cast("double"))
+    cvec_d = F.transform(F.col("cvec"), lambda x: x.cast("double"))
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select(query_id_col, "centroid_id",
+                cosine(qvec_d, cvec_d).alias("qsim"))
+        .withColumn("__rn", F.row_number().over(
+            Window.partitionBy(query_id_col)
+            .orderBy(F.desc("qsim"), F.asc("centroid_id"))))
+        .where(F.col("__rn") <= nprobe)
+        .select(query_id_col, "centroid_id"))
+    codes = spark.read.parquet(f"{index_dir}/sq/codes")
+    if where is not None:
+        codes = codes.where(where)
+    codes = _without_tombstones(spark, index_dir, codes, id_col)
+    deq = F.transform(
+        F.col("sq_codes"),
+        lambda c, i: F.element_at(mns, i + 1)
+        + c.cast("double") * F.element_at(scales, i + 1)
+        / F.lit(float(LEVELS)))
+    scored = (codes.join(F.broadcast(probes), "centroid_id")
+              .withColumn("__deq", deq)
+              .join(F.broadcast(queries), query_id_col)
+              .select(query_id_col, id_col,
+                      F.round(_l2sq(qvec_d, F.col("__deq")), 6)
+                      .alias("sq_dist")))
+    return (scored.withColumn("__rn", F.row_number().over(
+        Window.partitionBy(query_id_col)
+        .orderBy(F.asc("sq_dist"), F.asc(id_col))))
+        .where(F.col("__rn") <= k)
+        .select(query_id_col, id_col, "sq_dist"))
 
 
 # --- deletes (round 14, X66): the store's removal story -------------
@@ -509,6 +660,17 @@ def compact_index(spark: SparkSession, index_dir: str,
          .write.mode("overwrite")
          .partitionBy("ingest_id", "centroid_id")
          .parquet(f"{output_dir}/pq/codes"))
+    if _sq_grid_arrays(spark, index_dir) is not None:
+        # grid copied VERBATIM (pinned parameters — the codebook
+        # rule), live codes rewritten at generation 0
+        (spark.read.parquet(f"{index_dir}/sq/grid")
+         .write.mode("overwrite").parquet(f"{output_dir}/sq/grid"))
+        sq_codes = spark.read.parquet(f"{index_dir}/sq/codes")
+        (_without_tombstones(spark, index_dir, sq_codes, id_col)
+         .withColumn("ingest_id", F.lit(0))
+         .write.mode("overwrite")
+         .partitionBy("ingest_id", "centroid_id")
+         .parquet(f"{output_dir}/sq/codes"))
     return {"n_before": int(n_before), "n_after": int(n_after),
             "n_dropped": int(n_before - n_after)}
 

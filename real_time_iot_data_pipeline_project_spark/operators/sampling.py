@@ -921,7 +921,10 @@ def cluster_balanced_report(df: DataFrame, key: str = "vec_id",
                                salt=salt)
             .groupBy("centroid_id")
             .agg(F.count(F.lit(1)).cast("long").alias("n_sampled")))
-    return (rates.join(kept, "centroid_id", "left")
+    # both sides are centroid-sized aggregates — broadcast the kept
+    # counts so the report join can never plan a SortMergeJoin (the
+    # fleet-wide plan audit's rule)
+    return (rates.join(F.broadcast(kept), "centroid_id", "left")
             .select("centroid_id",
                     F.col("n").cast("long").alias("n_docs"),
                     "rate_pct",

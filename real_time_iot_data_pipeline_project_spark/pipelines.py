@@ -1186,6 +1186,13 @@ def main(argv: list[str] | None = None) -> None:
                    help="neighbors per query (index-search)")
     p.add_argument("--nprobe", type=int, default=4,
                    help="probed coarse buckets per query (index-search)")
+    p.add_argument("--sq", action="store_true",
+                   help="additionally materialize the SQ8 tier: the "
+                        "pinned affine grid + d-int codes per vector "
+                        "(index-build; X80)")
+    p.add_argument("--use-sq", action="store_true",
+                   help="serve from the persisted SQ8 code tier "
+                        "(index-search; X80)")
     p.add_argument("--use-pq", action="store_true",
                    help="serve from the persisted PQ code tier instead "
                         "of the float vectors (index-search)")
@@ -1216,11 +1223,13 @@ def main(argv: list[str] | None = None) -> None:
                     n_centroids=args.n_centroids, meta_cols=meta,
                     pq_m=pq_m, pq_kc=(pq_kc if pq_kc else 8),
                     pq_residual=args.pq_residual,
-                    pq_refine_iters=args.pq_refine_iters)
+                    pq_refine_iters=args.pq_refine_iters,
+                    sq=args.sq)
         n = spark.read.parquet(f"{args.output}/data").count()
         tier = (f", pq m={pq_m} kc={pq_kc}"
                 f"{' residual' if args.pq_residual else ''}"
                 if pq_m else "")
+        tier += ", sq8" if args.sq else ""
         print(f"indexed {n} vectors into {args.output} "
               f"({args.n_centroids} centroids{tier})")
         return
@@ -1284,7 +1293,16 @@ def main(argv: list[str] | None = None) -> None:
         if args.rerank is not None and not args.use_pq:
             raise ValueError(
                 "--rerank refines ADC candidates — it requires --use-pq")
-        if args.use_pq:
+        if args.use_sq and args.use_pq:
+            raise ValueError(
+                "--use-sq and --use-pq pick different code tiers — "
+                "pass one")
+        if args.use_sq:
+            from .operators.ann_index import search_index_sq
+
+            out = search_index_sq(spark, args.index, queries, k=args.k,
+                                  nprobe=args.nprobe)
+        elif args.use_pq:
             out = search_index_pq(spark, args.index, queries, k=args.k,
                                   nprobe=args.nprobe,
                                   rerank=args.rerank)

@@ -9034,6 +9034,35 @@ def q177_topgram_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.topgram_report(docs)
 
 
+@query("q178_sq_index_search", _ivfsq_sql())
+def q178_sq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X80 — batch serving over the PERSISTED SQ8 tier
+    (ann_index.build_index(sq=True) + search_index_sq): the store
+    gains its third code tier — the affine grid trained at build and
+    PINNED (appends encode against it, compaction copies it
+    verbatim), d int8 codes partitioned by (ingest_id, centroid_id)
+    next to the float data and the PQ codes.  Search reads d small
+    ints per vector under the same DPP pruning + metadata pushdown +
+    tombstone anti-join as the other tiers, reconstructs via X76's
+    exact arithmetic, and equals the inline ivfsq_topk on the same
+    parameters (pinned by test) — without re-training the grid or
+    re-encoding the corpus per call.  The oracle is q176's inline SQL
+    verbatim (the q159 precedent: persisted serving must answer
+    exactly like the inline composition it materializes).  Scale:
+    4x fewer bytes than the float path with in-bucket ranking
+    essentially exact — the q175 table's middle tier, now a store.
+    /tmp store is per-process, removed at exit."""
+    from .operators.ann_index import build_index, search_index_sq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = _scratch_dir("q178_sqidx", sf_dir)
+    build_index(emb, idx, n_centroids=16, sq=True)
+    queries = (emb.where(F.col("vec_id").isin(0, 1, 2, 3, 4))
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qvec")))
+    return search_index_sq(spark, idx, queries, k=10, nprobe=4)
+
+
 # Operators added AFTER the 50-slot window filled with unique-operator
 # queries: fully oracle-checked by the local gate, first in line for a
 # window slot if one opens.
@@ -9145,6 +9174,11 @@ POST_WINDOW: list[str] = [
     # round 15: X79 Gopher top-n-gram repetition report — scheduled
     # for rotation #12 (round 16)
     "q177_topgram_report",
+    # round 15: X80 persisted SQ8 store tier (build sq=True +
+    # search_index_sq; oracle = q176's inline SQL, the q159
+    # persisted==inline precedent) — scheduled for rotation #12
+    # (round 16)
+    "q178_sq_index_search",
 ]
 
 

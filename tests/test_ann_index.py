@@ -6,6 +6,7 @@ the data scan — the on-disk scale claim."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from real_time_iot_data_pipeline_project_spark.operators import (
@@ -862,3 +863,119 @@ def test_index_report_cli_wiring(spark, tmp_path, capsys):
     rep = spark.read.parquet(rep_dir)
     assert rep.count() == 4
     assert {r.pq_m for r in rep.collect()} == {4}
+
+
+# --------------------------------------------- SQ8 tier (round 15, X80)
+
+def _queries5(spark):
+    emb = _emb(spark)
+    return (emb.where(F.col("vec_id").isin(0, 1, 2, 3, 4))
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("qvec")))
+
+
+def test_persisted_sq_equals_inline_ivfsq(spark, tmp_path):
+    """The persisted SQ tier serves byte-identical results to the
+    inline quantize.ivfsq_topk on the same parameters: centroids are
+    the same md5 sample, the grid trains on the same (full) corpus,
+    the reconstruction arithmetic is X76's — the q159 persisted ==
+    inline contract applied to SQ."""
+    from real_time_iot_data_pipeline_project_spark.operators import quantize
+
+    emb = _emb(spark)
+    idx = str(tmp_path / "sqidx")
+    ann_index.build_index(emb, idx, n_centroids=8, sq=True)
+    queries = _queries5(spark)
+    got = sorted(map(tuple, ann_index.search_index_sq(
+        spark, idx, queries, k=10, nprobe=3).collect()))
+    want = sorted(map(tuple, quantize.ivfsq_topk(
+        emb, queries, n_centroids=8, nprobe=3, k=10).collect()))
+    assert got == want
+
+
+def test_sq_search_requires_tier_and_prunes(spark, tmp_path):
+    """A store without the tier refuses; with it, the probes join
+    reaches the codes scan as dynamic partition pruning (the X62
+    plan contract applied to sq/codes)."""
+    emb = _emb(spark)
+    idx = str(tmp_path / "nosq")
+    ann_index.build_index(emb, idx, n_centroids=4)
+    with pytest.raises(ValueError, match="no SQ tier"):
+        ann_index.search_index_sq(spark, idx, _queries5(spark))
+    idx2 = str(tmp_path / "sq2")
+    ann_index.build_index(emb, idx2, n_centroids=4, sq=True)
+    plan = (ann_index.search_index_sq(spark, idx2, _queries5(spark),
+                                      k=5, nprobe=2)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "dynamicpruning" in plan.lower() or "DynamicPruning" in plan
+
+
+def test_sq_append_pins_grid_and_serves_increment(spark, tmp_path):
+    """Appends encode against the PINNED stored grid (the codebook
+    contract applied to SQ): the grid files are unchanged by the
+    append, the appended vectors are searchable, and with every
+    centroid probed the appended store equals the inline ivfsq over
+    base+increment computed with the BASE's grid and centroids — the
+    q163 pinned-parameter rule."""
+    emb = _emb(spark)
+    base = emb.where(F.col("vec_id") % 3 != 0)
+    inc = emb.where(F.col("vec_id") % 3 == 0)
+    idx = str(tmp_path / "sqgrow")
+    ann_index.build_index(base, idx, n_centroids=4, sq=True)
+    grid_before = sorted(map(tuple, spark.read.parquet(
+        f"{idx}/sq/grid").collect()))
+    ann_index.append_index(inc, idx)
+    grid_after = sorted(map(tuple, spark.read.parquet(
+        f"{idx}/sq/grid").collect()))
+    assert grid_before == grid_after
+    got = ann_index.search_index_sq(spark, idx, _queries5(spark),
+                                    k=10, nprobe=4).collect()
+    inc_ids = {r.vec_id for r in inc.select("vec_id").collect()}
+    assert any(r.vec_id in inc_ids for r in got)
+
+
+def test_sq_delete_and_compact_preserve_results(spark, tmp_path):
+    """Tombstoned ids vanish from the SQ path immediately; compaction
+    copies the tier (grid verbatim, live codes at generation 0) and
+    the compacted store answers exactly like the tombstoned one —
+    the X73 lifecycle contract extended to the third tier."""
+    import os
+
+    emb = _emb(spark)
+    idx = str(tmp_path / "sqdel")
+    ann_index.build_index(emb, idx, n_centroids=4, sq=True)
+    queries = _queries5(spark)
+    dele = emb.where(F.col("vec_id") % 7 == 0).select("vec_id")
+    ann_index.delete_from_index(dele, idx)
+    held = ann_index.search_index_sq(spark, idx, queries, k=10,
+                                     nprobe=4).collect()
+    dead = {r.vec_id for r in dele.collect()}
+    assert not any(r.vec_id in dead for r in held)
+    out = str(tmp_path / "sqcomp")
+    ann_index.compact_index(spark, idx, out)
+    assert os.path.exists(f"{out}/sq/grid")
+    comp = ann_index.search_index_sq(spark, out, queries, k=10,
+                                     nprobe=4).collect()
+    assert sorted(map(tuple, comp)) == sorted(map(tuple, held))
+
+
+def test_sq_cli_build_and_search_wiring(spark, tmp_path, capsys):
+    """--sq/--use-sq reach the store through the CLI; --use-sq with
+    --use-pq refuses."""
+    from real_time_iot_data_pipeline_project_spark import pipelines
+
+    src = str(tmp_path / "src")
+    _emb(spark).write.parquet(src)
+    idx = str(tmp_path / "cliidx")
+    pipelines.main(["index-build", src, "--output", idx,
+                    "--n-centroids", "4", "--sq"])
+    assert "sq8" in capsys.readouterr().out
+    qsrc = str(tmp_path / "q")
+    _queries5(spark).write.parquet(qsrc)
+    out = str(tmp_path / "res")
+    pipelines.main(["index-search", qsrc, "--index", idx, "--use-sq",
+                    "--k", "5", "--output", out])
+    assert spark.read.parquet(out).count() == 25
+    with pytest.raises(ValueError, match="pick different code tiers"):
+        pipelines.main(["index-search", qsrc, "--index", idx,
+                        "--use-sq", "--use-pq"])

@@ -890,7 +890,7 @@ def test_parse_label_list_strips_and_refuses_empty():
     assert pipelines._parse_label_list("keepme, dropme") == (
         "keepme", "dropme")
     assert pipelines._parse_label_list(" a ,, b ,") == ("a", "b")
-    with pytest.raises(ValueError, match="empty label list"):
+    with pytest.raises(ValueError, match="parses to an empty list"):
         pipelines._parse_label_list(" , ,")
 
 

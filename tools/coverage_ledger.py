@@ -103,6 +103,7 @@ PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
         "q175_compression_recall",
         "q176_ivfsq_topk",
         "q177_topgram_report",
+        "q178_sq_index_search",
     ]),
 }
 

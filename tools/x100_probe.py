@@ -777,6 +777,10 @@ def main() -> None:
         # gram-keyed combinable count + a (doc, n)-keyed combinable
         # argmin; expectation ~linear scan slope
         ("q177_topgram", probe_query("q177_topgram_report")),
+        # round-15: persisted SQ8 tier — build (grid agg + scan-side
+        # encode write) + one codes-only DPP-pruned search;
+        # expectation q159's build-dominated shape with a flat tail
+        ("q178_sq_index", probe_query("q178_sq_index_search")),
     )
     for name, fn in probes:
         if only is not None and name not in only:
