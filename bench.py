@@ -252,6 +252,9 @@ HEADLINE = [
     # round 15: the persisted SQ8 store tier (X80 — build + serve
     # from d-int codes under DPP pruning)
     "q178_sq_index_search",
+    # round 15: the streaming LM reference fold (X81 — two batch_id
+    # count appends + one folded-model score pass)
+    "q179_stream_lm_fold",
 ]
 
 # Machine-load variance at sub-second scales (±50% observed) can mask

@@ -334,6 +334,9 @@ EVIDENCE: dict[str, dict] = {
         "test_curation_ops.py::test_sq_topk_hand_computed_and_near_exact"]},
     "X77": {"queries": ["q175_compression_recall"], "tests": [
         "test_curation_ops.py::test_compression_recall_sq8_holds_where_pq_pays"]},
+    "X81": {"queries": ["q179_stream_lm_fold"], "tests": [
+        "test_streaming.py::test_streaming_lm_fold_equals_batch",
+        "test_streaming.py::test_streaming_lm_sink_engine_equals_direct"]},
     "X80": {"queries": ["q178_sq_index_search"], "tests": [
         "test_ann_index.py::test_persisted_sq_equals_inline_ivfsq",
         "test_ann_index.py::test_sq_search_requires_tier_and_prunes",

@@ -8631,9 +8631,12 @@ def q172_cluster_sample_report(spark: SparkSession,
                                             budget_frac=0.5)
 
 
-@query(
-    "q173_ngram_lm_perplexity",
-    f"""
+def _ngram_lm_sql() -> str:
+    """q173/q179 oracle: the Stupid-Backoff bigram LM train+score
+    composition as DuckDB CTEs — q179 reuses it verbatim because the
+    stream-folded counts ARE ngram_lm_train's table (integer counts
+    merge exactly; the q156 fold==batch precedent)."""
+    return f"""
     WITH ref AS (
       SELECT string_split({_NORM_SQL}, ' ') AS ts
       FROM documents WHERE source = 'src0'
@@ -8683,8 +8686,10 @@ def q172_cluster_sample_report(spark: SparkSession,
            round(CAST(SUM(CAST(-ln(s) / {LN2!r} AS DECIMAL(18,12)))
                       AS DOUBLE) / COUNT(*), 6) AS bits_per_token
     FROM sc GROUP BY doc_id
-    """,
-)
+    """
+
+
+@query("q173_ngram_lm_perplexity", _ngram_lm_sql())
 def q173_ngram_lm_perplexity(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
     """X75 — conditional bigram LM perplexity filter with STUPID
@@ -9063,6 +9068,35 @@ def q178_sq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_index_sq(spark, idx, queries, k=10, nprobe=4)
 
 
+@query("q179_stream_lm_fold", _ngram_lm_sql())
+def q179_stream_lm_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X81 — streaming LM reference fold (streaming/lm_stream.py):
+    the src0 reference arrives as TWO deterministic micro-batches
+    (pmod split — the foreachBatch body driven directly with its
+    batch_id contract, the q156/q163 pattern), each appending its own
+    (prev, cur) counts under a batch_id-keyed overwrite; the corpus
+    then scores against the FOLDED model.  The oracle is q173's SQL
+    VERBATIM: integer counts merge exactly, so an LM folded from any
+    batching equals ngram_lm_train on the concatenated reference
+    bit-for-bit and every downstream score is identical — a green
+    hash proves the streaming ingestion path cannot drift from the
+    batch one.  Scale: per-batch cost is the batch's own two
+    combinable counts; replay idempotence is the overwrite itself.
+    /tmp store is per-process, removed at exit."""
+    from .streaming.lm_stream import (
+        ngram_lm_scores_from_store, process_lm_batch,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.where(F.col("source") == "src0")
+    store = _scratch_dir("q179_lmstore", sf_dir)
+    process_lm_batch(ref.where(F.pmod(F.col("doc_id"), 2) == 0), 0,
+                     store)
+    process_lm_batch(ref.where(F.pmod(F.col("doc_id"), 2) == 1), 1,
+                     store)
+    return ngram_lm_scores_from_store(spark, store, docs, ln2=LN2)
+
+
 # Operators added AFTER the 50-slot window filled with unique-operator
 # queries: fully oracle-checked by the local gate, first in line for a
 # window slot if one opens.
@@ -9179,6 +9213,10 @@ POST_WINDOW: list[str] = [
     # persisted==inline precedent) — scheduled for rotation #12
     # (round 16)
     "q178_sq_index_search",
+    # round 15: X81 streaming LM reference fold (batch_id-keyed count
+    # appends; oracle = q173's SQL verbatim, the q156 fold==batch
+    # precedent) — scheduled for rotation #12 (round 16)
+    "q179_stream_lm_fold",
 ]
 
 

@@ -2254,3 +2254,76 @@ def test_streaming_index_sink_engine_equals_direct(spark, tmp_path):
     want = sorted(ann_index.search_index_pq(spark, direct, q, k=8,
                                             nprobe=3).collect())
     assert got == want
+
+
+# ----------------------------------------------- streaming LM fold (X81)
+
+def test_streaming_lm_fold_equals_batch(spark, tmp_path):
+    """X81: the store-folded LM over any batching equals
+    ngram_lm_train on the concatenated reference — downstream scores
+    are identical (the q179 gate's claim, pinned here directly),
+    replay of a completed batch is idempotent, and empty batches are
+    no-ops."""
+    from real_time_iot_data_pipeline_project_spark.operators import textops
+    from real_time_iot_data_pipeline_project_spark.streaming import (
+        lm_stream,
+    )
+
+    rows = [(i, f"a b w{i % 4} a c w{i % 3}") for i in range(24)]
+    ref = spark.createDataFrame(rows, "doc_id long, text string")
+    store = str(tmp_path / "lm_store")
+    for b in range(3):
+        lm_stream.process_lm_batch(
+            ref.where(F.col("doc_id") % 3 == b), b, store)
+    # replay of batch 1 (checkpoint recovery) + an empty batch
+    lm_stream.process_lm_batch(
+        ref.where(F.col("doc_id") % 3 == 1), 1, store)
+    lm_stream.process_lm_batch(ref.where(F.lit(False)), 3, store)
+
+    # NULL prev marks the unigram tier — sentinel it for sorting
+    key = lambda d: sorted(  # noqa: E731
+        tuple("" if v is None else v for v in r) for r in d.collect())
+    assert key(lm_stream.lm_from_store(spark, store)) \
+        == key(textops.ngram_lm_train(ref))
+
+    docs = spark.createDataFrame(
+        [(100, "a b a c"), (101, "c a x y")],
+        "doc_id long, text string")
+    got = lm_stream.ngram_lm_scores_from_store(spark, store, docs)
+    want = textops.ngram_lm_scores(docs, textops.ngram_lm_train(ref))
+    assert key(got) == key(want)
+
+
+def test_streaming_lm_sink_engine_equals_direct(spark, tmp_path):
+    """availableNow stream-engine run == direct foreachBatch-body
+    invocation (the equivalence q179's direct-drive gate builds on)."""
+    from real_time_iot_data_pipeline_project_spark.streaming import (
+        lm_stream,
+    )
+
+    rows = [(i, f"p q r{i % 5} p s") for i in range(18)]
+    ref = spark.createDataFrame(rows, "doc_id long, text string")
+    src = tmp_path / "lm_in"
+    src.mkdir()
+    for b in range(3):
+        ref.where(F.col("doc_id") % 3 == b).coalesce(1) \
+            .write.mode("overwrite").parquet(str(src / f"b{b}.parquet"))
+
+    stream_store = str(tmp_path / "lm1")
+    stream = (spark.readStream
+              .schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src) + "/*/"))
+    q = lm_stream.start_lm_sink(stream, str(tmp_path / "lm_ckpt"),
+                                stream_store)
+    q.awaitTermination(120)
+
+    direct_store = str(tmp_path / "lm2")
+    for b in range(3):
+        lm_stream.process_lm_batch(
+            ref.where(F.col("doc_id") % 3 == b), b, direct_store)
+
+    key = lambda d: sorted(  # noqa: E731
+        tuple("" if v is None else v for v in r) for r in d.collect())
+    assert key(lm_stream.lm_from_store(spark, stream_store)) \
+        == key(lm_stream.lm_from_store(spark, direct_store))

@@ -104,6 +104,7 @@ PLANNED_ROTATIONS: dict[int, tuple[int, list[str]]] = {
         "q176_ivfsq_topk",
         "q177_topgram_report",
         "q178_sq_index_search",
+        "q179_stream_lm_fold",
     ]),
 }
 

@@ -781,6 +781,10 @@ def main() -> None:
         # encode write) + one codes-only DPP-pruned search;
         # expectation q159's build-dominated shape with a flat tail
         ("q178_sq_index", probe_query("q178_sq_index_search")),
+        # round-15: streaming LM fold — two batch-sized count appends
+        # + q173's score pass over the folded model; expectation
+        # q173's scan-bound slope plus batch-sized write costs
+        ("q179_stream_lm", probe_query("q179_stream_lm_fold")),
     )
     for name, fn in probes:
         if only is not None and name not in only:
