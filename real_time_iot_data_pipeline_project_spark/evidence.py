@@ -346,7 +346,8 @@ EVIDENCE: dict[str, dict] = {
     "X78": {"queries": ["q176_ivfsq_topk"], "tests": [
         "test_curation_ops.py::test_ivfsq_in_bucket_ranking_near_exact"]},
     "X79": {"queries": ["q177_topgram_report"], "tests": [
-        "test_curation_ops.py::test_topgram_report_hand_computed"]},
+        "test_curation_ops.py::test_topgram_report_hand_computed",
+        "test_release.py::test_release_topgram_filter_keeps_operator_membership"]},
     "X75": {"queries": ["q173_ngram_lm_perplexity"], "tests": [
         "test_curation_ops.py::test_ngram_lm_hand_computed",
         "test_curation_ops.py::test_ngram_lm_conditional_beats_unigram_and_roundtrip",

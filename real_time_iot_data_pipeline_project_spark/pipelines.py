@@ -144,6 +144,7 @@ def release_corpus(
     ml_threshold: float = 0.0,
     lm_ref_path: str | None = None,
     lm_max_bits: float | None = None,
+    topgram_max_frac: float | None = None,
     recipe_weights: dict[str, int] | None = None,
     recipe_budget_frac: float = 0.5,
     recipe_epochs: int = 1,
@@ -227,7 +228,12 @@ def release_corpus(
     allowed labels (X53's curation job — the GPT-3 §A
     quality-classifier / lang-id stage, q149's argmax rule) — runs
     after decontamination, before Moore-Lewis, recorded under
-    ``nb_filter``.  ``lm_ref_path`` (with ``lm_max_bits``) applies
+    ``nb_filter``.  ``topgram_max_frac`` applies the Gopher
+    repetition cut first among the selection stages (no reference
+    needed — the rule is per-doc): docs whose most frequent bigram
+    covers more than that fraction of their tokens are dropped (X79,
+    q177's rule), recorded under ``topgram_filter``.
+    ``lm_ref_path`` (with ``lm_max_bits``) applies
     the CCNet perplexity cut BEFORE the in-domain selections: a
     Stupid-Backoff bigram LM trains on the reference corpus and docs
     scoring above ``lm_max_bits`` bits/token under it (the
@@ -405,6 +411,31 @@ def release_corpus(
             nb_info = {
                 "model": nb_model_path,
                 "keep_labels": list(nb_keep_labels),
+                "n_docs_in": n_in,
+                "n_docs_kept": final.count(),
+            }
+        topgram_info = None
+        if topgram_max_frac is not None:
+            # Gopher repetition cut (X79, q177's exact rule — Rae et
+            # al. 2021): drop docs whose most frequent bigram covers
+            # more than the cutoff fraction of their tokens (the
+            # boilerplate-header signal the duplicate-bigram fraction
+            # can't localize).  Needs no reference corpus — the rule
+            # is per-doc — so it runs FIRST among the selection
+            # stages.  Membership comes from the OPERATOR (the q147
+            # wiring precedent).
+            from .operators.textops import topgram_report
+
+            n_in = final.count()
+            drop_ids = (topgram_report(final, ns=(2,))
+                        .where(F.col("token_frac")
+                               > float(topgram_max_frac))
+                        .select("doc_id"))
+            final = final.join(drop_ids, "doc_id", "left_anti").persist()
+            persisted.append(final)
+            topgram_info = {
+                "max_frac": float(topgram_max_frac),
+                "n": 2,
                 "n_docs_in": n_in,
                 "n_docs_kept": final.count(),
             }
@@ -647,7 +678,8 @@ def release_corpus(
                              embedding_drift, ml_info, recipe_info,
                              decontam_info, nb_info, dsir_info,
                              publish_index_dir, publish_index_pq,
-                             publish_index_centroids, lm_info)
+                             publish_index_centroids, lm_info,
+                             topgram_info)
     finally:
         curated.unpersist()
         for df_ in persisted:
@@ -663,7 +695,8 @@ def _release_body(spark, final, output_path, baseline_path, min_quality,
                   recipe_info=None, decontam_info=None,
                   nb_info=None, dsir_info=None,
                   publish_index_dir=None, publish_index_pq="4,8",
-                  publish_index_centroids=None, lm_info=None) -> dict:
+                  publish_index_centroids=None, lm_info=None,
+                  topgram_info=None) -> dict:
     import json as _json
 
     from pyspark.errors import AnalysisException
@@ -771,6 +804,7 @@ def _release_body(spark, final, output_path, baseline_path, min_quality,
         "span_scrub": scrub_info,
         "ml_selection": ml_info,
         "lm_filter": lm_info,
+        "topgram_filter": topgram_info,
         "nb_filter": nb_info,
         "dsir_selection": dsir_info,
         "recipe": recipe_info,
@@ -1111,6 +1145,11 @@ def main(argv: list[str] | None = None) -> None:
                         "of the threshold (release domain; X64, "
                         "q161's ticket-lottery rule ∝ the DSIR "
                         "weight — requires --dsir-seed)")
+    p.add_argument("--topgram-max-frac", type=float, default=None,
+                   help="release: drop docs whose most frequent "
+                        "bigram covers more than this fraction of "
+                        "their tokens (the Gopher repetition rule, "
+                        "X79)")
     p.add_argument("--lm-ref", default=None,
                    help="release: parquet reference corpus to train "
                         "the Stupid-Backoff bigram LM on (the CCNet "
@@ -1478,6 +1517,7 @@ def main(argv: list[str] | None = None) -> None:
             ml_threshold=args.ml_threshold,
             lm_ref_path=args.lm_ref,
             lm_max_bits=args.lm_max_bits,
+            topgram_max_frac=args.topgram_max_frac,
             recipe_weights=(
                 {k: int(v) for k, v in
                  (kv.split("=", 1) for kv in

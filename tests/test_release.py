@@ -1187,3 +1187,40 @@ def test_release_lm_filter_refusals_and_cli(spark, tmp_path):
     assert m["lm_filter"]["max_bits_per_token"] == 99.0
     assert (m["lm_filter"]["n_docs_kept"]
             == m["lm_filter"]["n_docs_in"] == m["n_docs"])
+
+
+def test_release_topgram_filter_keeps_operator_membership(spark, tmp_path):
+    """--topgram-max-frac wiring (X79): the released doc set equals
+    the topgram_report-over-threshold anti-membership computed
+    directly on the curated frame, the manifest records the stage,
+    and the CLI flag reaches release_corpus."""
+    from real_time_iot_data_pipeline_project_spark.operators.textops import (
+        topgram_report,
+    )
+
+    curated = pipelines.curate_corpus(spark, _docs_path())
+    rep = topgram_report(curated, ns=(2,))
+    cut = float(rep.agg(F.expr(
+        "percentile_approx(token_frac, 0.5)")).head()[0])
+
+    rel = str(tmp_path / "tgrel")
+    m = pipelines.release_corpus(spark, _docs_path(), rel, n_shards=1,
+                                 topgram_max_frac=cut)
+    assert m["topgram_filter"]["max_frac"] == cut
+    assert (0 < m["topgram_filter"]["n_docs_kept"]
+            < m["topgram_filter"]["n_docs_in"])
+    dropped = {r.doc_id for r in
+               rep.where(F.col("token_frac") > cut)
+               .select("doc_id").collect()}
+    kept_all = {r.doc_id for r in curated.select("doc_id").collect()}
+    got = {r.doc_id for r in
+           spark.read.json(f"{rel}/data").select("doc_id").collect()}
+    assert got == kept_all - dropped
+
+    rel2 = str(tmp_path / "tgcli")
+    pipelines.main(["release", _docs_path(), "--output", rel2,
+                    "--shards", "1", "--topgram-max-frac", "0.99"])
+    m2 = json.load(open(f"{rel2}/MANIFEST.json"))
+    assert m2["topgram_filter"]["max_frac"] == 0.99
+    assert (m2["topgram_filter"]["n_docs_kept"]
+            == m2["topgram_filter"]["n_docs_in"] == m2["n_docs"])
