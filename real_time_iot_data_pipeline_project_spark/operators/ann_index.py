@@ -194,21 +194,23 @@ def _append_pq_codes(spark: SparkSession, index_dir: str, frame: DataFrame,
     """Encode ``frame`` (which carries centroid_id + metadata) against
     the PINNED codebooks and write wide codes — one row per vector,
     m small ints — partitioned by (ingest_id, centroid_id), the same
-    exactly-once overwrite contract as the float data."""
+    exactly-once overwrite contract as the float data.
+
+    Execution (optimization round 15, guide §2.3/§2.4): the codes are
+    computed MAP-SIDE (``quantize.pq_encode_wide`` — the m·kc codebook
+    as literals, argmin per subspace in one projection, centroid_id
+    and metadata carried through), so the encode-and-write is a single
+    scan stage: the tall path's three corpus exchanges (argmin
+    groupBy, collect_list pivot, shuffle-hash join-back on id) are
+    gone.  Codes are value-identical (persisted==inline pinned by
+    test; hash-gated q159/q162/q163)."""
     from . import quantize
 
-    tall = quantize.pq_encode(frame, codebooks, vec_col=pq_vec,
-                              id_col=id_col)
-    wide = (tall.groupBy(id_col)
-            .agg(F.transform(
-                F.sort_array(F.collect_list(F.struct("sub_id", "code"))),
-                lambda s: s["code"]).alias("pq_codes")))
-    rows = (frame.select(id_col, "centroid_id", *meta_cols)
-            # id is the join key on both sides of an id-unique frame —
-            # broadcast-ineligible at corpus size, shuffle-hash by
-            # design (the graph.py join-back rule)
-            .join(wide.hint("shuffle_hash"), id_col)
-            .withColumn("ingest_id", F.lit(int(ingest_id))))
+    rows = (quantize.pq_encode_wide(
+        frame, codebooks, vec_col=pq_vec, id_col=id_col,
+        carry_cols=("centroid_id", *meta_cols))
+        .select(id_col, "centroid_id", *meta_cols, "pq_codes")
+        .withColumn("ingest_id", F.lit(int(ingest_id))))
     (rows.write.mode("overwrite")
      .option("partitionOverwriteMode",
              "dynamic" if not overwrite else "static")
@@ -351,13 +353,16 @@ def _sq_grid_arrays(spark: SparkSession, index_dir: str):
     tier."""
     from pyspark.errors import AnalysisException
 
+    from .quantize import _lit_doubles
+
     try:
         rows = (spark.read.parquet(f"{index_dir}/sq/grid")
                 .orderBy("pos").collect())
     except AnalysisException:
         return None
-    mns = F.array(*[F.lit(float(r.mn)) for r in rows])
-    scales = F.array(*[F.lit(float(r.mx - r.mn)) for r in rows])
+    # one-parse literals (quantize.py's unrolled-SQL block comment)
+    mns = _lit_doubles([float(r.mn) for r in rows])
+    scales = _lit_doubles([float(r.mx - r.mn) for r in rows])
     return mns, scales
 
 
@@ -382,13 +387,15 @@ def _append_sq_codes(spark: SparkSession, index_dir: str,
     the PINNED stored grid and write the d-int codes partitioned by
     (ingest_id, centroid_id) — the same exactly-once overwrite
     contract as the float data and the PQ codes.  Encode is one
-    scan-stage transform (X76's gated arithmetic) — no join at all."""
+    scan-stage transform (X76's gated arithmetic); centroid_id and
+    metadata carry THROUGH the encode (optimization round 15, guide
+    §2.4) so the write is a single scan stage — the shuffle-hash
+    join-back on id is gone."""
     from . import quantize
 
     rows = (quantize.sq_encode(frame, vec_col=vec_col, id_col=id_col,
-                               dims=dims)
-            .join(frame.select(id_col, "centroid_id", *meta_cols)
-                  .hint("shuffle_hash"), id_col)
+                               dims=dims,
+                               carry_cols=("centroid_id", *meta_cols))
             .withColumn("ingest_id", F.lit(int(ingest_id))))
     (rows.write.mode("overwrite")
      .option("partitionOverwriteMode",

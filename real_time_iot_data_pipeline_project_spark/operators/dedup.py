@@ -356,13 +356,20 @@ def doc_chunks(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     otherwise every degenerate doc would share the single chunk '' and
     chunk-dedup would collapse them all onto one survivor."""
     df = df.filter(F.length(textfns.normalize_text(text_col)) > 0)
-    toks = textfns.whitespace_tokens(text_col)
+    # tokens materialized once per row BEFORE the chunk lambda
+    # references them (optimization round 15, guide §1.2): an inline
+    # tokens expression inside an interpreted HOF lambda re-ran the
+    # regex+split once per CHUNK — the q177 quadratic-retokenization
+    # catch, same fix
+    base = df.select(F.col(id_col), *extra_cols,
+                     textfns.whitespace_tokens(text_col).alias("__toks"))
+    toks = F.col("__toks")
     n_chunks = F.ceil(F.size(toks) / F.lit(float(chunk_tokens))).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.array_join(F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "),
     )
-    return df.select(
+    return base.select(
         F.col(id_col), *extra_cols, F.posexplode(chunks).alias("cidx", "chunk")
     )
 

@@ -121,7 +121,11 @@ def split_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     if st <= 0 or st > win:
         raise ValueError(f"need 0 < stride <= window_tokens, got {st} > {win}")
     df = df.filter(F.length(textfns.normalize_text(text_col)) > 0)
-    toks = textfns.whitespace_tokens(text_col)
+    # tokens materialized once per row before the window lambda (the
+    # q177 quadratic-retokenization catch — optimization round 15)
+    base = df.select(F.col(id_col),
+                     textfns.whitespace_tokens(text_col).alias("__toks"))
+    toks = F.col("__toks")
     n = F.size(toks)
     n_win = (
         F.when(n <= win, F.lit(1).cast("long"))
@@ -131,7 +135,7 @@ def split_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
         F.sequence(F.lit(0).cast("long"), n_win - 1),
         lambda i: F.array_join(F.slice(toks, i * st + 1, win), " "),
     )
-    return df.select(
+    return base.select(
         F.col(id_col), F.posexplode(windows).alias("win_idx", "window_text")
     ).select(
         id_col, "win_idx",

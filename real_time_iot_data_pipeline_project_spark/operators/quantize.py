@@ -182,6 +182,145 @@ def pq_encode(df: DataFrame, codebooks: DataFrame,
             .select(id_col, "sub_id", F.col("__w.c").alias("code")))
 
 
+# --- unrolled-SQL expression generators (optimization round 15) -----
+#
+# Two measured pathologies motivate generating these expressions as
+# SQL text instead of composing Column objects (guide §1.1's "the
+# ideal plan is slower at first" loop, closed empirically):
+#
+# 1. CONSTRUCTION: every `F.aggregate(F.zip_with(...))` composition
+#    costs ~90 py4j round-trips (~60-250 ms of driver wall); a
+#    map-side argmin over m·k codewords built that way spends SECONDS
+#    per query building expressions.  One `F.expr` parse is ONE
+#    round-trip regardless of expression size (measured 3-7 ms).
+# 2. EXECUTION: higher-order functions are interpreted (no whole-stage
+#    codegen, no common-subexpression elimination), so a per-codeword
+#    lambda re-evaluates the whole cast/slice subtree per entry.  The
+#    unrolled arithmetic below is plain Add/Multiply/GetArrayItem
+#    nodes — codegen'd, CSE'd, orders of magnitude cheaper per row.
+#
+# EXACTNESS: `repr` of a Python float round-trips the IEEE double and
+# Spark's parser is correctly rounded, so literals are bit-identical
+# to `F.lit` (verified incl. denormals).  A left-associative `+` chain
+# equals `_dot`'s left fold exactly (the fold's seed contributes
+# `0.0 + t0`, and IEEE `0.0 + x == x` for every x, including NaN and
+# ±inf); each product pairs the same cast operand values.  Every
+# consumer below is hash-gated against DuckDB oracles at 3 SFs.
+
+
+def _lit_doubles(vals) -> F.Column:
+    """A literal ``array<double>`` in one JVM parse — see the block
+    comment above."""
+    return F.expr(
+        "array(" + ",".join(repr(float(v)) + "D" for v in vals) + ")")
+
+
+def _sql_elem(vec_sql: str, idx: int) -> str:
+    """One double-cast element access — the unrolled twin of
+    ``transform(v, x -> CAST(x AS DOUBLE))[idx]`` (0-based)."""
+    return f"CAST({vec_sql}[{idx}] AS DOUBLE)"
+
+
+def _sql_dot_lit(vec_sql: str, offset: int, lits) -> str:
+    """Unrolled ``_dot(slice(vec, offset+1, d), literal_vec)`` — the
+    identical left-fold value as a left-associative sum chain."""
+    return "(" + " + ".join(
+        f"{_sql_elem(vec_sql, offset + j)} * {repr(float(c))}D"
+        for j, c in enumerate(lits)) + ")"
+
+
+def _sql_self_dot(vec_sql: str, offset: int, d: int) -> str:
+    """Unrolled ``_dot(s, s)`` over the slice [offset, offset+d)."""
+    return "(" + " + ".join(
+        f"{_sql_elem(vec_sql, offset + j)} * {_sql_elem(vec_sql, offset + j)}"
+        for j in range(d)) + ")"
+
+
+def _collected_codebooks(codebooks: DataFrame):
+    """Collect a codebook frame to ``(m, d, {sub_id: [(code_id, cvec),
+    ...]})`` — m·k rows by construction (the bounded-collect posture:
+    codebooks are sampled/refined parameter tables, never corpus-
+    sized), sorted (sub_id, code_id) for deterministic expression
+    construction.  A pre-collected (m, d, by_sub) tuple passes
+    through, so one collect can feed both the encode and the LUT."""
+    if isinstance(codebooks, tuple):
+        return codebooks
+    rows = codebooks.select("sub_id", "code_id", "cvec").collect()
+    if not rows:
+        raise ValueError("empty codebooks")
+    by_sub: dict = {}
+    for r in rows:
+        by_sub.setdefault(int(r["sub_id"]), []).append(
+            (int(r["code_id"]), [float(v) for v in r["cvec"]]))
+    for sub in by_sub:
+        by_sub[sub].sort()
+    m = len(by_sub)
+    d = len(rows[0]["cvec"])
+    return m, d, by_sub
+
+
+def _py_self_dot(vec: list[float]) -> float:
+    """Driver-side replica of ``_dot(v, v)`` for a LITERAL codeword —
+    the same sequential left fold in IEEE doubles (the `_py_norm`
+    precedent, minus the sqrt), so inlining dot(b,b) as a literal
+    changes no value."""
+    s = 0.0
+    for v in vec:
+        fv = float(v)
+        s += fv * fv
+    return s
+
+
+def pq_encode_wide(df: DataFrame, codebooks: DataFrame,
+                   vec_col: str = "embedding",
+                   id_col: str = "vec_id",
+                   carry_cols: tuple[str, ...] = ()) -> DataFrame:
+    """PQ codes, WIDE form, computed MAP-SIDE (optimization round 15,
+    guide §2.3/§2.4): the m·k codebook collects to literals (bounded
+    by design) and every vector's m-int ``pq_codes`` array is computed
+    in one scan — array_min over unrolled (l2², code_id) structs per
+    subspace, the identical argmin comparator ``pq_encode``'s
+    min(struct) uses, with dot(b,b) pre-folded in Python (`_py_norm`
+    precedent) and all arithmetic generated as unrolled SQL (see the
+    unrolled-SQL block comment above).
+
+    Value-identical to ``pq_encode`` pivoted wide (pinned by test),
+    but the corpus is never posexploded ×m, never joined, and never
+    re-aggregated — the tall path's three corpus-sized exchanges
+    (groupBy(id, sub) argmin, groupBy(id) collect_list, join-back on
+    id) all disappear; at 100 TB the encode becomes a pure scan
+    stage.  ``carry_cols`` ride along so callers need no join-back.
+    Used by the PERSISTED store's code writers (the encode feeds a
+    write, its own stage); the inline topk operators keep the tall
+    plan, where the encode fuses with downstream joins and the
+    unrolled form measured slower (codegen size limits — see the
+    similarity.assign_centroids round-15 note)."""
+    m, d, by_sub = _collected_codebooks(codebooks)
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # the double-cast array and each subspace's self-dot are FACTORED
+    # into sub-projections (multi-referenced non-cheap aliases, so
+    # CollapseProject keeps them): per-codeword entries then reference
+    # attributes, keeping generated methods under Janino's 64 KB limit
+    code_exprs = []
+    for sub in sorted(by_sub):
+        off = sub * d
+        entries = ",".join(
+            f"named_struct('dist', ((`__sd{sub}` - 2.0D * "
+            f"{_sql_dot_lit('`__vd`', off, cv)}) + "
+            f"{repr(_py_self_dot(cv))}D), "
+            f"'c', {int(cid)})"
+            for cid, cv in by_sub[sub])
+        code_exprs.append(F.expr(f"array_min(array({entries})).c"))
+    step = df.select(F.col(id_col), *[F.col(c) for c in carry_cols],
+                     vec_d.alias("__vd"))
+    step = step.select(F.col(id_col), *[F.col(c) for c in carry_cols],
+                       F.col("__vd"),
+                       *[F.expr(_sql_self_dot("`__vd`", sub * d, d))
+                         .alias(f"__sd{sub}") for sub in sorted(by_sub)])
+    return step.select(F.col(id_col), *[F.col(c) for c in carry_cols],
+                       F.array(*code_exprs).alias("pq_codes"))
+
+
 def _lut_side(lut: DataFrame, broadcast_lut: bool) -> DataFrame:
     """The ADC lookup-table join side: BROADCAST by default (the LUT
     is |queries|·m·k rows — bounded for the batch-serving shape every
@@ -598,20 +737,25 @@ def _sq_dim_arrays(df: DataFrame, vec_col: str):
     centroid-collect convention), so encode/decode run scan-side with
     zero joins."""
     rows = dim_ranges(df, vec_col).orderBy("pos").collect()
-    mns = F.array(*[F.lit(float(r.mn)) for r in rows])
-    scales = F.array(*[F.lit(float(r.mx - r.mn)) for r in rows])
+    # one-parse literals (see the unrolled-SQL block comment): exact
+    # repr round-trip, no per-element py4j cost
+    mns = _lit_doubles([float(r.mn) for r in rows])
+    scales = _lit_doubles([float(r.mx - r.mn) for r in rows])
     return mns, scales
 
 
 def sq_encode(df: DataFrame, vec_col: str = "embedding",
               id_col: str = "vec_id",
-              dims: tuple | None = None) -> DataFrame:
+              dims: tuple | None = None,
+              carry_cols: tuple[str, ...] = ()) -> DataFrame:
     """Encode every vector to its int8 codes on the global affine
     grid — ``floor((v - mn) * 255 / scale)`` clamped to [0, 255],
     zero-range dims to 0 (identical arithmetic to the gated
     quantize_error, so codes agree with q66's checksums).  One pure
     scan-stage ``transform`` over the array — no explode, no shuffle;
-    the (mn, scale) grid rides along as d-sized literals."""
+    the (mn, scale) grid rides along as d-sized literals.
+    ``carry_cols`` ride through so callers (the persisted SQ tier's
+    writer) need no join-back."""
     mns, scales = dims if dims is not None else _sq_dim_arrays(df, vec_col)
     codes = F.transform(
         F.col(vec_col),
@@ -624,7 +768,8 @@ def sq_encode(df: DataFrame, vec_col: str = "embedding",
                 * F.lit(float(LEVELS)) / F.element_at(scales, i + 1))
                 .cast("double"))))
         .cast("int"))
-    return df.select(id_col, codes.alias("sq_codes"))
+    return df.select(id_col, codes.alias("sq_codes"),
+                     *[F.col(c) for c in carry_cols])
 
 
 def sq_topk(df: DataFrame, queries: DataFrame, k: int = 10,
@@ -734,11 +879,13 @@ def ivfsq_topk(df: DataFrame, queries: DataFrame,
     from .similarity import assign_centroids, cosine, sampled_centroids
 
     cents = sampled_centroids(df, n_centroids, vec_col, id_col)
-    assigned = (assign_centroids(df, cents, vec_col, id_col)
-                .select(id_col, "centroid_id"))
     mns, scales = _sq_dim_arrays(df, vec_col)
-    enc = sq_encode(df, vec_col=vec_col, id_col=id_col,
-                    dims=(mns, scales))
+    # assignment (literal map-side argmax) and encode fuse into ONE
+    # scan — the int-keyed shuffle_hash join-back on id is gone
+    # (optimization round 15, guide §2.4)
+    enc = sq_encode(assign_centroids(df, cents, vec_col, id_col),
+                    vec_col=vec_col, id_col=id_col,
+                    dims=(mns, scales), carry_cols=("centroid_id",))
     qvec_d = F.transform(F.col(query_vec_col), lambda x: x.cast("double"))
     cvec_d = F.transform(F.col("cvec"), lambda x: x.cast("double"))
     probes = (
@@ -755,8 +902,7 @@ def ivfsq_topk(df: DataFrame, queries: DataFrame,
         lambda c, i: F.element_at(mns, i + 1)
         + c.cast("double") * F.element_at(scales, i + 1)
         / F.lit(float(LEVELS)))
-    scored = (enc.join(assigned.hint("shuffle_hash"), id_col)
-              .join(F.broadcast(probes), "centroid_id")
+    scored = (enc.join(F.broadcast(probes), "centroid_id")
               .withColumn("__deq", deq)
               .join(F.broadcast(queries), query_id_col)
               .select(query_id_col, id_col,

@@ -185,7 +185,20 @@ def assign_centroids(df: DataFrame, centroids: DataFrame,
     once per corpus row): csim = dot/(‖v‖·‖c‖) is the identical
     expression tree per operand, so every value is bit-for-bit the one
     the fused form produced (hash-gated q38/q119/q121/q125 re-verified
-    on the change), at ~3× less array work on the n·C stage."""
+    on the change), at ~3× less array work on the n·C stage.
+
+    Optimization-round-15 note (guide §1.1's empirical loop, recorded
+    so the next round doesn't retry it): a map-side literal-centroid
+    argmax (centroids collected, one array_max projection, zero
+    shuffles) was prototyped, proven bit-identical, and MEASURED
+    SLOWER — the C·d unrolled expression blows Janino's 64 KB
+    per-method limit once fused into a join stage, dropping the whole
+    stage to interpreted execution (q38 1.4 s → 2.7 s; "Code grows
+    beyond 64 KB" in the codegen log), and the HOF-composed variant is
+    interpreted without CSE (q38 3.7 s).  The crossJoin+max_by plan
+    keeps whole-stage codegen and its groupBy is map-side partial
+    (AQE-coalesced singleton-group merge), so it stays the production
+    form at every scale this engine gates."""
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     cvec_d = F.transform(F.col("cvec"), lambda x: x.cast("double"))
     lhs = df.select(F.col(id_col), F.col(vec_col),

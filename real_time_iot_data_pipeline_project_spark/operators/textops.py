@@ -485,10 +485,16 @@ def ngram_lm_train(ref: DataFrame, text_col: str = "text") -> DataFrame:
     Scale: two token-keyed combinable aggregates over the reference
     (unigram + bigram counts); the bigram grid is built JVM-side with
     ``transform`` over the token array — no posexplode of pairs, no
-    shuffle wider than the count tables themselves.
+    shuffle wider than the count tables themselves.  The token array
+    is MATERIALIZED once per row before the pair lambda references it
+    (optimization round 15, guide §1.2: an inline tokens expression
+    inside an interpreted HOF lambda re-ran the regex+split per token
+    position — the q177 catch, same fix).
     """
-    toks = textfns.whitespace_tokens(text_col)
-    uni = (ref.select(F.explode(toks).alias("cur"))
+    base = ref.select(
+        textfns.whitespace_tokens(text_col).alias("__toks"))
+    toks = F.col("__toks")
+    uni = (base.select(F.explode(toks).alias("cur"))
            .groupBy("cur").agg(F.count(F.lit(1)).alias("c"))
            .select(F.lit(None).cast("string").alias("prev"), "cur", "c"))
     pairs = F.filter(
@@ -500,7 +506,7 @@ def ngram_lm_train(ref: DataFrame, text_col: str = "text") -> DataFrame:
         ),
         lambda s: s["prev"].isNotNull(),
     )
-    bi = (ref.select(F.explode(pairs).alias("p"))
+    bi = (base.select(F.explode(pairs).alias("p"))
           .select(F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
           .groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c")))
     return uni.unionByName(bi)
@@ -540,8 +546,13 @@ def ngram_lm_scores(df: DataFrame, lm: DataFrame,
     tot = uni.agg(F.sum("c").cast("double").alias("n"),
                   F.count(F.lit(1)).cast("double").alias("v"))
 
-    toks = textfns.whitespace_tokens(text_col)
+    # tokens materialized once per row before the pair lambda (the
+    # q177 quadratic-retokenization catch — optimization round 15)
+    toks = F.col("__toks")
     grid = (df.select(
+        F.col(id_col),
+        textfns.whitespace_tokens(text_col).alias("__toks"))
+        .select(
         F.col(id_col),
         F.explode(F.transform(
             toks,
@@ -596,8 +607,18 @@ def topgram_report(df: DataFrame, text_col: str = "text",
     (all n at once, `transform` + `slice` — no posexplode join), then
     one (doc, n, gram)-keyed combinable count and one (doc, n)-keyed
     combinable argmin — shuffles carry gram-sized rows, never the
-    document text."""
-    toks = textfns.whitespace_tokens(text_col)
+    document text.
+
+    The token array is MATERIALIZED once per row (``__toks``) before
+    the gram lambdas reference it (optimization round 15, guide §1.2
+    per-task work): higher-order-function lambdas are interpreted
+    without common-subexpression elimination, so an inline
+    ``whitespace_tokens`` expression re-ran the regex+split once per
+    GRAM POSITION — O(n_tok²) re-tokenization per document (measured
+    10× on the gram grid alone: 13.3 s → 1.3 s at sf0.1)."""
+    df = df.select(F.col(id_col),
+                   textfns.whitespace_tokens(text_col).alias("__toks"))
+    toks = F.col("__toks")
     n_tok = F.size(toks)
 
     def _tier(n: int):
