@@ -127,6 +127,49 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
+# Small-graph fast path (optimization round 15, guide §1.2): below
+# this many distinct edges the component closure runs as a driver-side
+# union-find instead of distributed star rounds.  Rationale: each star
+# round costs two groupBy+join phases, a localCheckpoint
+# materialization and a fingerprint aggregation — ~5-6 s of pure
+# job-scheduling fixed cost at bench scale for a graph of a few
+# HUNDRED edges (measured: q53's 775-edge closure took 5.8 s warm).
+# This is the broadcast-join-threshold pattern applied to the closure:
+# the decision is data-sized (edge count), never core-count-sized, so
+# a real cluster takes the same fast path whenever a high-threshold
+# dedup graph is sparse, and a 100 TB edge set (> the bound) keeps the
+# distributed O(log² n) rounds unchanged.  500k edges ≈ 8 MB of id
+# pairs on the driver — the bounded-collect posture.  Labels are
+# identical by construction (component = min reachable id is unique).
+DRIVER_CC_MAX_EDGES = 500_000
+
+
+def _driver_components(rows) -> dict:
+    """Union-find over collected (a, b) edge rows with min-id roots:
+    attaching the larger root under the smaller keeps every root the
+    MINIMUM id of its component — exactly the distributed contract."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        ra, rb = find(r[0]), find(r[1])
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    seen = set()
+    for r in rows:
+        seen.add(r[0])
+        seen.add(r[1])
+    return {x: find(x) for x in seen}
+
+
 def connected_components_star(nodes: DataFrame, edges: DataFrame,
                               id_col: str = "id", src_col: str = "id_a",
                               dst_col: str = "id_b",
@@ -159,6 +202,38 @@ def connected_components_star(nodes: DataFrame, edges: DataFrame,
         .distinct()
         .localCheckpoint()
     )
+    # small-graph fast path (see DRIVER_CC_MAX_EDGES): limit+collect is
+    # ONE bounded job over the materialized edges — if everything came
+    # back, the whole closure fits on the driver
+    small = e.limit(DRIVER_CC_MAX_EDGES + 1).collect()
+    if len(small) <= DRIVER_CC_MAX_EDGES:
+        spark = edges.sparkSession
+    else:
+        spark = None
+    if spark is not None:
+        comp = _driver_components(small)
+        id_type = e.schema["a"].dataType
+        from pyspark.sql.types import StructField, StructType
+
+        schema = StructType([StructField("id", id_type),
+                             StructField("component", id_type)])
+        labels = spark.createDataFrame(
+            sorted(comp.items()), schema)
+        if stats is not None:
+            stats["rounds"] = 0
+            stats["driver_cc"] = True
+        # the endpoint set is bounded here, so Catalyst broadcasts the
+        # anti-join side under its size rule — the node frame is never
+        # shuffled
+        touched_small = spark.createDataFrame(
+            [(x,) for x in sorted(comp)],
+            StructType([StructField("id", id_type)]))
+        isolated = (
+            nodes.select(F.col(id_col).alias("id"))
+            .join(touched_small, "id", "left_anti")
+            .withColumn("component", F.col("id"))
+        )
+        return labels.union(isolated)
     touched = (
         e.select("a").union(e.select(F.col("b").alias("a")))
         .distinct()

@@ -441,6 +441,35 @@ def test_star_cc_matches_union_find_oracle(spark):
     assert got_minlabel == want
 
 
+def test_star_cc_driver_path_equals_distributed(spark, monkeypatch):
+    """The round-15 small-graph fast path (driver union-find below
+    DRIVER_CC_MAX_EDGES) must label identically to the distributed
+    star rounds on the SAME graph — forced by shrinking the threshold
+    so the distributed branch runs on a graph the fast path normally
+    closes."""
+    import random
+
+    from real_time_iot_data_pipeline_project_spark.operators import graph
+
+    rng = random.Random(17)
+    n = 120
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(90)]
+    edges += [(i, i + 1) for i in range(70, 90)]
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    edf = spark.createDataFrame(edges, ["id_a", "id_b"])
+
+    fast = {r.id: r.component
+            for r in graph.connected_components_star(nodes, edf).collect()}
+    monkeypatch.setattr(graph, "DRIVER_CC_MAX_EDGES", 0)
+    stats: dict = {}
+    dist = {r.id: r.component
+            for r in graph.connected_components_star(
+                nodes, edf, stats=stats).collect()}
+    assert stats.get("driver_cc") is None  # the distributed branch ran
+    assert stats["rounds"] >= 1
+    assert fast == dist
+
+
 def test_star_cc_converges_on_high_diameter_chain(spark):
     """The VERDICT r5 stretch probe: a chain with diameter far past 25.
     min-label propagation raises (documented behavior — one hop per
