@@ -27,6 +27,9 @@ GROWS. This module persists the IVF structure so that:
 Layout::
 
     index_dir/centroids/   (centroid_id, cvec)          — tiny
+    index_dir/meta.json    the meta_cols contract — FS JSON sidecar
+                           (round 15; legacy one-row parquet meta/
+                           dirs remain readable)
     index_dir/data/        (id, embedding, meta...)
                            partitioned by (ingest_id, centroid_id) —
                            ingest_id 0 is the build, each append its
@@ -34,7 +37,9 @@ Layout::
     index_dir/tombstones/  (__tomb_id) partitioned by delete_id —
                            the removal tier (round 14, X66)
     index_dir/pq/          optional PQ tier (round 14, X62):
-      manifest/            one row (pq_m, pq_kc, residual)
+      manifest.json        (pq_m, pq_kc, residual) — FS JSON sidecar
+                           (round 15; legacy parquet manifest/ dirs
+                           remain readable)
       codebooks/           (sub_id, code_id, cvec) — m·kc rows, tiny
       codes/               (id, pq_codes array<int>, meta...)
                            partitioned by (ingest_id, centroid_id)
@@ -111,10 +116,14 @@ def build_index(df: DataFrame, index_dir: str, n_centroids: int = 16,
     centroids.write.mode("overwrite").parquet(f"{index_dir}/centroids")
     stored = df.sparkSession.read.parquet(f"{index_dir}/centroids")
     # persist the metadata contract with the index: append_index reads
-    # it back so a later append cannot silently write NULL metadata
-    (df.sparkSession.createDataFrame([(list(meta_cols),)],
-                                     "meta_cols array<string>")
-     .write.mode("overwrite").parquet(f"{index_dir}/meta"))
+    # it back so a later append cannot silently write NULL metadata.
+    # A plain FS JSON sidecar, not a one-row parquet dataset
+    # (optimization round 15): the parquet write/read each cost a full
+    # Spark job (~0.5 s of the 4.2 s warm build — measured), where the
+    # sidecar is a metadata op; the semantic_stream marker precedent.
+    # Readers fall back to the legacy parquet dir for old stores.
+    _write_json_sidecar(df.sparkSession, f"{index_dir}/meta.json",
+                        {"meta_cols": list(meta_cols)})
     # ingest_id is the store's exactly-once key (round 14): the build
     # holds 0, every append its own id, and writes are DYNAMIC
     # partition overwrites — a retried/replayed append rewrites its own
@@ -178,9 +187,11 @@ def _write_pq_tier(spark: SparkSession, index_dir: str, m: int, kc: int,
                                            iters=refine_iters,
                                            vec_col=pq_vec, id_col=id_col)
     codebooks.write.mode("overwrite").parquet(f"{index_dir}/pq/codebooks")
-    (spark.createDataFrame([(int(m), int(kc), bool(residual))],
-                           "pq_m int, pq_kc int, residual boolean")
-     .write.mode("overwrite").parquet(f"{index_dir}/pq/manifest"))
+    # FS JSON sidecar, not a one-row parquet dataset (see the meta.json
+    # note in build_index); legacy parquet manifests remain readable
+    _write_json_sidecar(spark, f"{index_dir}/pq/manifest.json",
+                        {"pq_m": int(m), "pq_kc": int(kc),
+                         "residual": bool(residual)})
     stored_cb = spark.read.parquet(f"{index_dir}/pq/codebooks")
     _append_pq_codes(spark, index_dir, frame, stored_cb, pq_vec, id_col,
                      meta_cols, overwrite=True)
@@ -261,15 +272,8 @@ def append_index(df_new: DataFrame, index_dir: str,
     that generation idempotently (same batch → same centroid set by
     the deterministic assignment).  The CLI exposes ``--ingest-id``
     for exactly this."""
-    from pyspark.errors import AnalysisException
-
     spark = df_new.sparkSession
-    try:
-        stored_meta = tuple(
-            spark.read.parquet(f"{index_dir}/meta")
-            .head()["meta_cols"])
-    except AnalysisException:
-        stored_meta = ()
+    stored_meta = _read_meta_cols(spark, index_dir)
     if meta_cols is None:
         meta_cols = stored_meta
     elif tuple(meta_cols) != stored_meta:
@@ -335,13 +339,75 @@ def append_index(df_new: DataFrame, index_dir: str,
                          ingest_id=int(ingest_id))
 
 
+def _write_json_sidecar(spark: SparkSession, path: str, obj: dict) -> None:
+    """One-file JSON store metadata — a pure FS op instead of a one-row
+    parquet dataset whose write AND read each cost a Spark job (the
+    semantic_stream meta.json precedent; measured ~0.5 s/job at bench
+    scale).  Overwrite semantics, so a driver-side retry is
+    idempotent."""
+    import json
+
+    from ..streaming.upsert import _fs_and_path
+
+    fs, hpath = _fs_and_path(spark, path)
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(json.dumps(obj).encode("ascii")))
+    finally:
+        out.close()
+
+
+def _read_json_sidecar(spark: SparkSession, path: str):
+    """The sidecar's reader: dict, or None when the file is absent
+    (legacy store or no tier) — callers fall back to the pre-round-15
+    one-row parquet layout so old stores stay readable."""
+    import json
+
+    from ..streaming.upsert import _fs_and_path
+
+    fs, hpath = _fs_and_path(spark, path)
+    if not fs.exists(hpath):
+        return None
+    stream = fs.open(hpath)
+    try:
+        buf = bytearray()
+        b = stream.read()  # FSDataInputStream.read(): one byte, -1 at EOF
+        while b != -1 and len(buf) < 4096:
+            buf.append(b)
+            b = stream.read()
+    finally:
+        stream.close()
+    return json.loads(bytes(buf).decode("ascii"))
+
+
+def _read_meta_cols(spark: SparkSession, index_dir: str) -> tuple:
+    """The index's stored meta_cols contract: JSON sidecar first, then
+    the legacy one-row parquet dir, then the pre-round-14 empty
+    contract."""
+    from pyspark.errors import AnalysisException
+
+    side = _read_json_sidecar(spark, f"{index_dir}/meta.json")
+    if side is not None:
+        return tuple(side["meta_cols"])
+    try:
+        return tuple(
+            spark.read.parquet(f"{index_dir}/meta").head()["meta_cols"])
+    except AnalysisException:
+        return ()
+
+
 def _read_pq_manifest(spark: SparkSession, index_dir: str):
     from pyspark.errors import AnalysisException
 
+    side = _read_json_sidecar(spark, f"{index_dir}/pq/manifest.json")
+    if side is not None:
+        return side
     try:
-        return spark.read.parquet(f"{index_dir}/pq/manifest").head()
+        row = spark.read.parquet(f"{index_dir}/pq/manifest").head()
     except AnalysisException:
         return None
+    return {"pq_m": int(row["pq_m"]), "pq_kc": int(row["pq_kc"]),
+            "residual": bool(row["residual"])}
 
 
 # --- SQ8 tier (round 15, X80): the middle memory tier ---------------
@@ -638,15 +704,15 @@ def compact_index(spark: SparkSession, index_dir: str,
             "out-of-place (validate, then swap pointers)")
     (spark.read.parquet(f"{index_dir}/centroids")
      .write.mode("overwrite").parquet(f"{output_dir}/centroids"))
-    # pre-manifest indexes (built before round 14, no meta dir) get
-    # the empty contract written into the compacted copy — the same
-    # AnalysisException fallback append_index applies, so the two
-    # maintenance paths agree (VERDICT r14 item 5)
-    try:
-        meta = spark.read.parquet(f"{index_dir}/meta")
-    except AnalysisException:
-        meta = spark.createDataFrame([([],)], "meta_cols array<string>")
-    meta.write.mode("overwrite").parquet(f"{output_dir}/meta")
+    # pre-manifest indexes (built before round 14, no meta contract)
+    # get the empty contract written into the compacted copy — the
+    # same fallback chain append_index applies (_read_meta_cols:
+    # sidecar → legacy parquet → empty), so the two maintenance paths
+    # agree (VERDICT r14 item 5); the copy lands as the round-15 JSON
+    # sidecar regardless of the source's vintage
+    _write_json_sidecar(spark, f"{output_dir}/meta.json",
+                        {"meta_cols": list(_read_meta_cols(spark,
+                                                           index_dir))})
     data = spark.read.parquet(f"{index_dir}/data")
     n_before = data.count()
     kept = (_without_tombstones(spark, index_dir, data, id_col)
@@ -657,8 +723,12 @@ def compact_index(spark: SparkSession, index_dir: str,
     n_after = spark.read.parquet(f"{output_dir}/data").count()
     pq = _read_pq_manifest(spark, index_dir)
     if pq is not None:
-        (spark.read.parquet(f"{index_dir}/pq/manifest")
-         .write.mode("overwrite").parquet(f"{output_dir}/pq/manifest"))
+        # parameters copied VERBATIM as the round-15 JSON sidecar
+        # (pq is the dict _read_pq_manifest resolved, either vintage)
+        _write_json_sidecar(spark, f"{output_dir}/pq/manifest.json",
+                            {"pq_m": int(pq["pq_m"]),
+                             "pq_kc": int(pq["pq_kc"]),
+                             "residual": bool(pq["residual"])})
         (spark.read.parquet(f"{index_dir}/pq/codebooks")
          .write.mode("overwrite").parquet(f"{output_dir}/pq/codebooks"))
         codes = spark.read.parquet(f"{index_dir}/pq/codes")
@@ -1000,15 +1070,51 @@ def ann_recall_report(spark: SparkSession, df: DataFrame, index_dir: str,
         .where(F.col("__rn") <= k)
         .select(query_id_col, id_col)
     )
+    # ONE scored pass at max(nprobe) with the probe RANK carried
+    # (optimization round 15, guide §2.4): a vector lives in exactly
+    # one centroid partition and probes are unique (query, centroid)
+    # pairs, so the nprobe=p candidate set is EXACTLY the rows with
+    # probe rank ≤ p — every rung's result derives from one scan +
+    # one per-query top-k window instead of |nprobe_values| full
+    # search jobs (the old shape re-read the pruned store per rung).
+    # The scored frame is localCheckpointed: it is the LARGEST rung's
+    # candidate set, the same rows the old nprobe=max run streamed —
+    # materialized once, consumed |nprobe_values| times.  Cosines,
+    # tie-breaks and candidate sets are identical to per-rung
+    # ``search_index_batch`` calls (hash-gated q138/q152).
+    max_np = int(max(int(n) for n in nprobe_values))
+    centroids = spark.read.parquet(f"{index_dir}/centroids")
+    cvec_d = F.transform(F.col("cvec"), lambda x: x.cast("double"))
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select(query_id_col, "centroid_id",
+                cosine(qvec_d, cvec_d).alias("qsim"))
+        .withColumn("__prank", F.row_number().over(
+            Window.partitionBy(query_id_col)
+            .orderBy(F.desc("qsim"), F.asc("centroid_id"))))
+        .where(F.col("__prank") <= max_np)
+        .select(query_id_col, "centroid_id", "__prank"))
+    data = spark.read.parquet(f"{index_dir}/data")
+    if where is not None:
+        data = data.where(where)
+    data = _without_tombstones(spark, index_dir, data, id_col)
+    scored = (
+        data.withColumn("__dnorm", _norm(vec_d))
+        .join(F.broadcast(probes), "centroid_id")
+        .join(queries_n, query_id_col)
+        .select(query_id_col, id_col, "__prank",
+                (_dot(vec_d, qvec_d)
+                 / (F.col("__dnorm") * F.col("__qnorm")))
+                .alias("__cos"))
+    ).localCheckpoint()
     runs = None
     for np_ in nprobe_values:
         got = (
-            search_index_batch(spark, index_dir, queries, k=k,
-                               nprobe=int(np_),
-                               query_id_col=query_id_col,
-                               query_vec_col=query_vec_col,
-                               vec_col=vec_col, id_col=id_col,
-                               where=where)
+            scored.where(F.col("__prank") <= int(np_))
+            .withColumn("__rn", F.row_number().over(
+                Window.partitionBy(query_id_col)
+                .orderBy(F.desc("__cos"), F.asc(id_col))))
+            .where(F.col("__rn") <= k)
             .select(F.lit(int(np_)).alias("nprobe"),
                     query_id_col, id_col))
         runs = got if runs is None else runs.unionByName(got)

@@ -744,14 +744,44 @@ def test_compact_index_tolerates_pre_manifest_store(spark, tmp_path):
     idx = str(tmp_path / "idx")
     ann_index.build_index(emb.where(F.col("vec_id") % 5 != 0), idx,
                           n_centroids=4)
-    shutil.rmtree(f"{idx}/meta")  # simulate a pre-round-14 index
+    import os
+
+    os.remove(f"{idx}/meta.json")  # simulate a pre-round-14 index
     out = str(tmp_path / "compacted")
     stats = ann_index.compact_index(spark, idx, out)
     assert stats["n_dropped"] == 0
-    assert tuple(spark.read.parquet(f"{out}/meta")
-                 .head()["meta_cols"]) == ()
+    assert ann_index._read_meta_cols(spark, out) == ()
     ann_index.append_index(emb.where(F.col("vec_id") % 5 == 0), out)
     assert spark.read.parquet(f"{out}/data").count() == emb.count()
+
+
+def test_legacy_parquet_meta_and_manifest_stay_readable(spark, tmp_path):
+    """Round-15 moved the meta_cols contract and the PQ manifest to FS
+    JSON sidecars (a one-row parquet write/read each cost a Spark
+    job); stores written before the change carry one-row parquet dirs
+    instead — the readers must resolve those identically."""
+    import os
+
+    emb = _emb(spark)
+    idx = str(tmp_path / "idx")
+    ann_index.build_index(emb, idx, n_centroids=4, meta_cols=("label",),
+                          pq_m=4, pq_kc=4)
+    # rewrite both sidecars in the LEGACY layout
+    (spark.createDataFrame([(["label"],)], "meta_cols array<string>")
+     .write.mode("overwrite").parquet(f"{idx}/meta"))
+    os.remove(f"{idx}/meta.json")
+    (spark.createDataFrame([(4, 4, False)],
+                           "pq_m int, pq_kc int, residual boolean")
+     .write.mode("overwrite").parquet(f"{idx}/pq/manifest"))
+    os.remove(f"{idx}/pq/manifest.json")
+    assert ann_index._read_meta_cols(spark, idx) == ("label",)
+    pq = ann_index._read_pq_manifest(spark, idx)
+    assert (pq["pq_m"], pq["pq_kc"], pq["residual"]) == (4, 4, False)
+    # the maintenance paths run against the legacy layout unchanged
+    ann_index.append_index(emb.limit(0), idx, ingest_id=1)
+    out = str(tmp_path / "compacted")
+    ann_index.compact_index(spark, idx, out)
+    assert ann_index._read_meta_cols(spark, out) == ("label",)
 
 
 def test_append_auto_ingest_detects_torn_state(spark, tmp_path):
