@@ -1028,11 +1028,14 @@ def ann_recall_report(spark: SparkSession, df: DataFrame, index_dir: str,
     full corpus (the q37 verification-tier arithmetic: per-operand
     norms precomputed, (cosine DESC, id ASC) tie-break — identical to
     the index search's ranking rule, so nprobe = n_centroids provably
-    reaches recall 100 and anchors the curve's top end).  Each nprobe
-    run is one ``search_index_batch`` call (dynamic-partition-pruned
-    probe reads); hits are an inner join against the exact set on
-    (query, vec); a (nprobe × query) spine keeps zero-recall rows
-    visible instead of silently missing.
+    reaches recall 100 and anchors the curve's top end).  Every rung
+    derives from ONE scored pass at max(nprobe) with the probe rank
+    carried (optimization round 15 — a vector lives in exactly one
+    centroid partition, so the rank ≤ p filter IS the nprobe = p
+    candidate set; results identical to per-rung
+    ``search_index_batch`` calls, hash-gated); hits are an inner join
+    against the exact set on (query, vec); a (nprobe × query) spine
+    keeps zero-recall rows visible instead of silently missing.
 
     Scale shape: the exact pass is the one corpus-sized stage — a
     broadcast of the bounded query batch over one scan (evaluation
