@@ -60,6 +60,17 @@ from pyspark.sql import functions as F
 
 from .similarity import _dot, _norm, _py_norm, assign_centroids, cosine
 
+# ann_recall_report's rung-cache bound (ADVICE r15): the one scored
+# pass is cached (DISK_ONLY) for the per-rung top-k windows only while
+# the float corpus' optimizer size estimate stays under this — an
+# evaluation-sized store, not a production corpus.  Data-sized (bytes),
+# never core-count-sized; env-tunable for clusters with big local
+# disks.
+import os as _os
+
+_RECALL_CACHE_MAX_INPUT_BYTES = int(_os.environ.get(
+    "SPARK_GRAFT_RECALL_CACHE_MAX_INPUT_BYTES", str(16 * 1024 ** 3)))
+
 
 def build_index(df: DataFrame, index_dir: str, n_centroids: int = 16,
                 vec_col: str = "embedding", id_col: str = "vec_id",
@@ -343,24 +354,45 @@ def _write_json_sidecar(spark: SparkSession, path: str, obj: dict) -> None:
     """One-file JSON store metadata — a pure FS op instead of a one-row
     parquet dataset whose write AND read each cost a Spark job (the
     semantic_stream meta.json precedent; measured ~0.5 s/job at bench
-    scale).  Overwrite semantics, so a driver-side retry is
-    idempotent."""
+    scale).  Overwrite semantics, so a driver-side retry is idempotent.
+
+    Written via temp-file + rename (ADVICE r15): a crash between
+    create and write must not leave a TORN final file — the reader
+    only falls back to the legacy parquet layout on ABSENCE, so a torn
+    sidecar would otherwise wedge the store behind a raw JSON error
+    (the reader additionally raises the explicit corrupt-sidecar error
+    for files predating this writer)."""
     import json
 
     from ..streaming.upsert import _fs_and_path
 
     fs, hpath = _fs_and_path(spark, path)
-    out = fs.create(hpath, True)
+    fs_tmp, tmp = _fs_and_path(spark, path + ".tmp")
+    out = fs_tmp.create(tmp, True)
     try:
         out.write(bytearray(json.dumps(obj).encode("ascii")))
     finally:
         out.close()
+    # FileSystem.rename refuses an existing destination on most
+    # implementations — drop the old sidecar first. The store is
+    # rebuilt-in-place here anyway, so there is no concurrent-reader
+    # contract to preserve across this two-step swap.
+    if fs.exists(hpath):
+        fs.delete(hpath, False)
+    if not fs.rename(tmp, hpath):
+        raise IOError(f"could not rename {path}.tmp into place")
 
 
 def _read_json_sidecar(spark: SparkSession, path: str):
     """The sidecar's reader: dict, or None when the file is absent
     (legacy store or no tier) — callers fall back to the pre-round-15
-    one-row parquet layout so old stores stay readable."""
+    one-row parquet layout so old stores stay readable.
+
+    Reads to TRUE EOF in one JVM call (ADVICE r15 — the old
+    byte-per-py4j-call loop silently truncated at 4096 bytes, turning
+    a long meta_cols list into a JSONDecodeError), guards against an
+    implausibly large file, and names the store-repair remedy when the
+    content does not parse (torn pre-round-16 write)."""
     import json
 
     from ..streaming.upsert import _fs_and_path
@@ -368,16 +400,24 @@ def _read_json_sidecar(spark: SparkSession, path: str):
     fs, hpath = _fs_and_path(spark, path)
     if not fs.exists(hpath):
         return None
+    n = fs.getFileStatus(hpath).getLen()
+    if n > 16 * 1024 * 1024:
+        raise ValueError(
+            f"store sidecar {path} is {n} bytes — far beyond any "
+            f"plausible metadata payload; refusing to load it")
     stream = fs.open(hpath)
     try:
-        buf = bytearray()
-        b = stream.read()  # FSDataInputStream.read(): one byte, -1 at EOF
-        while b != -1 and len(buf) < 4096:
-            buf.append(b)
-            b = stream.read()
+        data = bytes(spark._jvm.org.apache.commons.io.IOUtils
+                     .toByteArray(stream))
     finally:
         stream.close()
-    return json.loads(bytes(buf).decode("ascii"))
+    try:
+        return json.loads(data.decode("ascii"))
+    except ValueError as e:
+        raise ValueError(
+            f"store sidecar {path} is corrupt ({data[:64]!r}...) — a "
+            f"crashed write left it torn; rebuild the store or restore "
+            f"the sidecar from the build parameters") from e
 
 
 def _read_meta_cols(spark: SparkSession, index_dir: str) -> tuple:
@@ -1040,8 +1080,12 @@ def ann_recall_report(spark: SparkSession, df: DataFrame, index_dir: str,
     Scale shape: the exact pass is the one corpus-sized stage — a
     broadcast of the bounded query batch over one scan (evaluation
     runs on a query SAMPLE, not the corpus; brute force over a sample
-    is the standard recall protocol).  Everything downstream is
-    k·|queries|·|nprobes| rows.  Returns (nprobe, query_id, n_hits,
+    is the standard recall protocol).  The max(nprobe) scored slice is
+    row-narrow but up to |queries| × corpus rows, so it is cached
+    DISK_ONLY and only under ``_RECALL_CACHE_MAX_INPUT_BYTES``
+    (recomputed per rung beyond that — ADVICE r15); everything past
+    the rung windows is k·|queries|·|nprobes| rows.  Returns (nprobe,
+    query_id, n_hits,
     k, recall_pct) with all-integer recall so the q138 oracle gate is
     exact.
 
@@ -1080,11 +1124,16 @@ def ann_recall_report(spark: SparkSession, df: DataFrame, index_dir: str,
     # probe rank ≤ p — every rung's result derives from one scan +
     # one per-query top-k window instead of |nprobe_values| full
     # search jobs (the old shape re-read the pruned store per rung).
-    # The scored frame is localCheckpointed: it is the LARGEST rung's
-    # candidate set, the same rows the old nprobe=max run streamed —
-    # materialized once, consumed |nprobe_values| times.  Cosines,
-    # tie-breaks and candidate sets are identical to per-rung
-    # ``search_index_batch`` calls (hash-gated q138/q152).
+    # Caching posture (ADVICE r15): the scored frame is the LARGEST
+    # rung's candidate set — row-NARROW (4 scalar columns, vectors
+    # projected away) but up to |queries| × corpus rows when max_np
+    # approaches n_centroids, so it is cached DISK_ONLY (never
+    # executor memory) and only when the float corpus is small enough
+    # that the slice provably fits local disk; above the bound the
+    # rungs recompute the pass — the pre-round-15 cost envelope, with
+    # results identical either way.  Cosines, tie-breaks and candidate
+    # sets are identical to per-rung ``search_index_batch`` calls
+    # (hash-gated q138/q152).
     max_np = int(max(int(n) for n in nprobe_values))
     centroids = spark.read.parquet(f"{index_dir}/centroids")
     cvec_d = F.transform(F.col("cvec"), lambda x: x.cast("double"))
@@ -1109,7 +1158,17 @@ def ann_recall_report(spark: SparkSession, df: DataFrame, index_dir: str,
                 (_dot(vec_d, qvec_d)
                  / (F.col("__dnorm") * F.col("__qnorm")))
                 .alias("__cos"))
-    ).localCheckpoint()
+    )
+    # driver-side size estimate, no extra job: the scored slice is a
+    # few dozen bytes per probed (row, query) pair, so the float
+    # corpus' scan estimate bounds it within a small factor of
+    # |queries| — cache only while that is clearly local-disk sized
+    est = int(data._jdf.queryExecution().optimizedPlan()
+              .stats().sizeInBytes())
+    if est <= _RECALL_CACHE_MAX_INPUT_BYTES:
+        from pyspark import StorageLevel
+
+        scored = scored.persist(StorageLevel.DISK_ONLY)
     runs = None
     for np_ in nprobe_values:
         got = (

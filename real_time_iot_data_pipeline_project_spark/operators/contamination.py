@@ -187,16 +187,13 @@ def semantic_decontam_hits(docs, probes, threshold: float = 0.8,
     the nominated pairs (the q32→q128 candidate/verify precedent)."""
     from pyspark.sql import functions as F
 
-    from .embedding import hashing_embed_sparse, to_dense
+    from .embedding import hashing_embed_dense
     from .similarity import cosine
 
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    demb = to_dense(hashing_embed_sparse(docs, text_col, id_col, dim),
-                    id_col, dim)
-    pemb = (to_dense(hashing_embed_sparse(probes, text_col,
-                                          probe_id_col, dim),
-                     probe_id_col, dim)
+    demb = hashing_embed_dense(docs, text_col, id_col, dim)
+    pemb = (hashing_embed_dense(probes, text_col, probe_id_col, dim)
             .withColumnRenamed("embedding", "__pvec"))
     cos = cosine(F.col("embedding"), F.col("__pvec"))
     return (demb.crossJoin(F.broadcast(pemb))
@@ -217,10 +214,15 @@ def build_semantic_index(docs, index_dir: str, dim: int = 64,
     itself); appends ride ``ann_index.append_index`` so a grown
     corpus extends the screen without a rebuild."""
     from .ann_index import build_index
-    from .embedding import hashing_embed_sparse, to_dense
+    from .embedding import hashing_embed_dense
 
-    demb = to_dense(hashing_embed_sparse(docs, text_col, id_col, dim),
-                    id_col, dim)
+    # localCheckpoint: build_index reads its input TWICE (the
+    # md5-ordered centroid sample and the assignment write), and the
+    # embed pipeline is the dominant corpus-sized stage of this build —
+    # without materialization it would tokenize+aggregate the corpus
+    # twice (optimization round 16, the q119 embed-once posture)
+    demb = hashing_embed_dense(docs, text_col, id_col,
+                               dim).localCheckpoint(eager=True)
     build_index(demb, index_dir, n_centroids=n_centroids,
                 vec_col="embedding", id_col=id_col,
                 pq_m=pq_m, pq_kc=pq_kc)
@@ -262,15 +264,18 @@ def semantic_decontam_ann(spark, probes, index_dir: str,
     thresholded on the raw double — so the hit set is hash-exact
     cross-engine (q170's gate)."""
     from .ann_index import search_index_pq
-    from .embedding import hashing_embed_sparse, to_dense
+    from .embedding import hashing_embed_dense
     from .similarity import cosine
 
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    pemb = (to_dense(hashing_embed_sparse(probes, text_col,
-                                          probe_id_col, dim),
-                     probe_id_col, dim)
-            .withColumnRenamed("embedding", "__pvec"))
+    # localCheckpoint: the bounded probe embedding is read by the
+    # centroid ranking, the ADC LUT AND the final verify join — three
+    # consumers that would each re-run the probe tokenize+aggregate
+    # pipeline (a handful of stages per read at bench scale)
+    pemb = (hashing_embed_dense(probes, text_col, probe_id_col, dim)
+            .withColumnRenamed("embedding", "__pvec")
+            .localCheckpoint(eager=True))
     cand = (search_index_pq(spark, index_dir, pemb, k=k, nprobe=nprobe,
                             query_id_col=probe_id_col,
                             query_vec_col="__pvec", id_col=id_col)

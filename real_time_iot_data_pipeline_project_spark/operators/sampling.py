@@ -215,12 +215,16 @@ def leakage_safe_splits(df: DataFrame, key: str, edges: DataFrame,
     # duplicate the union+distinct pass CC does internally (review
     # catch).
     empty_nodes = e.select(F.col("id_a").alias("id")).filter(F.lit(False))
-    labels = graph.connected_components_star(empty_nodes, e, id_col="id")
-    # shuffle_hash, not sort-merge: the corpus side must never be
-    # SORTED for a pair-graph-sized label lookup (graph.py's own rule
-    # for the isolated-node join); AQE still localizes when tiny.
+    st: dict = {}
+    labels = graph.connected_components_star(empty_nodes, e, id_col="id",
+                                             stats=st)
+    # broadcast when the driver CC fast path bounded the label table
+    # (round 16 — stats["driver_cc"]), else shuffle_hash, never
+    # sort-merge: the corpus side must never be SORTED for a
+    # pair-graph-sized label lookup (graph.py's own rule).
     out = df.join(
-        labels.withColumnRenamed("id", key).hint("shuffle_hash"),
+        labels.withColumnRenamed("id", key)
+        .hint("broadcast" if st.get("driver_cc") else "shuffle_hash"),
         key,
         "left",
     ).withColumn("cluster_id", F.coalesce(F.col("component"), F.col(key))).drop("component")

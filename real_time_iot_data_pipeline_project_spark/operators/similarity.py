@@ -410,19 +410,33 @@ def semantic_dedup(df: DataFrame, centroids: DataFrame,
                             threshold)
         .filter(F.col("id_a") < F.col("id_b"))
     )
-    comp = graph.connected_components_star(
-        df.select(id_col), pairs, id_col=id_col
+    # EMPTY node frame (schema only) + LEFT join-back (optimization
+    # round 16, the sampling.leakage_safe_splits posture): the CC's
+    # labels already cover every edge endpoint (endpoints ⊆ df by
+    # construction — pairs derive from ``assigned``), and every
+    # unlabeled row is its own singleton via the coalesce below.  The
+    # old shape joined the corpus INNER against a corpus-sized
+    # (labels ∪ isolated) union, which re-shuffled the assignment
+    # against an anti-join of itself; this one joins the corpus against
+    # the PAIR-GRAPH-SIZED label table only — broadcast (zero corpus
+    # movement) when the driver fast path bounded it, one shuffle-hash
+    # exchange otherwise (never a sort — graph.py's rule).
+    st: dict = {}
+    labels = graph.connected_components_star(
+        df.select(id_col).filter(F.lit(False)), pairs, id_col=id_col,
+        stats=st,
     )
-    # shuffle_hash, not sort-merge: the corpus-sized assignment must
-    # never be SORTED to pick up its group label (graph.py's rule).
+    group = F.coalesce(F.col("component"), F.col(id_col))
     return (
         assigned.select(id_col, "centroid_id")
-        .join(comp.withColumnRenamed("id", id_col).hint("shuffle_hash"), id_col)
+        .join(labels.withColumnRenamed("id", id_col)
+              .hint("broadcast" if st.get("driver_cc") else "shuffle_hash"),
+              id_col, "left")
         .select(
             id_col,
             "centroid_id",
-            F.col("component").alias("group_id"),
-            (F.col("component") == F.col(id_col)).alias("keep"),
+            group.alias("group_id"),
+            (group == F.col(id_col)).alias("keep"),
         )
     )
 

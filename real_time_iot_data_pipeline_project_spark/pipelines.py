@@ -747,13 +747,12 @@ def _release_body(spark, final, output_path, baseline_path, min_quality,
             # profile trip THIS row and nothing else.  Cost: two
             # embed scans + an n·16 broadcast argmax per corpus.
             from .operators.drift import embedding_drift_psi
-            from .operators.embedding import hashing_embed_sparse, to_dense
+            from .operators.embedding import hashing_embed_dense
             from .operators.similarity import sampled_centroids
 
             def _vecs(df):
-                return to_dense(
-                    hashing_embed_sparse(df), "doc_id"
-                ).select(F.col("doc_id").alias("vec_id"), "embedding")
+                return hashing_embed_dense(df, id_col="doc_id").select(
+                    F.col("doc_id").alias("vec_id"), "embedding")
 
             base_vecs = _vecs(baseline)
             erow = embedding_drift_psi(
@@ -851,11 +850,11 @@ def _release_body(spark, final, output_path, baseline_path, min_quality,
         # scan.  Unique docs only: a recipe release repeats (doc,
         # epoch) rows and an id-unique store wants each doc once.
         from .operators.ann_index import build_index
-        from .operators.embedding import hashing_embed_sparse, to_dense
+        from .operators.embedding import hashing_embed_dense
 
         uniq_docs = (final.select("doc_id", "text", "detected_lang")
                      .dropDuplicates(["doc_id"]))
-        emb = (to_dense(hashing_embed_sparse(uniq_docs), dim=64)
+        emb = (hashing_embed_dense(uniq_docs, dim=64)
                .join(uniq_docs.select(
                    "doc_id", F.col("detected_lang").alias("lang")),
                    "doc_id")

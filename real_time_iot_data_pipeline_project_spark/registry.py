@@ -1805,10 +1805,22 @@ def q53_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import graph
 
     pairs = dedup.minhash_lsh_candidates(docs).filter(F.col("est_jaccard") >= 0.75)
-    comp = graph.connected_components_star(
-        docs.select("doc_id"), pairs, id_col="doc_id"
+    # empty node frame + LEFT join-back (round 16): labels are
+    # pair-graph sized; docs outside the graph are their own cluster
+    # via coalesce — broadcast when the driver CC fast path bounded
+    # the label table, shuffle-hash otherwise (graph.py's rule)
+    st: dict = {}
+    labels = graph.connected_components_star(
+        docs.select("doc_id").filter(F.lit(False)), pairs,
+        id_col="doc_id", stats=st)
+    return (
+        docs.select("doc_id")
+        .join(labels.withColumnRenamed("id", "doc_id")
+              .hint("broadcast" if st.get("driver_cc") else "shuffle_hash"),
+              "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("component", "doc_id").alias("cluster_id"))
     )
-    return comp.select(F.col("id").alias("doc_id"), F.col("component").alias("cluster_id"))
 
 
 @query(
@@ -2589,12 +2601,19 @@ def q76_near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_candidates(docs).filter(F.col("est_jaccard") >= 0.75)
-    comp = graph.connected_components_star(docs.select("doc_id"), pairs,
-                                           id_col="doc_id")
-    surv = F.col("component") == F.col("id")
+    # empty node frame + LEFT join-back with coalesce (round 16 — the
+    # q53 shape): the corpus joins the pair-graph-sized label table
+    # once instead of a corpus-sized (labels ∪ isolated) union
+    st: dict = {}
+    labels = graph.connected_components_star(
+        docs.select("doc_id").filter(F.lit(False)), pairs,
+        id_col="doc_id", stats=st)
+    surv = F.coalesce(F.col("component"), F.col("doc_id")) == F.col("doc_id")
     return (
-        comp.join(docs.select("doc_id", "source", textfns.token_count("text").alias("n_tok")),
-                  comp["id"] == F.col("doc_id"))
+        docs.select("doc_id", "source", textfns.token_count("text").alias("n_tok"))
+        .join(labels.withColumnRenamed("id", "doc_id")
+              .hint("broadcast" if st.get("driver_cc") else "shuffle_hash"),
+              "doc_id", "left")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -5201,15 +5220,17 @@ def q119_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregatable argmax, and a TakeOrderedAndProject — no
     all-pairs stage anywhere. The single driver .head() fetches ONE
     64-float query vector (bounded control flow, q37 precedent)."""
-    from .operators.embedding import hashing_embed_sparse, to_dense
+    from .operators.embedding import hashing_embed_dense
 
     docs = _t(spark, sf_dir, "documents")
     # materialize the embedding index ONCE: ivf_topk reads its input
     # three times (centroid sample, assignment, recount join), and
     # without this each read would re-run the tokenize+embed pipeline
-    # — the production shape is embed once, persist, then search
-    dense = to_dense(hashing_embed_sparse(docs, dim=64),
-                     id_col="doc_id", dim=64).localCheckpoint(eager=True)
+    # — the production shape is embed once, persist, then search.
+    # hashing_embed_dense = the to_dense ∘ sparse composition fused
+    # into one aggregation (round 16; values row-identical)
+    dense = hashing_embed_dense(docs, id_col="doc_id",
+                                dim=64).localCheckpoint(eager=True)
     # query vector: the smallest doc_id PRESENT IN dense — reading it
     # back from the checkpointed index costs one tiny job, and it
     # matches the oracle's ``min(doc_id) FROM dense`` exactly (a doc

@@ -336,18 +336,27 @@ def semantic_groups(spark: SparkSession, store: str,
             .parquet(edge_path)
     else:
         edges = spark.createDataFrame([], f"id_a {idt}, id_b {idt}")
-    comp = graph.connected_components_star(
-        vecs.select(id_col), edges, id_col=id_col)
-    # shuffle_hash join-back, the batch rule's: the corpus-sized
-    # assignment must never be SORTED to pick up its group label
+    # EMPTY node frame + LEFT join-back with coalesce (optimization
+    # round 16 — the batch rule's own shape in similarity.semantic_dedup):
+    # edge endpoints ⊆ stored vectors by construction, so the label
+    # table is PAIR-GRAPH sized and the store is joined against it
+    # once — broadcast when the driver CC fast path bounded it,
+    # shuffle-hash otherwise (the store must never be SORTED to pick
+    # up its group label)
+    st: dict = {}
+    labels = graph.connected_components_star(
+        vecs.select(id_col).filter(F.lit(False)), edges, id_col=id_col,
+        stats=st)
+    group = F.coalesce(F.col("component"), F.col(id_col))
     return (
         vecs.select(id_col, "centroid_id")
-        .join(comp.withColumnRenamed("id", id_col).hint("shuffle_hash"),
-              id_col)
+        .join(labels.withColumnRenamed("id", id_col)
+              .hint("broadcast" if st.get("driver_cc") else "shuffle_hash"),
+              id_col, "left")
         .select(
             id_col,
             "centroid_id",
-            F.col("component").alias("group_id"),
-            (F.col("component") == F.col(id_col)).alias("keep"),
+            group.alias("group_id"),
+            (group == F.col(id_col)).alias("keep"),
         )
     )

@@ -64,6 +64,33 @@ def test_dense_assembly_matches_sparse(spark):
             assert v == sparse[d].get(b, 0.0), (d, b)
 
 
+def test_fused_dense_matches_composition_exactly(spark):
+    """hashing_embed_dense (round-16 fused plan: sort-free second
+    aggregation instead of window + to_dense re-aggregation) must be
+    row-for-row, bit-for-bit identical to the to_dense ∘ sparse
+    composition — including a doc with EMPTY text being absent from
+    both."""
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "completely different tokens here entirely"),
+        (3, ""),                                  # no tokens: absent
+        (4, "alpha beta gamma delta alpha beta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    comp = {r["doc_id"]: list(r["embedding"]) for r in embedding.to_dense(
+        embedding.hashing_embed_sparse(docs, dim=16), dim=16).collect()}
+    fused = {r["doc_id"]: list(r["embedding"]) for r in
+             embedding.hashing_embed_dense(docs, dim=16).collect()}
+    assert set(fused) == set(comp) == {1, 2, 4}
+    for d in comp:
+        assert fused[d] == comp[d], d     # exact doubles, no tolerance
+    # the fused second pass must be a hash aggregate, not a window sort
+    plan = embedding.hashing_embed_dense(
+        docs, dim=16)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
 def test_embed_plan_is_jvm_only_and_validates_dim(spark):
     """The zero-UDF claim, plan-asserted: no Python boundary of any
     kind in the embed plan."""
